@@ -1,0 +1,309 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator surface: one named query per reference operator
+  * family from SURVEY.md §2, expressed over the driver's TPC-H-ish test
+  * tables. Reference citations point into /root/reference/loader.py.
+  *
+  * Scale notes are inline per query; the common themes:
+  *  - dimension sides of joins are `broadcast()` (reference's dict probes,
+  *    loader.py:406, are hash joins with a tiny build side);
+  *  - aggregations are plain `groupBy` → partial+final hash aggregation;
+  *  - every filter/projection is declarative so Catalyst pushes it into
+  *    the parquet scan.
+  */
+object CoreQueries {
+  import OpsKit._
+
+  def all: Seq[NamedQuery] = Seq(
+
+    // ----- O-1/P-1: scan + projection + filter pushdown ------------------
+    // Reference: RELEVANT_COLUMNS projection, loader.py:97-104.
+    NamedQuery(
+      "q01_scan_project",
+      (s, d) =>
+        tbl(s, d, "lineitem")
+          .filter(col("l_quantity") >= 45)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_returnflag")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+             |FROM lineitem WHERE l_quantity >= 45""".stripMargin)),
+
+    // ----- P-2/P-5/P-6/P-7: cast-or-NULL coercions ------------------------
+    // Reference: is_positive_integer/float + empty-string→NULL,
+    // loader.py:37-50, 132-142.
+    NamedQuery(
+      "q02_coercions",
+      (s, d) =>
+        events(s, d).select(
+          col("event_id"),
+          when(col("value") > 0.0, col("value")).as("pos_value"),
+          when(length(col("event_type")) > 0, col("event_type")).as("etype"),
+          when(col("value").cast("long") > 0, col("value").cast("long"))
+            .as("pos_int")),
+      // Spark's double→long cast truncates toward zero; DuckDB's rounds.
+      // Only positive values survive the guard, where trunc == floor.
+      Some("""SELECT event_id,
+             |  CASE WHEN value > 0.0 THEN value END AS pos_value,
+             |  CASE WHEN length(event_type) > 0 THEN event_type END AS etype,
+             |  CASE WHEN floor(value) > 0 THEN CAST(floor(value) AS BIGINT) END AS pos_int
+             |FROM events""".stripMargin)),
+
+    // ----- A-1: group-by average (ratings per movie, loader.py:313-336) ---
+    NamedQuery(
+      "q03_group_avg",
+      (s, d) =>
+        events(s, d).groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value")),
+      Some(s"""SELECT user_id, COUNT(*) AS n, ${davgSql("value")} AS avg_value
+              |FROM events GROUP BY user_id""".stripMargin)),
+
+    // ----- J-1: left outer join with NULL for missing (loader.py:406) -----
+    NamedQuery(
+      "q04_left_join",
+      (s, d) => {
+        val li = tbl(s, d, "lineitem")
+        val rev = li.groupBy(col("l_orderkey"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        tbl(s, d, "orders")
+          .join(rev, col("o_orderkey") === col("l_orderkey"), "left")
+          .select(col("o_orderkey"), col("o_totalprice"), col("revenue"))
+      },
+      Some(s"""SELECT o_orderkey, o_totalprice, r.revenue
+              |FROM orders LEFT JOIN (
+              |  SELECT l_orderkey,
+              |    ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+              |  FROM lineitem GROUP BY l_orderkey) r
+              |ON o_orderkey = r.l_orderkey""".stripMargin)),
+
+    // ----- X-1..X-7: explode + set-dedup (loader.py:145-150 etc.) ---------
+    NamedQuery(
+      "q05_explode_distinct",
+      (s, d) =>
+        tbl(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .distinct(),
+      Some("""SELECT DISTINCT doc_id, t.token
+             |FROM documents, unnest(string_split(text, ' ')) AS t(token)"""
+        .stripMargin)),
+
+    // ----- O-7/A-3: deterministic first-wins dedup (loader.py:147-148) ----
+    NamedQuery(
+      "q06_first_wins",
+      (s, d) => {
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        tbl(s, d, "documents")
+          .select(col("lang"), col("doc_id"), col("source"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+      },
+      Some("""SELECT lang, doc_id, source FROM (
+             |  SELECT lang, doc_id, source,
+             |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+             |  FROM documents) WHERE rn = 1""".stripMargin)),
+
+    // ----- O-8: dense surrogate key mint (loader.py:161-171, 208-223) -----
+    // Single-partition window is safe: runs over the distinct dimension
+    // values only (≤ thousands), never the fact rows.
+    NamedQuery(
+      "q07_surrogate_keys",
+      (s, d) =>
+        tbl(s, d, "documents")
+          .groupBy(col("lang")).agg(min(col("doc_id")).as("first_seen"))
+          .withColumn("lang_sk",
+            (row_number().over(Window.orderBy(col("first_seen"))) - 1)
+              .cast("long"))
+          .select(col("lang"), col("lang_sk")),
+      Some("""SELECT lang,
+             |  row_number() OVER (ORDER BY min(doc_id)) - 1 AS lang_sk
+             |FROM documents GROUP BY lang""".stripMargin)),
+
+    // ----- A-6: union of two sources + first-wins dedup (loader.py:264-273)
+    NamedQuery(
+      "q08_union_dedup",
+      (s, d) => {
+        val a = tbl(s, d, "customer")
+          .select(col("c_custkey").as("id"), col("c_name").as("name"),
+            lit(0).as("src"))
+        val b = tbl(s, d, "supplier")
+          .select(col("s_suppkey").as("id"), col("s_name").as("name"),
+            lit(1).as("src"))
+        val w = Window.partitionBy(col("id")).orderBy(col("src"))
+        a.unionByName(b)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("id"), col("name"))
+      },
+      Some("""SELECT id, name FROM (
+             |  SELECT id, name,
+             |    row_number() OVER (PARTITION BY id ORDER BY src) AS rn
+             |  FROM (
+             |    SELECT c_custkey AS id, c_name AS name, 0 AS src FROM customer
+             |    UNION ALL
+             |    SELECT s_suppkey AS id, s_name AS name, 1 AS src FROM supplier))
+             |WHERE rn = 1""".stripMargin)),
+
+    // ----- J-3: filter-join (crew → directors, loader.py:506-513) ---------
+    NamedQuery(
+      "q09_filter_join",
+      (s, d) =>
+        events(s, d).filter(col("event_type") === "purchase")
+          .join(broadcast(tbl(s, d, "customer")),
+            col("user_id") === col("c_custkey"))
+          .select(col("event_id"), col("c_name"), col("value")),
+      Some("""SELECT event_id, c_name, value
+             |FROM events JOIN customer ON user_id = c_custkey
+             |WHERE event_type = 'purchase'""".stripMargin)),
+
+    // ----- A-8: group + collect_set (crew job→persons, loader.py:257-263) -
+    NamedQuery(
+      "q10_collect_set",
+      (s, d) =>
+        events(s, d).groupBy(col("user_id"))
+          .agg(array_join(sort_array(collect_set(col("event_type"))), ",")
+            .as("types")),
+      Some("""SELECT user_id,
+             |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
+             |FROM events GROUP BY user_id""".stripMargin)),
+
+    // ----- A-9: histogram (print_all_jobs, loader.py:485-491) -------------
+    NamedQuery(
+      "q11_histogram",
+      (s, d) =>
+        events(s, d).groupBy(col("event_type")).agg(count(lit(1)).as("n")),
+      Some("SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type")),
+
+    // ----- §2.6: window ranking (actors.order_id analytical surface) ------
+    NamedQuery(
+      "q12_window_rank",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        tbl(s, d, "orders")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            col("rn"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) WHERE rn <= 3""".stripMargin)),
+
+    // ----- §2.6: global top-k (TakeOrderedAndProject, no full sort) -------
+    NamedQuery(
+      "q13_topk",
+      (s, d) =>
+        tbl(s, d, "orders")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .limit(10),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // ----- extension: anti join (NOT EXISTS) ------------------------------
+    NamedQuery(
+      "q14_anti_join",
+      (s, d) =>
+        tbl(s, d, "customer")
+          .join(tbl(s, d, "orders").filter(col("o_totalprice") > 400000.0),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name")),
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+             |    AND o.o_totalprice > 400000.0)""".stripMargin)),
+
+    // ----- extension: semi join (EXISTS) ----------------------------------
+    NamedQuery(
+      "q15_semi_join",
+      (s, d) =>
+        tbl(s, d, "customer")
+          .join(tbl(s, d, "orders").filter(col("o_totalprice") > 400000.0),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name")),
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)"""
+        .stripMargin)),
+
+    // ----- flagship: snowflake join + aggregate ---------------------------
+    // The analytical query the reference's FK schema exists to serve
+    // (db_schema.json:5-16): fact ⋈ dims with every dim broadcast.
+    NamedQuery(
+      "q16_star_join",
+      (s, d) => {
+        val li = tbl(s, d, "lineitem")
+        val o = tbl(s, d, "orders")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(tbl(s, d, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(tbl(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(tbl(s, d, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some(s"""SELECT r_name,
+              |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+              |  COUNT(*) AS n_items
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |GROUP BY r_name""".stripMargin)),
+
+    // ----- TPC-H Q1-shaped pricing summary (A-1 at fact scale) ------------
+    NamedQuery(
+      "q17_pricing_summary",
+      (s, d) =>
+        tbl(s, d, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("sum_disc_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+            davg(col("l_quantity")).as("avg_qty"),
+            davg(col("l_discount")).as("avg_disc"),
+            count(lit(1)).as("count_order")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  ${dsumSql("l_quantity")} AS sum_qty,
+              |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+              |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+              |  ${dsumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+              |  ${davgSql("l_quantity")} AS avg_qty,
+              |  ${davgSql("l_discount")} AS avg_disc,
+              |  COUNT(*) AS count_order
+              |FROM lineitem
+              |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+              |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ----- P-10 analog: parse JSON-ish payload column (props) -------------
+    // Reference parses Python-literal cells (loader.py:146 etc.); testdata
+    // carries JSON `props`. Full Python-literal parser: graft.parse.PyLiteral.
+    NamedQuery(
+      "q18_json_extract",
+      (s, d) =>
+        events(s, d).select(
+          col("event_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int")
+            .as("k")),
+      Some("""SELECT event_id,
+             |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k
+             |FROM events""".stripMargin)),
+  )
+}

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** A named query with an optional DuckDB oracle (ANSI SQL over the same
+  * parquet tables). Queries without an oracle get a weaker rows-only check
+  * from the driver.
+  */
+final case class NamedQuery(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Shared helpers for the operator query surface.
+  *
+  * Design notes (scale):
+  *  - Aggregates over doubles are computed in exact decimal arithmetic
+  *    (`dsum`) so results are identical regardless of partition count or
+  *    partial-aggregation order — a requirement for bit-exact results on a
+  *    1000-executor cluster, and the reason the DuckDB oracle hash-matches.
+  *  - Readers select no columns here: Catalyst prunes columns and pushes
+  *    filters down to the parquet scan from the query shape itself.
+  */
+object OpsKit {
+  /** Output format for timestamps: compare as strings, never raw
+    * timestamps, so parquet physical encodings can't cause mismatches. */
+  val TsFmt = "yyyy-MM-dd HH:mm:ss"
+  /** DuckDB strftime equivalent of [[TsFmt]]. */
+  val TsFmtDuck = "%Y-%m-%d %H:%M:%S"
+
+  def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's vectorized
+    * parquet reader rejects; read nanos as long and floor-convert to
+    * microseconds (integral `div` — double division would lose precision on
+    * ns-epoch magnitudes). Matches DuckDB's own ns→µs truncation.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tbl(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Order-insensitive exact sum of a double expression: cast each value to
+    * DECIMAL(28,6) (ties at the 6th decimal are unrepresentable in binary
+    * doubles, so Spark and DuckDB round identically), sum exactly, return
+    * as double. */
+  def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(28, 6))).cast(DoubleType)
+
+  /** Oracle-side rendering of [[dsum]]. */
+  def dsumSql(e: String): String =
+    s"CAST(SUM(CAST(($e) AS DECIMAL(28,6))) AS DOUBLE)"
+
+  /** Exact average: exact decimal sum divided by count, in double. */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  def davgSql(e: String): String = s"${dsumSql(e)} / COUNT($e)"
+}

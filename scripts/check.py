@@ -17,15 +17,23 @@ for p in glob.glob(f"{sfdir}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sfdir}/{name}.parquet'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+try:
+    expected = set(json.load(open(f"{outdir}/query_names.json")))
+except FileNotFoundError:
+    expected = set(oracle)
 n_pass = n_fail = 0
+checked = set()
 for name in sorted(os.listdir(outdir)):
     path = os.path.join(outdir, name)
     if not os.path.isdir(path):
         continue
+    checked.add(name)
     got = duckdb.sql(f"SELECT * FROM '{path}/*.parquet'").df()
     if name not in oracle:
         status = "ROWS-ONLY" if len(got) > 0 else "ROWS-ONLY-EMPTY"
         print(f"{status:18s} {name}: rows={len(got)}")
+        if len(got) == 0:  # driver's rows-only gate would fail this
+            n_fail += 1
         continue
     try:
         exp = con.execute(oracle[name]).df()
@@ -68,5 +76,13 @@ for name in sorted(os.listdir(outdir)):
         n_fail += 1
         print(f"FAIL               {name}: " + "; ".join(msgs))
 
-print(f"\n{n_pass} pass, {n_fail} fail, {len(oracle)} oracles")
+# A query that crashed in graft.Verify writes no output dir at all — that
+# must be a failure, not a silent skip.
+missing = (expected | set(oracle)) - checked
+for name in sorted(missing):
+    print(f"MISSING-OUTPUT     {name}: query produced no output dir")
+    n_fail += 1
+
+print(f"\n{n_pass} pass, {n_fail} fail, {len(oracle)} oracles, "
+      f"{len(checked)} checked of {len(expected | set(oracle))} expected")
 sys.exit(1 if n_fail else 0)

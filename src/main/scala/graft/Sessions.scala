@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared SparkSession configuration for every entrypoint (Verify, Bench,
+  * Scratch, tests). Keeps session-level flags in ONE place so no query
+  * builder ever mutates conf as a side effect.
+  */
+object Sessions {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS); read the raw long and
+      // convert explicitly (OpsKit.events) instead of failing the scan.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Derby-backed tests and the JDBC sink share the driver JVM.
+      .config("spark.sql.adaptive.enabled", "true")
+}

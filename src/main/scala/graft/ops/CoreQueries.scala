@@ -95,7 +95,10 @@ object CoreQueries {
     NamedQuery(
       "q06_first_wins",
       (s, d) => {
-        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        // Tie-break on EVERY selected column so first-wins is fully
+        // deterministic even if doc_id ever repeats within a lang.
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("doc_id"), col("source"))
         tbl(s, d, "documents")
           .select(col("lang"), col("doc_id"), col("source"))
           .withColumn("rn", row_number().over(w))
@@ -103,7 +106,7 @@ object CoreQueries {
       },
       Some("""SELECT lang, doc_id, source FROM (
              |  SELECT lang, doc_id, source,
-             |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+             |    row_number() OVER (PARTITION BY lang ORDER BY doc_id, source) AS rn
              |  FROM documents) WHERE rn = 1""".stripMargin)),
 
     // ----- O-8: dense surrogate key mint (loader.py:161-171, 208-223) -----
@@ -292,9 +295,12 @@ object CoreQueries {
               |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
               |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
 
-    // ----- P-10 analog: parse JSON-ish payload column (props) -------------
-    // Reference parses Python-literal cells (loader.py:146 etc.); testdata
-    // carries JSON `props`. Full Python-literal parser: graft.parse.PyLiteral.
+    // ----- JSON payload extraction over `props` ----------------------------
+    // The real Python-literal parser (reference loader.py:146 etc.) is
+    // [[graft.parse.PyLiteral]], exercised by the q23+ ETL queries; this one
+    // covers the plain JSON-column extraction surface.
+    // Oracle uses NULLIF so a non-matching row maps to NULL exactly like
+    // Spark's cast('' as int) does (DuckDB CAST('') would throw).
     NamedQuery(
       "q18_json_extract",
       (s, d) =>
@@ -303,7 +309,7 @@ object CoreQueries {
           regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int")
             .as("k")),
       Some("""SELECT event_id,
-             |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k
+             |  CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS INTEGER) AS k
              |FROM events""".stripMargin)),
   )
 }

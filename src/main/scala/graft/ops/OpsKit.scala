@@ -37,12 +37,14 @@ object OpsKit {
     * parquet reader rejects; read nanos as long and floor-convert to
     * microseconds (integral `div` — double division would lose precision on
     * ns-epoch magnitudes). Matches DuckDB's own ns→µs truncation.
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set at session
+    * build by every entrypoint ([[graft.Sessions.builder]]) — NOT mutated
+    * here, so building a DataFrame has no hidden global side effects.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
 
   /** Order-insensitive exact sum of a double expression: cast each value to
     * DECIMAL(28,6) (ties at the 6th decimal are unrepresentable in binary

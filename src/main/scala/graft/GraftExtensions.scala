@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.parse.PyToJson
+
+/** Engine extension point: registers graft's custom Catalyst expressions
+  * with the session's FunctionRegistry so they are callable from both the
+  * DataFrame API (`call_function`) and `spark.sql`.
+  *
+  * Installed by [[Sessions.builder]] via `withExtensions`; also usable
+  * standalone with `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("py_to_json"),
+      new ExpressionInfo(
+        classOf[PyToJson].getName, null, "py_to_json",
+        "_FUNC_(str) - Converts a Python-literal value (single quotes, None, " +
+          "True/False, tuples/sets) to canonical JSON; NULL on parse failure.",
+        ""),
+      (children: Seq[Expression]) => PyToJson(children.head)))
+  }
+}

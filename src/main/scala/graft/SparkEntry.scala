@@ -12,7 +12,8 @@ import graft.ops._
 object SparkEntry {
 
   private lazy val registry: Seq[NamedQuery] =
-    CoreQueries.all ++ TimeWindowOps.all ++ ParseOps.all
+    CoreQueries.all ++ TimeWindowOps.all ++ ParseOps.all ++ DedupOps.all ++
+      SimilarityOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

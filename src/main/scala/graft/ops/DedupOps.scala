@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** Deduplication operator family over `documents` (the LLM-training-data
+  * pipeline surface; SURVEY.md §7.2 step 8):
+  *
+  *  - q26 exact dedup: content-hash groupBy — the 100 TB shape is a single
+  *    hash-shuffle on the digest, never a pairwise compare;
+  *  - q27 MinHash+LSH near-dup: shingle → 32-hash signature → 8×4 banding →
+  *    bucket self-join → exact Jaccard ONLY on candidates. No all-pairs
+  *    stage anywhere: cost is O(rows·sig) + O(candidate pairs);
+  *  - q28 SimHash: 16-bit signature + Hamming distance to the perturbed
+  *    twin via xor/bit_count;
+  *  - q29 n-gram Jaccard: exact shingle-set similarity, one row per doc.
+  *
+  * The near-dup corpora are self-constructed (documents ∪ re-keyed
+  * perturbations) so recall is verifiable deterministically — the driver's
+  * testdata has no natural duplicates (verified: 0 duplicate texts).
+  */
+object DedupOps {
+  import LlmKit._
+  import OpsKit._
+
+  def all: Seq[NamedQuery] = Seq(
+
+    // ----- q26: exact dedup by content hash -------------------------------
+    NamedQuery(
+      "q26_exact_dedup",
+      (s, d) =>
+        corpusWithDups(s, d)
+          .groupBy(md5(col("text")).as("content_hash"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies")),
+      Some(s"""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+              |  COUNT(*) AS n_copies
+              |FROM ($corpusWithDupsSql) GROUP BY 1""".stripMargin)),
+
+    // ----- q27: MinHash signatures + LSH banding + candidate Jaccard ------
+    NamedQuery(
+      "q27_minhash_lsh",
+      (s, d) => {
+        val sigs = corpusWithNearDups(s, d)
+          .select(col("doc_id"),
+            array_distinct(shingles(col("text"))).as("ds"))
+          .withColumn("sig", minhashSigFromHashes(shingleHashes(col("ds"))))
+        val bands = sigs.select(col("doc_id"),
+          explode(transform(sequence(lit(0), lit(LshBands - 1)), b =>
+            struct(b.as("band"),
+              array_join(transform(sequence(lit(1), lit(LshRows)), r =>
+                element_at(col("sig"), (b * LshRows + r).cast("int"))
+                  .cast("string")), "_").as("bkey")))).as("bk"))
+          .select(col("doc_id"), col("bk.band").as("band"),
+            col("bk.bkey").as("bkey"))
+        val cand = bands.select(col("band"), col("bkey"), col("doc_id").as("id1"))
+          .join(bands.select(col("band"), col("bkey"), col("doc_id").as("id2")),
+            Seq("band", "bkey"))
+          .filter(col("id1") < col("id2"))
+          .select(col("id1"), col("id2")).distinct()
+        val sets = sigs.select(col("doc_id"), col("ds"))
+        val icnt = size(array_intersect(col("s1"), col("s2")))
+        val ucnt = size(col("s1")) + size(col("s2")) - icnt
+        cand
+          .join(sets.select(col("doc_id").as("id1"), col("ds").as("s1")), Seq("id1"))
+          .join(sets.select(col("doc_id").as("id2"), col("ds").as("s2")), Seq("id2"))
+          .select(col("id1"), col("id2"),
+            (icnt.cast("double") / ucnt).as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+      },
+      Some {
+        val sh = shinglesSql("text")
+        s"""WITH corpus AS ($corpusWithNearDupsSql),
+           |sigs AS (
+           |  SELECT doc_id, list_distinct($sh) AS ds,
+           |    ${minhashSigSql(s"list_distinct($sh)")} AS sig
+           |  FROM corpus),
+           |bands AS (
+           |  SELECT doc_id, b,
+           |    array_to_string(list_transform(range(1, ${LshRows + 1}),
+           |      r -> CAST(sig[b * $LshRows + r] AS VARCHAR)), '_') AS bkey
+           |  FROM sigs, unnest(range(0, $LshBands)) AS u(b)),
+           |cand AS (
+           |  SELECT DISTINCT b1.doc_id AS id1, b2.doc_id AS id2
+           |  FROM bands b1 JOIN bands b2
+           |    ON b1.b = b2.b AND b1.bkey = b2.bkey AND b1.doc_id < b2.doc_id)
+           |SELECT id1, id2,
+           |  CAST(len(list_filter(s1.ds, x -> list_contains(s2.ds, x))) AS DOUBLE)
+           |    / (len(s1.ds) + len(s2.ds)
+           |       - len(list_filter(s1.ds, x -> list_contains(s2.ds, x))))
+           |    AS jaccard
+           |FROM cand
+           |JOIN sigs s1 ON cand.id1 = s1.doc_id
+           |JOIN sigs s2 ON cand.id2 = s2.doc_id
+           |WHERE CAST(len(list_filter(s1.ds, x -> list_contains(s2.ds, x))) AS DOUBLE)
+           |    / (len(s1.ds) + len(s2.ds)
+           |       - len(list_filter(s1.ds, x -> list_contains(s2.ds, x)))) >= 0.5"""
+          .stripMargin
+      }),
+
+    // ----- q28: SimHash + Hamming distance to the perturbed twin ----------
+    NamedQuery(
+      "q28_simhash",
+      (s, d) => {
+        val hs = transform(array_distinct(split(col("text"), " ")),
+          t => strHash(t))
+        // bit j weight: +1 if the 60-bit token hash has bit j set, else -1;
+        // simhash bit j set iff the sum over tokens is positive. ONE fold
+        // over the token hashes carrying 16 per-bit counters (hs — and its
+        // md5 per token — evaluates once per row, not once per bit; see
+        // LlmKit.minhashSigFromHashes for the measured cost of the naive
+        // nesting), then the finish lambda assembles the bits.
+        val simhash = aggregate(
+          hs,
+          transform(sequence(lit(0), lit(15)), _ => lit(0L)),
+          (acc, h) => transform(sequence(lit(0), lit(15)), j =>
+            element_at(acc, (j + 1).cast("int")) +
+              when(h.bitwiseAND(pow(lit(2), j).cast("long")) > 0, 1L)
+                .otherwise(-1L)),
+          bits => aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, j) =>
+            acc + when(element_at(bits, (j + 1).cast("int")) > 0,
+              pow(lit(2), j).cast("long")).otherwise(0L)))
+        val sims = corpusWithNearDups(s, d)
+          .select(col("doc_id"), simhash.as("sh"))
+        sims.filter(col("doc_id") < 100000)
+          .join(sims.filter(col("doc_id") >= 100000)
+            .select((col("doc_id") - 100000).as("doc_id"),
+              col("sh").as("sh_pert")), Seq("doc_id"))
+          .select(col("doc_id"), col("sh").as("simhash"), col("sh_pert"),
+            bit_count(col("sh").bitwiseXOR(col("sh_pert")))
+              .cast("int").as("hamming"))
+      },
+      Some {
+        val hsSql = s"""list_transform(list_distinct(string_split(text, ' ')),
+          | t -> ${strHashSql("t")})""".stripMargin.replace("\n", " ")
+        s"""WITH corpus AS ($corpusWithNearDupsSql),
+           |sims AS (
+           |  SELECT doc_id,
+           |    list_reduce(list_prepend(0, list_transform(range(0, 16), j ->
+           |      CASE WHEN list_reduce(list_prepend(0,
+           |          list_transform($hsSql, h ->
+           |            CASE WHEN (h & CAST(pow(2, j) AS BIGINT)) > 0
+           |                 THEN 1 ELSE -1 END)),
+           |          (a, b) -> a + b) > 0
+           |        THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)),
+           |      (a, b) -> a + b) AS sh
+           |  FROM corpus)
+           |SELECT a.doc_id, a.sh AS simhash, b.sh AS sh_pert,
+           |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+           |FROM sims a JOIN sims b ON b.doc_id = a.doc_id + 100000
+           |WHERE a.doc_id < 100000""".stripMargin
+      }),
+
+    // ----- q29: exact n-gram Jaccard, one row per doc ---------------------
+    NamedQuery(
+      "q29_ngram_jaccard",
+      (s, d) => {
+        val s1 = array_distinct(shingles(col("text")))
+        val s2 = array_distinct(shingles(dropFirstToken(col("text"))))
+        val icnt = size(array_intersect(s1, s2))
+        val ucnt = size(s1) + size(s2) - icnt
+        tbl(s, d, "documents").select(
+          col("doc_id"), size(s1).cast("long").as("n_shingles"),
+          (icnt.cast("double") / ucnt).as("jaccard"),
+          (icnt.cast("double") / ucnt >= 0.8).as("is_near_dup"))
+      },
+      Some {
+        val s1 = s"list_distinct(${shinglesSql("text")})"
+        val s2 = s"list_distinct(${shinglesSql(dropFirstTokenSql("text"))})"
+        val icnt = s"len(list_filter($s1, x -> list_contains($s2, x)))"
+        val ucnt = s"(len($s1) + len($s2) - $icnt)"
+        s"""SELECT doc_id, len($s1) AS n_shingles,
+           |  CAST($icnt AS DOUBLE) / $ucnt AS jaccard,
+           |  CAST($icnt AS DOUBLE) / $ucnt >= 0.8 AS is_near_dup
+           |FROM documents""".stripMargin
+      }),
+  )
+}

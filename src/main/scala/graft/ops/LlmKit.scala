@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared primitives for the LLM-data-pipeline operators (dedup, similarity,
+  * text analysis) over `documents` / `embeddings`.
+  *
+  * Every primitive here exists in TWO renderings that must stay in lockstep:
+  * a Spark Column expression and a DuckDB SQL fragment (the oracle). The
+  * parity contract:
+  *  - token/shingle hash = first 15 hex chars of md5 → 60-bit integer
+  *    (identical hex in both engines; both parse as positive int64);
+  *  - all floating-point reductions are LEFT FOLDS with a 0.0 init — both
+  *    engines execute the same IEEE-754 double op sequence, so results are
+  *    bit-identical, no rounding needed for the hash compare;
+  *  - integer arithmetic stays below 2^62 so BIGINT never overflows.
+  *
+  * Scale notes: everything is per-row (HOFs over arrays) or hash-shuffled
+  * by a key — no driver-side loops, no cartesian products except where a
+  * bounded candidate subset is explicit.
+  */
+object LlmKit {
+
+  /** Whitespace tokens (the reference's only tokenizer analog, q05). */
+  def toks(c: Column): Column = split(c, " ")
+
+  /** Word 3-gram shingles; short texts fall back to the whole text as a
+    * single shingle. Count = n_tokens - 2, matching the oracle's
+    * `range(1, len(l)-1)` slice windows. */
+  def shingles(c: Column): Column = {
+    val t = toks(c)
+    when(size(t) >= 3,
+      transform(sequence(lit(0), size(t) - 3), i =>
+        concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2),
+          element_at(t, i + 3))))
+      .otherwise(array(c))
+  }
+
+  /** DuckDB rendering of [[shingles]] applied to column expression `e`
+    * (binds `l` internally). */
+  def shinglesSql(e: String): String =
+    s"""CASE WHEN len(string_split($e,' ')) >= 3
+       | THEN [array_to_string((string_split($e,' '))[i:i+2], ' ')
+       |       for i in range(1, len(string_split($e,' ')) - 1)]
+       | ELSE [$e] END""".stripMargin.replace("\n", " ")
+
+  /** 60-bit deterministic string hash: first 15 hex chars of md5. */
+  def strHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  def strHashSql(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  // ---- MinHash ----------------------------------------------------------
+  /** Mersenne prime 2^31-1; permutation i is h → (A(i)·h + B(i)) mod P with
+    * A(i) = 1103515245·(i+1) mod P, B(i) = (12345 + 2654435761·i) mod P —
+    * the same closed form is inlined in the oracle SQL so neither side
+    * carries literal tables. */
+  val MinhashP = 2147483647L
+  val NumHashes = 32
+  val LshBands = 8
+  val LshRows = 4 // NumHashes / LshBands
+
+  /** Per-shingle 60-bit hashes reduced mod P. */
+  def shingleHashes(shingleArr: Column): Column =
+    transform(array_distinct(shingleArr), s => strHash(s) % MinhashP)
+
+  /** MinHash signature (array of NumHashes longs) over a hash array.
+    *
+    * ONE left fold over the hashes that maintains all 32 running minima.
+    * The naive shape — `transform(0..31, i -> array_min(transform(hs, …)))`
+    * — re-evaluates the `hs` argument (with its md5 per shingle) once per
+    * OUTER lambda element, i.e. md5 × 32 per shingle: measured 250 s vs
+    * ~4 s at sf0.1 for the full LSH query. In the fold, `hs` is the
+    * aggregate's input evaluated once per row, and each element costs 32
+    * integer ops. Identical values either way. */
+  def minhashSigFromHashes(hs: Column): Column =
+    aggregate(
+      hs,
+      transform(sequence(lit(0), lit(NumHashes - 1)), _ => lit(MinhashP)),
+      (acc, h) => transform(sequence(lit(0), lit(NumHashes - 1)), i => {
+        val a = (lit(1103515245L) * (i + 1)) % MinhashP
+        val b = (lit(12345L) + lit(2654435761L) * i) % MinhashP
+        least(element_at(acc, (i + 1).cast("int")), (a * h + b) % MinhashP)
+      }))
+
+  /** DuckDB rendering of [[minhashSig]] over a shingle-list expression. */
+  def minhashSigSql(shinglesExpr: String): String =
+    s"""list_transform(range(0, $NumHashes), i ->
+       | list_min(list_transform(
+       |   list_transform(list_distinct($shinglesExpr),
+       |     s -> ${strHashSql("s")} % $MinhashP),
+       |   h -> (((1103515245 * (i+1)) % $MinhashP) * h
+       |         + ((12345 + 2654435761 * i) % $MinhashP)) % $MinhashP)))"""
+      .stripMargin.replace("\n", " ")
+
+  // ---- exact double arithmetic (left folds) -----------------------------
+  /** Bit-exact dot product of two float-array columns: cast each element to
+    * double, multiply pairwise, left-fold sum from 0.0. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** DuckDB rendering of [[dot]] for 64-dim list columns. */
+  def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0,
+       | [CAST(($a)[i] AS DOUBLE) * CAST(($b)[i] AS DOUBLE)
+       |  for i in range(1, 65)]), (acc, x) -> acc + x)"""
+      .stripMargin.replace("\n", " ")
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  def cosineSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  // ---- corpora for the dedup queries ------------------------------------
+  /** documents ∪ exact copies of doc_id < 100 (re-keyed +100000): the
+    * deterministic duplicate corpus for exact-dedup. */
+  def corpusWithDups(spark: org.apache.spark.sql.SparkSession, d: String):
+      org.apache.spark.sql.DataFrame = {
+    val docs = OpsKit.tbl(spark, d, "documents").select(col("doc_id"), col("text"))
+    docs.unionByName(
+      docs.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  val corpusWithDupsSql: String =
+    """SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 100000 AS doc_id, text FROM documents
+      | WHERE doc_id < 100""".stripMargin.replace("\n", " ")
+
+  /** Drop the first whitespace token — the deterministic near-duplicate
+    * perturbation (shingle-set Jaccard ≈ (n-5)/n for n shingles). */
+  def dropFirstToken(c: Column): Column =
+    c.substr(instr(c, " ") + 1, length(c))
+
+  def dropFirstTokenSql(e: String): String =
+    s"substr($e, strpos($e, ' ') + 1)"
+
+  /** documents ∪ near-duplicate perturbations (re-keyed +100000). */
+  def corpusWithNearDups(spark: org.apache.spark.sql.SparkSession, d: String):
+      org.apache.spark.sql.DataFrame = {
+    val docs = OpsKit.tbl(spark, d, "documents").select(col("doc_id"), col("text"))
+    docs.unionByName(
+      docs.select((col("doc_id") + 100000).as("doc_id"),
+        dropFirstToken(col("text")).as("text")))
+  }
+
+  val corpusWithNearDupsSql: String =
+    s"""SELECT doc_id, text FROM documents
+       | UNION ALL
+       | SELECT doc_id + 100000 AS doc_id,
+       |   ${dropFirstTokenSql("text")} AS text FROM documents"""
+      .stripMargin.replace("\n", " ")
+}

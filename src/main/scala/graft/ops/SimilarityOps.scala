@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings` (64-dim float vectors):
+  *
+  *  - q30 embedding near-dup: top-1 cosine neighbor within a bounded
+  *    candidate subset — the building block of embedding-based dedup;
+  *  - q31 brute-force cosine top-k: the exact baseline. Query set is a
+  *    pruned broadcast side; the corpus streams once per partition. At
+  *    100 TB the corpus side stays partitioned and only queries replicate;
+  *  - q32 LSH-bucketed ANN: 8 deterministic random-hyperplane signs → a
+  *    256-bucket signature; candidates = same-bucket corpus rows only.
+  *    This is the scale path: bucket join replaces the all-pairs scan.
+  *
+  * Hyperplane component (i,j) is ((i·64+j)·2654435761 mod 2^32)/2^32 − 0.5 —
+  * a closed form both engines evaluate exactly (division by 2^32 is exact
+  * in binary), so no literal matrices are shipped. All dot products are
+  * bit-exact left folds (LlmKit parity contract).
+  */
+object SimilarityOps {
+  import LlmKit._
+  import OpsKit._
+
+  /** Sign-bucket of an embedding against 8 deterministic hyperplanes. */
+  private def lshBucket(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(sequence(lit(0), lit(7)), lit(0L), (acc, i) => {
+      val proj = aggregate(sequence(lit(1), lit(64)), lit(0.0), (a, j) => {
+        val v = ((i * 64 + j - 1) * lit(2654435761L)) % lit(4294967296L)
+        a + element_at(emb, j.cast("int")).cast("double") *
+          (v.cast("double") / 4294967296.0 - 0.5)
+      })
+      acc + when(proj > 0, pow(lit(2), i).cast("long")).otherwise(0L)
+    })
+
+  private def lshBucketSql(emb: String): String =
+    s"""list_reduce(list_prepend(0, list_transform(range(0, 8), i ->
+       | CASE WHEN list_reduce(list_prepend(0.0, [
+       |     CAST(($emb)[j] AS DOUBLE) *
+       |     (CAST(((i*64 + j - 1) * 2654435761) % 4294967296 AS DOUBLE)
+       |      / 4294967296.0 - 0.5)
+       |   for j in range(1, 65)]), (a, x) -> a + x) > 0
+       |   THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)),
+       | (a, b) -> a + b)""".stripMargin.replace("\n", " ")
+
+  def all: Seq[NamedQuery] = Seq(
+
+    // ----- q30: top-1 cosine neighbor (embedding near-dup primitive) ------
+    NamedQuery(
+      "q30_embed_neardup",
+      (s, d) => {
+        // norms are materialized per row BEFORE the join (same IEEE ops as
+        // the oracle's sqrt(dot(a,a)) — computed once per vector, not per
+        // pair)
+        val sub = tbl(s, d, "embeddings").filter(col("vec_id") < 200)
+          .select(col("vec_id"), col("embedding"),
+            sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+        val a = sub.select(col("vec_id"), col("embedding").as("ea"),
+          col("nrm").as("na"))
+        val b = sub.select(col("vec_id").as("nn_id"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("nn_id"))
+        a.join(b, col("vec_id") =!= col("nn_id"))
+          .select(col("vec_id"), col("nn_id"),
+            (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+          .withColumn("is_dup", col("cos") >= 0.9)
+      },
+      Some(s"""WITH sub AS (SELECT vec_id, embedding FROM embeddings
+              |            WHERE vec_id < 200),
+              |pairs AS (
+              |  SELECT a.vec_id, b.vec_id AS nn_id,
+              |    ${cosineSql("a.embedding", "b.embedding")} AS cos
+              |  FROM sub a JOIN sub b ON a.vec_id <> b.vec_id)
+              |SELECT vec_id, nn_id, cos, cos >= 0.9 AS is_dup FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY vec_id
+              |    ORDER BY cos DESC, nn_id) AS rn FROM pairs)
+              |WHERE rn = 1""".stripMargin)),
+
+    // ----- q31: brute-force cosine top-k (exact ANN baseline) -------------
+    NamedQuery(
+      "q31_cosine_topk",
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+            col("nrm").as("qn"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        emb.crossJoin(broadcast(queries))
+          .select(col("q_id"), col("vec_id"),
+            (dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")))
+              .as("cos"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+      },
+      Some(s"""SELECT q_id, vec_id, cos, rank FROM (
+              |  SELECT q.vec_id AS q_id, e.vec_id,
+              |    ${cosineSql("q.embedding", "e.embedding")} AS cos,
+              |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |      ${cosineSql("q.embedding", "e.embedding")} DESC, e.vec_id)
+              |      AS rank
+              |  FROM embeddings e,
+              |       (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q)
+              |WHERE rank <= 5""".stripMargin)),
+
+    // ----- q32: LSH-bucketed ANN (the 100 TB path) ------------------------
+    NamedQuery(
+      "q32_ann_lsh",
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            lshBucket(col("embedding")).as("bucket"),
+            sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+            col("bucket"), col("nrm").as("qn"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        emb.join(broadcast(queries), Seq("bucket"))
+          .select(col("q_id"), col("vec_id"),
+            (dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")))
+              .as("cos"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+      },
+      Some(s"""WITH b AS (
+              |  SELECT vec_id, embedding,
+              |    ${lshBucketSql("embedding")} AS bucket
+              |  FROM embeddings)
+              |SELECT q_id, vec_id, cos, rank FROM (
+              |  SELECT q.vec_id AS q_id, e.vec_id,
+              |    ${cosineSql("q.embedding", "e.embedding")} AS cos,
+              |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |      ${cosineSql("q.embedding", "e.embedding")} DESC, e.vec_id)
+              |      AS rank
+              |  FROM b e JOIN (SELECT * FROM b WHERE vec_id % 100 = 0) q
+              |    ON e.bucket = q.bucket)
+              |WHERE rank <= 3""".stripMargin)),
+  )
+}

@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operator family over `documents` (LLM-pipeline surface):
+  *
+  *  - q33 language-ID: marker-token scoring (the n-gram/stopword heuristic
+  *    shape — the marker lists here are derived from the synthetic corpus
+  *    vocabulary; real per-language stopword lists drop in unchanged);
+  *  - q34 quality scoring: length / stopword-ratio / uniqueness features
+  *    combined into one double score (identical op order both engines);
+  *  - q35 token counting: whitespace tokens + regex token classes (a
+  *    BPE-ish `[a-z]{1,4}` chunker);
+  *  - q36 document fingerprinting: polynomial rolling hash over the whole
+  *    text + a winnowing-style minimum over 16-char window hashes.
+  *
+  * All per-row, no shuffle at all — these scale linearly and partition-
+  * independently to any corpus size.
+  */
+object TextOps {
+  import OpsKit._
+
+  private val Stop = Seq("the", "a")
+  private val DbMarkers = Seq("table", "row", "query", "join", "column")
+  private val ExecMarkers = Seq("scan", "merge", "sort", "hash", "filter")
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("(", ", ", ")")
+
+  private val HashMod = 1000000007L
+  private val WinnowLen = 16
+
+  def all: Seq[NamedQuery] = Seq(
+
+    // ----- q33: marker-based language/domain identification ---------------
+    NamedQuery(
+      "q33_lang_id",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val sEn = size(filter(toks, t => t.isin(Stop: _*))).cast("long")
+        val sDb = size(filter(toks, t => t.isin(DbMarkers: _*))).cast("long")
+        val sEx = size(filter(toks, t => t.isin(ExecMarkers: _*))).cast("long")
+        tbl(s, d, "documents").select(
+          col("doc_id"), sEn.as("s_en"), sDb.as("s_db"), sEx.as("s_exec"),
+          when(sEn >= sDb && sEn >= sEx, "en")
+            .when(sDb >= sEx, "db").otherwise("exec").as("predicted"))
+      },
+      Some(s"""SELECT doc_id,
+              |  len(list_filter(string_split(text,' '),
+              |      t -> t IN ${sqlList(Stop)})) AS s_en,
+              |  len(list_filter(string_split(text,' '),
+              |      t -> t IN ${sqlList(DbMarkers)})) AS s_db,
+              |  len(list_filter(string_split(text,' '),
+              |      t -> t IN ${sqlList(ExecMarkers)})) AS s_exec,
+              |  CASE
+              |    WHEN len(list_filter(string_split(text,' '),
+              |           t -> t IN ${sqlList(Stop)}))
+              |      >= len(list_filter(string_split(text,' '),
+              |           t -> t IN ${sqlList(DbMarkers)}))
+              |     AND len(list_filter(string_split(text,' '),
+              |           t -> t IN ${sqlList(Stop)}))
+              |      >= len(list_filter(string_split(text,' '),
+              |           t -> t IN ${sqlList(ExecMarkers)}))
+              |    THEN 'en'
+              |    WHEN len(list_filter(string_split(text,' '),
+              |           t -> t IN ${sqlList(DbMarkers)}))
+              |      >= len(list_filter(string_split(text,' '),
+              |           t -> t IN ${sqlList(ExecMarkers)}))
+              |    THEN 'db' ELSE 'exec' END AS predicted
+              |FROM documents""".stripMargin)),
+
+    // ----- q34: quality scoring -------------------------------------------
+    NamedQuery(
+      "q34_quality_score",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val nTok = size(toks).cast("double")
+        val uniqR = size(array_distinct(toks)).cast("double") / nTok
+        val stopR = size(filter(toks, t => t.isin(Stop: _*))).cast("double") / nTok
+        val avgW = (col("n_chars").cast("double") - (nTok - 1.0)) / nTok
+        tbl(s, d, "documents").select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          uniqR.as("uniq_ratio"), stopR.as("stop_ratio"),
+          (lit(0.4) * uniqR + lit(0.3) * (lit(1.0) - stopR)
+            + lit(0.3) * least(avgW / 8.0, lit(1.0))).as("quality"))
+      },
+      Some {
+        val nTok = "CAST(len(string_split(text,' ')) AS DOUBLE)"
+        val uniqR = s"CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / $nTok"
+        val stopR = s"CAST(len(list_filter(string_split(text,' '), t -> t IN ${sqlList(Stop)})) AS DOUBLE) / $nTok"
+        val avgW = s"(CAST(n_chars AS DOUBLE) - ($nTok - 1.0)) / $nTok"
+        s"""SELECT doc_id, len(string_split(text,' ')) AS n_tokens,
+           |  $uniqR AS uniq_ratio, $stopR AS stop_ratio,
+           |  0.4 * ($uniqR) + 0.3 * (1.0 - $stopR)
+           |    + 0.3 * least(($avgW) / 8.0, 1.0) AS quality
+           |FROM documents""".stripMargin
+      }),
+
+    // ----- q35: token counting (whitespace + regex token classes) ---------
+    NamedQuery(
+      "q35_token_count",
+      (s, d) =>
+        tbl(s, d, "documents").select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_ws"),
+          regexp_count(col("text"), lit("[a-z]+")).cast("long").as("n_alpha"),
+          regexp_count(col("text"), lit("[a-z]{1,4}")).cast("long").as("n_bpe"),
+          length(col("text")).cast("long").as("n_chars_out")),
+      Some("""SELECT doc_id,
+             |  len(string_split(text, ' ')) AS n_ws,
+             |  len(regexp_extract_all(text, '[a-z]+')) AS n_alpha,
+             |  len(regexp_extract_all(text, '[a-z]{1,4}')) AS n_bpe,
+             |  length(text) AS n_chars_out
+             |FROM documents""".stripMargin)),
+
+    // ----- q36: fingerprint (full poly-hash + winnowed window min) --------
+    NamedQuery(
+      "q36_fingerprint",
+      (s, d) => {
+        // cs is referenced twice in the upper projection (full + winnow),
+        // so CollapseProject keeps it a separate materialized projection —
+        // codepoints are computed once per row.
+        val withCs = tbl(s, d, "documents")
+          .select(col("doc_id"),
+            transform(split(col("text"), ""), c => ascii(c)).as("cs"))
+        val full = aggregate(col("cs"), lit(0L),
+          (acc, c) => (acc * 31 + c) % HashMod)
+        val nWin = greatest(size(col("cs")) - (WinnowLen - 1), lit(1))
+        val winnow = array_min(transform(sequence(lit(1), nWin), i =>
+          aggregate(slice(col("cs"), i, lit(WinnowLen)), lit(0L),
+            (acc, c) => (acc * 31 + c) % HashMod)))
+        withCs.select(col("doc_id"), full.as("full_hash"),
+          winnow.as("winnow_hash"))
+      },
+      Some {
+        val cs = "list_transform(string_split(text, ''), c -> unicode(c))"
+        val full = s"list_reduce(list_prepend(CAST(0 AS BIGINT), $cs), (acc, c) -> (acc * 31 + c) % $HashMod)"
+        val nWin = s"greatest(len($cs) - ${WinnowLen - 1}, 1)"
+        val winnow =
+          s"""list_min(list_transform(range(1, $nWin + 1), i ->
+             | list_reduce(list_prepend(CAST(0 AS BIGINT), ($cs)[i:i+${WinnowLen - 1}]),
+             |   (acc, c) -> (acc * 31 + c) % $HashMod)))"""
+            .stripMargin.replace("\n", " ")
+        s"""SELECT doc_id, $full AS full_hash, $winnow AS winnow_hash
+           |FROM documents""".stripMargin
+      }),
+  )
+}

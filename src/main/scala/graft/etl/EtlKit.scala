@@ -42,15 +42,17 @@ object EtlKit {
   }
 
   /** P-5 on numeric-looking cells that pandas had already parsed as float
-    * (runtime): `int(float)` truncates, kept iff > 0 (loader.py:139-140). */
+    * (runtime): `int(float)` truncates, kept iff > 0 (loader.py:139-140).
+    * try_cast: under ANSI mode (Spark 4 default) a plain cast would THROW
+    * on a malformed cell instead of skipping it like the reference. */
   def posIntFromNumeric(c: Column): Column = {
-    val d = c.cast("double")
+    val d = c.try_cast("double")
     when(floor(d) > 0, floor(d).cast("int"))
   }
 
   /** P-6 `is_positive_float` (loader.py:45-50): parse, kept iff > 0.0. */
   def posDouble(c: Column): Column = {
-    val d = c.cast("double")
+    val d = c.try_cast("double")
     when(d > 0.0, d)
   }
 
@@ -70,7 +72,7 @@ object EtlKit {
   def ratingAvg(ratings: DataFrame): DataFrame =
     ratings
       .select(strictInt(col("movieId")).as("movieId"),
-        col("rating").cast("double").as("rating"))
+        col("rating").try_cast("double").as("rating"))
       .filter(col("movieId").isNotNull && col("rating").isNotNull)
       .groupBy("movieId")
       .agg(avg(col("rating")).as("rating"))

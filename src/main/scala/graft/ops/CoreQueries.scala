@@ -306,7 +306,8 @@ object CoreQueries {
       (s, d) =>
         events(s, d).select(
           col("event_id"),
-          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int")
+          // try_cast: a non-matching row extracts '' which ANSI cast throws on
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).try_cast("int")
             .as("k")),
       Some("""SELECT event_id,
              |  CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS INTEGER) AS k

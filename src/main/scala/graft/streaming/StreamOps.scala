@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` stream (SURVEY.md §2.7):
+  * the streaming forms of the batch window queries q19-q21 plus an
+  * explicit-state aggregation via flatMapGroupsWithState.
+  *
+  * Batch/stream parity is the design invariant: each transform here uses
+  * the same expressions as its batch twin in
+  * [[graft.ops.TimeWindowOps]], and StreamOpsSpec proves result equality
+  * on the same input. Sums go through exact decimal arithmetic
+  * ([[graft.ops.OpsKit.dsum]]) so microbatch boundaries can't change
+  * results.
+  *
+  * Scale notes: all aggregations are keyed (window / user_id) so state is
+  * hash-partitioned across executors; watermarks bound state size — an
+  * unbounded-state shape (complete mode, no watermark) appears nowhere.
+  */
+object StreamOps {
+  import graft.ops.OpsKit.{dsum, TsFmt}
+
+  /** Deployment-shaped event schema (micros timestamps; the TIMESTAMP_NANOS
+    * quirk is a testdata-file artifact handled by the batch reader only). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream: one file per microbatch so watermarks advance
+    * between chunks (admission control under Trigger.AvailableNow too). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+
+  /** q19 streaming twin: tumbling 1 h windows, 1 h watermark. */
+  def tumbling(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(date_format(col("window.start"), TsFmt).as("window_start"),
+        col("n"), col("sum_value"))
+
+  /** q20 streaming twin: sliding 1 h / 30 min windows. */
+  def sliding(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(date_format(col("window.start"), TsFmt).as("window_start"),
+        col("n"), col("sum_value"))
+
+  /** q21 streaming twin: per-user session windows, 10 min gap. */
+  def sessions(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), TsFmt).as("session_start"),
+        col("n_events"), col("sum_value"))
+
+  // ---- explicit state: flatMapGroupsWithState ---------------------------
+
+  final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+  final case class UserAgg(user_id: Long, n_events: Long)
+
+  /** Per-user lifetime event count, emitted once the user has been idle
+    * past the watermark (EventTimeTimeout) — the custom-state shape that
+    * windowed aggregations can't express. State is one long per live user,
+    * bounded by the watermark. */
+  def userActivity(events: Dataset[Ev]): Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, UserAgg](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            val n = state.get
+            state.remove()
+            Iterator.single(UserAgg(uid, n))
+          } else {
+            state.update(state.getOption.getOrElse(0L) + evs.size)
+            // flush once the watermark moves 10 min past what we've seen
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs + 600000L)
+            Iterator.empty
+          }
+      }
+  }
+}

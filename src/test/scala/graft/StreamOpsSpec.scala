@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.nio.file.attribute.FileTime
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.OpsKit
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{Ev, UserAgg}
+
+/** Batch-vs-stream equivalence: each streaming transform must produce
+  * EXACTLY the batch result on the same input.
+  *
+  * Mechanics: the sf0.001 events are split into two chunk files plus a
+  * far-future sentinel event; file mtimes force chunk order and
+  * maxFilesPerTrigger=1 gives one microbatch per file, so watermarks
+  * advance mid-stream (late-data handling is actually exercised). The
+  * sentinel pushes the final watermark past every real window, and the
+  * closing no-data microbatch flushes them all in append mode. Sentinel
+  * rows are excluded from both sides of the compare.
+  */
+class StreamOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val SentinelUser = -1L
+
+  /** (stream input dir, batch equivalent of the real rows) */
+  private lazy val (streamDir: String, batchEvents: DataFrame) = {
+    val events = OpsKit.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+    val half = events.agg(percentile_approx(col("ts"), lit(0.5), lit(100)))
+      .head().getTimestamp(0)
+    val c1 = events.filter(col("ts") <= lit(half))
+    val c2 = events.filter(col("ts") > lit(half))
+    val sentinel = spark.range(1).select(
+      lit(-1L).as("event_id"),
+      lit(new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000))
+        .as("ts"),
+      lit(SentinelUser).as("user_id"), lit("sentinel").as("event_type"),
+      lit(0.0).as("value"), lit("{}").as("props"))
+
+    val dir = Files.createTempDirectory("graft-stream").toString
+    def writeChunk(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft-chunk").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.asInstanceOf[Path])
+        .find(_.toString.endsWith(".parquet")).get
+      val dest = Paths.get(dir, name)
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 600000
+    writeChunk(c1, "chunk0.parquet", t0)
+    writeChunk(c2, "chunk1.parquet", t0 + 60000)
+    writeChunk(sentinel, "chunk2.parquet", t0 + 120000)
+    (dir, c1.unionByName(c2))
+  }
+
+  /** Run a streaming transform to completion against the chunked dir and
+    * return the collected memory-sink rows. */
+  private def runStream(name: String, f: DataFrame => DataFrame): DataFrame = {
+    val q = f(StreamOps.readEvents(spark, streamDir))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"graft-ckpt-$name").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  private def asSet(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  // withWatermark is a no-op in batch mode, so the same transform runs on
+  // the batch DF — code-path parity, not a re-implementation.
+  test("tumbling window: stream equals batch") {
+    val got = asSet(runStream("t_tumbling", StreamOps.tumbling))
+    val want = asSet(StreamOps.tumbling(batchEvents))
+    // the only extra streamed row is the sentinel's own window
+    val sentinelWindows = got -- want
+    assert(sentinelWindows.forall(r => r(1) == 1L && r(2) == 0.0))
+    assert(want.subsetOf(got))
+    assert(got.size - sentinelWindows.size == want.size)
+  }
+
+  test("sliding window: stream equals batch") {
+    val got = asSet(runStream("t_sliding", StreamOps.sliding))
+    val want = asSet(StreamOps.sliding(batchEvents))
+    val sentinelWindows = got -- want
+    assert(sentinelWindows.forall(r => r(1) == 1L && r(2) == 0.0))
+    assert(want.subsetOf(got))
+    assert(got.size - sentinelWindows.size == want.size)
+  }
+
+  test("session window: stream equals batch") {
+    val got = asSet(runStream("t_session", StreamOps.sessions))
+      .filterNot(_.head == SentinelUser)
+    val want = asSet(StreamOps.sessions(batchEvents))
+    assert(got == want)
+  }
+
+  test("flatMapGroupsWithState user activity: stream equals batch groupBy") {
+    import spark.implicits._
+    val got = runStream("t_state", df =>
+      StreamOps.userActivity(df.as[Ev]).toDF())
+      .filter(col("user_id") =!= SentinelUser)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = batchEvents.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+}

@@ -51,8 +51,13 @@ object DedupOps {
                   .cast("string")), "_").as("bkey")))).as("bk"))
           .select(col("doc_id"), col("bk.band").as("band"),
             col("bk.bkey").as("bkey"))
+        // shuffle_hash (not broadcast): both self-join sides then produce
+        // IDENTICAL shuffle exchanges and Spark reuses the first — the
+        // signature subtree is computed once, not per join side
         val cand = bands.select(col("band"), col("bkey"), col("doc_id").as("id1"))
-          .join(bands.select(col("band"), col("bkey"), col("doc_id").as("id2")),
+          .hint("shuffle_hash")
+          .join(bands.select(col("band"), col("bkey"), col("doc_id").as("id2"))
+            .hint("shuffle_hash"),
             Seq("band", "bkey"))
           .filter(col("id1") < col("id2"))
           .select(col("id1"), col("id2")).distinct()

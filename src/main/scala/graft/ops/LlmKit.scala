@@ -85,7 +85,8 @@ object LlmKit {
         least(element_at(acc, (i + 1).cast("int")), (a * h + b) % MinhashP)
       }))
 
-  /** DuckDB rendering of [[minhashSig]] over a shingle-list expression. */
+  /** DuckDB rendering of [[minhashSigFromHashes]] over a shingle-list
+    * expression. */
   def minhashSigSql(shinglesExpr: String): String =
     s"""list_transform(range(0, $NumHashes), i ->
        | list_min(list_transform(

@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** Scale-technique operators: shapes that only matter past a single node,
+  * expressed so the driver's oracle can still verify them at small SF.
+  */
+object ScaleOps {
+  import OpsKit._
+
+  def all: Seq[NamedQuery] = Seq(
+
+    // ----- q38: salted two-phase aggregation over skewed keys -------------
+    // events has only 5 event_type values → every key is hot at 100 TB.
+    // Phase 1 aggregates by (key, salt) so the heavy lifting spreads over
+    // 16×|keys| reducers; phase 2 combines the 80 partials. dsum's decimal
+    // arithmetic makes the two-phase result bit-identical to a direct
+    // aggregation, which is exactly what the oracle computes.
+    NamedQuery(
+      "q38_salted_agg",
+      (s, d) => {
+        val salted = events(s, d)
+          .withColumn("salt", pmod(col("event_id"), lit(16)))
+          .groupBy(col("event_type"), col("salt"))
+          .agg(count(lit(1)).as("n_part"),
+            sum(col("value").cast("decimal(28,6)")).as("sum_part"))
+        salted.groupBy(col("event_type"))
+          .agg(sum(col("n_part")).as("n"),
+            sum(col("sum_part")).cast("double").as("sum_value"))
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n,
+              |  ${dsumSql("value")} AS sum_value
+              |FROM events GROUP BY event_type""".stripMargin)),
+  )
+}

@@ -39,10 +39,13 @@ object DedupOps {
     NamedQuery(
       "q27_minhash_lsh",
       (s, d) => {
+        // hashed shingles: md5 per TOKEN, shingle = arithmetic combine —
+        // no 3-gram string building, and the Jaccard joins below ship
+        // long arrays instead of string arrays
         val sigs = corpusWithNearDups(s, d)
           .select(col("doc_id"),
-            array_distinct(shingles(col("text"))).as("ds"))
-          .withColumn("sig", minhashSigFromHashes(shingleHashes(col("ds"))))
+            array_distinct(hashedShingles(col("text"))).as("ds"))
+          .withColumn("sig", minhashSigFromHashes(col("ds")))
         val bands = sigs.select(col("doc_id"),
           explode(transform(sequence(lit(0), lit(LshBands - 1)), b =>
             struct(b.as("band"),
@@ -72,12 +75,16 @@ object DedupOps {
           .filter(col("jaccard") >= 0.5)
       },
       Some {
-        val sh = shinglesSql("text")
+        val sh = hashedShinglesSql("text", "th")
         s"""WITH corpus AS ($corpusWithNearDupsSql),
-           |sigs AS (
-           |  SELECT doc_id, list_distinct($sh) AS ds,
-           |    ${minhashSigSql(s"list_distinct($sh)")} AS sig
+           |tokh AS (
+           |  SELECT doc_id, text, ${tokenHashesSql("text")} AS th
            |  FROM corpus),
+           |shg AS (
+           |  SELECT doc_id, list_distinct($sh) AS ds FROM tokh),
+           |sigs AS (
+           |  SELECT doc_id, ds, ${minhashSigOverHashesSql("ds")} AS sig
+           |  FROM shg),
            |bands AS (
            |  SELECT doc_id, b,
            |    array_to_string(list_transform(range(1, ${LshRows + 1}),

@@ -66,6 +66,49 @@ object LlmKit {
   def shingleHashes(shingleArr: Column): Column =
     transform(array_distinct(shingleArr), s => strHash(s) % MinhashP)
 
+  /** Hashed 3-gram shingles computed WITHOUT building shingle strings:
+    * hash each token once (md5 over ~5 chars, not 3-gram strings), then
+    * combine consecutive token hashes arithmetically —
+    * ((h1·31 + h2) mod P · 31 + h3) mod P.
+    *
+    * The combine is a single struct-state fold over the token-hash array
+    * (state = shingles-so-far + previous two hashes), so the md5-bearing
+    * token-hash expression is the aggregate's input, evaluated once per
+    * row — the same per-outer-element trap documented on
+    * [[minhashSigFromHashes]] applies to any `transform(sequence…)` over
+    * a recomputed array. */
+  def hashedShingles(text: Column): Column = {
+    val th = transform(split(text, " "), t => strHash(t) % MinhashP)
+    val init = struct(
+      array().cast("array<bigint>").as("hs"),
+      lit(-1L).as("p1"), lit(-1L).as("p2"))
+    val folded = aggregate(
+      th, init,
+      (acc, h) => struct(
+        when(acc.getField("p1") >= 0,
+          concat(acc.getField("hs"), array(
+            ((acc.getField("p1") * 31 + acc.getField("p2")) % MinhashP * 31
+              + h) % MinhashP)))
+          .otherwise(acc.getField("hs")).as("hs"),
+        acc.getField("p2").as("p1"), h.as("p2")),
+      acc => acc.getField("hs"))
+    when(size(split(text, " ")) >= 3, folded)
+      .otherwise(array(strHash(text) % MinhashP))
+  }
+
+  /** DuckDB rendering of [[hashedShingles]]; `th` must be a bound column
+    * holding the token-hash list (see [[tokenHashesSql]]). */
+  def hashedShinglesSql(textExpr: String, th: String): String =
+    s"""CASE WHEN len($th) >= 3
+       | THEN [(($th[i]*31 + $th[i+1]) % $MinhashP * 31 + $th[i+2]) % $MinhashP
+       |       for i in range(1, len($th) - 1)]
+       | ELSE [${strHashSql(textExpr)} % $MinhashP] END"""
+      .stripMargin.replace("\n", " ")
+
+  def tokenHashesSql(textExpr: String): String =
+    s"""list_transform(string_split($textExpr, ' '),
+       | t -> ${strHashSql("t")} % $MinhashP)""".stripMargin.replace("\n", " ")
+
   /** MinHash signature (array of NumHashes longs) over a hash array.
     *
     * ONE left fold over the hashes that maintains all 32 running minima.
@@ -85,13 +128,12 @@ object LlmKit {
         least(element_at(acc, (i + 1).cast("int")), (a * h + b) % MinhashP)
       }))
 
-  /** DuckDB rendering of [[minhashSigFromHashes]] over a shingle-list
-    * expression. */
-  def minhashSigSql(shinglesExpr: String): String =
+  /** DuckDB rendering of [[minhashSigFromHashes]] over an ALREADY-HASHED
+    * list expression (ideally a bound CTE column, so it isn't recomputed
+    * per signature index). */
+  def minhashSigOverHashesSql(hsExpr: String): String =
     s"""list_transform(range(0, $NumHashes), i ->
-       | list_min(list_transform(
-       |   list_transform(list_distinct($shinglesExpr),
-       |     s -> ${strHashSql("s")} % $MinhashP),
+       | list_min(list_transform($hsExpr,
        |   h -> (((1103515245 * (i+1)) % $MinhashP) * h
        |         + ((12345 + 2654435761 * i) % $MinhashP)) % $MinhashP)))"""
       .stripMargin.replace("\n", " ")

@@ -62,10 +62,6 @@ object LlmKit {
   val LshBands = 8
   val LshRows = 4 // NumHashes / LshBands
 
-  /** Per-shingle 60-bit hashes reduced mod P. */
-  def shingleHashes(shingleArr: Column): Column =
-    transform(array_distinct(shingleArr), s => strHash(s) % MinhashP)
-
   /** Hashed 3-gram shingles computed WITHOUT building shingle strings:
     * hash each token once (md5 over ~5 chars, not 3-gram strings), then
     * combine consecutive token hashes arithmetically —

@@ -31,5 +31,32 @@ object ScaleOps {
       Some(s"""SELECT event_type, COUNT(*) AS n,
               |  ${dsumSql("value")} AS sum_value
               |FROM events GROUP BY event_type""".stripMargin)),
+
+    // ----- q40: rollup (hierarchical subtotals, one shuffle) --------------
+    NamedQuery(
+      "q40_rollup",
+      (s, d) =>
+        tbl(s, d, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(dsum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  ${dsumSql("l_quantity")} AS sum_qty, COUNT(*) AS n
+              |FROM lineitem
+              |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)),
+
+    // ----- q41: HLL sketch distinct (approx_count_distinct) ---------------
+    // Sketch contents are engine-specific, so there is no cross-engine
+    // oracle — the driver records a rows-only check. The exact count rides
+    // along so the sketch's error is visible in the output itself.
+    NamedQuery(
+      "q41_approx_distinct",
+      (s, d) =>
+        tbl(s, d, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+          .groupBy(col("lang"))
+          .agg(approx_count_distinct(col("token")).as("approx_tokens"),
+            countDistinct(col("token")).as("exact_tokens")),
+      None),
   )
 }

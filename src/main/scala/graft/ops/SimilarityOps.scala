@@ -142,5 +142,69 @@ object SimilarityOps {
               |  FROM b e JOIN (SELECT * FROM b WHERE vec_id % 100 = 0) q
               |    ON e.bucket = q.bucket)
               |WHERE rank <= 3""".stripMargin)),
+
+    // ----- q39: IVF-style ANN (coarse quantizer + nprobe=2) ---------------
+    // The other classic ANN scale path: assign every vector to its nearest
+    // coarse centroid (here a fixed deterministic set — a trained k-means
+    // codebook drops in unchanged), then a query only scans the inverted
+    // lists of its 2 nearest centroids. Assignment is a broadcast join
+    // against the tiny codebook; candidate generation is a hash join on
+    // cluster id — cost O(corpus·K + query·probed-list), never all-pairs.
+    NamedQuery(
+      "q39_ivf_ann",
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+        val cents = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
+            col("nrm").as("cn"))
+        val scored = emb.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+            (dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+              .as("ccos"))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("cent_id"))
+        val assigned = scored.withColumn("crn", row_number().over(wAssign))
+        val corpusA = assigned.filter(col("crn") === 1)
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            col("cent_id").as("cluster"))
+        val probes = assigned.filter(col("vec_id") % 100 === 0)
+          .filter(col("crn") <= 2)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+            col("nrm").as("qn"), col("cent_id").as("cluster"))
+        val wRank = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        corpusA.join(broadcast(probes), Seq("cluster"))
+          .select(col("q_id"), col("vec_id"),
+            (dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")))
+              .as("cos"))
+          .withColumn("rank", row_number().over(wRank).cast("long"))
+          .filter(col("rank") <= 3)
+      },
+      Some(s"""WITH cents AS (
+              |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+              |  WHERE vec_id < 8),
+              |scored AS (
+              |  SELECT e.vec_id, e.embedding, c.cent_id,
+              |    ${cosineSql("e.embedding", "c.ce")} AS ccos,
+              |    row_number() OVER (PARTITION BY e.vec_id
+              |      ORDER BY ${cosineSql("e.embedding", "c.ce")} DESC,
+              |        c.cent_id) AS crn
+              |  FROM embeddings e, cents c),
+              |corpus_a AS (
+              |  SELECT vec_id, embedding, cent_id AS cluster FROM scored
+              |  WHERE crn = 1),
+              |probes AS (
+              |  SELECT vec_id AS q_id, embedding AS qe, cent_id AS cluster
+              |  FROM scored WHERE vec_id % 100 = 0 AND crn <= 2)
+              |SELECT q_id, vec_id, cos, rank FROM (
+              |  SELECT p.q_id, a.vec_id,
+              |    ${cosineSql("p.qe", "a.embedding")} AS cos,
+              |    row_number() OVER (PARTITION BY p.q_id ORDER BY
+              |      ${cosineSql("p.qe", "a.embedding")} DESC, a.vec_id)
+              |      AS rank
+              |  FROM corpus_a a JOIN probes p ON a.cluster = p.cluster)
+              |WHERE rank <= 3""".stripMargin)),
   )
 }

@@ -20,7 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[PyToJson].getName, null, "py_to_json",
         "_FUNC_(str) - Converts a Python-literal value (single quotes, None, " +
           "True/False, tuples/sets) to canonical JSON; NULL on parse failure.",
-        ""),
+        "", "", "", "", "4.0.0", "", "built-in"),
       (children: Seq[Expression]) => PyToJson(children.head)))
   }
 }

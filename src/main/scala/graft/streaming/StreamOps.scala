@@ -88,7 +88,7 @@ object StreamOps {
           } else {
             state.update(state.getOption.getOrElse(0L) + evs.size)
             // flush once the watermark moves 10 min past what we've seen
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs + 600000L)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 600000L)
             Iterator.empty
           }
       }

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.VecDot
 import graft.parse.PyToJson
 
 /** Engine extension point: registers graft's custom Catalyst expressions
@@ -22,5 +23,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "True/False, tuples/sets) to canonical JSON; NULL on parse failure.",
         "", "", "", "", "4.0.0", "", "built-in"),
       (children: Seq[Expression]) => PyToJson(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(
+        classOf[VecDot].getName, null, "vec_dot",
+        "_FUNC_(a, b) - Dot product of two float arrays as a left fold in " +
+          "double precision (bit-stable across engines).",
+        "", "", "", "", "4.0.0", "", "built-in"),
+      (children: Seq[Expression]) => VecDot(children(0), children(1))))
   }
 }

@@ -135,12 +135,12 @@ object LlmKit {
       .stripMargin.replace("\n", " ")
 
   // ---- exact double arithmetic (left folds) -----------------------------
-  /** Bit-exact dot product of two float-array columns: cast each element to
-    * double, multiply pairwise, left-fold sum from 0.0. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Bit-exact dot product of two float-array columns: double-precision
+    * left fold in index order, via the native codegen expression
+    * [[graft.functions.VecDot]] (identical values to the declarative
+    * `aggregate(zip_with(...))` form, ~an order of magnitude faster in the
+    * per-pair join hot path). */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   /** DuckDB rendering of [[dot]] for 64-dim list columns. */
   def dotSql(a: String, b: String): String =

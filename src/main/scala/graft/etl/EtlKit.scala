@@ -67,6 +67,13 @@ object EtlKit {
   def parsePy(c: Column, schema: DataType): Column =
     from_json(call_function("py_to_json", c), schema)
 
+  /** P-2 observability: how many rows the id filter would drop — the
+    * engine's analog of the reference's print-and-skip log lines
+    * (loader.py:126, 254, 299). One extra pass over the raw scan; call it
+    * only when the metric is wanted. */
+  def badIdCount(raw: DataFrame, idCol: String): Long =
+    raw.filter(strictInt(col(idCol)).isNull).count()
+
   /** A-1: average rating per movie (loader.py:313-336). Bad rows (either
     * field unparsable) are skipped like the reference's try/except. */
   def ratingAvg(ratings: DataFrame): DataFrame =

@@ -63,6 +63,28 @@ object StreamOps {
         date_format(col("session_window.start"), TsFmt).as("session_start"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup on event_id: watermark-bounded state (an id
+    * older than the watermark can be dropped from the dedup map), the
+    * standard at-least-once → exactly-once ingestion repair. */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming JDBC ingestion: each microbatch appends through the batch
+    * sink path (same batchsize-50000 writer as [[graft.sink.JdbcSink]]),
+    * giving the reference's one-shot import a continuous form. Exactly-once
+    * requires an idempotent target (append of deduped events is). */
+  def jdbcSink(events: DataFrame, url: String, table: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sink.JdbcSink.writeTable(batch.toDF(), url, table)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   // ---- explicit state: flatMapGroupsWithState ---------------------------
 
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

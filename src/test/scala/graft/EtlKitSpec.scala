@@ -53,6 +53,13 @@ class EtlKitSpec extends AnyFunSuite {
     assert(one(nonEmpty(col("x")), null) == null)
   }
 
+  test("badIdCount reports the rows the id filter drops") {
+    val raw = graft.etl.EtlKit.readCsv(spark,
+      TestSpark.fixture("movies_metadata.csv"),
+      graft.model.RefSchemas.moviesCsv)
+    assert(graft.etl.EtlKit.badIdCount(raw, "id") == 1) // the 'abc' row
+  }
+
   test("py_to_json registered in spark.sql and usable from SQL text") {
     val got = spark.sql(
       """SELECT py_to_json("[{'id': 1, 'name': 'x'}]") AS j""").head().getString(0)

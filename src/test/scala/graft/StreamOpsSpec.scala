@@ -104,6 +104,52 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming dedup drops cross-batch duplicates") {
+    // two identical chunks back to back: every event arrives twice
+    val events = OpsKit.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .limit(500)
+    val dir = Files.createTempDirectory("graft-dedup-stream").toString
+    def write(name: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft-chunk").toString
+      events.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.asInstanceOf[Path])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, Paths.get(dir, name))
+      Files.setLastModifiedTime(Paths.get(dir, name), FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 600000
+    write("dup0.parquet", t0)
+    write("dup1.parquet", t0 + 60000)
+    val q = StreamOps.dedupedEvents(StreamOps.readEvents(spark, dir))
+      .writeStream.format("memory").queryName("t_dedup")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-dedup").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("t_dedup").select("event_id").collect()
+      .map(_.getLong(0))
+    assert(got.length == got.distinct.length, "no duplicate survives")
+    assert(got.length == events.count())
+  }
+
+  test("foreachBatch JDBC sink ingests the stream into Derby") {
+    val url = "jdbc:derby:memory:graftStream;create=true"
+    val q = StreamOps.jdbcSink(
+      StreamOps.readEvents(spark, streamDir), url, "events_ingest",
+      Files.createTempDirectory("graft-ckpt-jdbc").toString)
+    q.awaitTermination()
+    val con = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = con.createStatement()
+        .executeQuery("SELECT COUNT(*) FROM events_ingest")
+      rs.next()
+      assert(rs.getLong(1) == batchEvents.count() + 1) // + sentinel
+    } finally con.close()
+  }
+
   test("flatMapGroupsWithState user activity: stream equals batch groupBy") {
     import spark.implicits._
     val got = runStream("t_state", df =>

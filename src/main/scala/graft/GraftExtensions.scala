@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.VecDot
+import graft.functions.{LshBucket, VecDot}
 import graft.parse.PyToJson
 
 /** Engine extension point: registers graft's custom Catalyst expressions
@@ -31,5 +31,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "double precision (bit-stable across engines).",
         "", "", "", "", "4.0.0", "", "built-in"),
       (children: Seq[Expression]) => VecDot(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("lsh_bucket"),
+      new ExpressionInfo(
+        classOf[LshBucket].getName, null, "lsh_bucket",
+        "_FUNC_(vec) - 8-bit random-hyperplane LSH bucket of a float " +
+          "vector (deterministic hyperplanes, engine-stable).",
+        "", "", "", "", "4.0.0", "", "built-in"),
+      (children: Seq[Expression]) => LshBucket(children.head)))
   }
 }

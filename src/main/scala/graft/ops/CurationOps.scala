@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators over `documents` — the preprocessing
+  * steps between raw corpus and training shards:
+  *
+  *  - q42 weighted SimHash: term-frequency-weighted signature (the
+  *    production variant of q28's set-based SimHash — a repeated token
+  *    pulls its bits proportionally);
+  *  - q43 chunking: split each document into fixed-size token windows with
+  *    overlap, the canonical long-document → training-sample step. Pure
+  *    per-row array work, no shuffle;
+  *  - q44 stratified sampling: deterministic hash-based per-stratum rates
+  *    (downsample the dominant language, keep the tail) — reproducible
+  *    across runs and engines because the sampling key is a content hash,
+  *    not an RNG.
+  */
+object CurationOps {
+  import LlmKit._
+  import OpsKit._
+
+  private val ChunkSize = 32
+  private val ChunkStride = 24 // 8-token overlap
+
+  def all: Seq[NamedQuery] = Seq(
+
+    // ----- q42: TF-weighted SimHash ---------------------------------------
+    NamedQuery(
+      "q42_weighted_simhash",
+      (s, d) => {
+        // fold over ALL token hashes (not distinct): a token appearing k
+        // times contributes k to each of its bits — that IS the TF weight.
+        val hs = transform(split(col("text"), " "), t => strHash(t))
+        val simhash = aggregate(
+          hs,
+          transform(sequence(lit(0), lit(15)), _ => lit(0L)),
+          (acc, h) => transform(sequence(lit(0), lit(15)), j =>
+            element_at(acc, (j + 1).cast("int")) +
+              when(h.bitwiseAND(pow(lit(2), j).cast("long")) > 0, 1L)
+                .otherwise(-1L)),
+          bits => aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, j) =>
+            acc + when(element_at(bits, (j + 1).cast("int")) > 0,
+              pow(lit(2), j).cast("long")).otherwise(0L)))
+        tbl(s, d, "documents")
+          .select(col("doc_id"), simhash.as("simhash"))
+      },
+      Some {
+        val hsSql =
+          s"""list_transform(string_split(text, ' '), t -> ${strHashSql("t")})"""
+        s"""SELECT doc_id,
+           |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(range(0, 16), j ->
+           |      CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |          list_transform($hsSql, h ->
+           |            CASE WHEN (h & CAST(pow(2, j) AS BIGINT)) > 0
+           |                 THEN CAST(1 AS BIGINT)
+           |                 ELSE CAST(-1 AS BIGINT) END)),
+           |          (a, b) -> a + b) > 0
+           |        THEN CAST(pow(2, j) AS BIGINT)
+           |        ELSE CAST(0 AS BIGINT) END)),
+           |    (a, b) -> a + b) AS simhash
+           |FROM documents""".stripMargin
+      }),
+
+    // ----- q43: fixed-size token chunks with overlap ----------------------
+    NamedQuery(
+      "q43_chunking",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val nChunks = greatest(
+          ceil((size(toks) - lit(ChunkSize)) / lit(ChunkStride.toDouble))
+            .cast("int") + 1, lit(1))
+        tbl(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(transform(sequence(lit(0), nChunks - 1), i =>
+              slice(toks, i * ChunkStride + 1, lit(ChunkSize))))
+              .as(Seq("chunk_idx", "chunk_toks")))
+          .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+            array_join(col("chunk_toks"), " ").as("chunk_text"),
+            size(col("chunk_toks")).cast("long").as("n_tokens"))
+      },
+      Some {
+        val toks = "string_split(text, ' ')"
+        val nChunks =
+          s"greatest(CAST(ceil((len($toks) - $ChunkSize) / ${ChunkStride.toDouble}) AS BIGINT) + 1, 1)"
+        s"""SELECT doc_id, i - 1 AS chunk_idx,
+           |  array_to_string(($toks)[(i-1)*$ChunkStride + 1 :
+           |    (i-1)*$ChunkStride + $ChunkSize], ' ') AS chunk_text,
+           |  len(($toks)[(i-1)*$ChunkStride + 1 :
+           |    (i-1)*$ChunkStride + $ChunkSize]) AS n_tokens
+           |FROM documents, unnest(range(1, $nChunks + 1)) AS u(i)"""
+          .stripMargin
+      }),
+
+    // ----- q44: deterministic stratified sampling -------------------------
+    // Keep 40% of 'en' (the dominant stratum), 100% of everything else.
+    // The sampling decision is md5(doc_id)-based: stable under re-runs,
+    // partition counts, and engines — a requirement for reproducible
+    // training mixes.
+    NamedQuery(
+      "q44_stratified_sample",
+      (s, d) => {
+        val bucket = pmod(strHash(col("doc_id").cast("string")), lit(100))
+        val rate = when(col("lang") === "en", 40).otherwise(100)
+        tbl(s, d, "documents")
+          .filter(bucket < rate)
+          .select(col("doc_id"), col("lang"), bucket.as("sample_bucket"))
+      },
+      Some(s"""SELECT doc_id, lang,
+              |  ${strHashSql("CAST(doc_id AS VARCHAR)")} % 100 AS sample_bucket
+              |FROM documents
+              |WHERE ${strHashSql("CAST(doc_id AS VARCHAR)")} % 100
+              |  < CASE WHEN lang = 'en' THEN 40 ELSE 100 END""".stripMargin)),
+  )
+}

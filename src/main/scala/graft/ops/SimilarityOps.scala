@@ -23,16 +23,11 @@ object SimilarityOps {
   import LlmKit._
   import OpsKit._
 
-  /** Sign-bucket of an embedding against 8 deterministic hyperplanes. */
+  /** Sign-bucket of an embedding against 8 deterministic hyperplanes —
+    * the native codegen expression [[graft.functions.LshBucket]] (same
+    * left-fold projection order as the declarative form it replaced). */
   private def lshBucket(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    aggregate(sequence(lit(0), lit(7)), lit(0L), (acc, i) => {
-      val proj = aggregate(sequence(lit(1), lit(64)), lit(0.0), (a, j) => {
-        val v = ((i * 64 + j - 1) * lit(2654435761L)) % lit(4294967296L)
-        a + element_at(emb, j.cast("int")).cast("double") *
-          (v.cast("double") / 4294967296.0 - 0.5)
-      })
-      acc + when(proj > 0, pow(lit(2), i).cast("long")).otherwise(0L)
-    })
+    call_function("lsh_bucket", emb)
 
   private def lshBucketSql(emb: String): String =
     s"""list_reduce(list_prepend(0, list_transform(range(0, 8), i ->

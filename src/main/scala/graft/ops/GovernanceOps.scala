@@ -1,0 +1,220 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-governance operators — the checks a training-data pipeline runs
+  * before a mix ships:
+  *
+  *  - q45 contamination: find train documents that are near-duplicates of
+  *    eval-set documents (LSH bands join between the two sides, exact
+  *    Jaccard on candidates only — never train×eval all-pairs). The query
+  *    plants perturbed eval docs in the train side so recall is
+  *    verifiable;
+  *  - q46 mixing report: per-source document/token counts and token share
+  *    — the input to domain-weighting decisions;
+  *  - q47 dedup clustering: connected components over the near-dup pair
+  *    graph via min-label propagation, keeping the minimum doc_id as the
+  *    cluster representative — the step that turns pairwise LSH output
+  *    into "keep one copy per cluster". Iterates to fixpoint (components
+  *    here have tiny diameter; each round is one shuffle join). The oracle
+  *    computes the same closure with a recursive CTE.
+  */
+object GovernanceOps {
+  import LlmKit._
+  import OpsKit._
+
+  /** Candidate near-dup pairs (id1 < id2) over an (id, text) corpus via
+    * MinHash + LSH banding — the q27 pipeline as a reusable step. */
+  private def lshPairs(corpus: org.apache.spark.sql.DataFrame) = {
+    val sigs = corpus
+      .select(col("doc_id"), array_distinct(hashedShingles(col("text"))).as("ds"))
+      .withColumn("sig", minhashSigFromHashes(col("ds")))
+    val bands = sigs.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(LshBands - 1)), b =>
+        struct(b.as("band"),
+          array_join(transform(sequence(lit(1), lit(LshRows)), r =>
+            element_at(col("sig"), (b * LshRows + r).cast("int"))
+              .cast("string")), "_").as("bkey")))).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cand = bands.select(col("band"), col("bkey"), col("doc_id").as("id1"))
+      .hint("shuffle_hash")
+      .join(bands.select(col("band"), col("bkey"), col("doc_id").as("id2"))
+        .hint("shuffle_hash"), Seq("band", "bkey"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    val sets = sigs.select(col("doc_id"), col("ds"))
+    val icnt = size(array_intersect(col("s1"), col("s2")))
+    val ucnt = size(col("s1")) + size(col("s2")) - icnt
+    cand
+      .join(sets.select(col("doc_id").as("id1"), col("ds").as("s1")), Seq("id1"))
+      .join(sets.select(col("doc_id").as("id2"), col("ds").as("s2")), Seq("id2"))
+      .select(col("id1"), col("id2"), (icnt.cast("double") / ucnt).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  /** Oracle rendering of [[lshPairs]] as CTE text over a `corpus(doc_id,
+    * text)` CTE (must be defined by the caller). */
+  private val lshPairsSql: String = {
+    val sh = hashedShinglesSql("text", "th")
+    s"""tokh AS (
+       |  SELECT doc_id, text, ${tokenHashesSql("text")} AS th FROM corpus),
+       |shg AS (SELECT doc_id, list_distinct($sh) AS ds FROM tokh),
+       |sigs AS (
+       |  SELECT doc_id, ds, ${minhashSigOverHashesSql("ds")} AS sig FROM shg),
+       |bands AS (
+       |  SELECT doc_id, b,
+       |    array_to_string(list_transform(range(1, ${LshRows + 1}),
+       |      r -> CAST(sig[b * $LshRows + r] AS VARCHAR)), '_') AS bkey
+       |  FROM sigs, unnest(range(0, $LshBands)) AS u(b)),
+       |cand AS (
+       |  SELECT DISTINCT b1.doc_id AS id1, b2.doc_id AS id2
+       |  FROM bands b1 JOIN bands b2
+       |    ON b1.b = b2.b AND b1.bkey = b2.bkey AND b1.doc_id < b2.doc_id),
+       |pairs AS (
+       |  SELECT id1, id2,
+       |    CAST(len(list_filter(s1.ds, x -> list_contains(s2.ds, x))) AS DOUBLE)
+       |      / (len(s1.ds) + len(s2.ds)
+       |         - len(list_filter(s1.ds, x -> list_contains(s2.ds, x))))
+       |      AS jaccard
+       |  FROM cand JOIN sigs s1 ON cand.id1 = s1.doc_id
+       |            JOIN sigs s2 ON cand.id2 = s2.doc_id
+       |  WHERE CAST(len(list_filter(s1.ds, x -> list_contains(s2.ds, x))) AS DOUBLE)
+       |      / (len(s1.ds) + len(s2.ds)
+       |         - len(list_filter(s1.ds, x -> list_contains(s2.ds, x)))) >= 0.5)"""
+      .stripMargin
+  }
+
+  def all: Seq[NamedQuery] = Seq(
+
+    // ----- q45: train/eval contamination ----------------------------------
+    // eval = src19 docs; train = the rest PLUS perturbed copies of the
+    // eval docs (planted leaks, re-keyed +200000). A pair (train, eval)
+    // with shingle Jaccard ≥ 0.5 is a contamination hit.
+    NamedQuery(
+      "q45_contamination",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val eval_ = docs.filter(col("source") === "src19")
+          .select(col("doc_id"), col("text"))
+        val train = docs.filter(col("source") =!= "src19")
+          .select(col("doc_id"), col("text"))
+          .unionByName(eval_.select((col("doc_id") + 200000).as("doc_id"),
+            dropFirstToken(col("text")).as("text")))
+        val corpus = train.unionByName(eval_)
+        val evalIds = eval_.select(col("doc_id").as("eval_id"))
+        lshPairs(corpus)
+          // orient each hit as (train, eval); both orders can appear
+          .select(col("id1"), col("id2"), col("jaccard"))
+          .join(broadcast(evalIds),
+            col("id1") === col("eval_id") || col("id2") === col("eval_id"))
+          .select(
+            when(col("id1") === col("eval_id"), col("id2"))
+              .otherwise(col("id1")).as("train_id"),
+            col("eval_id"), col("jaccard"))
+          // drop eval-eval pairs: the "train" side must not be an eval doc
+          .join(broadcast(evalIds.select(col("eval_id").as("t2"))),
+            col("train_id") === col("t2"), "left_anti")
+      },
+      Some {
+        s"""WITH eval_docs AS (
+           |  SELECT doc_id, text FROM documents WHERE source = 'src19'),
+           |corpus AS (
+           |  SELECT doc_id, text FROM documents WHERE source <> 'src19'
+           |  UNION ALL
+           |  SELECT doc_id + 200000 AS doc_id,
+           |    ${dropFirstTokenSql("text")} AS text FROM eval_docs
+           |  UNION ALL
+           |  SELECT doc_id, text FROM eval_docs),
+           |$lshPairsSql
+           |SELECT CASE WHEN id1 IN (SELECT doc_id FROM eval_docs)
+           |            THEN id2 ELSE id1 END AS train_id,
+           |  CASE WHEN id1 IN (SELECT doc_id FROM eval_docs)
+           |       THEN id1 ELSE id2 END AS eval_id,
+           |  jaccard
+           |FROM pairs
+           |WHERE (id1 IN (SELECT doc_id FROM eval_docs)
+           |       OR id2 IN (SELECT doc_id FROM eval_docs))
+           |  AND NOT (id1 IN (SELECT doc_id FROM eval_docs)
+           |           AND id2 IN (SELECT doc_id FROM eval_docs))"""
+          .stripMargin
+      }),
+
+    // ----- q46: domain mixing report --------------------------------------
+    NamedQuery(
+      "q46_mixing_report",
+      (s, d) => {
+        // total via an unbounded window over the 20 aggregated rows — no
+        // driver-side action, stays one declarative plan
+        val w = Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        tbl(s, d, "documents")
+          .select(col("source"), size(split(col("text"), " ")).cast("long")
+            .as("n_toks"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            (col("n_tokens").cast("double") / sum(col("n_tokens")).over(w))
+              .as("token_share"))
+      },
+      Some("""WITH ps AS (
+             |  SELECT source, COUNT(*) AS n_docs,
+             |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY source)
+             |SELECT source, n_docs, n_tokens,
+             |  CAST(n_tokens AS DOUBLE) / (SELECT SUM(n_tokens) FROM ps)
+             |    AS token_share
+             |FROM ps""".stripMargin)),
+
+    // ----- q47: near-dup clustering (connected components) ----------------
+    NamedQuery(
+      "q47_dedup_clusters",
+      (s, d) => {
+        val corpus = corpusWithNearDups(s, d)
+        val pairs = lshPairs(corpus).select(col("id1"), col("id2")).cache()
+        val edges = pairs
+          .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+        var labels = corpus.select(col("doc_id"),
+          col("doc_id").as("cluster_rep"))
+        // min-label propagation to fixpoint; labels are monotonically
+        // non-increasing, so the label SUM is a convergence witness — one
+        // cheap aggregate per round instead of a change-detection join.
+        // Near-dup components have tiny diameter → a handful of rounds.
+        def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+          df.agg(sum(col("cluster_rep"))).head().getLong(0)
+        var prevSum = -1L
+        var curSum = labelSum(labels)
+        var iter = 0
+        while (curSum != prevSum && iter < 10) {
+          val nbrMin = edges
+            .join(labels, edges("id2") === labels("doc_id"))
+            .groupBy(col("id1")).agg(min(col("cluster_rep")).as("nbr_min"))
+          val next = labels
+            .join(nbrMin, labels("doc_id") === nbrMin("id1"), "left")
+            .select(labels("doc_id"),
+              least(col("cluster_rep"), coalesce(col("nbr_min"),
+                col("cluster_rep"))).as("cluster_rep"))
+            .cache()
+          prevSum = curSum
+          curSum = labelSum(next)
+          labels.unpersist()
+          labels = next
+          iter += 1
+        }
+        labels
+      },
+      Some {
+        s"""WITH RECURSIVE corpus AS ($corpusWithNearDupsSql),
+           |$lshPairsSql,
+           |edges AS (
+           |  SELECT id1 AS src, id2 AS dst FROM pairs
+           |  UNION SELECT id2, id1 FROM pairs),
+           |reach(src, dst) AS (
+           |  SELECT doc_id, doc_id FROM corpus
+           |  UNION
+           |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+           |SELECT src AS doc_id, min(dst) AS cluster_rep
+           |FROM reach GROUP BY src""".stripMargin
+      }),
+  )
+}

@@ -38,75 +38,14 @@ object DedupOps {
     // ----- q27: MinHash signatures + LSH banding + candidate Jaccard ------
     NamedQuery(
       "q27_minhash_lsh",
-      (s, d) => {
-        // hashed shingles: md5 per TOKEN, shingle = arithmetic combine —
-        // no 3-gram string building, and the Jaccard joins below ship
-        // long arrays instead of string arrays
-        val sigs = corpusWithNearDups(s, d)
-          .select(col("doc_id"),
-            array_distinct(hashedShingles(col("text"))).as("ds"))
-          .withColumn("sig", minhashSigFromHashes(col("ds")))
-        val bands = sigs.select(col("doc_id"),
-          explode(transform(sequence(lit(0), lit(LshBands - 1)), b =>
-            struct(b.as("band"),
-              array_join(transform(sequence(lit(1), lit(LshRows)), r =>
-                element_at(col("sig"), (b * LshRows + r).cast("int"))
-                  .cast("string")), "_").as("bkey")))).as("bk"))
-          .select(col("doc_id"), col("bk.band").as("band"),
-            col("bk.bkey").as("bkey"))
-        // shuffle_hash (not broadcast): both self-join sides then produce
-        // IDENTICAL shuffle exchanges and Spark reuses the first — the
-        // signature subtree is computed once, not per join side
-        val cand = bands.select(col("band"), col("bkey"), col("doc_id").as("id1"))
-          .hint("shuffle_hash")
-          .join(bands.select(col("band"), col("bkey"), col("doc_id").as("id2"))
-            .hint("shuffle_hash"),
-            Seq("band", "bkey"))
-          .filter(col("id1") < col("id2"))
-          .select(col("id1"), col("id2")).distinct()
-        val sets = sigs.select(col("doc_id"), col("ds"))
-        val icnt = size(array_intersect(col("s1"), col("s2")))
-        val ucnt = size(col("s1")) + size(col("s2")) - icnt
-        cand
-          .join(sets.select(col("doc_id").as("id1"), col("ds").as("s1")), Seq("id1"))
-          .join(sets.select(col("doc_id").as("id2"), col("ds").as("s2")), Seq("id2"))
-          .select(col("id1"), col("id2"),
-            (icnt.cast("double") / ucnt).as("jaccard"))
-          .filter(col("jaccard") >= 0.5)
-      },
-      Some {
-        val sh = hashedShinglesSql("text", "th")
+      // the full pipeline lives in LlmKit.lshCandidatePairs (hashed
+      // shingles, one-pass signatures, banding, candidate-only Jaccard) —
+      // shared with the contamination (q45) and clustering (q47) operators
+      (s, d) => lshCandidatePairs(corpusWithNearDups(s, d)),
+      Some(
         s"""WITH corpus AS ($corpusWithNearDupsSql),
-           |tokh AS (
-           |  SELECT doc_id, text, ${tokenHashesSql("text")} AS th
-           |  FROM corpus),
-           |shg AS (
-           |  SELECT doc_id, list_distinct($sh) AS ds FROM tokh),
-           |sigs AS (
-           |  SELECT doc_id, ds, ${minhashSigOverHashesSql("ds")} AS sig
-           |  FROM shg),
-           |bands AS (
-           |  SELECT doc_id, b,
-           |    array_to_string(list_transform(range(1, ${LshRows + 1}),
-           |      r -> CAST(sig[b * $LshRows + r] AS VARCHAR)), '_') AS bkey
-           |  FROM sigs, unnest(range(0, $LshBands)) AS u(b)),
-           |cand AS (
-           |  SELECT DISTINCT b1.doc_id AS id1, b2.doc_id AS id2
-           |  FROM bands b1 JOIN bands b2
-           |    ON b1.b = b2.b AND b1.bkey = b2.bkey AND b1.doc_id < b2.doc_id)
-           |SELECT id1, id2,
-           |  CAST(len(list_filter(s1.ds, x -> list_contains(s2.ds, x))) AS DOUBLE)
-           |    / (len(s1.ds) + len(s2.ds)
-           |       - len(list_filter(s1.ds, x -> list_contains(s2.ds, x))))
-           |    AS jaccard
-           |FROM cand
-           |JOIN sigs s1 ON cand.id1 = s1.doc_id
-           |JOIN sigs s2 ON cand.id2 = s2.doc_id
-           |WHERE CAST(len(list_filter(s1.ds, x -> list_contains(s2.ds, x))) AS DOUBLE)
-           |    / (len(s1.ds) + len(s2.ds)
-           |       - len(list_filter(s1.ds, x -> list_contains(s2.ds, x)))) >= 0.5"""
-          .stripMargin
-      }),
+           |$lshPairsCteSql
+           |SELECT id1, id2, jaccard FROM pairs""".stripMargin)),
 
     // ----- q28: SimHash + Hamming distance to the perturbed twin ----------
     NamedQuery(

@@ -24,67 +24,6 @@ object GovernanceOps {
   import LlmKit._
   import OpsKit._
 
-  /** Candidate near-dup pairs (id1 < id2) over an (id, text) corpus via
-    * MinHash + LSH banding — the q27 pipeline as a reusable step. */
-  private def lshPairs(corpus: org.apache.spark.sql.DataFrame) = {
-    val sigs = corpus
-      .select(col("doc_id"), array_distinct(hashedShingles(col("text"))).as("ds"))
-      .withColumn("sig", minhashSigFromHashes(col("ds")))
-    val bands = sigs.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(LshBands - 1)), b =>
-        struct(b.as("band"),
-          array_join(transform(sequence(lit(1), lit(LshRows)), r =>
-            element_at(col("sig"), (b * LshRows + r).cast("int"))
-              .cast("string")), "_").as("bkey")))).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val cand = bands.select(col("band"), col("bkey"), col("doc_id").as("id1"))
-      .hint("shuffle_hash")
-      .join(bands.select(col("band"), col("bkey"), col("doc_id").as("id2"))
-        .hint("shuffle_hash"), Seq("band", "bkey"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2")).distinct()
-    val sets = sigs.select(col("doc_id"), col("ds"))
-    val icnt = size(array_intersect(col("s1"), col("s2")))
-    val ucnt = size(col("s1")) + size(col("s2")) - icnt
-    cand
-      .join(sets.select(col("doc_id").as("id1"), col("ds").as("s1")), Seq("id1"))
-      .join(sets.select(col("doc_id").as("id2"), col("ds").as("s2")), Seq("id2"))
-      .select(col("id1"), col("id2"), (icnt.cast("double") / ucnt).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
-  }
-
-  /** Oracle rendering of [[lshPairs]] as CTE text over a `corpus(doc_id,
-    * text)` CTE (must be defined by the caller). */
-  private val lshPairsSql: String = {
-    val sh = hashedShinglesSql("text", "th")
-    s"""tokh AS (
-       |  SELECT doc_id, text, ${tokenHashesSql("text")} AS th FROM corpus),
-       |shg AS (SELECT doc_id, list_distinct($sh) AS ds FROM tokh),
-       |sigs AS (
-       |  SELECT doc_id, ds, ${minhashSigOverHashesSql("ds")} AS sig FROM shg),
-       |bands AS (
-       |  SELECT doc_id, b,
-       |    array_to_string(list_transform(range(1, ${LshRows + 1}),
-       |      r -> CAST(sig[b * $LshRows + r] AS VARCHAR)), '_') AS bkey
-       |  FROM sigs, unnest(range(0, $LshBands)) AS u(b)),
-       |cand AS (
-       |  SELECT DISTINCT b1.doc_id AS id1, b2.doc_id AS id2
-       |  FROM bands b1 JOIN bands b2
-       |    ON b1.b = b2.b AND b1.bkey = b2.bkey AND b1.doc_id < b2.doc_id),
-       |pairs AS (
-       |  SELECT id1, id2,
-       |    CAST(len(list_filter(s1.ds, x -> list_contains(s2.ds, x))) AS DOUBLE)
-       |      / (len(s1.ds) + len(s2.ds)
-       |         - len(list_filter(s1.ds, x -> list_contains(s2.ds, x))))
-       |      AS jaccard
-       |  FROM cand JOIN sigs s1 ON cand.id1 = s1.doc_id
-       |            JOIN sigs s2 ON cand.id2 = s2.doc_id
-       |  WHERE CAST(len(list_filter(s1.ds, x -> list_contains(s2.ds, x))) AS DOUBLE)
-       |      / (len(s1.ds) + len(s2.ds)
-       |         - len(list_filter(s1.ds, x -> list_contains(s2.ds, x)))) >= 0.5)"""
-      .stripMargin
-  }
-
   def all: Seq[NamedQuery] = Seq(
 
     // ----- q45: train/eval contamination ----------------------------------
@@ -103,7 +42,7 @@ object GovernanceOps {
             dropFirstToken(col("text")).as("text")))
         val corpus = train.unionByName(eval_)
         val evalIds = eval_.select(col("doc_id").as("eval_id"))
-        lshPairs(corpus)
+        lshCandidatePairs(corpus)
           // orient each hit as (train, eval); both orders can appear
           .select(col("id1"), col("id2"), col("jaccard"))
           .join(broadcast(evalIds),
@@ -126,7 +65,7 @@ object GovernanceOps {
            |    ${dropFirstTokenSql("text")} AS text FROM eval_docs
            |  UNION ALL
            |  SELECT doc_id, text FROM eval_docs),
-           |$lshPairsSql
+           |$lshPairsCteSql
            |SELECT CASE WHEN id1 IN (SELECT doc_id FROM eval_docs)
            |            THEN id2 ELSE id1 END AS train_id,
            |  CASE WHEN id1 IN (SELECT doc_id FROM eval_docs)
@@ -171,7 +110,7 @@ object GovernanceOps {
       "q47_dedup_clusters",
       (s, d) => {
         val corpus = corpusWithNearDups(s, d)
-        val pairs = lshPairs(corpus).select(col("id1"), col("id2")).cache()
+        val pairs = lshCandidatePairs(corpus).select(col("id1"), col("id2")).cache()
         val edges = pairs
           .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
         var labels = corpus.select(col("doc_id"),
@@ -205,7 +144,7 @@ object GovernanceOps {
       },
       Some {
         s"""WITH RECURSIVE corpus AS ($corpusWithNearDupsSql),
-           |$lshPairsSql,
+           |$lshPairsCteSql,
            |edges AS (
            |  SELECT id1 AS src, id2 AS dst FROM pairs
            |  UNION SELECT id2, id1 FROM pairs),

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native codegen expressions must be BIT-identical to the declarative
+  * higher-order-function forms they replaced (that equivalence is what
+  * keeps the DuckDB oracles green — see LlmKit's parity contract). */
+class NativeExprSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("vec_dot == aggregate(zip_with(...)) on every vector pair sample") {
+    val declarative = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val pairs = emb.select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(emb.limit(5).select(col("embedding").as("b")))
+    val diffs = pairs.select(
+      call_function("vec_dot", col("a"), col("b")).as("native"),
+      declarative.as("hof"))
+      .filter(col("native") =!= col("hof")) // bitwise: no tolerance
+      .count()
+    assert(diffs == 0)
+  }
+
+  test("lsh_bucket == declarative hyperplane fold on every vector") {
+    val declarative = aggregate(sequence(lit(0), lit(7)), lit(0L), (acc, i) => {
+      val proj = aggregate(sequence(lit(1), lit(64)), lit(0.0), (a, j) => {
+        val v = ((i * 64 + j - 1) * lit(2654435761L)) % lit(4294967296L)
+        a + element_at(col("embedding"), j.cast("int")).cast("double") *
+          (v.cast("double") / 4294967296.0 - 0.5)
+      })
+      acc + when(proj > 0, pow(lit(2), i).cast("long")).otherwise(0L)
+    })
+    val diffs = emb.select(
+      call_function("lsh_bucket", col("embedding")).as("native"),
+      declarative.as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diffs == 0)
+    // buckets actually spread (not a constant function)
+    assert(emb.select(call_function("lsh_bucket", col("embedding")))
+      .distinct().count() > 10)
+  }
+
+  test("py_to_json null contract: NULL in, NULL out; junk in, NULL out") {
+    import spark.implicits._
+    val df = Seq(Some("[1, 2]"), Some("not python"), None).toDF("x")
+      .select(call_function("py_to_json", col("x")).as("j"))
+    assert(df.collect().map(r => Option(r.getString(0))).toSeq
+      == Seq(Some("[1,2]"), None, None))
+  }
+}

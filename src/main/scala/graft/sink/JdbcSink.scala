@@ -67,10 +67,57 @@ object JdbcSink {
     "spoken_languages" -> bridge("movie_id INTEGER, language_id INTEGER"),
     "movies_keywords" -> bridge("movie_id INTEGER, keyword_id INTEGER"),
     "directors" -> bridge("movie_id INTEGER, director_id INTEGER"),
-    "actors" -> bridge("movie_id INTEGER, person_id INTEGER, order_id INTEGER"))
+    // column order follows db_schema.json (person_id before movie_id)
+    "actors" -> bridge("person_id INTEGER, movie_id INTEGER, order_id INTEGER"))
 
   private def bridge(cols: String): String =
     s"(id INTEGER NOT NULL GENERATED ALWAYS AS IDENTITY PRIMARY KEY, $cols)"
+
+  /** PostgreSQL rendering of the same 15 tables — the reference's actual
+    * deployment dialect, column-for-column from db_schema.json:1-17
+    * (serial ids, unbounded varchar, inline FK clauses). `serial` columns
+    * accept explicit ids exactly as the reference's loader supplies them.
+    * JdbcSinkSpec asserts this stays column-consistent with [[tableDdl]]. */
+  val tableDdlPostgres: Seq[(String, String)] = Seq(
+    "genres" -> "(id serial primary key, name varchar)",
+    "languages" -> "(id serial primary key, lang_key varchar, name varchar)",
+    "collections" -> "(id serial primary key, name varchar)",
+    "countries" -> "(id serial primary key, code varchar, name varchar)",
+    "production_companies" -> "(id serial primary key, name varchar)",
+    "persons" -> "(id serial primary key, name varchar)",
+    "keywords" -> "(id serial primary key, keyword varchar)",
+    "movies" -> ("(id serial primary key, title varchar, release_date varchar, "
+      + "budget bigint, revenue bigint, popularity float, runtime integer, "
+      + "rating float, original_language integer, belongs_to_collection integer, "
+      + "overview varchar, "
+      + "foreign key (original_language) references languages (id), "
+      + "foreign key (belongs_to_collection) references collections (id))"),
+    "movies_genres" -> ("(id serial primary key, movie_id integer, genre_id integer, "
+      + "foreign key (movie_id) references movies (id), "
+      + "foreign key (genre_id) references genres (id))"),
+    "movies_production_companies" -> ("(id serial primary key, movie_id integer, "
+      + "production_company_id integer, "
+      + "foreign key (movie_id) references movies (id), "
+      + "foreign key (production_company_id) references production_companies (id))"),
+    "production_countries" -> ("(id serial primary key, movie_id integer, "
+      + "country_id integer, "
+      + "foreign key (movie_id) references movies (id), "
+      + "foreign key (country_id) references countries (id))"),
+    "spoken_languages" -> ("(id serial primary key, movie_id integer, "
+      + "language_id integer, "
+      + "foreign key (movie_id) references movies (id), "
+      + "foreign key (language_id) references languages (id))"),
+    "movies_keywords" -> ("(id serial primary key, movie_id integer, "
+      + "keyword_id integer, "
+      + "foreign key (movie_id) references movies (id), "
+      + "foreign key (keyword_id) references keywords (id))"),
+    "directors" -> ("(id serial primary key, movie_id integer, director_id integer, "
+      + "foreign key (movie_id) references movies (id), "
+      + "foreign key (director_id) references persons (id))"),
+    "actors" -> ("(id serial primary key, person_id integer, movie_id integer, "
+      + "order_id integer, "
+      + "foreign key (person_id) references persons (id), "
+      + "foreign key (movie_id) references movies (id))"))
 
   /** FK constraints from db_schema.json, applyable AFTER load (the
     * reference's enable_triggers analog — and like Postgres's trigger

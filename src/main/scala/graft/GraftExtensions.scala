@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{LshBucket, VecDot}
+import graft.functions.{HashedShinglesExpr, LshBucket, VecDot}
 import graft.parse.PyToJson
 
 /** Engine extension point: registers graft's custom Catalyst expressions
@@ -39,5 +39,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "vector (deterministic hyperplanes, engine-stable).",
         "", "", "", "", "4.0.0", "", "built-in"),
       (children: Seq[Expression]) => LshBucket(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("hashed_shingles"),
+      new ExpressionInfo(
+        classOf[HashedShinglesExpr].getName, null, "hashed_shingles",
+        "_FUNC_(text) - Hashed word-3-gram shingles (60-bit md5 token " +
+          "hashes combined arithmetically), engine-stable.",
+        "", "", "", "", "4.0.0", "", "built-in"),
+      (children: Seq[Expression]) => HashedShinglesExpr(children.head)))
   }
 }

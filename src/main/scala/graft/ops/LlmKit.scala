@@ -62,18 +62,22 @@ object LlmKit {
   val LshBands = 8
   val LshRows = 4 // NumHashes / LshBands
 
-  /** Hashed 3-gram shingles computed WITHOUT building shingle strings:
-    * hash each token once (md5 over ~5 chars, not 3-gram strings), then
-    * combine consecutive token hashes arithmetically —
-    * ((h1·31 + h2) mod P · 31 + h3) mod P.
-    *
-    * The combine is a single struct-state fold over the token-hash array
-    * (state = shingles-so-far + previous two hashes), so the md5-bearing
+  /** Hashed 3-gram shingles: the native one-pass expression
+    * [[graft.functions.HashedShingles]] (md5 per token, arithmetic 3-gram
+    * combine, zero intermediate allocation). */
+  def hashedShingles(text: Column): Column =
+    call_function("hashed_shingles", text)
+
+  /** Declarative reference implementation of [[hashedShingles]] — hash
+    * each token once (md5 over ~5 chars, not 3-gram strings), then combine
+    * consecutive token hashes arithmetically in a single struct-state fold
+    * (state = shingles-so-far + previous two hashes) so the md5-bearing
     * token-hash expression is the aggregate's input, evaluated once per
-    * row — the same per-outer-element trap documented on
-    * [[minhashSigFromHashes]] applies to any `transform(sequence…)` over
-    * a recomputed array. */
-  def hashedShingles(text: Column): Column = {
+    * row — the per-outer-element trap documented on
+    * [[minhashSigFromHashes]] applies to any `transform(sequence…)` over a
+    * recomputed array. Kept as the parity-spec oracle for the native
+    * expression (NativeExprSpec). */
+  def hashedShinglesDeclarative(text: Column): Column = {
     val th = transform(split(text, " "), t => strHash(t) % MinhashP)
     val init = struct(
       array().cast("array<bigint>").as("hs"),

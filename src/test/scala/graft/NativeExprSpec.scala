@@ -46,6 +46,20 @@ class NativeExprSpec extends AnyFunSuite {
       .distinct().count() > 10)
   }
 
+  test("hashed_shingles == declarative struct-state fold, incl. edge texts") {
+    import spark.implicits._
+    import graft.ops.LlmKit
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("text")
+      .unionByName(Seq("", " ", "a", "a b", "a b c", "a  b c ",
+        "x y z w").toDF("text"))
+    val diffs = docs.select(
+      LlmKit.hashedShingles(col("text")).as("native"),
+      LlmKit.hashedShinglesDeclarative(col("text")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diffs == 0)
+  }
+
   test("py_to_json null contract: NULL in, NULL out; junk in, NULL out") {
     import spark.implicits._
     val df = Seq(Some("[1, 2]"), Some("not python"), None).toDF("x")

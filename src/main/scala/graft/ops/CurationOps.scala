@@ -28,23 +28,9 @@ object CurationOps {
     // ----- q42: TF-weighted SimHash ---------------------------------------
     NamedQuery(
       "q42_weighted_simhash",
-      (s, d) => {
-        // fold over ALL token hashes (not distinct): a token appearing k
-        // times contributes k to each of its bits — that IS the TF weight.
-        val hs = transform(split(col("text"), " "), t => strHash(t))
-        val simhash = aggregate(
-          hs,
-          transform(sequence(lit(0), lit(15)), _ => lit(0L)),
-          (acc, h) => transform(sequence(lit(0), lit(15)), j =>
-            element_at(acc, (j + 1).cast("int")) +
-              when(h.bitwiseAND(pow(lit(2), j).cast("long")) > 0, 1L)
-                .otherwise(-1L)),
-          bits => aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, j) =>
-            acc + when(element_at(bits, (j + 1).cast("int")) > 0,
-              pow(lit(2), j).cast("long")).otherwise(0L)))
+      (s, d) =>
         tbl(s, d, "documents")
-          .select(col("doc_id"), simhash.as("simhash"))
-      },
+          .select(col("doc_id"), simhashWeighted(col("text")).as("simhash")),
       Some {
         val hsSql =
           s"""list_transform(string_split(text, ' '), t -> ${strHashSql("t")})"""

@@ -138,6 +138,24 @@ object LlmKit {
        |         + ((12345 + 2654435761 * i) % $MinhashP)) % $MinhashP)))"""
       .stripMargin.replace("\n", " ")
 
+  /** TF-weighted 16-bit SimHash of a text column: one fold over ALL token
+    * hashes carrying 16 per-bit counters (a token appearing k times
+    * contributes k — that is the TF weight), bits assembled in the finish
+    * lambda. Used by q42 and the streaming near-dup filter. */
+  def simhashWeighted(text: Column): Column = {
+    val hs = transform(split(text, " "), t => strHash(t))
+    aggregate(
+      hs,
+      transform(sequence(lit(0), lit(15)), _ => lit(0L)),
+      (acc, h) => transform(sequence(lit(0), lit(15)), j =>
+        element_at(acc, (j + 1).cast("int")) +
+          when(h.bitwiseAND(pow(lit(2), j).cast("long")) > 0, 1L)
+            .otherwise(-1L)),
+      bits => aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, j) =>
+        acc + when(element_at(bits, (j + 1).cast("int")) > 0,
+          pow(lit(2), j).cast("long")).otherwise(0L)))
+  }
+
   // ---- MinHash + LSH candidate-pair pipeline ----------------------------
   /** Candidate near-dup pairs (id1 < id2, shingle Jaccard ≥ 0.5) over an
     * (doc_id, text) corpus: signature → 8×4 banding → bucket self-join →

@@ -45,6 +45,39 @@ object ScaleOps {
               |FROM lineitem
               |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)),
 
+    // ----- q50: exact interpolated percentiles per group ------------------
+    // Spark `percentile` and DuckDB `quantile_cont` both compute linear
+    // interpolation over the sorted values — same arithmetic, hash-exact.
+    NamedQuery(
+      "q50_percentiles",
+      (s, d) =>
+        events(s, d)
+          .groupBy(col("event_type"))
+          .agg(
+            expr("percentile(value, 0.5)").as("p50"),
+            expr("percentile(value, 0.95)").as("p95"),
+            expr("percentile(value, 0.99)").as("p99")),
+      Some("""SELECT event_type,
+             |  quantile_cont(value, 0.5) AS p50,
+             |  quantile_cont(value, 0.95) AS p95,
+             |  quantile_cont(value, 0.99) AS p99
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // ----- q51: correlated scalar subquery (Catalyst decorrelation) -------
+    NamedQuery(
+      "q51_correlated_subquery",
+      (s, d) => {
+        events(s, d).createOrReplaceTempView("ev_q51")
+        // the same ANSI text the oracle runs, modulo the view name —
+        // exercises spark.sql + Catalyst's subquery decorrelation
+        s.sql(s"""SELECT event_id, user_id, value FROM ev_q51 e
+                 |WHERE value > 2 * (SELECT ${davgSql("i.value")}
+                 |  FROM ev_q51 i WHERE i.user_id = e.user_id)""".stripMargin)
+      },
+      Some(s"""SELECT event_id, user_id, value FROM events e
+              |WHERE value > 2 * (SELECT ${davgSql("i.value")}
+              |  FROM events i WHERE i.user_id = e.user_id)""".stripMargin)),
+
     // ----- q41: HLL sketch distinct (approx_count_distinct) ---------------
     // Sketch contents are engine-specific, so there is no cross-engine
     // oracle — the driver records a rows-only check. The exact count rides

@@ -70,6 +70,18 @@ object StreamOps {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming near-dup suppression: drop a document whose TF-weighted
+    * 16-bit SimHash was already seen within the watermark — the streaming
+    * form of content-signature dedup (exact dedup keys on the raw hash;
+    * this keys on a similarity signature, so lightly-edited re-posts are
+    * suppressed too). State = one row per distinct signature, bounded by
+    * the watermark. Input schema: (ts TIMESTAMP, doc_id LONG, text STRING). */
+  def nearDupFilter(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("simhash", graft.ops.LlmKit.simhashWeighted(col("text")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("simhash")
+
   /** Streaming JDBC ingestion: each microbatch appends through the batch
     * sink path (same batchsize-50000 writer as [[graft.sink.JdbcSink]]),
     * giving the reference's one-shot import a continuous form. Exactly-once

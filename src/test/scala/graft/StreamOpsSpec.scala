@@ -135,6 +135,55 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got.length == events.count())
   }
 
+  test("streaming near-dup filter suppresses simhash-equal re-posts") {
+    import graft.ops.LlmKit
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = System.currentTimeMillis() - 86400000L
+    def withTs(df: org.apache.spark.sql.DataFrame, offsetMs: Long) =
+      df.select(
+        to_timestamp(lit(new java.sql.Timestamp(base + offsetMs))).as("ts"),
+        col("doc_id"), col("text"))
+    val originals = withTs(docs, 0)
+    val reposts = withTs( // perturbed twins, re-keyed
+      docs.select((col("doc_id") + 100000).as("doc_id"),
+        LlmKit.dropFirstToken(col("text")).as("text")), 60000)
+
+    val dir = Files.createTempDirectory("graft-neardup-stream").toString
+    def write(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft-chunk").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.asInstanceOf[Path])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, Paths.get(dir, name))
+      Files.setLastModifiedTime(Paths.get(dir, name), FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 600000
+    write(originals, "c0.parquet", t0)
+    write(reposts, "c1.parquet", t0 + 60000)
+
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = StreamOps.nearDupFilter(stream)
+      .writeStream.format("memory").queryName("t_neardup")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-neardup").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val survivors = spark.table("t_neardup").count()
+    // survivor count == number of distinct signatures across the stream
+    // (which row wins inside one batch is arbitrary; the count is not)
+    val distinctSigs = originals.unionByName(reposts)
+      .select(LlmKit.simhashWeighted(col("text"))).distinct().count()
+    assert(survivors == distinctSigs)
+    // and the filter genuinely suppressed signature-equal re-posts
+    assert(survivors < originals.count() + reposts.count())
+  }
+
   test("foreachBatch JDBC sink ingests the stream into Derby") {
     val url = "jdbc:derby:memory:graftStream;create=true"
     val q = StreamOps.jdbcSink(

@@ -62,6 +62,13 @@ class PyLiteralSpec extends AnyFunSuite {
     assert(js(conv("{'a': 1,}")) == js("""{"a":1}"""))
   }
 
+  test("adversarial depth degrades to null, wide flat lists still parse") {
+    val deep = "[" * 10000 + "]" * 10000
+    assert(conv(deep) == null) // depth cap, not a StackOverflowError
+    val wide = (1 to 5000).mkString("[", ", ", "]")
+    assert(conv(wide) != null) // siblings don't count as depth
+  }
+
   test("malformed input returns null (skip-and-continue)") {
     for (bad <- Seq("", "  ", "[1, 2", "{'a': }", "{'a' 1}", "nan", "'abc",
         "[1] trailing", "{'a': 1}}", "TrueX"))

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{HashedShinglesExpr, LshBucket, VecDot}
+import graft.functions.{HashedShinglesExpr, LshBucket, MinhashSigExpr, VecDot}
 import graft.parse.PyToJson
 
 /** Engine extension point: registers graft's custom Catalyst expressions
@@ -47,5 +47,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "hashes combined arithmetically), engine-stable.",
         "", "", "", "", "4.0.0", "", "built-in"),
       (children: Seq[Expression]) => HashedShinglesExpr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(
+        classOf[MinhashSigExpr].getName, null, "minhash_sig",
+        "_FUNC_(hashes) - 32-permutation MinHash signature over a shingle-" +
+          "hash array (mod 2^31-1, engine-stable closed-form coefficients).",
+        "", "", "", "", "4.0.0", "", "built-in"),
+      (children: Seq[Expression]) => MinhashSigExpr(children.head)))
   }
 }

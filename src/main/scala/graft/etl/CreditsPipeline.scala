@@ -10,8 +10,16 @@ import graft.model.RefSchemas
   *
   * Semantics reproduced:
   *  - bad movie id → row skipped (loader.py:250-255);
-  *  - duplicate movie id → LAST row wins for directors/actors (dict
-  *    overwrite, loader.py:266, 278);
+  *  - duplicate movie id → LAST *non-empty* row wins, per column: the
+  *    reference only stores a row's crew when the crew dict has ≥1 entry
+  *    (`if len(crew.keys()) > 0`, loader.py:265) and a row's cast when the
+  *    list is non-empty (`if len(cast) > 0`, loader.py:274) — so a later
+  *    duplicate with an empty cast/crew does NOT erase the earlier data.
+  *    A crew entry enters the dict only if it has a 'job' key, so a crew
+  *    made solely of job-less entries counts as empty. (Our struct parse
+  *    cannot distinguish a missing 'job' key from an explicit `'job': None`;
+  *    the reference would treat the latter as a non-empty crew keyed on
+  *    None — not observed in the dataset, documented deviation);
   *  - persons dedup is FIRST-wins across ALL rows, with crew processed
   *    before cast within each row (loader.py:258-276);
   *  - a crew entry with no 'job' key joins persons but not the crew map
@@ -41,9 +49,16 @@ object CreditsPipeline {
         parsePy(col("cast"), RefSchemas.cast).as("cast_a"))
       .cache()
 
+    // Last-wins among rows where the column is non-empty (loader.py:265,
+    // 274): empty duplicates never overwrite.
     val wLast = Window.partitionBy(col("movie_id")).orderBy(col(SeqCol).desc)
-    val hub = base.withColumn("_rn", row_number().over(wLast))
-      .filter(col("_rn") === 1).drop("_rn")
+    def lastNonEmpty(nonEmptyRow: org.apache.spark.sql.Column): DataFrame =
+      base.filter(nonEmptyRow)
+        .withColumn("_rn", row_number().over(wLast))
+        .filter(col("_rn") === 1).drop("_rn")
+    // crew counts as non-empty only if some entry has a 'job' key
+    val crewHub = lastNonEmpty(exists(col("crew_a"), p => p("job").isNotNull))
+    val castHub = lastNonEmpty(size(col("cast_a")) > 0)
 
     // ---- persons: first-wins across (row, crew-before-cast, position) ----
     val crewSight = base
@@ -65,7 +80,7 @@ object CreditsPipeline {
       .select(col("id"), col("first.name").as("name"))
 
     // ---- directors: J-3 filter + set-dedup over last-wins rows -----------
-    val directors = hub
+    val directors = crewHub
       .select(col("movie_id"), explode(col("crew_a")).as("p"))
       .filter(col("p.job") === "Director")
       .select(col("movie_id"), col("p.id").as("director_id"))
@@ -73,7 +88,7 @@ object CreditsPipeline {
       .distinct()
 
     // ---- actors: X-6 explode keeping billing order, duplicates kept ------
-    val actors = hub
+    val actors = castHub
       .select(col("movie_id"), explode(col("cast_a")).as("p"))
       .select(col("movie_id"), col("p.id").as("person_id"),
         col("p.order").as("order_id"))

@@ -17,6 +17,16 @@ import graft.model.RefSchemas
   *  - languages/countries mint dense surrogate ids 0,1,2,… in order of
   *    first appearance; within a row original_language is seen before
   *    spoken_languages (loader.py:161-193);
+  *  - a missing/empty original_language still mints a language entry: the
+  *    reference has no validity guard at loader.py:163, so the pandas NaN
+  *    cell becomes one dict entry that `get_db_literal` (loader.py:356-360)
+  *    serializes as the string 'nan'. We mint the same single sentinel row
+  *    (key 'nan', name NULL) at the first such sighting, so every dense id
+  *    minted after it matches the reference. Only known divergence: an
+  *    input whose iso code is the literal string 'nan' would share the
+  *    sentinel's entry here but occupy a second in-memory entry (float-NaN
+  *    key vs 'nan' string key) in the reference — both serialize to the
+  *    same 'nan' lang_key in the DB, and no ISO 639-1 code is 'nan';
   *  - a language minted via original_language has name NULL until the first
   *    spoken_languages sighting supplies one (O-9 backfill, loader.py:188);
   *  - NULL-id nested entries are kept out of dims and bridges (the
@@ -64,7 +74,9 @@ object MoviesPipeline {
         posDouble(col("popularity")).as("popularity"),
         posIntFromNumeric(col("runtime")).as("runtime"),
         nonEmpty(col("overview")).as("overview"),
-        col("original_language").as("orig_lang"),
+        // NaN-sentinel mapping: missing/empty → 'nan' (see scaladoc)
+        coalesce(nonEmpty(col("original_language")), lit("nan"))
+          .as("orig_lang"),
         parsePy(col("genres"), RefSchemas.idName).as("genres_a"),
         parsePy(col("belongs_to_collection"), RefSchemas.collection)
           .as("coll_s"),
@@ -82,8 +94,9 @@ object MoviesPipeline {
       .filter(col("_rn") === 1).drop("_rn")
 
     // ---- languages: dense ids over (row, orig-before-spoken) order -------
+    // EVERY row sights its orig_lang — including the 'nan' sentinel rows
+    // (no validity guard in the reference, loader.py:163).
     val sightOrig = base
-      .filter(col("orig_lang").isNotNull && length(col("orig_lang")) > 0)
       .select(col("orig_lang").as("lang_key"),
         lit(null).cast("string").as("lname"),
         col(SeqCol).as("seq"), lit(0L).as("sub"))

@@ -16,12 +16,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * the DuckDB oracle's `list_reduce` rendering. The codegen emits a tight
   * primitive loop instead of the interpreted HigherOrderFunction tree
   * (per-element lambda dispatch + boxed accumulator).
+  *
+  * Unequal-length inputs yield NULL — the same result as the declarative
+  * form (`zip_with` pads the shorter side with NULLs, which poison the
+  * fold) and the oracle's fixed-index rendering. A truncated partial dot
+  * product would silently mis-rank malformed vectors instead.
   */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+  override def nullable: Boolean = true // also NULL on length mismatch
   override def prettyName: String = "vec_dot"
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -38,7 +43,8 @@ case class VecDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -54,12 +60,16 @@ case class VecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-        double $acc = 0.0;
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        for (int $i = 0; $i < $n; $i++) {
-          $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+          }
+          ${ev.value} = $acc;
         }
-        ${ev.value} = $acc;
       """
     })
 

@@ -117,22 +117,31 @@ object GovernanceOps {
           col("doc_id").as("cluster_rep"))
         // min-label propagation to fixpoint; labels are monotonically
         // non-increasing, so the label SUM is a convergence witness — one
-        // cheap aggregate per round instead of a change-detection join.
-        // Near-dup components have tiny diameter → a handful of rounds.
+        // cheap aggregate per round instead of a change-detection join
+        // (equal sums ⇒ no label moved, since labels only decrease).
+        // One round = ONE join + ONE aggregation: each node takes the min
+        // over {own label} ∪ {neighbour labels} via union + groupBy-min
+        // (the previous 3-shuffle join/agg/join shape did the same thing).
+        // The loop runs UNTIL the fixpoint — propagation finishes within
+        // max-component-diameter rounds, so a safety cap only guards
+        // against a logic bug, and hitting it fails LOUDLY instead of
+        // returning unconverged labels that look like an answer.
         def labelSum(df: org.apache.spark.sql.DataFrame): Long =
           df.agg(sum(col("cluster_rep"))).head().getLong(0)
+        val maxIters = 50
         var prevSum = -1L
         var curSum = labelSum(labels)
         var iter = 0
-        while (curSum != prevSum && iter < 10) {
-          val nbrMin = edges
-            .join(labels, edges("id2") === labels("doc_id"))
-            .groupBy(col("id1")).agg(min(col("cluster_rep")).as("nbr_min"))
+        while (curSum != prevSum) {
+          if (iter >= maxIters) throw new IllegalStateException(
+            s"q47 min-label propagation not converged after $maxIters rounds" +
+              s" (sum $prevSum -> $curSum still moving)")
           val next = labels
-            .join(nbrMin, labels("doc_id") === nbrMin("id1"), "left")
-            .select(labels("doc_id"),
-              least(col("cluster_rep"), coalesce(col("nbr_min"),
-                col("cluster_rep"))).as("cluster_rep"))
+            .unionByName(edges
+              .join(labels, edges("id2") === labels("doc_id"))
+              .select(edges("id1").as("doc_id"), col("cluster_rep")))
+            .groupBy(col("doc_id"))
+            .agg(min(col("cluster_rep")).as("cluster_rep"))
             .cache()
           prevSum = curSum
           curSum = labelSum(next)

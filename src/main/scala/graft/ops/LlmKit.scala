@@ -109,16 +109,24 @@ object LlmKit {
     s"""list_transform(string_split($textExpr, ' '),
        | t -> ${strHashSql("t")} % $MinhashP)""".stripMargin.replace("\n", " ")
 
-  /** MinHash signature (array of NumHashes longs) over a hash array.
-    *
+  /** MinHash signature (array of NumHashes longs) over a hash array: the
+    * native one-pass expression [[graft.functions.MinhashSig]] (primitive
+    * long[] minima, 32 multiply-mods per element, zero per-element
+    * allocation). */
+  def minhashSigFromHashes(hs: Column): Column =
+    call_function("minhash_sig", hs)
+
+  /** Declarative reference implementation of [[minhashSigFromHashes]]:
     * ONE left fold over the hashes that maintains all 32 running minima.
     * The naive shape — `transform(0..31, i -> array_min(transform(hs, …)))`
     * — re-evaluates the `hs` argument (with its md5 per shingle) once per
     * OUTER lambda element, i.e. md5 × 32 per shingle: measured 250 s vs
     * ~4 s at sf0.1 for the full LSH query. In the fold, `hs` is the
     * aggregate's input evaluated once per row, and each element costs 32
-    * integer ops. Identical values either way. */
-  def minhashSigFromHashes(hs: Column): Column =
+    * integer ops (but allocates a fresh 32-element accumulator array per
+    * element — the native expression removes that too). Kept as the
+    * parity-spec oracle for the native expression (NativeExprSpec). */
+  def minhashSigDeclarative(hs: Column): Column =
     aggregate(
       hs,
       transform(sequence(lit(0), lit(NumHashes - 1)), _ => lit(MinhashP)),

@@ -26,7 +26,7 @@ class EtlPipelineSpec extends AnyFunSuite {
 
   test("movies hub: coercions, last-wins, rating left join, FKs") {
     val got = mt.movies.collect().map(r => r.getAs[Int]("id") -> r).toMap
-    assert(got.keySet == Set(11, 12, 13))
+    assert(got.keySet == Set(11, 12, 13, 15))
 
     val m11 = got(11)
     assert(m11.getAs[String]("title") == "Star Wars")
@@ -58,13 +58,20 @@ class EtlPipelineSpec extends AnyFunSuite {
     assert(m13.getAs[String]("release_date") == "2001-02-03")
     assert(m13.isNullAt(m13.fieldIndex("rating")))
     assert(m13.getAs[Int]("original_language") == 0) // en, reused id
+
+    // missing original_language → the 'nan' sentinel's dense id
+    // (loader.py:163 has no validity guard; NaN mints a real entry)
+    val m15 = got(15)
+    assert(m15.getAs[Int]("original_language") == 3)
   }
 
   test("languages: dense first-appearance ids + O-9 name backfill") {
     assert(rows(mt.languages) == Set(
       Seq(0, "en", "English"),   // minted by orig, backfilled by spoken
       Seq(1, "fr", "Français"),  // 'English Dup' loses: name already set
-      Seq(2, "de", null)))       // never named
+      Seq(2, "de", null),        // never named
+      Seq(3, "nan", null),       // NaN sentinel from row 15's missing lang
+      Seq(4, "ja", "Japanese"))) // minted AFTER the sentinel (orig first)
   }
 
   test("countries: dense ids, first-sighting name wins") {
@@ -93,7 +100,7 @@ class EtlPipelineSpec extends AnyFunSuite {
       Seq(11, 12), Seq(11, 28), // dup genre 12 collapsed
       Seq(13, 28), Seq(13, 99))) // 13a's genre 16 gone (last-wins)
     assert(rows(mt.spokenLanguages) == Set(
-      Seq(11, 0), Seq(12, 1), Seq(12, 0)))
+      Seq(11, 0), Seq(12, 1), Seq(12, 0), Seq(15, 4)))
     assert(rows(mt.productionCountries) == Set(
       Seq(11, 0), Seq(12, 0), Seq(13, 1)))
     assert(rows(mt.moviesProductionCompanies) == Set(
@@ -110,15 +117,20 @@ class EtlPipelineSpec extends AnyFunSuite {
   }
 
   test("directors: job == 'Director' filter, set-dedup (J-3)") {
+    // the later duplicate row for 12 has an EMPTY crew → must not erase
+    // (loader.py:265 `if len(crew.keys()) > 0`); 14's duplicate crew has
+    // only a job-less entry → also counts as empty
     assert(rows(ct.directors) == Set(Seq(11, 7), Seq(12, 7), Seq(12, 9)))
   }
 
   test("actors: billing order kept, duplicates preserved (X-6)") {
     val got = ct.actors.collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    // 12's later non-empty cast DOES overwrite (empty first version);
+    // 14's later EMPTY cast does NOT (loader.py:274 `if len(cast) > 0`)
     assert(got.sorted.toSeq == Seq(
-      (11, 2, 0), (11, 2, 5), (11, 3, 1), (14, 3, 0)))
-    assert(got.length == 4) // person 2 twice — list, not set
+      (11, 2, 0), (11, 2, 5), (11, 3, 1), (12, 3, 2), (14, 3, 0)))
+    assert(got.length == 5) // person 2 twice — list, not set
   }
 
   test("keywords: first-wins names, accumulating movie sets (A-7)") {

@@ -28,7 +28,7 @@ class MovieDbImportSpec extends AnyFunSuite {
         rs.next(); rs.getLong(1)
       }
       assert(graft.sink.JdbcSink.tableDdl.map { case (t, _) => count(t) }.sum
-        == 47) // 15 tables, per-table totals pinned by JdbcSinkSpec
+        == 52) // 15 tables, per-table totals pinned by JdbcSinkSpec
       // the flagship analytical join the schema exists to serve
       val rs = st.executeQuery(
         """SELECT m.title, g.name FROM movies m

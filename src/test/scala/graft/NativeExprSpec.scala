@@ -26,6 +26,19 @@ class NativeExprSpec extends AnyFunSuite {
     assert(diffs == 0)
   }
 
+  test("vec_dot is NULL on unequal-length vectors, like the declarative form") {
+    val truncated = emb.select(col("embedding").as("a"),
+      slice(col("embedding"), 1, 10).as("b"))
+    val declarative = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val got = truncated.select(
+      call_function("vec_dot", col("a"), col("b")).as("native"),
+      declarative.as("hof"))
+    assert(got.filter(col("native").isNotNull || col("hof").isNotNull)
+      .count() == 0)
+  }
+
   test("lsh_bucket == declarative hyperplane fold on every vector") {
     val declarative = aggregate(sequence(lit(0), lit(7)), lit(0L), (acc, i) => {
       val proj = aggregate(sequence(lit(1), lit(64)), lit(0.0), (a, j) => {
@@ -55,6 +68,24 @@ class NativeExprSpec extends AnyFunSuite {
     val diffs = docs.select(
       LlmKit.hashedShingles(col("text")).as("native"),
       LlmKit.hashedShinglesDeclarative(col("text")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diffs == 0)
+  }
+
+  test("minhash_sig == declarative 32-minima fold, incl. empty hash array") {
+    import spark.implicits._
+    import graft.ops.LlmKit
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("text")
+      .unionByName(Seq("", "a", "a b c", "x y z w v").toDF("text"))
+    val hs = docs.select(
+      array_distinct(LlmKit.hashedShingles(col("text"))).as("ds"))
+      // empty array: fold returns the all-P init; native must match
+      .unionByName(spark.range(1)
+        .select(array().cast("array<bigint>").as("ds")))
+    val diffs = hs.select(
+      call_function("minhash_sig", col("ds")).as("native"),
+      LlmKit.minhashSigDeclarative(col("ds")).as("hof"))
       .filter(col("native") =!= col("hof"))
       .count()
     assert(diffs == 0)

@@ -1,6 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -14,6 +15,11 @@ object EtlKit {
     * and CSV splits are file-offset ordered, so it increases in file order —
     * the same order the reference's `iterrows()` sees (loader.py:120). */
   val SeqCol = "_seq"
+
+  /** Max rows [[withDenseId]] accepts — dimension tables (languages,
+    * countries) are hundreds of rows; 1M leaves huge headroom while still
+    * catching a fact table routed through the single-partition mint. */
+  val DimIdCap = 1000000L
 
   /** O-1: CSV scan with header, quoted multi-line nested cells, explicit
     * schema (reference loader.py:561-568; pandas `read_csv`). PERMISSIVE so
@@ -66,6 +72,27 @@ object EtlKit {
     * NULL (no explode rows), the engine's skip-bad-and-continue policy. */
   def parsePy(c: Column, schema: DataType): Column =
     from_json(call_function("py_to_json", c), schema)
+
+  /** O-8 dense surrogate ids 0..n-1 in `order`, for DIMENSION-sized input
+    * ONLY. Contiguous first-appearance ids need a global total order, i.e.
+    * a single-partition window — safe on post-aggregation dimension values
+    * (≤ thousands of rows), catastrophic on fact rows. The plan enforces
+    * that claim at runtime: if the input exceeds `cap` rows the query
+    * fails loudly (`raise_error`) instead of silently funneling fact-scale
+    * data through one partition (the copy-paste hazard flagged in round-1
+    * review). The guard rides the same single-partition pass the mint
+    * already makes, so it costs one global count, not an extra action. */
+  def withDenseId(df: DataFrame, idCol: String, cap: Long, order: Column*): DataFrame = {
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val guard = when(
+      count(lit(1)).over(wAll) > cap,
+      raise_error(lit(s"withDenseId: input exceeds $cap rows — this mint " +
+        "is for post-aggregation dimension values, not facts")).cast("long"))
+      .otherwise(0L)
+    df.withColumn(idCol,
+      (row_number().over(Window.orderBy(order: _*)) - 1).cast("long") + guard)
+  }
 
   /** P-2 observability: how many rows the id filter would drop — the
     * engine's analog of the reference's print-and-skip log lines

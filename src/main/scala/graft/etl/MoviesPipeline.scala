@@ -106,17 +106,18 @@ object MoviesPipeline {
       .select(col("sl.iso_639_1").as("lang_key"), col("sl.name").as("lname"),
         col("seq"), (col("pos") + 1).cast("long").as("sub"))
     val sightings = sightOrig.unionByName(sightSpoken)
-    val languages = sightings
-      .groupBy(col("lang_key"))
-      .agg(
-        min(struct(col("seq"), col("sub"))).as("first_seen"),
-        // earliest non-null name in sighting order = O-9 backfill
-        min(when(col("lname").isNotNull,
-          struct(col("seq"), col("sub"), col("lname")))).as("named"))
-      // distinct iso codes only (≤ thousands) → 1-partition window is safe
-      .withColumn("id",
-        (row_number().over(Window.orderBy(col("first_seen"))) - 1).cast("int"))
-      .select(col("id"), col("lang_key"), col("named.lname").as("name"))
+    val languages = withDenseId(
+      sightings
+        .groupBy(col("lang_key"))
+        .agg(
+          min(struct(col("seq"), col("sub"))).as("first_seen"),
+          // earliest non-null name in sighting order = O-9 backfill
+          min(when(col("lname").isNotNull,
+            struct(col("seq"), col("sub"), col("lname")))).as("named")),
+      // distinct iso codes only (≤ thousands); withDenseId raises if not
+      "id", DimIdCap, col("first_seen"))
+      .select(col("id").cast("int").as("id"), col("lang_key"),
+        col("named.lname").as("name"))
 
     // ---- countries: dense ids, name fixed at first sighting --------------
     val countrySight = base
@@ -125,13 +126,13 @@ object MoviesPipeline {
       .filter(col("c.iso_3166_1").isNotNull)
       .select(col("c.iso_3166_1").as("code"), col("c.name").as("cname"),
         col("seq"), col("pos"))
-    val countries = countrySight
-      .groupBy(col("code"))
-      .agg(min(struct(col("seq"), col("pos"), col("cname"))).as("first"))
-      .withColumn("id",
-        (row_number().over(Window.orderBy(col("first.seq"), col("first.pos")))
-          - 1).cast("int"))
-      .select(col("id"), col("code"), col("first.cname").as("name"))
+    val countries = withDenseId(
+      countrySight
+        .groupBy(col("code"))
+        .agg(min(struct(col("seq"), col("pos"), col("cname"))).as("first")),
+      "id", DimIdCap, col("first.seq"), col("first.pos"))
+      .select(col("id").cast("int").as("id"), col("code"),
+        col("first.cname").as("name"))
 
     // ---- first-wins dims from ALL rows -----------------------------------
     def firstWinsDim(exploded: DataFrame, idCol: String, nameCol: String): DataFrame =

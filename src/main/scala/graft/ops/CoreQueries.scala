@@ -111,15 +111,15 @@ object CoreQueries {
 
     // ----- O-8: dense surrogate key mint (loader.py:161-171, 208-223) -----
     // Single-partition window is safe: runs over the distinct dimension
-    // values only (≤ thousands), never the fact rows.
+    // values only (≤ thousands), never the fact rows — and the guarded
+    // mint (EtlKit.withDenseId) raise_errors if that ever stops being true.
     NamedQuery(
       "q07_surrogate_keys",
       (s, d) =>
-        tbl(s, d, "documents")
-          .groupBy(col("lang")).agg(min(col("doc_id")).as("first_seen"))
-          .withColumn("lang_sk",
-            (row_number().over(Window.orderBy(col("first_seen"))) - 1)
-              .cast("long"))
+        graft.etl.EtlKit.withDenseId(
+          tbl(s, d, "documents")
+            .groupBy(col("lang")).agg(min(col("doc_id")).as("first_seen")),
+          "lang_sk", graft.etl.EtlKit.DimIdCap, col("first_seen"))
           .select(col("lang"), col("lang_sk")),
       Some("""SELECT lang,
              |  row_number() OVER (ORDER BY min(doc_id)) - 1 AS lang_sk

@@ -145,5 +145,40 @@ object TextOps {
         s"""SELECT doc_id, $full AS full_hash, $winnow AS winnow_hash
            |FROM documents""".stripMargin
       }),
+
+    // ----- q52: token-diversity quality score (Gini impurity) -------------
+    // Repetition detector for pretraining curation: gini = 1 − Σ(c_i/n)²
+    // over the per-doc token histogram — near 1 for diverse text, near 0
+    // for a document that repeats one token. Unlike entropy (ln() differs
+    // across libm implementations) every input here is an exact INTEGER
+    // (Σc_i, Σc_i²) and the score is one double division — bit-identical
+    // across engines with no ordering contract needed. Two-level partial
+    // aggregation: (doc, token) counts shuffle once, per-doc moments
+    // shuffle once — no per-row state, linear at any corpus size.
+    NamedQuery(
+      "q52_token_gini",
+      (s, d) =>
+        tbl(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("n_distinct"),
+            sum(col("c") * col("c")).as("sumsq"))
+          .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+            (lit(1.0) - col("sumsq").cast("double") /
+              (col("n_tokens") * col("n_tokens")).cast("double"))
+              .as("gini")),
+      Some("""WITH tc AS (
+             |  SELECT doc_id, tok, COUNT(*) AS c
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |        FROM documents)
+             |  GROUP BY doc_id, tok)
+             |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             |  COUNT(*) AS n_distinct,
+             |  1.0 - CAST(SUM(c*c) AS DOUBLE)
+             |      / CAST(SUM(c) * SUM(c) AS DOUBLE) AS gini
+             |FROM tc GROUP BY doc_id""".stripMargin)),
   )
 }

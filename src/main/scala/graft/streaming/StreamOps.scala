@@ -82,6 +82,36 @@ object StreamOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("simhash")
 
+  /** Streaming ANN: a stream of (ts, query_id, embedding) matched against
+    * a STATIC vector index — the online form of the batch LSH ANN (q32).
+    * The index is bucketed ONCE with the same deterministic `lsh_bucket`
+    * expression the batch path uses; each microbatch equi-joins on the
+    * bucket (stream-static join: stateless, no per-batch index rebuild),
+    * scores the bucket's candidates with the exact cosine, and emits each
+    * query's best match when its event-time window closes. Determinism:
+    * ties on cosine break toward the smallest candidate id. State = the
+    * open (window, query) aggregates only, bounded by the watermark; the
+    * candidate join itself keeps no state. At scale the index side is a
+    * bucket-partitioned table, so each stream task probes one bucket's
+    * candidates — never the full index. */
+  def annMatch(queries: DataFrame, index: DataFrame): DataFrame = {
+    import graft.ops.LlmKit
+    val idx = index.select(
+      call_function("lsh_bucket", col("embedding")).as("bucket"),
+      col("vec_id").as("cand_id"), col("embedding").as("cand_emb"))
+    queries
+      .withColumn("bucket", call_function("lsh_bucket", col("embedding")))
+      .withWatermark("ts", "1 hour")
+      .join(idx, Seq("bucket"))
+      .withColumn("cos", LlmKit.cosine(col("embedding"), col("cand_emb")))
+      .groupBy(window(col("ts"), "1 hour"), col("query_id"))
+      .agg(
+        max_by(col("cand_id"), struct(col("cos"), -col("cand_id")))
+          .as("best_id"),
+        max(col("cos")).as("best_cos"))
+      .select(col("query_id"), col("best_id"), col("best_cos"))
+  }
+
   /** Streaming JDBC ingestion: each microbatch appends through the batch
     * sink path (same batchsize-50000 writer as [[graft.sink.JdbcSink]]),
     * giving the reference's one-shot import a continuous form. Exactly-once

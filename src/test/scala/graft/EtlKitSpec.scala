@@ -73,4 +73,20 @@ class EtlKitSpec extends AnyFunSuite {
       .select(call_function("py_to_json", col("x")).as("j"))
     assert(df.filter(col("j").isNotNull).count() == 100)
   }
+
+  test("withDenseId mints 0..n-1 in order, and refuses fact-scale input") {
+    import spark.implicits._
+    val dim = Seq(("b", 20), ("a", 10), ("c", 30)).toDF("k", "seen")
+    val got = withDenseId(dim, "id", cap = 10, col("seen"))
+      .select(col("k"), col("id")).collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(got.toMap == Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+    // over the cap → loud runtime failure, not a silent 1-partition funnel
+    val big = spark.range(100).select(col("id").as("seen"))
+    val ex = intercept[Exception] {
+      // select the minted column so the guard can't be pruned away
+      withDenseId(big, "sk", cap = 99, col("seen"))
+        .agg(max(col("sk"))).head()
+    }
+    assert(ex.getMessage.contains("withDenseId"))
+  }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-quality guards: the physical-plan properties the engine's scale
@@ -50,6 +51,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("q30_embed_neardup").contains("vec_dot"))
     assert(plan("q32_ann_lsh").contains("lsh_bucket"))
     assert(plan("q27_minhash_lsh").contains("hashed_shingles"))
+    assert(plan("q27_minhash_lsh").contains("minhash_sig"))
     assert(plan("q23_pyliteral_roundtrip").contains("py_to_json"))
+  }
+
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // The 100 TB shape: fact ⋈ selectively-filtered dim where the dim is
+    // too big to broadcast. Catalyst's InjectRuntimeFilter plants a bloom
+    // filter built from the dim keys on the fact scan, cutting the shuffle
+    // to rows that can match. The size thresholds that gate it (10 GB probe
+    // side) are exactly what a real cluster would clear, so the test drops
+    // them to zero to prove the rewrite fires on this engine's plans.
+    val c = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val prev = keys.map(k => k -> c.getOption(k)).toMap
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      val ord = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_totalprice")
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      assert(j.queryExecution.optimizedPlan.toString.contains("might_contain"),
+        s"no bloom filter injected:\n${j.queryExecution.optimizedPlan}")
+    } finally prev.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None) => c.unset(k)
+    }
   }
 }

@@ -184,6 +184,63 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(survivors < originals.count() + reposts.count())
   }
 
+  test("streaming ANN against a static index: stream equals batch") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val index = emb.select("vec_id", "embedding")
+    val base = System.currentTimeMillis() - 86400000L
+    // queries = 40 re-keyed, scaled copies of index vectors: scaling
+    // preserves both the hyperplane bucket and the cosine, so each query's
+    // true nearest neighbour is its own original — a verifiable answer.
+    def scaled(df: DataFrame, offsetMs: Long) = df.select(
+      to_timestamp(lit(new java.sql.Timestamp(base + offsetMs))).as("ts"),
+      (col("vec_id") + 100000).as("query_id"),
+      transform(col("embedding"), x => (x * lit(1.5f)).cast("float"))
+        .as("embedding"))
+    val q1 = scaled(emb.filter(col("vec_id") < 20), 0)
+    val q2 = scaled(emb.filter(col("vec_id") >= 20 && col("vec_id") < 40), 60000)
+    val sentinel = spark.range(1).select(
+      to_timestamp(lit(new java.sql.Timestamp(base + 30L * 24 * 3600 * 1000)))
+        .as("ts"),
+      lit(-1L).as("query_id"),
+      typedLit(Seq.fill(64)(0.1f)).as("embedding"))
+
+    val dir = Files.createTempDirectory("graft-ann-stream").toString
+    def write(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft-chunk").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.asInstanceOf[Path])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, Paths.get(dir, name))
+      Files.setLastModifiedTime(Paths.get(dir, name), FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 600000
+    write(q1, "q0.parquet", t0)
+    write(q2, "q1.parquet", t0 + 60000)
+    write(sentinel, "q2.parquet", t0 + 120000)
+
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, query_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = StreamOps.annMatch(stream, index)
+      .writeStream.format("memory").queryName("t_ann")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-ann").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = asSet(spark.table("t_ann").filter(col("query_id") =!= -1L))
+    val want = asSet(StreamOps.annMatch(q1.unionByName(q2), index))
+    assert(got == want)
+    // and the matches are the right ones: each query finds its original
+    val best = spark.table("t_ann").filter(col("query_id") =!= -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(best.size == 40)
+    assert(best.forall { case (q0, b) => b == q0 - 100000 })
+  }
+
   test("foreachBatch JDBC sink ingests the stream into Derby") {
     val url = "jdbc:derby:memory:graftStream;create=true"
     val q = StreamOps.jdbcSink(

@@ -79,6 +79,63 @@ object GovernanceOps {
           .stripMargin
       }),
 
+    // ----- q53: exact n-gram contamination (inverted-index join) ----------
+    // The decontamination shape LSH can't give you: EXACT overlap counts.
+    // Explode each side's distinct shingle hashes into an inverted index,
+    // equi-join eval×train postings on the hash, and count shared shingles
+    // per (train, eval) pair — flagged at ≥ 5. Complements q45 (LSH finds
+    // near-dups cheaply; this certifies the overlap). Scale: the join
+    // shuffles on the shingle hash, so the classic hot spot is a
+    // boilerplate shingle present in thousands of docs — the doc-frequency
+    // guard drops shingles in > 100 train docs before the join (standard
+    // stop-gram pruning; also the skew guard). Both sides' postings are
+    // set-valued (array_distinct), so COUNT(*) IS the intersection size.
+    NamedQuery(
+      "q53_exact_contamination",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val eval_ = docs.filter(col("source") === "src19")
+          .select(col("doc_id").as("eval_id"), col("text"))
+        val train = docs.filter(col("source") =!= "src19")
+          .select(col("doc_id").as("train_id"), col("text"))
+          .unionByName(eval_.select((col("eval_id") + 200000).as("train_id"),
+            dropFirstToken(col("text")).as("text")))
+        val eg = eval_.select(col("eval_id"),
+          explode(array_distinct(hashedShingles(col("text")))).as("g"))
+        val tg = train.select(col("train_id"),
+          explode(array_distinct(hashedShingles(col("text")))).as("g"))
+        val hot = tg.groupBy(col("g"))
+          .agg(count(lit(1)).as("df")).filter(col("df") > 100).select(col("g"))
+        eg.join(tg, Seq("g"))
+          .join(hot, Seq("g"), "left_anti")
+          .groupBy(col("train_id"), col("eval_id"))
+          .agg(count(lit(1)).as("n_overlap"))
+          .filter(col("n_overlap") >= 5)
+      },
+      Some {
+        def gramsCte(src: String, idc: String): String =
+          s"""SELECT $idc, unnest(list_distinct(
+             |  ${hashedShinglesSql("text", tokenHashesSql("text"))})) AS g
+             |FROM $src""".stripMargin
+        s"""WITH eval_docs AS (
+           |  SELECT doc_id AS eval_id, text FROM documents
+           |  WHERE source = 'src19'),
+           |train_docs AS (
+           |  SELECT doc_id AS train_id, text FROM documents
+           |  WHERE source <> 'src19'
+           |  UNION ALL
+           |  SELECT eval_id + 200000 AS train_id,
+           |    ${dropFirstTokenSql("text")} AS text FROM eval_docs),
+           |eg AS (${gramsCte("eval_docs", "eval_id")}),
+           |tg AS (${gramsCte("train_docs", "train_id")}),
+           |hot AS (SELECT g FROM tg GROUP BY g HAVING COUNT(*) > 100)
+           |SELECT train_id, eval_id, COUNT(*) AS n_overlap
+           |FROM eg JOIN tg USING (g)
+           |WHERE g NOT IN (SELECT g FROM hot)
+           |GROUP BY train_id, eval_id
+           |HAVING COUNT(*) >= 5""".stripMargin
+      }),
+
     // ----- q46: domain mixing report --------------------------------------
     NamedQuery(
       "q46_mixing_report",

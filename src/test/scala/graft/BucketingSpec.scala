@@ -56,4 +56,35 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS ord_bucketed")
     }
   }
+
+  test("partitioned layout prunes non-matching partitions at the scan") {
+    // The other half of the 100 TB layout story: a corpus written
+    // partitioned by its natural query key (source domain) lets a
+    // per-domain query read ONLY that domain's files — partition pruning
+    // at planning time, before any I/O. At 100 TB this is the difference
+    // between scanning one domain and scanning the lake.
+    val dir = Files.createTempDirectory("graft-part").toString + "/docs"
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .write.partitionBy("source").parquet(dir)
+
+    val q = spark.read.parquet(dir)
+      .filter(col("source") === "src3")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(source"),
+      s"partition filter not recognized:\n$scan")
+    // pruning actually happened: only the one matching directory is read
+    // (sparkPlan, not executedPlan — AQE wraps the scan out of collect's
+    // reach; partition pruning is decided before AQE anyway)
+    val read = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(read == Seq(1), s"expected exactly 1 selected partition, got $read")
+    // result parity with the unpartitioned scan
+    val want = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("source") === "src3")
+      .agg(count(lit(1)), sum(col("n_chars"))).head()
+    assert(q.head() == want)
+  }
 }

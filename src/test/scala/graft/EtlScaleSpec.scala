@@ -104,4 +104,45 @@ class EtlScaleSpec extends AnyFunSuite {
     assert(movies.filter(col("rating").isNull).count() > 0)
     movies.unpersist()
   }
+
+  test("credits invariants on a generated corpus with empty-duplicate rows") {
+    // every movie id appears TWICE: first a full row (1 director + 1 cast
+    // entry), then a duplicate with empty cast and a job-less crew entry.
+    // Under the reference's len()>0 guards the empty duplicate must erase
+    // NOTHING — so after the pipeline every movie still has its director
+    // and its cast row.
+    val n = 3000
+    val full = spark.range(n).select(
+      col("id").cast("string").as("id"),
+      concat(lit("[{'id': "), (col("id") % 500 + 1000).cast("string"),
+        lit(", 'name': 'Actor "), (col("id") % 500).cast("string"),
+        lit("', 'order': 0}]")).as("cast"),
+      concat(lit("[{'id': "), (col("id") % 200).cast("string"),
+        lit(", 'name': 'Dir "), (col("id") % 200).cast("string"),
+        lit("', 'job': 'Director'}]")).as("crew"))
+    val emptyDup = spark.range(n).select(
+      col("id").cast("string").as("id"),
+      lit("[]").as("cast"),
+      // job-less entry: joins persons, but counts as an EMPTY crew
+      concat(lit("[{'id': "), (col("id") % 200 + 5000).cast("string"),
+        lit(", 'name': 'NoJob "), (col("id") % 200).cast("string"),
+        lit("'}]")).as("crew"))
+    val dir = Files.createTempDirectory("graft-credits-scale").toString + "/credits"
+    // full row FIRST, its empty duplicate SECOND (file order = scan order)
+    full.withColumn("ord", lit(0))
+      .unionByName(emptyDup.withColumn("ord", lit(1)))
+      .orderBy(col("id").cast("long"), col("ord")).drop("ord")
+      .coalesce(1).write.option("header", "true").mode("overwrite").csv(dir)
+
+    val ct = CreditsPipeline.fromCsv(spark, dir + "/*.csv")
+    // nothing erased: one director row and one actor row per movie
+    assert(ct.directors.count() == n)
+    assert(ct.actors.count() == n)
+    // the job-less entries joined persons anyway (loader.py:259 semantics)
+    assert(ct.persons.filter(col("id") >= 5000).count() == 200)
+    // every director FK resolves in persons
+    assert(ct.directors.join(ct.persons,
+      ct.directors("director_id") === ct.persons("id"), "left_anti")
+      .count() == 0)
+  }
 }

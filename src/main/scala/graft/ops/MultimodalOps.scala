@@ -44,6 +44,49 @@ object MultimodalOps {
     })
   }
 
+  final case class FrameRecord(doc_id: Long, frame_idx: Int,
+      payload_slice: Array[Byte])
+  final case class MediaEmbedding(doc_id: Long, modality: String,
+      embedding: Array[Float])
+
+  /** Frame sampling: one output row per sampled frame index, stride
+    * `everyN` — the explode-with-stride shape video pretraining pipelines
+    * use (sample k-th frames, not all). flatMap keeps it partition-local
+    * (no shuffle); the payload "slice" is a STUB byte window where a real
+    * build would seek the container's frame offset. Frame count comes from
+    * the same stub decode as [[extractMeta]], so the two layers agree. */
+  def sampleFrames(ds: Dataset[MediaRecord], everyN: Int): Dataset[FrameRecord] = {
+    import ds.sparkSession.implicits._
+    ds.filter(_.modality == "video").flatMap { r =>
+      val frames = (r.payload.length % 24) + 1
+      (0 until frames by everyN).map { i =>
+        val from = (i * 16) % math.max(r.payload.length, 1)
+        val until = math.min(from + 16, r.payload.length)
+        FrameRecord(r.doc_id, i, r.payload.slice(from, until))
+      }
+    }
+  }
+
+  /** Feature extraction: payload → fixed-width float vector. The vector
+    * here is a deterministic byte-histogram STUB (a real encoder — CLIP,
+    * wav2vec — plugs into the same mapPartitions slot); its output feeds
+    * the ANN/similarity operators unchanged, which is the point: one
+    * embedding column contract across text and media. */
+  val EmbedDim = 8
+  def embedMedia(ds: Dataset[MediaRecord]): Dataset[MediaEmbedding] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      val v = new Array[Float](EmbedDim)
+      var i = 0
+      while (i < r.payload.length) {
+        v(r.payload(i) & (EmbedDim - 1)) += 1f
+        i += 1
+      }
+      val n = math.max(r.payload.length, 1).toFloat
+      MediaEmbedding(r.doc_id, r.modality, v.map(_ / n))
+    })
+  }
+
   /** documents → MediaRecord dataset (payload = utf-8 bytes, modality
     * routed by size like q37). */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {

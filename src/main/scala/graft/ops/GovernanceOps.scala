@@ -206,6 +206,9 @@ object GovernanceOps {
           labels = next
           iter += 1
         }
+        // final labels are cached+materialized; the edge cache is no
+        // longer reachable from the returned plan's execution
+        pairs.unpersist()
         labels
       },
       Some {

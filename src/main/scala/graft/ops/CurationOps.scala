@@ -98,5 +98,45 @@ object CurationOps {
               |FROM documents
               |WHERE ${strHashSql("CAST(doc_id AS VARCHAR)")} % 100
               |  < CASE WHEN lang = 'en' THEN 40 ELSE 100 END""".stripMargin)),
+
+    // ----- q54: sequence packing into fixed token budgets -----------------
+    // The "pack documents into 2048-token training rows" step: within each
+    // source shard, docs are laid out in doc_id order and a doc belongs to
+    // the bin its FIRST token lands in (greedy boundary-crossing pack —
+    // deterministic, no bin search). The running layout offset is a
+    // window cumsum PARTITIONED BY source, so packing parallelizes across
+    // shards — there is no global window, and a 100 TB corpus packs one
+    // shard per task group. Output is the per-bin manifest (docs, tokens)
+    // a packing writer would consume. All inputs are integers; bin_id's
+    // floor-divide is exact below 2^53 in both engines.
+    NamedQuery(
+      "q54_sequence_pack",
+      (s, d) => {
+        val C = 2048
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        tbl(s, d, "documents")
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_toks"))
+          .withColumn("cum", sum(col("n_toks")).over(w))
+          .withColumn("bin_id",
+            floor((col("cum") - col("n_toks")) / lit(C.toDouble)))
+          .groupBy(col("source"), col("bin_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      },
+      Some("""WITH c AS (
+             |  SELECT source, doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+             |    CAST(SUM(len(string_split(text, ' '))) OVER (
+             |      PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum
+             |  FROM documents)
+             |SELECT source,
+             |  CAST(FLOOR((cum - n_toks) / 2048.0) AS BIGINT) AS bin_id,
+             |  COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+             |FROM c GROUP BY source, bin_id""".stripMargin)),
   )
 }

@@ -55,6 +55,44 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("q23_pyliteral_roundtrip").contains("py_to_json"))
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime") {
+    // The complement of q38's pre-planned salting: when skew is only
+    // discovered at runtime, AQE's OptimizeSkewedJoin splits the oversized
+    // partition into parallel sub-reads instead of letting one task carry
+    // the hot key. Thresholds are shrunk so the 90%-one-key corpus below
+    // trips the same code path a hot partition trips at cluster scale.
+    val c = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val prev = keys.map(k => k -> c.getOption(k)).toMap
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      c.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      import spark.implicits._
+      // 90% of left rows share key 0; right is a small non-broadcast dim
+      val left = spark.range(200000).select(
+        when(col("id") % 10 === 0, pmod(col("id"), lit(50)) + 1)
+          .otherwise(lit(0L)).as("k"), col("id").as("v"))
+      val right = spark.range(51).select(col("id").as("k"), (col("id") * 2).as("w"))
+      // global agg: no post-join distribution requirement, so AQE is free
+      // to split the hot partition (a keyed agg downstream would pin the
+      // partitioning and veto the rewrite — that shape wants q38 salting)
+      val j = left.join(right, Seq("k")).agg(count(lit(1)).as("n"))
+      j.collect() // AQE decides after seeing runtime shuffle sizes
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"no skew split in:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None) => c.unset(k)
+    }
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     // The 100 TB shape: fact ⋈ selectively-filtered dim where the dim is
     // too big to broadcast. Catalyst's InjectRuntimeFilter plants a bloom

@@ -138,5 +138,39 @@ object CurationOps {
              |  CAST(FLOOR((cum - n_toks) / 2048.0) AS BIGINT) AS bin_id,
              |  COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
              |FROM c GROUP BY source, bin_id""".stripMargin)),
+
+    // ----- q55: curation decision manifest --------------------------------
+    // Signals → decisions: the keep/drop table with reason codes that the
+    // rest of the pipeline (packing, mixing) consumes. First-priority rule
+    // wins: exact duplicates (keep-first by content hash) are dropped
+    // before quality rules apply, so reasons are unambiguous and the
+    // manifest sums to the corpus. Runs on the planted-duplicate corpus so
+    // every branch is exercised. The content-hash groupBy and the
+    // manifest join both shuffle on the hash — at 100 TB the dedup keep
+    // list is the same two-pass shape, no driver state.
+    NamedQuery(
+      "q55_curation_manifest",
+      (s, d) => {
+        val withH = corpusWithDups(s, d)
+          .select(col("doc_id"), md5(col("text")).as("h"),
+            size(split(col("text"), " ")).cast("long").as("n_toks"))
+        val keep = withH.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+        withH.join(keep, Seq("h"))
+          .select(col("doc_id"), col("n_toks"),
+            when(col("doc_id") =!= col("keep_id"), lit("exact_dup"))
+              .when(col("n_toks") < 20, lit("too_short"))
+              .otherwise(lit("keep")).as("decision"))
+      },
+      Some(s"""WITH corpus AS ($corpusWithDupsSql),
+              |wh AS (
+              |  SELECT doc_id, md5(text) AS h,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+              |  FROM corpus),
+              |keep AS (SELECT h, min(doc_id) AS keep_id FROM wh GROUP BY h)
+              |SELECT doc_id, n_toks,
+              |  CASE WHEN doc_id <> keep_id THEN 'exact_dup'
+              |       WHEN n_toks < 20 THEN 'too_short'
+              |       ELSE 'keep' END AS decision
+              |FROM wh JOIN keep USING (h)""".stripMargin)),
   )
 }

@@ -172,19 +172,38 @@ object LlmKit {
     * shuffle_hash hints (not broadcast): both self-join sides then produce
     * IDENTICAL shuffle exchanges and Spark reuses the first — the
     * signature subtree is computed once, not per join side. */
-  def lshCandidatePairs(corpus: org.apache.spark.sql.DataFrame):
-      org.apache.spark.sql.DataFrame = {
-    val sigs = corpus
+  /** (doc_id, ds, sig): distinct shingle hashes + MinHash signature per
+    * doc. The reusable first stage of every LSH consumer (self-join
+    * dedup, cross-corpus contamination, streaming guard). */
+  def shingleSigs(corpus: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame =
+    corpus
       .select(col("doc_id"),
         array_distinct(hashedShingles(col("text"))).as("ds"))
       .withColumn("sig", minhashSigFromHashes(col("ds")))
-    val bands = sigs.select(col("doc_id"),
+
+  /** (doc_id, band, bkey): the 8×4 banding of a signature table —
+    * equality on (band, bkey) is the LSH candidate condition. */
+  def sigBands(sigs: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame =
+    sigs.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(LshBands - 1)), b =>
         struct(b.as("band"),
           array_join(transform(sequence(lit(1), lit(LshRows)), r =>
             element_at(col("sig"), (b * LshRows + r).cast("int"))
               .cast("string")), "_").as("bkey")))).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+
+  /** Exact shingle-set Jaccard between two bound ds columns. */
+  def jaccardOf(s1: Column, s2: Column): Column = {
+    val icnt = size(array_intersect(s1, s2))
+    icnt.cast("double") / (size(s1) + size(s2) - icnt)
+  }
+
+  def lshCandidatePairs(corpus: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame = {
+    val sigs = shingleSigs(corpus)
+    val bands = sigBands(sigs)
     val cand = bands.select(col("band"), col("bkey"), col("doc_id").as("id1"))
       .hint("shuffle_hash")
       .join(bands.select(col("band"), col("bkey"), col("doc_id").as("id2"))

@@ -112,6 +112,52 @@ object StreamOps {
       .select(col("query_id"), col("best_id"), col("best_cos"))
   }
 
+  /** Streaming contamination guard: flag an incoming document when it
+    * near-duplicates (shingle Jaccard ≥ 0.5) any document of a STATIC
+    * eval set — "don't train on eval" enforced at ingestion time, the
+    * streaming twin of batch q45. The eval side's signatures and bands
+    * are computed once from the same deterministic expressions the batch
+    * path uses; each microbatch bands its rows and equi-joins on
+    * (band, bkey) (stream-static, stateless), then verifies candidates
+    * with the exact Jaccard. A pair matching in several bands collapses
+    * via watermark-bounded dedup — the only stateful step, sized by the
+    * watermark, not the corpus. Input: (ts, doc_id, text). */
+  def contaminationGuard(docs: DataFrame, evalDocs: DataFrame): DataFrame =
+    contaminationHits(docs, evalDocs)
+      .dropDuplicatesWithinWatermark("doc_id", "eval_id")
+      .select(col("doc_id"), col("eval_id"), col("jaccard"))
+
+  /** The stateless stage of [[contaminationGuard]]: per-band hits with
+    * exact Jaccard, duplicates across bands NOT yet collapsed. Pure
+    * expressions + stream-static joins, so the identical code also runs
+    * in batch mode — StreamOpsSpec uses that for stream==batch parity
+    * (batch mode cannot run the watermark dedup; it collapses with a
+    * plain distinct instead). */
+  def contaminationHits(docs: DataFrame, evalDocs: DataFrame): DataFrame = {
+    import graft.ops.LlmKit._
+    val evalSigs = shingleSigs(evalDocs)
+    val evalBands = sigBands(evalSigs)
+      .select(col("doc_id").as("eval_id"), col("band"), col("bkey"))
+    val evalSets = evalSigs
+      .select(col("doc_id").as("eval_id"), col("ds").as("eval_ds"))
+    docs
+      .withWatermark("ts", "1 hour")
+      .withColumn("ds", array_distinct(hashedShingles(col("text"))))
+      .withColumn("sig", minhashSigFromHashes(col("ds")))
+      .select(col("ts"), col("doc_id"), col("ds"),
+        explode(transform(sequence(lit(0), lit(LshBands - 1)), b =>
+          struct(b.as("band"),
+            array_join(transform(sequence(lit(1), lit(LshRows)), r =>
+              element_at(col("sig"), (b * LshRows + r).cast("int"))
+                .cast("string")), "_").as("bkey")))).as("bk"))
+      .select(col("ts"), col("doc_id"), col("ds"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .join(evalBands, Seq("band", "bkey"))
+      .join(evalSets, Seq("eval_id"))
+      .withColumn("jaccard", jaccardOf(col("ds"), col("eval_ds")))
+      .filter(col("jaccard") >= 0.5)
+  }
+
   /** Streaming JDBC ingestion: each microbatch appends through the batch
     * sink path (same batchsize-50000 writer as [[graft.sink.JdbcSink]]),
     * giving the reference's one-shot import a continuous form. Exactly-once

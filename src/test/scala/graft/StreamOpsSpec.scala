@@ -241,6 +241,62 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(best.forall { case (q0, b) => b == q0 - 100000 })
   }
 
+  test("streaming contamination guard flags planted eval leaks") {
+    import graft.ops.LlmKit
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val eval_ = docs.filter(col("source") === "src19")
+      .select(col("doc_id"), col("text"))
+    val base = System.currentTimeMillis() - 86400000L
+    def withTs(df: DataFrame, offsetMs: Long) = df.select(
+      to_timestamp(lit(new java.sql.Timestamp(base + offsetMs))).as("ts"),
+      col("doc_id"), col("text"))
+    val clean = withTs(docs.filter(col("source") =!= "src19")
+      .select(col("doc_id"), col("text")), 0)
+    val leaks = withTs(eval_.select((col("doc_id") + 200000).as("doc_id"),
+      LlmKit.dropFirstToken(col("text")).as("text")), 60000)
+
+    val dir = Files.createTempDirectory("graft-contam-stream").toString
+    def write(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft-chunk").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.asInstanceOf[Path])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, Paths.get(dir, name))
+      Files.setLastModifiedTime(Paths.get(dir, name), FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 600000
+    write(clean, "c0.parquet", t0)
+    write(leaks, "c1.parquet", t0 + 60000)
+
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = StreamOps.contaminationGuard(stream, eval_)
+      .writeStream.format("memory").queryName("t_contam")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-contam").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("t_contam")
+      .select("doc_id", "eval_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    // batch expectation: same stateless pipeline, plain distinct instead
+    // of the (streaming-only) watermark dedup
+    val want = StreamOps.contaminationHits(
+      clean.unionByName(leaks), eval_)
+      .select("doc_id", "eval_id").distinct().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(got == want)
+    // every planted leak is flagged against its origin eval doc
+    val planted = eval_.select(col("doc_id")).collect().map(_.getLong(0))
+      .map(id => (id + 200000) -> id).toSet
+    assert(planted.subsetOf(got))
+  }
+
   test("foreachBatch JDBC sink ingests the stream into Derby") {
     val url = "jdbc:derby:memory:graftStream;create=true"
     val q = StreamOps.jdbcSink(

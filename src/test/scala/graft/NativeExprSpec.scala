@@ -91,6 +91,48 @@ class NativeExprSpec extends AnyFunSuite {
     assert(diffs == 0)
   }
 
+  test("minhash_sig property: random hash arrays match the declarative fold") {
+    import spark.implicits._
+    import graft.ops.LlmKit
+    // 300 random arrays spanning empty → 200 elements, values across the
+    // full mod-P range including 0 and P-1 (the permutation boundaries)
+    val gen = org.scalacheck.Gen.listOf(org.scalacheck.Gen.chooseNum(
+      0L, LlmKit.MinhashP - 1, 0L, 1L, LlmKit.MinhashP - 1))
+    val seed = org.scalacheck.rng.Seed(20260812L)
+    val cases = Iterator.iterate(seed)(_.next).take(300)
+      .map(s => gen.pureApply(org.scalacheck.Gen.Parameters.default, s))
+      .toSeq
+    val diffs = cases.toDF("ds")
+      .select(
+        call_function("minhash_sig", col("ds")).as("native"),
+        LlmKit.minhashSigDeclarative(col("ds")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diffs == 0)
+  }
+
+  test("vec_dot property: random float vectors match zip_with bitwise") {
+    import spark.implicits._
+    // finite floats only: the parity contract is over well-formed
+    // embeddings (NaN breaks =!= comparison semantics, not the fold)
+    val gen = org.scalacheck.Gen.listOfN(64,
+      org.scalacheck.Gen.chooseNum(-100f, 100f, 0f, 1e-7f, -1e-7f))
+    val seed = org.scalacheck.rng.Seed(42L)
+    val vecs = Iterator.iterate(seed)(_.next).take(200)
+      .map(s => gen.pureApply(org.scalacheck.Gen.Parameters.default, s))
+      .toSeq
+    val pairs = vecs.zip(vecs.reverse).toDF("a", "b")
+    val declarative = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val diffs = pairs.select(
+      call_function("vec_dot", col("a"), col("b")).as("native"),
+      declarative.as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diffs == 0)
+  }
+
   test("py_to_json null contract: NULL in, NULL out; junk in, NULL out") {
     import spark.implicits._
     val df = Seq(Some("[1, 2]"), Some("not python"), None).toDF("x")

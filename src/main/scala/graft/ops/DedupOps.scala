@@ -123,5 +123,85 @@ object DedupOps {
            |  CAST($icnt AS DOUBLE) / $ucnt >= 0.8 AS is_near_dup
            |FROM documents""".stripMargin
       }),
+
+    // ----- q56: incremental dedup (new batch vs existing corpus) ----------
+    // The daily-crawl path: an incoming batch is admitted against the
+    // EXISTING corpus without re-clustering it. Old = doc_id < 400; new =
+    // the rest plus planted leaks (exact copies of old docs re-keyed
+    // +300000, near-dup perturbations re-keyed +400000, within-batch
+    // copies re-keyed +500000) so every branch is exercised.
+    // Decision priority per new doc:
+    //   exact_dup_old  — content hash seen in the old corpus
+    //   batch_dup      — hash duplicated WITHIN the batch, keep-first
+    //   near_dup_old   — LSH candidate against an old doc, Jaccard ≥ 0.5
+    //   new            — admit
+    // Scale shape: two hash joins on the digest + the shared banded-LSH
+    // pipeline over old ∪ new (pairs crossing the old/new boundary only);
+    // the old corpus is never re-paired with itself downstream.
+    NamedQuery(
+      "q56_incremental_dedup",
+      (s, d) => {
+        val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+        val old = docs.filter(col("doc_id") < 400)
+        val newBatch = docs.filter(col("doc_id") >= 400)
+          .unionByName(old.filter(col("doc_id") < 50)
+            .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+          .unionByName(old.filter(col("doc_id") >= 50 && col("doc_id") < 100)
+            .select((col("doc_id") + 400000).as("doc_id"),
+              dropFirstToken(col("text")).as("text")))
+          .unionByName(docs.filter(col("doc_id") >= 400 && col("doc_id") < 410)
+            .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+        val oldHashes = old.select(md5(col("text")).as("h")).distinct()
+          .withColumn("in_old", lit(true))
+        val withH = newBatch.withColumn("h", md5(col("text")))
+        val batchKeep = withH.groupBy(col("h"))
+          .agg(min(col("doc_id")).as("batch_keep_id"))
+        // LSH pairs over old ∪ new, keep only pairs crossing the boundary
+        // (id1 < id2 and old ids < 400 < every new id, so id1 is old)
+        val nearOld = lshCandidatePairs(old.unionByName(newBatch))
+          .filter(col("id1") < 400 && col("id2") >= 400)
+          .select(col("id2").as("doc_id")).distinct()
+          .withColumn("near_old", lit(true))
+        withH
+          .join(broadcast(oldHashes), Seq("h"), "left")
+          .join(batchKeep, Seq("h"))
+          .join(nearOld, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("in_old"), lit("exact_dup_old"))
+              .when(col("doc_id") =!= col("batch_keep_id"), lit("batch_dup"))
+              .when(col("near_old"), lit("near_dup_old"))
+              .otherwise(lit("new")).as("decision"))
+      },
+      Some {
+        s"""WITH old AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id < 400),
+           |newb AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id >= 400
+           |  UNION ALL
+           |  SELECT doc_id + 300000, text FROM old WHERE doc_id < 50
+           |  UNION ALL
+           |  SELECT doc_id + 400000, ${dropFirstTokenSql("text")}
+           |  FROM old WHERE doc_id >= 50 AND doc_id < 100
+           |  UNION ALL
+           |  SELECT doc_id + 500000, text FROM documents
+           |  WHERE doc_id >= 400 AND doc_id < 410),
+           |corpus AS (
+           |  SELECT * FROM old UNION ALL SELECT * FROM newb),
+           |$lshPairsCteSql,
+           |near_old AS (
+           |  SELECT DISTINCT id2 AS doc_id FROM pairs
+           |  WHERE id1 < 400 AND id2 >= 400),
+           |wh AS (SELECT doc_id, md5(text) AS h FROM newb),
+           |batch_keep AS (
+           |  SELECT h, min(doc_id) AS batch_keep_id FROM wh GROUP BY h)
+           |SELECT wh.doc_id,
+           |  CASE WHEN wh.h IN (SELECT md5(text) FROM old)
+           |         THEN 'exact_dup_old'
+           |       WHEN wh.doc_id <> bk.batch_keep_id THEN 'batch_dup'
+           |       WHEN wh.doc_id IN (SELECT doc_id FROM near_old)
+           |         THEN 'near_dup_old'
+           |       ELSE 'new' END AS decision
+           |FROM wh JOIN batch_keep bk ON wh.h = bk.h""".stripMargin
+      }),
   )
 }

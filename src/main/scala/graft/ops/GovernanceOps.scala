@@ -18,7 +18,16 @@ import org.apache.spark.sql.functions._
   *    cluster representative — the step that turns pairwise LSH output
   *    into "keep one copy per cluster". Iterates to fixpoint (components
   *    here have tiny diameter; each round is one shuffle join). The oracle
-  *    computes the same closure with a recursive CTE.
+  *    computes the same closure with a recursive CTE;
+  *  - q57 the same clustering via alternating large-star/small-star
+  *    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  *    SoCC'14 — public algorithm): converges in O(log n) rounds on ANY
+  *    graph shape, vs q47's diameter-bound rounds — the variant you run
+  *    when a 100 TB crawl has a long-chain component (mirrored sites,
+  *    quote chains) and label propagation would need hundreds of shuffles;
+  *  - q58 temperature-scaled mixing weights: the sampling weights a
+  *    multi-domain training mix actually uses (α = 0.5 via sqrt — exact
+  *    across engines where pow()'s libm is not).
   */
 object GovernanceOps {
   import LlmKit._

@@ -96,9 +96,11 @@ object GovernanceOps {
     // near-dups cheaply; this certifies the overlap). Scale: the join
     // shuffles on the shingle hash, so the classic hot spot is a
     // boilerplate shingle present in thousands of docs — the doc-frequency
-    // guard drops shingles in > 100 train docs before the join (standard
-    // stop-gram pruning; also the skew guard). Both sides' postings are
-    // set-valued (array_distinct), so COUNT(*) IS the intersection size.
+    // guard anti-joins BOTH posting sides against the hot-shingle set
+    // BEFORE the eval×train join (standard stop-gram pruning; also the
+    // skew guard — pruning after the join would still materialize the
+    // hot-key blowup inside it). Both sides' postings are set-valued
+    // (array_distinct), so COUNT(*) IS the intersection size.
     NamedQuery(
       "q53_exact_contamination",
       (s, d) => {
@@ -115,8 +117,8 @@ object GovernanceOps {
           explode(array_distinct(hashedShingles(col("text")))).as("g"))
         val hot = tg.groupBy(col("g"))
           .agg(count(lit(1)).as("df")).filter(col("df") > 100).select(col("g"))
-        eg.join(tg, Seq("g"))
-          .join(hot, Seq("g"), "left_anti")
+        eg.join(hot, Seq("g"), "left_anti")
+          .join(tg.join(hot, Seq("g"), "left_anti"), Seq("g"))
           .groupBy(col("train_id"), col("eval_id"))
           .agg(count(lit(1)).as("n_overlap"))
           .filter(col("n_overlap") >= 5)
@@ -137,10 +139,11 @@ object GovernanceOps {
            |    ${dropFirstTokenSql("text")} AS text FROM eval_docs),
            |eg AS (${gramsCte("eval_docs", "eval_id")}),
            |tg AS (${gramsCte("train_docs", "train_id")}),
-           |hot AS (SELECT g FROM tg GROUP BY g HAVING COUNT(*) > 100)
+           |hot AS (SELECT g FROM tg GROUP BY g HAVING COUNT(*) > 100),
+           |egf AS (SELECT * FROM eg WHERE g NOT IN (SELECT g FROM hot)),
+           |tgf AS (SELECT * FROM tg WHERE g NOT IN (SELECT g FROM hot))
            |SELECT train_id, eval_id, COUNT(*) AS n_overlap
-           |FROM eg JOIN tg USING (g)
-           |WHERE g NOT IN (SELECT g FROM hot)
+           |FROM egf JOIN tgf USING (g)
            |GROUP BY train_id, eval_id
            |HAVING COUNT(*) >= 5""".stripMargin
       }),

@@ -62,6 +62,18 @@ object LlmKit {
   val LshBands = 8
   val LshRows = 4 // NumHashes / LshBands
 
+  /** Hot-bucket cap for the LSH band self-join: a (band, bkey) bucket of k
+    * docs yields k·(k−1)/2 candidate pairs, so one degenerate bucket
+    * (boilerplate pages, empty/near-empty docs sharing a signature) turns
+    * into a quadratic straggler task on a real crawl. Buckets larger than
+    * this are dropped BEFORE the self-join — the LSH analog of q53's
+    * stop-gram guard. A true near-dup pair loses recall only if it
+    * co-occurs in NO sub-cap bucket across all 8 bands, i.e. both docs sit
+    * inside degenerate boilerplate clusters — exactly the pairs exact-hash
+    * dedup (q26) already catches. 64² / 2 ≈ 2 K pairs bounds any one
+    * bucket's work. */
+  val MaxLshBucket = 64
+
   /** Hashed 3-gram shingles: the native one-pass expression
     * [[graft.functions.HashedShingles]] (md5 per token, arithmetic 3-gram
     * combine, zero intermediate allocation). */
@@ -200,10 +212,34 @@ object LlmKit {
     icnt.cast("double") / (size(s1) + size(s2) - icnt)
   }
 
+  /** [[sigBands]] with buckets over [[MaxLshBucket]] removed: one window
+    * count over the same (band, bkey) key the self-join shuffles on, so
+    * the guard adds no extra exchange. [[lshDroppedBuckets]] reports what
+    * a given corpus loses. */
+  def cappedBands(sigs: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bkey"))
+    sigBands(sigs)
+      .withColumn("bsz", count(lit(1)).over(w))
+      .filter(col("bsz") <= MaxLshBucket)
+      .drop("bsz")
+  }
+
+  /** Diagnostic twin of the guard in [[cappedBands]]: the (band, bkey,
+    * bucket-size) rows that the cap drops for this corpus — run it (and
+    * log the count) whenever near-dup recall on a new corpus matters. */
+  def lshDroppedBuckets(corpus: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame =
+    sigBands(shingleSigs(corpus))
+      .groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > MaxLshBucket)
+
   def lshCandidatePairs(corpus: org.apache.spark.sql.DataFrame):
       org.apache.spark.sql.DataFrame = {
     val sigs = shingleSigs(corpus)
-    val bands = sigBands(sigs)
+    val bands = cappedBands(sigs)
     val cand = bands.select(col("band"), col("bkey"), col("doc_id").as("id1"))
       .hint("shuffle_hash")
       .join(bands.select(col("band"), col("bkey"), col("doc_id").as("id2"))
@@ -230,11 +266,16 @@ object LlmKit {
        |shg AS (SELECT doc_id, list_distinct($sh) AS ds FROM tokh),
        |sigs AS (
        |  SELECT doc_id, ds, ${minhashSigOverHashesSql("ds")} AS sig FROM shg),
-       |bands AS (
+       |bands_all AS (
        |  SELECT doc_id, b,
        |    array_to_string(list_transform(range(1, ${LshRows + 1}),
        |      r -> CAST(sig[b * $LshRows + r] AS VARCHAR)), '_') AS bkey
        |  FROM sigs, unnest(range(0, $LshBands)) AS u(b)),
+       |bands AS (
+       |  SELECT doc_id, b, bkey FROM (
+       |    SELECT doc_id, b, bkey,
+       |      COUNT(*) OVER (PARTITION BY b, bkey) AS bsz FROM bands_all) t
+       |  WHERE bsz <= $MaxLshBucket),
        |cand AS (
        |  SELECT DISTINCT b1.doc_id AS id1, b2.doc_id AS id2
        |  FROM bands b1 JOIN bands b2

@@ -166,9 +166,12 @@ object TextOps {
           .agg(sum(col("c")).as("n_tokens"),
             count(lit(1)).as("n_distinct"),
             sum(col("c") * col("c")).as("sumsq"))
+          // square AFTER the double cast: a LongType n_tokens² wraps (or
+          // throws under ANSI) past ~3e9 tokens while the oracle's HUGEINT
+          // stays exact — double·double is the same IEEE op in both engines
           .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
             (lit(1.0) - col("sumsq").cast("double") /
-              (col("n_tokens") * col("n_tokens")).cast("double"))
+              (col("n_tokens").cast("double") * col("n_tokens").cast("double")))
               .as("gini")),
       Some("""WITH tc AS (
              |  SELECT doc_id, tok, COUNT(*) AS c
@@ -178,7 +181,7 @@ object TextOps {
              |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
              |  COUNT(*) AS n_distinct,
              |  1.0 - CAST(SUM(c*c) AS DOUBLE)
-             |      / CAST(SUM(c) * SUM(c) AS DOUBLE) AS gini
+             |      / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)) AS gini
              |FROM tc GROUP BY doc_id""".stripMargin)),
   )
 }

@@ -91,6 +91,26 @@ class NativeExprSpec extends AnyFunSuite {
     assert(diffs == 0)
   }
 
+  test("minhash_sig: a null element updates nothing, like the declarative fold") {
+    import graft.ops.LlmKit
+    // array_distinct(hashed_shingles(...)) never produces nulls, but the
+    // expression's contract covers them: the declarative fold's permuted
+    // value is null and `least` skips nulls — the native skip branch must
+    // agree. Exercised nowhere else (the property generator is null-free).
+    val withNulls = spark.range(1).select(
+      array(lit(7L), lit(null).cast("long"), lit(1103515L),
+        lit(null).cast("long")).as("ds"))
+    val rows = withNulls.select(
+      call_function("minhash_sig", col("ds")).as("native"),
+      LlmKit.minhashSigDeclarative(col("ds")).as("hof"),
+      // null elements dropped entirely must give the same signature
+      call_function("minhash_sig",
+        array(lit(7L), lit(1103515L))).as("dense"))
+    assert(rows.filter(col("native") =!= col("hof")
+      || col("native") =!= col("dense")).count() == 0)
+    assert(rows.filter(col("native").isNull).count() == 0)
+  }
+
   test("minhash_sig property: random hash arrays match the declarative fold") {
     import spark.implicits._
     import graft.ops.LlmKit

@@ -174,6 +174,58 @@ object GovernanceOps {
              |    AS token_share
              |FROM ps""".stripMargin)),
 
+    // ----- q58: temperature-scaled mixing weights -------------------------
+    // The sampling weights a multi-domain training mix actually uses:
+    // weight ∝ n_tokens^α with α = 0.5, i.e. sqrt-damped so head domains
+    // stop drowning the tail. sqrt is correctly rounded under IEEE-754
+    // (unlike pow/ln, which differ across libm builds), and the
+    // denominator Σ√tokens goes through the dsum-style exact-decimal sum
+    // so the share is independent of aggregation order — the same
+    // bit-exactness contract as every other double aggregate here.
+    NamedQuery(
+      "q58_mixing_weights",
+      (s, d) => {
+        val w = Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        tbl(s, d, "documents")
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_toks"))
+          .groupBy(col("source"))
+          .agg(sum(col("n_toks")).as("n_tokens"))
+          .select(col("source"), col("n_tokens"),
+            sqrt(col("n_tokens").cast("double")).as("sqrt_weight"))
+          .select(col("source"), col("n_tokens"), col("sqrt_weight"),
+            (col("sqrt_weight") /
+              sum(col("sqrt_weight")
+                .cast(org.apache.spark.sql.types.DecimalType(28, 6))).over(w)
+                .cast("double")).as("mix_share"))
+      },
+      Some("""WITH ps AS (
+             |  SELECT source,
+             |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY source)
+             |SELECT source, n_tokens,
+             |  sqrt(CAST(n_tokens AS DOUBLE)) AS sqrt_weight,
+             |  sqrt(CAST(n_tokens AS DOUBLE)) / CAST(
+             |    (SELECT SUM(CAST(sqrt(CAST(n_tokens AS DOUBLE))
+             |                     AS DECIMAL(28,6))) FROM ps)
+             |    AS DOUBLE) AS mix_share
+             |FROM ps""".stripMargin)),
+
+    // ----- q57: near-dup clustering via alternating star rounds -----------
+    // Same output contract as q47 (doc_id → minimum doc_id of its
+    // near-dup component) via [[StarCC]]: O(log n) rounds regardless of
+    // component diameter, where q47's label propagation needs diameter
+    // rounds. Shares the q47 oracle — both compute the same closure.
+    NamedQuery(
+      "q57_star_clusters",
+      (s, d) => {
+        val corpus = corpusWithNearDups(s, d)
+        val pairs = lshCandidatePairs(corpus).select(col("id1"), col("id2"))
+        StarCC.connectedComponents(corpus.select(col("doc_id")), pairs)._1
+      },
+      Some(clusterOracleSql)),
+
     // ----- q47: near-dup clustering (connected components) ----------------
     NamedQuery(
       "q47_dedup_clusters",
@@ -223,18 +275,22 @@ object GovernanceOps {
         pairs.unpersist()
         labels
       },
-      Some {
-        s"""WITH RECURSIVE corpus AS ($corpusWithNearDupsSql),
-           |$lshPairsCteSql,
-           |edges AS (
-           |  SELECT id1 AS src, id2 AS dst FROM pairs
-           |  UNION SELECT id2, id1 FROM pairs),
-           |reach(src, dst) AS (
-           |  SELECT doc_id, doc_id FROM corpus
-           |  UNION
-           |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-           |SELECT src AS doc_id, min(dst) AS cluster_rep
-           |FROM reach GROUP BY src""".stripMargin
-      }),
+      Some(clusterOracleSql)),
   )
+
+  /** Transitive-closure oracle shared by q47 and q57: both must produce
+    * the identical (doc_id, cluster_rep) labeling, whatever the
+    * distributed algorithm. */
+  private def clusterOracleSql: String =
+    s"""WITH RECURSIVE corpus AS ($corpusWithNearDupsSql),
+       |$lshPairsCteSql,
+       |edges AS (
+       |  SELECT id1 AS src, id2 AS dst FROM pairs
+       |  UNION SELECT id2, id1 FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM corpus
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       |SELECT src AS doc_id, min(dst) AS cluster_rep
+       |FROM reach GROUP BY src""".stripMargin
 }

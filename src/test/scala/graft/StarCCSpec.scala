@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** StarCC (q57) — the O(log n)-round connected components that replaces
+  * diameter-bound label propagation at crawl scale. */
+class StarCCSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import graft.ops.StarCC
+
+  test("256-node chain: correct labels in O(log n) rounds, not 256") {
+    import spark.implicits._
+    // the adversarial shape for label propagation: one path component of
+    // diameter 255 (q47 would need ~255 rounds and trip its 50-round cap)
+    val nodes = (0L until 256L).toDF("doc_id")
+    val chain = (0L until 255L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val (labels, rounds) = StarCC.connectedComponents(nodes, chain)
+    assert(rounds <= 15, s"took $rounds rounds — not logarithmic")
+    assert(labels.filter(col("cluster_rep") =!= 0L).count() == 0)
+  }
+
+  test("mixed forest: pairs, a triangle, singletons, duplicate+reversed edges") {
+    import spark.implicits._
+    val nodes = (1L to 12L).toDF("doc_id")
+    val edges = Seq(
+      (2L, 1L), (1L, 2L),           // pair, both orientations
+      (4L, 3L), (4L, 3L),           // duplicate edge
+      (5L, 6L), (6L, 7L), (7L, 5L), // triangle
+      (9L, 9L)                      // self-loop must be ignored
+    ).toDF("id1", "id2")
+    val (labels, _) = StarCC.connectedComponents(nodes, edges)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L,
+      6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 9L, 10L -> 10L, 11L -> 11L,
+      12L -> 12L)
+    assert(got == want)
+  }
+
+  test("empty edge set: every node is its own singleton") {
+    import spark.implicits._
+    val nodes = (1L to 5L).toDF("doc_id")
+    val edges = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    val (labels, rounds) = StarCC.connectedComponents(nodes, edges)
+    assert(rounds == 1)
+    assert(labels.filter(col("cluster_rep") =!= col("doc_id")).count() == 0)
+  }
+
+  test("q57 == q47 on the near-dup corpus (same labeling, different algorithm)") {
+    val dir = "/root/testdata/sf0.001"
+    val a = SparkEntry.queries("q47_dedup_clusters")(spark, dir)
+    val b = SparkEntry.queries("q57_star_clusters")(spark, dir)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+}

@@ -46,6 +46,31 @@ class StarCCSpec extends AnyFunSuite {
     assert(labels.filter(col("cluster_rep") =!= col("doc_id")).count() == 0)
   }
 
+  test("property: random graphs match a sequential union-find exactly") {
+    import spark.implicits._
+    // 20 random graphs across densities: sparse forests, dense blobs, and
+    // everything between — the oracle is a 40-line in-memory union-find,
+    // an implementation with nothing in common with the star rounds
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 1 to 20) {
+      val n = 2 + rnd.nextInt(60)
+      val nEdges = rnd.nextInt(2 * n)
+      val edges = Seq.fill(nEdges)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      for ((a, b) <- edges) {
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val (labels, _) = StarCC.connectedComponents(
+        (0L until n.toLong).toDF("doc_id"), edges.toDF("id1", "id2"))
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial (n=$n, edges=$edges)")
+    }
+  }
+
   test("q57 == q47 on the near-dup corpus (same labeling, different algorithm)") {
     val dir = "/root/testdata/sf0.001"
     val a = SparkEntry.queries("q47_dedup_clusters")(spark, dir)

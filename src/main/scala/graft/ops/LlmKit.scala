@@ -238,7 +238,14 @@ object LlmKit {
 
   def lshCandidatePairs(corpus: org.apache.spark.sql.DataFrame):
       org.apache.spark.sql.DataFrame = {
-    val sigs = shingleSigs(corpus)
+    // The signature table feeds the band pipeline once and the candidate
+    // verification twice (s1/s2); without materialization each consumer
+    // re-runs the md5-per-token shingle hashing over the full corpus.
+    // cache() makes it compute once — and because Spark's CacheManager
+    // matches by canonicalized plan, every LSH query over the same corpus
+    // (q27/q45/q47/q56/q57, streaming guards) shares the one
+    // materialization instead of re-hashing per query.
+    val sigs = shingleSigs(corpus).cache()
     val bands = cappedBands(sigs)
     val cand = bands.select(col("band"), col("bkey"), col("doc_id").as("id1"))
       .hint("shuffle_hash")

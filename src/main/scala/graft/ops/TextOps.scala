@@ -12,10 +12,16 @@ import org.apache.spark.sql.functions._
   *  - q35 token counting: whitespace tokens + regex token classes (a
   *    BPE-ish `[a-z]{1,4}` chunker);
   *  - q36 document fingerprinting: polynomial rolling hash over the whole
-  *    text + a winnowing-style minimum over 16-char window hashes.
+  *    text + a winnowing-style minimum over 16-char window hashes;
+  *  - q52 token-diversity Gini score (repetition detector);
+  *  - q59 PII redaction: email/phone spans replaced with typed
+  *    placeholders plus per-class counts (the corpus plants deterministic
+  *    PII so recall is verifiable, mirroring the dedup corpora);
+  *  - q60 vocabulary heavy hitters: global top-k tokens by frequency.
   *
-  * All per-row, no shuffle at all — these scale linearly and partition-
-  * independently to any corpus size.
+  * All per-row with no shuffle (q33-q36, q59), or hash-aggregated with
+  * map-side partial aggregation (q52, q60) — linear and partition-
+  * independent at any corpus size.
   */
 object TextOps {
   import OpsKit._
@@ -183,5 +189,77 @@ object TextOps {
              |  1.0 - CAST(SUM(c*c) AS DOUBLE)
              |      / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)) AS gini
              |FROM tc GROUP BY doc_id""".stripMargin)),
+
+    // ----- q59: PII redaction (email/phone scrub + per-class counts) ------
+    // The pre-training scrub pass: replace email and phone spans with
+    // typed placeholders and count what was removed per document. The
+    // synthetic corpus has no PII, so the query plants it
+    // deterministically (every 3rd doc gets an email, every 4th a phone —
+    // some docs get both, some neither, exercising all four cases) the
+    // same way the dedup corpora plant duplicates. Patterns stay within
+    // the regex subset Java and RE2 interpret identically (character
+    // classes + bounded repetition — no backrefs, no lookaround).
+    // Per-row, zero shuffle.
+    NamedQuery(
+      "q59_pii_redact",
+      (s, d) => {
+        val emailRe = "[a-z0-9]+@[a-z]+[.][a-z]+"
+        val phoneRe = "[0-9]{3}-[0-9]{4}"
+        val planted = tbl(s, d, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" contact user"), col("doc_id"),
+                lit("@example.com now"))).otherwise(lit("")),
+            when(col("doc_id") % 4 === 0,
+              concat(lit(" call 555-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+              .otherwise(lit(""))).as("text"))
+        planted.select(col("doc_id"),
+          regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count(col("text"), lit(phoneRe)).cast("long").as("n_phones"),
+          regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>").as("red_text"))
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |    text ||
+             |    CASE WHEN doc_id % 3 = 0
+             |         THEN ' contact user' || doc_id || '@example.com now'
+             |         ELSE '' END ||
+             |    CASE WHEN doc_id % 4 = 0
+             |         THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             |         ELSE '' END AS text
+             |  FROM documents)
+             |SELECT doc_id,
+             |  len(regexp_extract_all(text, '[a-z0-9]+@[a-z]+[.][a-z]+'))
+             |    AS n_emails,
+             |  len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4}')) AS n_phones,
+             |  regexp_replace(
+             |    regexp_replace(text, '[a-z0-9]+@[a-z]+[.][a-z]+', '<EMAIL>', 'g'),
+             |    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS red_text
+             |FROM planted""".stripMargin)),
+
+    // ----- q60: vocabulary heavy hitters (global top-k tokens) ------------
+    // Corpus-level token frequencies, top 30 by count with a total-order
+    // tiebreak. The scale shape matters more than the query: partial
+    // (map-side) aggregation absorbs the classic token-frequency skew —
+    // every partition pre-counts 'the' locally, so the shuffle carries one
+    // row per (partition, token), not one per occurrence — and the final
+    // top-k is TakeOrderedAndProject, never a global sort.
+    NamedQuery(
+      "q60_vocab_topk",
+      (s, d) =>
+        tbl(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("tok"))
+          .agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("tok"))
+          .limit(30),
+      Some("""SELECT tok, COUNT(*) AS freq
+             |FROM (SELECT unnest(string_split(text, ' ')) AS tok
+             |      FROM documents)
+             |GROUP BY tok
+             |ORDER BY freq DESC, tok
+             |LIMIT 30""".stripMargin)),
   )
 }

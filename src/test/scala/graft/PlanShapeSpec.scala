@@ -39,6 +39,11 @@ class PlanShapeSpec extends AnyFunSuite {
   test("global top-k compiles to TakeOrderedAndProject, not a full sort") {
     val p = plan("q13_topk")
     assert(p.contains("TakeOrderedAndProject"))
+    // vocabulary heavy hitters: partial agg absorbs token skew, top-k
+    // never global-sorts
+    val v = plan("q60_vocab_topk")
+    assert(v.contains("TakeOrderedAndProject"), s"q60 shape:\n$v")
+    assert("HashAggregate".r.findAllIn(v).size >= 2, s"no partial agg:\n$v")
   }
 
   test("LSH band self-join is a shuffled join, not broadcast") {

@@ -17,10 +17,14 @@ import org.apache.spark.sql.functions._
   *  - q59 PII redaction: email/phone spans replaced with typed
   *    placeholders plus per-class counts (the corpus plants deterministic
   *    PII so recall is verifiable, mirroring the dedup corpora);
-  *  - q60 vocabulary heavy hitters: global top-k tokens by frequency.
+  *  - q60 vocabulary heavy hitters: global top-k tokens by frequency;
+  *  - q61 intra-document repetition metrics (Gopher-style duplicate- and
+  *    top-bigram fractions);
+  *  - q62 unigram-LM document score (mean token probability + rare-token
+  *    fraction against the corpus's own unigram distribution).
   *
   * All per-row with no shuffle (q33-q36, q59), or hash-aggregated with
-  * map-side partial aggregation (q52, q60) — linear and partition-
+  * map-side partial aggregation (q52, q60-q62) — linear and partition-
   * independent at any corpus size.
   */
 object TextOps {
@@ -261,5 +265,104 @@ object TextOps {
              |GROUP BY tok
              |ORDER BY freq DESC, tok
              |LIMIT 30""".stripMargin)),
+
+    // ----- q61: intra-document repetition metrics (bigram fractions) ------
+    // The Gopher-style repetition filters: fraction of bigram occurrences
+    // that are repeats of an earlier bigram in the SAME document, and the
+    // share taken by the single most frequent bigram. High values flag
+    // boilerplate / generated spam for removal before pretraining.
+    // Bigrams come from zip_with over two slices of the token array (no
+    // self-join, no UDF); the per-doc histogram shuffles once on
+    // (doc_id, bigram) with map-side partial counts, then once on doc_id
+    // — linear in corpus size, and every fraction is one double division
+    // of exact integers, so results are partition-count independent.
+    NamedQuery(
+      "q61_repetition",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val n = size(toks)
+        val bigrams = zip_with(
+          slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+          (a, b) => concat(a, lit(" "), b))
+        tbl(s, d, "documents")
+          .select(col("doc_id"), explode(bigrams).as("g"))
+          .groupBy(col("doc_id"), col("g"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_bigrams"),
+            max(col("c")).as("maxc"),
+            sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dupc"))
+          .select(col("doc_id"), col("n_bigrams"),
+            (col("maxc").cast("double") / col("n_bigrams").cast("double"))
+              .as("top_bigram_frac"),
+            (col("dupc").cast("double") / col("n_bigrams").cast("double"))
+              .as("dup_bigram_frac"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |bg AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(range(1, len(tk)),
+             |                          i -> tk[i] || ' ' || tk[i + 1])) AS g
+             |  FROM t),
+             |c AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g)
+             |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+             |    AS top_bigram_frac,
+             |  CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS DOUBLE)
+             |    / CAST(SUM(c) AS DOUBLE) AS dup_bigram_frac
+             |FROM c GROUP BY doc_id""".stripMargin)),
+
+    // ----- q62: unigram-LM document score (corpus-frequency features) -----
+    // The unigram-language-model quality signal used by pretraining
+    // filters: score each document by how probable its tokens are under
+    // the corpus's own unigram distribution. Two exact-arithmetic
+    // features per doc: mean token probability Σc_t / (n·N) (the
+    // exact-integer stand-in for mean log-prob — same ranking, and ln()
+    // differs across libm implementations, see q52), and the fraction of
+    // tokens rarer than 1% of corpus mass (100·c < N — an integer
+    // compare, no division). Scale shape: the vocab aggregate is tiny by
+    // Heaps' law, so it broadcast-joins back onto the exploded token
+    // stream — one shuffle for the vocab, one for the per-doc aggregate,
+    // nothing quadratic, no driver-side collect.
+    NamedQuery(
+      "q62_unigram_score",
+      (s, d) => {
+        val toks = tbl(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        val total = vocab.agg(sum(col("c")).as("total"))
+        toks
+          .join(broadcast(vocab), "tok")
+          .crossJoin(broadcast(total))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("c")).as("sumc"),
+            sum(when(col("c") * 100 < col("total"), lit(1L))
+              .otherwise(lit(0L))).as("nrare"),
+            max(col("total")).as("n"))
+          // n·N as double·double: the long product overflows past ~3e9
+          // tokens per doc·corpus while the double is the same IEEE op
+          // in both engines (cf. q52)
+          .select(col("doc_id"), col("n_tokens"),
+            (col("sumc").cast("double") /
+              (col("n_tokens").cast("double") * col("n").cast("double")))
+              .as("mean_tok_prob"),
+            (col("nrare").cast("double") / col("n_tokens").cast("double"))
+              .as("rare_frac"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |v AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+             |n AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM v)
+             |SELECT t.doc_id, COUNT(*) AS n_tokens,
+             |  CAST(SUM(v.c) AS DOUBLE)
+             |    / (CAST(COUNT(*) AS DOUBLE) * CAST(MAX(n.total) AS DOUBLE))
+             |    AS mean_tok_prob,
+             |  CAST(SUM(CASE WHEN v.c * 100 < n.total THEN 1 ELSE 0 END)
+             |       AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS rare_frac
+             |FROM tok t JOIN v USING (tok) CROSS JOIN n
+             |GROUP BY t.doc_id""".stripMargin)),
   )
 }

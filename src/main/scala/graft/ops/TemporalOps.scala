@@ -17,7 +17,11 @@ import org.apache.spark.sql.functions._
   *    filter (each right row registers in its own hour bucket and the
   *    next; the join is pure equality on (user, bucket)) — the standard
   *    rewrite that keeps a theta join shuffle-partitionable at 100 TB.
-  *    The oracle is the direct inequality join.
+  *    The oracle is the direct inequality join;
+  *  - q63 attribution join: every (click, purchase) pair of a user within
+  *    a 4-hour window — the pair-emitting variant of q49, with a
+  *    watermarked stream-stream join twin in
+  *    [[graft.streaming.StreamOps.attribution]].
   */
 object TemporalOps {
   import OpsKit._
@@ -86,5 +90,44 @@ object TemporalOps {
               |  ON l.user_id = r.user_id
               | AND r.ts > l.ts - INTERVAL '1 hour' AND r.ts <= l.ts
               |GROUP BY l.event_id""".stripMargin)),
+
+    // ----- q63: attribution join (click → purchase within 4 h) ------------
+    // The funnel/attribution shape: every (click, purchase) pair of the
+    // same user with the purchase inside [click, click + 4 h). Unlike
+    // q49 this emits the PAIRS, not an aggregate — the join itself is the
+    // product. Same scale rewrite: clicks register in their own 4-hour
+    // bucket and the next, the join is pure equality on (user_id, bucket)
+    // — shuffle-partitionable at 100 TB where the raw inequality join is
+    // not — and the time predicate is a residual filter. The streaming
+    // twin is a genuine watermarked stream-stream interval join
+    // ([[graft.streaming.StreamOps.attribution]]), checked for parity in
+    // StreamOpsSpec. gap_sec is exact integer floor-division — no double.
+    NamedQuery(
+      "q63_attribution_join",
+      (s, d) => {
+        val windowUs = 14400000000L // 4 h in microseconds
+        val ev = events(s, d).withColumn("us", expr("unix_micros(ts)"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("us").as("us_c"),
+            explode(array((col("us") / windowUs).cast("long"),
+              (col("us") / windowUs).cast("long") + 1)).as("bucket"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("us").as("us_p"),
+            (col("us") / windowUs).cast("long").as("bucket"))
+        clicks.join(purchases, Seq("user_id", "bucket"))
+          .filter(col("us_p") >= col("us_c") &&
+            col("us_p") < col("us_c") + windowUs)
+          .select(col("user_id"), col("click_id"), col("purchase_id"),
+            expr("(us_p - us_c) div 1000000").as("gap_sec"))
+      },
+      Some("""SELECT l.user_id, l.event_id AS click_id,
+             |  r.event_id AS purchase_id,
+             |  (epoch_us(r.ts) - epoch_us(l.ts)) // 1000000 AS gap_sec
+             |FROM events l JOIN events r
+             |  ON l.user_id = r.user_id
+             | AND r.ts >= l.ts AND r.ts < l.ts + INTERVAL '4 hours'
+             |WHERE l.event_type = 'click' AND r.event_type = 'purchase'""".stripMargin)),
   )
 }

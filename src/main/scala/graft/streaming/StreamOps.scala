@@ -112,6 +112,34 @@ object StreamOps {
       .select(col("query_id"), col("best_id"), col("best_cos"))
   }
 
+  /** Streaming attribution: the watermarked STREAM-STREAM interval join —
+    * every (click, purchase) pair of the same user with the purchase
+    * inside [click, click + 4 h), the streaming twin of batch q63
+    * ([[graft.ops.TemporalOps]]). Both sides carry their own watermark
+    * and the join condition bounds purchase_ts relative to click_ts, so
+    * Spark derives a state-expiry horizon for each side: a click older
+    * than watermark − 4 h can never match a future purchase and is
+    * evicted. Inner-join results emit as soon as both rows arrive —
+    * state is bounded by (watermark + window), never the stream length.
+    * At scale the join shuffles both streams on user_id once. */
+  def attribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr("INTERVAL 4 HOURS"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000")
+          .as("gap_sec"))
+  }
+
   /** Streaming contamination guard: flag an incoming document when it
     * near-duplicates (shingle Jaccard ≥ 0.5) any document of a STATIC
     * eval set — "don't train on eval" enforced at ingestion time, the

@@ -135,6 +135,20 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got.length == events.count())
   }
 
+  test("stream-stream attribution join: stream equals batch (q63)") {
+    // the one true stream-stream join in the surface: both sides
+    // watermarked, inner join with a time-range condition
+    val got = asSet(runStream("t_attr", StreamOps.attribution))
+    val want = asSet(StreamOps.attribution(batchEvents))
+    assert(want.nonEmpty)
+    assert(got == want)
+    // and the registry's bucket-rewrite batch form agrees with the
+    // direct (non-bucketed) join shape on the same events
+    val q63 = asSet(
+      SparkEntry.queries("q63_attribution_join")(spark, "/root/testdata/sf0.001"))
+    assert(q63 == want)
+  }
+
   test("streaming near-dup filter suppresses simhash-equal re-posts") {
     import graft.ops.LlmKit
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

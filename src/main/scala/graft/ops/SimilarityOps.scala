@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
   *    100 TB the corpus side stays partitioned and only queries replicate;
   *  - q32 LSH-bucketed ANN: 8 deterministic random-hyperplane signs → a
   *    256-bucket signature; candidates = same-bucket corpus rows only.
-  *    This is the scale path: bucket join replaces the all-pairs scan.
+  *    This is the scale path: bucket join replaces the all-pairs scan;
+  *  - q64 int8 scalar quantization: per-vector min/max codes + exact
+  *    reconstruction MSE — the 4×-smaller representation an index stores.
   *
   * Hyperplane component (i,j) is ((i·64+j)·2654435761 mod 2^32)/2^32 − 0.5 —
   * a closed form both engines evaluate exactly (division by 2^32 is exact
@@ -201,5 +203,76 @@ object SimilarityOps {
               |      AS rank
               |  FROM corpus_a a JOIN probes p ON a.cluster = p.cluster)
               |WHERE rank <= 3""".stripMargin)),
+
+    // ----- q64: int8 scalar quantization + reconstruction error -----------
+    // Embedding compression for ANN at scale: per-vector min/max → 8-bit
+    // codes floor((x−mn)/scale + 0.5) (floor, not round: round-half
+    // conventions differ across engines, floor is the same IEEE op) and
+    // the reconstruction MSE of dequantized codes. 4× smaller than
+    // float32 — at 100 TB the codes table is what an IVF/LSH index
+    // stores, originals stay in cold storage. Every stage is per-row
+    // (zero shuffle); arrays are materialized ONCE per projection before
+    // any fold touches them — an outer array expression referenced
+    // inside a HOF lambda re-evaluates per element (the q31 lesson:
+    // 259 s → 4.5 s), so `ed`/`errs` are bound columns, never inline
+    // expressions. mn/mx/scale and the error fold follow the LlmKit
+    // left-fold parity contract, so the oracle hash-matches bit-exactly.
+    NamedQuery(
+      "q64_int8_quantize",
+      (s, d) => {
+        val code = (x: org.apache.spark.sql.Column) =>
+          floor((x - col("mn")) / col("scale") + lit(0.5))
+        tbl(s, d, "embeddings")
+          .select(col("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("ed"))
+          .select(col("vec_id"), col("ed"),
+            array_min(col("ed")).as("mn"), array_max(col("ed")).as("mx"))
+          // degenerate constant vector: scale 1.0 → all codes 0, mse 0
+          .select(col("vec_id"), col("ed"), col("mn"), col("mx"),
+            when(col("mx") === col("mn"), lit(1.0))
+              .otherwise((col("mx") - col("mn")) / lit(255.0)).as("scale"))
+          .select(col("vec_id"), col("ed"), col("mn"), col("mx"),
+            transform(col("ed"), x => code(x).cast("int")).as("codes"),
+            transform(col("ed"), x => {
+              val r = col("mn") + code(x) * col("scale")
+              (x - r) * (x - r)
+            }).as("errs"))
+          // codes ship as a canonical CSV string: the driver's compare
+          // (and the local mimic) sorts/hashes scalar cells, not lists
+          .select(col("vec_id"), size(col("ed")).cast("long").as("n_dims"),
+            col("mn"), col("mx"),
+            array_join(transform(col("codes"), _.cast("string")), ",")
+              .as("codes_csv"),
+            (aggregate(col("errs"), lit(0.0), (a, b) => a + b) /
+              size(col("ed")).cast("double")).as("mse"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+             |  FROM embeddings),
+             |m AS (
+             |  SELECT vec_id, ed, list_aggregate(ed, 'min') AS mn,
+             |    list_aggregate(ed, 'max') AS mx
+             |  FROM e),
+             |sc AS (
+             |  SELECT vec_id, ed, mn, mx,
+             |    CASE WHEN mx = mn THEN 1.0 ELSE (mx - mn) / 255.0 END
+             |      AS scale
+             |  FROM m),
+             |qz AS (
+             |  SELECT vec_id, ed, mn, mx,
+             |    list_transform(ed,
+             |      x -> CAST(floor((x - mn) / scale + 0.5) AS INTEGER))
+             |      AS codes,
+             |    list_transform(ed,
+             |      x -> (x - (mn + floor((x - mn) / scale + 0.5) * scale))
+             |         * (x - (mn + floor((x - mn) / scale + 0.5) * scale)))
+             |      AS errs
+             |  FROM sc)
+             |SELECT vec_id, CAST(len(ed) AS BIGINT) AS n_dims, mn, mx,
+             |  array_to_string(codes, ',') AS codes_csv,
+             |  list_reduce(list_prepend(CAST(0 AS DOUBLE), errs),
+             |    (a, b) -> a + b) / CAST(len(ed) AS DOUBLE) AS mse
+             |FROM qz""".stripMargin)),
   )
 }

@@ -27,7 +27,11 @@ import org.apache.spark.sql.functions._
   *    quote chains) and label propagation would need hundreds of shuffles;
   *  - q58 temperature-scaled mixing weights: the sampling weights a
   *    multi-domain training mix actually uses (α = 0.5 via sqrt — exact
-  *    across engines where pow()'s libm is not).
+  *    across engines where pow()'s libm is not);
+  *  - q65 bloom-prefiltered exact contamination: a driver-built bloom
+  *    filter over the eval side's shingles prunes train postings before
+  *    the shuffle join — the explicit form of a runtime row-group filter;
+  *    no false negatives, so results equal the plain join's exactly.
   */
 object GovernanceOps {
   import LlmKit._
@@ -276,6 +280,80 @@ object GovernanceOps {
         labels
       },
       Some(clusterOracleSql)),
+
+    // ----- q65: bloom-prefiltered exact contamination ---------------------
+    // The runtime-filter pattern made explicit: build a bloom filter over
+    // the EVAL side's shingle hashes (the small side — eval sets stay
+    // small no matter how big the crawl) and prefilter the train-side
+    // postings with it BEFORE the shuffle join. A bloom filter has no
+    // false negatives, so the final result is EXACTLY the plain join's —
+    // the oracle is bloom-free SQL — while at 100 TB the filter drops the
+    // overwhelming share of train postings before they shuffle (the same
+    // idea as Spark's spark.sql.optimizer.runtime.bloomFilter.*, made
+    // engine-independent and applied to a pre-aggregated posting list;
+    // the hot-gram guard from q53 still prunes boilerplate shingles the
+    // eval set itself contains). The filter is built once on the driver
+    // (~1.2 MB at 1 M expected items) and ships inside the task closure
+    // — the broadcast-side cost model of J-2, applied to a sketch instead
+    // of a table. Output: per eval doc, how many train docs share ≥ 3
+    // rare shingles and the worst overlap — the eval-coverage view of
+    // q53's pair list.
+    NamedQuery(
+      "q65_bloom_contamination",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val eval_ = docs.filter(col("source") === "src19")
+          .select(col("doc_id").as("eval_id"), col("text"))
+        val train = docs.filter(col("source") =!= "src19")
+          .select(col("doc_id").as("train_id"), col("text"))
+          .unionByName(eval_.select((col("eval_id") + 200000).as("train_id"),
+            dropFirstToken(col("text")).as("text")))
+        val eg = eval_.select(col("eval_id"),
+          explode(array_distinct(hashedShingles(col("text")))).as("g"))
+        val tg = train.select(col("train_id"),
+          explode(array_distinct(hashedShingles(col("text")))).as("g"))
+        val hot = tg.groupBy(col("g"))
+          .agg(count(lit(1)).as("df")).filter(col("df") > 100).select(col("g"))
+        val egf = eg.join(hot, Seq("g"), "left_anti")
+        val bf = egf.stat.bloomFilter("g", 1000000L, 0.01)
+        val mightContain = udf((g: Long) => bf.mightContain(g))
+        val tgf = tg.join(hot, Seq("g"), "left_anti")
+          .filter(mightContain(col("g")))
+        egf.join(tgf, Seq("g"))
+          .groupBy(col("train_id"), col("eval_id"))
+          .agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 3)
+          .groupBy(col("eval_id"))
+          .agg(count(lit(1)).as("n_train_docs"), max(col("c")).as("max_overlap"))
+      },
+      Some {
+        def gramsCte(src: String, idc: String): String =
+          s"""SELECT $idc, unnest(list_distinct(
+             |  ${hashedShinglesSql("text", tokenHashesSql("text"))})) AS g
+             |FROM $src""".stripMargin
+        s"""WITH eval_docs AS (
+           |  SELECT doc_id AS eval_id, text FROM documents
+           |  WHERE source = 'src19'),
+           |train_docs AS (
+           |  SELECT doc_id AS train_id, text FROM documents
+           |  WHERE source <> 'src19'
+           |  UNION ALL
+           |  SELECT eval_id + 200000 AS train_id,
+           |    ${dropFirstTokenSql("text")} AS text FROM eval_docs),
+           |eg AS (${gramsCte("eval_docs", "eval_id")}),
+           |tg AS (${gramsCte("train_docs", "train_id")}),
+           |hot AS (SELECT g FROM tg GROUP BY g HAVING COUNT(*) > 100),
+           |egf AS (SELECT * FROM eg WHERE g NOT IN (SELECT g FROM hot)),
+           |tgf AS (SELECT * FROM tg WHERE g NOT IN (SELECT g FROM hot)),
+           |pair AS (
+           |  SELECT train_id, eval_id, COUNT(*) AS c
+           |  FROM egf JOIN tgf USING (g)
+           |  GROUP BY train_id, eval_id
+           |  HAVING COUNT(*) >= 3)
+           |SELECT eval_id, COUNT(*) AS n_train_docs,
+           |  CAST(MAX(c) AS BIGINT) AS max_overlap
+           |FROM pair GROUP BY eval_id""".stripMargin
+      }),
   )
 
   /** Transitive-closure oracle shared by q47 and q57: both must produce

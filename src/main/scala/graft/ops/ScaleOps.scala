@@ -91,5 +91,64 @@ object ScaleOps {
           .agg(approx_count_distinct(col("token")).as("approx_tokens"),
             countDistinct(col("token")).as("exact_tokens")),
       None),
+
+    // ----- q66: cube (all grouping-set combinations, one shuffle) ---------
+    // Completes the multi-dimensional aggregate surface next to q40's
+    // rollup: CUBE(source, lang) emits all four grouping sets in ONE
+    // expand + ONE hash aggregate — no union of four scans. grouping_id
+    // disambiguates a real NULL group value from a subtotal row (the
+    // standard pitfall cube queries hit); both engines number the bits
+    // identically (left column = high bit).
+    NamedQuery(
+      "q66_cube",
+      (s, d) =>
+        tbl(s, d, "documents")
+          .cube(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            grouping_id().as("gid")),
+      Some("""SELECT source, lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(GROUPING(source, lang) AS BIGINT) AS gid
+             |FROM documents
+             |GROUP BY CUBE(source, lang)""".stripMargin)),
+
+    // ----- q67: bounded-memory top-k via a typed Aggregator (udaf) --------
+    // The custom-aggregate extension surface: a space-saving top-k sketch
+    // ([[graft.functions.SpaceSavingTopK]]) run as a first-class
+    // aggregate — partial aggregation, merge, and finish all inside one
+    // hash-aggregate plan node. Per source, the top-3 tokens. Exact here
+    // (vocabulary ≪ cap=64, see the Aggregator's determinism contract)
+    // so the oracle is the materialize-everything count + window-rank
+    // form — the formulation this operator exists to REPLACE at 100 TB,
+    // where per-group state must stay bounded.
+    NamedQuery(
+      "q67_topk_udaf",
+      (s, d) => {
+        val topk = udaf(new graft.functions.SpaceSavingTopK(64, 3))
+        tbl(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("source"))
+          .agg(topk(col("tok")).as("t"))
+          // CSV-stringified: the driver's compare hashes scalar cells
+          .select(col("source"),
+            array_join(col("t.top_toks"), ",").as("top_toks"),
+            array_join(transform(col("t.top_counts"), _.cast("string")), ",")
+              .as("top_counts"))
+      },
+      Some("""WITH tc AS (
+             |  SELECT source, tok, COUNT(*) AS c
+             |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+             |        FROM documents)
+             |  GROUP BY source, tok),
+             |r AS (
+             |  SELECT source, tok, c,
+             |    row_number() OVER (PARTITION BY source
+             |                       ORDER BY c DESC, tok) AS rn
+             |  FROM tc)
+             |SELECT source,
+             |  array_to_string(list(tok ORDER BY rn), ',') AS top_toks,
+             |  array_to_string(list(c ORDER BY rn), ',') AS top_counts
+             |FROM r WHERE rn <= 3 GROUP BY source""".stripMargin)),
   )
 }

@@ -14,7 +14,8 @@ object SparkEntry {
   private lazy val registry: Seq[NamedQuery] =
     CoreQueries.all ++ TimeWindowOps.all ++ ParseOps.all ++ DedupOps.all ++
       SimilarityOps.all ++ TextOps.all ++ MultimodalOps.all ++ ScaleOps.all ++
-      CurationOps.all ++ GovernanceOps.all ++ TemporalOps.all
+      CurationOps.all ++ GovernanceOps.all ++ TemporalOps.all ++
+      AnalyticsOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

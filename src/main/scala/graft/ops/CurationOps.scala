@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
   *  - q44 stratified sampling: deterministic hash-based per-stratum rates
   *    (downsample the dominant language, keep the tail) — reproducible
   *    across runs and engines because the sampling key is a content hash,
-  *    not an RNG.
+  *    not an RNG;
+  *  - q70 content-defined chunking: rolling-hash boundaries (Rabin-style
+  *    CDC) — an edit shifts one chunk, not every window after it.
   */
 object CurationOps {
   import LlmKit._
@@ -172,5 +174,61 @@ object CurationOps {
               |       WHEN n_toks < 20 THEN 'too_short'
               |       ELSE 'keep' END AS decision
               |FROM wh JOIN keep USING (h)""".stripMargin)),
+
+    // ----- q70: content-defined chunking (rolling-hash boundaries) --------
+    // The dedup-friendly alternative to q43's fixed windows: chunk
+    // boundaries fall where a rolling hash over the last 4 token hashes
+    // is ≡ 0 (mod 16), so an insertion early in a document shifts ONE
+    // chunk, not every window after it — the property content-defined
+    // chunking exists for (Rabin-style CDC; here a polynomial over md5
+    // token hashes so both engines compute the identical function).
+    // Hashes are reduced mod 2^16 before the degree-3 polynomial so the
+    // arithmetic peaks below 2^31 — no BIGINT overflow in either engine.
+    // Per-row array work: token hashes materialize ONCE per projection
+    // (bound column, never an inline arg — the HOF recompute trap), the
+    // boundary scan is one filter over positions. Zero shuffle.
+    NamedQuery(
+      "q70_cdc_chunking",
+      (s, d) => {
+        val hm = (x: org.apache.spark.sql.Column) =>
+          transform(x, t => pmod(strHash(t) % MinhashP, lit(65536L)))
+        val roll = (i: org.apache.spark.sql.Column) =>
+          ((element_at(col("hm"), i - 3) * 31 +
+            element_at(col("hm"), i - 2)) * 31 +
+            element_at(col("hm"), i - 1)) * 31 +
+            element_at(col("hm"), i)
+        tbl(s, d, "documents")
+          .select(col("doc_id"), hm(split(col("text"), " ")).as("hm"))
+          .select(col("doc_id"), size(col("hm")).cast("long").as("n_tokens"),
+            when(size(col("hm")) >= 4,
+              filter(sequence(lit(4), size(col("hm"))),
+                i => roll(i) % 16 === 0))
+              .otherwise(array().cast("array<int>")).as("bpos"))
+          .select(col("doc_id"), col("n_tokens"),
+            (size(col("bpos")) + 1).cast("long").as("n_chunks"),
+            array_join(transform(col("bpos"), _.cast("string")), ",")
+              .as("boundaries_csv"),
+            (col("n_tokens").cast("double") /
+              (size(col("bpos")) + 1).cast("double")).as("avg_chunk_len"))
+      },
+      Some(s"""WITH th AS (
+              |  SELECT doc_id,
+              |    list_transform(${tokenHashesSql("text")},
+              |                   h -> h % 65536) AS hm
+              |  FROM documents),
+              |b AS (
+              |  SELECT doc_id, CAST(len(hm) AS BIGINT) AS n_tokens,
+              |    CASE WHEN len(hm) >= 4 THEN
+              |      [i for i in range(4, len(hm) + 1)
+              |       if (((hm[i-3]*31 + hm[i-2])*31 + hm[i-1])*31 + hm[i])
+              |          % 16 = 0]
+              |    ELSE [] END AS bpos
+              |  FROM th)
+              |SELECT doc_id, n_tokens,
+              |  CAST(len(bpos) + 1 AS BIGINT) AS n_chunks,
+              |  COALESCE(array_to_string(bpos, ','), '') AS boundaries_csv,
+              |  CAST(n_tokens AS DOUBLE) / CAST(len(bpos) + 1 AS DOUBLE)
+              |    AS avg_chunk_len
+              |FROM b""".stripMargin)),
   )
 }

@@ -127,4 +127,30 @@ class PlanShapeSpec extends AnyFunSuite {
       case (k, None) => c.unset(k)
     }
   }
+
+  test("per-row operators plan zero shuffles") {
+    // q64 quantization and q70 CDC chunking are pure projections — an
+    // Exchange in either means a regression broke the linear scale story
+    for (name <- Seq("q64_int8_quantize", "q70_cdc_chunking")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name shuffles:\n$p")
+    }
+  }
+
+  test("unigram-score vocab join is broadcast, not shuffled") {
+    val p = plan("q62_unigram_score")
+    assert(p.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$p")
+  }
+
+  test("cube expands grouping sets in one aggregate, no scan union") {
+    val p = plan("q66_cube")
+    assert(p.contains("Expand"), s"no Expand node:\n$p")
+    assert(!p.contains("Union"), s"cube fell back to a union of scans:\n$p")
+  }
+
+  test("typed Aggregator top-k runs with partial (map-side) aggregation") {
+    val p = plan("q67_topk_udaf")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation for the udaf:\n$p")
+  }
 }

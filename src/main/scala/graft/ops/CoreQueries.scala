@@ -312,5 +312,53 @@ object CoreQueries {
       Some("""SELECT event_id,
              |  CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS INTEGER) AS k
              |FROM events""".stripMargin)),
+
+    // ----- q71: pivot (long → wide reshape) -------------------------------
+    // RelationalGroupedDataset.pivot with an EXPLICIT value list — the
+    // scale-correct form: without it Spark runs an extra distinct pass
+    // over the data just to learn the column set, and an unbounded value
+    // domain would mint unbounded columns. One shuffle on the group key;
+    // each pivot cell is an independent conditional aggregate. Empty
+    // cells are 0 (na.fill) to match the oracle's SUM(CASE…) form.
+    NamedQuery(
+      "q71_pivot",
+      (s, d) => {
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        tbl(s, d, "documents")
+          .groupBy(col("source"))
+          .pivot("lang", langs)
+          .count()
+          .na.fill(0L, langs)
+      },
+      Some("""SELECT source,
+             |  CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+             |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+             |  CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+             |  CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+             |  CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+             |FROM documents GROUP BY source""".stripMargin)),
+
+    // ----- q72: ntile equal-frequency binning (curriculum buckets) --------
+    // Length-quartile assignment PER SOURCE — the shape a curriculum /
+    // difficulty-bucketing pass uses. The window partitions by source, so
+    // every partition sorts independently — no global sort, no single-
+    // partition window (the trap q72 exists to demonstrate avoiding; a
+    // GLOBAL ntile would need repartitionByRange + a two-pass offset
+    // fix-up). Total order inside the window ((n_chars, doc_id)) keeps
+    // ntile deterministic under any partitioning.
+    NamedQuery(
+      "q72_ntile_buckets",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(col("n_chars"), col("doc_id"))
+        tbl(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            ntile(4).over(w).cast("long").as("bucket"))
+      },
+      Some("""SELECT doc_id, source, n_chars,
+             |  ntile(4) OVER (PARTITION BY source
+             |                 ORDER BY n_chars, doc_id) AS bucket
+             |FROM documents""".stripMargin)),
   )
 }

@@ -13,7 +13,11 @@ import org.apache.spark.sql.functions._
   *  - q69 cohort retention: users bucketed by ISO week of first activity,
   *    crossed with the weeks they were active — the retention matrix.
   *    Week arithmetic stays integral (datediff div 7); both engines
-  *    truncate weeks to ISO Monday, and counts are exact.
+  *    truncate weeks to ISO Monday, and counts are exact;
+  *  - q73 event-transition matrix: behavioral bigram probabilities via a
+  *    per-user lag window — the Markov-chain input for session modeling;
+  *  - q74 SCD-2 validity ranges: changelog → type-2 dimension rows via a
+  *    per-user lead window (valid_from/valid_to, NULL = current).
   */
 object AnalyticsOps {
   import OpsKit._
@@ -86,5 +90,73 @@ object AnalyticsOps {
               |  COUNT(*) AS n_users
               |FROM active JOIN cohorts USING (user_id)
               |GROUP BY cw, aw""".stripMargin)),
+
+    // ----- q73: event-transition matrix (behavioral bigrams) --------------
+    // P(next event type | current) per user journey: lag over the
+    // (user_id, ts)-ordered stream, then one count aggregate — the
+    // Markov-chain input for session modeling. One window shuffle on
+    // user_id (each user's history sorts independently), one aggregate;
+    // the probability is a single double division of exact counts. The
+    // per-from total comes from a second small aggregate joined back —
+    // 25 rows, broadcast — rather than a second window over the data.
+    NamedQuery(
+      "q73_transition_matrix",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val pairs = events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("to_type"))
+          .withColumn("from_type", lag(col("to_type"), 1).over(w))
+          .filter(col("from_type").isNotNull)
+        val counts = pairs.groupBy(col("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = counts.groupBy(col("from_type"))
+          .agg(sum(col("n")).as("tot"))
+        counts.join(broadcast(totals), "from_type")
+          .select(col("from_type"), col("to_type"), col("n"),
+            (col("n").cast("double") / col("tot").cast("double")).as("p"))
+      },
+      Some("""WITH pairs AS (
+             |  SELECT lag(event_type) OVER
+             |      (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+             |    event_type AS to_type
+             |  FROM events),
+             |counts AS (
+             |  SELECT from_type, to_type, COUNT(*) AS n FROM pairs
+             |  WHERE from_type IS NOT NULL GROUP BY from_type, to_type),
+             |totals AS (
+             |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
+             |  FROM counts GROUP BY from_type)
+             |SELECT from_type, to_type, n,
+             |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+             |FROM counts JOIN totals USING (from_type)""".stripMargin)),
+
+    // ----- q74: SCD-2 validity ranges (temporal snapshot table) -----------
+    // Treat each user's events as attribute updates and emit slowly-
+    // changing-dimension type-2 rows: value valid from its own event
+    // until the next event's timestamp (NULL = still current). The lead
+    // window per user is the whole op — one shuffle, then pure
+    // projection; at 100 TB this is the standard
+    // changelog → point-in-time-joinable table step. Timestamps are
+    // emitted as formatted strings (the engines' shared transport).
+    NamedQuery(
+      "q74_scd2_ranges",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+          .withColumn("valid_to", lead(col("ts"), 1).over(w))
+          .select(col("user_id"), col("event_id"), col("value"),
+            date_format(col("ts"), TsFmt).as("valid_from"),
+            date_format(col("valid_to"), TsFmt).as("valid_to"))
+      },
+      Some(s"""SELECT user_id, event_id, value,
+              |  strftime(ts, '$TsFmtDuck') AS valid_from,
+              |  strftime(lead(ts) OVER
+              |    (PARTITION BY user_id ORDER BY ts, event_id),
+              |    '$TsFmtDuck') AS valid_to
+              |FROM events""".stripMargin)),
   )
 }

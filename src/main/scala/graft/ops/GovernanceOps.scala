@@ -31,7 +31,11 @@ import org.apache.spark.sql.functions._
   *  - q65 bloom-prefiltered exact contamination: a driver-built bloom
   *    filter over the eval side's shingles prunes train postings before
   *    the shuffle join — the explicit form of a runtime row-group filter;
-  *    no false negatives, so results equal the plain join's exactly.
+  *    no false negatives, so results equal the plain join's exactly;
+  *  - q75 shingle novelty: fraction of a doc's shingles unique to it —
+  *    the doc-level memorization-risk score;
+  *  - q76 source-similarity matrix via merged MinHash sketches — corpus
+  *    diagnostics from constant-size mergeable summaries, never doc pairs.
   */
 object GovernanceOps {
   import LlmKit._
@@ -354,6 +358,98 @@ object GovernanceOps {
            |  CAST(MAX(c) AS BIGINT) AS max_overlap
            |FROM pair GROUP BY eval_id""".stripMargin
       }),
+
+    // ----- q75: shingle novelty / memorization-risk score -----------------
+    // For each document: what fraction of its distinct 3-gram shingles
+    // appears in NO other document? Low novelty = the doc is mostly
+    // assembled from corpus-common phrasing (duplication/memorization
+    // risk, the doc-level view of what q47/q57 cluster). One
+    // doc-frequency aggregate over the shingle postings, joined back on
+    // the shingle hash — both shuffles key on the (uniform) 60-bit hash,
+    // so the shape is skew-free and linear; the score is one double
+    // division of exact counts.
+    NamedQuery(
+      "q75_novelty",
+      (s, d) => {
+        val ds = tbl(s, d, "documents").select(col("doc_id"),
+          explode(array_distinct(hashedShingles(col("text")))).as("g"))
+        val dfreq = ds.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        ds.join(dfreq, "g")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("df") === 1, lit(1L)).otherwise(lit(0L)))
+              .as("n_unique"))
+          .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+            (col("n_unique").cast("double") /
+              col("n_shingles").cast("double")).as("novelty"))
+      },
+      Some(s"""WITH th AS (
+              |  SELECT doc_id, text, ${tokenHashesSql("text")} AS th
+              |  FROM documents),
+              |ds AS (
+              |  SELECT doc_id, unnest(list_distinct(
+              |    ${hashedShinglesSql("text", "th")})) AS g
+              |  FROM th),
+              |dfreq AS (SELECT g, COUNT(*) AS df FROM ds GROUP BY g)
+              |SELECT doc_id, COUNT(*) AS n_shingles,
+              |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_unique,
+              |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              |    / CAST(COUNT(*) AS DOUBLE) AS novelty
+              |FROM ds JOIN dfreq USING (g)
+              |GROUP BY doc_id""".stripMargin)),
+
+    // ----- q76: source-similarity matrix via MERGED MinHash sketches ------
+    // Pairwise similarity between the 20 sources WITHOUT touching any
+    // document pair: each source gets ONE MinHash signature over the
+    // union of its documents' shingle sets (MinHash is mergeable —
+    // min distributes over union, so the per-source sketch equals the
+    // sketch of the concatenated corpus), then the 20×19/2 sketch pairs
+    // estimate Jaccard as matching-position share. At 100 TB the
+    // per-source sketch is a partial aggregate (32 longs per source per
+    // partition); only the constant-size sketches ever meet. The ≠-join
+    // over 20 sketch rows is a broadcast nested loop over a handful of
+    // rows — the one place a non-equi join is the RIGHT plan.
+    NamedQuery(
+      "q76_source_similarity",
+      (s, d) => {
+        val srcHashes = tbl(s, d, "documents")
+          .select(col("source"),
+            explode(array_distinct(hashedShingles(col("text")))).as("h"))
+          .groupBy(col("source"))
+          .agg(collect_set(col("h")).as("hs"))
+        val sigs = srcHashes.select(col("source"),
+          minhashSigFromHashes(col("hs")).as("sig"))
+        val a = sigs.select(col("source").as("source_a"), col("sig").as("sa"))
+        val b = sigs.select(col("source").as("source_b"), col("sig").as("sb"))
+        a.join(b, col("source_a") < col("source_b"))
+          .select(col("source_a"), col("source_b"),
+            aggregate(
+              zip_with(col("sa"), col("sb"),
+                (x, y) => when(x === y, lit(1L)).otherwise(lit(0L))),
+              lit(0L), (acc, v) => acc + v).as("n_match"))
+          .select(col("source_a"), col("source_b"), col("n_match"),
+            (col("n_match").cast("double") / lit(32.0)).as("est_jaccard"))
+      },
+      Some(s"""WITH th AS (
+              |  SELECT source, text, ${tokenHashesSql("text")} AS th
+              |  FROM documents),
+              |ds AS (
+              |  SELECT source, unnest(list_distinct(
+              |    ${hashedShinglesSql("text", "th")})) AS h
+              |  FROM th),
+              |du AS (SELECT DISTINCT source, h FROM ds),
+              |hs AS (SELECT source, list(h) AS hs FROM du GROUP BY source),
+              |sg AS (SELECT source,
+              |         ${minhashSigOverHashesSql("hs")} AS sig
+              |       FROM hs)
+              |SELECT a.source AS source_a, b.source AS source_b,
+              |  CAST(len([i for i in range(1, 33)
+              |            if a.sig[i] = b.sig[i]]) AS BIGINT) AS n_match,
+              |  CAST(len([i for i in range(1, 33)
+              |            if a.sig[i] = b.sig[i]]) AS DOUBLE) / 32.0
+              |    AS est_jaccard
+              |FROM sg a JOIN sg b ON a.source < b.source""".stripMargin)),
   )
 
   /** Transitive-closure oracle shared by q47 and q57: both must produce

@@ -21,7 +21,10 @@ import org.apache.spark.sql.functions._
   *  - q61 intra-document repetition metrics (Gopher-style duplicate- and
   *    top-bigram fractions);
   *  - q62 unigram-LM document score (mean token probability + rare-token
-  *    fraction against the corpus's own unigram distribution).
+  *    fraction against the corpus's own unigram distribution);
+  *  - q77 BPE pair-merge statistics: corpus-weighted adjacent-character
+  *    pair counts over the distinct-word table — tokenizer training
+  *    step 1, vocabulary-sized work instead of token-stream-sized.
   *
   * All per-row with no shuffle (q33-q36, q59), or hash-aggregated with
   * map-side partial aggregation (q52, q60-q62) — linear and partition-
@@ -364,5 +367,44 @@ object TextOps {
              |       AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS rare_frac
              |FROM tok t JOIN v USING (tok) CROSS JOIN n
              |GROUP BY t.doc_id""".stripMargin)),
+
+    // ----- q77: BPE pair-merge statistics (tokenizer training, step 1) ----
+    // The first iteration of byte-pair-encoding training: count adjacent
+    // character pairs across the corpus, weighted by word frequency —
+    // the argmax is the first merge a BPE tokenizer would learn. The
+    // scale trick is WORD-level aggregation first: pairs are generated
+    // over the DISTINCT word table (vocabulary-sized, Heaps' law) and
+    // weighted by the word's corpus frequency, so the expensive explode
+    // runs over thousands of words, not billions of tokens. Top-20 via
+    // TakeOrderedAndProject with a total-order tiebreak.
+    NamedQuery(
+      "q77_bpe_pairs",
+      (s, d) => {
+        val vocab = tbl(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        vocab
+          .select(col("freq"), explode(when(length(col("tok")) >= 2,
+            expr("transform(sequence(1, length(tok) - 1)," +
+              " i -> substring(tok, i, 2))"))
+            .otherwise(array().cast("array<string>"))).as("pair"))
+          .groupBy(col("pair"))
+          .agg(sum(col("freq")).as("w"))
+          .orderBy(col("w").desc, col("pair"))
+          .limit(20)
+      },
+      Some("""WITH v AS (
+             |  SELECT tok, COUNT(*) AS freq
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+             |        FROM documents)
+             |  GROUP BY tok),
+             |p AS (
+             |  SELECT freq, unnest(CASE WHEN len(tok) >= 2
+             |    THEN [tok[i:i+1] for i in range(1, len(tok))]
+             |    ELSE [] END) AS pair
+             |  FROM v)
+             |SELECT pair, CAST(SUM(freq) AS BIGINT) AS w
+             |FROM p GROUP BY pair
+             |ORDER BY w DESC, pair LIMIT 20""".stripMargin)),
   )
 }

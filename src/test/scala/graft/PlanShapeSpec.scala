@@ -153,4 +153,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
       s"no partial aggregation for the udaf:\n$p")
   }
+
+  test("sketch-pair non-equi join stays a nested loop over sketches only") {
+    // q76 joins 20 constant-size MinHash sketches, never document pairs —
+    // the one place BroadcastNestedLoopJoin is the RIGHT plan; the
+    // document-scale stages above it must still be hash aggregates
+    val p = plan("q76_source_similarity")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"q76 shape:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{HashedShinglesExpr, LshBucket, MinhashSigExpr, VecDot}
+import graft.functions.{HashedShinglesExpr, LshBucket, MinhashSigExpr, Simhash16Expr, VecDot}
 import graft.parse.PyToJson
 
 /** Engine extension point: registers graft's custom Catalyst expressions
@@ -55,5 +55,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "hash array (mod 2^31-1, engine-stable closed-form coefficients).",
         "", "", "", "", "4.0.0", "", "built-in"),
       (children: Seq[Expression]) => MinhashSigExpr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash16"),
+      new ExpressionInfo(
+        classOf[Simhash16Expr].getName, null, "simhash16",
+        "_FUNC_(text) - 16-bit set SimHash over distinct tokens (60-bit " +
+          "md5 token hashes, engine-stable).",
+        "", "", "", "", "4.0.0", "", "built-in"),
+      (children: Seq[Expression]) => Simhash16Expr(children.head, distinct = true)))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash16_weighted"),
+      new ExpressionInfo(
+        classOf[Simhash16Expr].getName, null, "simhash16_weighted",
+        "_FUNC_(text) - 16-bit TF-weighted SimHash over all tokens " +
+          "(a token appearing k times votes k).",
+        "", "", "", "", "4.0.0", "", "built-in"),
+      (children: Seq[Expression]) => Simhash16Expr(children.head, distinct = false)))
   }
 }

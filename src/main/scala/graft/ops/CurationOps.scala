@@ -32,7 +32,8 @@ object CurationOps {
       "q42_weighted_simhash",
       (s, d) =>
         tbl(s, d, "documents")
-          .select(col("doc_id"), simhashWeighted(col("text")).as("simhash")),
+          .select(col("doc_id"),
+            call_function("simhash16_weighted", col("text")).as("simhash")),
       Some {
         val hsSql =
           s"""list_transform(string_split(text, ' '), t -> ${strHashSql("t")})"""

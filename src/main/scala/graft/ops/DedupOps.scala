@@ -51,26 +51,14 @@ object DedupOps {
     NamedQuery(
       "q28_simhash",
       (s, d) => {
-        val hs = transform(array_distinct(split(col("text"), " ")),
-          t => strHash(t))
         // bit j weight: +1 if the 60-bit token hash has bit j set, else -1;
-        // simhash bit j set iff the sum over tokens is positive. ONE fold
-        // over the token hashes carrying 16 per-bit counters (hs — and its
-        // md5 per token — evaluates once per row, not once per bit; see
-        // LlmKit.minhashSigFromHashes for the measured cost of the naive
-        // nesting), then the finish lambda assembles the bits.
-        val simhash = aggregate(
-          hs,
-          transform(sequence(lit(0), lit(15)), _ => lit(0L)),
-          (acc, h) => transform(sequence(lit(0), lit(15)), j =>
-            element_at(acc, (j + 1).cast("int")) +
-              when(h.bitwiseAND(pow(lit(2), j).cast("long")) > 0, 1L)
-                .otherwise(-1L)),
-          bits => aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, j) =>
-            acc + when(element_at(bits, (j + 1).cast("int")) > 0,
-              pow(lit(2), j).cast("long")).otherwise(0L)))
+        // simhash bit j set iff the sum over distinct tokens is positive.
+        // Native one-pass expression (primitive int[16] counters, zero
+        // per-token allocation); LlmKit.simhashSetDeclarative is the
+        // parity-spec reference fold.
         val sims = corpusWithNearDups(s, d)
-          .select(col("doc_id"), simhash.as("sh"))
+          .select(col("doc_id"),
+            call_function("simhash16", col("text")).as("sh"))
         sims.filter(col("doc_id") < 100000)
           .join(sims.filter(col("doc_id") >= 100000)
             .select((col("doc_id") - 100000).as("doc_id"),

@@ -161,9 +161,19 @@ object LlmKit {
   /** TF-weighted 16-bit SimHash of a text column: one fold over ALL token
     * hashes carrying 16 per-bit counters (a token appearing k times
     * contributes k — that is the TF weight), bits assembled in the finish
-    * lambda. Used by q42 and the streaming near-dup filter. */
-  def simhashWeighted(text: Column): Column = {
-    val hs = transform(split(text, " "), t => strHash(t))
+    * lambda. Superseded in the query surface by the native codegen
+    * expression `simhash16_weighted` ([[graft.functions.Simhash16]]);
+    * kept as the parity-spec reference (NativeExprSpec). */
+  def simhashWeighted(text: Column): Column =
+    simhashFold(transform(split(text, " "), t => strHash(t)))
+
+  /** Set 16-bit SimHash (each DISTINCT token votes once — distinct on the
+    * token strings, before hashing). Superseded in the query surface by
+    * the native `simhash16`; kept as the parity-spec reference. */
+  def simhashSetDeclarative(text: Column): Column =
+    simhashFold(transform(array_distinct(split(text, " ")), t => strHash(t)))
+
+  private def simhashFold(hs: Column): Column =
     aggregate(
       hs,
       transform(sequence(lit(0), lit(15)), _ => lit(0L)),
@@ -174,7 +184,6 @@ object LlmKit {
       bits => aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, j) =>
         acc + when(element_at(bits, (j + 1).cast("int")) > 0,
           pow(lit(2), j).cast("long")).otherwise(0L)))
-  }
 
   // ---- MinHash + LSH candidate-pair pipeline ----------------------------
   /** Candidate near-dup pairs (id1 < id2, shingle Jaccard ≥ 0.5) over an

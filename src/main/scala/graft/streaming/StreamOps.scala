@@ -78,7 +78,7 @@ object StreamOps {
     * the watermark. Input schema: (ts TIMESTAMP, doc_id LONG, text STRING). */
   def nearDupFilter(docs: DataFrame): DataFrame =
     docs
-      .withColumn("simhash", graft.ops.LlmKit.simhashWeighted(col("text")))
+      .withColumn("simhash", call_function("simhash16_weighted", col("text")))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("simhash")
 

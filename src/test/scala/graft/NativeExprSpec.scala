@@ -91,6 +91,28 @@ class NativeExprSpec extends AnyFunSuite {
     assert(diffs == 0)
   }
 
+  test("simhash16 (set + weighted) == declarative folds, incl. edge texts") {
+    import spark.implicits._
+    import graft.ops.LlmKit
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("text")
+      .unionByName(Seq("", " ", "a", "a a", "a a b", "a  b c ",
+        "é ü é", "x y z w").toDF("text"))
+    val diffs = docs.select(
+      call_function("simhash16", col("text")).as("ns"),
+      LlmKit.simhashSetDeclarative(col("text")).as("ds"),
+      call_function("simhash16_weighted", col("text")).as("nw"),
+      LlmKit.simhashWeighted(col("text")).as("dw"))
+      .filter(col("ns") =!= col("ds") || col("nw") =!= col("dw"))
+      .count()
+    assert(diffs == 0)
+    // the two variants genuinely differ on repeated-token texts
+    val differs = docs.select(
+      (call_function("simhash16", col("text")) =!=
+        call_function("simhash16_weighted", col("text"))).as("d"))
+      .filter(col("d")).count()
+    assert(differs > 0)
+  }
+
   test("minhash_sig: a null element updates nothing, like the declarative fold") {
     import graft.ops.LlmKit
     // array_distinct(hashed_shingles(...)) never produces nulls, but the

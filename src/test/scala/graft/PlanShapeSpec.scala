@@ -58,6 +58,8 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("q27_minhash_lsh").contains("hashed_shingles"))
     assert(plan("q27_minhash_lsh").contains("minhash_sig"))
     assert(plan("q23_pyliteral_roundtrip").contains("py_to_json"))
+    assert(plan("q28_simhash").contains("simhash16"))
+    assert(plan("q42_weighted_simhash").contains("simhash16_weighted"))
   }
 
   test("AQE splits a skewed shuffle-join partition at runtime") {

@@ -413,13 +413,26 @@ object GovernanceOps {
     NamedQuery(
       "q76_source_similarity",
       (s, d) => {
-        val srcHashes = tbl(s, d, "documents")
-          .select(col("source"),
-            explode(array_distinct(hashedShingles(col("text")))).as("h"))
+        // per-DOC signatures first (native one-pass expression), then the
+        // merge: element-wise min per (source, position) — a partially-
+        // aggregable groupBy, so every partition contributes 32 longs per
+        // source and no shingle set ever materializes in one place (a
+        // collect_set of a source's shingles would be the corpus in one
+        // array). min distributes over union, so the merged sketch equals
+        // the sketch of the source's whole shingle set — what the oracle
+        // computes directly.
+        val docSigs = tbl(s, d, "documents")
+          .select(col("source"), minhashSigFromHashes(
+            array_distinct(hashedShingles(col("text")))).as("sig"))
+        val posMin = docSigs
+          .select(col("source"), posexplode(col("sig")).as(Seq("pos", "v")))
+          .groupBy(col("source"), col("pos"))
+          .agg(min(col("v")).as("mv"))
+        val sigs = posMin
           .groupBy(col("source"))
-          .agg(collect_set(col("h")).as("hs"))
-        val sigs = srcHashes.select(col("source"),
-          minhashSigFromHashes(col("hs")).as("sig"))
+          .agg(collect_list(struct(col("pos"), col("mv"))).as("pm"))
+          .select(col("source"),
+            transform(array_sort(col("pm")), p => p.getField("mv")).as("sig"))
         val a = sigs.select(col("source").as("source_a"), col("sig").as("sa"))
         val b = sigs.select(col("source").as("source_b"), col("sig").as("sb"))
         a.join(b, col("source_a") < col("source_b"))

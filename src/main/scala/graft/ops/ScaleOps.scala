@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
   * expressed so the driver's oracle can still verify them at small SF.
   */
 object ScaleOps {
+  import LlmKit.{strHash, strHashSql, MinhashP}
   import OpsKit._
 
   def all: Seq[NamedQuery] = Seq(
@@ -150,5 +151,159 @@ object ScaleOps {
              |  array_to_string(list(tok ORDER BY rn), ',') AS top_toks,
              |  array_to_string(list(c ORDER BY rn), ',') AS top_counts
              |FROM r WHERE rn <= 3 GROUP BY source""".stripMargin)),
+
+    // ----- q78: count-min sketch with cross-engine-exact arithmetic -------
+    // The classic streaming frequency sketch, hand-rolled so BOTH engines
+    // compute the identical structure (unlike q41's built-in HLL, whose
+    // internals are engine-specific and get only a rows-only check):
+    // 4 rows × 512 counters, row r maps token hash h to bucket
+    // (A(r)·h + B(r)) mod P mod 512 with the same closed-form
+    // coefficients the MinHash family uses — all integer arithmetic, so
+    // the oracle hash-matches exactly. The sketch build is ONE partially-
+    // aggregated groupBy over (row, bucket) — 2048 counters total no
+    // matter the corpus size — and the probe (every distinct token) reads
+    // its 4 counters and takes the min. CMS guarantee surfaces in the
+    // output: est ≥ exact always, equality unless the probe collided in
+    // all 4 rows.
+    NamedQuery(
+      "q78_countmin",
+      (s, d) => {
+        val W = 512
+        def bucket(r: Int, h: org.apache.spark.sql.Column) = {
+          val a = (1103515245L * (r + 1)) % MinhashP
+          val b = (12345L + 2654435761L * r) % MinhashP
+          pmod(pmod(lit(a) * h + lit(b), lit(MinhashP)), lit(W))
+        }
+        val toks = tbl(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .select(col("tok"), (strHash(col("tok")) % MinhashP).as("h"))
+        val cells = toks.select(col("h"),
+          explode(array((0 until 4).map(r =>
+            struct(lit(r).as("r"), bucket(r, col("h")).as("bkt"))): _*))
+            .as("cell"))
+          .groupBy(col("cell.r").as("r"), col("cell.bkt").as("bkt"))
+          .agg(count(lit(1)).as("c"))
+        val exact = toks.groupBy(col("tok"), col("h"))
+          .agg(count(lit(1)).as("exact"))
+        val probes = exact.select(col("tok"), col("h"), col("exact"),
+          explode(array((0 until 4).map(r =>
+            struct(lit(r).as("r"), bucket(r, col("h")).as("bkt"))): _*))
+            .as("cell"))
+          .select(col("tok"), col("exact"),
+            col("cell.r").as("r"), col("cell.bkt").as("bkt"))
+        probes.join(cells, Seq("r", "bkt"))
+          .groupBy(col("tok"), col("exact"))
+          .agg(min(col("c")).as("cms_est"))
+          .select(col("tok"), col("exact"), col("cms_est"),
+            (col("cms_est") - col("exact")).as("overcount"))
+      },
+      Some {
+        val h = s"${strHashSql("tok")} % $MinhashP"
+        def bucketSql(r: Int): String = {
+          val a = (1103515245L * (r + 1)) % MinhashP
+          val b = (12345L + 2654435761L * r) % MinhashP
+          s"(($a * h + $b) % $MinhashP) % 512"
+        }
+        val cellList = (0 until 4)
+          .map(r => s"{'r': $r, 'bkt': ${bucketSql(r)}}").mkString("[", ", ", "]")
+        s"""WITH toks AS (
+           |  SELECT tok, $h AS h FROM (
+           |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+           |cells AS (
+           |  SELECT c.cell.r AS r, c.cell.bkt AS bkt, COUNT(*) AS c
+           |  FROM (SELECT unnest($cellList) AS cell FROM toks) c
+           |  GROUP BY c.cell.r, c.cell.bkt),
+           |exact AS (
+           |  SELECT tok, h, COUNT(*) AS exact FROM toks GROUP BY tok, h),
+           |probes AS (
+           |  SELECT tok, exact, p.cell.r AS r, p.cell.bkt AS bkt
+           |  FROM (SELECT tok, exact, unnest($cellList) AS cell
+           |        FROM exact) p)
+           |SELECT tok, exact, CAST(MIN(c) AS BIGINT) AS cms_est,
+           |  CAST(MIN(c) - exact AS BIGINT) AS overcount
+           |FROM probes JOIN cells USING (r, bkt)
+           |GROUP BY tok, exact""".stripMargin
+      }),
+
+    // ----- q79: hand-rolled HyperLogLog with a full oracle ----------------
+    // The mergeable cardinality sketch, built from scratch so the DuckDB
+    // oracle verifies the ENTIRE structure (q41's built-in HLL gets only
+    // a rows-only check — its internals are engine-private). 64 registers
+    // per group: bucket = h mod 64, register = max first-1-bit rank of
+    // the remaining 54 hash bits (all integers — rank via length(bin(v)),
+    // identical in both engines). The estimate is the raw HLL formula
+    // α·m²/Z with Z folded over the registers in bucket order, empty
+    // registers appended as one exact multiple — every double op happens
+    // in the same sequence in both engines, so even the ESTIMATE
+    // hash-matches bit-exactly. The register table is a partially-
+    // aggregated (group, bucket) max — 64 longs per group per partition,
+    // the textbook mergeable-summary shape. Exact distinct rides along
+    // to make the sketch's error visible.
+    NamedQuery(
+      "q79_hll",
+      (s, d) => {
+        val toks = tbl(s, d, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+          .select(col("lang"), col("tok"), strHash(col("tok")).as("h"))
+        val ranked = toks.select(col("lang"),
+          pmod(col("h"), lit(64)).as("bkt"),
+          expr("shiftright(h, 6)").as("v"))
+          .select(col("lang"), col("bkt"),
+            when(col("v") === 0, lit(55))
+              .otherwise(lit(55) - length(bin(col("v")))).as("rank"))
+        val regs = ranked.groupBy(col("lang"), col("bkt"))
+          .agg(max(col("rank")).as("m"))
+        // α from integer-cast divisions: a direct 0.7213 literal parses
+        // as DECIMAL in DuckDB and may round differently from Spark's
+        // double literal — integer→double casts are exact on both sides
+        val alpha = (lit(7213.0) / lit(10000.0)) /
+          (lit(1.0) + (lit(1079.0) / lit(1000.0)) / lit(64.0))
+        val est = regs.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_regs"),
+            sort_array(collect_list(struct(col("bkt"), col("m")))).as("rm"))
+          .select(col("lang"), col("n_regs"),
+            (aggregate(col("rm"), lit(0.0),
+              (acc, p) => acc + lit(1.0) / pow(lit(2.0), p.getField("m"))) +
+              (lit(64) - col("n_regs")).cast("double")).as("z"))
+          .select(col("lang"), col("n_regs"),
+            (alpha * lit(4096.0) / col("z")).as("hll_est"))
+        val exact = toks.groupBy(col("lang"))
+          .agg(countDistinct(col("tok")).as("exact_distinct"))
+        est.join(exact, "lang")
+      },
+      Some {
+        val h = strHashSql("tok")
+        s"""WITH toks AS (
+           |  SELECT lang, tok, $h AS h FROM (
+           |    SELECT lang, unnest(string_split(text, ' ')) AS tok
+           |    FROM documents)),
+           |ranked AS (
+           |  SELECT lang, h % 64 AS bkt,
+           |    CASE WHEN (h // 64) = 0 THEN 55
+           |         ELSE 55 - length(bin(h // 64)) END AS rank
+           |  FROM toks),
+           |regs AS (
+           |  SELECT lang, bkt, MAX(rank) AS m
+           |  FROM ranked GROUP BY lang, bkt),
+           |folded AS (
+           |  SELECT lang, COUNT(*) AS n_regs,
+           |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |      list_transform(list(m ORDER BY bkt), mm ->
+           |        CAST(1 AS DOUBLE) / pow(CAST(2 AS DOUBLE), mm))),
+           |      (a, b) -> a + b)
+           |      + CAST(64 - COUNT(*) AS DOUBLE) AS z
+           |  FROM regs GROUP BY lang),
+           |exact AS (
+           |  SELECT lang, COUNT(DISTINCT tok) AS exact_distinct
+           |  FROM toks GROUP BY lang)
+           |SELECT f.lang, f.n_regs,
+           |  ((CAST(7213 AS DOUBLE) / CAST(10000 AS DOUBLE))
+           |     / (CAST(1 AS DOUBLE)
+           |        + (CAST(1079 AS DOUBLE) / CAST(1000 AS DOUBLE))
+           |          / CAST(64 AS DOUBLE)))
+           |    * CAST(4096 AS DOUBLE) / f.z AS hll_est,
+           |  e.exact_distinct
+           |FROM folded f JOIN exact e USING (lang)""".stripMargin
+      }),
   )
 }

@@ -153,6 +153,28 @@ class NativeExprSpec extends AnyFunSuite {
     assert(diffs == 0)
   }
 
+  test("simhash16 property: random token strings match the declarative folds") {
+    import spark.implicits._
+    import graft.ops.LlmKit
+    // random texts over a tiny alphabet with repeated/empty tokens and
+    // multi-space runs — the shapes that stress tokenization + distinct
+    val tokGen = org.scalacheck.Gen.oneOf("a", "b", "ab", "ba", "", "aa")
+    val gen = org.scalacheck.Gen.listOf(tokGen).map(_.mkString(" "))
+    val seed = org.scalacheck.rng.Seed(20260813L)
+    val cases = Iterator.iterate(seed)(_.next).take(300)
+      .map(s => gen.pureApply(org.scalacheck.Gen.Parameters.default, s))
+      .toSeq
+    val diffs = cases.toDF("text")
+      .select(
+        call_function("simhash16", col("text")).as("ns"),
+        LlmKit.simhashSetDeclarative(col("text")).as("ds"),
+        call_function("simhash16_weighted", col("text")).as("nw"),
+        LlmKit.simhashWeighted(col("text")).as("dw"))
+      .filter(col("ns") =!= col("ds") || col("nw") =!= col("dw"))
+      .count()
+    assert(diffs == 0)
+  }
+
   test("vec_dot property: random float vectors match zip_with bitwise") {
     import spark.implicits._
     // finite floats only: the parity contract is over well-formed

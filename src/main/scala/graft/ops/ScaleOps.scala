@@ -191,7 +191,9 @@ object ScaleOps {
             .as("cell"))
           .select(col("tok"), col("exact"),
             col("cell.r").as("r"), col("cell.bkt").as("bkt"))
-        probes.join(cells, Seq("r", "bkt"))
+        // the sketch is ≤ 2048 rows by construction — broadcast it so the
+        // vocabulary-sized probe side never shuffles
+        probes.join(broadcast(cells), Seq("r", "bkt"))
           .groupBy(col("tok"), col("exact"))
           .agg(min(col("c")).as("cms_est"))
           .select(col("tok"), col("exact"), col("cms_est"),

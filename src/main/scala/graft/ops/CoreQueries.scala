@@ -360,5 +360,44 @@ object CoreQueries {
              |  ntile(4) OVER (PARTITION BY source
              |                 ORDER BY n_chars, doc_id) AS bucket
              |FROM documents""".stripMargin)),
+
+    // ----- q80/q81: INTERSECT / EXCEPT (the rest of the set-op family) ----
+    // §2.6 covers union (q08); these close the set-op surface. Spark
+    // compiles both to joins under distinct semantics (left-semi for
+    // INTERSECT, left-anti for EXCEPT) — one shuffle each side on the
+    // full row, no sort. Phrase-level comparison across languages
+    // (single tokens are fully shared in the synthetic corpus, so the
+    // queries run on BIGRAMS, where both results are non-trivial):
+    // phrases used in BOTH en and zh docs, and phrases exclusive to en.
+    NamedQuery(
+      "q80_intersect",
+      (s, d) => langBigrams(s, d, "en").intersect(langBigrams(s, d, "zh")),
+      Some(s"""${langBigramsSql("en")}
+              |INTERSECT
+              |${langBigramsSql("zh")}""".stripMargin)),
+
+    NamedQuery(
+      "q81_except",
+      (s, d) => langBigrams(s, d, "en").except(langBigrams(s, d, "zh")),
+      Some(s"""${langBigramsSql("en")}
+              |EXCEPT
+              |${langBigramsSql("zh")}""".stripMargin)),
   )
+
+  /** Exploded token bigrams of one language's documents (q80/q81). */
+  private def langBigrams(s: SparkSession, d: String, lang: String) = {
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    tbl(s, d, "documents")
+      .filter(col("lang") === lang)
+      .select(explode(zip_with(
+        slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+        (a, b) => concat(a, lit(" "), b))).as("g"))
+  }
+
+  private def langBigramsSql(lang: String): String =
+    s"""SELECT unnest(list_transform(range(1, len(tk)),
+       |         i -> tk[i] || ' ' || tk[i + 1])) AS g
+       |FROM (SELECT string_split(text, ' ') AS tk
+       |      FROM documents WHERE lang = '$lang')""".stripMargin
 }

@@ -156,6 +156,11 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no partial aggregation for the udaf:\n$p")
   }
 
+  test("count-min probe join broadcasts the 2048-cell sketch") {
+    val p = plan("q78_countmin")
+    assert(p.contains("BroadcastHashJoin"), s"sketch not broadcast:\n$p")
+  }
+
   test("sketch-pair non-equi join stays a nested loop over sketches only") {
     // q76 joins 20 constant-size MinHash sketches, never document pairs —
     // the one place BroadcastNestedLoopJoin is the RIGHT plan; the

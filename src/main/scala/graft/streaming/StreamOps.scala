@@ -140,6 +140,57 @@ object StreamOps {
           .as("gap_sec"))
   }
 
+  /** Streaming cluster assignment: route each incoming document to the
+    * near-dup cluster of a STATIC clustered corpus — the online
+    * maintenance step for the batch clustering (q47/q57): the expensive
+    * connected-components closure runs offline, and between runs every
+    * arriving document is assigned to its cluster (or recognized as
+    * novel) at ingestion time. The static side's signatures and bands
+    * are computed once with the same deterministic expressions the batch
+    * path uses; each microbatch bands its rows and equi-joins on
+    * (band, bkey) (stream-static, stateless), verifies candidates with
+    * the exact Jaccard (≥ 0.5), and emits the best cluster per document
+    * when its event-time window closes — ties break toward the smallest
+    * cluster rep. Documents matching nothing don't appear (the caller
+    * treats absence as "new cluster seed"). State = the open
+    * (window, doc) aggregates only, bounded by the watermark.
+    * Input: docs (ts, doc_id, text); clustered (doc_id, text,
+    * cluster_rep). */
+  def clusterAssign(docs: DataFrame, clustered: DataFrame): DataFrame = {
+    import graft.ops.LlmKit
+    val statSigs = LlmKit.shingleSigs(
+      clustered.select(col("doc_id"), col("text")))
+    val statBands = LlmKit.sigBands(statSigs)
+      .join(statSigs.select(col("doc_id"), col("ds")), "doc_id")
+      .join(clustered.select(col("doc_id"), col("cluster_rep")), "doc_id")
+      .select(col("band"), col("bkey"), col("cluster_rep"),
+        col("ds").as("cand_ds"))
+    // band the stream inline (sigBands is batch-shaped; the stream must
+    // carry ts/ds through the explode)
+    val banded = docs
+      .withColumn("ds", array_distinct(LlmKit.hashedShingles(col("text"))))
+      .withColumn("sig", LlmKit.minhashSigFromHashes(col("ds")))
+      .select(col("ts"), col("doc_id"), col("ds"),
+        explode(transform(sequence(lit(0), lit(LlmKit.LshBands - 1)), b =>
+          struct(b.as("band"),
+            array_join(transform(sequence(lit(1), lit(LlmKit.LshRows)), r =>
+              element_at(col("sig"), (b * LlmKit.LshRows + r).cast("int"))
+                .cast("string")), "_").as("bkey")))).as("bk"))
+      .select(col("ts"), col("doc_id"), col("ds"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    banded
+      .withWatermark("ts", "1 hour")
+      .join(statBands, Seq("band", "bkey"))
+      .withColumn("jaccard", LlmKit.jaccardOf(col("ds"), col("cand_ds")))
+      .filter(col("jaccard") >= 0.5)
+      .groupBy(window(col("ts"), "1 hour"), col("doc_id"))
+      .agg(
+        max_by(col("cluster_rep"), struct(col("jaccard"), -col("cluster_rep")))
+          .as("cluster_rep"),
+        max(col("jaccard")).as("best_jaccard"))
+      .select(col("doc_id"), col("cluster_rep"), col("best_jaccard"))
+  }
+
   /** Streaming contamination guard: flag an incoming document when it
     * near-duplicates (shingle Jaccard ≥ 0.5) any document of a STATIC
     * eval set — "don't train on eval" enforced at ingestion time, the

@@ -198,6 +198,68 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(survivors < originals.count() + reposts.count())
   }
 
+  test("streaming cluster assignment routes perturbed docs to their cluster") {
+    import graft.ops.LlmKit
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200)
+    // static clustered corpus: every original is its own cluster rep
+    val clustered = docs.select(col("doc_id"), col("text"),
+      col("doc_id").as("cluster_rep"))
+    val base = System.currentTimeMillis() - 86400000L
+    def withTs(df: org.apache.spark.sql.DataFrame, offsetMs: Long) =
+      df.select(
+        to_timestamp(lit(new java.sql.Timestamp(base + offsetMs))).as("ts"),
+        col("doc_id"), col("text"))
+    // incoming stream: perturbed twins (drop first token) — each should
+    // route to its original's cluster
+    val incoming = withTs(
+      docs.select((col("doc_id") + 100000).as("doc_id"),
+        LlmKit.dropFirstToken(col("text")).as("text")), 0)
+
+    val dir = Files.createTempDirectory("graft-cluster-stream").toString
+    def write(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft-chunk").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.asInstanceOf[Path])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, Paths.get(dir, name))
+      Files.setLastModifiedTime(Paths.get(dir, name), FileTime.fromMillis(mtime))
+    }
+    // far-future sentinel (matches nothing) pushes the watermark past
+    // every real window so append mode flushes the aggregates
+    val sentinel = withTs(spark.range(1)
+      .select(lit(-1L).as("doc_id"), lit("zzz").as("text")),
+      30L * 24 * 3600 * 1000)
+    val t0 = System.currentTimeMillis() - 600000
+    val half = incoming.filter(col("doc_id") % 2 === 0)
+    write(half, "c0.parquet", t0)
+    write(incoming.filter(col("doc_id") % 2 === 1), "c1.parquet", t0 + 60000)
+    write(sentinel, "c2.parquet", t0 + 120000)
+
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = StreamOps.clusterAssign(stream, clustered)
+      .writeStream.format("memory").queryName("t_cluster")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-cluster").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = asSet(spark.table("t_cluster"))
+    // code-path parity: the same transform in batch mode
+    val want = asSet(StreamOps.clusterAssign(incoming, clustered))
+    assert(want.nonEmpty)
+    assert(got == want)
+    // every matched doc routed to its own original's cluster
+    assert(got.forall { r =>
+      r(1).asInstanceOf[Long] == r(0).asInstanceOf[Long] - 100000
+    })
+  }
+
   test("streaming ANN against a static index: stream equals batch") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val index = emb.select("vec_id", "embedding")

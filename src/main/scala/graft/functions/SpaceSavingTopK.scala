@@ -21,8 +21,11 @@ case class TopKOut(top_toks: Array[String], top_counts: Array[Long])
   * (fine at sf0.1, not against a 100 TB token stream), while this buffer
   * holds at most `cap` counters per group per partition, the
   * Metwally/Agrawal/El Abbadi space-saving summary (VLDB'05 — public
-  * algorithm). Merges sum counter-wise and re-truncate to `cap`, the
-  * standard mergeable-summary treatment.
+  * algorithm). Merges credit keys absent from a full buffer with that
+  * buffer's minimum counter (the upper bound on what eviction could have
+  * erased) before summing and re-truncating to `cap` — the standard
+  * mergeable-summary treatment, which preserves the never-underestimate
+  * invariant across arbitrary merge trees.
   *
   * Determinism contract: while the stream's distinct-key count stays
   * ≤ cap, no eviction ever fires, merge truncation never triggers, and
@@ -61,12 +64,28 @@ class SpaceSavingTopK(cap: Int, k: Int)
   }
 
   override def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
+    // absent-key credit: a key missing from a FULL buffer may have been
+    // evicted after counting up to that buffer's minimum counter, so it
+    // is credited that minimum — the standard mergeable-summary merge,
+    // and what keeps the never-underestimate invariant true ACROSS
+    // merges (a plain sum-and-truncate can drop a key in an intermediate
+    // merge and then under-report it later). A buffer under cap has
+    // evicted nothing: absent there truly means zero, which is why the
+    // under-cap regime stays exact (the q67 oracle contract).
+    val creditA = if (a.toks.length < cap) 0L else a.counts.min
+    val creditB = if (b.toks.length < cap) 0L else b.counts.min
+    val cb = b.toks.zip(b.counts).toMap
     val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     var i = 0
-    while (i < a.toks.length) { m.update(a.toks(i), a.counts(i)); i += 1 }
+    while (i < a.toks.length) {
+      m.update(a.toks(i), a.counts(i) + cb.getOrElse(a.toks(i), creditB))
+      i += 1
+    }
     i = 0
     while (i < b.toks.length) {
-      m.update(b.toks(i), m.getOrElse(b.toks(i), 0L) + b.counts(i)); i += 1
+      if (!m.contains(b.toks(i)))
+        m.update(b.toks(i), creditA + b.counts(i))
+      i += 1
     }
     val kept = m.toArray.sortBy { case (t, c) => (-c, t) }.take(cap)
     TopKBuf(kept.map(_._1), kept.map(_._2))

@@ -442,7 +442,8 @@ object GovernanceOps {
                 (x, y) => when(x === y, lit(1L)).otherwise(lit(0L))),
               lit(0L), (acc, v) => acc + v).as("n_match"))
           .select(col("source_a"), col("source_b"), col("n_match"),
-            (col("n_match").cast("double") / lit(32.0)).as("est_jaccard"))
+            (col("n_match").cast("double") /
+              lit(NumHashes.toDouble)).as("est_jaccard"))
       },
       Some(s"""WITH th AS (
               |  SELECT source, text, ${tokenHashesSql("text")} AS th
@@ -457,11 +458,11 @@ object GovernanceOps {
               |         ${minhashSigOverHashesSql("hs")} AS sig
               |       FROM hs)
               |SELECT a.source AS source_a, b.source AS source_b,
-              |  CAST(len([i for i in range(1, 33)
+              |  CAST(len([i for i in range(1, ${NumHashes + 1})
               |            if a.sig[i] = b.sig[i]]) AS BIGINT) AS n_match,
-              |  CAST(len([i for i in range(1, 33)
-              |            if a.sig[i] = b.sig[i]]) AS DOUBLE) / 32.0
-              |    AS est_jaccard
+              |  CAST(len([i for i in range(1, ${NumHashes + 1})
+              |            if a.sig[i] = b.sig[i]]) AS DOUBLE)
+              |    / ${NumHashes}.0 AS est_jaccard
               |FROM sg a JOIN sg b ON a.source < b.source""".stripMargin)),
   )
 

@@ -203,16 +203,23 @@ object LlmKit {
         array_distinct(hashedShingles(col("text"))).as("ds"))
       .withColumn("sig", minhashSigFromHashes(col("ds")))
 
+  /** The 8×4 banding of a bound `sig` column as an exploded
+    * struct(band, bkey) — THE one definition of the band layout. Both
+    * batch ([[sigBands]]) and the streaming paths (contaminationHits,
+    * clusterAssign — which must carry ts/ds through the explode) use this
+    * column, so stream and batch can never band differently. */
+  def bandStruct: Column =
+    explode(transform(sequence(lit(0), lit(LshBands - 1)), b =>
+      struct(b.as("band"),
+        array_join(transform(sequence(lit(1), lit(LshRows)), r =>
+          element_at(col("sig"), (b * LshRows + r).cast("int"))
+            .cast("string")), "_").as("bkey"))))
+
   /** (doc_id, band, bkey): the 8×4 banding of a signature table —
     * equality on (band, bkey) is the LSH candidate condition. */
   def sigBands(sigs: org.apache.spark.sql.DataFrame):
       org.apache.spark.sql.DataFrame =
-    sigs.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(LshBands - 1)), b =>
-        struct(b.as("band"),
-          array_join(transform(sequence(lit(1), lit(LshRows)), r =>
-            element_at(col("sig"), (b * LshRows + r).cast("int"))
-              .cast("string")), "_").as("bkey")))).as("bk"))
+    sigs.select(col("doc_id"), bandStruct.as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
 
   /** Exact shingle-set Jaccard between two bound ds columns. */

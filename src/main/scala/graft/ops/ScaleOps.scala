@@ -177,14 +177,17 @@ object ScaleOps {
         val toks = tbl(s, d, "documents")
           .select(explode(split(col("text"), " ")).as("tok"))
           .select(col("tok"), (strHash(col("tok")) % MinhashP).as("h"))
-        val cells = toks.select(col("h"),
+        val exact = toks.groupBy(col("tok"), col("h"))
+          .agg(count(lit(1)).as("exact"))
+        // the sketch aggregates FROM the vocabulary-sized exact counts
+        // (Σ over a token's occurrences == its count), so the corpus-wide
+        // explode + md5 pass runs exactly once, not once per structure
+        val cells = exact.select(col("exact"), col("h"),
           explode(array((0 until 4).map(r =>
             struct(lit(r).as("r"), bucket(r, col("h")).as("bkt"))): _*))
             .as("cell"))
           .groupBy(col("cell.r").as("r"), col("cell.bkt").as("bkt"))
-          .agg(count(lit(1)).as("c"))
-        val exact = toks.groupBy(col("tok"), col("h"))
-          .agg(count(lit(1)).as("exact"))
+          .agg(sum(col("exact")).as("c"))
         val probes = exact.select(col("tok"), col("h"), col("exact"),
           explode(array((0 until 4).map(r =>
             struct(lit(r).as("r"), bucket(r, col("h")).as("bkt"))): _*))

@@ -178,10 +178,14 @@ object TextOps {
           .groupBy(col("doc_id"))
           .agg(sum(col("c")).as("n_tokens"),
             count(lit(1)).as("n_distinct"),
-            sum(col("c") * col("c")).as("sumsq"))
-          // square AFTER the double cast: a LongType n_tokens² wraps (or
-          // throws under ANSI) past ~3e9 tokens while the oracle's HUGEINT
-          // stays exact — double·double is the same IEEE op in both engines
+            // c·c in decimal: a LongType c² wraps (or throws under ANSI)
+            // past c ≈ 3e9 — i.e. exactly the degenerate one-token
+            // documents gini exists to flag — while the oracle's HUGEINT
+            // stays exact. decimal(38) holds c² for any c the count fits,
+            // and both exact-integer → double conversions round identically
+            sum(col("c").cast("decimal(19,0)") * col("c")).as("sumsq"))
+          // n_tokens² AFTER the double cast for the same reason —
+          // double·double is the same IEEE op in both engines
           .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
             (lit(1.0) - col("sumsq").cast("double") /
               (col("n_tokens").cast("double") * col("n_tokens").cast("double")))
@@ -193,7 +197,7 @@ object TextOps {
              |  GROUP BY doc_id, tok)
              |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
              |  COUNT(*) AS n_distinct,
-             |  1.0 - CAST(SUM(c*c) AS DOUBLE)
+             |  1.0 - CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE)
              |      / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)) AS gini
              |FROM tc GROUP BY doc_id""".stripMargin)),
 
@@ -340,7 +344,11 @@ object TextOps {
           .crossJoin(broadcast(total))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_tokens"),
-            sum(col("c")).as("sumc"),
+            // Σc in decimal: per-occurrence corpus counts sum toward
+            // n_doc·N, which exceeds Long for a boilerplate-heavy doc at
+            // corpus scale — the oracle's SUM promotes to HUGEINT; both
+            // exact-integer → double conversions round identically
+            sum(col("c").cast("decimal(38,0)")).as("sumc"),
             sum(when(col("c") * 100 < col("total"), lit(1L))
               .otherwise(lit(0L))).as("nrare"),
             max(col("total")).as("n"))

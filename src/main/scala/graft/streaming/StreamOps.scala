@@ -160,22 +160,22 @@ object StreamOps {
     import graft.ops.LlmKit
     val statSigs = LlmKit.shingleSigs(
       clustered.select(col("doc_id"), col("text")))
+    // persist: a stream-static join re-executes the static plan every
+    // microbatch — without this the md5 + MinHash pass over the WHOLE
+    // clustered corpus would run per trigger, not once
     val statBands = LlmKit.sigBands(statSigs)
       .join(statSigs.select(col("doc_id"), col("ds")), "doc_id")
       .join(clustered.select(col("doc_id"), col("cluster_rep")), "doc_id")
       .select(col("band"), col("bkey"), col("cluster_rep"),
         col("ds").as("cand_ds"))
+      .persist()
     // band the stream inline (sigBands is batch-shaped; the stream must
-    // carry ts/ds through the explode)
+    // carry ts/ds through the explode — same bandStruct, so stream and
+    // batch cannot band differently)
     val banded = docs
       .withColumn("ds", array_distinct(LlmKit.hashedShingles(col("text"))))
       .withColumn("sig", LlmKit.minhashSigFromHashes(col("ds")))
-      .select(col("ts"), col("doc_id"), col("ds"),
-        explode(transform(sequence(lit(0), lit(LlmKit.LshBands - 1)), b =>
-          struct(b.as("band"),
-            array_join(transform(sequence(lit(1), lit(LlmKit.LshRows)), r =>
-              element_at(col("sig"), (b * LlmKit.LshRows + r).cast("int"))
-                .cast("string")), "_").as("bkey")))).as("bk"))
+      .select(col("ts"), col("doc_id"), col("ds"), LlmKit.bandStruct.as("bk"))
       .select(col("ts"), col("doc_id"), col("ds"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     banded
@@ -223,12 +223,7 @@ object StreamOps {
       .withWatermark("ts", "1 hour")
       .withColumn("ds", array_distinct(hashedShingles(col("text"))))
       .withColumn("sig", minhashSigFromHashes(col("ds")))
-      .select(col("ts"), col("doc_id"), col("ds"),
-        explode(transform(sequence(lit(0), lit(LshBands - 1)), b =>
-          struct(b.as("band"),
-            array_join(transform(sequence(lit(1), lit(LshRows)), r =>
-              element_at(col("sig"), (b * LshRows + r).cast("int"))
-                .cast("string")), "_").as("bkey")))).as("bk"))
+      .select(col("ts"), col("doc_id"), col("ds"), bandStruct.as("bk"))
       .select(col("ts"), col("doc_id"), col("ds"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
       .join(evalBands, Seq("band", "bkey"))

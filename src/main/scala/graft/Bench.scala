@@ -9,7 +9,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the 80+-query run emits enough WARN noise to push
+    // the one JSON result line out of the driver's log-tail capture
+    // (BENCH_r05 lost its total line to exactly that)
+    spark.sparkContext.setLogLevel("ERROR")
     // Untimed warmup: absorb JVM/codegen/parquet-footer startup cost so the
     // first timed query isn't charged for it (VERDICT r1: q16 artifact).
     spark.range(1000000L).selectExpr("sum(id)").collect()
@@ -28,13 +31,18 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }
+    // ms precision keeps the 80+-query JSON line compact (full double
+    // reprs nearly double its length for no information)
+    def ms(v: Double): Double = math.round(v * 1000) / 1000.0
+    val qs = results.map { case (k, v) => s"${jstr(k)}:${ms(v)}" }
       .mkString("{", ",", "}")
     val es = errors.reverse.map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_errors":${errors.size},"sf":"$sfDir"}""")
+    // stop FIRST, print LAST: nothing (not even executor-shutdown noise)
+    // may follow the result line the driver tail-captures
     spark.stop()
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$es,"n_errors":${errors.size},"sf":"$sfDir"}""")
     if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{HashedShinglesExpr, LshBucket, MinhashSigExpr, Simhash16Expr, VecDot}
+import graft.functions.{BloomMightContainExpr, HashedShinglesExpr, LshBucket, MinhashSigExpr, Simhash16Expr, VecDot}
 import graft.parse.PyToJson
 
 /** Engine extension point: registers graft's custom Catalyst expressions
@@ -71,5 +71,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "(a token appearing k times votes k).",
         "", "", "", "", "4.0.0", "", "built-in"),
       (children: Seq[Expression]) => Simhash16Expr(children.head, distinct = false)))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[BloomMightContainExpr].getName, null, "bloom_might_contain",
+        "_FUNC_(probe, filter) - Membership probe of a BIGINT against a " +
+          "foldable serialized bloom filter; codegen-fused (no UDF).",
+        "", "", "", "", "4.0.0", "", "built-in"),
+      (children: Seq[Expression]) =>
+        BloomMightContainExpr(children(0), children(1))))
   }
 }

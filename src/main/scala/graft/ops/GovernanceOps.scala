@@ -14,11 +14,12 @@ import org.apache.spark.sql.functions._
   *  - q46 mixing report: per-source document/token counts and token share
   *    — the input to domain-weighting decisions;
   *  - q47 dedup clustering: connected components over the near-dup pair
-  *    graph via min-label propagation, keeping the minimum doc_id as the
-  *    cluster representative — the step that turns pairwise LSH output
-  *    into "keep one copy per cluster". Iterates to fixpoint (components
-  *    here have tiny diameter; each round is one shuffle join). The oracle
-  *    computes the same closure with a recursive CTE;
+  *    graph via FRONTIER-based min-label propagation, keeping the minimum
+  *    doc_id as the cluster representative — the step that turns pairwise
+  *    LSH output into "keep one copy per cluster". Each round touches only
+  *    labels that changed last round, so per-round work decays as the
+  *    propagation converges. The oracle computes the same closure with a
+  *    recursive CTE;
   *  - q57 the same clustering via alternating large-star/small-star
   *    (Kiveris et al., "Connected Components in MapReduce and Beyond",
   *    SoCC'14 — public algorithm): converges in O(log n) rounds on ANY
@@ -35,7 +36,11 @@ import org.apache.spark.sql.functions._
   *  - q75 shingle novelty: fraction of a doc's shingles unique to it —
   *    the doc-level memorization-risk score;
   *  - q76 source-similarity matrix via merged MinHash sketches — corpus
-  *    diagnostics from constant-size mergeable summaries, never doc pairs.
+  *    diagnostics from constant-size mergeable summaries, never doc pairs;
+  *  - q82/q83 batch twins of the streaming cluster-assignment and
+  *    contamination-guard operators — the same StreamOps functions run in
+  *    batch mode, so the streaming surface's logic sits under the
+  *    driver's hash gate, not only under ScalaTest parity.
   */
 object GovernanceOps {
   import LlmKit._
@@ -242,45 +247,54 @@ object GovernanceOps {
         val pairs = lshCandidatePairs(corpus).select(col("id1"), col("id2")).cache()
         val edges = pairs
           .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-        var labels = corpus.select(col("doc_id"),
-          col("doc_id").as("cluster_rep"))
-        // min-label propagation to fixpoint; labels are monotonically
-        // non-increasing, so the label SUM is a convergence witness — one
-        // cheap aggregate per round instead of a change-detection join
-        // (equal sums ⇒ no label moved, since labels only decrease).
-        // One round = ONE join + ONE aggregation: each node takes the min
-        // over {own label} ∪ {neighbour labels} via union + groupBy-min
-        // (the previous 3-shuffle join/agg/join shape did the same thing).
-        // The loop runs UNTIL the fixpoint — propagation finishes within
-        // max-component-diameter rounds, so a safety cap only guards
-        // against a logic bug, and hitting it fails LOUDLY instead of
-        // returning unconverged labels that look like an answer.
-        def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-          df.agg(sum(col("cluster_rep"))).head().getLong(0)
+          .cache()
+        // FRONTIER-based min-label propagation: each round joins the edge
+        // set only against the labels that CHANGED last round (round 0:
+        // all nodes, since every node must announce its initial label
+        // once), takes the per-target min of the incoming labels, and
+        // lowers labels monotonically. The component minimum always wins
+        // every min() it reaches and always marks its adopter as moved,
+        // so it BFS-floods its component; rounds are still diameter-bound
+        // (q57's star rounds are the any-diameter variant) but per-round
+        // work decays with the frontier: early rounds touch every edge,
+        // later rounds only frontier-adjacent ones, and the labels⋈updates
+        // join broadcasts once the frontier is small (AQE picks that up
+        // from the runtime size). Convergence = empty frontier — exact,
+        // not a witness. localCheckpoint per round truncates lineage
+        // exactly like StarCC; the cap only guards a logic bug and fails
+        // LOUDLY instead of returning unconverged labels.
         val maxIters = 50
-        var prevSum = -1L
-        var curSum = labelSum(labels)
+        var labels = corpus
+          .select(col("doc_id"), col("doc_id").as("cluster_rep"))
+          .localCheckpoint()
+        var frontier = labels
+        var moved = frontier.count()
         var iter = 0
-        while (curSum != prevSum) {
+        while (moved > 0) {
           if (iter >= maxIters) throw new IllegalStateException(
             s"q47 min-label propagation not converged after $maxIters rounds" +
-              s" (sum $prevSum -> $curSum still moving)")
-          val next = labels
-            .unionByName(edges
-              .join(labels, edges("id2") === labels("doc_id"))
-              .select(edges("id1").as("doc_id"), col("cluster_rep")))
-            .groupBy(col("doc_id"))
-            .agg(min(col("cluster_rep")).as("cluster_rep"))
-            .cache()
-          prevSum = curSum
-          curSum = labelSum(next)
-          labels.unpersist()
-          labels = next
+              s" ($moved labels still moving)")
+          val cand = edges
+            .join(frontier.select(col("doc_id").as("src"),
+              col("cluster_rep").as("lbl")), col("id2") === col("src"))
+            .groupBy(col("id1").as("doc_id"))
+            .agg(min(col("lbl")).as("cand"))
+          val next = labels.join(cand, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              when(col("cand") < col("cluster_rep"), col("cand"))
+                .otherwise(col("cluster_rep")).as("cluster_rep"),
+              coalesce(col("cand") < col("cluster_rep"), lit(false))
+                .as("moved"))
+            .localCheckpoint()
+          frontier = next.filter(col("moved"))
+            .select(col("doc_id"), col("cluster_rep"))
+          labels = next.select(col("doc_id"), col("cluster_rep"))
+          moved = frontier.count()
           iter += 1
         }
-        // final labels are cached+materialized; the edge cache is no
-        // longer reachable from the returned plan's execution
+        // labels live in checkpoint storage now; the caches fed the loop
         pairs.unpersist()
+        edges.unpersist()
         labels
       },
       Some(clusterOracleSql)),
@@ -320,9 +334,13 @@ object GovernanceOps {
           .agg(count(lit(1)).as("df")).filter(col("df") > 100).select(col("g"))
         val egf = eg.join(hot, Seq("g"), "left_anti")
         val bf = egf.stat.bloomFilter("g", 1000000L, 0.01)
-        val mightContain = udf((g: Long) => bf.mightContain(g))
+        // native codegen probe (functions/BloomMightContain.scala): the
+        // filter ships as a foldable binary literal, deserialized once —
+        // a Scala UDF here would break codegen fusion for the whole
+        // prefilter stage
         val tgf = tg.join(hot, Seq("g"), "left_anti")
-          .filter(mightContain(col("g")))
+          .filter(call_function("bloom_might_contain", col("g"),
+            lit(bloomBytes(bf))))
         egf.join(tgf, Seq("g"))
           .groupBy(col("train_id"), col("eval_id"))
           .agg(count(lit(1)).as("c"))
@@ -399,6 +417,104 @@ object GovernanceOps {
               |FROM ds JOIN dfreq USING (g)
               |GROUP BY doc_id""".stripMargin)),
 
+    // ----- q82: cluster assignment (batch twin of the streaming path) -----
+    // The EXACT code the streaming operator runs
+    // ([[graft.streaming.StreamOps.clusterAssign]]), executed in batch
+    // mode (withWatermark is a no-op on a batch plan; the single literal
+    // ts collapses the event-time window to one group): route each
+    // perturbed document to the cluster of its best near-dup
+    // (Jaccard ≥ 0.5) in a static clustered corpus. Here every original
+    // document is its own cluster rep, so what the oracle verifies is the
+    // routing itself — band equi-join, exact-Jaccard candidate verify,
+    // argmax with the smallest-rep tie-break. This puts the streaming
+    // surface's logic under the driver's hash gate; StreamOpsSpec
+    // separately proves stream == this same function on chunked input.
+    NamedQuery(
+      "q82_cluster_assign",
+      (s, d) => {
+        val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+        val clustered = docs.select(col("doc_id"), col("text"),
+          col("doc_id").as("cluster_rep"))
+        val incoming = docs
+          .select((col("doc_id") + 100000).as("doc_id"),
+            dropFirstToken(col("text")).as("text"))
+          .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+        graft.streaming.StreamOps.clusterAssign(incoming, clustered)
+      },
+      Some {
+        s"""WITH stat AS (SELECT doc_id, text FROM documents),
+           |inc AS (
+           |  SELECT doc_id + 100000 AS doc_id,
+           |    ${dropFirstTokenSql("text")} AS text FROM documents),
+           |${sideBandsCteSql("s", "stat", "doc_id")},
+           |${sideBandsCteSql("q", "inc", "doc_id")},
+           |cand AS (
+           |  SELECT DISTINCT qb.doc_id AS doc_id, sb.doc_id AS cluster_rep
+           |  FROM q_bands qb JOIN s_bands sb
+           |    ON qb.b = sb.b AND qb.bkey = sb.bkey),
+           |scored AS (
+           |  SELECT c.doc_id, c.cluster_rep,
+           |    ${jaccardSql("qs.ds", "ss.ds")} AS jaccard
+           |  FROM cand c
+           |  JOIN q_sigs qs ON c.doc_id = qs.doc_id
+           |  JOIN s_sigs ss ON c.cluster_rep = ss.doc_id
+           |  WHERE ${jaccardSql("qs.ds", "ss.ds")} >= 0.5)
+           |SELECT doc_id, cluster_rep, best_jaccard FROM (
+           |  SELECT doc_id, cluster_rep,
+           |    MAX(jaccard) OVER (PARTITION BY doc_id) AS best_jaccard,
+           |    row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY jaccard DESC, cluster_rep) AS rn
+           |  FROM scored) t
+           |WHERE rn = 1""".stripMargin
+      }),
+
+    // ----- q83: contamination hits (batch twin of the streaming guard) ----
+    // The EXACT code the streaming guard runs
+    // ([[graft.streaming.StreamOps.contaminationHits]]) in batch mode:
+    // flag every incoming document that near-duplicates (shingle Jaccard
+    // ≥ 0.5) an eval-set document. Incoming = the non-eval corpus plus
+    // perturbed eval copies (planted leaks, +200000 — the q45 fixture);
+    // multi-band duplicate hits collapse with a plain distinct, the batch
+    // stand-in for the streaming watermark dedup. Output = the flagged
+    // (doc, eval, jaccard) leak list the guard would emit.
+    NamedQuery(
+      "q83_contamination_hits",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val eval_ = docs.filter(col("source") === "src19")
+          .select(col("doc_id"), col("text"))
+        val incoming = docs.filter(col("source") =!= "src19")
+          .select(col("doc_id"), col("text"))
+          .unionByName(eval_.select((col("doc_id") + 200000).as("doc_id"),
+            dropFirstToken(col("text")).as("text")))
+          .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+        graft.streaming.StreamOps.contaminationHits(incoming, eval_)
+          .select(col("doc_id"), col("eval_id"), col("jaccard"))
+          .distinct()
+      },
+      Some {
+        s"""WITH eval_docs AS (
+           |  SELECT doc_id, text FROM documents WHERE source = 'src19'),
+           |inc AS (
+           |  SELECT doc_id, text FROM documents WHERE source <> 'src19'
+           |  UNION ALL
+           |  SELECT doc_id + 200000 AS doc_id,
+           |    ${dropFirstTokenSql("text")} AS text FROM eval_docs),
+           |${sideBandsCteSql("e", "eval_docs", "doc_id")},
+           |${sideBandsCteSql("i", "inc", "doc_id")},
+           |cand AS (
+           |  SELECT DISTINCT ib.doc_id AS doc_id, eb.doc_id AS eval_id
+           |  FROM i_bands ib JOIN e_bands eb
+           |    ON ib.b = eb.b AND ib.bkey = eb.bkey)
+           |SELECT doc_id, eval_id, jaccard FROM (
+           |  SELECT c.doc_id, c.eval_id,
+           |    ${jaccardSql("isg.ds", "esg.ds")} AS jaccard
+           |  FROM cand c
+           |  JOIN i_sigs isg ON c.doc_id = isg.doc_id
+           |  JOIN e_sigs esg ON c.eval_id = esg.doc_id) t
+           |WHERE jaccard >= 0.5""".stripMargin
+      }),
+
     // ----- q76: source-similarity matrix via MERGED MinHash sketches ------
     // Pairwise similarity between the 20 sources WITHOUT touching any
     // document pair: each source gets ONE MinHash signature over the
@@ -465,6 +581,15 @@ object GovernanceOps {
               |    / ${NumHashes}.0 AS est_jaccard
               |FROM sg a JOIN sg b ON a.source < b.source""".stripMargin)),
   )
+
+  /** Serialized form of a driver-built bloom filter, for shipping as a
+    * foldable binary literal into the native probe expression. */
+  private def bloomBytes(
+      bf: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
 
   /** Transitive-closure oracle shared by q47 and q57: both must produce
     * the identical (doc_id, cluster_rep) labeling, whatever the

@@ -279,6 +279,37 @@ object LlmKit {
       .filter(col("jaccard") >= 0.5)
   }
 
+  /** Oracle CTE chain for ONE side's signatures + bands, prefix-named so
+    * two sides can coexist in a query: emits `${p}_sigs($idCol, ds, sig)`
+    * and `${p}_bands($idCol, b, bkey)` over a caller CTE `$src($idCol,
+    * text)`. Deliberately NO bucket cap — the stream-static paths
+    * ([[graft.streaming.StreamOps.contaminationHits]], `clusterAssign`)
+    * band each side independently and equi-join across sides (the static
+    * side is the bounded one there), and the oracle must mirror that. */
+  def sideBandsCteSql(p: String, src: String, idCol: String): String =
+    s"""${p}_tokh AS (
+       |  SELECT $idCol, text, ${tokenHashesSql("text")} AS th FROM $src),
+       |${p}_shg AS (
+       |  SELECT $idCol, list_distinct(${hashedShinglesSql("text", "th")}) AS ds
+       |  FROM ${p}_tokh),
+       |${p}_sigs AS (
+       |  SELECT $idCol, ds, ${minhashSigOverHashesSql("ds")} AS sig
+       |  FROM ${p}_shg),
+       |${p}_bands AS (
+       |  SELECT $idCol, b,
+       |    array_to_string(list_transform(range(1, ${LshRows + 1}),
+       |      r -> CAST(sig[b * $LshRows + r] AS VARCHAR)), '_') AS bkey
+       |  FROM ${p}_sigs, unnest(range(0, $LshBands)) AS u(b))""".stripMargin
+
+  /** Oracle rendering of [[jaccardOf]] over two bound distinct-list
+    * columns (intersection by filter+contains — equal to array_intersect
+    * size because both inputs are distinct). */
+  def jaccardSql(a: String, b: String): String =
+    s"""CAST(len(list_filter($a, x -> list_contains($b, x))) AS DOUBLE)
+       | / (len($a) + len($b)
+       |    - len(list_filter($a, x -> list_contains($b, x))))"""
+      .stripMargin.replace("\n", " ")
+
   /** Oracle rendering of [[lshCandidatePairs]]: a CTE chain ending in
     * `pairs(id1, id2, jaccard)`, over a caller-defined `corpus(doc_id,
     * text)` CTE. */

@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   *    expressions with a DuckDB oracle;
   *  - [[extractMeta]]: the typed mapPartitions layer a real decoder plugs
   *    into — the Spark-side plumbing (schema, batch iteration, partition
-  *    routing) is real and tested; only [[decodeDims]] is a deterministic
-  *    STUB because no image/audio codec ships in this environment.
+  *    routing) is real and tested. [[decodeDims]] parses PNG/BMP/WAV
+  *    container headers in pure JVM code (no codec dependency); only
+  *    unknown containers fall back to a deterministic STUB, and pixel/
+  *    sample decode (the codec part) stays out of scope in this
+  *    environment.
   *
   * The payloads here are synthesized from `documents.text` bytes (the
   * testdata has no binary table) — the plumbing is payload-agnostic.
@@ -26,11 +29,43 @@ object MultimodalOps {
   final case class MediaMeta(doc_id: Long, modality: String, n_bytes: Int,
       width: Int, height: Int, frames: Int)
 
-  /** STUB decoder: a real implementation would parse the container header
-    * (PNG/JPEG dims, WAV sample count, MP4 frame count). Deterministic
-    * fake derived from the payload bytes so tests are exact. */
-  def decodeDims(payload: Array[Byte]): (Int, Int) =
-    (64 + (payload.length % 256), 64 + ((payload.length * 7) % 256))
+  /** Container-header decode, pure JVM (no codec dependency):
+    *
+    *  - PNG → IHDR (width, height) — big-endian ints at offsets 16/20;
+    *  - BMP → BITMAPINFOHEADER (biWidth, |biHeight|) — little-endian at
+    *    18/22 (negative height = top-down row order, dims unchanged);
+    *  - WAV (PCM) → (sample_rate, n_channels) in the same two slots —
+    *    little-endian at 24/22 of the canonical RIFF/WAVE/fmt layout.
+    *
+    * Each sniff requires structural ZERO bytes (PNG's control-byte magic,
+    * BMP's 40-byte header-size field, WAV's fmt-size 16 field), so a
+    * NUL-free text payload can never false-positive into a parser — the
+    * synthesized corpora keep hitting the STUB fallback below, which is
+    * the same formula q37's declarative twin computes; the two layers
+    * stay in exact agreement (MultimodalSpec). Pixel/sample DECODE (the
+    * part that needs a codec library) remains out of scope here; a real
+    * decoder replaces the fallback, not the plumbing. */
+  def decodeDims(payload: Array[Byte]): (Int, Int) = {
+    def u8(i: Int): Int = payload(i) & 0xff
+    def be32(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le32(i: Int): Int =
+      (u8(i + 3) << 24) | (u8(i + 2) << 16) | (u8(i + 1) << 8) | u8(i)
+    def le16(i: Int): Int = (u8(i + 1) << 8) | u8(i)
+    def ascii(i: Int, s: String): Boolean =
+      payload.length >= i + s.length &&
+        s.indices.forall(k => u8(i + k) == s.charAt(k).toInt)
+    val isPng = payload.length >= 24 &&
+      u8(0) == 0x89 && ascii(1, "PNG") && u8(4) == 0x0d && u8(5) == 0x0a &&
+      u8(6) == 0x1a && u8(7) == 0x0a && ascii(12, "IHDR")
+    val isBmp = payload.length >= 26 && ascii(0, "BM") && le32(14) == 40
+    val isWav = payload.length >= 28 && ascii(0, "RIFF") &&
+      ascii(8, "WAVE") && ascii(12, "fmt ") && le32(16) == 16
+    if (isPng) (be32(16), be32(20))
+    else if (isBmp) (le32(18), math.abs(le32(22)))
+    else if (isWav) (le32(24), le16(22))
+    else (64 + (payload.length % 256), 64 + ((payload.length * 7) % 256))
+  }
 
   /** Typed decode pipeline: batch-iterates each partition once (the shape
     * a vectorized decoder needs), no shuffle — decode parallelism is

@@ -80,18 +80,31 @@ object ScaleOps {
               |  FROM events i WHERE i.user_id = e.user_id)""".stripMargin)),
 
     // ----- q41: HLL sketch distinct (approx_count_distinct) ---------------
-    // Sketch contents are engine-specific, so there is no cross-engine
-    // oracle — the driver records a rows-only check. The exact count rides
-    // along so the sketch's error is visible in the output itself.
+    // The built-in HLL++'s sketch internals are engine-specific, so the
+    // raw estimate can never hash-match a DuckDB oracle (q79's hand-rolled
+    // HLL closes that gap bit-exactly). What CAN be verified exactly: the
+    // exact distinct count, and that the estimate honors its error
+    // contract. The estimate therefore ships as a bounded-error boolean —
+    // rsd=0.05 default, bound 3σ=15%; deterministic for a given input, not
+    // flaky — and the oracle emits TRUE, so rows+schema+hash cover the
+    // whole output instead of the previous rows-only check.
     NamedQuery(
       "q41_approx_distinct",
       (s, d) =>
         tbl(s, d, "documents")
           .select(col("lang"), explode(split(col("text"), " ")).as("token"))
           .groupBy(col("lang"))
-          .agg(approx_count_distinct(col("token")).as("approx_tokens"),
-            countDistinct(col("token")).as("exact_tokens")),
-      None),
+          .agg(approx_count_distinct(col("token")).as("approx"),
+            countDistinct(col("token")).as("exact_tokens"))
+          .select(col("lang"), col("exact_tokens"),
+            (abs(col("approx") - col("exact_tokens")).cast("double") <=
+              lit(0.15) * col("exact_tokens").cast("double"))
+              .as("approx_within_15pct")),
+      Some("""SELECT lang, COUNT(DISTINCT token) AS exact_tokens,
+             |  TRUE AS approx_within_15pct
+             |FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+             |      FROM documents)
+             |GROUP BY lang""".stripMargin)),
 
     // ----- q66: cube (all grouping-set combinations, one shuffle) ---------
     // Completes the multi-dimensional aggregate surface next to q40's

@@ -13,8 +13,12 @@ import org.apache.spark.sql.functions._
   *  - q32 LSH-bucketed ANN: 8 deterministic random-hyperplane signs → a
   *    256-bucket signature; candidates = same-bucket corpus rows only.
   *    This is the scale path: bucket join replaces the all-pairs scan;
+  *  - q39 IVF-style ANN: coarse-quantizer assignment + nprobe=2 probing —
+  *    the inverted-list scale path next to q32's hashing one;
   *  - q64 int8 scalar quantization: per-vector min/max codes + exact
-  *    reconstruction MSE — the 4×-smaller representation an index stores.
+  *    reconstruction MSE — the 4×-smaller representation an index stores;
+  *  - q85 measured recall@3 of both ANN paths against q31's exact
+  *    baseline — retrieval quality as a number, not an assumption.
   *
   * Hyperplane component (i,j) is ((i·64+j)·2654435761 mod 2^32)/2^32 − 0.5 —
   * a closed form both engines evaluate exactly (division by 2^32 is exact
@@ -22,6 +26,7 @@ import org.apache.spark.sql.functions._
   * bit-exact left folds (LlmKit parity contract).
   */
 object SimilarityOps {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
   import LlmKit._
   import OpsKit._
 
@@ -30,6 +35,77 @@ object SimilarityOps {
     * left-fold projection order as the declarative form it replaced). */
   private def lshBucket(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     call_function("lsh_bucket", emb)
+
+  // ---- shared ranked pipelines ------------------------------------------
+  // Each ends in (q_id, vec_id, cos, rank): q31/q32/q39 register fixed-k
+  // slices, and q85 measures ANN recall against the exact baseline from
+  // the SAME pipelines — no duplicated plan to drift.
+
+  /** Corpus with per-vector norm materialized once (never per pair). */
+  private def normed(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+
+  /** Brute-force exact cosine ranking (queries broadcast, corpus streams). */
+  private def exactRanked(s: SparkSession, d: String): DataFrame = {
+    val emb = normed(s, d)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    emb.crossJoin(broadcast(queries))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")))
+          .as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  /** LSH-bucketed ANN ranking: candidates = same-bucket corpus rows. */
+  private def lshRanked(s: SparkSession, d: String): DataFrame = {
+    val emb = normed(s, d)
+      .withColumn("bucket", lshBucket(col("embedding")))
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("bucket"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    emb.join(broadcast(queries), Seq("bucket"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")))
+          .as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  /** IVF-style ANN ranking: coarse-centroid assignment, nprobe=2. */
+  private def ivfRanked(s: SparkSession, d: String): DataFrame = {
+    val emb = normed(s, d)
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
+        col("nrm").as("cn"))
+    val scored = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+        (dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+          .as("ccos"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val assigned = scored.withColumn("crn", row_number().over(wAssign))
+    val corpusA = assigned.filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cent_id").as("cluster"))
+    val probes = assigned.filter(col("vec_id") % 100 === 0)
+      .filter(col("crn") <= 2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("cent_id").as("cluster"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    corpusA.join(broadcast(probes), Seq("cluster"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")))
+          .as("cos"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+  }
 
   private def lshBucketSql(emb: String): String =
     s"""list_reduce(list_prepend(0, list_transform(range(0, 8), i ->
@@ -80,22 +156,7 @@ object SimilarityOps {
     // ----- q31: brute-force cosine top-k (exact ANN baseline) -------------
     NamedQuery(
       "q31_cosine_topk",
-      (s, d) => {
-        val emb = tbl(s, d, "embeddings")
-          .select(col("vec_id"), col("embedding"),
-            sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
-        val queries = emb.filter(col("vec_id") % 100 === 0)
-          .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-            col("nrm").as("qn"))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("cos").desc, col("vec_id"))
-        emb.crossJoin(broadcast(queries))
-          .select(col("q_id"), col("vec_id"),
-            (dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")))
-              .as("cos"))
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 5)
-      },
+      (s, d) => exactRanked(s, d).filter(col("rank") <= 5),
       Some(s"""SELECT q_id, vec_id, cos, rank FROM (
               |  SELECT q.vec_id AS q_id, e.vec_id,
               |    ${cosineSql("q.embedding", "e.embedding")} AS cos,
@@ -109,23 +170,7 @@ object SimilarityOps {
     // ----- q32: LSH-bucketed ANN (the 100 TB path) ------------------------
     NamedQuery(
       "q32_ann_lsh",
-      (s, d) => {
-        val emb = tbl(s, d, "embeddings")
-          .select(col("vec_id"), col("embedding"),
-            lshBucket(col("embedding")).as("bucket"),
-            sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
-        val queries = emb.filter(col("vec_id") % 100 === 0)
-          .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-            col("bucket"), col("nrm").as("qn"))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("cos").desc, col("vec_id"))
-        emb.join(broadcast(queries), Seq("bucket"))
-          .select(col("q_id"), col("vec_id"),
-            (dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")))
-              .as("cos"))
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 3)
-      },
+      (s, d) => lshRanked(s, d).filter(col("rank") <= 3),
       Some(s"""WITH b AS (
               |  SELECT vec_id, embedding,
               |    ${lshBucketSql("embedding")} AS bucket
@@ -149,36 +194,7 @@ object SimilarityOps {
     // cluster id — cost O(corpus·K + query·probed-list), never all-pairs.
     NamedQuery(
       "q39_ivf_ann",
-      (s, d) => {
-        val emb = tbl(s, d, "embeddings")
-          .select(col("vec_id"), col("embedding"),
-            sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
-        val cents = emb.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
-            col("nrm").as("cn"))
-        val scored = emb.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
-            (dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
-              .as("ccos"))
-        val wAssign = Window.partitionBy(col("vec_id"))
-          .orderBy(col("ccos").desc, col("cent_id"))
-        val assigned = scored.withColumn("crn", row_number().over(wAssign))
-        val corpusA = assigned.filter(col("crn") === 1)
-          .select(col("vec_id"), col("embedding"), col("nrm"),
-            col("cent_id").as("cluster"))
-        val probes = assigned.filter(col("vec_id") % 100 === 0)
-          .filter(col("crn") <= 2)
-          .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-            col("nrm").as("qn"), col("cent_id").as("cluster"))
-        val wRank = Window.partitionBy(col("q_id"))
-          .orderBy(col("cos").desc, col("vec_id"))
-        corpusA.join(broadcast(probes), Seq("cluster"))
-          .select(col("q_id"), col("vec_id"),
-            (dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")))
-              .as("cos"))
-          .withColumn("rank", row_number().over(wRank).cast("long"))
-          .filter(col("rank") <= 3)
-      },
+      (s, d) => ivfRanked(s, d).filter(col("rank") <= 3),
       Some(s"""WITH cents AS (
               |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
               |  WHERE vec_id < 8),
@@ -274,5 +290,96 @@ object SimilarityOps {
              |  list_reduce(list_prepend(CAST(0 AS DOUBLE), errs),
              |    (a, b) -> a + b) / CAST(len(ed) AS DOUBLE) AS mse
              |FROM qz""".stripMargin)),
+
+    // ----- q85: measured recall@3 of both ANN paths vs the exact baseline -
+    // q32/q39 are each oracle-CORRECT, but correctness of an ANN query
+    // says nothing about its retrieval QUALITY — recall against the exact
+    // baseline is the number an index tuning loop actually watches (more
+    // bands/probes → recall up, candidates scanned up). Per query point:
+    // |ANN top-3 ∩ exact top-3| / 3 for the LSH-bucketed and the IVF
+    // path, from the SAME shared pipelines the registered queries slice
+    // (no drift possible). A missing q_id in an ANN result (empty bucket)
+    // scores 0 via the left join, not a dropped row.
+    NamedQuery(
+      "q85_ann_recall",
+      (s, d) => {
+        val ex = exactRanked(s, d).filter(col("rank") <= 3)
+          .select(col("q_id"), col("vec_id"))
+        val lsh = lshRanked(s, d).filter(col("rank") <= 3)
+          .select(col("q_id"), col("vec_id"))
+        val ivf = ivfRanked(s, d).filter(col("rank") <= 3)
+          .select(col("q_id"), col("vec_id"))
+        def overlap(ann: DataFrame, nm: String): DataFrame =
+          ex.join(ann, Seq("q_id", "vec_id"))
+            .groupBy(col("q_id")).agg(count(lit(1)).as(nm))
+        ex.select(col("q_id")).distinct()
+          .join(overlap(lsh, "lsh_overlap"), Seq("q_id"), "left")
+          .join(overlap(ivf, "ivf_overlap"), Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("lsh_overlap"), lit(0L)).as("lsh_overlap"),
+            coalesce(col("ivf_overlap"), lit(0L)).as("ivf_overlap"))
+          .select(col("q_id"), col("lsh_overlap"), col("ivf_overlap"),
+            (col("lsh_overlap").cast("double") / lit(3.0)).as("lsh_recall"),
+            (col("ivf_overlap").cast("double") / lit(3.0)).as("ivf_recall"))
+      },
+      Some(s"""WITH ex AS (
+              |  SELECT q_id, vec_id FROM (
+              |    SELECT q.vec_id AS q_id, e.vec_id,
+              |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |        ${cosineSql("q.embedding", "e.embedding")} DESC,
+              |        e.vec_id) AS rank
+              |    FROM embeddings e,
+              |         (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q)
+              |  WHERE rank <= 3),
+              |b AS (
+              |  SELECT vec_id, embedding,
+              |    ${lshBucketSql("embedding")} AS bucket
+              |  FROM embeddings),
+              |lsh AS (
+              |  SELECT q_id, vec_id FROM (
+              |    SELECT q.vec_id AS q_id, e.vec_id,
+              |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |        ${cosineSql("q.embedding", "e.embedding")} DESC,
+              |        e.vec_id) AS rank
+              |    FROM b e JOIN (SELECT * FROM b WHERE vec_id % 100 = 0) q
+              |      ON e.bucket = q.bucket)
+              |  WHERE rank <= 3),
+              |cents AS (
+              |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+              |  WHERE vec_id < 8),
+              |scored AS (
+              |  SELECT e.vec_id, e.embedding, c.cent_id,
+              |    row_number() OVER (PARTITION BY e.vec_id
+              |      ORDER BY ${cosineSql("e.embedding", "c.ce")} DESC,
+              |        c.cent_id) AS crn
+              |  FROM embeddings e, cents c),
+              |corpus_a AS (
+              |  SELECT vec_id, embedding, cent_id AS cluster FROM scored
+              |  WHERE crn = 1),
+              |probes AS (
+              |  SELECT vec_id AS q_id, embedding AS qe, cent_id AS cluster
+              |  FROM scored WHERE vec_id % 100 = 0 AND crn <= 2),
+              |ivf AS (
+              |  SELECT q_id, vec_id FROM (
+              |    SELECT p.q_id, a.vec_id,
+              |      row_number() OVER (PARTITION BY p.q_id ORDER BY
+              |        ${cosineSql("p.qe", "a.embedding")} DESC, a.vec_id)
+              |        AS rank
+              |    FROM corpus_a a JOIN probes p ON a.cluster = p.cluster)
+              |  WHERE rank <= 3),
+              |qs AS (SELECT DISTINCT q_id FROM ex),
+              |lo AS (
+              |  SELECT q_id, COUNT(*) AS c FROM ex
+              |  JOIN lsh USING (q_id, vec_id) GROUP BY q_id),
+              |io AS (
+              |  SELECT q_id, COUNT(*) AS c FROM ex
+              |  JOIN ivf USING (q_id, vec_id) GROUP BY q_id)
+              |SELECT qs.q_id,
+              |  CAST(COALESCE(lo.c, 0) AS BIGINT) AS lsh_overlap,
+              |  CAST(COALESCE(io.c, 0) AS BIGINT) AS ivf_overlap,
+              |  CAST(COALESCE(lo.c, 0) AS DOUBLE) / 3.0 AS lsh_recall,
+              |  CAST(COALESCE(io.c, 0) AS DOUBLE) / 3.0 AS ivf_recall
+              |FROM qs LEFT JOIN lo ON qs.q_id = lo.q_id
+              |        LEFT JOIN io ON qs.q_id = io.q_id""".stripMargin)),
   )
 }

@@ -24,7 +24,10 @@ import org.apache.spark.sql.functions._
   *    fraction against the corpus's own unigram distribution);
   *  - q77 BPE pair-merge statistics: corpus-weighted adjacent-character
   *    pair counts over the distinct-word table — tokenizer training
-  *    step 1, vocabulary-sized work instead of token-stream-sized.
+  *    step 1, vocabulary-sized work instead of token-stream-sized;
+  *  - q84 iterated BPE merges: the k-round training loop over the same
+  *    vocabulary-sized table (count pairs → argmax → apply merge),
+  *    producing the learned merge table itself.
   *
   * All per-row with no shuffle (q33-q36, q59), or hash-aggregated with
   * map-side partial aggregation (q52, q60-q62) — linear and partition-
@@ -414,5 +417,103 @@ object TextOps {
              |SELECT pair, CAST(SUM(freq) AS BIGINT) AS w
              |FROM p GROUP BY pair
              |ORDER BY w DESC, pair LIMIT 20""".stripMargin)),
+
+    // ----- q84: iterated BPE merges (tokenizer training, k rounds) --------
+    // q77 computes merge step 1; this runs the LOOP: k=3 rounds of
+    // count-pairs → argmax → apply-merge — the actual BPE training shape.
+    // Work stays vocabulary-sized the whole way (Heaps' law: distinct
+    // words × frequency weights, never the token stream), and the merge
+    // APPLICATION is one literal string replace per word: symbols are
+    // wrapped as "(a)(b)(c)" and the winning pair's pattern "(a)(b)"
+    // replaces left-to-right non-overlapping with "(ab)" — exactly the
+    // greedy semantics a sequential BPE merge applies, with the wrapper
+    // chars making cross-symbol false matches impossible (both engines'
+    // replace() scans the original string and never rescans the inserted
+    // target, so the two sides are character-identical). The per-round
+    // argmax is ONE tiny driver scalar (same budget as StarCC's
+    // convergence witness); ties break (weight DESC, pair ASC) in both
+    // engines; localCheckpoint per round truncates lineage. Output: the
+    // k learned merges — the table a trained tokenizer ships.
+    NamedQuery(
+      "q84_bpe_merges",
+      (s, d) => {
+        val k = 3
+        var vocab: org.apache.spark.sql.DataFrame = tbl(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+          .select(col("freq"), concat(lit("("),
+            array_join(split(col("tok"), ""), ")("), lit(")")).as("w"))
+          .localCheckpoint()
+        val merges = Seq.newBuilder[(Long, String, Long)]
+        for (step <- 1 to k) {
+          // syms is BOUND in its own projection before the transform
+          // lambda touches it — an inline split expression would
+          // re-evaluate once per outer lambda element (the HOF recompute
+          // trap that cost q31's first draft 250 s)
+          val best = vocab
+            .select(col("freq"),
+              split(expr("substring(w, 2, length(w) - 2)"), "\\)\\(")
+                .as("syms"))
+            .select(col("freq"), explode(when(size(col("syms")) >= 2,
+              transform(sequence(lit(1), size(col("syms")) - 1), i =>
+                concat(lit("("), element_at(col("syms"), i), lit(")("),
+                  element_at(col("syms"), i + 1), lit(")"))))
+              .otherwise(array().cast("array<string>"))).as("pair"))
+            .groupBy(col("pair")).agg(sum(col("freq")).as("wt"))
+            .orderBy(col("wt").desc, col("pair")).limit(1)
+            .head()
+          val pair = best.getString(0)
+          merges += ((step.toLong, pair, best.getLong(1)))
+          if (step < k) vocab = vocab.select(col("freq"),
+            replace(col("w"), lit(pair), lit(pair.replace(")(", ""))).as("w"))
+            .localCheckpoint()
+        }
+        import s.implicits._
+        merges.result().toDF("step", "pair", "wt")
+      },
+      Some {
+        // one merge round's pair-count CTE over a vocab CTE $vn(freq, w)
+        def pairsCte(pn: String, vn: String): String = {
+          val syms = "string_split(substr(w, 2, len(w) - 2), ')(')"
+          s"""$pn AS (
+             |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS wt FROM (
+             |    SELECT freq, unnest(
+             |      CASE WHEN len($syms) >= 2
+             |        THEN [('(' || $syms[i] || ')(' || $syms[i + 1] || ')')
+             |              for i in range(1, len($syms))]
+             |        ELSE [] END) AS pair
+             |    FROM $vn)
+             |  GROUP BY pair)""".stripMargin
+        }
+        def bestCte(bn: String, pn: String): String =
+          s"$bn AS (SELECT pair, wt FROM $pn ORDER BY wt DESC, pair LIMIT 1)"
+        def applyCte(vn1: String, vn0: String, bn: String): String =
+          s"""$vn1 AS (
+             |  SELECT freq, replace(w, (SELECT pair FROM $bn),
+             |    replace((SELECT pair FROM $bn), ')(', '')) AS w
+             |  FROM $vn0)""".stripMargin
+        s"""WITH vt AS (
+           |  SELECT tok, COUNT(*) AS freq
+           |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+           |        FROM documents)
+           |  GROUP BY tok),
+           |v0 AS (
+           |  SELECT freq,
+           |    '(' || array_to_string(list_transform(
+           |      range(1, len(tok) + 1), i -> tok[i:i]), ')(') || ')' AS w
+           |  FROM vt),
+           |${pairsCte("p1", "v0")},
+           |${bestCte("b1", "p1")},
+           |${applyCte("v1", "v0", "b1")},
+           |${pairsCte("p2", "v1")},
+           |${bestCte("b2", "p2")},
+           |${applyCte("v2", "v1", "b2")},
+           |${pairsCte("p3", "v2")},
+           |${bestCte("b3", "p3")}
+           |SELECT CAST(1 AS BIGINT) AS step, pair, wt FROM b1
+           |UNION ALL SELECT CAST(2 AS BIGINT), pair, wt FROM b2
+           |UNION ALL SELECT CAST(3 AS BIGINT), pair, wt FROM b3"""
+          .stripMargin
+      }),
   )
 }

@@ -54,6 +54,32 @@ class LshGuardSpec extends AnyFunSuite {
     assert(dropped.forall(_.getLong(2) == 200L), dropped.mkString(", "))
   }
 
+  test("a planted near-cap bucket is kept AND bounds per-key join work") {
+    import spark.implicits._
+    // exactly MaxLshBucket identical docs: the largest bucket the cap
+    // admits — one size-64 bucket per band, on top of the normal corpus
+    val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit " +
+      "sed do eiusmod tempor incididunt ut labore et dolore magna aliqua"
+    val nearCap = (1 to MaxLshBucket).map(i => (2000000L + i, boiler))
+      .toDF("doc_id", "text")
+    val corpus = normalCorpus.unionByName(nearCap)
+    // the guard's task-size invariant: after cappedBands NO surviving
+    // (band, bkey) key exceeds the cap, so a band-join task's per-key
+    // work is ≤ cap rows per side → ≤ cap² candidate combinations; with
+    // a uniform bkey hash a shuffle partition is a sum of such bounded
+    // keys, so no quadratic straggler task can exist whatever the corpus
+    val maxBucket = cappedBands(shingleSigs(corpus))
+      .groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    assert(maxBucket <= MaxLshBucket, s"bucket of $maxBucket leaked past cap")
+    // the near-cap bucket is KEPT: all C(64,2) identical-doc pairs emerge
+    // (this is the recall side — the cap drops only degenerate buckets)
+    val capPairs = lshCandidatePairs(corpus)
+      .filter(col("id1") > 2000000L && col("id2") > 2000000L).count()
+    assert(capPairs == MaxLshBucket.toLong * (MaxLshBucket - 1) / 2)
+  }
+
   test("sub-cap buckets (exact duplicates under the cap) still pair") {
     import spark.implicits._
     // 5 identical docs — well under MaxLshBucket — must yield all C(5,2)

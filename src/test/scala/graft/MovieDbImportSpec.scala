@@ -40,4 +40,28 @@ class MovieDbImportSpec extends AnyFunSuite {
       assert(got == List(("Star Wars", "Action"), ("Star Wars", "Adventure")))
     } finally con.close()
   }
+
+  test("re-running the import is idempotent (drop-recreate-append)") {
+    val url2 = "jdbc:derby:memory:graftImportTwice;create=true"
+    val dir = Files.createTempDirectory("graft-dataset-rerun")
+    for (f <- Seq("movies_metadata.csv", "credits.csv", "keywords.csv",
+        "ratings.csv"))
+      Files.copy(Paths.get(TestSpark.fixture(f)), dir.resolve(f),
+        StandardCopyOption.REPLACE_EXISTING)
+    // full multiset snapshot of every table, read back through the same
+    // JDBC source path FormatsSpec covers
+    def snapshot(): Map[String, Seq[String]] =
+      graft.sink.JdbcSink.tableDdl.map { case (t, _) =>
+        t -> spark.read.format("jdbc").option("url", url2)
+          .option("dbtable", t).load()
+          .collect().map(_.toString).sorted.toSeq
+      }.toMap
+    MovieDbImport.run(spark, dir.toString, url2)
+    val first = snapshot()
+    MovieDbImport.run(spark, dir.toString, url2)
+    val second = snapshot()
+    assert(first.values.map(_.size).sum == 52) // same totals as run #1's test
+    assert(second == first,
+      "second run changed table contents — import is not idempotent")
+  }
 }

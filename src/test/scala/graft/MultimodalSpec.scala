@@ -27,6 +27,61 @@ class MultimodalSpec extends AnyFunSuite {
     assert(typed == declarative)
   }
 
+  test("container headers decode without codecs; unknown falls back to stub") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def png(w: Int, h: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(33).order(ByteOrder.BIG_ENDIAN)
+      b.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte))
+      b.putInt(13); b.put("IHDR".getBytes("US-ASCII"))
+      b.putInt(w); b.putInt(h); b.put(Array[Byte](8, 6, 0, 0, 0))
+      b.array()
+    }
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(54).order(ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte); b.put('M'.toByte)
+      b.putInt(54); b.putShort(0); b.putShort(0); b.putInt(54)
+      b.putInt(40); b.putInt(w); b.putInt(h)
+      b.putShort(1); b.putShort(24)
+      b.putInt(0); b.putInt(0); b.putInt(0); b.putInt(0); b.putInt(0)
+      b.putInt(0)
+      b.array()
+    }
+    def wav(rate: Int, ch: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(44).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")); b.putInt(36)
+      b.put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")); b.putInt(16)
+      b.putShort(1); b.putShort(ch.toShort); b.putInt(rate)
+      b.putInt(rate * ch * 2); b.putShort((ch * 2).toShort); b.putShort(16)
+      b.put("data".getBytes("US-ASCII")); b.putInt(0)
+      b.array()
+    }
+    assert(MultimodalOps.decodeDims(png(640, 480)) == ((640, 480)))
+    assert(MultimodalOps.decodeDims(bmp(1024, 768)) == ((1024, 768)))
+    // negative biHeight = top-down row order; dimensions are unchanged
+    assert(MultimodalOps.decodeDims(bmp(32, -32)) == ((32, 32)))
+    assert(MultimodalOps.decodeDims(wav(44100, 2)) == ((44100, 2)))
+    val junk = "just some text bytes".getBytes("UTF-8")
+    assert(MultimodalOps.decodeDims(junk) ==
+      ((64 + junk.length % 256, 64 + (junk.length * 7) % 256)))
+
+    // the typed pipeline carries the parsed dims end-to-end
+    import spark.implicits._
+    val media = Seq(
+      MultimodalOps.MediaRecord(1L, "image", png(640, 480)),
+      MultimodalOps.MediaRecord(2L, "image", bmp(1024, 768)),
+      MultimodalOps.MediaRecord(3L, "audio", wav(44100, 2)),
+      MultimodalOps.MediaRecord(4L, "image", junk)).toDS()
+    val metas = MultimodalOps.extractMeta(media).collect()
+      .map(m => m.doc_id -> ((m.width, m.height))).toMap
+    assert(metas(1L) == ((640, 480)))
+    assert(metas(2L) == ((1024, 768)))
+    assert(metas(3L) == ((44100, 2)))
+    assert(metas(4L) ==
+      ((64 + junk.length % 256, 64 + (junk.length * 7) % 256)))
+  }
+
   test("payload round-trips utf-8 bytes") {
     val r = MultimodalOps.mediaFromDocuments(spark, dir).head()
     assert(new String(r.payload, "UTF-8").nonEmpty)

@@ -197,6 +197,32 @@ class NativeExprSpec extends AnyFunSuite {
     assert(diffs == 0)
   }
 
+  test("bloom_might_contain == driver-side probes; q65 plan carries no UDF") {
+    import spark.implicits._
+    val vals = (1L to 500L).toDF("g")
+    val bf = vals.filter(col("g") % 3 === 0).stat.bloomFilter("g", 1000L, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val bytes = bos.toByteArray
+    val got = vals.select(col("g"),
+      call_function("bloom_might_contain", col("g"), lit(bytes)).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    (1L to 500L).foreach { g =>
+      assert(got(g) == bf.mightContainLong(g), s"probe $g diverged")
+    }
+    // no false negatives — the prefilter contract q65 relies on
+    assert((3L to 500L by 3).forall(got))
+    // null probe → null result
+    val n = Seq[Option[Long]](None).toDF("g")
+      .select(call_function("bloom_might_contain", col("g"), lit(bytes)))
+      .head()
+    assert(n.isNullAt(0))
+    // and the registered q65 plan is UDF-free end to end
+    val plan = SparkEntry.queries("q65_bloom_contamination")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), "q65 still has a Scala UDF node")
+  }
+
   test("py_to_json null contract: NULL in, NULL out; junk in, NULL out") {
     import spark.implicits._
     val df = Seq(Some("[1, 2]"), Some("not python"), None).toDF("x")

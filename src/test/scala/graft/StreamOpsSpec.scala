@@ -200,8 +200,10 @@ class StreamOpsSpec extends AnyFunSuite {
 
   test("streaming cluster assignment routes perturbed docs to their cluster") {
     import graft.ops.LlmKit
+    // the SAME corpus the registered batch twin q82 uses, so the stream
+    // can be asserted equal to the oracle-checked query below
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      .limit(200)
+      .select(col("doc_id"), col("text"))
     // static clustered corpus: every original is its own cluster rep
     val clustered = docs.select(col("doc_id"), col("text"),
       col("doc_id").as("cluster_rep"))
@@ -254,6 +256,12 @@ class StreamOpsSpec extends AnyFunSuite {
     val want = asSet(StreamOps.clusterAssign(incoming, clustered))
     assert(want.nonEmpty)
     assert(got == want)
+    // and the stream equals the REGISTERED batch twin q82 — the query the
+    // driver's DuckDB oracle hash-checks (ts literal differs; the output
+    // carries no window column, so the sets must match exactly)
+    val q82 = asSet(SparkEntry.queries("q82_cluster_assign")(
+      spark, "/root/testdata/sf0.001"))
+    assert(got == q82)
     // every matched doc routed to its own original's cluster
     assert(got.forall { r =>
       r(1).asInstanceOf[Long] == r(0).asInstanceOf[Long] - 100000
@@ -367,6 +375,13 @@ class StreamOpsSpec extends AnyFunSuite {
       .select("doc_id", "eval_id").distinct().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toSet
     assert(got == want)
+    // and with jaccard included the stream equals the REGISTERED batch
+    // twin q83 — the query the driver's DuckDB oracle hash-checks
+    val gotFull = asSet(spark.table("t_contam")
+      .select(col("doc_id"), col("eval_id"), col("jaccard")))
+    val q83 = asSet(SparkEntry.queries("q83_contamination_hits")(
+      spark, "/root/testdata/sf0.001"))
+    assert(gotFull == q83)
     // every planted leak is flagged against its origin eval doc
     val planted = eval_.select(col("doc_id")).collect().map(_.getLong(0))
       .map(id => (id + 200000) -> id).toSet

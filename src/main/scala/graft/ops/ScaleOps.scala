@@ -323,5 +323,132 @@ object ScaleOps {
            |  e.exact_distinct
            |FROM folded f JOIN exact e USING (lang)""".stripMargin
       }),
+
+    // ----- q87: cross-source vocabulary overlap via MERGED HLL sketches ---
+    // The mergeability payoff q79 only claims: per-source HLL registers
+    // (source, bucket, max-rank) are built ONCE from one token-stream
+    // shuffle, then every source pair's UNION cardinality comes from
+    // merging two 64-register summaries by element-wise max — 190 pairs ×
+    // 64 registers, never a re-scan of the corpus. At 100 TB this is how
+    // cross-shard overlap matrices are computed: sketch per shard in one
+    // pass, merge sketches driver-side-small. The estimate reuses q79's
+    // bit-exact fold (registers in bucket order, empties appended as one
+    // exact multiple, α from integer-cast divisions) so even the DOUBLE
+    // column hash-matches. Exact |A∩B| (distinct-token equi-join, shuffles
+    // on the token — uniform keys) and |A∪B| = nA + nB − |A∩B| ride along
+    // to make the sketch error visible, same witness pattern as q78/q79.
+    NamedQuery(
+      "q87_hll_union",
+      (s, d) => {
+        val dt = tbl(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .distinct()
+        val ranked = dt.select(col("source"), strHash(col("tok")).as("h"))
+          .select(col("source"), pmod(col("h"), lit(64)).as("bkt"),
+            expr("shiftright(h, 6)").as("v"))
+          .select(col("source"), col("bkt"),
+            when(col("v") === 0, lit(55))
+              .otherwise(lit(55) - length(bin(col("v")))).as("rank"))
+        val regs = ranked.groupBy(col("source"), col("bkt"))
+          .agg(max(col("rank")).as("m"))
+        val srcs = dt.select(col("source")).distinct()
+        val pairs = srcs.select(col("source").as("src_a"))
+          .crossJoin(srcs.select(col("source").as("src_b")))
+          .filter(col("src_a") < col("src_b"))
+        // merged registers: union both sides' registers per pair, max per
+        // bucket — the HLL merge operation itself
+        val merged = pairs
+          .join(regs.withColumnRenamed("source", "src_a"), Seq("src_a"))
+          .select(col("src_a"), col("src_b"), col("bkt"), col("m"))
+          .unionByName(pairs
+            .join(regs.withColumnRenamed("source", "src_b"), Seq("src_b"))
+            .select(col("src_a"), col("src_b"), col("bkt"), col("m")))
+          .groupBy(col("src_a"), col("src_b"), col("bkt"))
+          .agg(max(col("m")).as("m"))
+        val alpha = (lit(7213.0) / lit(10000.0)) /
+          (lit(1.0) + (lit(1079.0) / lit(1000.0)) / lit(64.0))
+        val est = merged.groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("n_regs"),
+            sort_array(collect_list(struct(col("bkt"), col("m")))).as("rm"))
+          .select(col("src_a"), col("src_b"),
+            (aggregate(col("rm"), lit(0.0),
+              (acc, p) => acc + lit(1.0) / pow(lit(2.0), p.getField("m"))) +
+              (lit(64) - col("n_regs")).cast("double")).as("z"))
+          .select(col("src_a"), col("src_b"),
+            (alpha * lit(4096.0) / col("z")).as("hll_union_est"))
+        val counts = dt.groupBy(col("source"))
+          .agg(count(lit(1)).as("n"))
+        val inter = dt.select(col("source").as("src_a"), col("tok"))
+          .join(dt.select(col("source").as("src_b"), col("tok")), Seq("tok"))
+          .filter(col("src_a") < col("src_b"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("exact_inter"))
+        est
+          .join(counts.select(col("source").as("src_a"), col("n").as("na")),
+            Seq("src_a"))
+          .join(counts.select(col("source").as("src_b"), col("n").as("nb")),
+            Seq("src_b"))
+          .join(inter, Seq("src_a", "src_b"), "left")
+          .select(col("src_a"), col("src_b"), col("hll_union_est"),
+            coalesce(col("exact_inter"), lit(0L)).as("exact_inter"),
+            (col("na") + col("nb") -
+              coalesce(col("exact_inter"), lit(0L))).as("exact_union"))
+      },
+      Some {
+        val h = strHashSql("tok")
+        s"""WITH dt AS (
+           |  SELECT DISTINCT source, tok FROM (
+           |    SELECT source, unnest(string_split(text, ' ')) AS tok
+           |    FROM documents)),
+           |ranked AS (
+           |  SELECT source, h % 64 AS bkt,
+           |    CASE WHEN (h // 64) = 0 THEN 55
+           |         ELSE 55 - length(bin(h // 64)) END AS rank
+           |  FROM (SELECT source, $h AS h FROM dt)),
+           |regs AS (
+           |  SELECT source, bkt, MAX(rank) AS m
+           |  FROM ranked GROUP BY source, bkt),
+           |pairs AS (
+           |  SELECT a.source AS src_a, b.source AS src_b
+           |  FROM (SELECT DISTINCT source FROM dt) a,
+           |       (SELECT DISTINCT source FROM dt) b
+           |  WHERE a.source < b.source),
+           |merged AS (
+           |  SELECT src_a, src_b, bkt, MAX(m) AS m FROM (
+           |    SELECT p.src_a, p.src_b, r.bkt, r.m
+           |    FROM pairs p JOIN regs r ON r.source = p.src_a
+           |    UNION ALL
+           |    SELECT p.src_a, p.src_b, r.bkt, r.m
+           |    FROM pairs p JOIN regs r ON r.source = p.src_b)
+           |  GROUP BY src_a, src_b, bkt),
+           |folded AS (
+           |  SELECT src_a, src_b, COUNT(*) AS n_regs,
+           |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |      list_transform(list(m ORDER BY bkt), mm ->
+           |        CAST(1 AS DOUBLE) / pow(CAST(2 AS DOUBLE), mm))),
+           |      (a, b) -> a + b)
+           |      + CAST(64 - COUNT(*) AS DOUBLE) AS z
+           |  FROM merged GROUP BY src_a, src_b),
+           |counts AS (
+           |  SELECT source, COUNT(*) AS n FROM dt GROUP BY source),
+           |inter AS (
+           |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS c
+           |  FROM dt a JOIN dt b
+           |    ON a.tok = b.tok AND a.source < b.source
+           |  GROUP BY a.source, b.source)
+           |SELECT f.src_a, f.src_b,
+           |  ((CAST(7213 AS DOUBLE) / CAST(10000 AS DOUBLE))
+           |     / (CAST(1 AS DOUBLE)
+           |        + (CAST(1079 AS DOUBLE) / CAST(1000 AS DOUBLE))
+           |          / CAST(64 AS DOUBLE)))
+           |    * CAST(4096 AS DOUBLE) / f.z AS hll_union_est,
+           |  CAST(COALESCE(i.c, 0) AS BIGINT) AS exact_inter,
+           |  CAST(ca.n + cb.n - COALESCE(i.c, 0) AS BIGINT) AS exact_union
+           |FROM folded f
+           |JOIN counts ca ON ca.source = f.src_a
+           |JOIN counts cb ON cb.source = f.src_b
+           |LEFT JOIN inter i ON i.src_a = f.src_a AND i.src_b = f.src_b"""
+          .stripMargin
+      }),
   )
 }

@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
   *  - q64 int8 scalar quantization: per-vector min/max codes + exact
   *    reconstruction MSE — the 4×-smaller representation an index stores;
   *  - q85 measured recall@3 of both ANN paths against q31's exact
-  *    baseline — retrieval quality as a number, not an assumption.
+  *    baseline — retrieval quality as a number, not an assumption;
+  *  - q86 SemDeDup-style semantic dedup: within-cluster near-dup drop
+  *    over the coarse-quantizer clusters (pair work bounded by cluster
+  *    size, never corpus all-pairs).
   *
   * Hyperplane component (i,j) is ((i·64+j)·2654435761 mod 2^32)/2^32 − 0.5 —
   * a closed form both engines evaluate exactly (division by 2^32 is exact
@@ -381,5 +384,86 @@ object SimilarityOps {
               |  CAST(COALESCE(io.c, 0) AS DOUBLE) / 3.0 AS ivf_recall
               |FROM qs LEFT JOIN lo ON qs.q_id = lo.q_id
               |        LEFT JOIN io ON qs.q_id = io.q_id""".stripMargin)),
+
+    // ----- q86: SemDeDup — semantic dedup within embedding clusters -------
+    // The embedding-space twin of MinHash dedup (Abbas et al., "SemDeDup",
+    // arXiv:2303.09540 — public method): assign every vector to its
+    // nearest coarse centroid, then compare pairs ONLY within a cluster
+    // and drop every vector that has a lower-id near-duplicate (cosine ≥
+    // 0.99) in its cluster. The cluster equi-join is the whole point of
+    // the method: pair work is Σ|cluster|², bounded by growing K with the
+    // corpus (K ∝ N keeps clusters constant-size), never corpus all-pairs.
+    // The synthetic embeddings are near-orthogonal (max natural
+    // within-cluster cosine ≈ 0.49 at sf0.01), so the corpus plants exact
+    // copies of vec_id % 7 == 3 (re-keyed +100000) — the q45 planted-leak
+    // pattern; a copy lands in its original's cluster (identical scores,
+    // same cent_id tie-break) and must be the dropped one (higher id).
+    // Exact copies score cos = dot/(n·n) with n = sqrt(dot) — within one
+    // ulp of 1.0 but not exactly 1.0, hence the 0.99 threshold, far above
+    // the 0.49 natural ceiling. Output: every corpus row with its cluster
+    // and keep/drop verdict — kept = no lower-id near-dup in the cluster.
+    NamedQuery(
+      "q86_semantic_dedup",
+      (s, d) => {
+        val base = tbl(s, d, "embeddings")
+        val corpus = base.select(col("vec_id"), col("embedding"))
+          .unionByName(base.filter(col("vec_id") % 7 === 3)
+            .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+          .select(col("vec_id"), col("embedding"),
+            sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+        val cents = base.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
+            sqrt(dot(col("embedding"), col("embedding"))).as("cn"))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("cent_id"))
+        val assigned = corpus.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+            (dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+              .as("ccos"))
+          .withColumn("crn", row_number().over(wAssign))
+          .filter(col("crn") === 1)
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            col("cent_id").as("cluster"))
+        val lo = assigned.select(col("cluster"), col("vec_id").as("lo_id"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        val hi = assigned.select(col("cluster"), col("vec_id"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+        // within-cluster pairs only (equi-join on cluster), lower id wins
+        val dropped = lo.join(hi, Seq("cluster"))
+          .filter(col("lo_id") < col("vec_id"))
+          .filter(dot(col("ea"), col("eb")) / (col("na") * col("nb"))
+            >= 0.99)
+          .select(col("vec_id")).distinct()
+          .withColumn("dropped", lit(true))
+        assigned.select(col("vec_id"), col("cluster"))
+          .join(dropped, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cluster"),
+            coalesce(!col("dropped"), lit(true)).as("kept"))
+      },
+      Some(s"""WITH corpus AS (
+              |  SELECT vec_id, embedding FROM embeddings
+              |  UNION ALL
+              |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+              |  WHERE vec_id % 7 = 3),
+              |cents AS (
+              |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+              |  WHERE vec_id < 8),
+              |scored AS (
+              |  SELECT e.vec_id, e.embedding, c.cent_id,
+              |    row_number() OVER (PARTITION BY e.vec_id
+              |      ORDER BY ${cosineSql("e.embedding", "c.ce")} DESC,
+              |        c.cent_id) AS crn
+              |  FROM corpus e, cents c),
+              |assigned AS (
+              |  SELECT vec_id, embedding, cent_id AS cluster FROM scored
+              |  WHERE crn = 1),
+              |dropped AS (
+              |  SELECT DISTINCT b.vec_id FROM assigned a
+              |  JOIN assigned b ON a.cluster = b.cluster
+              |    AND a.vec_id < b.vec_id
+              |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.99)
+              |SELECT c.vec_id, c.cluster, d.vec_id IS NULL AS kept
+              |FROM assigned c LEFT JOIN dropped d
+              |  ON c.vec_id = d.vec_id""".stripMargin)),
   )
 }

@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions._
   *    step 1, vocabulary-sized work instead of token-stream-sized;
   *  - q84 iterated BPE merges: the k-round training loop over the same
   *    vocabulary-sized table (count pairs → argmax → apply merge),
-  *    producing the learned merge table itself.
+  *    producing the learned merge table itself;
+  *  - q88 BPE encode: applies the learned merges to the corpus — each
+  *    distinct word encoded once, token stream joins the vocab-sized
+  *    encoding table, per-doc BPE token counts out.
   *
   * All per-row with no shuffle (q33-q36, q59), or hash-aggregated with
   * map-side partial aggregation (q52, q60-q62) — linear and partition-
@@ -45,6 +48,91 @@ object TextOps {
 
   private val HashMod = 1000000007L
   private val WinnowLen = 16
+
+  // ---- BPE training (shared by q84 learn-merges and q88 encode) ---------
+  /** k rounds of count-pairs → argmax → apply-merge over the wrapped
+    * vocabulary (see q84's operator comment for the full semantics and
+    * parity argument). Returns the learned (step, pair, weight) merges;
+    * the per-round argmax is ONE driver scalar, localCheckpoint truncates
+    * lineage per round. */
+  private def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String,
+      k: Int): Seq[(Long, String, Long)] = {
+    var vocab: org.apache.spark.sql.DataFrame = tbl(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), concat(lit("("),
+        array_join(split(col("tok"), ""), ")("), lit(")")).as("w"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, Long)]
+    for (step <- 1 to k) {
+      // syms is BOUND in its own projection before the transform lambda
+      // touches it — an inline split expression would re-evaluate once
+      // per outer lambda element (the HOF recompute trap, q31 lesson)
+      val best = vocab
+        .select(col("freq"),
+          split(expr("substring(w, 2, length(w) - 2)"), "\\)\\(")
+            .as("syms"))
+        .select(col("freq"), explode(when(size(col("syms")) >= 2,
+          transform(sequence(lit(1), size(col("syms")) - 1), i =>
+            concat(lit("("), element_at(col("syms"), i), lit(")("),
+              element_at(col("syms"), i + 1), lit(")"))))
+          .otherwise(array().cast("array<string>"))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("wt"))
+        .orderBy(col("wt").desc, col("pair")).limit(1)
+        .head()
+      val pair = best.getString(0)
+      merges += ((step.toLong, pair, best.getLong(1)))
+      if (step < k) vocab = vocab.select(col("freq"),
+        replace(col("w"), lit(pair), lit(pair.replace(")(", ""))).as("w"))
+        .localCheckpoint()
+    }
+    merges.result()
+  }
+
+  /** One merge round's pair-count CTE over a vocab CTE `vn`(freq, w). */
+  private def bpePairsCte(pn: String, vn: String): String = {
+    val syms = "string_split(substr(w, 2, len(w) - 2), ')(')"
+    s"""$pn AS (
+       |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS wt FROM (
+       |    SELECT freq, unnest(
+       |      CASE WHEN len($syms) >= 2
+       |        THEN [('(' || $syms[i] || ')(' || $syms[i + 1] || ')')
+       |              for i in range(1, len($syms))]
+       |        ELSE [] END) AS pair
+       |    FROM $vn)
+       |  GROUP BY pair)""".stripMargin
+  }
+
+  private def bpeBestCte(bn: String, pn: String): String =
+    s"$bn AS (SELECT pair, wt FROM $pn ORDER BY wt DESC, pair LIMIT 1)"
+
+  private def bpeApplyCte(vn1: String, vn0: String, bn: String): String =
+    s"""$vn1 AS (
+       |  SELECT freq, replace(w, (SELECT pair FROM $bn),
+       |    replace((SELECT pair FROM $bn), ')(', '')) AS w
+       |  FROM $vn0)""".stripMargin
+
+  /** The k=3 training CTE chain `vt, v0, p1, b1, v1, …, p3, b3` shared by
+    * the q84 and q88 oracles — b1..b3 hold the learned merges. */
+  private def bpeTrainCtes: String =
+    s"""vt AS (
+       |  SELECT tok, COUNT(*) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+       |        FROM documents)
+       |  GROUP BY tok),
+       |v0 AS (
+       |  SELECT freq,
+       |    '(' || array_to_string(list_transform(
+       |      range(1, len(tok) + 1), i -> tok[i:i]), ')(') || ')' AS w
+       |  FROM vt),
+       |${bpePairsCte("p1", "v0")},
+       |${bpeBestCte("b1", "p1")},
+       |${bpeApplyCte("v1", "v0", "b1")},
+       |${bpePairsCte("p2", "v1")},
+       |${bpeBestCte("b2", "p2")},
+       |${bpeApplyCte("v2", "v1", "b2")},
+       |${bpePairsCte("p3", "v2")},
+       |${bpeBestCte("b3", "p3")}""".stripMargin
 
   def all: Seq[NamedQuery] = Seq(
 
@@ -437,83 +525,83 @@ object TextOps {
     NamedQuery(
       "q84_bpe_merges",
       (s, d) => {
-        val k = 3
-        var vocab: org.apache.spark.sql.DataFrame = tbl(s, d, "documents")
-          .select(explode(split(col("text"), " ")).as("tok"))
-          .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-          .select(col("freq"), concat(lit("("),
-            array_join(split(col("tok"), ""), ")("), lit(")")).as("w"))
-          .localCheckpoint()
-        val merges = Seq.newBuilder[(Long, String, Long)]
-        for (step <- 1 to k) {
-          // syms is BOUND in its own projection before the transform
-          // lambda touches it — an inline split expression would
-          // re-evaluate once per outer lambda element (the HOF recompute
-          // trap that cost q31's first draft 250 s)
-          val best = vocab
-            .select(col("freq"),
-              split(expr("substring(w, 2, length(w) - 2)"), "\\)\\(")
-                .as("syms"))
-            .select(col("freq"), explode(when(size(col("syms")) >= 2,
-              transform(sequence(lit(1), size(col("syms")) - 1), i =>
-                concat(lit("("), element_at(col("syms"), i), lit(")("),
-                  element_at(col("syms"), i + 1), lit(")"))))
-              .otherwise(array().cast("array<string>"))).as("pair"))
-            .groupBy(col("pair")).agg(sum(col("freq")).as("wt"))
-            .orderBy(col("wt").desc, col("pair")).limit(1)
-            .head()
-          val pair = best.getString(0)
-          merges += ((step.toLong, pair, best.getLong(1)))
-          if (step < k) vocab = vocab.select(col("freq"),
-            replace(col("w"), lit(pair), lit(pair.replace(")(", ""))).as("w"))
-            .localCheckpoint()
-        }
         import s.implicits._
-        merges.result().toDF("step", "pair", "wt")
+        bpeTrain(s, d, 3).toDF("step", "pair", "wt")
       },
       Some {
-        // one merge round's pair-count CTE over a vocab CTE $vn(freq, w)
-        def pairsCte(pn: String, vn: String): String = {
-          val syms = "string_split(substr(w, 2, len(w) - 2), ')(')"
-          s"""$pn AS (
-             |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS wt FROM (
-             |    SELECT freq, unnest(
-             |      CASE WHEN len($syms) >= 2
-             |        THEN [('(' || $syms[i] || ')(' || $syms[i + 1] || ')')
-             |              for i in range(1, len($syms))]
-             |        ELSE [] END) AS pair
-             |    FROM $vn)
-             |  GROUP BY pair)""".stripMargin
-        }
-        def bestCte(bn: String, pn: String): String =
-          s"$bn AS (SELECT pair, wt FROM $pn ORDER BY wt DESC, pair LIMIT 1)"
-        def applyCte(vn1: String, vn0: String, bn: String): String =
-          s"""$vn1 AS (
-             |  SELECT freq, replace(w, (SELECT pair FROM $bn),
-             |    replace((SELECT pair FROM $bn), ')(', '')) AS w
-             |  FROM $vn0)""".stripMargin
-        s"""WITH vt AS (
-           |  SELECT tok, COUNT(*) AS freq
-           |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
-           |        FROM documents)
-           |  GROUP BY tok),
-           |v0 AS (
-           |  SELECT freq,
-           |    '(' || array_to_string(list_transform(
-           |      range(1, len(tok) + 1), i -> tok[i:i]), ')(') || ')' AS w
-           |  FROM vt),
-           |${pairsCte("p1", "v0")},
-           |${bestCte("b1", "p1")},
-           |${applyCte("v1", "v0", "b1")},
-           |${pairsCte("p2", "v1")},
-           |${bestCte("b2", "p2")},
-           |${applyCte("v2", "v1", "b2")},
-           |${pairsCte("p3", "v2")},
-           |${bestCte("b3", "p3")}
+        s"""WITH $bpeTrainCtes
            |SELECT CAST(1 AS BIGINT) AS step, pair, wt FROM b1
            |UNION ALL SELECT CAST(2 AS BIGINT), pair, wt FROM b2
            |UNION ALL SELECT CAST(3 AS BIGINT), pair, wt FROM b3"""
           .stripMargin
+      }),
+
+    // ----- q88: BPE encode — apply the trained merges to the corpus -------
+    // q84 trains the tokenizer; this APPLIES it — the second half of the
+    // tokenizer loop and the op that actually runs at token-stream scale
+    // in a pretraining pipeline. The scale shape is the point: each
+    // DISTINCT word is encoded exactly once (wrap → the k learned merges
+    // as literal replaces → symbol count = '(' count), a vocabulary-sized
+    // table by Heaps' law, and the token stream only ever meets it in a
+    // hash join on the word — the join AQE broadcasts once the vocab side
+    // proves small. The 3 merge literals are driver scalars from the same
+    // bounded training loop q84 runs (vocabulary-sized argmax per round —
+    // the bloom-filter budget class, not a data collect). Output per doc:
+    // whitespace token count, pre-merge symbol (=char) count, and
+    // post-merge BPE symbol count — the compression the merges bought.
+    NamedQuery(
+      "q88_bpe_encode",
+      (s, d) => {
+        val merges = bpeTrain(s, d, 3).map(_._2)
+        val tc = tbl(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+        val wrapped = tc.select(col("tok")).distinct()
+          .select(col("tok"), concat(lit("("),
+            array_join(split(col("tok"), ""), ")("), lit(")")).as("w"))
+        val enc = merges.foldLeft(wrapped)((df, pair) =>
+          df.withColumn("w",
+            replace(col("w"), lit(pair), lit(pair.replace(")(", "")))))
+          .select(col("tok"),
+            (length(col("w")) -
+              length(replace(col("w"), lit("("), lit(""))))
+              .cast("long").as("n_syms"))
+        tc.join(enc, Seq("tok"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_tokens"),
+            sum(col("c") * length(col("tok")).cast("long"))
+              .as("n_char_syms"),
+            sum(col("c") * col("n_syms")).as("n_bpe_syms"))
+      },
+      Some {
+        def applyEnc(en1: String, en0: String, bn: String): String =
+          s"""$en1 AS (
+             |  SELECT tok, replace(w, (SELECT pair FROM $bn),
+             |    replace((SELECT pair FROM $bn), ')(', '')) AS w
+             |  FROM $en0)""".stripMargin
+        s"""WITH $bpeTrainCtes,
+           |tc AS (
+           |  SELECT doc_id, tok, COUNT(*) AS c
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           |        FROM documents)
+           |  GROUP BY doc_id, tok),
+           |w0 AS (
+           |  SELECT tok,
+           |    '(' || array_to_string(list_transform(
+           |      range(1, len(tok) + 1), i -> tok[i:i]), ')(') || ')' AS w
+           |  FROM (SELECT DISTINCT tok FROM tc)),
+           |${applyEnc("e1", "w0", "b1")},
+           |${applyEnc("e2", "e1", "b2")},
+           |${applyEnc("e3", "e2", "b3")},
+           |sy AS (
+           |  SELECT tok, len(w) - len(replace(w, '(', '')) AS n_syms
+           |  FROM e3)
+           |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(c * len(tok)) AS BIGINT) AS n_char_syms,
+           |  CAST(SUM(c * n_syms) AS BIGINT) AS n_bpe_syms
+           |FROM tc JOIN sy USING (tok)
+           |GROUP BY doc_id""".stripMargin
       }),
   )
 }

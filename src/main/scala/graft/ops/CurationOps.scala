@@ -16,7 +16,11 @@ import org.apache.spark.sql.functions._
   *    across runs and engines because the sampling key is a content hash,
   *    not an RNG;
   *  - q70 content-defined chunking: rolling-hash boundaries (Rabin-style
-  *    CDC) — an edit shifts one chunk, not every window after it.
+  *    CDC) — an edit shifts one chunk, not every window after it;
+  *  - q89 weighted PPS sampling (sequential Poisson): hash-priority
+  *    top-k per stratum, probability proportional to document size;
+  *  - q90 per-language length-band trim: exact [p05, p95] percentile
+  *    bounds per language, broadcast back as the outlier filter.
   */
 object CurationOps {
   import LlmKit._
@@ -231,5 +235,75 @@ object CurationOps {
               |  CAST(n_tokens AS DOUBLE) / CAST(len(bpos) + 1 AS DOUBLE)
               |    AS avg_chunk_len
               |FROM b""".stripMargin)),
+
+    // ----- q89: weighted PPS sample (sequential Poisson sampling) ---------
+    // q44 samples uniformly within strata; a training mix usually wants
+    // probability-proportional-to-SIZE — long documents carry more tokens
+    // and deserve proportionally more sampling mass. Sequential Poisson
+    // sampling (Ohlsson 1998, the standard PPS scheme surveys run):
+    // priority = u / w with u a content-hash uniform and w the document
+    // weight; the k smallest priorities per stratum are the sample.
+    // Deterministic (hash, not RNG), one-pass, and at scale it's a
+    // per-stratum top-k — partial-aggregated TakeOrdered work, no global
+    // sort, no per-row state. u = h / 2^60 is exact: the int→double
+    // rounding is the same IEEE round-to-nearest in both engines and the
+    // divisor is a power of two; priority is one double division.
+    NamedQuery(
+      "q89_pps_sample",
+      (s, d) => {
+        val k = 5
+        val u = strHash(col("doc_id").cast("string")).cast("double") /
+          lit(1152921504606846976.0) // 2^60 ≥ max 15-hex-digit hash
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(col("priority"), col("doc_id"))
+        tbl(s, d, "documents")
+          .select(col("source"), col("doc_id"),
+            (u / col("n_chars").cast("double")).as("priority"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= k)
+      },
+      Some(s"""SELECT source, doc_id, priority, rank FROM (
+              |  SELECT source, doc_id, priority,
+              |    row_number() OVER (PARTITION BY source
+              |      ORDER BY priority, doc_id) AS rank
+              |  FROM (
+              |    SELECT source, doc_id,
+              |      (CAST(${strHashSql("CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+              |       / 1152921504606846976.0)
+              |        / CAST(n_chars AS DOUBLE) AS priority
+              |    FROM documents))
+              |WHERE rank <= 5""".stripMargin)),
+
+    // ----- q90: per-language length-band trim (outlier removal) -----------
+    // The C4-style length filter, done per stratum: keep documents whose
+    // length sits inside the [p05, p95] band of their OWN language — a
+    // global band would let the dominant language's distribution set the
+    // cutoffs for the tail ones. Exact interpolated percentiles (the q50
+    // parity contract) over each language, broadcast back as a 5-row
+    // bounds table — at 100 TB the percentile pass is one partial-agg
+    // shuffle on lang and the trim itself is a broadcast-join filter, so
+    // the corpus streams once per pass and nothing global-sorts.
+    NamedQuery(
+      "q90_length_band",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val bounds = docs.groupBy(col("lang"))
+          .agg(expr("percentile(n_chars, 0.05)").as("lo"),
+            expr("percentile(n_chars, 0.95)").as("hi"))
+        docs.join(broadcast(bounds), Seq("lang"))
+          .filter(col("n_chars").cast("double") >= col("lo") &&
+            col("n_chars").cast("double") <= col("hi"))
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            col("lo"), col("hi"))
+      },
+      Some("""WITH bounds AS (
+             |  SELECT lang, quantile_cont(n_chars, 0.05) AS lo,
+             |    quantile_cont(n_chars, 0.95) AS hi
+             |  FROM documents GROUP BY lang)
+             |SELECT doc_id, d.lang, n_chars, lo, hi
+             |FROM documents d JOIN bounds b ON d.lang = b.lang
+             |WHERE CAST(n_chars AS DOUBLE) >= lo
+             |  AND CAST(n_chars AS DOUBLE) <= hi""".stripMargin)),
   )
 }

@@ -40,7 +40,10 @@ import org.apache.spark.sql.functions._
   *  - q82/q83 batch twins of the streaming cluster-assignment and
   *    contamination-guard operators — the same StreamOps functions run in
   *    batch mode, so the streaming surface's logic sits under the
-  *    driver's hash gate, not only under ScalaTest parity.
+  *    driver's hash gate, not only under ScalaTest parity;
+  *  - q92 triangle counting on the near-dup graph: the clique-ness
+  *    diagnostic that tells over-merged components from dense duplicate
+  *    families (node-iterator joins over id-oriented edges).
   */
 object GovernanceOps {
   import LlmKit._
@@ -580,6 +583,63 @@ object GovernanceOps {
               |            if a.sig[i] = b.sig[i]]) AS DOUBLE)
               |    / ${NumHashes}.0 AS est_jaccard
               |FROM sg a JOIN sg b ON a.source < b.source""".stripMargin)),
+
+    // ----- q92: triangle counting on the near-dup graph -------------------
+    // The graph statistic after connected components: how CLIQUE-like are
+    // the near-dup clusters? A mirrored-site family shows up as dense
+    // triangles, a drift chain (A~B~C but A!~C) as none — the signal that
+    // decides whether "keep one per component" over-merges. Corpus plants
+    // two perturbation generations per doc (drop 1 / drop 2 leading
+    // tokens, re-keyed +100000/+200000), so {orig, v1, v2} forms a real
+    // triangle per document. Count by node-iterator join (Suri & Vassilvitskii
+    // WWW'11 shape): edges arrive oriented id1 < id2 from the LSH pair
+    // pipeline, wedges (a<b<c) are one self-join on the middle node, and a
+    // second equi-join closes them against the edge set — all hash joins
+    // on bounded-degree keys (the LSH bucket cap bounds degree upstream;
+    // production systems orient by degree for the same bound). Output:
+    // per-node triangle participation.
+    NamedQuery(
+      "q92_triangles",
+      (s, d) => {
+        val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+        val corpus = docs
+          .unionByName(docs.select((col("doc_id") + 100000).as("doc_id"),
+            dropFirstToken(col("text")).as("text")))
+          .unionByName(docs.select((col("doc_id") + 200000).as("doc_id"),
+            dropFirstToken(dropFirstToken(col("text"))).as("text")))
+        val e = lshCandidatePairs(corpus).select(col("id1"), col("id2"))
+          .cache()
+        val wedges = e.select(col("id1").as("a"), col("id2").as("b"))
+          .join(e.select(col("id1").as("b"), col("id2").as("c")), Seq("b"))
+        val tris = wedges
+          .join(e.select(col("id1").as("a"), col("id2").as("c")),
+            Seq("a", "c"))
+        tris.select(explode(array(col("a"), col("b"), col("c")))
+            .as("doc_id"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_triangles"))
+      },
+      Some {
+        val corpusSql =
+          s"""SELECT doc_id, text FROM documents
+             | UNION ALL
+             | SELECT doc_id + 100000 AS doc_id,
+             |   ${dropFirstTokenSql("text")} AS text FROM documents
+             | UNION ALL
+             | SELECT doc_id + 200000 AS doc_id,
+             |   ${dropFirstTokenSql(dropFirstTokenSql("text"))} AS text
+             | FROM documents""".stripMargin.replace("\n", " ")
+        s"""WITH corpus AS ($corpusSql),
+           |$lshPairsCteSql,
+           |e AS (SELECT id1, id2 FROM pairs),
+           |tri AS (
+           |  SELECT e1.id1 AS a, e1.id2 AS b, e2.id2 AS c
+           |  FROM e e1 JOIN e e2 ON e1.id2 = e2.id1
+           |            JOIN e e3 ON e3.id1 = e1.id1 AND e3.id2 = e2.id2),
+           |x AS (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+           |SELECT doc_id, COUNT(*) AS n_triangles
+           |FROM x GROUP BY doc_id""".stripMargin
+      }),
   )
 
   /** Serialized form of a driver-built bloom filter, for shipping as a

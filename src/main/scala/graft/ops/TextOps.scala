@@ -30,7 +30,9 @@ import org.apache.spark.sql.functions._
   *    producing the learned merge table itself;
   *  - q88 BPE encode: applies the learned merges to the corpus — each
   *    distinct word encoded once, token stream joins the vocab-sized
-  *    encoding table, per-doc BPE token counts out.
+  *    encoding table, per-doc BPE token counts out;
+  *  - q91 vocabulary coverage / OOV rate: per-doc fraction of token
+  *    occurrences outside the broadcast top-100 vocabulary.
   *
   * All per-row with no shuffle (q33-q36, q59), or hash-aggregated with
   * map-side partial aggregation (q52, q60-q62) — linear and partition-
@@ -603,5 +605,45 @@ object TextOps {
            |FROM tc JOIN sy USING (tok)
            |GROUP BY doc_id""".stripMargin
       }),
+
+    // ----- q91: vocabulary coverage / OOV rate per document ---------------
+    // The metric a fixed-vocabulary tokenizer or embedding table imposes:
+    // for each document, what fraction of its token OCCURRENCES falls
+    // outside the top-100 corpus vocabulary. The vocab is a deterministic
+    // top-k (freq DESC, tok ASC — the q60 order contract) that broadcasts
+    // to the token stream; the scan never shuffles on the token — one
+    // per-doc partial aggregation and a broadcast hash join is the whole
+    // plan, linear at any corpus size.
+    NamedQuery(
+      "q91_oov_rate",
+      (s, d) => {
+        val toks = tbl(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val vocab = toks.groupBy(col("tok"))
+          .agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("tok")).limit(100)
+          .select(col("tok"), lit(1).as("inv"))
+        toks.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+            (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+              .as("oov_rate"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |vocab AS (
+             |  SELECT tok FROM (
+             |    SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok)
+             |  ORDER BY freq DESC, tok LIMIT 100)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_oov,
+             |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+             |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+             |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+             |GROUP BY doc_id""".stripMargin)),
   )
 }

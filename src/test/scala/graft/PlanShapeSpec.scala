@@ -161,6 +161,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"sketch not broadcast:\n$p")
   }
 
+  test("vocab-bounded joins broadcast their small side (q90 bounds, q91 vocab)") {
+    // q90's 5-row percentile-bounds table and q91's 100-row vocabulary
+    // must reach the corpus as broadcasts — a shuffle on either would put
+    // a corpus-sized exchange behind a dimension-sized input
+    for (name <- Seq("q90_length_band", "q91_oov_rate")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name small side shuffled:\n$p")
+    }
+  }
+
+  test("SemDeDup centroid assignment broadcasts the codebook") {
+    // the corpus side must stream partitioned; only the 8-centroid
+    // codebook replicates (same contract as q39's coarse quantizer)
+    val p = plan("q86_semantic_dedup")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"codebook not broadcast:\n$p")
+  }
+
   test("sketch-pair non-equi join stays a nested loop over sketches only") {
     // q76 joins 20 constant-size MinHash sketches, never document pairs —
     // the one place BroadcastNestedLoopJoin is the RIGHT plan; the

@@ -43,7 +43,14 @@ import org.apache.spark.sql.functions._
   *    driver's hash gate, not only under ScalaTest parity;
   *  - q92 triangle counting on the near-dup graph: the clique-ness
   *    diagnostic that tells over-merged components from dense duplicate
-  *    families (node-iterator joins over id-oriented edges).
+  *    families (node-iterator joins over id-oriented edges);
+  *  - q93/q94 the ACTION reports the detectors justify: per-cluster
+  *    token savings of keeping only each component's representative,
+  *    and the per-source decontamination manifest (docs/tokens removed,
+  *    clean sources reporting zeros);
+  *  - q95 containment similarity over the same banded candidates:
+  *    catches subset-duplicates (a short doc embedded in a long one)
+  *    that Jaccard under-scores.
   */
 object GovernanceOps {
   import LlmKit._
@@ -640,6 +647,198 @@ object GovernanceOps {
            |SELECT doc_id, COUNT(*) AS n_triangles
            |FROM x GROUP BY doc_id""".stripMargin
       }),
+
+    // ----- q93: dedup savings report (the ACTION the clusters justify) ----
+    // q47/q57 produce labels; this is the report a curation run actually
+    // reads before deleting anything: per near-dup cluster, how many
+    // documents collapse into the kept representative (the component-min
+    // doc) and how many tokens that deletion saves. One token-count
+    // projection, one join to the label table, one groupBy on the
+    // cluster id — everything downstream of the (already-bounded) LSH
+    // closure is hash-aggregated and linear. tok_kept joins the rep's
+    // own count back rather than re-deriving it, so the report cannot
+    // disagree with the labels it summarizes.
+    NamedQuery(
+      "q93_dedup_savings",
+      (s, d) => {
+        val corpus = corpusWithNearDups(s, d)
+        val pairs = lshCandidatePairs(corpus).select(col("id1"), col("id2"))
+        val labels = StarCC
+          .connectedComponents(corpus.select(col("doc_id")), pairs)._1
+        val toks = corpus.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        labels.join(toks, Seq("doc_id"))
+          .groupBy(col("cluster_rep"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_total"))
+          .join(toks.select(col("doc_id").as("cluster_rep"),
+            col("n_tok").as("tok_kept")), Seq("cluster_rep"))
+          .select(col("cluster_rep"), col("n_docs"), col("tok_total"),
+            col("tok_kept"),
+            (col("tok_total") - col("tok_kept")).as("tok_saved"))
+      },
+      Some(s"""WITH RECURSIVE $clusterLabelCtes,
+              |tk AS (
+              |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+              |  FROM corpus)
+              |SELECT l.cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(t.n_tok) AS BIGINT) AS tok_total,
+              |  CAST(MIN(k.n_tok) AS BIGINT) AS tok_kept,
+              |  CAST(SUM(t.n_tok) - MIN(k.n_tok) AS BIGINT) AS tok_saved
+              |FROM labels l
+              |JOIN tk t ON t.doc_id = l.doc_id
+              |JOIN tk k ON k.doc_id = l.cluster_rep
+              |GROUP BY l.cluster_rep""".stripMargin)),
+
+    // ----- q94: decontamination manifest (the ACTION q45 justifies) -------
+    // q45 lists contaminated (train, eval) pairs; this is the removal
+    // report a training run signs off on: per train source, how many
+    // documents and tokens the decontamination pass deletes and what
+    // fraction of the source that is. The flagged set is the same LSH
+    // pipeline q45 runs (distinct train ids), met with a left join so
+    // clean sources report zeros instead of vanishing. The planted
+    // +200000 leaks carry source 'src19' — the eval domain shows up as
+    // the hot spot, which is exactly what the report exists to surface.
+    NamedQuery(
+      "q94_clean_manifest",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val eval_ = docs.filter(col("source") === "src19")
+          .select(col("doc_id"), col("text"))
+        val train = docs.filter(col("source") =!= "src19")
+          .select(col("doc_id"), col("text"), col("source"))
+          .unionByName(eval_.select(
+            (col("doc_id") + 200000).as("doc_id"),
+            dropFirstToken(col("text")).as("text"),
+            lit("src19").as("source")))
+        val corpus = train.select(col("doc_id"), col("text"))
+          .unionByName(eval_)
+        val evalIds = eval_.select(col("doc_id").as("eval_id"))
+        val flagged = lshCandidatePairs(corpus)
+          .join(broadcast(evalIds),
+            col("id1") === col("eval_id") || col("id2") === col("eval_id"))
+          .select(when(col("id1") === col("eval_id"), col("id2"))
+            .otherwise(col("id1")).as("train_id"))
+          .join(broadcast(evalIds.select(col("eval_id").as("t2"))),
+            col("train_id") === col("t2"), "left_anti")
+          .distinct()
+          .withColumn("rm", lit(true))
+        train
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .join(flagged, col("doc_id") === col("train_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("rm"), 1L).otherwise(0L)).as("docs_removed"),
+            sum(col("n_tok")).as("tok_total"),
+            sum(when(col("rm"), col("n_tok")).otherwise(0L))
+              .as("tok_removed"))
+          .select(col("source"), col("n_docs"), col("docs_removed"),
+            col("tok_total"), col("tok_removed"),
+            (col("tok_removed").cast("double") /
+              col("tok_total").cast("double")).as("removed_frac"))
+      },
+      Some(s"""WITH eval_docs AS (
+              |  SELECT doc_id, text FROM documents WHERE source = 'src19'),
+              |train_docs AS (
+              |  SELECT doc_id, text, source FROM documents
+              |  WHERE source <> 'src19'
+              |  UNION ALL
+              |  SELECT doc_id + 200000 AS doc_id,
+              |    ${dropFirstTokenSql("text")} AS text, 'src19' AS source
+              |  FROM eval_docs),
+              |corpus AS (
+              |  SELECT doc_id, text FROM train_docs
+              |  UNION ALL
+              |  SELECT doc_id, text FROM eval_docs),
+              |$lshPairsCteSql,
+              |hits AS (
+              |  SELECT DISTINCT
+              |    CASE WHEN id1 IN (SELECT doc_id FROM eval_docs)
+              |         THEN id2 ELSE id1 END AS train_id
+              |  FROM pairs
+              |  WHERE (id1 IN (SELECT doc_id FROM eval_docs)
+              |         OR id2 IN (SELECT doc_id FROM eval_docs))
+              |    AND NOT (id1 IN (SELECT doc_id FROM eval_docs)
+              |             AND id2 IN (SELECT doc_id FROM eval_docs))),
+              |t AS (
+              |  SELECT doc_id, source,
+              |    len(string_split(text, ' ')) AS n_tok
+              |  FROM train_docs)
+              |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(CASE WHEN h.train_id IS NOT NULL THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS docs_removed,
+              |  CAST(SUM(n_tok) AS BIGINT) AS tok_total,
+              |  CAST(SUM(CASE WHEN h.train_id IS NOT NULL THEN n_tok
+              |           ELSE 0 END) AS BIGINT) AS tok_removed,
+              |  CAST(SUM(CASE WHEN h.train_id IS NOT NULL THEN n_tok
+              |           ELSE 0 END) AS DOUBLE)
+              |    / CAST(SUM(n_tok) AS DOUBLE) AS removed_frac
+              |FROM t LEFT JOIN hits h ON t.doc_id = h.train_id
+              |GROUP BY source""".stripMargin)),
+
+    // ----- q95: containment similarity (subset-duplicate detection) -------
+    // Jaccard misses the quote/inclusion case: a short document fully
+    // embedded in a long one scores low Jaccard (union is large) but
+    // containment |A∩B| / |A| ≈ 1 from the short side. Same banded LSH
+    // candidate generation as q27 — only the verification metric changes,
+    // computed from each side's distinct-shingle sets on candidates only.
+    // The planted corpus halves every other document (doc_id +100000
+    // keeps the first half of the tokens), so true containments exist:
+    // the half-doc is ~fully contained in its original while Jaccard
+    // sits near 0.5. Output: candidate pairs with both directional
+    // containments and the Jaccard they'd otherwise be judged by.
+    NamedQuery(
+      "q95_containment",
+      (s, d) => {
+        val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+        val corpus = docs.unionByName(
+          docs.filter(col("doc_id") % 2 === 0).select(
+            (col("doc_id") + 100000).as("doc_id"),
+            firstHalfTokens(col("text")).as("text")))
+        val sigs = shingleSigs(corpus).cache()
+        val bands = cappedBands(sigs)
+        val cand = bands
+          .select(col("band"), col("bkey"), col("doc_id").as("id1"))
+          .hint("shuffle_hash")
+          .join(bands.select(col("band"), col("bkey"),
+            col("doc_id").as("id2")).hint("shuffle_hash"),
+            Seq("band", "bkey"))
+          .filter(col("id1") < col("id2"))
+          .select(col("id1"), col("id2")).distinct()
+        val sets = sigs.select(col("doc_id"), col("ds"))
+        val icnt = size(array_intersect(col("s1"), col("s2")))
+        cand
+          .join(sets.select(col("doc_id").as("id1"), col("ds").as("s1")),
+            Seq("id1"))
+          .join(sets.select(col("doc_id").as("id2"), col("ds").as("s2")),
+            Seq("id2"))
+          .select(col("id1"), col("id2"),
+            (icnt.cast("double") / size(col("s1"))).as("contain_1in2"),
+            (icnt.cast("double") / size(col("s2"))).as("contain_2in1"),
+            (icnt.cast("double") /
+              (size(col("s1")) + size(col("s2")) - icnt)).as("jaccard"))
+          .filter(col("contain_1in2") >= 0.9 || col("contain_2in1") >= 0.9)
+      },
+      Some {
+        val icnt = "len(list_filter(s1.ds, x -> list_contains(s2.ds, x)))"
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 100000 AS doc_id,
+           |    ${firstHalfTokensSql("text")} AS text
+           |  FROM documents WHERE doc_id % 2 = 0),
+           |$lshPairsBandCtesSql,
+           |res AS (
+           |  SELECT id1, id2,
+           |    CAST($icnt AS DOUBLE) / len(s1.ds) AS contain_1in2,
+           |    CAST($icnt AS DOUBLE) / len(s2.ds) AS contain_2in1,
+           |    CAST($icnt AS DOUBLE)
+           |      / (len(s1.ds) + len(s2.ds) - $icnt) AS jaccard
+           |  FROM cand JOIN sigs s1 ON cand.id1 = s1.doc_id
+           |            JOIN sigs s2 ON cand.id2 = s2.doc_id)
+           |SELECT * FROM res
+           |WHERE contain_1in2 >= 0.9 OR contain_2in1 >= 0.9""".stripMargin
+      }),
   )
 
   /** Serialized form of a driver-built bloom filter, for shipping as a
@@ -651,11 +850,11 @@ object GovernanceOps {
     bos.toByteArray
   }
 
-  /** Transitive-closure oracle shared by q47 and q57: both must produce
-    * the identical (doc_id, cluster_rep) labeling, whatever the
-    * distributed algorithm. */
-  private def clusterOracleSql: String =
-    s"""WITH RECURSIVE corpus AS ($corpusWithNearDupsSql),
+  /** Transitive-closure CTE chain over the near-dup corpus, ending in
+    * `labels(doc_id, cluster_rep)` — needs a `WITH RECURSIVE` prefix.
+    * Shared by the q47/q57 oracle and q93's savings report. */
+  private def clusterLabelCtes: String =
+    s"""corpus AS ($corpusWithNearDupsSql),
        |$lshPairsCteSql,
        |edges AS (
        |  SELECT id1 AS src, id2 AS dst FROM pairs
@@ -663,7 +862,15 @@ object GovernanceOps {
        |reach(src, dst) AS (
        |  SELECT doc_id, doc_id FROM corpus
        |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-       |SELECT src AS doc_id, min(dst) AS cluster_rep
-       |FROM reach GROUP BY src""".stripMargin
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |labels AS (
+       |  SELECT src AS doc_id, min(dst) AS cluster_rep
+       |  FROM reach GROUP BY src)""".stripMargin
+
+  /** Transitive-closure oracle shared by q47 and q57: both must produce
+    * the identical (doc_id, cluster_rep) labeling, whatever the
+    * distributed algorithm. */
+  private def clusterOracleSql: String =
+    s"""WITH RECURSIVE $clusterLabelCtes
+       |SELECT doc_id, cluster_rep FROM labels""".stripMargin
 }

@@ -310,10 +310,12 @@ object LlmKit {
        |    - len(list_filter($a, x -> list_contains($b, x))))"""
       .stripMargin.replace("\n", " ")
 
-  /** Oracle rendering of [[lshCandidatePairs]]: a CTE chain ending in
-    * `pairs(id1, id2, jaccard)`, over a caller-defined `corpus(doc_id,
-    * text)` CTE. */
-  val lshPairsCteSql: String = {
+  /** Oracle rendering of the LSH candidate-generation prefix: a CTE chain
+    * ending in `sigs(doc_id, ds, sig)` and `cand(id1, id2)` over a
+    * caller-defined `corpus(doc_id, text)` CTE — for queries that verify
+    * candidates with a metric other than thresholded Jaccard (q95's
+    * containment). */
+  val lshPairsBandCtesSql: String = {
     val sh = hashedShinglesSql("text", "th")
     s"""tokh AS (
        |  SELECT doc_id, text, ${tokenHashesSql("text")} AS th FROM corpus),
@@ -333,7 +335,15 @@ object LlmKit {
        |cand AS (
        |  SELECT DISTINCT b1.doc_id AS id1, b2.doc_id AS id2
        |  FROM bands b1 JOIN bands b2
-       |    ON b1.b = b2.b AND b1.bkey = b2.bkey AND b1.doc_id < b2.doc_id),
+       |    ON b1.b = b2.b AND b1.bkey = b2.bkey AND b1.doc_id < b2.doc_id)"""
+      .stripMargin
+  }
+
+  /** Oracle rendering of [[lshCandidatePairs]]: a CTE chain ending in
+    * `pairs(id1, id2, jaccard)`, over a caller-defined `corpus(doc_id,
+    * text)` CTE. */
+  val lshPairsCteSql: String = {
+    s"""$lshPairsBandCtesSql,
        |pairs AS (
        |  SELECT id1, id2,
        |    CAST(len(list_filter(s1.ds, x -> list_contains(s2.ds, x))) AS DOUBLE)
@@ -393,6 +403,21 @@ object LlmKit {
 
   def dropFirstTokenSql(e: String): String =
     s"substr($e, strpos($e, ' ') + 1)"
+
+  /** First ⌊n/2⌋ tokens (min 1) rejoined — the subset-duplicate
+    * perturbation for containment detection (q95). */
+  def firstHalfTokens(c: Column): Column = {
+    val toks = split(c, " ")
+    array_join(
+      slice(toks, lit(1), greatest(floor(size(toks) / 2), lit(1)).cast("int")),
+      " ")
+  }
+
+  /** DuckDB rendering of [[firstHalfTokens]] (inclusive list slice). */
+  def firstHalfTokensSql(e: String): String =
+    s"""array_to_string(string_split($e, ' ')[1:greatest(
+       | len(string_split($e, ' ')) // 2, 1)], ' ')"""
+      .stripMargin.replace("\n", " ")
 
   /** documents ∪ near-duplicate perturbations (re-keyed +100000). */
   def corpusWithNearDups(spark: org.apache.spark.sql.SparkSession, d: String):

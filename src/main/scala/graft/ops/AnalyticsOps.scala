@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
   *  - q73 event-transition matrix: behavioral bigram probabilities via a
   *    per-user lag window — the Markov-chain input for session modeling;
   *  - q74 SCD-2 validity ranges: changelog → type-2 dimension rows via a
-  *    per-user lead window (valid_from/valid_to, NULL = current).
+  *    per-user lead window (valid_from/valid_to, NULL = current);
+  *  - q97 z-score anomaly detection: per-type mean/stddev from exact
+  *    decimal moment sums, broadcast back to flag |z| ≥ 2.5 events.
   */
 object AnalyticsOps {
   import OpsKit._
@@ -158,5 +160,61 @@ object AnalyticsOps {
               |    (PARTITION BY user_id ORDER BY ts, event_id),
               |    '$TsFmtDuck') AS valid_to
               |FROM events""".stripMargin)),
+
+    // ----- q97: per-type z-score anomaly detection ------------------------
+    // The metric-monitoring primitive: flag events whose value sits more
+    // than 2.5 standard deviations from their type's mean. Mean and
+    // variance come from EXACT decimal sums (Σx, Σx² with the x values
+    // rounded once to 6 dp — the dsum parity contract; the square is an
+    // exact decimal product, so partial-aggregation order cannot change
+    // either sum), then one fixed sequence of double ops both engines
+    // share: μ = Σx/n, σ = sqrt(max(Σx²/n − μ², 0)), z = (x−μ)/σ. The
+    // stats table is 5 rows and broadcasts; the scan streams once — at
+    // 100 TB this is one partial-agg shuffle plus a map.
+    NamedQuery(
+      "q97_zscore_anomaly",
+      (s, d) => {
+        val d6 = col("value").cast("decimal(18,6)")
+        val ev = events(s, d)
+        // both sums are re-rounded to scale 6 BEFORE the double cast: a
+        // scale-12 decimal's unscaled value exceeds 2^53 and the two
+        // engines' decimal→double casts double-round differently there,
+        // while a scale-6 unscaled value converts exactly and the single
+        // /10^6 division rounds once, identically (the dsum contract)
+        val stats = ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(d6).cast("decimal(28,6)").cast("double").as("sv"),
+            sum(d6 * d6).cast("decimal(28,6)").cast("double").as("sv2"))
+          .select(col("event_type"), col("n"),
+            (col("sv") / col("n").cast("double")).as("mu"),
+            sqrt(greatest(
+              col("sv2") / col("n").cast("double") -
+                (col("sv") / col("n").cast("double")) *
+                (col("sv") / col("n").cast("double")),
+              lit(0.0))).as("sigma"))
+        ev.join(broadcast(stats), Seq("event_type"))
+          .select(col("event_id"), col("event_type"), col("value"),
+            ((col("value") - col("mu")) / col("sigma")).as("z"))
+          .filter(abs(col("z")) >= 2.5)
+      },
+      Some("""WITH stats AS (
+             |  SELECT event_type, COUNT(*) AS n,
+             |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+             |         AS DECIMAL(28,6)) AS DOUBLE) AS sv,
+             |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))
+             |                  * CAST(value AS DECIMAL(18,6)))
+             |         AS DECIMAL(28,6)) AS DOUBLE) AS sv2
+             |  FROM events GROUP BY event_type),
+             |st AS (
+             |  SELECT event_type, n, sv / CAST(n AS DOUBLE) AS mu,
+             |    sqrt(greatest(
+             |      sv2 / CAST(n AS DOUBLE)
+             |        - (sv / CAST(n AS DOUBLE)) * (sv / CAST(n AS DOUBLE)),
+             |      0.0)) AS sigma
+             |  FROM stats)
+             |SELECT event_id, e.event_type, value,
+             |  (value - mu) / sigma AS z
+             |FROM events e JOIN st ON e.event_type = st.event_type
+             |WHERE abs((value - mu) / sigma) >= 2.5""".stripMargin)),
   )
 }

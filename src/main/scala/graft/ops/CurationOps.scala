@@ -20,7 +20,12 @@ import org.apache.spark.sql.functions._
   *  - q89 weighted PPS sampling (sequential Poisson): hash-priority
   *    top-k per stratum, probability proportional to document size;
   *  - q90 per-language length-band trim: exact [p05, p95] percentile
-  *    bounds per language, broadcast back as the outlier filter.
+  *    bounds per language, broadcast back as the outlier filter;
+  *  - q96 snapshot drift gate: per-bucket chi-square terms between two
+  *    corpus snapshots (integer histograms, log-free arithmetic);
+  *  - q98 corpus snapshot diff: added/removed/changed ids via a
+  *    full-outer key join + content-hash compare — the CDC input to
+  *    incremental dedup (q56).
   */
 object CurationOps {
   import LlmKit._
@@ -305,5 +310,117 @@ object CurationOps {
              |FROM documents d JOIN bounds b ON d.lang = b.lang
              |WHERE CAST(n_chars AS DOUBLE) >= lo
              |  AND CAST(n_chars AS DOUBLE) <= hi""".stripMargin)),
+
+    // ----- q96: distribution drift between corpus snapshots (chi-square) --
+    // The batch-over-batch monitoring gate: has the length distribution
+    // of the incoming snapshot drifted from the reference? Two snapshots
+    // (even/odd doc_id halves here; in production, yesterday's and
+    // today's shards), one integer bucket histogram each, and the
+    // per-bucket chi-square term (n_new − e)²/e with e the old histogram
+    // rescaled to the new total. Every input to the double arithmetic is
+    // an exact integer count, and the term is one fixed op sequence —
+    // bit-exact across engines with no ln/PSI in sight (that's why
+    // chi-square and not KL/PSI: log's libm is not a parity contract).
+    // Two partial-agg shuffles on a ≤13-key bucket column, then a
+    // broadcast of the 1-row totals — nothing scales with the corpus.
+    NamedQuery(
+      "q96_drift_chi2",
+      (s, d) => {
+        val h = tbl(s, d, "documents")
+          .select((col("doc_id") % 2 === 0).as("is_old"),
+            least(floor(col("n_chars") / 25), lit(12)).cast("long")
+              .as("bucket"))
+          .groupBy(col("bucket"))
+          .agg(sum(when(col("is_old"), 1L).otherwise(0L)).as("n_old"),
+            sum(when(!col("is_old"), 1L).otherwise(0L)).as("n_new"))
+        val t = h.agg(sum(col("n_old")).as("t_old"),
+          sum(col("n_new")).as("t_new"))
+        val e = col("n_old").cast("double") *
+          (col("t_new").cast("double") / col("t_old").cast("double"))
+        h.crossJoin(broadcast(t))
+          .select(col("bucket"), col("n_old"), col("n_new"),
+            when(col("n_old") > 0, e).as("expected_new"),
+            when(col("n_old") > 0,
+              (col("n_new").cast("double") - e) *
+                (col("n_new").cast("double") - e) / e).as("chi2_term"))
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id % 2 = 0 AS is_old,
+             |    least(CAST(floor(n_chars / 25) AS BIGINT), 12) AS bucket
+             |  FROM documents),
+             |h AS (
+             |  SELECT bucket,
+             |    CAST(SUM(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_old,
+             |    CAST(SUM(CASE WHEN NOT is_old THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_new
+             |  FROM b GROUP BY bucket),
+             |t AS (
+             |  SELECT CAST(SUM(n_old) AS BIGINT) AS t_old,
+             |    CAST(SUM(n_new) AS BIGINT) AS t_new FROM h)
+             |SELECT bucket, n_old, n_new,
+             |  CASE WHEN n_old > 0 THEN CAST(n_old AS DOUBLE)
+             |    * (CAST(t_new AS DOUBLE) / CAST(t_old AS DOUBLE)) END
+             |    AS expected_new,
+             |  CASE WHEN n_old > 0 THEN
+             |    (CAST(n_new AS DOUBLE) - CAST(n_old AS DOUBLE)
+             |      * (CAST(t_new AS DOUBLE) / CAST(t_old AS DOUBLE)))
+             |    * (CAST(n_new AS DOUBLE) - CAST(n_old AS DOUBLE)
+             |      * (CAST(t_new AS DOUBLE) / CAST(t_old AS DOUBLE)))
+             |    / (CAST(n_old AS DOUBLE)
+             |      * (CAST(t_new AS DOUBLE) / CAST(t_old AS DOUBLE))) END
+             |    AS chi2_term
+             |FROM h, t""".stripMargin)),
+
+    // ----- q98: corpus snapshot diff (the incremental-ingest primitive) ---
+    // What changed between snapshot A and snapshot B: added / removed /
+    // changed doc ids, decided by a full outer join on the key and a
+    // content-hash compare — the CDC step that feeds incremental dedup
+    // (q56) instead of re-running the full pipeline. Snapshot B here is A
+    // with planted edits: every 17th doc deleted, every 13th surviving
+    // doc reworded (first token dropped), every 11th doc duplicated
+    // under a new id. Unchanged rows are dropped from the output (at
+    // 100 TB they are ~all of the corpus; the diff is the small side).
+    // One shuffle on the join key; the hash is computed per side before
+    // the join, never on the diff output.
+    NamedQuery(
+      "q98_snapshot_diff",
+      (s, d) => {
+        val a = tbl(s, d, "documents")
+          .select(col("doc_id"), strHash(col("text")).as("ha"))
+        val docs = tbl(s, d, "documents")
+        val b = docs.filter(col("doc_id") % 17 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 13 === 0, dropFirstToken(col("text")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(docs.filter(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+          .select(col("doc_id"), strHash(col("text")).as("hb"))
+        a.join(b, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            when(col("ha").isNull, "added")
+              .when(col("hb").isNull, "removed")
+              .when(col("ha") =!= col("hb"), "changed").as("status"))
+          .filter(col("status").isNotNull)
+      },
+      Some(s"""WITH a AS (
+              |  SELECT doc_id, ${strHashSql("text")} AS ha FROM documents),
+              |b AS (
+              |  SELECT doc_id, ${strHashSql(
+                 s"CASE WHEN doc_id % 13 = 0 THEN ${dropFirstTokenSql("text")} ELSE text END")}
+              |    AS hb
+              |  FROM documents WHERE doc_id % 17 <> 0
+              |  UNION ALL
+              |  SELECT doc_id + 500000 AS doc_id, ${strHashSql("text")} AS hb
+              |  FROM documents WHERE doc_id % 11 = 0)
+              |SELECT doc_id,
+              |  CASE WHEN ha IS NULL THEN 'added'
+              |       WHEN hb IS NULL THEN 'removed'
+              |       WHEN ha <> hb THEN 'changed' END AS status
+              |FROM a FULL OUTER JOIN b USING (doc_id)
+              |WHERE CASE WHEN ha IS NULL THEN 'added'
+              |           WHEN hb IS NULL THEN 'removed'
+              |           WHEN ha <> hb THEN 'changed' END IS NOT NULL"""
+        .stripMargin)),
   )
 }

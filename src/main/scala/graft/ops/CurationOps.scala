@@ -25,7 +25,10 @@ import org.apache.spark.sql.functions._
   *    corpus snapshots (integer histograms, log-free arithmetic);
   *  - q98 corpus snapshot diff: added/removed/changed ids via a
   *    full-outer key join + content-hash compare — the CDC input to
-  *    incremental dedup (q56).
+  *    incremental dedup (q56);
+  *  - q99 windowed drift monitor: the continuous form of q96, running
+  *    [[graft.streaming.StreamOps.driftMonitor]] in batch mode so the
+  *    streaming operator sits under the driver's hash gate.
   */
 object CurationOps {
   import LlmKit._
@@ -422,5 +425,62 @@ object CurationOps {
               |           WHEN hb IS NULL THEN 'removed'
               |           WHEN ha <> hb THEN 'changed' END IS NOT NULL"""
         .stripMargin)),
+
+    // ----- q99: windowed drift monitor (batch twin of the streaming op) ---
+    // q96 gates snapshot-over-snapshot; this is the CONTINUOUS form:
+    // [[graft.streaming.StreamOps.driftMonitor]] computes per event-time
+    // window the chi-square terms of the window's length histogram
+    // against a static reference corpus. The registered query runs the
+    // IDENTICAL function in batch mode over a synthetic event-time
+    // (epoch + doc_id minutes — deterministic, mirrored in the oracle),
+    // so the streaming operator's logic sits under the driver's hash
+    // gate; StreamOpsSpec separately proves stream == batch on the same
+    // input. Window starts align to the epoch hour exactly as Spark's
+    // window() does (start = ts − ts mod 3600).
+    NamedQuery(
+      "q99_drift_windows",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val withTs = docs.select(
+          timestamp_seconds(lit(1700000000L) + col("doc_id") * 60)
+            .as("ts"),
+          col("doc_id"), col("text"))
+        graft.streaming.StreamOps.driftMonitor(withTs, docs)
+      },
+      Some(s"""WITH b AS (
+              |  SELECT least(CAST(floor(length(text) / 25) AS BIGINT), 12)
+              |           AS bucket,
+              |    1700000000 + doc_id * 60 AS tsec
+              |  FROM documents),
+              |h AS (
+              |  SELECT tsec - (tsec % 3600) AS wsec, bucket,
+              |    COUNT(*) AS n_new
+              |  FROM b GROUP BY 1, 2),
+              |nw AS (
+              |  SELECT wsec, CAST(SUM(n_new) AS BIGINT) AS n_win
+              |  FROM h GROUP BY wsec),
+              |ref AS (
+              |  SELECT least(CAST(floor(n_chars / 25) AS BIGINT), 12)
+              |           AS bucket,
+              |    COUNT(*) AS n_old
+              |  FROM documents GROUP BY 1),
+              |t AS (SELECT CAST(SUM(n_old) AS BIGINT) AS t_old FROM ref)
+              |SELECT strftime(make_timestamp(wsec * 1000000), '$TsFmtDuck')
+              |    AS window_start,
+              |  bucket, CAST(n_new AS BIGINT) AS n_new, n_win,
+              |  CASE WHEN n_old > 0 THEN
+              |    (CAST(n_old AS DOUBLE) / CAST(t_old AS DOUBLE))
+              |      * CAST(n_win AS DOUBLE) END AS expected_new,
+              |  CASE WHEN n_old > 0 THEN
+              |    (CAST(n_new AS DOUBLE)
+              |      - (CAST(n_old AS DOUBLE) / CAST(t_old AS DOUBLE))
+              |        * CAST(n_win AS DOUBLE))
+              |    * (CAST(n_new AS DOUBLE)
+              |      - (CAST(n_old AS DOUBLE) / CAST(t_old AS DOUBLE))
+              |        * CAST(n_win AS DOUBLE))
+              |    / ((CAST(n_old AS DOUBLE) / CAST(t_old AS DOUBLE))
+              |        * CAST(n_win AS DOUBLE)) END AS chi2_term
+              |FROM h JOIN nw USING (wsec)
+              |LEFT JOIN ref USING (bucket), t""".stripMargin)),
   )
 }

@@ -232,6 +232,53 @@ object StreamOps {
       .filter(col("jaccard") >= 0.5)
   }
 
+  /** Streaming drift monitor: per event-time window, the chi-square
+    * terms of the window's length histogram against a STATIC reference
+    * corpus — q96's batch-over-batch gate run continuously at ingestion
+    * (alert when a window's chi2 spikes: the incoming mix changed). The
+    * whole window histogram is ONE streaming aggregate (13 fixed-bucket
+    * conditional sums — no second stateful agg for the window total),
+    * exploded after the window closes and met by the broadcast reference
+    * histogram in a stateless stream-static join. State = open windows ×
+    * 13 counters, bounded by the watermark. Pure expressions + a static
+    * join, so the identical code runs in batch mode (q99's oracle twin).
+    * Input: docs (ts, doc_id, text); reference (n_chars). */
+  def driftMonitor(docs: DataFrame, reference: DataFrame): DataFrame = {
+    val nBuckets = 13
+    val ref = reference
+      .select(least(floor(col("n_chars") / 25), lit(12)).cast("long")
+        .as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_old"))
+    val refT = ref.crossJoin(ref.agg(sum(col("n_old")).as("t_old")))
+    val hist = docs
+      .select(col("ts"),
+        least(floor(length(col("text")) / 25), lit(12)).cast("long")
+          .as("bucket"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_win"),
+        (0 until nBuckets).map(i =>
+          sum(when(col("bucket") === i, 1L).otherwise(0L)).as(s"b$i")): _*)
+    val e = (col("n_old").cast("double") / col("t_old").cast("double")) *
+      col("n_win").cast("double")
+    hist
+      .select(date_format(col("window.start"), TsFmt).as("window_start"),
+        col("n_win"),
+        explode(array((0 until nBuckets).map(i =>
+          struct(lit(i.toLong).as("bucket"), col(s"b$i").as("n_new"))): _*))
+          .as("bn"))
+      .select(col("window_start"), col("bn.bucket").as("bucket"),
+        col("bn.n_new").as("n_new"), col("n_win"))
+      .filter(col("n_new") > 0)
+      .join(broadcast(refT), Seq("bucket"), "left")
+      .select(col("window_start"), col("bucket"), col("n_new"),
+        col("n_win"),
+        when(col("n_old") > 0, e).as("expected_new"),
+        when(col("n_old") > 0,
+          (col("n_new").cast("double") - e) *
+            (col("n_new").cast("double") - e) / e).as("chi2_term"))
+  }
+
   /** Streaming JDBC ingestion: each microbatch appends through the batch
     * sink path (same batchsize-50000 writer as [[graft.sink.JdbcSink]]),
     * giving the reference's one-shot import a continuous form. Exactly-once

@@ -414,4 +414,56 @@ class StreamOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == want)
   }
+
+  test("streaming drift monitor equals the registered batch twin q99") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // the SAME deterministic event-time q99 registers (epoch + doc_id
+    // minutes), so the stream can be asserted equal to the oracle-checked
+    // query — chunks split along the TIME axis (not parity) so no row
+    // arrives behind the watermark its predecessor chunk advanced
+    def withTs(df: DataFrame) = df.select(
+      timestamp_seconds(lit(1700000000L) + col("doc_id") * 60).as("ts"),
+      col("doc_id"), col("text"))
+    val dir = Files.createTempDirectory("graft-drift-stream").toString
+    def write(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft-chunk").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.asInstanceOf[Path])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, Paths.get(dir, name))
+      Files.setLastModifiedTime(Paths.get(dir, name), FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 600000
+    write(withTs(docs.filter(col("doc_id") < 250)), "c0.parquet", t0)
+    write(withTs(docs.filter(col("doc_id") >= 250)), "c1.parquet", t0 + 60000)
+    // far-future sentinel pushes the watermark past every real window;
+    // its own window never closes, so it cannot appear in the output
+    val sentinel = spark.range(1).select(
+      timestamp_seconds(lit(1700000000L + 30L * 24 * 3600)).as("ts"),
+      lit(-1L).as("doc_id"), lit("zzz").as("text"))
+    write(sentinel, "c2.parquet", t0 + 120000)
+
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = StreamOps.driftMonitor(stream, docs)
+      .writeStream.format("memory").queryName("t_drift")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-drift").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = asSet(spark.table("t_drift"))
+    // code-path parity: the same transform in batch mode
+    val want = asSet(StreamOps.driftMonitor(withTs(docs), docs))
+    assert(want.nonEmpty)
+    assert(got == want)
+    // and the stream equals the REGISTERED batch twin the oracle checks
+    val q99 = asSet(SparkEntry.queries("q99_drift_windows")(
+      spark, "/root/testdata/sf0.001"))
+    assert(got == q99)
+  }
 }

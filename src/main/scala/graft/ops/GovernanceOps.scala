@@ -50,7 +50,10 @@ import org.apache.spark.sql.functions._
   *    clean sources reporting zeros);
   *  - q95 containment similarity over the same banded candidates:
   *    catches subset-duplicates (a short doc embedded in a long one)
-  *    that Jaccard under-scores.
+  *    that Jaccard under-scores;
+  *  - q100 the full curation pipeline as one decision table: quality →
+  *    decontamination → dedup in fixed precedence, one shared LSH pass
+  *    feeding both the closure and the contamination flags.
   */
 object GovernanceOps {
   import LlmKit._
@@ -838,6 +841,102 @@ object GovernanceOps {
            |            JOIN sigs s2 ON cand.id2 = s2.doc_id)
            |SELECT * FROM res
            |WHERE contain_1in2 >= 0.9 OR contain_2in1 >= 0.9""".stripMargin
+      }),
+
+    // ----- q100: the full curation pipeline as one decision table ---------
+    // Everything the family above computes, composed the way a real
+    // curation run composes it: per corpus document, the FIRST failing
+    // stage in the fixed precedence quality → dedup → decontamination, or
+    // 'keep'. One LSH pair computation feeds BOTH the near-dup closure
+    // (StarCC labels, keep = component representative) and the
+    // contamination flags (near-dup of an eval-set doc) — the stages
+    // share the banded candidates instead of re-hashing the corpus, which
+    // is exactly how the 100 TB run amortizes its one expensive pass.
+    // Decontamination outranks dedup: an eval leak must drop even when it
+    // is its cluster's representative (dedup alone would KEEP it). The
+    // quality stage is q34's formula (threshold 0.6 ≈ the corpus's p25,
+    // so the stage visibly fires); stop words inline to keep this oracle
+    // self-contained. Output: every doc with its decision — the table a
+    // training-data sign-off actually reviews.
+    NamedQuery(
+      "q100_curation_pipeline",
+      (s, d) => {
+        val base = tbl(s, d, "documents")
+          .select(col("doc_id"), col("text"), col("source"))
+        val corpus = base.unionByName(base.select(
+          (col("doc_id") + 100000).as("doc_id"),
+          dropFirstToken(col("text")).as("text"), col("source")))
+        val ct = corpus.select(col("doc_id"), col("text"))
+        val pairs = lshCandidatePairs(ct)
+          .select(col("id1"), col("id2")).cache()
+        val labels = StarCC
+          .connectedComponents(ct.select(col("doc_id")), pairs)._1
+        val evalIds = base.filter(col("source") === "src19")
+          .select(col("doc_id").as("eval_id"))
+        val contaminated = pairs
+          .join(broadcast(evalIds),
+            col("id1") === col("eval_id") || col("id2") === col("eval_id"))
+          .select(when(col("id1") === col("eval_id"), col("id2"))
+            .otherwise(col("id1")).as("doc_id"))
+          .join(broadcast(evalIds.select(col("eval_id").as("e2"))),
+            col("doc_id") === col("e2"), "left_anti")
+          .distinct()
+          .withColumn("contam", lit(true))
+        val toks = split(col("text"), " ")
+        val nTok = size(toks).cast("double")
+        val uniqR = size(array_distinct(toks)).cast("double") / nTok
+        val stopR = size(filter(toks,
+          t => t.isin("the", "a"))).cast("double") / nTok
+        val avgW = (length(col("text")).cast("double") - (nTok - 1.0)) / nTok
+        val quality = lit(0.4) * uniqR + lit(0.3) * (lit(1.0) - stopR) +
+          lit(0.3) * least(avgW / 8.0, lit(1.0))
+        corpus.select(col("doc_id"), col("source"), quality.as("quality"))
+          .join(labels, Seq("doc_id"))
+          .join(contaminated, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("source"), col("quality"),
+            when(col("quality") < 0.6, "low_quality")
+              .when(col("contam"), "contaminated")
+              .when(col("doc_id") =!= col("cluster_rep"), "duplicate")
+              .otherwise("keep").as("decision"))
+      },
+      Some {
+        val nTok = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
+        val uniqR = s"CAST(len(list_distinct(string_split(text, ' '))) " +
+          s"AS DOUBLE) / $nTok"
+        val stopR = "CAST(len(list_filter(string_split(text, ' '), " +
+          s"t -> t IN ('the', 'a'))) AS DOUBLE) / $nTok"
+        val avgW = s"(CAST(length(text) AS DOUBLE) - ($nTok - 1.0)) / $nTok"
+        s"""WITH RECURSIVE $clusterLabelCtes,
+           |srcmap AS (
+           |  SELECT doc_id, source FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 100000 AS doc_id, source FROM documents),
+           |evals AS (
+           |  SELECT doc_id FROM documents WHERE source = 'src19'),
+           |contam AS (
+           |  SELECT DISTINCT
+           |    CASE WHEN id1 IN (SELECT doc_id FROM evals)
+           |         THEN id2 ELSE id1 END AS doc_id
+           |  FROM pairs
+           |  WHERE (id1 IN (SELECT doc_id FROM evals)
+           |         OR id2 IN (SELECT doc_id FROM evals))
+           |    AND NOT (id1 IN (SELECT doc_id FROM evals)
+           |             AND id2 IN (SELECT doc_id FROM evals))),
+           |qual AS (
+           |  SELECT doc_id,
+           |    0.4 * ($uniqR) + 0.3 * (1.0 - $stopR)
+           |      + 0.3 * least(($avgW) / 8.0, 1.0) AS quality
+           |  FROM corpus)
+           |SELECT c.doc_id, m.source, q.quality,
+           |  CASE WHEN q.quality < 0.6 THEN 'low_quality'
+           |       WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+           |       WHEN l.cluster_rep <> c.doc_id THEN 'duplicate'
+           |       ELSE 'keep' END AS decision
+           |FROM corpus c
+           |JOIN srcmap m ON m.doc_id = c.doc_id
+           |JOIN qual q ON q.doc_id = c.doc_id
+           |JOIN labels l ON l.doc_id = c.doc_id
+           |LEFT JOIN contam ct ON ct.doc_id = c.doc_id""".stripMargin
       }),
   )
 

@@ -12,7 +12,11 @@ import org.apache.spark.sql.functions._
   *    stage anywhere: cost is O(rows·sig) + O(candidate pairs);
   *  - q28 SimHash: 16-bit signature + Hamming distance to the perturbed
   *    twin via xor/bit_count;
-  *  - q29 n-gram Jaccard: exact shingle-set similarity, one row per doc.
+  *  - q29 n-gram Jaccard: exact shingle-set similarity, one row per doc;
+  *  - q56 incremental dedup: a new batch against an existing corpus;
+  *  - q101 exact-substring shared spans: positional gram postings joined
+  *    across doc pairs, maximal diagonal runs via gaps-and-islands — the
+  *    distributable re-expression of suffix-array ExactSubstr dedup.
   *
   * The near-dup corpora are self-constructed (documents ∪ re-keyed
   * perturbations) so recall is verifiable deterministically — the driver's
@@ -190,6 +194,90 @@ object DedupOps {
            |         THEN 'near_dup_old'
            |       ELSE 'new' END AS decision
            |FROM wh JOIN batch_keep bk ON wh.h = bk.h""".stripMargin
+      }),
+
+    // ----- q101: exact-substring shared spans (diagonal run merging) ------
+    // The detection half of exact-substring dedup (Lee et al. 2022 find
+    // ≥50-token verbatim repeats with a suffix array; a suffix array does
+    // not distribute): re-expressed relationally as fingerprint diagonals.
+    // Positional 3-token shingle postings (doc, position, gram) equi-join
+    // on the gram across doc pairs; a shared L-token span shows up as
+    // L-2 consecutive matches on one diagonal (p1 - p2 constant), merged
+    // with gaps-and-islands (island = p1 - row_number over the diagonal)
+    // into maximal spans. Every stage is a hash shuffle on uniform keys
+    // (gram, then (doc1,doc2,diag)); the q53-style doc-frequency guard
+    // drops boilerplate grams BEFORE the posting self-join, bounding any
+    // gram's pair fan-out at df²≤100² regardless of corpus size — no
+    // all-pairs, no global sort, windows only over per-pair diagonals.
+    // Integer-only arithmetic, so the oracle is exact.
+    NamedQuery(
+      "q101_substr_spans",
+      (s, d) => {
+        val posts = corpusWithNearDups(s, d)
+          .select(col("doc_id"), posexplode(hashedShingles(col("text"))))
+          .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+            col("col").as("g"))
+        val hot = posts.groupBy(col("g"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") > 100).select(col("g"))
+        val pr = posts.join(hot, Seq("g"), "left_anti")
+        val m = pr.select(col("g"), col("doc_id").as("doc1"), col("p").as("p1"))
+          .join(pr.select(col("g"), col("doc_id").as("doc2"), col("p").as("p2")),
+            Seq("g"))
+          .filter(col("doc1") < col("doc2"))
+        val diag = col("p1") - col("p2")
+        // prune before the ordered window: a diagonal with < 6 matches
+        // cannot contain a 6-run (span ≥ 8 tokens); random-collision
+        // diagonals are overwhelmingly singletons, so this count-window
+        // (same partitioning — one exchange serves both windows) drops
+        // most of the ordered sort + aggregate input
+        val wp = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc1"), col("doc2"), diag)
+        val w = wp.orderBy(col("p1"))
+        m.withColumn("n_diag", count(lit(1)).over(wp))
+          .filter(col("n_diag") >= 6)
+          .withColumn("island",
+            col("p1") - row_number().over(w).cast("long"))
+          .groupBy(col("doc1"), col("doc2"), diag.as("diag"), col("island"))
+          .agg(min(col("p1")).as("start1"), min(col("p2")).as("start2"),
+            (count(lit(1)) + 2).as("span_toks"))
+          .filter(col("span_toks") >= 8)
+          .select(col("doc1"), col("doc2"), col("start1"), col("start2"),
+            col("span_toks"))
+      },
+      Some {
+        val P = MinhashP
+        s"""WITH corpus AS ($corpusWithNearDupsSql),
+           |th AS (
+           |  SELECT doc_id, ${tokenHashesSql("text")} AS h, text FROM corpus),
+           |posts AS (
+           |  SELECT doc_id, unnest(
+           |    CASE WHEN len(h) >= 3
+           |    THEN [{'p': i,
+           |           'g': ((h[i]*31 + h[i+1]) % $P * 31 + h[i+2]) % $P}
+           |          for i in range(1, len(h) - 1)]
+           |    ELSE [{'p': CAST(1 AS BIGINT), 'g': ${strHashSql("text")} % $P}]
+           |    END, recursive := true)
+           |  FROM th),
+           |hot AS (
+           |  SELECT g FROM posts GROUP BY g
+           |  HAVING COUNT(DISTINCT doc_id) > 100),
+           |pr AS (SELECT * FROM posts WHERE g NOT IN (SELECT g FROM hot)),
+           |m AS (
+           |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, a.p AS p1, b.p AS p2
+           |  FROM pr a JOIN pr b ON a.g = b.g AND a.doc_id < b.doc_id),
+           |md AS (
+           |  SELECT *, COUNT(*) OVER (
+           |    PARTITION BY doc1, doc2, p1 - p2) AS n_diag FROM m),
+           |isl AS (
+           |  SELECT doc1, doc2, p1 - p2 AS diag, p1, p2,
+           |    p1 - ROW_NUMBER() OVER (
+           |      PARTITION BY doc1, doc2, p1 - p2 ORDER BY p1) AS island
+           |  FROM md WHERE n_diag >= 6)
+           |SELECT doc1, doc2, min(p1) AS start1, min(p2) AS start2,
+           |  COUNT(*) + 2 AS span_toks
+           |FROM isl GROUP BY doc1, doc2, diag, island
+           |HAVING COUNT(*) + 2 >= 8""".stripMargin
       }),
   )
 }

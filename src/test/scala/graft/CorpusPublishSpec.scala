@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+import graft.sink.CorpusPublish
+
+/** The publish layout contract (sink/CorpusPublish scaladoc), checked on
+  * disk — directory structure, file row bounds, in-file sort order,
+  * partition pruning on read-back, round-trip equality, manifest
+  * integrity, and idempotent re-publish. */
+class CorpusPublishSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+  private val maxPerFile = 7
+
+  private lazy val docs = graft.ops.OpsKit.tbl(spark, dir, "documents")
+    .select(col("doc_id"), col("text"), col("lang"), col("source"))
+
+  private lazy val out = {
+    val d = Files.createTempDirectory("graft-publish").toString
+    CorpusPublish.publish(docs, d, "source", "doc_id", maxPerFile)
+    d
+  }
+
+  private def dataFiles(sub: String): Seq[String] =
+    Files.list(Paths.get(out, sub)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+
+  test("hive layout: one directory per source, no stray files") {
+    val subdirs = Files.list(Paths.get(out)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("source=")).toSet
+    val sources = docs.select("source").distinct()
+      .collect().map(r => s"source=${r.getString(0)}").toSet
+    assert(subdirs == sources)
+  }
+
+  test("every file respects maxRecordsPerFile and is sorted by doc_id") {
+    val subdirs = Files.list(Paths.get(out)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("source=")).toSeq
+    assert(subdirs.nonEmpty)
+    for (sub <- subdirs; f <- dataFiles(sub)) {
+      val ids = spark.read.parquet(f).select("doc_id")
+        .collect().map(_.getLong(0))
+      assert(ids.length <= maxPerFile,
+        s"$f has ${ids.length} rows > $maxPerFile")
+      assert(ids.sameElements(ids.sorted), s"$f not sorted by doc_id")
+    }
+  }
+
+  test("read-back with a source filter prunes to one partition") {
+    val q = spark.read.parquet(out).filter(col("source") === "src3")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+    val expected = docs.filter(col("source") === "src3").count()
+    assert(q.collect().length == expected)
+    // pruning is real: the executed scan read exactly ONE hive partition
+    val scanExec = q.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+    assert(scanExec.metrics("numPartitions").value == 1,
+      s"scan read ${scanExec.metrics("numPartitions").value} partitions")
+  }
+
+  test("round-trip equality and manifest integrity") {
+    val back = spark.read.parquet(out)
+      .select("doc_id", "text", "lang", "source")
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+
+    val manifest = spark.read.parquet(s"$out/_manifest")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val expected = docs.groupBy(col("source").cast("string").as("p"))
+      .agg(count(lit(1)),
+        bit_xor(xxhash64(col("doc_id"), col("lang"), col("text"))))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(manifest.sameElements(expected))
+  }
+
+  test("re-publish is idempotent: same manifest checksums") {
+    val first = spark.read.parquet(s"$out/_manifest")
+      .collect().map(_.toString).sorted
+    CorpusPublish.publish(docs, out, "source", "doc_id", maxPerFile)
+    val second = spark.read.parquet(s"$out/_manifest")
+      .collect().map(_.toString).sorted
+    assert(first.sameElements(second))
+  }
+}

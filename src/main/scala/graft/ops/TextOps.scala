@@ -114,8 +114,27 @@ object TextOps {
        |    replace((SELECT pair FROM $bn), ')(', '')) AS w
        |  FROM $vn0)""".stripMargin
 
+  /** (tok, n_syms) for every distinct input token: wrap each character as
+    * `(c)(c)…`, apply the learned merges in training order, and count the
+    * surviving symbol groups — the encode table q88 (per-doc) and q102
+    * (per-source) both join the token stream against. Vocabulary-sized
+    * work: the fold runs over distinct tokens, never the token stream. */
+  private def bpeSymbols(merges: Seq[String],
+      toks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val wrapped = toks.distinct()
+      .select(col("tok"), concat(lit("("),
+        array_join(split(col("tok"), ""), ")("), lit(")")).as("w"))
+    merges.foldLeft(wrapped)((df, pair) =>
+      df.withColumn("w",
+        replace(col("w"), lit(pair), lit(pair.replace(")(", "")))))
+      .select(col("tok"),
+        (length(col("w")) -
+          length(replace(col("w"), lit("("), lit(""))))
+          .cast("long").as("n_syms"))
+  }
+
   /** The k=3 training CTE chain `vt, v0, p1, b1, v1, …, p3, b3` shared by
-    * the q84 and q88 oracles — b1..b3 hold the learned merges. */
+    * the q84, q88, and q102 oracles — b1..b3 hold the learned merges. */
   private def bpeTrainCtes: String =
     s"""vt AS (
        |  SELECT tok, COUNT(*) AS freq
@@ -559,17 +578,7 @@ object TextOps {
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
           .groupBy(col("doc_id"), col("tok"))
           .agg(count(lit(1)).as("c"))
-        val wrapped = tc.select(col("tok")).distinct()
-          .select(col("tok"), concat(lit("("),
-            array_join(split(col("tok"), ""), ")("), lit(")")).as("w"))
-        val enc = merges.foldLeft(wrapped)((df, pair) =>
-          df.withColumn("w",
-            replace(col("w"), lit(pair), lit(pair.replace(")(", "")))))
-          .select(col("tok"),
-            (length(col("w")) -
-              length(replace(col("w"), lit("("), lit(""))))
-              .cast("long").as("n_syms"))
-        tc.join(enc, Seq("tok"))
+        tc.join(bpeSymbols(merges, tc.select(col("tok"))), Seq("tok"))
           .groupBy(col("doc_id"))
           .agg(sum(col("c")).as("n_tokens"),
             sum(col("c") * length(col("tok")).cast("long"))
@@ -604,6 +613,73 @@ object TextOps {
            |  CAST(SUM(c * n_syms) AS BIGINT) AS n_bpe_syms
            |FROM tc JOIN sy USING (tok)
            |GROUP BY doc_id""".stripMargin
+      }),
+
+    // ----- q102: tokenizer fertility / compression per source -------------
+    // The report the BPE family exists to produce: for each source, how
+    // many BPE symbols the learned tokenizer spends per whitespace word
+    // (fertility — the sequence-length multiplier training actually pays)
+    // and how many characters each symbol absorbs (compression). Reuses
+    // q84's training loop and q88's vocabulary-sized encode table; the
+    // token stream only ever meets the vocab-sized (tok, n_syms) table in
+    // a hash join — per-source totals are one partial-aggregated groupBy.
+    // Ratios are IEEE double divisions of exact longs: bit-identical
+    // cross-engine, no tolerance needed.
+    NamedQuery(
+      "q102_tokenizer_fertility",
+      (s, d) => {
+        val merges = bpeTrain(s, d, 3).map(_._2)
+        val tc = tbl(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("source"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+        tc.join(bpeSymbols(merges, tc.select(col("tok"))), Seq("tok"))
+          .groupBy(col("source"))
+          .agg(sum(col("c")).as("n_words"),
+            sum(col("c") * length(col("tok")).cast("long")).as("n_chars"),
+            sum(col("c") * col("n_syms")).as("n_bpe_syms"))
+          .select(col("source"), col("n_words"), col("n_chars"),
+            col("n_bpe_syms"),
+            (col("n_bpe_syms").cast("double") / col("n_words").cast("double"))
+              .as("fertility"),
+            (col("n_chars").cast("double") / col("n_bpe_syms").cast("double"))
+              .as("chars_per_sym"))
+      },
+      Some {
+        def applyEnc(en1: String, en0: String, bn: String): String =
+          s"""$en1 AS (
+             |  SELECT tok, replace(w, (SELECT pair FROM $bn),
+             |    replace((SELECT pair FROM $bn), ')(', '')) AS w
+             |  FROM $en0)""".stripMargin
+        s"""WITH $bpeTrainCtes,
+           |tc AS (
+           |  SELECT source, tok, COUNT(*) AS c
+           |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+           |        FROM documents)
+           |  GROUP BY source, tok),
+           |w0 AS (
+           |  SELECT tok,
+           |    '(' || array_to_string(list_transform(
+           |      range(1, len(tok) + 1), i -> tok[i:i]), ')(') || ')' AS w
+           |  FROM (SELECT DISTINCT tok FROM tc)),
+           |${applyEnc("e1", "w0", "b1")},
+           |${applyEnc("e2", "e1", "b2")},
+           |${applyEnc("e3", "e2", "b3")},
+           |sy AS (
+           |  SELECT tok, len(w) - len(replace(w, '(', '')) AS n_syms
+           |  FROM e3),
+           |agg AS (
+           |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_words,
+           |    CAST(SUM(c * len(tok)) AS BIGINT) AS n_chars,
+           |    CAST(SUM(c * n_syms) AS BIGINT) AS n_bpe_syms
+           |  FROM tc JOIN sy USING (tok)
+           |  GROUP BY source)
+           |SELECT source, n_words, n_chars, n_bpe_syms,
+           |  CAST(n_bpe_syms AS DOUBLE) / CAST(n_words AS DOUBLE)
+           |    AS fertility,
+           |  CAST(n_chars AS DOUBLE) / CAST(n_bpe_syms AS DOUBLE)
+           |    AS chars_per_sym
+           |FROM agg""".stripMargin
       }),
 
     // ----- q91: vocabulary coverage / OOV rate per document ---------------

@@ -37,6 +37,12 @@ case class BloomMightContainExpr(left: Expression, right: Expression)
     else if (right.dataType != BinaryType || !right.foldable)
       TypeCheckResult.TypeCheckFailure(
         "bloom_might_contain requires a foldable BINARY serialized filter")
+    else if (right.eval(null) == null)
+      // caught here, not in the lazy deserialization: a NULL binary
+      // literal is foldable and BinaryType, and would otherwise NPE
+      // inside readFrom during planning instead of failing analysis
+      TypeCheckResult.TypeCheckFailure(
+        "bloom_might_contain requires a non-NULL serialized filter")
     else TypeCheckResult.TypeCheckSuccess
 
   /** Deserialized once; the foldable child makes this deterministic. */

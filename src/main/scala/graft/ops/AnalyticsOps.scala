@@ -192,7 +192,13 @@ object AnalyticsOps {
                 (col("sv") / col("n").cast("double")) *
                 (col("sv") / col("n").cast("double")),
               lit(0.0))).as("sigma"))
-        ev.join(broadcast(stats), Seq("event_type"))
+        // sigma > 0 guard on BOTH engines: Spark's 0.0-divide yields NULL
+        // (filtered), DuckDB's yields ±inf (kept) — a constant-valued
+        // event type would otherwise split the engines; a zero-variance
+        // type has no anomalies by definition, so dropping it is the
+        // statement of intent, not a workaround
+        ev.join(broadcast(stats.filter(col("sigma") > 0.0)),
+            Seq("event_type"))
           .select(col("event_id"), col("event_type"), col("value"),
             ((col("value") - col("mu")) / col("sigma")).as("z"))
           .filter(abs(col("z")) >= 2.5)
@@ -215,6 +221,7 @@ object AnalyticsOps {
              |SELECT event_id, e.event_type, value,
              |  (value - mu) / sigma AS z
              |FROM events e JOIN st ON e.event_type = st.event_type
-             |WHERE abs((value - mu) / sigma) >= 2.5""".stripMargin)),
+             |WHERE sigma > 0.0
+             |  AND abs((value - mu) / sigma) >= 2.5""".stripMargin)),
   )
 }

@@ -265,7 +265,11 @@ object CurationOps {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("source"))
           .orderBy(col("priority"), col("doc_id"))
+        // n_chars > 0 guard on BOTH engines: a size-0 doc has PPS weight 0
+        // (never sampled), and the 0.0-divide otherwise splits the engines
+        // (Spark NULL priority sorts first; DuckDB +inf sorts last)
         tbl(s, d, "documents")
+          .filter(col("n_chars") > 0)
           .select(col("source"), col("doc_id"),
             (u / col("n_chars").cast("double")).as("priority"))
           .withColumn("rank", row_number().over(w).cast("long"))
@@ -280,7 +284,7 @@ object CurationOps {
               |      (CAST(${strHashSql("CAST(doc_id AS VARCHAR)")} AS DOUBLE)
               |       / 1152921504606846976.0)
               |        / CAST(n_chars AS DOUBLE) AS priority
-              |    FROM documents))
+              |    FROM documents WHERE n_chars > 0))
               |WHERE rank <= 5""".stripMargin)),
 
     // ----- q90: per-language length-band trim (outlier removal) -----------
@@ -459,6 +463,14 @@ object CurationOps {
               |nw AS (
               |  SELECT wsec, CAST(SUM(n_new) AS BIGINT) AS n_win
               |  FROM h GROUP BY wsec),
+              |-- every window × ALL 13 buckets, zero-filled: a vanished
+              |-- bucket's (0 - e)^2/e term must appear (see driftMonitor)
+              |hb AS (
+              |  SELECT nw.wsec, b.bucket, COALESCE(h.n_new, 0) AS n_new,
+              |    nw.n_win
+              |  FROM nw
+              |  CROSS JOIN (SELECT unnest(range(0, 13)) AS bucket) b
+              |  LEFT JOIN h ON h.wsec = nw.wsec AND h.bucket = b.bucket),
               |ref AS (
               |  SELECT least(CAST(floor(n_chars / 25) AS BIGINT), 12)
               |           AS bucket,
@@ -480,7 +492,7 @@ object CurationOps {
               |        * CAST(n_win AS DOUBLE))
               |    / ((CAST(n_old AS DOUBLE) / CAST(t_old AS DOUBLE))
               |        * CAST(n_win AS DOUBLE)) END AS chi2_term
-              |FROM h JOIN nw USING (wsec)
+              |FROM hb
               |LEFT JOIN ref USING (bucket), t""".stripMargin)),
   )
 }

@@ -846,7 +846,7 @@ object GovernanceOps {
     // ----- q100: the full curation pipeline as one decision table ---------
     // Everything the family above computes, composed the way a real
     // curation run composes it: per corpus document, the FIRST failing
-    // stage in the fixed precedence quality → dedup → decontamination, or
+    // stage in the fixed precedence quality → decontamination → dedup, or
     // 'keep'. One LSH pair computation feeds BOTH the near-dup closure
     // (StarCC labels, keep = component representative) and the
     // contamination flags (near-dup of an eval-set doc) — the stages

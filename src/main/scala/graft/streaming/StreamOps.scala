@@ -242,7 +242,11 @@ object StreamOps {
     * histogram in a stateless stream-static join. State = open windows ×
     * 13 counters, bounded by the watermark. Pure expressions + a static
     * join, so the identical code runs in batch mode (q99's oracle twin).
-    * Input: docs (ts, doc_id, text); reference (n_chars). */
+    * ALL 13 buckets are emitted per window, including n_new = 0 rows:
+    * a reference-heavy bucket that vanishes from a window is the
+    * strongest possible mix shift, and its (0 − e)²/e = e term must
+    * reach the alert, not be dropped as an absent group. Input:
+    * docs (ts, doc_id, text); reference (n_chars). */
   def driftMonitor(docs: DataFrame, reference: DataFrame): DataFrame = {
     val nBuckets = 13
     val ref = reference
@@ -269,7 +273,6 @@ object StreamOps {
           .as("bn"))
       .select(col("window_start"), col("bn.bucket").as("bucket"),
         col("bn.n_new").as("n_new"), col("n_win"))
-      .filter(col("n_new") > 0)
       .join(broadcast(refT), Seq("bucket"), "left")
       .select(col("window_start"), col("bucket"), col("n_new"),
         col("n_win"),

@@ -221,6 +221,13 @@ class NativeExprSpec extends AnyFunSuite {
     val plan = SparkEntry.queries("q65_bloom_contamination")(
       spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
     assert(!plan.contains("ScalaUDF"), "q65 still has a Scala UDF node")
+    // a NULL filter literal fails analysis cleanly (no NPE at planning)
+    val err = intercept[Exception] {
+      vals.select(call_function("bloom_might_contain", col("g"),
+        lit(null).cast("binary"))).collect()
+    }
+    assert(err.getMessage.contains("non-NULL serialized filter"),
+      s"expected analysis failure, got: ${err.getMessage}")
   }
 
   test("py_to_json null contract: NULL in, NULL out; junk in, NULL out") {

@@ -53,7 +53,9 @@ import org.apache.spark.sql.functions._
   *    that Jaccard under-scores;
   *  - q100 the full curation pipeline as one decision table: quality →
   *    decontamination → dedup in fixed precedence, one shared LSH pass
-  *    feeding both the closure and the contamination flags.
+  *    feeding both the closure and the contamination flags;
+  *  - q103 leakage-free train/val/test split: assignment hashed at the
+  *    near-dup CLUSTER level, so no near-dup pair can cross the cut.
   */
 object GovernanceOps {
   import LlmKit._
@@ -938,6 +940,40 @@ object GovernanceOps {
            |JOIN labels l ON l.doc_id = c.doc_id
            |LEFT JOIN contam ct ON ct.doc_id = c.doc_id""".stripMargin
       }),
+
+    // ----- q103: leakage-free train/val/test split ------------------------
+    // The split a random per-document hash gets WRONG: two near-dup docs
+    // landing on opposite sides of the cut leak validation content into
+    // training (memorization measured as generalization). Assign at the
+    // CLUSTER level instead — hash the near-dup component representative,
+    // so every member of a component lands on the same side by
+    // construction (same rep ⇒ same hash input ⇒ same split; no pair
+    // check needed, the guarantee is structural). 80/10/10 over the rep
+    // hash; deterministic, engine-portable (md5-prefix integer, the
+    // strHash parity contract). Cost at scale: the closure is the q57
+    // StarCC pass the pipeline already runs — the split itself is a pure
+    // map over its labels, zero additional shuffles.
+    NamedQuery(
+      "q103_leakfree_split",
+      (s, d) => {
+        val corpus = corpusWithNearDups(s, d)
+        val pairs = lshCandidatePairs(corpus).select(col("id1"), col("id2"))
+        val labels = StarCC
+          .connectedComponents(corpus.select(col("doc_id")), pairs)._1
+        val h = strHash(col("cluster_rep").cast("string")) % 10
+        labels.select(col("doc_id"), col("cluster_rep"),
+          when(h < 8, "train").when(h === 8, "val")
+            .otherwise("test").as("split"))
+      },
+      Some(s"""WITH RECURSIVE $clusterLabelCtes
+              |SELECT doc_id, cluster_rep,
+              |  CASE WHEN h < 8 THEN 'train'
+              |       WHEN h = 8 THEN 'val'
+              |       ELSE 'test' END AS split
+              |FROM (
+              |  SELECT doc_id, cluster_rep,
+              |    ${strHashSql("CAST(cluster_rep AS VARCHAR)")} % 10 AS h
+              |  FROM labels)""".stripMargin)),
   )
 
   /** Serialized form of a driver-built bloom filter, for shipping as a
@@ -951,7 +987,8 @@ object GovernanceOps {
 
   /** Transitive-closure CTE chain over the near-dup corpus, ending in
     * `labels(doc_id, cluster_rep)` — needs a `WITH RECURSIVE` prefix.
-    * Shared by the q47/q57 oracle and q93's savings report. */
+    * Shared by the q47/q57 oracle, q93's savings report, q100's decision
+    * table, and q103's leakage-free split. */
   private def clusterLabelCtes: String =
     s"""corpus AS ($corpusWithNearDupsSql),
        |$lshPairsCteSql,

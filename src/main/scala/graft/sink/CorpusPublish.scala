@@ -65,14 +65,19 @@ object CorpusPublish {
   /** Per-partition row count + order-independent checksum of the published
     * data: XOR of xxhash64 over every non-partition column, read back from
     * the files themselves (so the manifest certifies what is on disk, not
-    * what the writer intended to put there). */
+    * what the writer intended to put there). `excludeCols` drops layout
+    * bookkeeping columns (e.g. the streaming path's `ingest_batch`) from
+    * the checksum so batch and streaming publishes of the same rows
+    * certify identically. */
   def manifestOf(
       spark: SparkSession,
       outDir: String,
-      partitionCol: String): Seq[PartitionManifest] = {
+      partitionCol: String,
+      excludeCols: Set[String] = Set.empty): Seq[PartitionManifest] = {
     import spark.implicits._
     val published = spark.read.parquet(outDir)
-    val dataCols = published.columns.filter(_ != partitionCol).sorted
+    val dataCols = published.columns
+      .filter(c => c != partitionCol && !excludeCols(c)).sorted
     published
       .groupBy(col(partitionCol).cast("string").as("partition"))
       .agg(
@@ -83,4 +88,29 @@ object CorpusPublish {
       .sortBy(_.partition)
       .toSeq
   }
+
+  /** One streaming microbatch, published under a DETERMINISTIC per-batch
+    * path (`outDir/ingest_batch=<id>`) with `mode(overwrite)` scoped to
+    * that path: a replayed batch (failure after write, before the
+    * checkpoint commit) overwrites its own previous attempt instead of
+    * appending duplicates — effective exactly-once from an at-least-once
+    * retry contract, with no transactional sink. Layout below the batch
+    * directory is the same source-partitioned/sorted/bounded shape as
+    * [[publish]]; `spark.read.parquet(outDir)` discovers both hive levels,
+    * and a `source = X` filter still partition-prunes across batches. */
+  def publishBatch(
+      batch: DataFrame,
+      outDir: String,
+      batchId: Long,
+      partitionCol: String,
+      sortCol: String,
+      maxRecordsPerFile: Int): Unit =
+    batch
+      .repartition(col(partitionCol))
+      .sortWithinPartitions(col(partitionCol), col(sortCol))
+      .write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .partitionBy(partitionCol)
+      .parquet(s"$outDir/ingest_batch=$batchId")
 }

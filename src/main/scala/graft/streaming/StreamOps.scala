@@ -297,6 +297,31 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming corpus publish: each microbatch lands through
+    * [[graft.sink.CorpusPublish.publishBatch]] under a deterministic
+    * `ingest_batch=<id>` path, so a replayed batch overwrites its own
+    * previous attempt — effective exactly-once into plain parquet (the
+    * continuous form of the batch publisher's layout; same source
+    * partitioning, in-file sort, and file bounds below each batch dir).
+    * The `_manifest` is NOT updated per batch (a half-written manifest
+    * is worse than none); regenerate it from the files with
+    * `CorpusPublish.manifestOf(..., excludeCols = Set("ingest_batch"))`
+    * when the stream quiesces — it certifies what is on disk either way. */
+  def publishStream(docs: DataFrame, outDir: String, checkpoint: String,
+      maxRecordsPerFile: Int = 100000)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: Long) =>
+          graft.sink.CorpusPublish.publishBatch(
+            batch.toDF(), outDir, id, "source", "doc_id", maxRecordsPerFile)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   // ---- explicit state: flatMapGroupsWithState ---------------------------
 
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import scala.jdk.CollectionConverters._
 import graft.sink.CorpusPublish
+import graft.streaming.StreamOps
 
 /** The publish layout contract (sink/CorpusPublish scaladoc), checked on
   * disk — directory structure, file row bounds, in-file sort order,
@@ -87,5 +88,40 @@ class CorpusPublishSpec extends AnyFunSuite {
     val second = spark.read.parquet(s"$out/_manifest")
       .collect().map(_.toString).sorted
     assert(first.sameElements(second))
+  }
+
+  test("streaming publish certifies identically and survives batch replay") {
+    val sdir = Files.createTempDirectory("graft-pub-stream-in").toString
+    val sout = Files.createTempDirectory("graft-pub-stream-out").toString
+    // three chunks → three microbatches (maxFilesPerTrigger=1)
+    for ((lo, hi, i) <- Seq((0L, 150L, 0), (150L, 300L, 1), (300L, 600L, 2))) {
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.parquet(s"$sdir/c$i")
+      val part = Files.list(Paths.get(s"$sdir/c$i")).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, Paths.get(sdir, s"chunk$i.parquet"))
+    }
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(sdir)
+    val q = StreamOps.publishStream(stream, sout,
+      Files.createTempDirectory("graft-ckpt-pub").toString, maxPerFile)
+    q.awaitTermination()
+
+    // the files certify to the same per-source manifest as batch publish
+    val streamed = CorpusPublish.manifestOf(spark, sout, "source",
+      excludeCols = Set("ingest_batch"))
+    val batchM = CorpusPublish.manifestOf(spark, out, "source")
+    assert(streamed == batchM)
+
+    // a replayed batch (same id, same rows) overwrites its own attempt:
+    // the manifest is unchanged — no duplicate rows appended
+    graft.sink.CorpusPublish.publishBatch(
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 300),
+      sout, 1L, "source", "doc_id", maxPerFile)
+    val replayed = CorpusPublish.manifestOf(spark, sout, "source",
+      excludeCols = Set("ingest_batch"))
+    assert(replayed == batchM)
   }
 }

@@ -225,20 +225,23 @@ object DedupOps {
           .join(pr.select(col("g"), col("doc_id").as("doc2"), col("p").as("p2")),
             Seq("g"))
           .filter(col("doc1") < col("doc2"))
-        val diag = col("p1") - col("p2")
         // prune before the ordered window: a diagonal with < 6 matches
         // cannot contain a 6-run (span ≥ 8 tokens); random-collision
         // diagonals are overwhelmingly singletons, so this count-window
-        // (same partitioning — one exchange serves both windows) drops
-        // most of the ordered sort + aggregate input
+        // drops most of the ordered sort + aggregate input. diag is
+        // materialized ONCE as a column — both windows then partition on
+        // the same attribute and Catalyst plans a single exchange for the
+        // pair (an inline p1−p2 expression becomes a fresh attribute per
+        // window and re-shuffles; plan-asserted in PlanShapeSpec)
         val wp = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc1"), col("doc2"), diag)
+          .partitionBy(col("doc1"), col("doc2"), col("diag"))
         val w = wp.orderBy(col("p1"))
-        m.withColumn("n_diag", count(lit(1)).over(wp))
+        m.withColumn("diag", col("p1") - col("p2"))
+          .withColumn("n_diag", count(lit(1)).over(wp))
           .filter(col("n_diag") >= 6)
           .withColumn("island",
             col("p1") - row_number().over(w).cast("long"))
-          .groupBy(col("doc1"), col("doc2"), diag.as("diag"), col("island"))
+          .groupBy(col("doc1"), col("doc2"), col("diag"), col("island"))
           .agg(min(col("p1")).as("start1"), min(col("p2")).as("start2"),
             (count(lit(1)) + 2).as("span_toks"))
           .filter(col("span_toks") >= 8)

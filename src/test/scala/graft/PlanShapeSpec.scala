@@ -187,4 +187,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), s"q76 shape:\n$p")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
   }
+
+  test("q101's two windows share one diagonal exchange") {
+    val p = plan("q101_substr_spans")
+    // the count-window prune and the ordered island window partition on
+    // the same materialized diag attribute — Catalyst must plan ONE
+    // exchange for both, or the prune costs an extra corpus-scale
+    // shuffle (an inline p1−p2 expression regresses to exactly that)
+    assert("Window".r.findAllIn(p).size >= 2, s"windows missing:\n$p")
+    assert(
+      "Exchange hashpartitioning\\(doc1#\\d+L, doc2#\\d+L, diag"
+        .r.findAllIn(p).size == 1,
+      s"diagonal exchange not shared:\n$p")
+  }
+
+  test("q100 runs ONE LSH pass shared by closure and contamination flags") {
+    // the candidate pairs are cached and consumed twice; both consumers
+    // must read the InMemoryRelation, not recompute the banding pipeline
+    val p = plan("q100_curation_pipeline")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"LSH pass not shared via cache:\n$p")
+  }
+
+  test("q103's split adds ZERO shuffles beyond the closure's label attach") {
+    // StarCC's label finalization is a min-agg plus a node left-join
+    // (2 exchanges); the leakage-free split itself must be a pure
+    // projection on top — a third exchange means the 'free' split went
+    // distributed
+    val p = plan("q103_leakfree_split")
+    assert("Exchange".r.findAllIn(p).size <= 2, s"split plans a shuffle:\n$p")
+    assert(p.linesIterator.find(_.contains("AS split"))
+      .exists(_.trim.startsWith("+- Project")), s"split not a projection:\n$p")
+  }
 }

@@ -55,7 +55,9 @@ import org.apache.spark.sql.functions._
   *    decontamination → dedup in fixed precedence, one shared LSH pass
   *    feeding both the closure and the contamination flags;
   *  - q103 leakage-free train/val/test split: assignment hashed at the
-  *    near-dup CLUSTER level, so no near-dup pair can cross the cut.
+  *    near-dup CLUSTER level, so no near-dup pair can cross the cut;
+  *  - q104 cross-source duplication matrix: the near-dup pairs rolled
+  *    up to (source, source) cells — who copies from whom.
   */
 object GovernanceOps {
   import LlmKit._
@@ -974,6 +976,64 @@ object GovernanceOps {
               |  SELECT doc_id, cluster_rep,
               |    ${strHashSql("CAST(cluster_rep AS VARCHAR)")} % 10 AS h
               |  FROM labels)""".stripMargin)),
+
+    // ----- q104: cross-source duplication matrix --------------------------
+    // WHO copies from WHOM: the near-dup candidate pairs rolled up to
+    // (source, source) cells — the provenance view the per-cluster (q93)
+    // and per-source (q94) reports can't give. A licensing/provenance
+    // review reads this to find the provider pair sharing content. The
+    // planted copies are re-keyed to the NEXT source ((n+1) mod 20) so
+    // the matrix has real off-diagonal structure to certify. Scale: the
+    // pair set is the already-guarded LSH output (candidate-sized, never
+    // corpus²); the rollup is one groupBy over ≤ sources² keys, and the
+    // source lookup is a join against the corpus's (doc_id, source) map —
+    // hash-shuffled on doc ids, uniform by construction.
+    NamedQuery(
+      "q104_source_dup_matrix",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val shifted = docs.select((col("doc_id") + 100000).as("doc_id"),
+          dropFirstToken(col("text")).as("text"),
+          concat(lit("src"),
+            ((substring(col("source"), 4, 10).cast("int") + 1) % 20)
+              .cast("string")).as("source"))
+        val corpus = docs.select(col("doc_id"), col("text"), col("source"))
+          .unionByName(shifted)
+        val pairs = lshCandidatePairs(
+          corpus.select(col("doc_id"), col("text")))
+        val smap = corpus.select(col("doc_id"), col("source"))
+        pairs
+          .join(smap.select(col("doc_id").as("id1"), col("source").as("s1")),
+            Seq("id1"))
+          .join(smap.select(col("doc_id").as("id2"), col("source").as("s2")),
+            Seq("id2"))
+          .groupBy(least(col("s1"), col("s2")).as("src_a"),
+            greatest(col("s1"), col("s2")).as("src_b"))
+          .agg(count(lit(1)).as("n_pairs"),
+            max(col("jaccard")).as("max_jaccard"))
+      },
+      Some(s"""WITH corpus AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 100000 AS doc_id,
+              |    ${dropFirstTokenSql("text")} AS text FROM documents),
+              |$lshPairsCteSql,
+              |smap AS (
+              |  SELECT doc_id, source FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 100000,
+              |    'src' || CAST((CAST(substr(source, 4) AS INT) + 1) % 20
+              |                  AS VARCHAR)
+              |  FROM documents),
+              |j AS (
+              |  SELECT p.jaccard, a.source AS s1, b.source AS s2
+              |  FROM pairs p
+              |  JOIN smap a ON a.doc_id = p.id1
+              |  JOIN smap b ON b.doc_id = p.id2)
+              |SELECT least(s1, s2) AS src_a, greatest(s1, s2) AS src_b,
+              |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+              |  MAX(jaccard) AS max_jaccard
+              |FROM j GROUP BY 1, 2""".stripMargin)),
   )
 
   /** Serialized form of a driver-built bloom filter, for shipping as a

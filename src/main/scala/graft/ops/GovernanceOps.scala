@@ -992,16 +992,16 @@ object GovernanceOps {
       "q104_source_dup_matrix",
       (s, d) => {
         val docs = tbl(s, d, "documents")
-        val shifted = docs.select((col("doc_id") + 100000).as("doc_id"),
-          dropFirstToken(col("text")).as("text"),
-          concat(lit("src"),
-            ((substring(col("source"), 4, 10).cast("int") + 1) % 20)
-              .cast("string")).as("source"))
-        val corpus = docs.select(col("doc_id"), col("text"), col("source"))
-          .unionByName(shifted)
-        val pairs = lshCandidatePairs(
-          corpus.select(col("doc_id"), col("text")))
-        val smap = corpus.select(col("doc_id"), col("source"))
+        // pairs come from the SHARED corpusWithNearDups plan (same rows):
+        // lshCandidatePairs caches its signatures by canonicalized plan,
+        // so an inline 3-column union here would re-hash the corpus
+        // instead of hitting the cache every other LSH query shares
+        val pairs = lshCandidatePairs(corpusWithNearDups(s, d))
+        val smap = docs.select(col("doc_id"), col("source"))
+          .unionByName(docs.select((col("doc_id") + 100000).as("doc_id"),
+            concat(lit("src"),
+              ((substring(col("source"), 4, 10).cast("int") + 1) % 20)
+                .cast("string")).as("source")))
         pairs
           .join(smap.select(col("doc_id").as("id1"), col("source").as("s1")),
             Seq("id1"))
@@ -1012,11 +1012,7 @@ object GovernanceOps {
           .agg(count(lit(1)).as("n_pairs"),
             max(col("jaccard")).as("max_jaccard"))
       },
-      Some(s"""WITH corpus AS (
-              |  SELECT doc_id, text FROM documents
-              |  UNION ALL
-              |  SELECT doc_id + 100000 AS doc_id,
-              |    ${dropFirstTokenSql("text")} AS text FROM documents),
+      Some(s"""WITH corpus AS ($corpusWithNearDupsSql),
               |$lshPairsCteSql,
               |smap AS (
               |  SELECT doc_id, source FROM documents

@@ -1,5 +1,8 @@
 package graft.sink
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -30,11 +33,48 @@ import org.apache.spark.sql.functions._
   *    XOR alone cancels identical-row pairs — the publish input is a
   *    curated keep-set, so identical rows indicate an upstream bug the
   *    count still surfaces.
+  *
+  * The batch ([[publish]]) and streaming ([[publishBatch]]) paths write
+  * INCOMPATIBLE hive layouts (`source=X/…` vs `ingest_batch=N/source=X/…`)
+  * and therefore refuse to write into each other's directories — mixing
+  * them would make partition discovery fail on the whole corpus.
   */
 object CorpusPublish {
 
   final case class PartitionManifest(
       partition: String, n_rows: Long, checksum: Long)
+
+  /** The one definition of the on-disk layout — both publish paths write
+    * through here, so the shape below a batch directory cannot drift from
+    * the batch publisher's. */
+  private def writeLayout(
+      df: DataFrame,
+      path: String,
+      partitionCol: String,
+      sortCol: String,
+      maxRecordsPerFile: Int): Unit =
+    df.repartition(col(partitionCol))
+      .sortWithinPartitions(col(partitionCol), col(sortCol))
+      .write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .partitionBy(partitionCol)
+      .parquet(path)
+
+  private def hasSubdirStartingWith(dir: String, prefix: String): Boolean = {
+    val p = Paths.get(dir)
+    if (!Files.isDirectory(p)) false
+    else {
+      val s = Files.list(p)
+      try {
+        val it = s.iterator()
+        var found = false
+        while (!found && it.hasNext)
+          found = it.next().getFileName.toString.startsWith(prefix)
+        found
+      } finally s.close()
+    }
+  }
 
   /** Writes `df` under `outDir` partitioned by `partitionCol`; returns the
     * manifest (also written to `outDir/_manifest`). Overwrite semantics:
@@ -46,13 +86,10 @@ object CorpusPublish {
       partitionCol: String,
       sortCol: String,
       maxRecordsPerFile: Int): Seq[PartitionManifest] = {
-    df.repartition(col(partitionCol))
-      .sortWithinPartitions(col(partitionCol), col(sortCol))
-      .write
-      .mode("overwrite")
-      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
-      .partitionBy(partitionCol)
-      .parquet(outDir)
+    require(!hasSubdirStartingWith(outDir, "ingest_batch="),
+      s"$outDir holds a STREAMING publish (ingest_batch=* dirs); " +
+        "batch publish into it would conflict the hive layouts")
+    writeLayout(df, outDir, partitionCol, sortCol, maxRecordsPerFile)
 
     val spark = df.sparkSession
     val manifest = manifestOf(spark, outDir, partitionCol)
@@ -95,22 +132,51 @@ object CorpusPublish {
     * checkpoint commit) overwrites its own previous attempt instead of
     * appending duplicates — effective exactly-once from an at-least-once
     * retry contract, with no transactional sink. Layout below the batch
-    * directory is the same source-partitioned/sorted/bounded shape as
-    * [[publish]]; `spark.read.parquet(outDir)` discovers both hive levels,
-    * and a `source = X` filter still partition-prunes across batches. */
+    * directory is [[writeLayout]], identical to the batch publisher's;
+    * `spark.read.parquet(outDir)` discovers both hive levels, and a
+    * `source = X` filter still partition-prunes across batches.
+    *
+    * Commit protocol against BATCH-ID RESTARTS (new/deleted checkpoint
+    * pointing at an already-published outDir — batchIds restart at 0 and
+    * the deterministic path would silently clobber committed data): a
+    * `_graft_commit` marker holding the batch's content checksum is
+    * written AFTER the data. On arrival at a batch path:
+    *  - no marker → previous attempt died mid-write → overwrite (replay);
+    *  - marker matches this batch's checksum → the batch is already
+    *    committed and identical → no-op (replay after a lost checkpoint
+    *    commit);
+    *  - marker differs → a DIFFERENT batch committed here → throw; this
+    *    is a batch-id collision, not a replay, and overwriting would lose
+    *    published data. */
   def publishBatch(
       batch: DataFrame,
       outDir: String,
       batchId: Long,
       partitionCol: String,
       sortCol: String,
-      maxRecordsPerFile: Int): Unit =
-    batch
-      .repartition(col(partitionCol))
-      .sortWithinPartitions(col(partitionCol), col(sortCol))
-      .write
-      .mode("overwrite")
-      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
-      .partitionBy(partitionCol)
-      .parquet(s"$outDir/ingest_batch=$batchId")
+      maxRecordsPerFile: Int): Unit = {
+    require(!hasSubdirStartingWith(outDir, s"$partitionCol="),
+      s"$outDir holds a BATCH publish ($partitionCol=* dirs); streaming " +
+        "publish into it would conflict the hive layouts")
+    val dataCols = batch.columns.sorted
+    val sum = batch
+      .agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(dataCols.map(col): _*)).as("c"))
+      .head()
+    val token = s"${sum.getLong(0)}:${if (sum.isNullAt(1)) 0L
+      else sum.getLong(1)}"
+    val path = s"$outDir/ingest_batch=$batchId"
+    val marker = Paths.get(path, "_graft_commit")
+    if (Files.exists(marker)) {
+      val prev = new String(Files.readAllBytes(marker), StandardCharsets.UTF_8)
+      if (prev == token) return // committed replay — idempotent no-op
+      throw new IllegalStateException(
+        s"batch $batchId already committed at $path with different " +
+          s"content ($prev vs $token): batch-id restart against a " +
+          "published corpus — refusing to clobber")
+    }
+    writeLayout(batch, path, partitionCol, sortCol, maxRecordsPerFile)
+    Files.write(Paths.get(path, "_graft_commit"),
+      token.getBytes(StandardCharsets.UTF_8))
+  }
 }

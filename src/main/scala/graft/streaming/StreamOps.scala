@@ -306,7 +306,13 @@ object StreamOps {
     * The `_manifest` is NOT updated per batch (a half-written manifest
     * is worse than none); regenerate it from the files with
     * `CorpusPublish.manifestOf(..., excludeCols = Set("ingest_batch"))`
-    * when the stream quiesces — it certifies what is on disk either way. */
+    * when the stream quiesces — it certifies what is on disk either way.
+    * `outDir` must be a fresh or streaming-published directory: the batch
+    * publisher's `source=X/…` layout conflicts with this path's
+    * `ingest_batch=N/source=X/…` one, and publishBatch refuses to mix
+    * them; a batch-id restart against already-committed batches (new
+    * checkpoint, same outDir) throws instead of clobbering — see the
+    * commit protocol on [[graft.sink.CorpusPublish.publishBatch]]. */
   def publishStream(docs: DataFrame, outDir: String, checkpoint: String,
       maxRecordsPerFile: Int = 100000)
       : org.apache.spark.sql.streaming.StreamingQuery =

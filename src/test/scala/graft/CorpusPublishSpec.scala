@@ -115,7 +115,7 @@ class CorpusPublishSpec extends AnyFunSuite {
     val batchM = CorpusPublish.manifestOf(spark, out, "source")
     assert(streamed == batchM)
 
-    // a replayed batch (same id, same rows) overwrites its own attempt:
+    // a replayed batch (same id, same rows) is a committed no-op:
     // the manifest is unchanged — no duplicate rows appended
     graft.sink.CorpusPublish.publishBatch(
       docs.filter(col("doc_id") >= 150 && col("doc_id") < 300),
@@ -123,5 +123,25 @@ class CorpusPublishSpec extends AnyFunSuite {
     val replayed = CorpusPublish.manifestOf(spark, sout, "source",
       excludeCols = Set("ingest_batch"))
     assert(replayed == batchM)
+
+    // a batch-id RESTART (same id, different rows — a fresh checkpoint
+    // pointed at published data) must throw, not clobber
+    val clash = intercept[IllegalStateException] {
+      graft.sink.CorpusPublish.publishBatch(
+        docs.filter(col("doc_id") < 10),
+        sout, 1L, "source", "doc_id", maxPerFile)
+    }
+    assert(clash.getMessage.contains("refusing to clobber"))
+    assert(CorpusPublish.manifestOf(spark, sout, "source",
+      excludeCols = Set("ingest_batch")) == batchM)
+
+    // and the two layouts refuse to mix in either direction
+    intercept[IllegalArgumentException] {
+      CorpusPublish.publish(docs, sout, "source", "doc_id", maxPerFile)
+    }
+    intercept[IllegalArgumentException] {
+      graft.sink.CorpusPublish.publishBatch(
+        docs, out, 0L, "source", "doc_id", maxPerFile)
+    }
   }
 }

@@ -44,6 +44,11 @@ object CorpusPublish {
   final case class PartitionManifest(
       partition: String, n_rows: Long, checksum: Long)
 
+  // Marker and layout-guard file probes use java.nio (local paths) to
+  // match this project's local-mode harness; on a cluster the same
+  // protocol runs over org.apache.hadoop.fs.FileSystem — the logic
+  // (probe marker, compare token, write marker last) is FS-agnostic.
+
   /** The one definition of the on-disk layout — both publish paths write
     * through here, so the shape below a batch directory cannot drift from
     * the batch publisher's. */

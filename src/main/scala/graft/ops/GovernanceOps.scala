@@ -870,7 +870,11 @@ object GovernanceOps {
         val corpus = base.unionByName(base.select(
           (col("doc_id") + 100000).as("doc_id"),
           dropFirstToken(col("text")).as("text"), col("source")))
-        val ct = corpus.select(col("doc_id"), col("text"))
+        // the SHARED corpusWithNearDups plan (same (doc_id, text) rows):
+        // lshCandidatePairs caches signatures by canonicalized plan, and
+        // a projection of the 3-column corpus above would miss that cache
+        // and re-hash the corpus (the q104 lesson)
+        val ct = corpusWithNearDups(s, d)
         val pairs = lshCandidatePairs(ct)
           .select(col("id1"), col("id2")).cache()
         val labels = StarCC

@@ -28,7 +28,9 @@ import org.apache.spark.sql.functions._
   *    incremental dedup (q56);
   *  - q99 windowed drift monitor: the continuous form of q96, running
   *    [[graft.streaming.StreamOps.driftMonitor]] in batch mode so the
-  *    streaming operator sits under the driver's hash gate.
+  *    streaming operator sits under the driver's hash gate;
+  *  - q105 dataset card: the one-row corpus health summary (volumes,
+  *    composition, exact-dup signal) a release datasheet leads with.
   */
 object CurationOps {
   import LlmKit._
@@ -494,5 +496,64 @@ object CurationOps {
               |        * CAST(n_win AS DOUBLE)) END AS chi2_term
               |FROM hb
               |LEFT JOIN ref USING (bucket), t""".stripMargin)),
+
+    // ----- q105: dataset card (one-row corpus health summary) -------------
+    // The datasheet a dataset release ships with, as ONE row: sizes,
+    // composition, and integrity signals a consumer reads before
+    // training. Every field is a single-pass aggregate (the expensive
+    // detectors have their own queries — this is the cheap always-on
+    // summary): volumes from one scan, language/source breadth via
+    // count(distinct), exact-dup groups via an md5 sub-aggregate, and
+    // the dominant-language share as an exact integer ratio cast once.
+    // Scale: two partial-agg shuffles (the global aggregate and the md5
+    // groupBy), both on uniform keys; no joins, no windows.
+    NamedQuery(
+      "q105_dataset_card",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val toks = size(split(col("text"), " ")).cast("long")
+        val base = docs.agg(
+          count(lit(1)).as("n_docs"),
+          sum(toks).as("n_tokens"),
+          sum(col("n_chars")).cast("long").as("n_chars"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+        val dups = docs.groupBy(md5(col("text")).as("h"))
+          .agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("n_distinct_texts"),
+            sum(when(col("c") > 1, col("c")).otherwise(0L))
+              .cast("long").as("n_docs_in_dup_groups"))
+        base.crossJoin(dups)
+          .select(col("n_docs"), col("n_tokens"), col("n_chars"),
+            col("n_sources"), col("n_langs"),
+            (col("n_en").cast("double") / col("n_docs").cast("double"))
+              .as("en_share"),
+            col("n_distinct_texts"), col("n_docs_in_dup_groups"),
+            (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+              .as("avg_doc_tokens"))
+      },
+      Some("""WITH base AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+             |      AS n_tokens,
+             |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+             |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+             |         AS BIGINT) AS n_en
+             |  FROM documents),
+             |dups AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_texts,
+             |    CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+             |      AS n_docs_in_dup_groups
+             |  FROM (SELECT md5(text) AS h, COUNT(*) AS c
+             |        FROM documents GROUP BY 1))
+             |SELECT n_docs, n_tokens, n_chars, n_sources, n_langs,
+             |  CAST(n_en AS DOUBLE) / CAST(n_docs AS DOUBLE) AS en_share,
+             |  n_distinct_texts, n_docs_in_dup_groups,
+             |  CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             |    AS avg_doc_tokens
+             |FROM base, dups""".stripMargin)),
   )
 }

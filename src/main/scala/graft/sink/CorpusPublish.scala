@@ -66,17 +66,25 @@ object CorpusPublish {
       .partitionBy(partitionCol)
       .parquet(path)
 
-  private def hasSubdirStartingWith(dir: String, prefix: String): Boolean = {
+  /** Top-level `name=value` hive directories under `dir`, excluding the
+    * given prefixes — the layout-conflict probes list what partition
+    * columns a directory already commits to, whatever their names. */
+  private def hivePartitionDirs(
+      dir: String, excludePrefixes: Seq[String]): Seq[String] = {
     val p = Paths.get(dir)
-    if (!Files.isDirectory(p)) false
+    if (!Files.isDirectory(p)) Seq.empty
     else {
       val s = Files.list(p)
       try {
         val it = s.iterator()
-        var found = false
-        while (!found && it.hasNext)
-          found = it.next().getFileName.toString.startsWith(prefix)
-        found
+        val found = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val n = it.next().getFileName.toString
+          if (n.contains("=") && !n.startsWith("_") &&
+            !excludePrefixes.exists(n.startsWith))
+            found += n
+        }
+        found.result()
       } finally s.close()
     }
   }
@@ -91,9 +99,12 @@ object CorpusPublish {
       partitionCol: String,
       sortCol: String,
       maxRecordsPerFile: Int): Seq[PartitionManifest] = {
-    require(!hasSubdirStartingWith(outDir, "ingest_batch="),
-      s"$outDir holds a STREAMING publish (ingest_batch=* dirs); " +
-        "batch publish into it would conflict the hive layouts")
+    val existing = hivePartitionDirs(outDir, Seq(s"$partitionCol="))
+    require(existing.isEmpty,
+      s"$outDir already holds a conflicting hive layout " +
+        s"(${existing.take(3).mkString(", ")}…); batch publish with " +
+        s"partitionCol=$partitionCol into it would break partition " +
+        "discovery for the whole corpus")
     writeLayout(df, outDir, partitionCol, sortCol, maxRecordsPerFile)
 
     val spark = df.sparkSession
@@ -144,15 +155,27 @@ object CorpusPublish {
     * Commit protocol against BATCH-ID RESTARTS (new/deleted checkpoint
     * pointing at an already-published outDir — batchIds restart at 0 and
     * the deterministic path would silently clobber committed data): a
-    * `_graft_commit` marker holding the batch's content checksum is
-    * written AFTER the data. On arrival at a batch path:
+    * `_graft_commit` marker holding the batch's content token is written
+    * atomically AFTER the data. On arrival at a batch path:
     *  - no marker → previous attempt died mid-write → overwrite (replay);
-    *  - marker matches this batch's checksum → the batch is already
+    *  - marker matches this batch's token → the batch is already
     *    committed and identical → no-op (replay after a lost checkpoint
     *    commit);
     *  - marker differs → a DIFFERENT batch committed here → throw; this
     *    is a batch-id collision, not a replay, and overwriting would lose
-    *    published data. */
+    *    published data.
+    *
+    * The token is `count : xor-of-row-hashes : exact-decimal-sum-of-row-
+    * hashes` — XOR alone cancels on duplicate-row pairs (so {A,A,B} and
+    * {C,C,B} would collide), the additive sum breaks exactly that
+    * ambiguity, and together a collision needs equal count AND equal xor
+    * AND equal sum of 64-bit hashes.
+    *
+    * CONTRACT: the batch content must be deterministic under replay (the
+    * standard requirement for any idempotent Spark sink) — a
+    * processing-time column or non-deterministic UDF in the stream makes
+    * a legitimate replay token-mismatch and throw. Put such columns in
+    * the layout path (like `ingest_batch` itself), not the data. */
   def publishBatch(
       batch: DataFrame,
       outDir: String,
@@ -160,28 +183,40 @@ object CorpusPublish {
       partitionCol: String,
       sortCol: String,
       maxRecordsPerFile: Int): Unit = {
-    require(!hasSubdirStartingWith(outDir, s"$partitionCol="),
-      s"$outDir holds a BATCH publish ($partitionCol=* dirs); streaming " +
-        "publish into it would conflict the hive layouts")
-    val dataCols = batch.columns.sorted
-    val sum = batch
-      .agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(dataCols.map(col): _*)).as("c"))
-      .head()
-    val token = s"${sum.getLong(0)}:${if (sum.isNullAt(1)) 0L
-      else sum.getLong(1)}"
-    val path = s"$outDir/ingest_batch=$batchId"
-    val marker = Paths.get(path, "_graft_commit")
-    if (Files.exists(marker)) {
-      val prev = new String(Files.readAllBytes(marker), StandardCharsets.UTF_8)
-      if (prev == token) return // committed replay — idempotent no-op
-      throw new IllegalStateException(
-        s"batch $batchId already committed at $path with different " +
-          s"content ($prev vs $token): batch-id restart against a " +
-          "published corpus — refusing to clobber")
-    }
-    writeLayout(batch, path, partitionCol, sortCol, maxRecordsPerFile)
-    Files.write(Paths.get(path, "_graft_commit"),
-      token.getBytes(StandardCharsets.UTF_8))
+    val existing = hivePartitionDirs(outDir, Seq("ingest_batch="))
+    require(existing.isEmpty,
+      s"$outDir already holds a conflicting hive layout " +
+        s"(${existing.take(3).mkString(", ")}…); streaming publish into " +
+        "it would break partition discovery for the whole corpus")
+    batch.persist()
+    try {
+      val dataCols = batch.columns.sorted
+      val h = xxhash64(dataCols.map(col): _*)
+      val tok = batch
+        .agg(count(lit(1)).as("n"), bit_xor(h).as("x"),
+          sum(h.cast("decimal(38,0)")).as("s"))
+        .head()
+      val token = s"${tok.getLong(0)}:" +
+        s"${if (tok.isNullAt(1)) 0L else tok.getLong(1)}:" +
+        s"${if (tok.isNullAt(2)) "0" else tok.getDecimal(2).toBigInteger}"
+      val path = s"$outDir/ingest_batch=$batchId"
+      val marker = Paths.get(path, "_graft_commit")
+      if (Files.exists(marker)) {
+        val prev =
+          new String(Files.readAllBytes(marker), StandardCharsets.UTF_8)
+        if (prev == token) return // committed replay — idempotent no-op
+        throw new IllegalStateException(
+          s"batch $batchId already committed at $path with different " +
+            s"content ($prev vs $token): batch-id restart against a " +
+            "published corpus — refusing to clobber")
+      }
+      writeLayout(batch, path, partitionCol, sortCol, maxRecordsPerFile)
+      // atomic marker publish: a crash mid-write must leave NO marker
+      // (overwritable attempt), never a torn one (poisoned replays)
+      val tmp = Paths.get(path, "._graft_commit.tmp")
+      Files.write(tmp, token.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, marker,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } finally batch.unpersist()
   }
 }

@@ -144,4 +144,25 @@ class CorpusPublishSpec extends AnyFunSuite {
         docs, out, 0L, "source", "doc_id", maxPerFile)
     }
   }
+
+  test("commit token distinguishes XOR-colliding batches") {
+    // {A,A,B} and {C,C,B} have equal row counts and equal XOR of row
+    // hashes (duplicate pairs cancel, leaving hash(B) on both sides) —
+    // only the additive hash sum in the token separates them. A restart
+    // delivering the second batch at the first's id must THROW, not
+    // no-op as a "committed replay".
+    import spark.implicits._
+    val d2 = Files.createTempDirectory("graft-pub-xor").toString
+    def batchOf(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text").withColumn("source", lit("s0"))
+    graft.sink.CorpusPublish.publishBatch(
+      batchOf(Seq((1L, "A"), (1L, "A"), (2L, "B"))),
+      d2, 0L, "source", "doc_id", maxPerFile)
+    val clash = intercept[IllegalStateException] {
+      graft.sink.CorpusPublish.publishBatch(
+        batchOf(Seq((3L, "C"), (3L, "C"), (2L, "B"))),
+        d2, 0L, "source", "doc_id", maxPerFile)
+    }
+    assert(clash.getMessage.contains("refusing to clobber"))
+  }
 }

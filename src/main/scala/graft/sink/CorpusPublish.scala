@@ -1,8 +1,6 @@
 package graft.sink
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
-
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -44,10 +42,16 @@ object CorpusPublish {
   final case class PartitionManifest(
       partition: String, n_rows: Long, checksum: Long)
 
-  // Marker and layout-guard file probes use java.nio (local paths) to
-  // match this project's local-mode harness; on a cluster the same
-  // protocol runs over org.apache.hadoop.fs.FileSystem — the logic
-  // (probe marker, compare token, write marker last) is FS-agnostic.
+  // ALL marker and layout-guard I/O goes through the Hadoop FileSystem
+  // resolved from the output path itself, so the protocol runs unchanged
+  // on local paths, file://, and hdfs:// — the probe cannot silently
+  // "see no marker" just because the path is not java.io-local. S3
+  // CAVEAT: S3A has no atomic rename — the marker publish degrades to
+  // copy+delete, so a crash inside the rename can leave a torn marker
+  // there; on S3 pair this sink with an S3A committer or a manifest
+  // check, as with any rename-commit Spark sink.
+  private def fsFor(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
   /** The one definition of the on-disk layout — both publish paths write
     * through here, so the shape below a batch directory cannot drift from
@@ -70,23 +74,17 @@ object CorpusPublish {
     * given prefixes — the layout-conflict probes list what partition
     * columns a directory already commits to, whatever their names. */
   private def hivePartitionDirs(
-      dir: String, excludePrefixes: Seq[String]): Seq[String] = {
-    val p = Paths.get(dir)
-    if (!Files.isDirectory(p)) Seq.empty
-    else {
-      val s = Files.list(p)
-      try {
-        val it = s.iterator()
-        val found = Seq.newBuilder[String]
-        while (it.hasNext) {
-          val n = it.next().getFileName.toString
-          if (n.contains("=") && !n.startsWith("_") &&
-            !excludePrefixes.exists(n.startsWith))
-            found += n
-        }
-        found.result()
-      } finally s.close()
-    }
+      spark: SparkSession,
+      dir: String,
+      excludePrefixes: Seq[String]): Seq[String] = {
+    val fs = fsFor(spark, dir)
+    val p = new Path(dir)
+    if (!fs.exists(p) || !fs.getFileStatus(p).isDirectory) Seq.empty
+    else
+      fs.listStatus(p).iterator.map(_.getPath.getName).filter { n =>
+        n.contains("=") && !n.startsWith("_") &&
+        !excludePrefixes.exists(n.startsWith)
+      }.toSeq
   }
 
   /** Writes `df` under `outDir` partitioned by `partitionCol`; returns the
@@ -99,7 +97,8 @@ object CorpusPublish {
       partitionCol: String,
       sortCol: String,
       maxRecordsPerFile: Int): Seq[PartitionManifest] = {
-    val existing = hivePartitionDirs(outDir, Seq(s"$partitionCol="))
+    val spark = df.sparkSession
+    val existing = hivePartitionDirs(spark, outDir, Seq(s"$partitionCol="))
     require(existing.isEmpty,
       s"$outDir already holds a conflicting hive layout " +
         s"(${existing.take(3).mkString(", ")}…); batch publish with " +
@@ -107,7 +106,6 @@ object CorpusPublish {
         "discovery for the whole corpus")
     writeLayout(df, outDir, partitionCol, sortCol, maxRecordsPerFile)
 
-    val spark = df.sparkSession
     val manifest = manifestOf(spark, outDir, partitionCol)
     spark.createDataFrame(manifest)
       .repartition(1)
@@ -156,7 +154,8 @@ object CorpusPublish {
     * pointing at an already-published outDir — batchIds restart at 0 and
     * the deterministic path would silently clobber committed data): a
     * `_graft_commit` marker holding the batch's content token is written
-    * atomically AFTER the data. On arrival at a batch path:
+    * via rename AFTER the data (atomic on local FS and HDFS; see the S3
+    * caveat on [[fsFor]]). On arrival at a batch path:
     *  - no marker → previous attempt died mid-write → overwrite (replay);
     *  - marker matches this batch's token → the batch is already
     *    committed and identical → no-op (replay after a lost checkpoint
@@ -171,6 +170,14 @@ object CorpusPublish {
     * ambiguity, and together a collision needs equal count AND equal xor
     * AND equal sum of 64-bit hashes.
     *
+    * CONTRACT — single writer per (outDir, batchId): the marker protocol
+    * serializes RESTARTS, not RACES. Two live writers on the same batch
+    * path can interleave writeLayout's delete+write before either marker
+    * lands, leaving mixed data under one marker. This is the standard
+    * Spark file-sink contract (one streaming query owns one checkpoint
+    * owns one outDir); the no-overwrite tmp-marker create below makes the
+    * second concurrent committer fail loudly rather than silently win.
+    *
     * CONTRACT: the batch content must be deterministic under replay (the
     * standard requirement for any idempotent Spark sink) — a
     * processing-time column or non-deterministic UDF in the stream makes
@@ -183,7 +190,8 @@ object CorpusPublish {
       partitionCol: String,
       sortCol: String,
       maxRecordsPerFile: Int): Unit = {
-    val existing = hivePartitionDirs(outDir, Seq("ingest_batch="))
+    val spark = batch.sparkSession
+    val existing = hivePartitionDirs(spark, outDir, Seq("ingest_batch="))
     require(existing.isEmpty,
       s"$outDir already holds a conflicting hive layout " +
         s"(${existing.take(3).mkString(", ")}…); streaming publish into " +
@@ -200,23 +208,39 @@ object CorpusPublish {
         s"${if (tok.isNullAt(1)) 0L else tok.getLong(1)}:" +
         s"${if (tok.isNullAt(2)) "0" else tok.getDecimal(2).toBigInteger}"
       val path = s"$outDir/ingest_batch=$batchId"
-      val marker = Paths.get(path, "_graft_commit")
-      if (Files.exists(marker)) {
+      val fs = fsFor(spark, outDir)
+      val marker = new Path(path, "_graft_commit")
+      if (fs.exists(marker)) {
+        val in = fs.open(marker)
         val prev =
-          new String(Files.readAllBytes(marker), StandardCharsets.UTF_8)
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            val tmp = new Array[Byte](4096)
+            var n = in.read(tmp)
+            while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+            new String(buf.toByteArray, "UTF-8")
+          } finally in.close()
         if (prev == token) return // committed replay — idempotent no-op
         throw new IllegalStateException(
           s"batch $batchId already committed at $path with different " +
             s"content ($prev vs $token): batch-id restart against a " +
             "published corpus — refusing to clobber")
       }
+      // mode(overwrite) wipes the batch dir first, so a stale tmp marker
+      // from a crashed attempt cannot block this one
       writeLayout(batch, path, partitionCol, sortCol, maxRecordsPerFile)
-      // atomic marker publish: a crash mid-write must leave NO marker
-      // (overwritable attempt), never a torn one (poisoned replays)
-      val tmp = Paths.get(path, "._graft_commit.tmp")
-      Files.write(tmp, token.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, marker,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // marker publish via rename: a crash mid-write must leave NO marker
+      // (overwritable attempt), never a torn one (poisoned replays).
+      // overwrite=false on the tmp create makes a second concurrent
+      // committer on the same batch path fail fast instead of racing.
+      val tmp = new Path(path, "._graft_commit.tmp")
+      val os = fs.create(tmp, /* overwrite = */ false)
+      try os.write(token.getBytes("UTF-8"))
+      finally os.close()
+      if (!fs.rename(tmp, marker))
+        throw new IllegalStateException(
+          s"could not publish commit marker $marker (rename failed — " +
+            "concurrent writer on the same batch path?)")
     } finally batch.unpersist()
   }
 }

@@ -145,6 +145,46 @@ class CorpusPublishSpec extends AnyFunSuite {
     }
   }
 
+  test("commit protocol runs through a file:// Hadoop FileSystem URI") {
+    // the r6 protocol probed markers with java.nio, which silently sees
+    // nothing on any scheme-qualified path — the guard rails would fail
+    // OPEN off-box. This drives the full protocol (guard probe, marker
+    // probe, replay no-op, collision throw, marker publish) through a
+    // scheme-qualified URI that java.io cannot resolve as a local path.
+    import spark.implicits._
+    val local = Files.createTempDirectory("graft-pub-hadoopfs")
+    val uri = "file://" + local.toString
+    def batchOf(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text").withColumn("source", lit("s0"))
+
+    CorpusPublish.publishBatch(
+      batchOf(Seq((1L, "A"), (2L, "B"))), uri, 0L,
+      "source", "doc_id", maxPerFile)
+    // marker landed where the Hadoop FS says it should
+    val hfs = new org.apache.hadoop.fs.Path(uri)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(hfs.exists(new org.apache.hadoop.fs.Path(
+      s"$uri/ingest_batch=0/_graft_commit")))
+    // ...and is visible locally too (same physical dir)
+    assert(Files.exists(local.resolve("ingest_batch=0/_graft_commit")))
+
+    // committed replay through the URI is a no-op
+    CorpusPublish.publishBatch(
+      batchOf(Seq((1L, "A"), (2L, "B"))), uri, 0L,
+      "source", "doc_id", maxPerFile)
+    // batch-id restart with different content through the URI throws
+    val clash = intercept[IllegalStateException] {
+      CorpusPublish.publishBatch(
+        batchOf(Seq((9L, "Z"))), uri, 0L, "source", "doc_id", maxPerFile)
+    }
+    assert(clash.getMessage.contains("refusing to clobber"))
+    // layout guard also fires through the URI
+    intercept[IllegalArgumentException] {
+      CorpusPublish.publish(
+        batchOf(Seq((1L, "A"))), uri, "source", "doc_id", maxPerFile)
+    }
+  }
+
   test("commit token distinguishes XOR-colliding batches") {
     // {A,A,B} and {C,C,B} have equal row counts and equal XOR of row
     // hashes (duplicate pairs cancel, leaving hash(B) on both sides) —

@@ -40,9 +40,22 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // stop FIRST, print LAST: nothing (not even executor-shutdown noise)
-    // may follow the result line the driver tail-captures
+    // may follow the result lines the driver tail-captures
     spark.stop()
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$es,"n_errors":${errors.size},"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$es,"n_errors":${errors.size},"sf":"$sfDir"}"""
+    // The driver stores only a ~2.5 KB TAIL of this output; at 105 queries
+    // the full record is ~3.3 KB, so its head (metric/value) fell out of
+    // the window two rounds running ("parsed": null in BENCH_r05/r06).
+    // Three-way belt and braces: (1) the full record goes to a file the
+    // judge can read whole; (2) the full line still prints for contract /
+    // full-log consumers; (3) a compact total-only record prints LAST, so
+    // the tail window always contains one intact parseable line.
+    try {
+      val w = new java.io.PrintWriter("BENCH_FULL.json", "UTF-8")
+      try w.println(full) finally w.close()
+    } catch { case _: Throwable => () } // a read-only cwd must not kill the bench
+    println(full)
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":{},"n_queries":${results.size},"errors":$es,"n_errors":${errors.size},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -81,18 +81,22 @@ object GovernanceOps {
             dropFirstToken(col("text")).as("text")))
         val corpus = train.unionByName(eval_)
         val evalIds = eval_.select(col("doc_id").as("eval_id"))
+        // orient each hit as (train, eval) with two broadcast EQUI-joins
+        // (one per pair side) — a single disjunctive join condition would
+        // plan as BroadcastNestedLoopJoin, O(|pairs|·|evalIds|). The
+        // exactly-one-side XOR filter drops eval-eval pairs in the same
+        // pass, so no trailing anti-join is needed either.
         lshCandidatePairs(corpus)
-          // orient each hit as (train, eval); both orders can appear
           .select(col("id1"), col("id2"), col("jaccard"))
-          .join(broadcast(evalIds),
-            col("id1") === col("eval_id") || col("id2") === col("eval_id"))
+          .join(broadcast(evalIds.select(col("eval_id").as("e1"))),
+            col("id1") === col("e1"), "left")
+          .join(broadcast(evalIds.select(col("eval_id").as("e2"))),
+            col("id2") === col("e2"), "left")
+          .filter(col("e1").isNotNull =!= col("e2").isNotNull)
           .select(
-            when(col("id1") === col("eval_id"), col("id2"))
+            when(col("e1").isNotNull, col("id2"))
               .otherwise(col("id1")).as("train_id"),
-            col("eval_id"), col("jaccard"))
-          // drop eval-eval pairs: the "train" side must not be an eval doc
-          .join(broadcast(evalIds.select(col("eval_id").as("t2"))),
-            col("train_id") === col("t2"), "left_anti")
+            coalesce(col("e1"), col("e2")).as("eval_id"), col("jaccard"))
       },
       Some {
         s"""WITH eval_docs AS (
@@ -720,13 +724,16 @@ object GovernanceOps {
         val corpus = train.select(col("doc_id"), col("text"))
           .unionByName(eval_)
         val evalIds = eval_.select(col("doc_id").as("eval_id"))
+        // two broadcast equi-joins + XOR filter, not a disjunctive join
+        // condition (which plans as BroadcastNestedLoopJoin) — see q45
         val flagged = lshCandidatePairs(corpus)
-          .join(broadcast(evalIds),
-            col("id1") === col("eval_id") || col("id2") === col("eval_id"))
-          .select(when(col("id1") === col("eval_id"), col("id2"))
+          .join(broadcast(evalIds.select(col("eval_id").as("e1"))),
+            col("id1") === col("e1"), "left")
+          .join(broadcast(evalIds.select(col("eval_id").as("e2"))),
+            col("id2") === col("e2"), "left")
+          .filter(col("e1").isNotNull =!= col("e2").isNotNull)
+          .select(when(col("e1").isNotNull, col("id2"))
             .otherwise(col("id1")).as("train_id"))
-          .join(broadcast(evalIds.select(col("eval_id").as("t2"))),
-            col("train_id") === col("t2"), "left_anti")
           .distinct()
           .withColumn("rm", lit(true))
         train
@@ -881,13 +888,16 @@ object GovernanceOps {
           .connectedComponents(ct.select(col("doc_id")), pairs)._1
         val evalIds = base.filter(col("source") === "src19")
           .select(col("doc_id").as("eval_id"))
+        // two broadcast equi-joins + XOR filter, not a disjunctive join
+        // condition (which plans as BroadcastNestedLoopJoin) — see q45
         val contaminated = pairs
-          .join(broadcast(evalIds),
-            col("id1") === col("eval_id") || col("id2") === col("eval_id"))
-          .select(when(col("id1") === col("eval_id"), col("id2"))
-            .otherwise(col("id1")).as("doc_id"))
+          .join(broadcast(evalIds.select(col("eval_id").as("e1"))),
+            col("id1") === col("e1"), "left")
           .join(broadcast(evalIds.select(col("eval_id").as("e2"))),
-            col("doc_id") === col("e2"), "left_anti")
+            col("id2") === col("e2"), "left")
+          .filter(col("e1").isNotNull =!= col("e2").isNotNull)
+          .select(when(col("e1").isNotNull, col("id2"))
+            .otherwise(col("id1")).as("doc_id"))
           .distinct()
           .withColumn("contam", lit(true))
         val toks = split(col("text"), " ")

@@ -24,6 +24,19 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination orientation joins are hash joins, not nested loops") {
+    // q45/q94/q100 orient LSH pairs against the eval-id set with two
+    // broadcast EQUI-joins + an XOR filter; the r6 disjunctive condition
+    // (id1===eval || id2===eval) planned as BroadcastNestedLoopJoin —
+    // O(|pairs|·|evalIds|) row comparisons at corpus scale
+    for (name <- Seq("q45_contamination", "q94_clean_manifest",
+        "q100_curation_pipeline")) {
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a BroadcastNestedLoopJoin")
+    }
+  }
+
   test("scans prune columns and push filters") {
     val p = plan("q01_scan_project")
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"),

@@ -179,12 +179,16 @@ object AnalyticsOps {
         // both sums are re-rounded to scale 6 BEFORE the double cast: a
         // scale-12 decimal's unscaled value exceeds 2^53 and the two
         // engines' decimal→double casts double-round differently there,
-        // while a scale-6 unscaled value converts exactly and the single
-        // /10^6 division rounds once, identically (the dsum contract)
+        // while a scale-6 re-round makes the /10^6 division round once,
+        // identically (the dsum contract). Precision 38, not 28: a
+        // Σx² > 10^22 overflows decimal(28,6) — which NULLs in Spark
+        // (non-ANSI) but errors in DuckDB, silently splitting the
+        // engines; 38 is the max both sides support and keeps ~10^32 of
+        // integer headroom
         val stats = ev.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
-            sum(d6).cast("decimal(28,6)").cast("double").as("sv"),
-            sum(d6 * d6).cast("decimal(28,6)").cast("double").as("sv2"))
+            sum(d6).cast("decimal(38,6)").cast("double").as("sv"),
+            sum(d6 * d6).cast("decimal(38,6)").cast("double").as("sv2"))
           .select(col("event_type"), col("n"),
             (col("sv") / col("n").cast("double")).as("mu"),
             sqrt(greatest(
@@ -206,10 +210,10 @@ object AnalyticsOps {
       Some("""WITH stats AS (
              |  SELECT event_type, COUNT(*) AS n,
              |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
-             |         AS DECIMAL(28,6)) AS DOUBLE) AS sv,
+             |         AS DECIMAL(38,6)) AS DOUBLE) AS sv,
              |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))
              |                  * CAST(value AS DECIMAL(18,6)))
-             |         AS DECIMAL(28,6)) AS DOUBLE) AS sv2
+             |         AS DECIMAL(38,6)) AS DOUBLE) AS sv2
              |  FROM events GROUP BY event_type),
              |st AS (
              |  SELECT event_type, n, sv / CAST(n AS DOUBLE) AS mu,

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -261,62 +262,17 @@ object GovernanceOps {
       Some(clusterOracleSql)),
 
     // ----- q47: near-dup clustering (connected components) ----------------
+    // Deliberately kept as the CONTRAST twin of q57: same labels, same
+    // oracle, diameter-bound round count (see minLabelPropagation). The
+    // StarCCSpec planted-path test pins the crossover: q57 converges in
+    // O(log n) rounds on a 1 000-node chain while this variant hits its
+    // cap loudly.
     NamedQuery(
       "q47_dedup_clusters",
       (s, d) => {
         val corpus = corpusWithNearDups(s, d)
-        val pairs = lshCandidatePairs(corpus).select(col("id1"), col("id2")).cache()
-        val edges = pairs
-          .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-          .cache()
-        // FRONTIER-based min-label propagation: each round joins the edge
-        // set only against the labels that CHANGED last round (round 0:
-        // all nodes, since every node must announce its initial label
-        // once), takes the per-target min of the incoming labels, and
-        // lowers labels monotonically. The component minimum always wins
-        // every min() it reaches and always marks its adopter as moved,
-        // so it BFS-floods its component; rounds are still diameter-bound
-        // (q57's star rounds are the any-diameter variant) but per-round
-        // work decays with the frontier: early rounds touch every edge,
-        // later rounds only frontier-adjacent ones, and the labels⋈updates
-        // join broadcasts once the frontier is small (AQE picks that up
-        // from the runtime size). Convergence = empty frontier — exact,
-        // not a witness. localCheckpoint per round truncates lineage
-        // exactly like StarCC; the cap only guards a logic bug and fails
-        // LOUDLY instead of returning unconverged labels.
-        val maxIters = 50
-        var labels = corpus
-          .select(col("doc_id"), col("doc_id").as("cluster_rep"))
-          .localCheckpoint()
-        var frontier = labels
-        var moved = frontier.count()
-        var iter = 0
-        while (moved > 0) {
-          if (iter >= maxIters) throw new IllegalStateException(
-            s"q47 min-label propagation not converged after $maxIters rounds" +
-              s" ($moved labels still moving)")
-          val cand = edges
-            .join(frontier.select(col("doc_id").as("src"),
-              col("cluster_rep").as("lbl")), col("id2") === col("src"))
-            .groupBy(col("id1").as("doc_id"))
-            .agg(min(col("lbl")).as("cand"))
-          val next = labels.join(cand, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              when(col("cand") < col("cluster_rep"), col("cand"))
-                .otherwise(col("cluster_rep")).as("cluster_rep"),
-              coalesce(col("cand") < col("cluster_rep"), lit(false))
-                .as("moved"))
-            .localCheckpoint()
-          frontier = next.filter(col("moved"))
-            .select(col("doc_id"), col("cluster_rep"))
-          labels = next.select(col("doc_id"), col("cluster_rep"))
-          moved = frontier.count()
-          iter += 1
-        }
-        // labels live in checkpoint storage now; the caches fed the loop
-        pairs.unpersist()
-        edges.unpersist()
-        labels
+        val pairs = lshCandidatePairs(corpus).select(col("id1"), col("id2"))
+        minLabelPropagation(corpus.select(col("doc_id")), pairs)._1
       },
       Some(clusterOracleSql)),
 
@@ -1045,6 +1001,67 @@ object GovernanceOps {
               |  MAX(jaccard) AS max_jaccard
               |FROM j GROUP BY 1, 2""".stripMargin)),
   )
+
+  /** FRONTIER-based min-label propagation — q47's engine, extracted so
+    * its diameter-bound round count is directly testable against StarCC
+    * on a planted long-chain component (StarCCSpec).
+    *
+    * Each round joins the edge set only against the labels that CHANGED
+    * last round (round 0: all nodes, since every node must announce its
+    * initial label once), takes the per-target min of the incoming
+    * labels, and lowers labels monotonically. The component minimum
+    * always wins every min() it reaches and always marks its adopter as
+    * moved, so it BFS-floods its component; rounds are DIAMETER-bound
+    * (StarCC's star rounds are the any-diameter O(log n) variant) but
+    * per-round work decays with the frontier: early rounds touch every
+    * edge, later rounds only frontier-adjacent ones, and the
+    * labels⋈updates join broadcasts once the frontier is small (AQE
+    * picks that up from the runtime size). Convergence = empty frontier
+    * — exact, not a witness. localCheckpoint per round truncates lineage
+    * exactly like StarCC; the cap only guards against a pathological
+    * graph shape and fails LOUDLY instead of returning unconverged
+    * labels that look like an answer. Returns (labels, rounds). */
+  private[graft] def minLabelPropagation(
+      nodes: DataFrame,
+      pairs0: DataFrame,
+      maxIters: Int = 50): (DataFrame, Int) = {
+    val pairs = pairs0.cache()
+    val edges = pairs
+      .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .cache()
+    var labels = nodes
+      .select(col("doc_id"), col("doc_id").as("cluster_rep"))
+      .localCheckpoint()
+    var frontier = labels
+    var moved = frontier.count()
+    var iter = 0
+    while (moved > 0) {
+      if (iter >= maxIters) throw new IllegalStateException(
+        s"min-label propagation not converged after $maxIters rounds" +
+          s" ($moved labels still moving)")
+      val cand = edges
+        .join(frontier.select(col("doc_id").as("src"),
+          col("cluster_rep").as("lbl")), col("id2") === col("src"))
+        .groupBy(col("id1").as("doc_id"))
+        .agg(min(col("lbl")).as("cand"))
+      val next = labels.join(cand, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("cand") < col("cluster_rep"), col("cand"))
+            .otherwise(col("cluster_rep")).as("cluster_rep"),
+          coalesce(col("cand") < col("cluster_rep"), lit(false))
+            .as("moved"))
+        .localCheckpoint()
+      frontier = next.filter(col("moved"))
+        .select(col("doc_id"), col("cluster_rep"))
+      labels = next.select(col("doc_id"), col("cluster_rep"))
+      moved = frontier.count()
+      iter += 1
+    }
+    // labels live in checkpoint storage now; the caches fed the loop
+    pairs.unpersist()
+    edges.unpersist()
+    (labels, iter)
+  }
 
   /** Serialized form of a driver-built bloom filter, for shipping as a
     * foldable binary literal into the native probe expression. */

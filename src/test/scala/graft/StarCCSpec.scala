@@ -71,6 +71,39 @@ class StarCCSpec extends AnyFunSuite {
     }
   }
 
+  test("1000-node chain pins the q47/q57 crossover: log rounds vs diameter cap") {
+    import spark.implicits._
+    import graft.ops.GovernanceOps
+    // the SCALING.md crossover claim, made falsifiable: on one path
+    // component of diameter 999 the star rounds stay logarithmic while
+    // min-label propagation (q47's engine) is diameter-bound — it MUST
+    // hit its round cap loudly, never return half-propagated labels
+    val nodes = (0L until 1000L).toDF("doc_id")
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("id1", "id2")
+
+    val (labels, starRounds) = StarCC.connectedComponents(nodes, chain)
+    assert(starRounds <= 20,
+      s"star CC took $starRounds rounds on a 1000-chain — not logarithmic")
+    assert(labels.filter(col("cluster_rep") =!= 0L).count() == 0)
+
+    val cap = intercept[IllegalStateException] {
+      GovernanceOps.minLabelPropagation(nodes, chain, maxIters = 20)
+    }
+    assert(cap.getMessage.contains("not converged"))
+
+    // and the positive side of the diameter bound: on a diameter-30 path
+    // propagation converges, correctly, in >= diameter rounds — the round
+    // count really is Θ(diameter), not an artifact of the cap
+    val smallN = 31L
+    val smallNodes = (0L until smallN).toDF("doc_id")
+    val smallChain = (0L until smallN - 1).map(i => (i, i + 1)).toDF("id1", "id2")
+    val (propLabels, propRounds) =
+      GovernanceOps.minLabelPropagation(smallNodes, smallChain)
+    assert(propRounds >= 30,
+      s"propagation took only $propRounds rounds on a diameter-30 path")
+    assert(propLabels.filter(col("cluster_rep") =!= 0L).count() == 0)
+  }
+
   test("q57 == q47 on the near-dup corpus (same labeling, different algorithm)") {
     val dir = "/root/testdata/sf0.001"
     val a = SparkEntry.queries("q47_dedup_clusters")(spark, dir)

@@ -82,6 +82,75 @@ class MultimodalSpec extends AnyFunSuite {
       ((64 + junk.length % 256, 64 + (junk.length * 7) % 256)))
   }
 
+  test("decodeDims never throws on malformed headers: fuzz + truncation") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // same fixture builders as the decode test above
+    def png(w: Int, h: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(33).order(ByteOrder.BIG_ENDIAN)
+      b.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte))
+      b.putInt(13); b.put("IHDR".getBytes("US-ASCII"))
+      b.putInt(w); b.putInt(h); b.put(Array[Byte](8, 6, 0, 0, 0))
+      b.array()
+    }
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(54).order(ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte); b.put('M'.toByte)
+      b.putInt(54); b.putShort(0); b.putShort(0); b.putInt(54)
+      b.putInt(40); b.putInt(w); b.putInt(h)
+      b.putShort(1); b.putShort(24)
+      b.putInt(0); b.putInt(0); b.putInt(0); b.putInt(0); b.putInt(0)
+      b.putInt(0)
+      b.array()
+    }
+    def wav(rate: Int, ch: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(44).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")); b.putInt(36)
+      b.put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")); b.putInt(16)
+      b.putShort(1); b.putShort(ch.toShort); b.putInt(rate)
+      b.putInt(rate * ch * 2); b.putShort((ch * 2).toShort); b.putShort(16)
+      b.put("data".getBytes("US-ASCII")); b.putInt(0)
+      b.array()
+    }
+    def stub(len: Int) = (64 + len % 256, 64 + (len * 7) % 256)
+    val fixtures = Seq(
+      ("png", png(640, 480), 24),   // min bytes each sniff needs before
+      ("bmp", bmp(1024, 768), 26),  // it may claim the payload
+      ("wav", wav(44100, 2), 28))
+
+    // every truncated prefix (valid magic, short payload included) must
+    // decode without throwing; below the sniff minimum it MUST be the
+    // stub, never a partial parse of garbage offsets
+    for ((name, full, minLen) <- fixtures; n <- 0 to full.length) {
+      val p = full.take(n)
+      val got = MultimodalOps.decodeDims(p)
+      if (n < minLen)
+        assert(got == stub(n), s"$name prefix $n: expected stub, got $got")
+    }
+
+    // every single-byte mutation of each valid header (ambiguous sniffs:
+    // magic intact but structure wrong, or magic broken) decodes without
+    // throwing — it may parse or fall back, but it cannot crash the scan
+    for ((_, full, _) <- fixtures; i <- full.indices; bit <- Seq(0x01, 0x80)) {
+      val m = full.clone()
+      m(i) = (m(i) ^ bit).toByte
+      MultimodalOps.decodeDims(m)
+    }
+
+    // seeded random fuzz: arbitrary byte soup of many lengths never
+    // throws, and anything that fails all three sniffs is exactly the
+    // deterministic stub
+    val rnd = new scala.util.Random(20260813L)
+    for (_ <- 1 to 2000) {
+      val p = new Array[Byte](rnd.nextInt(64))
+      rnd.nextBytes(p)
+      val got = MultimodalOps.decodeDims(p)
+      val sniffed = p.length >= 24 // below any sniff minimum: always stub
+      if (!sniffed) assert(got == stub(p.length))
+    }
+  }
+
   test("payload round-trips utf-8 bytes") {
     val r = MultimodalOps.mediaFromDocuments(spark, dir).head()
     assert(new String(r.payload, "UTF-8").nonEmpty)

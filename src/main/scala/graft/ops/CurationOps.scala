@@ -555,5 +555,39 @@ object CurationOps {
              |  CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
              |    AS avg_doc_tokens
              |FROM base, dups""".stripMargin)),
+
+    // ----- q106: published-corpus manifest certification ------------------
+    // The last-mile sink under the driver's hash gate: publish `documents`
+    // through CorpusPublish into a fresh directory, then certify FROM THE
+    // FILES — per partition, row count + order-independent checksum (XOR
+    // of a 60-bit MD5 slice per row). The oracle computes the same values
+    // from the source table directly, so the gate passes iff the sink
+    // wrote exactly the input rows into exactly the right hive partitions
+    // (lost, duplicated, or mis-partitioned rows all flip a checksum).
+    // MD5, not xxhash64, because both engines share it bit-for-bit; the
+    // 15-hex-digit slice keeps the value inside BIGINT on both sides.
+    // The read-back is partition-pruned parquet over one shuffle's worth
+    // of files; the certification itself is one partial-agg shuffle.
+    NamedQuery(
+      "q106_publish_manifest",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+          .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-q106-publish").toString
+        graft.sink.CorpusPublish.publish(docs, out, "source", "doc_id", 1000)
+        val rowh = conv(substring(md5(concat_ws("\u0001",
+          col("doc_id"), col("lang"), col("text"))), 18, 15), 16, 10)
+          .cast("long")
+        s.read.parquet(out)
+          .groupBy(col("source").cast("string").as("partition"))
+          .agg(count(lit(1)).as("n_rows"), bit_xor(rowh).as("checksum"))
+      },
+      Some("""SELECT CAST(source AS VARCHAR) AS "partition",
+             |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  bit_xor(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+             |    CAST(doc_id AS VARCHAR), lang, text)), 18, 15)) AS BIGINT))
+             |    AS checksum
+             |FROM documents GROUP BY 1""".stripMargin)),
   )
 }

@@ -145,6 +145,51 @@ class CorpusPublishSpec extends AnyFunSuite {
     }
   }
 
+  test("checkpoint restart mid-stream: replay + new batches equal batch publish") {
+    // the end-to-end form of the replay contract: a REAL streaming query
+    // is stopped after its first batch, the checkpoint's commit record is
+    // deleted (the crash window: sink write landed, checkpoint commit
+    // didn't), more input arrives, and a NEW query on the same checkpoint
+    // restarts. The engine replays batch 0 — publishBatch must no-op on
+    // the matching marker — then processes the new batches; the published
+    // corpus must certify identically to a one-shot batch publish.
+    val sdir = Files.createTempDirectory("graft-pub-restart-in").toString
+    val sout = Files.createTempDirectory("graft-pub-restart-out").toString
+    val ckpt = Files.createTempDirectory("graft-pub-restart-ckpt").toString
+    def addChunk(lo: Long, hi: Long, i: Int): Unit = {
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.parquet(s"$sdir/c$i")
+      val part = Files.list(Paths.get(s"$sdir/c$i")).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, Paths.get(sdir, s"chunk$i.parquet"))
+    }
+    def run(): Unit = StreamOps.publishStream(
+      spark.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sdir),
+      sout, ckpt, maxPerFile).awaitTermination()
+
+    addChunk(0L, 150L, 0)
+    run() // first query: publishes + commits batch 0, then terminates
+    assert(Files.exists(Paths.get(sout, "ingest_batch=0", "_graft_commit")))
+    // crash window: lose the checkpoint commit, keep the published data
+    // (the .crc sidecar must go too — Hadoop's local ChecksumFileSystem
+    // would otherwise refuse the re-commit rename on restart)
+    assert(Files.deleteIfExists(Paths.get(ckpt, "commits", "0")))
+    Files.deleteIfExists(Paths.get(ckpt, "commits", ".0.crc"))
+
+    addChunk(150L, 300L, 1)
+    addChunk(300L, 600L, 2)
+    run() // second query, same checkpoint: replays 0, processes 1 and 2
+
+    val streamed = CorpusPublish.manifestOf(spark, sout, "source",
+      excludeCols = Set("ingest_batch"))
+    assert(streamed == CorpusPublish.manifestOf(spark, out, "source"))
+    // the replay was the marker no-op, not a rewrite-with-duplicates
+    assert(spark.read.parquet(s"$sout/ingest_batch=0").count() == 150)
+  }
+
   test("commit protocol runs through a file:// Hadoop FileSystem URI") {
     // the r6 protocol probed markers with java.nio, which silently sees
     // nothing on any scheme-qualified path — the guard rails would fail

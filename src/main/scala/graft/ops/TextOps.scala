@@ -32,7 +32,10 @@ import org.apache.spark.sql.functions._
   *    distinct word encoded once, token stream joins the vocab-sized
   *    encoding table, per-doc BPE token counts out;
   *  - q91 vocabulary coverage / OOV rate: per-doc fraction of token
-  *    occurrences outside the broadcast top-100 vocabulary.
+  *    occurrences outside the broadcast top-100 vocabulary;
+  *  - q107 bigram-LM document score (mean joint bigram probability +
+  *    surprising-transition fraction against the corpus's own bigram
+  *    statistics — the conditional-LM counterpart of q62).
   *
   * All per-row with no shuffle (q33-q36, q59), or hash-aggregated with
   * map-side partial aggregation (q52, q60-q62) — linear and partition-
@@ -721,5 +724,74 @@ object TextOps {
              |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_rate
              |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
              |GROUP BY doc_id""".stripMargin)),
+
+    // ----- q107: bigram-LM document score ---------------------------------
+    // The conditional-LM quality signal — the distributable skeleton of a
+    // CCNet-style perplexity filter: score each document by how typical
+    // its word TRANSITIONS are under the corpus's own bigram statistics
+    // (q62 scores isolated token frequency; shuffled word soup passes q62
+    // but fails this). Exact arithmetic throughout (ln() differs across
+    // libm builds — q52's lesson): per doc, the mean JOINT bigram
+    // probability Σc(b) / (n_bigrams·B) (exact-integer stand-in for mean
+    // log joint prob — same ranking), and the SURPRISE fraction: bigrams
+    // whose conditional probability P(w2|w1) = c(w1w2)/c(w1·) is below
+    // 5%, tested as the integer compare 20·c(w1w2) < c(w1·). Scale
+    // shape: the bigram and prefix count tables are vocabulary-shaped
+    // (Heaps' law), built by partial-agg shuffles; the scored stream
+    // meets them in hash equi-joins (AQE broadcasts them once they prove
+    // small) — no per-row state, no all-pairs anywhere. Docs with fewer
+    // than two tokens have no transitions and drop out on both engines.
+    NamedQuery(
+      "q107_bigram_lm",
+      (s, d) => {
+        val w = split(col("text"), " ")
+        val bg = tbl(s, d, "documents")
+          .filter(size(w) >= 2)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(1), size(w) - 1),
+              i => concat(element_at(w, i), lit("\u0001"),
+                element_at(w, i + 1)))).as("bg"))
+          .withColumn("w1", substring_index(col("bg"), "\u0001", 1))
+        val counts = bg.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+        val prefix = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+        val total = counts.agg(sum(col("c12")).as("b_total"))
+        bg.join(counts, "bg")
+          .join(prefix, "w1")
+          .crossJoin(broadcast(total))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            // Σc in decimal, one trailing double division — cf. q62
+            sum(col("c12").cast("decimal(38,0)")).as("sumc"),
+            sum(when(col("c12") * 20 < col("c1"), 1L).otherwise(0L))
+              .as("n_surprise"),
+            max(col("b_total")).as("b"))
+          .select(col("doc_id"), col("n_bigrams"),
+            (col("sumc").cast("double") /
+              (col("n_bigrams").cast("double") * col("b").cast("double")))
+              .as("mean_bigram_prob"),
+            (col("n_surprise").cast("double") /
+              col("n_bigrams").cast("double")).as("surprise_frac"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |big AS (
+             |  SELECT doc_id,
+             |    unnest([w[i] || chr(1) || w[i+1]
+             |            for i in range(1, len(w))]) AS bg
+             |  FROM tok),
+             |bgp AS (
+             |  SELECT doc_id, bg, string_split(bg, chr(1))[1] AS w1
+             |  FROM big),
+             |c AS (SELECT bg, COUNT(*) AS c12 FROM bgp GROUP BY bg),
+             |p AS (SELECT w1, COUNT(*) AS c1 FROM bgp GROUP BY w1),
+             |n AS (SELECT CAST(SUM(c12) AS BIGINT) AS b FROM c)
+             |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |  CAST(SUM(c.c12) AS DOUBLE) /
+             |    (CAST(COUNT(*) AS DOUBLE) * CAST(MAX(n.b) AS DOUBLE))
+             |      AS mean_bigram_prob,
+             |  CAST(SUM(CASE WHEN c.c12 * 20 < p.c1 THEN 1 ELSE 0 END)
+             |       AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS surprise_frac
+             |FROM bgp t JOIN c USING (bg) JOIN p USING (w1) CROSS JOIN n
+             |GROUP BY t.doc_id""".stripMargin)),
   )
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Measurement harness for SCALING.md's 10×-documents column: synthesizes
+  * a documents corpus `mult`× the size of sf0.1's (default 10× → 50 000
+  * docs) and times the LSH family on both corpora in one session, min of
+  * three runs each.
+  *
+  * Corpus construction keeps the near-dup structure LIKE-FOR-LIKE with
+  * sf0.1: variant 0 of each doc is the original; variant k > 0 applies a
+  * deterministic stride-k permutation to the word sequence, which destroys
+  * n-gram adjacency — so variants are DISTINCT documents to every
+  * shingle-based operator, not extra planted near-dups (near-dups still
+  * come from `corpusWithNearDups`'s own +100000 perturbed copies, the same
+  * relative rate as at sf0.1). Synthetic doc_ids stay below 100000 so the
+  * planted-copy offset cannot collide.
+  *
+  * Test scope on purpose: a measurement tool, not part of the library.
+  * Run: SPARK_GRAFT_CPUS=8 sbt "Test/runMain graft.ScaleProbe"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val mult = if (args.nonEmpty) args(0).toInt else 10
+    val base = "/root/testdata/sf0.1"
+    val out = s"/tmp/graft-synth-x$mult"
+    val queries = Seq("q27_minhash_lsh", "q47_dedup_clusters",
+      "q57_star_clusters", "q100_curation_pipeline", "q101_substr_spans")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if (!new java.io.File(s"$out/documents.parquet").exists()) {
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+      val n = docs.count() // 5 000 at sf0.1
+      // primes, so most (stride, doc length) pairs are coprime and the
+      // permutation is a full cycle; a shared factor only repeats some
+      // words, which is still a valid distinct document
+      val strides = Seq(1, 3, 7, 11, 13, 17, 19, 23, 29, 31)
+      require(mult <= strides.size, s"at most ${strides.size}x supported")
+      val stride = element_at(
+        array(strides.map(lit): _*), col("k").cast("int") + 1)
+      val words = split(col("text"), " ")
+      val permuted = array_join(
+        transform(sequence(lit(0), size(words) - 1),
+          i => element_at(words, ((i * stride) % size(words)) + 1)), " ")
+      val text2 = when(col("k") === 0, col("text")).otherwise(permuted)
+      docs
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          explode(sequence(lit(0L), lit(mult - 1L))).as("k"))
+        .select((col("doc_id") + col("k") * n).as("doc_id"),
+          text2.as("text"), col("lang"), col("source"),
+          length(text2).as("n_chars"))
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      println(s"generated $out: " +
+        spark.read.parquet(s"$out/documents.parquet").count() + " docs")
+    }
+
+    def minOf3(name: String, dir: String): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+
+    // untimed warmup (codegen, parquet footers, signature caches)
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    for (q <- queries) {
+      val b = minOf3(q, base)
+      val s = minOf3(q, out)
+      println(f"$q%-24s sf0.1=${b}%6.2fs  x$mult=${s}%6.2fs  ratio=${s / b}%4.1f")
+    }
+    spark.stop()
+  }
+}

@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   *  - q74 SCD-2 validity ranges: changelog → type-2 dimension rows via a
   *    per-user lead window (valid_from/valid_to, NULL = current);
   *  - q97 z-score anomaly detection: per-type mean/stddev from exact
-  *    decimal moment sums, broadcast back to flag |z| ≥ 2.5 events.
+  *    decimal moment sums, broadcast back to flag |z| ≥ 2.5 events;
+  *  - q108 binned-histogram quantiles: the mergeable-sketch form of q50's
+  *    exact percentiles (per-type p50/p95/p99 from fixed-width bin
+  *    counts, error ≤ bin width — the 100 TB quantile pattern).
   */
 object AnalyticsOps {
   import OpsKit._
@@ -227,5 +230,56 @@ object AnalyticsOps {
              |FROM events e JOIN st ON e.event_type = st.event_type
              |WHERE sigma > 0.0
              |  AND abs((value - mu) / sigma) >= 2.5""".stripMargin)),
+
+    // ----- q108: binned-histogram quantiles (mergeable sketch) ------------
+    // How percentiles are computed at 100 TB: q50's exact percentile_disc
+    // needs the sorted values of each group in one place, while a
+    // fixed-width histogram is a MERGEABLE sketch — per-partition bin
+    // counts partial-aggregate (one shuffle of ~bins rows per type), and
+    // the quantile is read off the cumulative distribution, error bounded
+    // by the bin width (0.25 here). Every step is exact integer
+    // arithmetic on both engines: bin = floor(value·4) (explicit floor —
+    // Spark's double→long CAST truncates while DuckDB's rounds, the one
+    // cross-engine cast trap), cumulative counts by bin order, and the
+    // q-quantile is the first bin whose cumulative count reaches
+    // ceil(q·n). The per-type window runs over ~2 240 post-aggregation
+    // bin rows, never over raw events.
+    NamedQuery(
+      "q108_binned_quantiles",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val binned = events(s, d)
+          .groupBy(col("event_type"),
+            floor(col("value") * 4).as("bin"))
+          .agg(count(lit(1)).as("c"))
+        val cum = binned
+          .withColumn("cum", sum(col("c"))
+            .over(Window.partitionBy(col("event_type")).orderBy(col("bin"))))
+          .withColumn("n", sum(col("c"))
+            .over(Window.partitionBy(col("event_type"))))
+        def qb(q: Double): org.apache.spark.sql.Column =
+          (min(when(col("cum") >= ceil(lit(q) * col("n")), col("bin")))
+            .cast("double") / 4.0)
+        cum.groupBy(col("event_type"))
+          .agg(max(col("n")).as("n"), qb(0.50).as("p50"),
+            qb(0.95).as("p95"), qb(0.99).as("p99"))
+      },
+      Some("""WITH b AS (
+             |  SELECT event_type,
+             |    CAST(floor(value * 4) AS BIGINT) AS bin, COUNT(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |cd AS (
+             |  SELECT event_type, bin, c,
+             |    SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             |    SUM(c) OVER (PARTITION BY event_type) AS n
+             |  FROM b)
+             |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+             |  CAST(MIN(CASE WHEN cum >= ceil(0.50 * n) THEN bin END)
+             |       AS DOUBLE) / 4.0 AS p50,
+             |  CAST(MIN(CASE WHEN cum >= ceil(0.95 * n) THEN bin END)
+             |       AS DOUBLE) / 4.0 AS p95,
+             |  CAST(MIN(CASE WHEN cum >= ceil(0.99 * n) THEN bin END)
+             |       AS DOUBLE) / 4.0 AS p99
+             |FROM cd GROUP BY event_type""".stripMargin)),
   )
 }

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q108 binned quantiles sit within one bin width of the exact values") {
+    // the sketch's stated contract: the reported bin lower edge is within
+    // one 0.25-wide bin of the exact DISC percentile (smallest value at
+    // rank >= ceil(q*n) — the same rank rule the sketch reads off the
+    // cumulative histogram; an interpolating percentile has no such
+    // bound, it can fall between data points)
+    val approx = SparkEntry.queries("q108_binned_quantiles")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val byType = graft.ops.OpsKit.events(spark, dir)
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
+    def disc(xs: Array[Double], q: Double): Double =
+      xs((math.ceil(q * xs.length).toInt - 1).max(0))
+    assert(approx.keySet == byType.keySet && approx.nonEmpty)
+    for ((t, as) <- approx; (q, a) <- Seq(0.50, 0.95, 0.99).zip(as)) {
+      val e = disc(byType(t).toArray, q)
+      assert(a <= e && e < a + 0.25, s"$t p$q: approx $a vs exact $e")
+    }
+  }
+}

@@ -589,5 +589,56 @@ object CurationOps {
              |    CAST(doc_id AS VARCHAR), lang, text)), 18, 15)) AS BIGINT))
              |    AS checksum
              |FROM documents GROUP BY 1""".stripMargin)),
+
+    // ----- q109: balanced training-shard assignment (snake packing) -------
+    // The step between curation and the publisher: assign every document
+    // to one of N training shards so shard TOKEN totals come out nearly
+    // equal, not just row counts (a size-skewed shard stalls its data-
+    // loader worker every epoch). Greedy bin packing is inherently
+    // sequential; the distributable form is SNAKE (boustrophedon)
+    // assignment — rank docs by size descending and deal them out
+    // N-forward-then-N-backward, so every window of 2N consecutive ranks
+    // contributes exactly once to each shard and big docs pair with small
+    // ones. The rank window is partitioned BY SOURCE (each source's rows
+    // sort within its own shuffle partition — no global sort anywhere, the
+    // same partitioned-window discipline as q12/q74), each snake
+    // phase-shifted per source so partial windows spread their remainders
+    // (ShardBalanceSpec pins the resulting token spread).
+    NamedQuery(
+      "q109_shard_assign",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val nShards = 8
+        val nTok = size(split(col("text"), " ")).cast("long")
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n_tokens").desc, col("doc_id"))
+        // phase-shift each source's snake by an md5-derived offset: the
+        // final PARTIAL window of every source would otherwise start at
+        // position 0, piling all remainders onto the low shards when
+        // sources are small; phased snakes spread the remainders too
+        val phase = conv(substring(md5(col("source")), 1, 4), 16, 10)
+          .cast("long") % (2 * nShards)
+        val pos = (row_number().over(w).cast("long") - 1 + phase) %
+          (2 * nShards)
+        tbl(s, d, "documents")
+          .select(col("doc_id"), col("source"), nTok.as("n_tokens"))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            when(pos < nShards, pos)
+              .otherwise(lit(2 * nShards - 1) - pos).as("shard"))
+      },
+      Some("""WITH sized AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |ranked AS (
+             |  SELECT doc_id, source, n_tokens,
+             |    (CAST(row_number() OVER (PARTITION BY source
+             |       ORDER BY n_tokens DESC, doc_id) AS BIGINT) - 1
+             |     + CAST(concat('0x', substr(md5(source), 1, 4)) AS BIGINT)
+             |       % 16) % 16 AS pos
+             |  FROM sized)
+             |SELECT doc_id, source, n_tokens,
+             |  CASE WHEN pos < 8 THEN pos ELSE 15 - pos END AS shard
+             |FROM ranked""".stripMargin)),
   )
 }

@@ -598,30 +598,37 @@ object CurationOps {
     // sequential; the distributable form is SNAKE (boustrophedon)
     // assignment — rank docs by size descending and deal them out
     // N-forward-then-N-backward, so every window of 2N consecutive ranks
-    // contributes exactly once to each shard and big docs pair with small
-    // ones. The rank window is partitioned BY SOURCE (each source's rows
-    // sort within its own shuffle partition — no global sort anywhere, the
-    // same partitioned-window discipline as q12/q74), each snake
-    // phase-shifted per source so partial windows spread their remainders
-    // (ShardBalanceSpec pins the resulting token spread).
+    // contributes exactly once to each shard and big docs pair with
+    // small ones.
+    //
+    // The GLOBAL rank is computed scale-safely: a plain global
+    // row_number() window would sort the whole corpus in ONE partition,
+    // so instead each doc ranks LOCALLY within its exact-length bucket
+    // (window partitioned by n_tokens — bounded groups), and the bucket's
+    // starting offset is a running sum over the tiny per-length count
+    // table (a post-aggregation window, Heaps-bounded like q90's bands).
+    // offset + local rank == the global rank, value-for-value — the
+    // oracle computes the same thing as one ordinary row_number(), which
+    // is exactly the point: same semantics, distributed plan.
     NamedQuery(
       "q109_shard_assign",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val nShards = 8
         val nTok = size(split(col("text"), " ")).cast("long")
-        val w = Window.partitionBy(col("source"))
-          .orderBy(col("n_tokens").desc, col("doc_id"))
-        // phase-shift each source's snake by an md5-derived offset: the
-        // final PARTIAL window of every source would otherwise start at
-        // position 0, piling all remainders onto the low shards when
-        // sources are small; phased snakes spread the remainders too
-        val phase = conv(substring(md5(col("source")), 1, 4), 16, 10)
-          .cast("long") % (2 * nShards)
-        val pos = (row_number().over(w).cast("long") - 1 + phase) %
-          (2 * nShards)
-        tbl(s, d, "documents")
+        val sized = tbl(s, d, "documents")
           .select(col("doc_id"), col("source"), nTok.as("n_tokens"))
+        val offsets = sized.groupBy(col("n_tokens"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("off",
+            sum(col("cnt")).over(
+              Window.orderBy(col("n_tokens").desc)) - col("cnt"))
+          .select(col("n_tokens"), col("off"))
+        val localW = Window.partitionBy(col("n_tokens"))
+          .orderBy(col("doc_id"))
+        val rank = col("off") + row_number().over(localW).cast("long")
+        val pos = (rank - 1) % (2 * nShards)
+        sized.join(broadcast(offsets), Seq("n_tokens"))
           .select(col("doc_id"), col("source"), col("n_tokens"),
             when(pos < nShards, pos)
               .otherwise(lit(2 * nShards - 1) - pos).as("shard"))
@@ -632,10 +639,9 @@ object CurationOps {
              |  FROM documents),
              |ranked AS (
              |  SELECT doc_id, source, n_tokens,
-             |    (CAST(row_number() OVER (PARTITION BY source
-             |       ORDER BY n_tokens DESC, doc_id) AS BIGINT) - 1
-             |     + CAST(concat('0x', substr(md5(source), 1, 4)) AS BIGINT)
-             |       % 16) % 16 AS pos
+             |    (CAST(row_number() OVER (
+             |       ORDER BY n_tokens DESC, doc_id) AS BIGINT) - 1) % 16
+             |      AS pos
              |  FROM sized)
              |SELECT doc_id, source, n_tokens,
              |  CASE WHEN pos < 8 THEN pos ELSE 15 - pos END AS shard

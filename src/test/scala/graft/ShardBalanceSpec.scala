@@ -7,12 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * every document lands in exactly one shard. */
 class ShardBalanceSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
-  // sf0.1: 250 docs per source = ~31 snake windows each. The balance
-  // guarantee is per-window (every 2N consecutive ranks hit each shard
-  // once), so it needs windows to amortize over — at sf0.01's 25 docs
-  // per source the per-shard sample is ~3 docs and raw size variance
-  // dominates any assignment scheme.
-  private val dir = "/root/testdata/sf0.1"
+  private val dir = "/root/testdata/sf0.01"
 
   test("snake shards balance token totals within 2%") {
     val assigned = SparkEntry.queries("q109_shard_assign")(spark, dir)

@@ -736,11 +736,17 @@ object TextOps {
     // log joint prob — same ranking), and the SURPRISE fraction: bigrams
     // whose conditional probability P(w2|w1) = c(w1w2)/c(w1·) is below
     // 5%, tested as the integer compare 20·c(w1w2) < c(w1·). Scale
-    // shape: the bigram and prefix count tables are vocabulary-shaped
-    // (Heaps' law), built by partial-agg shuffles; the scored stream
-    // meets them in hash equi-joins (AQE broadcasts them once they prove
-    // small) — no per-row state, no all-pairs anywhere. Docs with fewer
-    // than two tokens have no transitions and drop out on both engines.
+    // shape: distinct BIGRAMS grow much faster than the unigram vocab —
+    // near-linearly in corpus tokens on low-redundancy text (measured:
+    // ×4.7 wall for ×10 docs on a permuted corpus, SCALING.md) — so the
+    // honest budget is O(corpus tokens) LM state, sharded: both count
+    // tables are built by partial-agg shuffles and met in hash
+    // equi-joins (AQE broadcasts them only if they prove small) — no
+    // per-row state, no all-pairs anywhere. A production CCNet-style
+    // filter would train the LM once on a fixed reference slice and
+    // broadcast it; self-training on the scored corpus itself, as here,
+    // is the harder fully-distributed case. Docs with fewer than two
+    // tokens have no transitions and drop out on both engines.
     NamedQuery(
       "q107_bigram_lm",
       (s, d) => {

@@ -35,7 +35,10 @@ import org.apache.spark.sql.functions._
   *    occurrences outside the broadcast top-100 vocabulary;
   *  - q107 bigram-LM document score (mean joint bigram probability +
   *    surprising-transition fraction against the corpus's own bigram
-  *    statistics — the conditional-LM counterpart of q62).
+  *    statistics — the conditional-LM counterpart of q62);
+  *  - q110 TF-IDF top terms per source: vocabulary-bounded tf and df
+  *    aggregates meet in one hash join, per-source top-5 window (idf as
+  *    the plain ratio N/df — same ranking as ln-idf, cross-engine exact).
   *
   * All per-row with no shuffle (q33-q36, q59), or hash-aggregated with
   * map-side partial aggregation (q52, q60-q62) — linear and partition-
@@ -808,5 +811,62 @@ object TextOps {
              |       AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS surprise_frac
              |FROM bgp t JOIN c USING (bg) JOIN p USING (w1) CROSS JOIN n
              |GROUP BY t.doc_id""".stripMargin)),
+
+    // ----- q110: TF-IDF top terms per source ------------------------------
+    // The classic per-collection term-weighting report: for each source,
+    // the 5 tokens with the highest tf·idf, where tf is the token's
+    // occurrence count within the source and idf = N/df over DOCUMENT
+    // granularity (df = how many documents contain the token). ln() is
+    // deliberately absent — idf as a plain ratio preserves the ranking
+    // (ln is monotone) and keeps the score cross-engine bit-exact
+    // (libm ln() differs; cf. q52/q62). Scale shape: the token stream
+    // aggregates to (source, tok) and (doc, tok) tables — both
+    // vocabulary-bounded by Heaps' law — then one hash join on tok and a
+    // per-source top-5 window over vocab-sized rows. Two token-keyed
+    // shuffles, nothing quadratic, no driver-side state. The score is
+    // (tf·double × N·double)/df·double — the long product tf·N would
+    // overflow past ~1e10 tokens·docs while the double is the same IEEE
+    // op sequence in both engines (cf. q62's n·N comment).
+    NamedQuery(
+      "q110_tfidf_terms",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = tbl(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(split(col("text"), " ")).as("tok"))
+        val tf = toks.groupBy(col("source"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        val df = toks.select(col("doc_id"), col("tok")).distinct()
+          .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val nDocs = tbl(s, d, "documents")
+          .agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("tfidf").desc, col("tok"))
+        tf.join(df, "tok")
+          .crossJoin(broadcast(nDocs))
+          .select(col("source"), col("tok"), col("tf"), col("df"),
+            (col("tf").cast("double") * col("n_docs").cast("double") /
+              col("df").cast("double")).as("tfidf"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 5)
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |tf AS (SELECT source, tok, COUNT(*) AS tf
+             |       FROM tok GROUP BY source, tok),
+             |df AS (SELECT tok, COUNT(*) AS df
+             |       FROM (SELECT DISTINCT doc_id, tok FROM tok)
+             |       GROUP BY tok),
+             |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+             |SELECT source, tok, tf, df, tfidf, rk FROM (
+             |  SELECT tf.source, tf.tok, tf.tf, df.df,
+             |    CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE)
+             |      / CAST(df.df AS DOUBLE) AS tfidf,
+             |    CAST(row_number() OVER (PARTITION BY tf.source
+             |      ORDER BY CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE)
+             |        / CAST(df.df AS DOUBLE) DESC, tf.tok) AS BIGINT) AS rk
+             |  FROM tf JOIN df USING (tok) CROSS JOIN n)
+             |WHERE rk <= 5""".stripMargin)),
   )
 }

@@ -21,7 +21,11 @@ import org.apache.spark.sql.functions._
   *    baseline — retrieval quality as a number, not an assumption;
   *  - q86 SemDeDup-style semantic dedup: within-cluster near-dup drop
   *    over the coarse-quantizer clusters (pair work bounded by cluster
-  *    size, never corpus all-pairs).
+  *    size, never corpus all-pairs);
+  *  - q112 hard-negative triplet mining: per-anchor nearest same-label
+  *    (positive) and nearest other-label (hard negative) neighbors with
+  *    the contrastive margin — training-pair construction on top of the
+  *    same ranked-candidate machinery.
   *
   * Hyperplane component (i,j) is ((i·64+j)·2654435761 mod 2^32)/2^32 − 0.5 —
   * a closed form both engines evaluate exactly (division by 2^32 is exact
@@ -465,5 +469,64 @@ object SimilarityOps {
               |SELECT c.vec_id, c.cluster, d.vec_id IS NULL AS kept
               |FROM assigned c LEFT JOIN dropped d
               |  ON c.vec_id = d.vec_id""".stripMargin)),
+
+    // ----- q112: hard-negative triplet mining -----------------------------
+    // Training-pair construction for contrastive embedding training: for
+    // each sampled anchor, the positive is its nearest same-label
+    // neighbor and the hard negative its nearest OTHER-label neighbor by
+    // cosine; margin = pos_cos − neg_cos (a small or negative margin is
+    // exactly the triplet a trainer wants). Scale shape: anchors are a
+    // pruned broadcast side, the corpus streams once; BOTH bests come
+    // from one window partitioned by (anchor, same-label?) so there is a
+    // single ranking pass, then two anchor-sized slices meet in a hash
+    // join. At 100 TB the cross join becomes the LSH/IVF candidate join
+    // (q32/q39 pipelines) with this exact downstream unchanged.
+    NamedQuery(
+      "q112_triplet_mining",
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+          .select(col("vec_id"), col("label"), col("embedding"),
+            sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+        val anchors = emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+            col("embedding").as("qe"), col("nrm").as("qn"))
+        val w = Window.partitionBy(col("q_id"), col("same"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        val best = emb.crossJoin(broadcast(anchors))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            (col("label") === col("q_label")).as("same"),
+            (dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")))
+              .as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+        val pos = best.filter(col("same"))
+          .select(col("q_id"), col("vec_id").as("pos_id"),
+            col("cos").as("pos_cos"))
+        val neg = best.filter(!col("same"))
+          .select(col("q_id"), col("vec_id").as("neg_id"),
+            col("cos").as("neg_cos"))
+        pos.join(neg, "q_id")
+          .select(col("q_id"), col("pos_id"), col("neg_id"),
+            col("pos_cos"), col("neg_cos"),
+            (col("pos_cos") - col("neg_cos")).as("margin"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+              |a AS (SELECT vec_id AS q_id, label AS q_label,
+              |        embedding AS qe FROM e WHERE vec_id % 50 = 0),
+              |scored AS (
+              |  SELECT a.q_id, e.vec_id, e.label = a.q_label AS same,
+              |    ${cosineSql("a.qe", "e.embedding")} AS cos
+              |  FROM e, a WHERE e.vec_id <> a.q_id),
+              |best AS (
+              |  SELECT * FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY q_id, same
+              |      ORDER BY cos DESC, vec_id) AS rn FROM scored)
+              |  WHERE rn = 1)
+              |SELECT p.q_id, p.vec_id AS pos_id, n.vec_id AS neg_id,
+              |  p.cos AS pos_cos, n.cos AS neg_cos,
+              |  p.cos - n.cos AS margin
+              |FROM best p JOIN best n USING (q_id)
+              |WHERE p.same AND NOT n.same""".stripMargin)),
   )
 }

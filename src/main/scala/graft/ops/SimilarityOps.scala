@@ -22,6 +22,10 @@ import org.apache.spark.sql.functions._
   *  - q86 SemDeDup-style semantic dedup: within-cluster near-dup drop
   *    over the coarse-quantizer clusters (pair work bounded by cluster
   *    size, never corpus all-pairs);
+  *  - q111 k-means Lloyd training: 3 deterministic rounds over integer-
+  *    quantized embeddings — the distributed training step that produces
+  *    the coarse quantizer q39/q86 consume (integer centroid sums, so
+  *    the result is partition-count-independent);
   *  - q112 hard-negative triplet mining: per-anchor nearest same-label
   *    (positive) and nearest other-label (hard negative) neighbors with
   *    the contrastive margin — training-pair construction on top of the
@@ -112,6 +116,61 @@ object SimilarityOps {
         (dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")))
           .as("cos"))
       .withColumn("rank", row_number().over(wRank).cast("long"))
+  }
+
+  /** k-means Lloyd training over integer-quantized embeddings (q111).
+    *
+    * k=8 centroids seeded from the first 8 vectors, `rounds` assignment
+    * passes with `rounds−1` centroid updates in between, per-cluster size
+    * + inertia out. Exposed with the round count as a parameter so the
+    * spec can assert Lloyd's monotone descent (inertia(3) ≤ inertia(1)).
+    * Inertia is reported in original-embedding units: grid-space distance
+    * divided by 2^40 (the squared 2^20 quantization factor) — an EXACT
+    * binary division, which also moves the per-row double from ~1e13
+    * (where ulp > 1e-6 would break dsum's 6th-decimal tie contract) to
+    * ~1e3 where the contract holds.
+    */
+  def kmeansTrain(s: SparkSession, d: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, "kmeansTrain needs at least one assignment pass")
+    val corpus = tbl(s, d, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> " +
+        "CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))")
+        .as("qe"))
+    val seeds = corpus.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cluster"),
+        expr("transform(qe, x -> CAST(x AS DOUBLE))").as("ce"))
+    val dist = expr("aggregate(zip_with(qe, ce, (x, c) -> " +
+      "(CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), 0D, " +
+      "(a, v) -> a + v)")
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist").asc, col("cluster"))
+      corpus.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("qe"), col("cluster"),
+          dist.as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+    }
+    def update(assigned: DataFrame, prev: DataFrame): DataFrame = {
+      val means = assigned
+        .select(col("cluster"), posexplode(col("qe")).as(Seq("i", "v")))
+        .groupBy(col("cluster"), col("i"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .groupBy(col("cluster"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, " +
+          "CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)))), s -> s.col2)")
+          .as("mce"))
+      prev.join(means, Seq("cluster"), "left")
+        .select(col("cluster"),
+          coalesce(col("mce"), col("ce")).as("ce"))
+    }
+    val finalCents = (1 until rounds).foldLeft(seeds) {
+      case (cents, _) => update(assign(cents), cents)
+    }
+    assign(finalCents)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_points"),
+        dsum(col("dist") / lit(1099511627776.0)).as("inertia"))
   }
 
   private def lshBucketSql(emb: String): String =
@@ -469,6 +528,71 @@ object SimilarityOps {
               |SELECT c.vec_id, c.cluster, d.vec_id IS NULL AS kept
               |FROM assigned c LEFT JOIN dropped d
               |  ON c.vec_id = d.vec_id""".stripMargin)),
+
+    // ----- q111: k-means Lloyd training (3 rounds, deterministic) ---------
+    // Trains the coarse quantizer the IVF path (q39) and SemDeDup (q86)
+    // assume as given: k=8 centroids seeded from the first 8 vectors,
+    // three Lloyd rounds, per-cluster size + inertia out. Determinism at
+    // any partition count is the whole design: embeddings are quantized
+    // to an integer grid (floor(x·2^20) — exact in both engines), so the
+    // centroid update is an INTEGER sum (order-independent, no float
+    // drift) with one trailing division per dimension; distances are
+    // fixed-order left folds per row (deterministic IEEE); the final
+    // inertia goes through dsum's exact-decimal sum. Scale shape per
+    // round: assignment = corpus × broadcast(8 centroids) fold, update =
+    // posexplode → (cluster, dim) partial-agg integer sums (k·64 groups,
+    // map-side combined) — the textbook distributed Lloyd step; nothing
+    // driver-side, no collect. Empty clusters keep their previous
+    // centroid (left join + coalesce, mirrored in the oracle). At real
+    // scale each round's assignment would be persisted between
+    // iterations; the logical plan is identical.
+    NamedQuery(
+      "q111_kmeans_train",
+      (s, d) => kmeansTrain(s, d, rounds = 3),
+      Some {
+        val distSql = (q: String, c: String) =>
+          s"""list_reduce(list_prepend(0.0,
+             |  [(CAST($q.qe[i] AS DOUBLE) - $c.ce[i]) *
+             |   (CAST($q.qe[i] AS DOUBLE) - $c.ce[i])
+             |   for i in range(1, 65)]), (a, x) -> a + x)""".stripMargin
+        // one Lloyd round: assignment aN against cPrev, update to cN
+        def iter(n: Int, prev: String): String =
+          s"""a$n AS (
+             |  SELECT * FROM (
+             |    SELECT q.vec_id, q.qe, c.cluster,
+             |      ${distSql("q", "c")} AS dist,
+             |      row_number() OVER (PARTITION BY q.vec_id
+             |        ORDER BY ${distSql("q", "c")} ASC, c.cluster) AS rn
+             |    FROM q, $prev c) WHERE rn = 1),
+             |s$n AS (SELECT cluster, r.i, SUM(qe[r.i]) AS sv,
+             |         COUNT(*) AS n
+             |       FROM a$n CROSS JOIN range(1, 65) r(i)
+             |       GROUP BY cluster, r.i),
+             |m$n AS (SELECT cluster,
+             |         list(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)
+             |              ORDER BY i) AS ce
+             |       FROM s$n GROUP BY cluster),
+             |c$n AS (SELECT p.cluster, coalesce(m$n.ce, p.ce) AS ce
+             |       FROM $prev p LEFT JOIN m$n USING (cluster))""".stripMargin
+        s"""WITH q AS (SELECT vec_id,
+           |    [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0)
+           |          AS BIGINT) for i in range(1, 65)] AS qe
+           |  FROM embeddings),
+           |c0 AS (SELECT vec_id AS cluster,
+           |         [CAST(x AS DOUBLE) for x in qe] AS ce
+           |       FROM q WHERE vec_id < 8),
+           |${iter(1, "c0")},
+           |${iter(2, "c1")},
+           |a3 AS (
+           |  SELECT * FROM (
+           |    SELECT q.vec_id, c.cluster, ${distSql("q", "c")} AS dist,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${distSql("q", "c")} ASC, c.cluster) AS rn
+           |    FROM q, c2 c) WHERE rn = 1)
+           |SELECT cluster, COUNT(*) AS n_points,
+           |  ${dsumSql("dist / 1099511627776.0")} AS inertia
+           |FROM a3 GROUP BY cluster""".stripMargin
+      }),
 
     // ----- q112: hard-negative triplet mining -----------------------------
     // Training-pair construction for contrastive embedding training: for

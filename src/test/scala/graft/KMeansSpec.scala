@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q111 k-means training invariants the oracle hash can't see on its own:
+  *
+  *  - partitioning: every vector lands in exactly one cluster (sizes sum
+  *    to the corpus), and all 8 seeded clusters survive on this corpus;
+  *  - Lloyd's monotone descent: total inertia after 3 rounds is no worse
+  *    than after the seed-only assignment — the property that makes the
+  *    iteration a TRAINING step rather than a relabeling;
+  *  - partition-count independence: the integer-quantized centroid sums
+  *    make the result identical when the corpus arrives pre-shuffled into
+  *    a different partitioning (the 1000-executor determinism claim).
+  */
+class KMeansSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(rounds: Int): Map[Long, (Long, Double)] =
+    ops.SimilarityOps.kmeansTrain(spark, dir, rounds)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+
+  test("q111 partitions the corpus across all 8 clusters") {
+    val m = run(3)
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(m.keySet == (0L until 8L).toSet, s"clusters: ${m.keySet}")
+    assert(m.values.map(_._1).sum == corpus)
+    assert(m.values.forall(_._2 >= 0.0))
+  }
+
+  test("q111 three Lloyd rounds never increase total inertia") {
+    val i1 = run(1).values.map(_._2).sum
+    val i3 = run(3).values.map(_._2).sum
+    assert(i3 <= i1, s"inertia rose: rounds=1 $i1 -> rounds=3 $i3")
+    // and training actually moved: centroids ≠ seeds on this corpus
+    assert(i3 < i1, "3 rounds left inertia exactly at the seed value")
+  }
+
+  test("q111 result is independent of input partitioning") {
+    val base = run(3)
+    val spark2 = spark.newSession()
+    spark2.conf.set("spark.sql.shuffle.partitions", "7")
+    val other = ops.SimilarityOps.kmeansTrain(spark2, dir, 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(other == base)
+  }
+}

@@ -55,6 +55,9 @@ import org.apache.spark.sql.functions._
   *  - q100 the full curation pipeline as one decision table: quality →
   *    decontamination → dedup in fixed precedence, one shared LSH pass
   *    feeding both the closure and the contamination flags;
+  *  - q114 the curation funnel: per-source attrition counts at each
+  *    successive q100 gate, aggregated FROM the shared decision table so
+  *    funnel and per-doc decisions can never disagree;
   *  - q103 leakage-free train/val/test split: assignment hashed at the
   *    near-dup CLUSTER level, so no near-dup pair can cross the cut;
   *  - q104 cross-source duplication matrix: the near-dup pairs rolled
@@ -827,7 +830,51 @@ object GovernanceOps {
     // training-data sign-off actually reviews.
     NamedQuery(
       "q100_curation_pipeline",
-      (s, d) => {
+      (s, d) => curationDecisions(s, d),
+      Some(curationDecisionTableSql)),
+
+    // ----- q114: curation funnel — ordered per-source attrition -----------
+    // The report a curation run is judged by: how many documents each
+    // source loses at every successive gate, in the q100 decision order
+    // (quality → decontamination → dedup). Computed FROM the shared
+    // decision table, so the funnel can never disagree with the per-doc
+    // decisions it summarizes; one extra per-source aggregation on top.
+    // kept_rate is one trailing double division (cross-engine exact).
+    NamedQuery(
+      "q114_curation_funnel",
+      (s, d) => curationDecisions(s, d)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("decision") =!= "low_quality", lit(1L))
+            .otherwise(lit(0L))).as("n_quality"),
+          sum(when(!col("decision").isin("low_quality", "contaminated"),
+            lit(1L)).otherwise(lit(0L))).as("n_clean"),
+          sum(when(col("decision") === "keep", lit(1L))
+            .otherwise(lit(0L))).as("n_kept"))
+        .select(col("source"), col("n_total"), col("n_quality"),
+          col("n_clean"), col("n_kept"),
+          (col("n_kept").cast("double") / col("n_total").cast("double"))
+            .as("kept_rate")),
+      Some(s"""SELECT source, COUNT(*) AS n_total,
+              |  CAST(SUM(CASE WHEN decision <> 'low_quality'
+              |      THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+              |  CAST(SUM(CASE WHEN decision NOT IN ('low_quality',
+              |      'contaminated') THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_clean,
+              |  CAST(SUM(CASE WHEN decision = 'keep' THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_kept,
+              |  CAST(SUM(CASE WHEN decision = 'keep' THEN 1 ELSE 0 END)
+              |       AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS kept_rate
+              |FROM ($curationDecisionTableSql)
+              |GROUP BY source""".stripMargin)),
+  ) ++ splitAndGovernance
+
+  /** The q100 per-document decision table (quality → contaminated →
+    * duplicate → keep), shared verbatim by q114's funnel aggregation. */
+  private def curationDecisions(
+      s: org.apache.spark.sql.SparkSession, d: String):
+      org.apache.spark.sql.DataFrame = {
         val base = tbl(s, d, "documents")
           .select(col("doc_id"), col("text"), col("source"))
         val corpus = base.unionByName(base.select(
@@ -872,8 +919,11 @@ object GovernanceOps {
               .when(col("contam"), "contaminated")
               .when(col("doc_id") =!= col("cluster_rep"), "duplicate")
               .otherwise("keep").as("decision"))
-      },
-      Some {
+      }
+
+  /** DuckDB rendering of [[curationDecisions]] — q100's oracle, reused
+    * inside q114's funnel as a derived table. */
+  private lazy val curationDecisionTableSql: String = {
         val nTok = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
         val uniqR = s"CAST(len(list_distinct(string_split(text, ' '))) " +
           s"AS DOUBLE) / $nTok"
@@ -911,7 +961,11 @@ object GovernanceOps {
            |JOIN qual q ON q.doc_id = c.doc_id
            |JOIN labels l ON l.doc_id = c.doc_id
            |LEFT JOIN contam ct ON ct.doc_id = c.doc_id""".stripMargin
-      }),
+  }
+
+  /** Registry continuation (q103+) — split so the shared q100/q114
+    * decision-table definitions above can live between the two halves. */
+  private def splitAndGovernance: Seq[NamedQuery] = Seq(
 
     // ----- q103: leakage-free train/val/test split ------------------------
     // The split a random per-document hash gets WRONG: two near-dup docs

@@ -29,7 +29,11 @@ import org.apache.spark.sql.functions._
   *  - q112 hard-negative triplet mining: per-anchor nearest same-label
   *    (positive) and nearest other-label (hard negative) neighbors with
   *    the contrastive margin — training-pair construction on top of the
-  *    same ranked-candidate machinery.
+  *    same ranked-candidate machinery;
+  *  - q113 distributed PCA top component: three power-iteration rounds
+  *    on the centered scatter matrix without materializing it — one
+  *    corpus pass per round, 64-group exact-decimal aggregate, single-
+  *    row broadcast back (loadings + eigenvalue + explained variance).
   *
   * Hyperplane component (i,j) is ((i·64+j)·2654435761 mod 2^32)/2^32 − 0.5 —
   * a closed form both engines evaluate exactly (division by 2^32 is exact
@@ -592,6 +596,125 @@ object SimilarityOps {
            |SELECT cluster, COUNT(*) AS n_points,
            |  ${dsumSql("dist / 1099511627776.0")} AS inertia
            |FROM a3 GROUP BY cluster""".stripMargin
+      }),
+
+    // ----- q113: distributed PCA top component (power iteration) ----------
+    // The dimensionality-reduction primitive an embedding pipeline runs
+    // before whitening / visualization / drift analysis: the top
+    // principal component of the centered corpus, by three rounds of
+    // power iteration on the scatter matrix Σ y·yᵀ — WITHOUT ever
+    // materializing the 64×64 matrix: each round is one pass computing
+    // per-row projections proj = y·v (fixed-order fold, deterministic
+    // IEEE) and accumulating w = Σ y·proj per dimension through dsum's
+    // exact-decimal sum (order-independent, so partition-count-
+    // deterministic). The mean is exact: integer sums over the 2^20
+    // grid (q111's trick), one division per dimension, and the /2^20
+    // de-scaling is an exact binary division. v₀ = (1/8,…,1/8) (unit by
+    // construction); normalization uses sqrt (correctly-rounded IEEE,
+    // not libm-dependent — same contract as cosineSql). Output: the 64
+    // loadings + the eigenvalue estimate λ = ||w|| and the explained-
+    // variance ratio λ / trace(Σ y·yᵀ). Scale shape per round: one
+    // corpus pass + a 64-group aggregate + a single-row broadcast back —
+    // the textbook distributed power method; nothing driver-side.
+    NamedQuery(
+      "q113_pca_power",
+      (s, d) => {
+        val q = tbl(s, d, "embeddings").select(col("vec_id"),
+          expr("transform(embedding, x -> " +
+            "CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))")
+            .as("qe"))
+        // exact per-dimension mean in grid units, then de-scaled
+        val mu = q
+          .select(posexplode(col("qe")).as(Seq("i", "x")))
+          .groupBy(col("i"))
+          .agg((sum(col("x")).cast("double") /
+            count(lit(1)).cast("double")).as("m"))
+          .groupBy()
+          .agg(expr("transform(array_sort(collect_list(struct(i, m))), " +
+            "s -> s.m)").as("mu"))
+        val y = q.crossJoin(broadcast(mu))
+          .select(col("vec_id"),
+            expr("zip_with(qe, mu, (x, m) -> " +
+              "(CAST(x AS DOUBLE) - m) / 1048576.0)").as("y"))
+        val v0 = s.range(1)
+          .select(expr("transform(sequence(1, 64), i -> 0.125D)")
+            .as("varr"))
+        val normSql = "sqrt(aggregate(transform(warr, x -> x * x), 0D, " +
+          "(a, b) -> a + b))"
+        def step(v: DataFrame): DataFrame = {
+          val pr = y.crossJoin(broadcast(v))
+            .select(col("y"),
+              expr("aggregate(zip_with(y, varr, (a, b) -> a * b), 0D, " +
+                "(acc, x) -> acc + x)").as("proj"))
+          pr.select(posexplode(expr("transform(y, yd -> yd * proj)"))
+              .as(Seq("i", "c")))
+            .groupBy(col("i")).agg(dsum(col("c")).as("w"))
+            .groupBy()
+            .agg(expr("transform(array_sort(collect_list(struct(i, w))), " +
+              "s -> s.w)").as("warr"))
+            .select(expr(s"transform(warr, wd -> wd / $normSql)")
+              .as("varr"), expr(normSql).as("lambda"))
+        }
+        val v3 = step(step(step(v0).select(col("varr")))
+          .select(col("varr")))
+        val trace = y.select(
+          expr("aggregate(transform(y, x -> x * x), 0D, (a, b) -> a + b)")
+            .as("sq"))
+          .agg(dsum(col("sq")).as("trace"))
+        v3.crossJoin(broadcast(trace))
+          .select(posexplode(col("varr")).as(Seq("i0", "loading")),
+            col("lambda"), col("trace"))
+          .select((col("i0") + 1).cast("long").as("dim"), col("loading"),
+            col("lambda").as("eigval"),
+            (col("lambda") / col("trace")).as("evr"))
+      },
+      Some {
+        val foldDot = (a: String, b: String) =>
+          s"""list_reduce(list_prepend(0.0,
+             |  [$a[i] * $b[i] for i in range(1, 65)]),
+             |  (acc, x) -> acc + x)""".stripMargin
+        val normW =
+          """sqrt(list_reduce(list_prepend(0.0,
+            |  [warr[j] * warr[j] for j in range(1, 65)]),
+            |  (a, x) -> a + x))""".stripMargin
+        def iterSql(n: Int, prev: String): String =
+          s"""p$n AS (
+             |  SELECT y, ${foldDot("y", "varr")} AS proj
+             |  FROM y CROSS JOIN $prev),
+             |w$n AS (
+             |  SELECT r.i AS i,
+             |    CAST(SUM(CAST(y[r.i] * proj AS DECIMAL(28,6)))
+             |         AS DOUBLE) AS w
+             |  FROM p$n CROSS JOIN range(1, 65) r(i) GROUP BY r.i),
+             |wa$n AS (SELECT list(w ORDER BY i) AS warr FROM w$n),
+             |v$n AS (SELECT
+             |    [warr[i] / $normW for i in range(1, 65)] AS varr,
+             |    $normW AS lambda
+             |  FROM wa$n)""".stripMargin
+        s"""WITH q AS (SELECT vec_id,
+           |    [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0)
+           |          AS BIGINT) for i in range(1, 65)] AS qe
+           |  FROM embeddings),
+           |mug AS (
+           |  SELECT r.i AS i, CAST(SUM(qe[r.i]) AS DOUBLE)
+           |    / CAST(COUNT(*) AS DOUBLE) AS m
+           |  FROM q CROSS JOIN range(1, 65) r(i) GROUP BY r.i),
+           |mu AS (SELECT list(m ORDER BY i) AS mu FROM mug),
+           |y AS (SELECT vec_id,
+           |    [(CAST(qe[i] AS DOUBLE) - mu[i]) / 1048576.0
+           |     for i in range(1, 65)] AS y
+           |  FROM q CROSS JOIN mu),
+           |v0 AS (SELECT [0.125 for i in range(1, 65)] AS varr),
+           |${iterSql(1, "v0")},
+           |${iterSql(2, "v1")},
+           |${iterSql(3, "v2")},
+           |tr AS (
+           |  SELECT CAST(SUM(CAST(${foldDot("y", "y")}
+           |    AS DECIMAL(28,6))) AS DOUBLE) AS trace
+           |  FROM y)
+           |SELECT CAST(r.i AS BIGINT) AS dim, v3.varr[r.i] AS loading,
+           |  v3.lambda AS eigval, v3.lambda / tr.trace AS evr
+           |FROM v3 CROSS JOIN tr CROSS JOIN range(1, 65) r(i)""".stripMargin
       }),
 
     // ----- q112: hard-negative triplet mining -----------------------------

@@ -33,7 +33,10 @@ import org.apache.spark.sql.functions._
   *  - q113 distributed PCA top component: three power-iteration rounds
   *    on the centered scatter matrix without materializing it — one
   *    corpus pass per round, 64-group exact-decimal aggregate, single-
-  *    row broadcast back (loadings + eigenvalue + explained variance).
+  *    row broadcast back (loadings + eigenvalue + explained variance);
+  *  - q115 reciprocal-rank fusion: the LSH and IVF candidate rankings
+  *    ensembled by RRF (rank-only, no score calibration) into a fused
+  *    top-3 — one (q_id, vec_id)-keyed aggregate over the two pipelines.
   *
   * Hyperplane component (i,j) is ((i·64+j)·2654435761 mod 2^32)/2^32 − 0.5 —
   * a closed form both engines evaluate exactly (division by 2^32 is exact
@@ -597,6 +600,81 @@ object SimilarityOps {
            |  ${dsumSql("dist / 1099511627776.0")} AS inertia
            |FROM a3 GROUP BY cluster""".stripMargin
       }),
+
+    // ----- q115: reciprocal-rank fusion of the two ANN paths --------------
+    // Retrieval ensembling: fuse the LSH-bucketed and IVF candidate
+    // rankings with RRF — score(q, doc) = Σ_path 1/(60 + rank_path) over
+    // the paths that surfaced the doc in their top-10 — and keep the
+    // fused top-3. RRF needs no score calibration between paths (ranks
+    // only), which is exactly why it's the standard fusion for
+    // heterogeneous indexes. Determinism: each term is one double
+    // division; a doc appears in at most TWO paths, and IEEE addition of
+    // two terms is commutative, so the partial-agg sum is order-safe
+    // without decimal. Scale shape: both inputs are the existing
+    // bucket-join pipelines (never all-pairs); the fusion itself is one
+    // (q_id, vec_id)-keyed aggregate + an anchor-partitioned top-3.
+    NamedQuery(
+      "q115_rrf_fusion",
+      (s, d) => {
+        val lsh = lshRanked(s, d).filter(col("rank") <= 10)
+          .select(col("q_id"), col("vec_id"), col("rank"))
+        val ivf = ivfRanked(s, d).filter(col("rank") <= 10)
+          .select(col("q_id"), col("vec_id"), col("rank"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("rrf").desc, col("vec_id"))
+        lsh.unionByName(ivf)
+          .groupBy(col("q_id"), col("vec_id"))
+          .agg(count(lit(1)).as("n_paths"),
+            sum(lit(1.0) / (lit(60.0) + col("rank").cast("double")))
+              .as("rrf"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+      },
+      Some(s"""WITH b AS (
+              |  SELECT vec_id, embedding,
+              |    ${lshBucketSql("embedding")} AS bucket
+              |  FROM embeddings),
+              |lsh AS (
+              |  SELECT q_id, vec_id, rank FROM (
+              |    SELECT q.vec_id AS q_id, e.vec_id,
+              |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |        ${cosineSql("q.embedding", "e.embedding")} DESC,
+              |        e.vec_id) AS rank
+              |    FROM b e JOIN (SELECT * FROM b WHERE vec_id % 100 = 0) q
+              |      ON e.bucket = q.bucket)
+              |  WHERE rank <= 10),
+              |cents AS (
+              |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+              |  WHERE vec_id < 8),
+              |scored AS (
+              |  SELECT e.vec_id, e.embedding, c.cent_id,
+              |    row_number() OVER (PARTITION BY e.vec_id
+              |      ORDER BY ${cosineSql("e.embedding", "c.ce")} DESC,
+              |        c.cent_id) AS crn
+              |  FROM embeddings e, cents c),
+              |corpus_a AS (
+              |  SELECT vec_id, embedding, cent_id AS cluster FROM scored
+              |  WHERE crn = 1),
+              |probes AS (
+              |  SELECT vec_id AS q_id, embedding AS qe, cent_id AS cluster
+              |  FROM scored WHERE vec_id % 100 = 0 AND crn <= 2),
+              |ivf AS (
+              |  SELECT q_id, vec_id, rank FROM (
+              |    SELECT p.q_id, a.vec_id,
+              |      row_number() OVER (PARTITION BY p.q_id ORDER BY
+              |        ${cosineSql("p.qe", "a.embedding")} DESC, a.vec_id)
+              |        AS rank
+              |    FROM corpus_a a JOIN probes p ON a.cluster = p.cluster)
+              |  WHERE rank <= 10),
+              |u AS (SELECT * FROM lsh UNION ALL SELECT * FROM ivf),
+              |f AS (
+              |  SELECT q_id, vec_id, CAST(COUNT(*) AS BIGINT) AS n_paths,
+              |    SUM(1.0 / (60.0 + CAST(rank AS DOUBLE))) AS rrf
+              |  FROM u GROUP BY q_id, vec_id)
+              |SELECT q_id, vec_id, n_paths, rrf, rk FROM (
+              |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+              |    ORDER BY rrf DESC, vec_id) AS BIGINT) AS rk FROM f)
+              |WHERE rk <= 3""".stripMargin)),
 
     // ----- q113: distributed PCA top component (power iteration) ----------
     // The dimensionality-reduction primitive an embedding pipeline runs

@@ -36,7 +36,10 @@ import org.apache.spark.sql.functions._
   *    row broadcast back (loadings + eigenvalue + explained variance);
   *  - q115 reciprocal-rank fusion: the LSH and IVF candidate rankings
   *    ensembled by RRF (rank-only, no score calibration) into a fused
-  *    top-3 — one (q_id, vec_id)-keyed aggregate over the two pipelines.
+  *    top-3 — one (q_id, vec_id)-keyed aggregate over the two pipelines;
+  *  - q116 cluster–label confusion matrix: the corpus assigned to the
+  *    q111-trained centroids, cross-tabulated against semantic labels —
+  *    the quantizer-quality check q86/q39 silently rely on.
   *
   * Hyperplane component (i,j) is ((i·64+j)·2654435761 mod 2^32)/2^32 − 0.5 —
   * a closed form both engines evaluate exactly (division by 2^32 is exact
@@ -137,27 +140,36 @@ object SimilarityOps {
     * (where ulp > 1e-6 would break dsum's 6th-decimal tie contract) to
     * ~1e3 where the contract holds.
     */
-  def kmeansTrain(s: SparkSession, d: String, rounds: Int): DataFrame = {
-    require(rounds >= 1, "kmeansTrain needs at least one assignment pass")
-    val corpus = tbl(s, d, "embeddings").select(col("vec_id"),
+  /** The 2^20-grid-quantized corpus (vec_id, qe: array<long>). */
+  private def kmCorpus(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "embeddings").select(col("vec_id"),
       expr("transform(embedding, x -> " +
         "CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))")
         .as("qe"))
-    val seeds = corpus.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cluster"),
-        expr("transform(qe, x -> CAST(x AS DOUBLE))").as("ce"))
+
+  /** Nearest-centroid assignment of the quantized corpus:
+    * (vec_id, qe, cluster, dist) with dist in grid units. */
+  private def kmAssign(corpus: DataFrame, cents: DataFrame): DataFrame = {
     val dist = expr("aggregate(zip_with(qe, ce, (x, c) -> " +
       "(CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), 0D, " +
       "(a, v) -> a + v)")
-    def assign(cents: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("dist").asc, col("cluster"))
-      corpus.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("qe"), col("cluster"),
-          dist.as("dist"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("rn")
-    }
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist").asc, col("cluster"))
+    corpus.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("qe"), col("cluster"),
+        dist.as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** The trained centroid table (cluster, ce: array<double>) after
+    * `rounds−1` Lloyd updates from the vec_id<8 seeds. */
+  def kmeansCentroids(s: SparkSession, d: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, "kmeansTrain needs at least one assignment pass")
+    val corpus = kmCorpus(s, d)
+    val seeds = corpus.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cluster"),
+        expr("transform(qe, x -> CAST(x AS DOUBLE))").as("ce"))
     def update(assigned: DataFrame, prev: DataFrame): DataFrame = {
       val means = assigned
         .select(col("cluster"), posexplode(col("qe")).as(Seq("i", "v")))
@@ -171,14 +183,56 @@ object SimilarityOps {
         .select(col("cluster"),
           coalesce(col("mce"), col("ce")).as("ce"))
     }
-    val finalCents = (1 until rounds).foldLeft(seeds) {
-      case (cents, _) => update(assign(cents), cents)
+    (1 until rounds).foldLeft(seeds) {
+      case (cents, _) => update(kmAssign(corpus, cents), cents)
     }
-    assign(finalCents)
+  }
+
+  def kmeansTrain(s: SparkSession, d: String, rounds: Int): DataFrame =
+    kmAssign(kmCorpus(s, d), kmeansCentroids(s, d, rounds))
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_points"),
         dsum(col("dist") / lit(1099511627776.0)).as("inertia"))
-  }
+
+  /** DuckDB rendering of [[kmAssign]]'s squared grid distance. */
+  private def kmDistSql(q: String, c: String): String =
+    s"""list_reduce(list_prepend(0.0,
+       |  [(CAST($q.qe[i] AS DOUBLE) - $c.ce[i]) *
+       |   (CAST($q.qe[i] AS DOUBLE) - $c.ce[i])
+       |   for i in range(1, 65)]), (a, x) -> a + x)""".stripMargin
+
+  /** One oracle-side Lloyd round: assignment aN against cPrev → cN. */
+  private def kmIterSql(n: Int, prev: String): String =
+    s"""a$n AS (
+       |  SELECT * FROM (
+       |    SELECT q.vec_id, q.qe, c.cluster,
+       |      ${kmDistSql("q", "c")} AS dist,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${kmDistSql("q", "c")} ASC, c.cluster) AS rn
+       |    FROM q, $prev c) WHERE rn = 1),
+       |s$n AS (SELECT cluster, r.i, SUM(qe[r.i]) AS sv,
+       |         COUNT(*) AS n
+       |       FROM a$n CROSS JOIN range(1, 65) r(i)
+       |       GROUP BY cluster, r.i),
+       |m$n AS (SELECT cluster,
+       |         list(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)
+       |              ORDER BY i) AS ce
+       |       FROM s$n GROUP BY cluster),
+       |c$n AS (SELECT p.cluster, coalesce(m$n.ce, p.ce) AS ce
+       |       FROM $prev p LEFT JOIN m$n USING (cluster))""".stripMargin
+
+  /** Oracle CTE chain through the 3-round trained centroids `c2` —
+    * shared by the q111 and q116 oracles (no drift between them). */
+  private lazy val kmPrefixSql: String =
+    s"""q AS (SELECT vec_id,
+       |    [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0)
+       |          AS BIGINT) for i in range(1, 65)] AS qe
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cluster,
+       |         [CAST(x AS DOUBLE) for x in qe] AS ce
+       |       FROM q WHERE vec_id < 8),
+       |${kmIterSql(1, "c0")},
+       |${kmIterSql(2, "c1")}""".stripMargin
 
   private def lshBucketSql(emb: String): String =
     s"""list_reduce(list_prepend(0, list_transform(range(0, 8), i ->
@@ -556,50 +610,54 @@ object SimilarityOps {
     NamedQuery(
       "q111_kmeans_train",
       (s, d) => kmeansTrain(s, d, rounds = 3),
-      Some {
-        val distSql = (q: String, c: String) =>
-          s"""list_reduce(list_prepend(0.0,
-             |  [(CAST($q.qe[i] AS DOUBLE) - $c.ce[i]) *
-             |   (CAST($q.qe[i] AS DOUBLE) - $c.ce[i])
-             |   for i in range(1, 65)]), (a, x) -> a + x)""".stripMargin
-        // one Lloyd round: assignment aN against cPrev, update to cN
-        def iter(n: Int, prev: String): String =
-          s"""a$n AS (
-             |  SELECT * FROM (
-             |    SELECT q.vec_id, q.qe, c.cluster,
-             |      ${distSql("q", "c")} AS dist,
-             |      row_number() OVER (PARTITION BY q.vec_id
-             |        ORDER BY ${distSql("q", "c")} ASC, c.cluster) AS rn
-             |    FROM q, $prev c) WHERE rn = 1),
-             |s$n AS (SELECT cluster, r.i, SUM(qe[r.i]) AS sv,
-             |         COUNT(*) AS n
-             |       FROM a$n CROSS JOIN range(1, 65) r(i)
-             |       GROUP BY cluster, r.i),
-             |m$n AS (SELECT cluster,
-             |         list(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)
-             |              ORDER BY i) AS ce
-             |       FROM s$n GROUP BY cluster),
-             |c$n AS (SELECT p.cluster, coalesce(m$n.ce, p.ce) AS ce
-             |       FROM $prev p LEFT JOIN m$n USING (cluster))""".stripMargin
-        s"""WITH q AS (SELECT vec_id,
-           |    [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0)
-           |          AS BIGINT) for i in range(1, 65)] AS qe
-           |  FROM embeddings),
-           |c0 AS (SELECT vec_id AS cluster,
-           |         [CAST(x AS DOUBLE) for x in qe] AS ce
-           |       FROM q WHERE vec_id < 8),
-           |${iter(1, "c0")},
-           |${iter(2, "c1")},
-           |a3 AS (
-           |  SELECT * FROM (
-           |    SELECT q.vec_id, c.cluster, ${distSql("q", "c")} AS dist,
-           |      row_number() OVER (PARTITION BY q.vec_id
-           |        ORDER BY ${distSql("q", "c")} ASC, c.cluster) AS rn
-           |    FROM q, c2 c) WHERE rn = 1)
-           |SELECT cluster, COUNT(*) AS n_points,
-           |  ${dsumSql("dist / 1099511627776.0")} AS inertia
-           |FROM a3 GROUP BY cluster""".stripMargin
-      }),
+      Some(s"""WITH $kmPrefixSql,
+              |a3 AS (
+              |  SELECT * FROM (
+              |    SELECT q.vec_id, c.cluster, ${kmDistSql("q", "c")} AS dist,
+              |      row_number() OVER (PARTITION BY q.vec_id
+              |        ORDER BY ${kmDistSql("q", "c")} ASC, c.cluster) AS rn
+              |    FROM q, c2 c) WHERE rn = 1)
+              |SELECT cluster, COUNT(*) AS n_points,
+              |  ${dsumSql("dist / 1099511627776.0")} AS inertia
+              |FROM a3 GROUP BY cluster""".stripMargin)),
+
+    // ----- q116: cluster–label confusion matrix (quantizer quality) -------
+    // Does the learned geometry recover the semantic classes? Assign the
+    // corpus to the 3-round q111 centroids and cross-tabulate cluster ×
+    // label: (cluster, label, n, frac-of-cluster). A concentrated row
+    // means the coarse quantizer is carving label-coherent cells — the
+    // property SemDeDup (q86) and IVF probing (q39) silently rely on.
+    // Same assignment plan as q111 (shared kmAssign/kmeansCentroids, and
+    // the oracle reuses the SAME iteration SQL via kmPrefixSql), plus
+    // one (cluster, label) aggregate and an exact-integer share division.
+    NamedQuery(
+      "q116_cluster_confusion",
+      (s, d) => {
+        val labels = tbl(s, d, "embeddings")
+          .select(col("vec_id"), col("label"))
+        val wc = Window.partitionBy(col("cluster"))
+        kmAssign(kmCorpus(s, d), kmeansCentroids(s, d, rounds = 3))
+          .join(labels, "vec_id")
+          .groupBy(col("cluster"), col("label"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("frac", col("n").cast("double") /
+            sum(col("n")).over(wc).cast("double"))
+      },
+      Some(s"""WITH $kmPrefixSql,
+              |a3 AS (
+              |  SELECT * FROM (
+              |    SELECT q.vec_id, c.cluster,
+              |      row_number() OVER (PARTITION BY q.vec_id
+              |        ORDER BY ${kmDistSql("q", "c")} ASC, c.cluster) AS rn
+              |    FROM q, c2 c) WHERE rn = 1),
+              |x AS (
+              |  SELECT a3.cluster, e.label, COUNT(*) AS n
+              |  FROM a3 JOIN embeddings e USING (vec_id)
+              |  GROUP BY a3.cluster, e.label)
+              |SELECT cluster, label, n,
+              |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER
+              |    (PARTITION BY cluster) AS DOUBLE) AS frac
+              |FROM x""".stripMargin)),
 
     // ----- q115: reciprocal-rank fusion of the two ANN paths --------------
     // Retrieval ensembling: fuse the LSH-bucketed and IVF candidate

@@ -39,7 +39,10 @@ import org.apache.spark.sql.functions._
   *    top-3 — one (q_id, vec_id)-keyed aggregate over the two pipelines;
   *  - q116 cluster–label confusion matrix: the corpus assigned to the
   *    q111-trained centroids, cross-tabulated against semantic labels —
-  *    the quantizer-quality check q86/q39 silently rely on.
+  *    the quantizer-quality check q86/q39 silently rely on;
+  *  - q117 the batch twin of the STREAMING k-means scorer
+  *    ([[graft.streaming.StreamOps.kmeansAssign]]): the stream
+  *    operator's own plan run on the batch corpus, under the oracle gate.
   *
   * Hyperplane component (i,j) is ((i·64+j)·2654435761 mod 2^32)/2^32 − 0.5 —
   * a closed form both engines evaluate exactly (division by 2^32 is exact
@@ -733,6 +736,34 @@ object SimilarityOps {
               |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
               |    ORDER BY rrf DESC, vec_id) AS BIGINT) AS rk FROM f)
               |WHERE rk <= 3""".stripMargin)),
+
+    // ----- q117: streaming k-means assignment (oracle-gated batch twin) ---
+    // The EXACT code the streaming scorer runs
+    // ([[graft.streaming.StreamOps.kmeansAssign]]) in batch mode: every
+    // embedding assigned to the 3-round q111 centroids through the
+    // stream operator's own quantize → broadcast-join → windowed-argmin
+    // plan. Registering the twin puts the streaming operator's
+    // arithmetic under the driver's DuckDB hash gate; StreamOpsSpec
+    // separately proves the microbatched stream equals this batch run.
+    NamedQuery(
+      "q117_stream_kmeans",
+      (s, d) => {
+        val pts = tbl(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+          .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+        graft.streaming.StreamOps.kmeansAssign(
+          pts, kmeansCentroids(s, d, rounds = 3))
+      },
+      Some(s"""WITH $kmPrefixSql,
+              |a3 AS (
+              |  SELECT * FROM (
+              |    SELECT q.vec_id, c.cluster, ${kmDistSql("q", "c")} AS dist,
+              |      row_number() OVER (PARTITION BY q.vec_id
+              |        ORDER BY ${kmDistSql("q", "c")} ASC, c.cluster) AS rn
+              |    FROM q, c2 c) WHERE rn = 1)
+              |SELECT vec_id, cluster,
+              |  dist / 1099511627776.0 AS dist
+              |FROM a3""".stripMargin)),
 
     // ----- q113: distributed PCA top component (power iteration) ----------
     // The dimensionality-reduction primitive an embedding pipeline runs

@@ -82,6 +82,38 @@ object StreamOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("simhash")
 
+  /** Streaming k-means assignment: a stream of (ts, vec_id, embedding)
+    * assigned to the STATIC centroids a [[graft.ops.SimilarityOps
+    * .kmeansCentroids]] training run produced — the online scoring half
+    * of the offline-train / online-assign split (same pattern as
+    * clusterAssign for text near-dup clusters). Each point is quantized
+    * with the SAME 2^20 grid expression the trainer used, joined against
+    * the broadcast centroid table (stream-static, stateless), and the
+    * argmin emerges from a watermark-bounded windowed min_by — ties
+    * break toward the smallest cluster id, mirroring the batch
+    * assignment's (dist, cluster) ordering. The static side is persisted
+    * so the training plan does not re-execute per microbatch. Output:
+    * (vec_id, cluster, dist) with dist de-scaled to original embedding
+    * units (exact /2^40 binary division). */
+  def kmeansAssign(points: DataFrame, cents: DataFrame): DataFrame = {
+    val cp = cents.persist()
+    points
+      .withColumn("qe", expr("transform(embedding, x -> " +
+        "CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"))
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(cp))
+      .withColumn("gdist", expr("aggregate(zip_with(qe, ce, (x, c) -> " +
+        "(CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), 0D, " +
+        "(a, v) -> a + v)"))
+      .groupBy(window(col("ts"), "1 hour"), col("vec_id"))
+      .agg(
+        min_by(col("cluster"), struct(col("gdist"), col("cluster")))
+          .as("cluster"),
+        min(col("gdist")).as("gdist"))
+      .select(col("vec_id"), col("cluster"),
+        (col("gdist") / lit(1099511627776.0)).as("dist"))
+  }
+
   /** Streaming ANN: a stream of (ts, query_id, embedding) matched against
     * a STATIC vector index — the online form of the batch LSH ANN (q32).
     * The index is bucketed ONCE with the same deterministic `lsh_bucket`

@@ -466,4 +466,59 @@ class StreamOpsSpec extends AnyFunSuite {
       spark, "/root/testdata/sf0.001"))
     assert(got == q99)
   }
+
+  test("streaming k-means assignment equals the registered batch twin q117") {
+    val sfDir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = System.currentTimeMillis() - 86400000L
+    def stamp(df: DataFrame, offsetMs: Long) = df.select(
+      to_timestamp(lit(new java.sql.Timestamp(base + offsetMs))).as("ts"),
+      col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    // two microbatches split by parity, so the watermark advances with a
+    // partial corpus in state; the far-future sentinel flushes the window
+    val c1 = stamp(emb.filter(col("vec_id") % 2 === 0), 0)
+    val c2 = stamp(emb.filter(col("vec_id") % 2 === 1), 60000)
+    val sentinel = spark.range(1).select(
+      to_timestamp(lit(new java.sql.Timestamp(base + 30L * 24 * 3600 * 1000)))
+        .as("ts"),
+      lit(-1L).as("vec_id"),
+      typedLit(Seq.fill(64)(0.1f)).as("embedding"))
+
+    val dir = Files.createTempDirectory("graft-km-stream").toString
+    def write(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft-chunk").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.asInstanceOf[Path])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, Paths.get(dir, name))
+      Files.setLastModifiedTime(Paths.get(dir, name), FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 600000
+    write(c1, "k0.parquet", t0)
+    write(c2, "k1.parquet", t0 + 60000)
+    write(sentinel, "k2.parquet", t0 + 120000)
+
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val cents = graft.ops.SimilarityOps.kmeansCentroids(spark, sfDir, 3)
+    val q = StreamOps.kmeansAssign(stream, cents)
+      .writeStream.format("memory").queryName("t_km")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-km").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = asSet(spark.table("t_km").filter(col("vec_id") =!= -1L))
+    // the stream equals the REGISTERED batch twin the oracle hash-checks
+    val q117 = asSet(SparkEntry.queries("q117_stream_kmeans")(spark, sfDir))
+    assert(got == q117)
+    // sane partitioning: every vector assigned once, to a seeded cluster
+    val rows = spark.table("t_km").filter(col("vec_id") =!= -1L).collect()
+    assert(rows.length == emb.count())
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 8))
+  }
 }

@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Source/sink format coverage beyond CSV/parquet/JDBC: ORC round-trip
-  * with predicate pushdown, and spark.read.jdbc as a SOURCE (the sink
-  * side is JdbcSinkSpec's; this proves the engine can also consume what
-  * it wrote, with the filter pushed into the database).
+  * with predicate pushdown, spark.read.jdbc as a SOURCE (the sink side
+  * is JdbcSinkSpec's; this proves the engine can also consume what it
+  * wrote, with the filter pushed into the database), and JSON-lines with
+  * an explicit schema + corrupt-record tolerance (the crawl-dump
+  * interchange format).
   */
 class FormatsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -53,5 +55,42 @@ class FormatsSpec extends AnyFunSuite {
     assert(df.count() == 10)
     assert(df.agg(sum(col("v"))).head().getDouble(0) == (91 to 100)
       .map(_ * 0.5).sum)
+  }
+
+  test("JSON-lines round-trips documents with an explicit schema") {
+    // the interchange format crawl dumps actually arrive in: one JSON
+    // object per line. Explicit schema (never inference at scale — an
+    // inference pass is a full extra read), permissive mode with a
+    // corrupt-record column so a torn line degrades to one NULL row
+    // instead of failing the 100 TB job.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = Files.createTempDirectory("graft-json").toString + "/docs"
+    docs.write.mode("overwrite").json(dir)
+
+    val back = spark.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+        "n_chars BIGINT")
+      .json(dir)
+    assert(back.collect().map(_.toSeq).toSet ==
+      docs.collect().map(_.toSeq).toSet)
+
+    // corrupt-line tolerance: append garbage, read permissively
+    val bad = new java.io.PrintWriter(s"$dir/zz-corrupt.json")
+    try bad.println("{not json at all") finally bad.close()
+    // Spark refuses corrupt-column-only queries on the raw source
+    // (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache the parsed result first,
+    // exactly as the error message prescribes
+    val tolerant = spark.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+        "n_chars BIGINT, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .cache()
+    try {
+      assert(tolerant.filter(col("_corrupt_record").isNotNull).count() == 1)
+      assert(tolerant.filter(col("_corrupt_record").isNull).count() ==
+        docs.count())
+    } finally tolerant.unpersist()
   }
 }

@@ -143,12 +143,20 @@ object SimilarityOps {
     * (where ulp > 1e-6 would break dsum's 6th-decimal tie contract) to
     * ~1e3 where the contract holds.
     */
-  /** The 2^20-grid-quantized corpus (vec_id, qe: array<long>). */
+  /** The 2^20-grid-quantized corpus (vec_id, qe: array<long>),
+    * persisted: every Lloyd round and every final assignment iterates
+    * over this working set, and without materialization the plan re-reads
+    * the parquet once per round per reference (16 scans for 3 rounds).
+    * Spark's cache manager keys on the canonicalized plan, so q111, q116
+    * and q117 all hit ONE shared in-memory copy — the same mechanism as
+    * LlmKit's signature cache. Iterating over a persisted working set is
+    * exactly the 100 TB pattern (MEMORY_AND_DISK spills, never OOMs). */
   private def kmCorpus(s: SparkSession, d: String): DataFrame =
     tbl(s, d, "embeddings").select(col("vec_id"),
       expr("transform(embedding, x -> " +
         "CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))")
         .as("qe"))
+      .persist()
 
   /** Nearest-centroid assignment of the quantized corpus:
     * (vec_id, qe, cluster, dist) with dist in grid units. */
@@ -786,10 +794,8 @@ object SimilarityOps {
     NamedQuery(
       "q113_pca_power",
       (s, d) => {
-        val q = tbl(s, d, "embeddings").select(col("vec_id"),
-          expr("transform(embedding, x -> " +
-            "CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))")
-            .as("qe"))
+        // the SAME persisted quantized corpus the k-means family shares
+        val q = kmCorpus(s, d)
         // exact per-dimension mean in grid units, then de-scaled
         val mu = q
           .select(posexplode(col("qe")).as(Seq("i", "x")))
@@ -799,10 +805,15 @@ object SimilarityOps {
           .groupBy()
           .agg(expr("transform(array_sort(collect_list(struct(i, m))), " +
             "s -> s.m)").as("mu"))
+        // persisted: all three power rounds and the trace iterate over
+        // the centered corpus; without materialization each reference
+        // re-reads the parquet AND recomputes the mean (16 scans total).
+        // One cached working set is the real iterative pattern at scale.
         val y = q.crossJoin(broadcast(mu))
           .select(col("vec_id"),
             expr("zip_with(qe, mu, (x, m) -> " +
               "(CAST(x AS DOUBLE) - m) / 1048576.0)").as("y"))
+          .persist()
         val v0 = s.range(1)
           .select(expr("transform(sequence(1, 64), i -> 0.125D)")
             .as("varr"))

@@ -38,7 +38,10 @@ import org.apache.spark.sql.functions._
   *    statistics — the conditional-LM counterpart of q62);
   *  - q110 TF-IDF top terms per source: vocabulary-bounded tf and df
   *    aggregates meet in one hash join, per-source top-5 window (idf as
-  *    the plain ratio N/df — same ranking as ln-idf, cross-engine exact).
+  *    the plain ratio N/df — same ranking as ln-idf, cross-engine exact);
+  *  - q118 PMI collocations: top word pairs by lift c12·N/(c1·c2) (the
+  *    exp of PMI, so the same ranking, log-free) — marginals from ONE
+  *    bigram aggregation, c12 ≥ 5 sparse-pair guard, TakeOrdered top-20.
   *
   * All per-row with no shuffle (q33-q36, q59), or hash-aggregated with
   * map-side partial aggregation (q52, q60-q62) — linear and partition-
@@ -811,6 +814,66 @@ object TextOps {
              |       AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS surprise_frac
              |FROM bgp t JOIN c USING (bg) JOIN p USING (w1) CROSS JOIN n
              |GROUP BY t.doc_id""".stripMargin)),
+
+    // ----- q118: PMI collocations (top word pairs by lift) ----------------
+    // Collocation extraction — the statistical phrase detector a corpus
+    // pipeline runs before building phrase vocabularies: rank adjacent
+    // word pairs by lift = P(w1,w2) / (P(w1)·P(w2)) = c12·N / (c1·c2),
+    // the exp of PMI and monotone with it, so the ranking is identical
+    // while the arithmetic stays log-free and cross-engine exact (q52's
+    // libm lesson). Marginals are the bigram table's own left/right
+    // sums, so everything derives from ONE bigram aggregation (q107's
+    // two-level shape); c12 ≥ 5 is the standard sparse-pair guard —
+    // below it, lift is dominated by noise. The numerator/denominator
+    // long products would overflow past ~3e9 tokens, so both are
+    // double·double products (same IEEE op order both engines, cf. q62).
+    // Top-20 via TakeOrderedAndProject with a total-order tiebreak.
+    NamedQuery(
+      "q118_pmi_collocations",
+      (s, d) => {
+        val w = split(col("text"), " ")
+        val bg = tbl(s, d, "documents")
+          .filter(size(w) >= 2)
+          .select(explode(transform(sequence(lit(1), size(w) - 1),
+            i => concat(element_at(w, i), lit("\u0001"),
+              element_at(w, i + 1)))).as("bg"))
+          .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+          .withColumn("w1", substring_index(col("bg"), "\u0001", 1))
+          .withColumn("w2", substring_index(col("bg"), "\u0001", -1))
+        val left = bg.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+        val right = bg.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+        val total = bg.agg(sum(col("c12")).as("n"))
+        bg.join(left, "w1").join(right, "w2")
+          .crossJoin(broadcast(total))
+          .filter(col("c12") >= 5)
+          .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+            ((col("c12").cast("double") * col("n").cast("double")) /
+              (col("c1").cast("double") * col("c2").cast("double")))
+              .as("lift"))
+          .orderBy(col("lift").desc, col("w1"), col("w2"))
+          .limit(20)
+      },
+      Some("""WITH tok AS (
+             |  SELECT string_split(text, ' ') AS w FROM documents),
+             |big AS (
+             |  SELECT unnest([w[i] || chr(1) || w[i+1]
+             |                 for i in range(1, len(w))]) AS bg
+             |  FROM tok WHERE len(w) >= 2),
+             |b AS (SELECT bg, COUNT(*) AS c12 FROM big GROUP BY bg),
+             |bb AS (SELECT bg, c12,
+             |         string_split(bg, chr(1))[1] AS w1,
+             |         string_split(bg, chr(1))[2] AS w2 FROM b),
+             |l AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+             |      FROM bb GROUP BY w1),
+             |r AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2
+             |      FROM bb GROUP BY w2),
+             |n AS (SELECT CAST(SUM(c12) AS BIGINT) AS n FROM bb)
+             |SELECT w1, w2, c12, c1, c2,
+             |  (CAST(c12 AS DOUBLE) * CAST(n.n AS DOUBLE)) /
+             |    (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)) AS lift
+             |FROM bb JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
+             |WHERE c12 >= 5
+             |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin)),
 
     // ----- q110: TF-IDF top terms per source ------------------------------
     // The classic per-collection term-weighting report: for each source,

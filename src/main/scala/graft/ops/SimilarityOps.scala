@@ -42,7 +42,10 @@ import org.apache.spark.sql.functions._
   *    the quantizer-quality check q86/q39 silently rely on;
   *  - q117 the batch twin of the STREAMING k-means scorer
   *    ([[graft.streaming.StreamOps.kmeansAssign]]): the stream
-  *    operator's own plan run on the batch corpus, under the oracle gate.
+  *    operator's own plan run on the batch corpus, under the oracle gate;
+  *  - q119 embedding outlier detection: per-class centroid-distance
+  *    z-scores over the shared quantized corpus — the embedding-space
+  *    cleaning pass that surfaces mislabeled or corrupt vectors.
   *
   * Hyperplane component (i,j) is ((i·64+j)·2654435761 mod 2^32)/2^32 − 0.5 —
   * a closed form both engines evaluate exactly (division by 2^32 is exact
@@ -894,6 +897,103 @@ object SimilarityOps {
            |  v3.lambda AS eigval, v3.lambda / tr.trace AS evr
            |FROM v3 CROSS JOIN tr CROSS JOIN range(1, 65) r(i)""".stripMargin
       }),
+
+    // ----- q119: embedding outlier detection (per-class distance z) -------
+    // The embedding-space data-cleaning pass: flag vectors that sit
+    // anomalously far from their OWN class centroid — mislabeled rows,
+    // corrupt decodes, and retrieval poisons all surface here. Per-label
+    // centroids come from exact integer sums over the shared 2^20
+    // quantized corpus (order-independent, like q111's update step);
+    // each point's distance is a fixed-order fold de-scaled by the exact
+    // /2^40; the per-label moments follow q97's exact-decimal z-score
+    // shape (decimal re-round before the double cast, precision 38,
+    // sigma > 0 guard dropping zero-variance classes on both engines) —
+    // but on the scale-3 grid, see the stats comment below.
+    // Scale shape: one (label, dim) partial-agg, one broadcast of the
+    // tiny centroid/stats tables, one corpus pass each — nothing
+    // quadratic, nothing driver-side.
+    NamedQuery(
+      "q119_embed_outliers",
+      (s, d) => {
+        val lc = kmCorpus(s, d)
+          .join(tbl(s, d, "embeddings").select(col("vec_id"), col("label")),
+            "vec_id")
+        val cents = lc
+          .select(col("label"), posexplode(col("qe")).as(Seq("i", "v")))
+          .groupBy(col("label"), col("i"))
+          .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+          .groupBy(col("label"))
+          .agg(expr("transform(array_sort(collect_list(struct(i, " +
+            "CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)))), s -> s.col2)")
+            .as("ce"))
+        val dists = lc.join(broadcast(cents), "label")
+          .select(col("vec_id"), col("label"),
+            (expr("aggregate(zip_with(qe, ce, (x, c) -> " +
+              "(CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), 0D, " +
+              "(a, v) -> a + v)") / lit(1099511627776.0)).as("dist"))
+        // moments on the SCALE-3 grid, not q97's scale 6: d3² lands
+        // natively at scale 6, so no decimal scale-NARROWING cast exists
+        // anywhere — DuckDB 1.0 truncates those where Spark rounds
+        // half-up (q97 never trips this because its event values carry
+        // ≤ 6 decimals, making the scale-12 products already exact at
+        // scale 6; dist is a full-precision double, so it would)
+        val d3 = col("dist").cast("decimal(18,3)")
+        val stats = dists.groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+            sum(d3).cast("decimal(38,3)").cast("double").as("sv"),
+            sum(d3 * d3).cast("decimal(38,6)").cast("double").as("sv2"))
+          .select(col("label"),
+            (col("sv") / col("n").cast("double")).as("mu"),
+            sqrt(greatest(
+              col("sv2") / col("n").cast("double") -
+                (col("sv") / col("n").cast("double")) *
+                (col("sv") / col("n").cast("double")),
+              lit(0.0))).as("sigma"))
+        dists.join(broadcast(stats.filter(col("sigma") > 0.0)), "label")
+          .select(col("vec_id"), col("label"), col("dist"),
+            ((col("dist") - col("mu")) / col("sigma")).as("z"))
+          .withColumn("is_outlier", abs(col("z")) >= 2.5)
+      },
+      Some(s"""WITH q AS (SELECT vec_id,
+              |    [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0)
+              |          AS BIGINT) for i in range(1, 65)] AS qe
+              |  FROM embeddings),
+              |lc AS (
+              |  SELECT q.vec_id, e.label, q.qe
+              |  FROM q JOIN embeddings e USING (vec_id)),
+              |cg AS (
+              |  SELECT label, r.i AS i, CAST(SUM(qe[r.i]) AS DOUBLE)
+              |    / CAST(COUNT(*) AS DOUBLE) AS m
+              |  FROM lc CROSS JOIN range(1, 65) r(i) GROUP BY label, r.i),
+              |ce AS (SELECT label, list(m ORDER BY i) AS ce
+              |       FROM cg GROUP BY label),
+              |dists AS (
+              |  SELECT lc.vec_id, lc.label,
+              |    list_reduce(list_prepend(0.0,
+              |      [(CAST(lc.qe[i] AS DOUBLE) - ce.ce[i]) *
+              |       (CAST(lc.qe[i] AS DOUBLE) - ce.ce[i])
+              |       for i in range(1, 65)]), (a, x) -> a + x)
+              |      / 1099511627776.0 AS dist
+              |  FROM lc JOIN ce USING (label)),
+              |stats AS (
+              |  SELECT label, COUNT(*) AS n,
+              |    CAST(CAST(SUM(CAST(dist AS DECIMAL(18,3)))
+              |         AS DECIMAL(38,3)) AS DOUBLE) AS sv,
+              |    CAST(CAST(SUM(CAST(dist AS DECIMAL(18,3))
+              |                  * CAST(dist AS DECIMAL(18,3)))
+              |         AS DECIMAL(38,6)) AS DOUBLE) AS sv2
+              |  FROM dists GROUP BY label),
+              |st AS (
+              |  SELECT label, sv / CAST(n AS DOUBLE) AS mu,
+              |    sqrt(greatest(sv2 / CAST(n AS DOUBLE)
+              |      - (sv / CAST(n AS DOUBLE)) * (sv / CAST(n AS DOUBLE)),
+              |      0.0)) AS sigma
+              |  FROM stats)
+              |SELECT d.vec_id, d.label, d.dist,
+              |  (d.dist - st.mu) / st.sigma AS z,
+              |  abs((d.dist - st.mu) / st.sigma) >= 2.5 AS is_outlier
+              |FROM dists d JOIN st USING (label)
+              |WHERE st.sigma > 0""".stripMargin)),
 
     // ----- q112: hard-negative triplet mining -----------------------------
     // Training-pair construction for contrastive embedding training: for

@@ -16,7 +16,12 @@ import org.apache.spark.sql.functions._
   *  - q56 incremental dedup: a new batch against an existing corpus;
   *  - q101 exact-substring shared spans: positional gram postings joined
   *    across doc pairs, maximal diagonal runs via gaps-and-islands — the
-  *    distributable re-expression of suffix-array ExactSubstr dedup.
+  *    distributable re-expression of suffix-array ExactSubstr dedup;
+  *  - q120 exact set-similarity join via prefix filtering (PPJoin
+  *    family): zero-false-negative Jaccard ≥ 0.8 over shingle sets,
+  *    candidates from rarest-first prefixes, all-integer verification —
+  *    hash-gated against a brute-force all-pairs oracle, so the gate
+  *    itself proves the filter's completeness.
   *
   * The near-dup corpora are self-constructed (documents ∪ re-keyed
   * perturbations) so recall is verifiable deterministically — the driver's
@@ -282,5 +287,84 @@ object DedupOps {
            |FROM isl GROUP BY doc1, doc2, diag, island
            |HAVING COUNT(*) + 2 >= 8""".stripMargin
       }),
+
+    // ----- q120: EXACT set-similarity join via prefix filtering -----------
+    // The PPJoin-family alternative to LSH banding (q27): an exact
+    // shingle-set Jaccard ≥ 0.8 self-join with ZERO false negatives
+    // (the same 3-gram shingle sets q27/q29 hash — selective enough
+    // that near-identical docs match and unrelated ones don't).
+    // Candidate generation is the classic prefix filter — order every
+    // doc's distinct shingles rarest-first by global document frequency
+    // (rare shingles make the fewest candidate collisions) and emit only
+    // the first n − ⌈0.8·n⌉ + 1 of them: two sets with Jaccard ≥ τ must
+    // overlap in ≥ τ·n elements of either set (i(1+τ) ≥ τ(n₁+n₂) and
+    // n₂ ≥ i give i ≥ τ·n₁), so two qualifying docs MUST share a prefix
+    // token — soundness is a theorem, not a recall estimate. All
+    // arithmetic is integer: τ = 4/5, prefix keep-count ⌈4n/5⌉ =
+    // (4n+4) div 5, and the verification 5·i ≥ 4·(n₁+n₂−i); the only
+    // double is the final reported Jaccard. THE ORACLE IS BRUTE-FORCE
+    // ALL-PAIRS — the hash gate therefore PROVES the filter's
+    // completeness against exhaustive search on every run, the q101
+    // soundness idea promoted into the driver gate. Scale shape: df is
+    // a vocab aggregate, the per-doc rarity sort is array_sort inside
+    // the row (no global sort partition), candidates come from a
+    // token-keyed equi-join on prefix tokens only, verification touches
+    // candidate pairs only. Rare-first ordering keeps prefix postings
+    // short; a df-capped stop-token guard (q53's) would bolt on
+    // unchanged for adversarial corpora.
+    NamedQuery(
+      "q120_prefix_simjoin",
+      (s, d) => {
+        val toks = corpusWithNearDups(s, d)
+          .select(col("doc_id"),
+            array_sort(array_distinct(hashedShingles(col("text"))))
+              .as("ts"))
+        val dfreq = toks
+          .select(col("doc_id"), explode(col("ts")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val ordered = toks
+          .select(col("doc_id"), explode(col("ts")).as("tok"))
+          .join(dfreq, "tok")
+          .groupBy(col("doc_id"))
+          .agg(expr("transform(array_sort(collect_list(struct(df, tok))), " +
+            "s -> s.tok)").as("ots"), count(lit(1)).as("n"))
+        val pref = ordered.select(col("doc_id"),
+          explode(expr("slice(ots, 1, CAST(n - ((4 * n + 4) DIV 5) + 1 " +
+            "AS INT))")).as("tok"))
+        val cands = pref.select(col("doc_id").as("id1"), col("tok"))
+          .join(pref.select(col("doc_id").as("id2"), col("tok")), "tok")
+          .filter(col("id1") < col("id2"))
+          .select(col("id1"), col("id2")).distinct()
+        val a = toks.select(col("doc_id").as("id1"), col("ts").as("ts1"))
+        val b = toks.select(col("doc_id").as("id2"), col("ts").as("ts2"))
+        cands.join(a, "id1").join(b, "id2")
+          .select(col("id1"), col("id2"),
+            size(array_intersect(col("ts1"), col("ts2"))).cast("long")
+              .as("i"),
+            size(col("ts1")).cast("long").as("n1"),
+            size(col("ts2")).cast("long").as("n2"))
+          .filter(col("i") * 5 >= (col("n1") + col("n2") - col("i")) * 4)
+          .select(col("id1"), col("id2"),
+            (col("i").cast("double") /
+              (col("n1") + col("n2") - col("i")).cast("double"))
+              .as("jaccard"))
+      },
+      Some(s"""WITH tt AS (
+              |  SELECT doc_id, text, ${tokenHashesSql("text")} AS th
+              |  FROM ($corpusWithNearDupsSql)),
+              |t AS (
+              |  SELECT doc_id,
+              |    list_sort(list_distinct(
+              |      ${hashedShinglesSql("text", "th")})) AS ts
+              |  FROM tt),
+              |p AS (
+              |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+              |    CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS i,
+              |    CAST(len(a.ts) AS BIGINT) AS n1,
+              |    CAST(len(b.ts) AS BIGINT) AS n2
+              |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+              |SELECT id1, id2,
+              |  CAST(i AS DOUBLE) / CAST(n1 + n2 - i AS DOUBLE) AS jaccard
+              |FROM p WHERE i * 5 >= (n1 + n2 - i) * 4""".stripMargin)),
   )
 }

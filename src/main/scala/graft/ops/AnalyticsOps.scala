@@ -22,7 +22,15 @@ import org.apache.spark.sql.functions._
   *    decimal moment sums, broadcast back to flag |z| ≥ 2.5 events;
   *  - q108 binned-histogram quantiles: the mergeable-sketch form of q50's
   *    exact percentiles (per-type p50/p95/p99 from fixed-width bin
-  *    counts, error ≤ bin width — the 100 TB quantile pattern).
+  *    counts, error ≤ bin width — the 100 TB quantile pattern);
+  *  - q121 Pearson correlation (clicks vs spend): all five moments as
+  *    exact integers on a millis grid, one user-keyed aggregate + one
+  *    single-row global aggregate;
+  *  - q122 inactivity-gap sessionization: gaps-and-islands session ids
+  *    from a per-user cumulative window, integral-microsecond gaps —
+  *    the batch twin of q21's streaming session_window;
+  *  - q123 forward-fill: last purchase value carried forward per user
+  *    (last_value IGNORE NULLS running window) — the imputation idiom.
   */
 object AnalyticsOps {
   import OpsKit._
@@ -281,5 +289,175 @@ object AnalyticsOps {
              |  CAST(MIN(CASE WHEN cum >= ceil(0.99 * n) THEN bin END)
              |       AS DOUBLE) / 4.0 AS p99
              |FROM cd GROUP BY event_type""".stripMargin)),
+
+    // ----- q121: Pearson correlation (clicks vs purchase value) ----------
+    // The cross-metric association question every analytics stack gets
+    // asked ("do users who click more also spend more?"), computed
+    // exactly: per-user click count (integer) and purchase-value sum
+    // (exact decimal → double → floor·1000 millis grid, so every moment
+    // is an INTEGER and the Σ's are order-independent at any partition
+    // count); the five moment sums go through decimal(38,0) (q97's
+    // overflow lesson), and the textbook corr formula runs once on
+    // exact-integer inputs — a fixed IEEE op sequence both engines
+    // execute identically. Zero-variance degenerate corpora yield NULL
+    // (guarded CASE) instead of engine-dependent ±inf/NULL splits.
+    // Scale shape: one user-keyed aggregate, one single-row global
+    // partial-agg — nothing else.
+    NamedQuery(
+      "q121_click_spend_corr",
+      (s, d) => {
+        val perUser = events(s, d)
+          .groupBy(col("user_id"))
+          .agg(
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("x"),
+            coalesce(dsum(when(col("event_type") === "purchase",
+              col("value"))), lit(0.0)).as("yv"))
+          .select(col("x"),
+            floor(col("yv") * 1000.0).cast("long").as("y"))
+        val m = perUser.agg(
+          count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).cast("double").as("sx"),
+          sum(col("y").cast("decimal(38,0)")).cast("double").as("sy"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).cast("double")
+            .as("sxy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).cast("double")
+            .as("sxx"),
+          sum((col("y").cast("decimal(19,0)") *
+            col("y").cast("decimal(19,0)")).cast("decimal(38,0)"))
+            .cast("double").as("syy"))
+        m.select(col("n"),
+          when(
+            (col("n").cast("double") * col("sxx") - col("sx") * col("sx"))
+              * (col("n").cast("double") * col("syy") -
+                col("sy") * col("sy")) > 0.0,
+            (col("n").cast("double") * col("sxy") - col("sx") * col("sy"))
+              / (sqrt(col("n").cast("double") * col("sxx") -
+                  col("sx") * col("sx")) *
+                 sqrt(col("n").cast("double") * col("syy") -
+                  col("sy") * col("sy"))))
+            .as("corr"))
+      },
+      Some(s"""WITH u AS (
+              |  SELECT user_id,
+              |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              |      AS x,
+              |    CAST(floor(coalesce(${dsumSql(
+                     "CASE WHEN event_type = 'purchase' THEN value END")},
+                     0.0) * 1000.0) AS BIGINT) AS y
+              |  FROM events GROUP BY user_id),
+              |m AS (
+              |  SELECT COUNT(*) AS n,
+              |    CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0))
+              |         AS DOUBLE) AS sx,
+              |    CAST(CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0))
+              |         AS DOUBLE) AS sy,
+              |    CAST(CAST(SUM(CAST(x * y AS DECIMAL(38,0)))
+              |         AS DECIMAL(38,0)) AS DOUBLE) AS sxy,
+              |    CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,0)))
+              |         AS DECIMAL(38,0)) AS DOUBLE) AS sxx,
+              |    CAST(CAST(SUM(CAST(CAST(y AS DECIMAL(19,0))
+              |           * CAST(y AS DECIMAL(19,0)) AS DECIMAL(38,0)))
+              |         AS DECIMAL(38,0)) AS DOUBLE) AS syy
+              |  FROM u)
+              |SELECT n,
+              |  CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx)
+              |          * (CAST(n AS DOUBLE) * syy - sy * sy) > 0.0
+              |    THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+              |      / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+              |         * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))
+              |  END AS corr
+              |FROM m""".stripMargin)),
+
+    // ----- q122: inactivity-gap sessionization (batch) --------------------
+    // The batch twin of what session_window (q21) does in streaming: cut
+    // each user's event history into sessions at > 30-minute silences
+    // and report per-session stats. Session ids are the classic
+    // gaps-and-islands cumulative sum of new-session flags over a
+    // per-user window — partitioned by user_id, so the sort is per-user
+    // and shuffle-partitionable at any scale (no global ordering). Gap
+    // arithmetic is integral microseconds (unix_micros vs epoch_us —
+    // no float seconds, no truncation mismatches); (ts, event_id) makes
+    // the intra-user order total on both engines.
+    NamedQuery(
+      "q122_gap_sessions",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, d)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum(col("new_sess")).over(wc))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+          .select(col("user_id"), col("session_id"), col("n_events"),
+            date_format(col("t0"), TsFmt).as("start_ts"),
+            date_format(col("t1"), TsFmt).as("end_ts"),
+            expr("(unix_micros(t1) - unix_micros(t0)) div 1000000")
+              .as("duration_secs"))
+      },
+      Some(s"""WITH o AS (
+              |  SELECT user_id, event_id, ts,
+              |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+              |      ORDER BY ts, event_id) AS prev_us
+              |  FROM events),
+              |f AS (
+              |  SELECT user_id, event_id, ts,
+              |    CASE WHEN prev_us IS NULL
+              |           OR epoch_us(ts) - prev_us > 1800000000
+              |      THEN 1 ELSE 0 END AS new_sess
+              |  FROM o),
+              |sess AS (
+              |  SELECT user_id, ts,
+              |    SUM(new_sess) OVER (PARTITION BY user_id
+              |      ORDER BY ts, event_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      AS session_id
+              |  FROM f)
+              |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+              |  COUNT(*) AS n_events,
+              |  strftime(MIN(ts), '$TsFmtDuck') AS start_ts,
+              |  strftime(MAX(ts), '$TsFmtDuck') AS end_ts,
+              |  (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000
+              |    AS duration_secs
+              |FROM sess GROUP BY user_id, session_id""".stripMargin)),
+
+    // ----- q123: forward-fill (last observation carried forward) ----------
+    // The imputation idiom feature pipelines run before model scoring:
+    // at every event, the user's most recent purchase value so far —
+    // last_value IGNORE NULLS over a per-user running window. NULL until
+    // the first purchase (both engines agree NULL-before-first is the
+    // honest answer, no default). Values pass through untouched (no
+    // arithmetic to drift); (ts, event_id) totalizes the order. Scale:
+    // one per-user window, shuffle-partitionable on user_id.
+    NamedQuery(
+      "q123_forward_fill",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wc = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, d)
+          .withColumn("last_purchase_value",
+            last(when(col("event_type") === "purchase", col("value")),
+              ignoreNulls = true).over(wc))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), TsFmt).as("ts_s"),
+            col("event_type"), col("last_purchase_value"))
+      },
+      Some(s"""SELECT event_id, user_id,
+              |  strftime(ts, '$TsFmtDuck') AS ts_s, event_type,
+              |  last_value(CASE WHEN event_type = 'purchase' THEN value END
+              |    IGNORE NULLS) OVER (PARTITION BY user_id
+              |    ORDER BY ts, event_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |    AS last_purchase_value
+              |FROM events""".stripMargin)),
   )
 }

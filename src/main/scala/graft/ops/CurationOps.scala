@@ -30,7 +30,11 @@ import org.apache.spark.sql.functions._
   *    [[graft.streaming.StreamOps.driftMonitor]] in batch mode so the
   *    streaming operator sits under the driver's hash gate;
   *  - q105 dataset card: the one-row corpus health summary (volumes,
-  *    composition, exact-dup signal) a release datasheet leads with.
+  *    composition, exact-dup signal) a release datasheet leads with;
+  *  - q124 largest-remainder quota sample: exact integer apportionment
+  *    of a fixed sample budget across sources (Hamilton's method) +
+  *    deterministic hash-priority selection — sample size exactly T by
+  *    construction, no RNG, no doubles in allocation.
   */
 object CurationOps {
   import LlmKit._
@@ -646,5 +650,78 @@ object CurationOps {
              |SELECT doc_id, source, n_tokens,
              |  CASE WHEN pos < 8 THEN pos ELSE 15 - pos END AS shard
              |FROM ranked""".stripMargin)),
+
+    // ----- q124: largest-remainder stratified quota sample ----------------
+    // Exact integer apportionment of a fixed sample budget across
+    // sources — the step between mixing weights (q58 produces them) and
+    // an actual drawn sample: naive floor(T·n_s/N) under-allocates by up
+    // to #sources−1 docs, so the T − Σfloor leftover seats go to the
+    // largest remainders (Hamilton's method; remainder ties break by
+    // source name). Every quota is exact integer arithmetic — no double
+    // ever touches allocation, so the sample size is exactly T by
+    // construction. Selection within each source is deterministic hash
+    // priority (the q89 idiom: salted md5 rank, no RNG), so the same
+    // corpus always yields the same sample on any cluster. Scale shape:
+    // a source-keyed count, one 20-row driver-free apportionment (tiny
+    // window over the per-source aggregate), and one per-source ranking
+    // window over the corpus — all shuffle-partitionable on source.
+    NamedQuery(
+      "q124_quota_sample",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val target = 100L
+        val docs = tbl(s, d, "documents").select(col("doc_id"), col("source"))
+        val counts = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("ns"))
+        val withTotal = counts.crossJoin(
+          broadcast(counts.agg(sum(col("ns")).as("n"))))
+          .select(col("source"), col("ns"),
+            expr(s"($target * ns) div n").as("fq"),
+            expr(s"($target * ns) % n").as("rem"))
+        val deficit = withTotal.agg(
+          (lit(target) - sum(col("fq"))).as("deficit"))
+        val wq = Window.orderBy(col("rem").desc, col("source"))
+        val quotas = withTotal.crossJoin(broadcast(deficit))
+          .withColumn("rk", row_number().over(wq))
+          .select(col("source"),
+            (col("fq") + when(col("rk") <= col("deficit"), 1L)
+              .otherwise(0L)).as("quota"))
+        val wh = Window.partitionBy(col("source"))
+          .orderBy(col("h"), col("doc_id"))
+        docs
+          .withColumn("h", strHash(concat(lit("q124:"),
+            col("doc_id").cast("string"))))
+          .join(broadcast(quotas), "source")
+          .withColumn("pick", row_number().over(wh).cast("long"))
+          .filter(col("pick") <= col("quota"))
+          .select(col("source"), col("quota"), col("doc_id"), col("pick"))
+      },
+      Some(s"""WITH c AS (
+              |  SELECT source, COUNT(*) AS ns FROM documents
+              |  GROUP BY source),
+              |n AS (SELECT CAST(SUM(ns) AS BIGINT) AS n FROM c),
+              |wt AS (
+              |  SELECT source, ns,
+              |    (100 * ns) // n.n AS fq, (100 * ns) % n.n AS rem
+              |  FROM c CROSS JOIN n),
+              |dft AS (SELECT 100 - CAST(SUM(fq) AS BIGINT) AS deficit
+              |        FROM wt),
+              |q AS (
+              |  SELECT source,
+              |    CAST(fq + CASE WHEN row_number() OVER
+              |        (ORDER BY rem DESC, source) <= dft.deficit
+              |      THEN 1 ELSE 0 END AS BIGINT) AS quota
+              |  FROM wt CROSS JOIN dft),
+              |h AS (
+              |  SELECT d.doc_id, d.source, q.quota,
+              |    ${strHashSql("concat('q124:', CAST(d.doc_id AS VARCHAR))")}
+              |      AS h
+              |  FROM documents d JOIN q USING (source))
+              |SELECT source, quota, doc_id, pick FROM (
+              |  SELECT source, quota, doc_id,
+              |    CAST(row_number() OVER (PARTITION BY source
+              |      ORDER BY h, doc_id) AS BIGINT) AS pick
+              |  FROM h)
+              |WHERE pick <= quota""".stripMargin)),
   )
 }

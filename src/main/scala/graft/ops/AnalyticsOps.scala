@@ -428,6 +428,65 @@ object AnalyticsOps {
               |    AS duration_secs
               |FROM sess GROUP BY user_id, session_id""".stripMargin)),
 
+    // ----- q125: rolling-window stats (per-user trailing 5 events) --------
+    // The rolling-feature idiom (Bollinger-style): at every event, the
+    // mean/std of the user's last 5 event values and the current value's
+    // rolling z — the windowed feature a fraud/engagement model consumes.
+    // Exactness inside a moving frame: the frame's decimal sums are
+    // exact regardless of evaluation order, the mean is one division,
+    // and the second moment uses the scale-3 grid so d3² lands natively
+    // at scale 6 (q119's DuckDB-truncation lesson applies to window
+    // aggregates too). ROWS frames + (ts, event_id) total order make the
+    // frame contents identical on both engines. Scale: per-user windows
+    // only — shuffle-partitionable on user_id, no global sort.
+    NamedQuery(
+      "q125_rolling_stats",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wf = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-4, Window.currentRow)
+        val d6 = col("value").cast("decimal(18,6)")
+        val d3 = col("value").cast("decimal(18,3)")
+        val withMoments = events(s, d)
+          .withColumn("rn", count(lit(1)).over(wf))
+          .withColumn("sv", sum(d6).over(wf).cast("double"))
+          .withColumn("sv3", sum(d3).over(wf).cast("double"))
+          .withColumn("sv2", sum(d3 * d3).over(wf)
+            .cast("decimal(38,6)").cast("double"))
+        withMoments
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), TsFmt).as("ts_s"), col("value"),
+            col("rn").as("roll_n"),
+            (col("sv") / col("rn").cast("double")).as("roll_mean"),
+            sqrt(greatest(
+              col("sv2") / col("rn").cast("double") -
+                (col("sv3") / col("rn").cast("double")) *
+                (col("sv3") / col("rn").cast("double")),
+              lit(0.0))).as("roll_std"))
+      },
+      Some(s"""WITH m AS (
+              |  SELECT event_id, user_id, ts, value,
+              |    COUNT(*) OVER w AS rn,
+              |    CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w
+              |         AS DOUBLE) AS sv,
+              |    CAST(SUM(CAST(value AS DECIMAL(18,3))) OVER w
+              |         AS DOUBLE) AS sv3,
+              |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,3))
+              |                  * CAST(value AS DECIMAL(18,3))) OVER w
+              |         AS DECIMAL(38,6)) AS DOUBLE) AS sv2
+              |  FROM events
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+              |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+              |SELECT event_id, user_id,
+              |  strftime(ts, '$TsFmtDuck') AS ts_s, value,
+              |  rn AS roll_n,
+              |  sv / CAST(rn AS DOUBLE) AS roll_mean,
+              |  sqrt(greatest(sv2 / CAST(rn AS DOUBLE)
+              |    - (sv3 / CAST(rn AS DOUBLE)) * (sv3 / CAST(rn AS DOUBLE)),
+              |    0.0)) AS roll_std
+              |FROM m""".stripMargin)),
+
     // ----- q123: forward-fill (last observation carried forward) ----------
     // The imputation idiom feature pipelines run before model scoring:
     // at every event, the user's most recent purchase value so far —

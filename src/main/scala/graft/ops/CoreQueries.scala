@@ -382,6 +382,72 @@ object CoreQueries {
       Some(s"""${langBigramsSql("en")}
               |EXCEPT
               |${langBigramsSql("zh")}""".stripMargin)),
+
+    // ----- q126: INTERSECT ALL / EXCEPT ALL (bag semantics) ---------------
+    // The multiset forms of q80/q81: multiplicities survive (a bigram
+    // appearing 5× in en and 2× in zh keeps 2 copies in the
+    // intersection, 3 in the difference) — the semantics you need when
+    // the count IS the signal (shared-phrase mass between corpora, not
+    // just shared-phrase existence). Spark plans these as a count-
+    // compare aggregate, not a dedup — a genuinely different operator
+    // than q80's left-semi. Output: each multiset aggregated to
+    // (g, n) — same information, hash-gate-friendly shape.
+    NamedQuery(
+      "q126_intersect_all",
+      (s, d) => langBigrams(s, d, "en")
+        .intersectAll(langBigrams(s, d, "zh"))
+        .groupBy(col("g")).agg(count(lit(1)).as("n")),
+      Some(s"""SELECT g, COUNT(*) AS n FROM (
+              |${langBigramsSql("en")}
+              |INTERSECT ALL
+              |${langBigramsSql("zh")})
+              |GROUP BY g""".stripMargin)),
+
+    NamedQuery(
+      "q127_except_all",
+      (s, d) => langBigrams(s, d, "en")
+        .exceptAll(langBigrams(s, d, "zh"))
+        .groupBy(col("g")).agg(count(lit(1)).as("n")),
+      Some(s"""SELECT g, COUNT(*) AS n FROM (
+              |${langBigramsSql("en")}
+              |EXCEPT ALL
+              |${langBigramsSql("zh")})
+              |GROUP BY g""".stripMargin)),
+
+    // ----- q128: unpivot / melt (wide → long reshape) ---------------------
+    // The inverse of q71's pivot: per-source per-language counts melted
+    // back to (source, lang, n) rows via stack() — the reshape that
+    // feeds per-cell tables into long-format consumers (plotting,
+    // drift gates, mixing reports). Composing pivot→unpivot round-trips
+    // the table; the oracle mirrors with DuckDB's UNPIVOT.
+    NamedQuery(
+      "q128_unpivot",
+      (s, d) => {
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        tbl(s, d, "documents")
+          .groupBy(col("source"))
+          .pivot("lang", langs)
+          .count()
+          .na.fill(0L, langs)
+          .select(col("source"), expr("stack(5, " +
+            langs.map(l => s"'$l', $l").mkString(", ") +
+            ") AS (lang, n)"))
+      },
+      Some("""UNPIVOT (
+             |  SELECT source,
+             |    CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)
+             |         AS BIGINT) AS de,
+             |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+             |         AS BIGINT) AS en,
+             |    CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END)
+             |         AS BIGINT) AS es,
+             |    CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)
+             |         AS BIGINT) AS fr,
+             |    CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)
+             |         AS BIGINT) AS zh
+             |  FROM documents GROUP BY source)
+             |ON de, en, es, fr, zh
+             |INTO NAME lang VALUE n""".stripMargin)),
   )
 
   /** Exploded token bigrams of one language's documents (q80/q81). */

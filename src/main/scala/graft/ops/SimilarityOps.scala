@@ -45,7 +45,10 @@ import org.apache.spark.sql.functions._
   *    operator's own plan run on the batch corpus, under the oracle gate;
   *  - q119 embedding outlier detection: per-class centroid-distance
   *    z-scores over the shared quantized corpus — the embedding-space
-  *    cleaning pass that surfaces mislabeled or corrupt vectors.
+  *    cleaning pass that surfaces mislabeled or corrupt vectors;
+  *  - q129 mutual-kNN graph: every vector's bucket-bounded top-3 with
+  *    reverse-edge mutuality flags — the index-build step graph-based
+  *    dedup/clustering starts from.
   *
   * Hyperplane component (i,j) is ((i·64+j)·2654435761 mod 2^32)/2^32 − 0.5 —
   * a closed form both engines evaluate exactly (division by 2^32 is exact
@@ -897,6 +900,63 @@ object SimilarityOps {
            |  v3.lambda AS eigval, v3.lambda / tr.trace AS evr
            |FROM v3 CROSS JOIN tr CROSS JOIN range(1, 65) r(i)""".stripMargin
       }),
+
+    // ----- q129: mutual-kNN graph construction ----------------------------
+    // The index-build step graph-based methods start from (SemDeDup's
+    // clustering, kNN-graph community detection, graph-ANN like HNSW
+    // seeds): for EVERY corpus vector, its top-3 cosine neighbors among
+    // same-LSH-bucket candidates, plus the mutuality flag (edge (a,b)
+    // with a also in b's top-3) — mutual edges are the high-precision
+    // subgraph those methods keep. Differs from q30-q32: all-nodes ×
+    // bucket-bounded candidates (an index over the whole corpus, not a
+    // query set), and the reverse-edge join that grades edge quality.
+    // Scale shape: bucket equi-self-join (never all-pairs; at larger
+    // corpora the 8 hyperplanes become 16+ so buckets stay bounded, and
+    // the q27-style hot-bucket cap bolts on unchanged), one per-node
+    // ranking window, one hash join against the reversed edge list.
+    NamedQuery(
+      "q129_knn_graph",
+      (s, d) => {
+        val emb = normed(s, d)
+          .withColumn("bucket", lshBucket(col("embedding")))
+        val a = emb.select(col("bucket"), col("vec_id").as("src"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        val b = emb.select(col("bucket"), col("vec_id").as("dst"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+        val w = Window.partitionBy(col("src"))
+          .orderBy(col("cos").desc, col("dst"))
+        val knn = a.join(b, "bucket")
+          .filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst"),
+            (dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+              .as("cos"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+        knn.join(
+          knn.select(col("dst").as("src"), col("src").as("dst"),
+            lit(true).as("m")),
+          Seq("src", "dst"), "left")
+          .select(col("src"), col("dst"), col("cos"), col("rk"),
+            coalesce(col("m"), lit(false)).as("mutual"))
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, embedding,
+              |    ${lshBucketSql("embedding")} AS bucket
+              |  FROM embeddings),
+              |knn AS (
+              |  SELECT src, dst, cos, rk FROM (
+              |    SELECT a.vec_id AS src, b.vec_id AS dst,
+              |      ${cosineSql("a.embedding", "b.embedding")} AS cos,
+              |      CAST(row_number() OVER (PARTITION BY a.vec_id
+              |        ORDER BY ${cosineSql("a.embedding", "b.embedding")}
+              |          DESC, b.vec_id) AS BIGINT) AS rk
+              |    FROM e a JOIN e b ON a.bucket = b.bucket
+              |      AND a.vec_id <> b.vec_id)
+              |  WHERE rk <= 3)
+              |SELECT k.src, k.dst, k.cos, k.rk,
+              |  r.src IS NOT NULL AS mutual
+              |FROM knn k LEFT JOIN knn r
+              |  ON k.src = r.dst AND k.dst = r.src""".stripMargin)),
 
     // ----- q119: embedding outlier detection (per-class distance z) -------
     // The embedding-space data-cleaning pass: flag vectors that sit

@@ -328,12 +328,31 @@ object DedupOps {
           .groupBy(col("doc_id"))
           .agg(expr("transform(array_sort(collect_list(struct(df, tok))), " +
             "s -> s.tok)").as("ots"), count(lit(1)).as("n"))
-        val pref = ordered.select(col("doc_id"),
-          explode(expr("slice(ots, 1, CAST(n - ((4 * n + 4) DIV 5) + 1 " +
-            "AS INT))")).as("tok"))
-        val cands = pref.select(col("doc_id").as("id1"), col("tok"))
-          .join(pref.select(col("doc_id").as("id2"), col("tok")), "tok")
+        // prefix entries carry (position, set size) so the join can apply
+        // PPJoin's two sound candidate filters BEFORE the distinct:
+        //  - length: J ≥ 4/5 forces 5·min(n₁,n₂) ≥ 4·max(n₁,n₂);
+        //  - positional: overlap ≤ 1 + min(n₁−p₁, n₂−p₂) when the shared
+        //    token sits at (df-order) positions p₁/p₂, and J ≥ τ needs
+        //    overlap·(1+τ) ≥ τ(n₁+n₂), i.e. 9·(1+min(n₁−p₁, n₂−p₂)) ≥
+        //    4·(n₁+n₂). Both only DROP pairs that provably cannot reach
+        //    τ, so completeness (and the brute-force oracle) is intact —
+        //    they matter on saturated shingle spaces where prefix tokens
+        //    alone stop being selective (measured in SCALING.md).
+        val pref = ordered.select(col("doc_id"), col("n"),
+          posexplode(expr("slice(ots, 1, CAST(n - ((4 * n + 4) DIV 5) + 1 " +
+            "AS INT))")).as(Seq("p0", "tok")))
+          .select(col("doc_id"), col("n"), (col("p0") + 1).as("p"),
+            col("tok"))
+        val cands = pref
+          .select(col("doc_id").as("id1"), col("n").as("na"),
+            col("p").as("pa"), col("tok"))
+          .join(pref.select(col("doc_id").as("id2"), col("n").as("nb"),
+            col("p").as("pb"), col("tok")), "tok")
           .filter(col("id1") < col("id2"))
+          .filter(least(col("na"), col("nb")) * 5 >=
+            greatest(col("na"), col("nb")) * 4)
+          .filter((lit(1) + least(col("na") - col("pa"),
+            col("nb") - col("pb"))) * 9 >= (col("na") + col("nb")) * 4)
           .select(col("id1"), col("id2")).distinct()
         val a = toks.select(col("doc_id").as("id1"), col("ts").as("ts1"))
         val b = toks.select(col("doc_id").as("id2"), col("ts").as("ts2"))

@@ -48,7 +48,11 @@ import org.apache.spark.sql.functions._
   *    cleaning pass that surfaces mislabeled or corrupt vectors;
   *  - q129 mutual-kNN graph: every vector's bucket-bounded top-3 with
   *    reverse-edge mutuality flags — the index-build step graph-based
-  *    dedup/clustering starts from.
+  *    dedup/clustering starts from;
+  *  - q130 per-class drift along the principal axis: projections onto
+  *    the q113-trained direction, histogrammed and chi-square-scored
+  *    per class — embedding distribution monitoring one level up from
+  *    q119's per-point outliers.
   *
   * Hyperplane component (i,j) is ((i·64+j)·2654435761 mod 2^32)/2^32 − 0.5 —
   * a closed form both engines evaluate exactly (division by 2^32 is exact
@@ -210,6 +214,103 @@ object SimilarityOps {
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_points"),
         dsum(col("dist") / lit(1099511627776.0)).as("inertia"))
+
+  /** Centered corpus (vec_id, y: array<double>) for the PCA family —
+    * exact integer mean over the shared 2^20 grid, exact /2^20
+    * de-scaling. Persisted: all power rounds, the trace, and q130's
+    * projections iterate over this working set (without materialization
+    * each reference re-reads the parquet AND recomputes the mean — 16
+    * scans for 3 rounds). One cached working set is the real iterative
+    * pattern at scale. */
+  private def pcaCentered(s: SparkSession, d: String): DataFrame = {
+    val q = kmCorpus(s, d)
+    val mu = q
+      .select(posexplode(col("qe")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg((sum(col("x")).cast("double") /
+        count(lit(1)).cast("double")).as("m"))
+      .groupBy()
+      .agg(expr("transform(array_sort(collect_list(struct(i, m))), " +
+        "s -> s.m)").as("mu"))
+    q.crossJoin(broadcast(mu))
+      .select(col("vec_id"),
+        expr("zip_with(qe, mu, (x, m) -> " +
+          "(CAST(x AS DOUBLE) - m) / 1048576.0)").as("y"))
+      .persist()
+  }
+
+  /** Top principal direction after 3 power rounds: ONE row
+    * (varr: array<double> unit vector, lambda: ‖w‖ eigenvalue estimate).
+    * Shared by q113 (loadings/eigenvalue) and q130 (projection drift). */
+  def pcaDirection(s: SparkSession, d: String): DataFrame = {
+    val y = pcaCentered(s, d)
+    val v0 = s.range(1)
+      .select(expr("transform(sequence(1, 64), i -> 0.125D)")
+        .as("varr"))
+    val normSql = "sqrt(aggregate(transform(warr, x -> x * x), 0D, " +
+      "(a, b) -> a + b))"
+    def step(v: DataFrame): DataFrame = {
+      val pr = y.crossJoin(broadcast(v))
+        .select(col("y"),
+          expr("aggregate(zip_with(y, varr, (a, b) -> a * b), 0D, " +
+            "(acc, x) -> acc + x)").as("proj"))
+      pr.select(posexplode(expr("transform(y, yd -> yd * proj)"))
+          .as(Seq("i", "c")))
+        .groupBy(col("i")).agg(dsum(col("c")).as("w"))
+        .groupBy()
+        .agg(expr("transform(array_sort(collect_list(struct(i, w))), " +
+          "s -> s.w)").as("warr"))
+        .select(expr(s"transform(warr, wd -> wd / $normSql)")
+          .as("varr"), expr(normSql).as("lambda"))
+    }
+    step(step(step(v0).select(col("varr"))).select(col("varr")))
+  }
+
+  /** DuckDB left-fold dot product over two 64-element lists. */
+  private def pcaFoldDotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0,
+       |  [$a[i] * $b[i] for i in range(1, 65)]),
+       |  (acc, x) -> acc + x)""".stripMargin
+
+  /** Oracle CTE chain `q, mug, mu, y, v0, …, v3` ending at the trained
+    * direction — shared by the q113 and q130 oracles (no drift). */
+  private lazy val pcaPrefixSql: String = {
+    val normW =
+      """sqrt(list_reduce(list_prepend(0.0,
+        |  [warr[j] * warr[j] for j in range(1, 65)]),
+        |  (a, x) -> a + x))""".stripMargin
+    def iterSql(n: Int, prev: String): String =
+      s"""p$n AS (
+         |  SELECT y, ${pcaFoldDotSql("y", "varr")} AS proj
+         |  FROM y CROSS JOIN $prev),
+         |w$n AS (
+         |  SELECT r.i AS i,
+         |    CAST(SUM(CAST(y[r.i] * proj AS DECIMAL(28,6)))
+         |         AS DOUBLE) AS w
+         |  FROM p$n CROSS JOIN range(1, 65) r(i) GROUP BY r.i),
+         |wa$n AS (SELECT list(w ORDER BY i) AS warr FROM w$n),
+         |v$n AS (SELECT
+         |    [warr[i] / $normW for i in range(1, 65)] AS varr,
+         |    $normW AS lambda
+         |  FROM wa$n)""".stripMargin
+    s"""q AS (SELECT vec_id,
+       |    [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0)
+       |          AS BIGINT) for i in range(1, 65)] AS qe
+       |  FROM embeddings),
+       |mug AS (
+       |  SELECT r.i AS i, CAST(SUM(qe[r.i]) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS m
+       |  FROM q CROSS JOIN range(1, 65) r(i) GROUP BY r.i),
+       |mu AS (SELECT list(m ORDER BY i) AS mu FROM mug),
+       |y AS (SELECT vec_id,
+       |    [(CAST(qe[i] AS DOUBLE) - mu[i]) / 1048576.0
+       |     for i in range(1, 65)] AS y
+       |  FROM q CROSS JOIN mu),
+       |v0 AS (SELECT [0.125 for i in range(1, 65)] AS varr),
+       |${iterSql(1, "v0")},
+       |${iterSql(2, "v1")},
+       |${iterSql(3, "v2")}""".stripMargin
+  }
 
   /** DuckDB rendering of [[kmAssign]]'s squared grid distance. */
   private def kmDistSql(q: String, c: String): String =
@@ -800,47 +901,8 @@ object SimilarityOps {
     NamedQuery(
       "q113_pca_power",
       (s, d) => {
-        // the SAME persisted quantized corpus the k-means family shares
-        val q = kmCorpus(s, d)
-        // exact per-dimension mean in grid units, then de-scaled
-        val mu = q
-          .select(posexplode(col("qe")).as(Seq("i", "x")))
-          .groupBy(col("i"))
-          .agg((sum(col("x")).cast("double") /
-            count(lit(1)).cast("double")).as("m"))
-          .groupBy()
-          .agg(expr("transform(array_sort(collect_list(struct(i, m))), " +
-            "s -> s.m)").as("mu"))
-        // persisted: all three power rounds and the trace iterate over
-        // the centered corpus; without materialization each reference
-        // re-reads the parquet AND recomputes the mean (16 scans total).
-        // One cached working set is the real iterative pattern at scale.
-        val y = q.crossJoin(broadcast(mu))
-          .select(col("vec_id"),
-            expr("zip_with(qe, mu, (x, m) -> " +
-              "(CAST(x AS DOUBLE) - m) / 1048576.0)").as("y"))
-          .persist()
-        val v0 = s.range(1)
-          .select(expr("transform(sequence(1, 64), i -> 0.125D)")
-            .as("varr"))
-        val normSql = "sqrt(aggregate(transform(warr, x -> x * x), 0D, " +
-          "(a, b) -> a + b))"
-        def step(v: DataFrame): DataFrame = {
-          val pr = y.crossJoin(broadcast(v))
-            .select(col("y"),
-              expr("aggregate(zip_with(y, varr, (a, b) -> a * b), 0D, " +
-                "(acc, x) -> acc + x)").as("proj"))
-          pr.select(posexplode(expr("transform(y, yd -> yd * proj)"))
-              .as(Seq("i", "c")))
-            .groupBy(col("i")).agg(dsum(col("c")).as("w"))
-            .groupBy()
-            .agg(expr("transform(array_sort(collect_list(struct(i, w))), " +
-              "s -> s.w)").as("warr"))
-            .select(expr(s"transform(warr, wd -> wd / $normSql)")
-              .as("varr"), expr(normSql).as("lambda"))
-        }
-        val v3 = step(step(step(v0).select(col("varr")))
-          .select(col("varr")))
+        val y = pcaCentered(s, d)
+        val v3 = pcaDirection(s, d)
         val trace = y.select(
           expr("aggregate(transform(y, x -> x * x), 0D, (a, b) -> a + b)")
             .as("sq"))
@@ -852,54 +914,83 @@ object SimilarityOps {
             col("lambda").as("eigval"),
             (col("lambda") / col("trace")).as("evr"))
       },
-      Some {
-        val foldDot = (a: String, b: String) =>
-          s"""list_reduce(list_prepend(0.0,
-             |  [$a[i] * $b[i] for i in range(1, 65)]),
-             |  (acc, x) -> acc + x)""".stripMargin
-        val normW =
-          """sqrt(list_reduce(list_prepend(0.0,
-            |  [warr[j] * warr[j] for j in range(1, 65)]),
-            |  (a, x) -> a + x))""".stripMargin
-        def iterSql(n: Int, prev: String): String =
-          s"""p$n AS (
-             |  SELECT y, ${foldDot("y", "varr")} AS proj
-             |  FROM y CROSS JOIN $prev),
-             |w$n AS (
-             |  SELECT r.i AS i,
-             |    CAST(SUM(CAST(y[r.i] * proj AS DECIMAL(28,6)))
-             |         AS DOUBLE) AS w
-             |  FROM p$n CROSS JOIN range(1, 65) r(i) GROUP BY r.i),
-             |wa$n AS (SELECT list(w ORDER BY i) AS warr FROM w$n),
-             |v$n AS (SELECT
-             |    [warr[i] / $normW for i in range(1, 65)] AS varr,
-             |    $normW AS lambda
-             |  FROM wa$n)""".stripMargin
-        s"""WITH q AS (SELECT vec_id,
-           |    [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0)
-           |          AS BIGINT) for i in range(1, 65)] AS qe
-           |  FROM embeddings),
-           |mug AS (
-           |  SELECT r.i AS i, CAST(SUM(qe[r.i]) AS DOUBLE)
-           |    / CAST(COUNT(*) AS DOUBLE) AS m
-           |  FROM q CROSS JOIN range(1, 65) r(i) GROUP BY r.i),
-           |mu AS (SELECT list(m ORDER BY i) AS mu FROM mug),
-           |y AS (SELECT vec_id,
-           |    [(CAST(qe[i] AS DOUBLE) - mu[i]) / 1048576.0
-           |     for i in range(1, 65)] AS y
-           |  FROM q CROSS JOIN mu),
-           |v0 AS (SELECT [0.125 for i in range(1, 65)] AS varr),
-           |${iterSql(1, "v0")},
-           |${iterSql(2, "v1")},
-           |${iterSql(3, "v2")},
-           |tr AS (
-           |  SELECT CAST(SUM(CAST(${foldDot("y", "y")}
-           |    AS DECIMAL(28,6))) AS DOUBLE) AS trace
-           |  FROM y)
-           |SELECT CAST(r.i AS BIGINT) AS dim, v3.varr[r.i] AS loading,
-           |  v3.lambda AS eigval, v3.lambda / tr.trace AS evr
-           |FROM v3 CROSS JOIN tr CROSS JOIN range(1, 65) r(i)""".stripMargin
-      }),
+      Some(s"""WITH $pcaPrefixSql,
+              |tr AS (
+              |  SELECT CAST(SUM(CAST(${pcaFoldDotSql("y", "y")}
+              |    AS DECIMAL(28,6))) AS DOUBLE) AS trace
+              |  FROM y)
+              |SELECT CAST(r.i AS BIGINT) AS dim, v3.varr[r.i] AS loading,
+              |  v3.lambda AS eigval, v3.lambda / tr.trace AS evr
+              |FROM v3 CROSS JOIN tr CROSS JOIN range(1, 65) r(i)"""
+        .stripMargin)),
+
+    // ----- q130: per-class drift along the principal axis -----------------
+    // Embedding-distribution monitoring, one level up from q119's
+    // per-point outliers: project every vector onto the q113-trained
+    // direction, histogram the projections on a fixed ¼-width integer
+    // grid, and score each class's histogram against the corpus-wide
+    // one with q96's exact chi-square terms ((o−e)²/e from integer
+    // counts, one fixed IEEE sequence per term — no KL/PSI, log is not
+    // a parity contract). A class whose χ² mass spikes has drifted
+    // along the corpus's dominant axis — the early-warning signal for
+    // label-conditional distribution shift. Scale shape: one corpus
+    // pass to project (direction broadcast), one (label, bin) integer
+    // aggregate, two tiny broadcast joins. Bins clamp to ±8 so the
+    // histogram stays fixed-width no matter the tail.
+    NamedQuery(
+      "q130_pc1_drift",
+      (s, d) => {
+        val labels = tbl(s, d, "embeddings")
+          .select(col("vec_id"), col("label"))
+        val proj = pcaCentered(s, d)
+          .crossJoin(broadcast(pcaDirection(s, d).select(col("varr"))))
+          .select(col("vec_id"),
+            expr("aggregate(zip_with(y, varr, (a, b) -> a * b), 0D, " +
+              "(acc, x) -> acc + x)").as("p"))
+          .join(labels, "vec_id")
+          .select(col("label"),
+            least(greatest(floor(col("p") * 4).cast("long"), lit(-8L)),
+              lit(8L)).as("bin"))
+        val o = proj.groupBy(col("label"), col("bin"))
+          .agg(count(lit(1)).as("o"))
+        val nl = o.groupBy(col("label")).agg(sum(col("o")).as("nl"))
+        val cb = o.groupBy(col("bin")).agg(sum(col("o")).as("cb"))
+        val n = o.agg(sum(col("o")).as("n"))
+        val e = col("nl").cast("double") *
+          (col("cb").cast("double") / col("n").cast("double"))
+        o.join(broadcast(nl), "label")
+          .join(broadcast(cb), "bin")
+          .crossJoin(broadcast(n))
+          .select(col("label"), col("bin"), col("o"), e.as("expected"),
+            ((col("o").cast("double") - e) * (col("o").cast("double") - e)
+              / e).as("chi2_term"))
+      },
+      Some(s"""WITH $pcaPrefixSql,
+              |pj AS (
+              |  SELECT e.label,
+              |    least(greatest(CAST(floor(
+              |      ${pcaFoldDotSql("y", "v3.varr")} * 4) AS BIGINT),
+              |      -8), 8) AS bin
+              |  FROM y CROSS JOIN v3
+              |  JOIN embeddings e USING (vec_id)),
+              |o AS (SELECT label, bin, COUNT(*) AS o
+              |      FROM pj GROUP BY label, bin),
+              |nl AS (SELECT label, CAST(SUM(o) AS BIGINT) AS nl
+              |       FROM o GROUP BY label),
+              |cb AS (SELECT bin, CAST(SUM(o) AS BIGINT) AS cb
+              |       FROM o GROUP BY bin),
+              |n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM o)
+              |SELECT o.label, o.bin, o.o,
+              |  CAST(nl AS DOUBLE) * (CAST(cb AS DOUBLE)
+              |    / CAST(n.n AS DOUBLE)) AS expected,
+              |  (CAST(o.o AS DOUBLE) - CAST(nl AS DOUBLE)
+              |     * (CAST(cb AS DOUBLE) / CAST(n.n AS DOUBLE)))
+              |  * (CAST(o.o AS DOUBLE) - CAST(nl AS DOUBLE)
+              |     * (CAST(cb AS DOUBLE) / CAST(n.n AS DOUBLE)))
+              |  / (CAST(nl AS DOUBLE) * (CAST(cb AS DOUBLE)
+              |     / CAST(n.n AS DOUBLE))) AS chi2_term
+              |FROM o JOIN nl USING (label) JOIN cb USING (bin)
+              |CROSS JOIN n""".stripMargin)),
 
     // ----- q129: mutual-kNN graph construction ----------------------------
     // The index-build step graph-based methods start from (SemDeDup's

@@ -871,8 +871,25 @@ object GovernanceOps {
   ) ++ splitAndGovernance
 
   /** The q100 per-document decision table (quality → contaminated →
-    * duplicate → keep), shared verbatim by q114's funnel aggregation. */
+    * duplicate → keep), shared verbatim by q114's funnel aggregation.
+    *
+    * Explicitly memoized per (session, dir): the closure inside runs
+    * StarCC, whose per-round localCheckpoints make every invocation's
+    * plan canonically UNIQUE — so Spark's plan-keyed CacheManager can
+    * never match two calls (unlike the pure-declarative LSH signature
+    * cache), and without this memo q100 and q114 would each pay the full
+    * LSH pass + closure. Whichever runs first materializes the
+    * corpus-row-sized table; the other reads it back. */
+  private val decisionMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String),
+    org.apache.spark.sql.DataFrame]()
+
   private def curationDecisions(
+      s: org.apache.spark.sql.SparkSession, d: String):
+      org.apache.spark.sql.DataFrame =
+    decisionMemo.computeIfAbsent((s, d), _ => curationDecisionsBuild(s, d))
+
+  private def curationDecisionsBuild(
       s: org.apache.spark.sql.SparkSession, d: String):
       org.apache.spark.sql.DataFrame = {
         val base = tbl(s, d, "documents")
@@ -919,6 +936,11 @@ object GovernanceOps {
               .when(col("contam"), "contaminated")
               .when(col("doc_id") =!= col("cluster_rep"), "duplicate")
               .otherwise("keep").as("decision"))
+          // persisted: q100 and q114 build THIS identical plan, and the
+          // cache manager keys on it — whichever runs first pays for the
+          // LSH pass + closure, the other reads the decision table back
+          // (corpus-row-count sized, the right thing to share at scale)
+          .persist()
       }
 
   /** DuckDB rendering of [[curationDecisions]] — q100's oracle, reused

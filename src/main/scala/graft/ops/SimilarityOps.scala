@@ -204,9 +204,13 @@ object SimilarityOps {
         .select(col("cluster"),
           coalesce(col("mce"), col("ce")).as("ce"))
     }
+    // persisted: the trained table is 8 rows, and its plan is pure-
+    // declarative, so Spark's plan-keyed cache lets q111/q116/q117 (and
+    // the streaming scorer's batch twin) share ONE training run per
+    // session instead of re-running both Lloyd updates each
     (1 until rounds).foldLeft(seeds) {
       case (cents, _) => update(kmAssign(corpus, cents), cents)
-    }
+    }.persist()
   }
 
   def kmeansTrain(s: SparkSession, d: String, rounds: Int): DataFrame =
@@ -263,7 +267,9 @@ object SimilarityOps {
         .select(expr(s"transform(warr, wd -> wd / $normSql)")
           .as("varr"), expr(normSql).as("lambda"))
     }
-    step(step(step(v0).select(col("varr"))).select(col("varr")))
+    // persisted: one row, pure-declarative plan — q113 and q130 share
+    // one power-iteration run per session via the plan-keyed cache
+    step(step(step(v0).select(col("varr"))).select(col("varr"))).persist()
   }
 
   /** DuckDB left-fold dot product over two 64-element lists. */

@@ -122,6 +122,47 @@ object MultimodalOps {
     })
   }
 
+  final case class ResizedMedia(doc_id: Long, modality: String,
+      src_w: Int, src_h: Int, out_w: Int, out_h: Int,
+      payload: Array[Byte])
+
+  /** Resize: cap the longer image side at `maxDim`, preserving aspect
+    * ratio — the normalization pass vision pretraining runs before
+    * batching. Target dimensions are EXACT integer arithmetic over the
+    * header-decoded source dims (floor of w·maxDim/longSide, floored at
+    * 1 — never a float, so the plan is engine- and partition-count-
+    * deterministic); payloads at or under the cap pass through
+    * untouched (no re-encode of already-small media). The pixel resample
+    * itself needs a codec, so the output payload is a deterministic
+    * stride-sample of the source bytes proportional to the area ratio —
+    * the STUB slot a real scaler (libvips, ffmpeg) replaces; the
+    * mapPartitions batch shape, the typed schema, and the dimension
+    * arithmetic are the real, tested plumbing (same contract as
+    * [[extractMeta]]'s decode layer). */
+  def resizeMedia(ds: Dataset[MediaRecord], maxDim: Int): Dataset[ResizedMedia] = {
+    require(maxDim >= 1, "maxDim must be positive")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      val (w, h) = decodeDims(r.payload)
+      val long = math.max(w, h)
+      if (long <= maxDim || long == 0)
+        ResizedMedia(r.doc_id, r.modality, w, h, w, h, r.payload)
+      else {
+        val ow = math.max(1, w * maxDim / long)
+        val oh = math.max(1, h * maxDim / long)
+        // stride-sample the payload to ~area-ratio size (codec stub)
+        val n = r.payload.length
+        val target = math.max(1,
+          (n.toLong * ow * oh / math.max(1L, w.toLong * h)).toInt)
+        val stride = math.max(1, n / target)
+        val out = new Array[Byte]((n + stride - 1) / stride)
+        var i = 0
+        while (i < out.length) { out(i) = r.payload(i * stride); i += 1 }
+        ResizedMedia(r.doc_id, r.modality, w, h, ow, oh, out)
+      }
+    })
+  }
+
   /** documents → MediaRecord dataset (payload = utf-8 bytes, modality
     * routed by size like q37). */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {

@@ -151,6 +151,37 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resize caps the long side, preserves aspect, passes small media") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def png(w: Int, h: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(33).order(ByteOrder.BIG_ENDIAN)
+      b.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte))
+      b.putInt(13); b.put("IHDR".getBytes("US-ASCII"))
+      b.putInt(w); b.putInt(h); b.put(Array[Byte](8, 6, 0, 0, 0))
+      b.array()
+    }
+    import spark.implicits._
+    val media = Seq(
+      MultimodalOps.MediaRecord(1L, "image", png(640, 480)),
+      MultimodalOps.MediaRecord(2L, "image", png(100, 50))).toDS()
+    val out = MultimodalOps.resizeMedia(media, 256).collect()
+      .map(r => r.doc_id -> r).toMap
+    // 640×480 capped to 256 on the long side: 256×192, aspect exact
+    assert((out(1L).out_w, out(1L).out_h) == ((256, 192)))
+    assert((out(1L).src_w, out(1L).src_h) == ((640, 480)))
+    // stub payload shrinks roughly with the area ratio, never to zero
+    assert(out(1L).payload.length > 0 &&
+      out(1L).payload.length < png(640, 480).length)
+    // already within the cap: dims AND payload pass through untouched
+    assert((out(2L).out_w, out(2L).out_h) == ((100, 50)))
+    assert(out(2L).payload.sameElements(png(100, 50)))
+    // deterministic: a second run produces identical bytes
+    val again = MultimodalOps.resizeMedia(media, 256).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(again(1L).payload.sameElements(out(1L).payload))
+  }
+
   test("payload round-trips utf-8 bytes") {
     val r = MultimodalOps.mediaFromDocuments(spark, dir).head()
     assert(new String(r.payload, "UTF-8").nonEmpty)

@@ -203,5 +203,62 @@ object MultimodalOps {
              |    AS frames,
              |  md5(text) AS checksum
              |FROM documents""".stripMargin)),
+
+    // ----- q131: resize plan report (target-dimension arithmetic) ---------
+    // The declarative twin of [[resizeMedia]]'s dimension arithmetic,
+    // under the oracle gate: for every media row (q37's stub-decoded
+    // dims), the aspect-preserving target at a 192-pixel long-side cap —
+    // floor(dim·cap/longSide), floored at 1, pass-through at or under
+    // the cap — rolled up per modality (rows to resize, mean shrink
+    // ratio via exact integer area sums + one trailing division). The
+    // integer target-dim formula is the CONTRACT the typed resize op
+    // implements; registering it means a drifted floor/rounding choice
+    // fails the driver's hash gate, not just a unit test.
+    NamedQuery(
+      "q131_resize_plan",
+      (s, d) => {
+        val nBytes = length(encode(col("text"), "utf-8")).cast("long")
+        val w = lit(64L) + pmod(nBytes, lit(256))
+        val h = lit(64L) + pmod(nBytes * 7, lit(256))
+        val cap = lit(192L)
+        val long = greatest(w, h)
+        val ow = when(long <= cap, w)
+          .otherwise(greatest(w * cap.cast("long") / long, lit(1L))
+            .cast("long"))
+        val oh = when(long <= cap, h)
+          .otherwise(greatest(h * cap.cast("long") / long, lit(1L))
+            .cast("long"))
+        tbl(s, d, "documents")
+          .select(
+            element_at(array(lit("image"), lit("audio"), lit("video")),
+              (pmod(nBytes, lit(3)) + 1).cast("int")).as("modality"),
+            (long > cap).as("resized"),
+            (w * h).as("src_area"), (ow * oh).as("out_area"))
+          .groupBy(col("modality"))
+          .agg(count(lit(1)).as("n_media"),
+            sum(when(col("resized"), 1L).otherwise(0L)).as("n_resized"),
+            (sum(col("out_area")).cast("double") /
+              sum(col("src_area")).cast("double")).as("area_ratio"))
+      },
+      Some("""WITH m AS (
+             |  SELECT
+             |    (['image', 'audio', 'video'])
+             |      [octet_length(encode(text)) % 3 + 1] AS modality,
+             |    64 + octet_length(encode(text)) % 256 AS w,
+             |    64 + (octet_length(encode(text)) * 7) % 256 AS h
+             |  FROM documents),
+             |r AS (
+             |  SELECT modality, w, h, greatest(w, h) > 192 AS resized,
+             |    CASE WHEN greatest(w, h) <= 192 THEN w
+             |      ELSE greatest(w * 192 // greatest(w, h), 1) END AS ow,
+             |    CASE WHEN greatest(w, h) <= 192 THEN h
+             |      ELSE greatest(h * 192 // greatest(w, h), 1) END AS oh
+             |  FROM m)
+             |SELECT modality, COUNT(*) AS n_media,
+             |  CAST(SUM(CASE WHEN resized THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_resized,
+             |  CAST(SUM(ow * oh) AS DOUBLE) / CAST(SUM(w * h) AS DOUBLE)
+             |    AS area_ratio
+             |FROM r GROUP BY modality""".stripMargin)),
   )
 }

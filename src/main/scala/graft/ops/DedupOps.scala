@@ -385,5 +385,153 @@ object DedupOps {
               |SELECT id1, id2,
               |  CAST(i AS DOUBLE) / CAST(n1 + n2 - i AS DOUBLE) AS jaccard
               |FROM p WHERE i * 5 >= (n1 + n2 - i) * 4""".stripMargin)),
+
+    // ----- q132: fixed token-window exact dedup (sub-document) ------------
+    // RefinedWeb/C4-style SUB-document dedup: the unit of duplication is a
+    // fixed 20-token window, not the whole document, so boilerplate that
+    // repeats INSIDE otherwise-distinct pages is caught where q26's
+    // whole-doc hash is blind. Every window is hashed (md5), the global
+    // first occurrence wins (minimum of an encoded (doc_id, win_idx)
+    // order key — the same deterministic first-wins contract as O-7), and
+    // each document reports how many of its windows it actually
+    // contributes vs inherits. Scale shape: one hash-shuffled groupBy on
+    // the window digest plus one join keyed the same — both key on a
+    // uniform md5, so the plan is linear and skew-free no matter how
+    // duplicated the corpus is; no pairwise stage exists at all. The
+    // order-key encoding (doc_id·10^6 + win_idx) is exact: win_idx is
+    // bounded by tokens/20 and doc_ids are < 2^43 before the encode
+    // overflows a long.
+    NamedQuery(
+      "q132_window_dedup",
+      (s, d) => {
+        val W = 20
+        val toks = split(col("text"), " ")
+        val nWin = ceil(size(toks) / lit(W.toDouble)).cast("int")
+        val win = corpusWithDups(s, d)
+          .select(col("doc_id"),
+            posexplode(transform(sequence(lit(0), nWin - 1), i =>
+              array_join(slice(toks, i * W + 1, lit(W)), " ")))
+              .as(Seq("win_idx", "win_text")))
+          .select(col("doc_id"),
+            (col("doc_id") * 1000000L + col("win_idx")).as("okey"),
+            md5(col("win_text")).as("wh"))
+        val firsts = win.groupBy(col("wh")).agg(min(col("okey")).as("fk"))
+        win.join(firsts, "wh")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_windows"),
+            sum(when(col("okey") === col("fk"), lit(1L)).otherwise(lit(0L)))
+              .as("n_kept"))
+          .select(col("doc_id"), col("n_windows"), col("n_kept"),
+            (col("n_windows") - col("n_kept")).as("n_dup"))
+      },
+      Some {
+        val toks = "string_split(text, ' ')"
+        s"""WITH corpus AS ($corpusWithDupsSql),
+           |win AS (
+           |  SELECT doc_id,
+           |    doc_id * 1000000 + (i - 1) AS okey,
+           |    md5(array_to_string(
+           |      ($toks)[(i-1)*20 + 1 : i*20], ' ')) AS wh
+           |  FROM corpus, unnest(range(1,
+           |    CAST(ceil(len($toks) / 20.0) AS BIGINT) + 1)) AS u(i)),
+           |firsts AS (SELECT wh, MIN(okey) AS fk FROM win GROUP BY wh)
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+           |  CAST(SUM(CASE WHEN okey = fk THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_kept,
+           |  CAST(COUNT(*) - SUM(CASE WHEN okey = fk THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_dup
+           |FROM win JOIN firsts USING (wh)
+           |GROUP BY doc_id""".stripMargin
+      }),
+
+    // ----- q135: measured LSH recall vs the exact similarity join ---------
+    // The dedup-QA audit q85 runs for ANN, applied to MinHash+LSH: how
+    // much of the TRUE Jaccard ≥ 0.5 pair set does the banded candidate
+    // generation actually surface, per similarity band? Ground truth is
+    // the EXACT join — prefix filtering at τ = 1/2 (the q120 machinery
+    // with re-derived integer constants: prefix keep-count n − ⌈n/2⌉ + 1,
+    // length filter 3·min ≥ n₁+n₂, positional filter 3·(1 + min(nᵢ−pᵢ))
+    // ≥ n₁+n₂, verification 3·i ≥ n₁+n₂ ⟺ J ≥ 1/2 — all sound, zero
+    // false negatives), so the audit itself never does all-pairs on the
+    // Spark side; the ORACLE is honest brute force. The similarity band
+    // is the integer floor (10·i) div (n₁+n₂−i), so band edges cannot
+    // drift across engines. Per band: exact pairs, LSH-found pairs, and
+    // the recall ratio — the measured S-curve that tells you whether 8×4
+    // banding is enough before you ship a dedup run on a real crawl.
+    NamedQuery(
+      "q135_lsh_recall",
+      (s, d) => {
+        val corpus = corpusWithNearDups(s, d)
+        val toks = corpus
+          .select(col("doc_id"),
+            array_sort(array_distinct(hashedShingles(col("text")))).as("ts"))
+        val dfreq = toks
+          .select(col("doc_id"), explode(col("ts")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val ordered = toks
+          .select(col("doc_id"), explode(col("ts")).as("tok"))
+          .join(dfreq, "tok")
+          .groupBy(col("doc_id"))
+          .agg(expr("transform(array_sort(collect_list(struct(df, tok))), " +
+            "s -> s.tok)").as("ots"), count(lit(1)).as("n"))
+        val pref = ordered.select(col("doc_id"), col("n"),
+          posexplode(expr("slice(ots, 1, CAST(n - ((n + 1) DIV 2) + 1 " +
+            "AS INT))")).as(Seq("p0", "tok")))
+          .select(col("doc_id"), col("n"), (col("p0") + 1).as("p"),
+            col("tok"))
+        val cands = pref
+          .select(col("doc_id").as("id1"), col("n").as("na"),
+            col("p").as("pa"), col("tok"))
+          .join(pref.select(col("doc_id").as("id2"), col("n").as("nb"),
+            col("p").as("pb"), col("tok")), "tok")
+          .filter(col("id1") < col("id2"))
+          .filter(least(col("na"), col("nb")) * 3 >= col("na") + col("nb"))
+          .filter((lit(1) + least(col("na") - col("pa"),
+            col("nb") - col("pb"))) * 3 >= col("na") + col("nb"))
+          .select(col("id1"), col("id2")).distinct()
+        val a = toks.select(col("doc_id").as("id1"), col("ts").as("ts1"))
+        val b = toks.select(col("doc_id").as("id2"), col("ts").as("ts2"))
+        val exact = cands.join(a, "id1").join(b, "id2")
+          .select(col("id1"), col("id2"),
+            size(array_intersect(col("ts1"), col("ts2"))).cast("long")
+              .as("i"),
+            (size(col("ts1")) + size(col("ts2"))).cast("long").as("nn"))
+          .filter(col("i") * 3 >= col("nn"))
+        val lsh = lshCandidatePairs(corpus)
+          .select(col("id1"), col("id2"), lit(1L).as("hit"))
+        exact.join(lsh, Seq("id1", "id2"), "left")
+          .groupBy(expr("(10 * i) div (nn - i)").as("jband"))
+          .agg(count(lit(1)).as("n_exact"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_lsh"))
+          .select(col("jband"), col("n_exact"), col("n_lsh"),
+            (col("n_lsh").cast("double") / col("n_exact").cast("double"))
+              .as("recall"))
+      },
+      Some(s"""WITH corpus AS ($corpusWithNearDupsSql),
+              |$lshPairsCteSql,
+              |tt AS (
+              |  SELECT doc_id, text, ${tokenHashesSql("text")} AS th
+              |  FROM corpus),
+              |t AS (
+              |  SELECT doc_id,
+              |    list_sort(list_distinct(
+              |      ${hashedShinglesSql("text", "th")})) AS ts
+              |  FROM tt),
+              |exact AS (
+              |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+              |    CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS i,
+              |    CAST(len(a.ts) + len(b.ts) AS BIGINT) AS nn
+              |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+              |  WHERE len(list_intersect(a.ts, b.ts)) * 3
+              |        >= len(a.ts) + len(b.ts))
+              |SELECT (10 * i) // (nn - i) AS jband,
+              |  CAST(COUNT(*) AS BIGINT) AS n_exact,
+              |  CAST(SUM(CASE WHEN p.id1 IS NOT NULL THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_lsh,
+              |  CAST(SUM(CASE WHEN p.id1 IS NOT NULL THEN 1 ELSE 0 END)
+              |       AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+              |FROM exact e LEFT JOIN pairs p
+              |  ON e.id1 = p.id1 AND e.id2 = p.id2
+              |GROUP BY 1""".stripMargin)),
   )
 }

@@ -1076,7 +1076,97 @@ object GovernanceOps {
               |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
               |  MAX(jaccard) AS max_jaccard
               |FROM j GROUP BY 1, 2""".stripMargin)),
+
+    // ----- q133: PageRank centrality over the near-dup graph --------------
+    // Which documents sit at the CENTER of duplication families? A hub
+    // that half the crawl paraphrases matters more to curation than a
+    // leaf pair, and q92's triangle count is a local density signal where
+    // PageRank is the global one. Three power-iteration rounds of the
+    // standard damped walk (d = 85/100), in ALL-INTEGER arithmetic so the
+    // result is bit-exact on any engine and any partition count: ranks
+    // are scaled to 10^12, each round's contribution is rank div deg
+    // (floor division — exact, where a double division at 1e12 magnitude
+    // can round up across an integer boundary and break floor parity),
+    // and the new rank is 0.15·10^12 + (85·Σcontrib) div 100. The fixed
+    // round count is deliberate: this is the truncated-power-iteration
+    // centrality ranking, not a convergence chase, and three rounds
+    // already separate hubs from leaves on a near-dup graph whose
+    // components q47/q57 bound. Scale shape per round: one hash join of
+    // the (src, dst, deg) edge list against the rank vector plus one
+    // groupBy dst — the canonical distributed PageRank step, partitioned
+    // by node id; nothing driver-side, no global state. Σcontrib cannot
+    // overflow: total rank mass is conserved at N·10^12 and a node's
+    // inbound sum is bounded by the mass of its neighborhood (85·Σ fits a
+    // long until N·10^12 ≈ 2^63/85 ≈ 10^17, i.e. ~10^5 fully-connected
+    // neighbors — far past the LSH bucket cap's degree bound).
+    NamedQuery(
+      "q133_pagerank",
+      (s, d) => {
+        val corpus = corpusWithNearDups(s, d)
+        integerPagerank(corpus.select(col("doc_id")),
+          lshCandidatePairs(corpus).select(col("id1"), col("id2")), 3)
+      },
+      Some {
+        def round(prev: String, cur: Int): String =
+          s"""c$cur AS (
+             |  SELECT e.dst, SUM(r.pr // d.deg) AS sc
+             |  FROM edges e JOIN $prev r ON e.src = r.doc_id
+             |               JOIN deg d ON e.src = d.src
+             |  GROUP BY e.dst),
+             |r$cur AS (
+             |  SELECT n.doc_id,
+             |    150000000000 + (85 * COALESCE(c.sc, 0)) // 100 AS pr
+             |  FROM $prev n LEFT JOIN c$cur c ON n.doc_id = c.dst)"""
+            .stripMargin
+        s"""WITH corpus AS ($corpusWithNearDupsSql),
+           |$lshPairsCteSql,
+           |edges AS (
+           |  SELECT id1 AS src, id2 AS dst FROM pairs
+           |  UNION SELECT id2, id1 FROM pairs),
+           |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+           |        FROM edges GROUP BY src),
+           |r0 AS (SELECT doc_id, CAST(1000000000000 AS BIGINT) AS pr
+           |       FROM corpus),
+           |${round("r0", 1)},
+           |${round("r1", 2)},
+           |${round("r2", 3)}
+           |SELECT r.doc_id, COALESCE(d.deg, 0) AS n_neighbors,
+           |  CAST(r.pr AS BIGINT) AS pagerank
+           |FROM r3 r LEFT JOIN deg d ON r.doc_id = d.src""".stripMargin
+      }),
   )
+
+  /** q133's engine, extracted for direct testing against a scalar
+    * reference on planted graphs (GraphTextQualSpec). Undirected input
+    * pairs; self-loops dropped, duplicate/reversed edges collapsed. All
+    * arithmetic is integer (see the q133 comment for why), so the result
+    * is bit-exact under any partitioning — the property the spec pins
+    * against a hand-rolled scalar implementation of the same recurrence.
+    */
+  private[graft] def integerPagerank(
+      nodes: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame,
+      iters: Int): org.apache.spark.sql.DataFrame = {
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ed = edges.join(deg, "src")
+    var ranks = nodes.select(col("doc_id"), lit(1000000000000L).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = ed.join(ranks, col("src") === col("doc_id"))
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      ranks = nodes.join(contrib, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"),
+          expr("150000000000 + (85 * coalesce(sc, 0)) div 100").as("pr"))
+    }
+    ranks.join(deg, col("doc_id") === col("src"), "left")
+      .select(col("doc_id"),
+        coalesce(col("deg"), lit(0L)).as("n_neighbors"),
+        col("pr").as("pagerank"))
+  }
 
   /** FRONTIER-based min-label propagation — q47's engine, extracted so
     * its diameter-bound round count is directly testable against StarCC

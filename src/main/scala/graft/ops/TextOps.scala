@@ -931,5 +931,64 @@ object TextOps {
              |        / CAST(df.df AS DOUBLE) DESC, tf.tok) AS BIGINT) AS rk
              |  FROM tf JOIN df USING (tok) CROSS JOIN n)
              |WHERE rk <= 5""".stripMargin)),
+
+    // ----- q134: Gopher-style composite quality gates ---------------------
+    // The rule-based document filter every crawl pipeline runs before the
+    // statistical ones (Rae et al., Gopher, 2021 §A1.1 — adapted bounds):
+    // token-count window, mean-word-length window, minimum stop-word
+    // evidence, and a repetition cap on the single most frequent token.
+    // Every gate is an INTEGER comparison (mean length as 3n ≤ Σlen ≤ 10n,
+    // repetition as 5·top ≤ n) so no float ratio ever crosses an engine
+    // boundary — the q52/q62 parity rule applied to thresholds. Shape: one
+    // explode into a (doc, token) count (partial-agg shuffle) and one
+    // per-doc rollup — the per-row mode() computed as a groupBy instead of
+    // a quadratic in-row scan, so a pathological 1 GB document costs its
+    // token count, not its token count squared. Output keeps each gate's
+    // verdict separately (the curation-review view: WHICH rule fired), plus
+    // the composite keep.
+    NamedQuery(
+      "q134_gopher_gates",
+      (s, d) => {
+        val tc = tbl(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+        tc.groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_toks"),
+            sum(length(col("tok")) * col("c")).as("sum_len"),
+            sum(when(col("tok").isin("the", "a"), col("c"))
+              .otherwise(lit(0L))).as("n_stop"),
+            max(col("c")).as("top_c"))
+          .select(col("doc_id"), col("n_toks"),
+            col("n_toks").between(40, 100000).as("g_len"),
+            (col("sum_len") >= col("n_toks") * 3 &&
+              col("sum_len") <= col("n_toks") * 10).as("g_wordlen"),
+            (col("n_stop") >= 2).as("g_stop"),
+            (col("top_c") * 5 <= col("n_toks")).as("g_rep"))
+          .withColumn("keep",
+            col("g_len") && col("g_wordlen") && col("g_stop") && col("g_rep"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |tc AS (SELECT doc_id, tok, COUNT(*) AS c
+             |       FROM t GROUP BY doc_id, tok),
+             |agg AS (SELECT doc_id,
+             |    CAST(SUM(c) AS BIGINT) AS n_toks,
+             |    CAST(SUM(len(tok) * c) AS BIGINT) AS sum_len,
+             |    CAST(SUM(CASE WHEN tok IN ('the', 'a') THEN c ELSE 0 END)
+             |      AS BIGINT) AS n_stop,
+             |    MAX(c) AS top_c
+             |  FROM tc GROUP BY doc_id)
+             |SELECT doc_id, n_toks,
+             |  (n_toks BETWEEN 40 AND 100000) AS g_len,
+             |  (sum_len >= n_toks * 3 AND sum_len <= n_toks * 10)
+             |    AS g_wordlen,
+             |  (n_stop >= 2) AS g_stop,
+             |  (top_c * 5 <= n_toks) AS g_rep,
+             |  (n_toks BETWEEN 40 AND 100000
+             |   AND sum_len >= n_toks * 3 AND sum_len <= n_toks * 10
+             |   AND n_stop >= 2 AND top_c * 5 <= n_toks) AS keep
+             |FROM agg""".stripMargin)),
   )
 }

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.GovernanceOps
+
+/** Round-7 additions: integer PageRank (q133), token-window dedup (q132),
+  * Gopher-style quality gates (q134), and the LSH recall audit (q135). */
+class QualityGraphOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Scalar reference of q133's integer recurrence — written against maps
+    * and Longs, no Spark, so the distributed plan is checked against an
+    * independent implementation rather than itself. */
+  private def scalarPagerank(
+      nodes: Seq[Long], undirected: Seq[(Long, Long)], iters: Int)
+      : Map[Long, Long] = {
+    val adj = undirected
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .filter { case (a, b) => a != b }
+      .distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(_ -> 1000000000000L).toMap
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      for ((u, vs) <- adj; v <- vs) contrib(v) += r(u) / deg(u)
+      r = nodes.map(n => n -> (150000000000L + 85L * contrib(n) / 100L)).toMap
+    }
+    r
+  }
+
+  test("q133 engine matches the scalar recurrence on a planted star graph") {
+    import spark.implicits._
+    // star (hub 0, leaves 1-4) + pair (6,7) + isolated node 5, with a
+    // duplicate, a reversed, and a self-loop edge thrown in
+    val nodes = (0L to 7L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (1L, 0L),
+      (0L, 1L), (5L, 5L), (6L, 7L)).toDF("id1", "id2")
+    val got = GovernanceOps.integerPagerank(nodes, pairs, 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = scalarPagerank(0L to 7L,
+      Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (6L, 7L)), 3)
+    assert(got.view.mapValues(_._2).toMap == want)
+    // the hub out-centralities the ranking exists to expose
+    assert(got(0L)._2 > got(1L)._2, "hub must outrank a leaf")
+    assert(got(5L) == ((0L, 150000000000L)), "isolated node keeps the base")
+    assert(got(0L)._1 == 4L && got(1L)._1 == 1L && got(6L)._1 == 1L)
+    // floor division only sheds mass — total can never exceed N·10^12
+    assert(got.values.map(_._2).sum <= 8L * 1000000000000L)
+  }
+
+  test("q132 matches a scalar first-wins reference over the real corpus") {
+    val out = SparkEntry.queries("q132_window_dedup")(spark, dir).cache()
+    val copies = out.filter(col("doc_id") >= 100000L)
+    assert(copies.count() > 0, "the planted dup corpus is missing")
+    assert(copies.filter(col("n_kept") =!= 0L).count() == 0,
+      "a copy window beat its original's order key")
+    // scalar reference: same corpus, Scala collections, no Spark — windows
+    // are 20-token slices, the minimal (doc_id, win_idx) key owns a window
+    // (note: NATURAL window collisions between originals exist in the
+    // tiny-vocab testdata — short final windows repeat — so the reference
+    // must model global first-wins, not per-doc bookkeeping)
+    val texts = graft.ops.LlmKit.corpusWithDups(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val wins = texts.flatMap { case (id, t) =>
+      t.split(" ", -1).grouped(20).zipWithIndex
+        .map { case (w, i) => (id, i.toLong, w.mkString(" ")) }
+    }
+    val firstKey = wins.groupBy(_._3).view
+      .mapValues(_.map(w => w._1 * 1000000L + w._2).min).toMap
+    val want = wins.groupBy(_._1).view.mapValues { ws =>
+      val kept = ws.count(w => firstKey(w._3) == w._1 * 1000000L + w._2)
+      (ws.size.toLong, kept.toLong, ws.size.toLong - kept)
+    }.toMap
+    val got = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == want)
+  }
+
+  test("q134: each gate fires on its planted violation, composite ANDs") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("gopher").toString
+    val w4 = (1 to 48).map(i => f"w$i%03d") // 4-char distinct tokens
+    val docs = Seq(
+      // 50 tokens, 4-char words, two stop words, no repetition: keeps
+      (1L, (w4 ++ Seq("the", "a")).mkString(" ")),
+      // 39 tokens: fails g_len only
+      (2L, (w4.take(37) ++ Seq("the", "a")).mkString(" ")),
+      // one token at 42% frequency: fails g_rep
+      (3L, (w4.take(27) ++ Seq.fill(21)("spam") ++ Seq("the", "a"))
+        .mkString(" ")),
+      // mean word length 10.7: fails g_wordlen
+      (4L, ((1 to 48).map(i => f"w$i%010d") ++ Seq("the", "a"))
+        .mkString(" ")),
+      // no stop words at all: fails g_stop
+      (5L, (w4 ++ Seq("w049", "w050")).mkString(" "))
+    ).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("q134_gopher_gates")(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+          r.getBoolean(6))).toMap
+    assert(out(1L) == ((true, true, true, true, true)))
+    assert(out(2L) == ((false, true, true, true, false)))
+    assert(out(3L) == ((true, true, true, false, false)))
+    assert(out(4L) == ((true, false, true, true, false)))
+    assert(out(5L) == ((true, true, false, true, false)))
+  }
+
+  test("q135: recall is a ratio of the exact pair set and banding is honest") {
+    val out = SparkEntry.queries("q135_lsh_recall")(spark, dir)
+      .collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty, "no exact pairs — the perturbed corpus is missing")
+    out.foreach { case (band, (nExact, nLsh, recall)) =>
+      assert(band >= 5L && band <= 10L, s"band $band outside J ∈ [0.5, 1]")
+      assert(nLsh <= nExact, s"band $band: LSH found pairs brute force missed")
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+    // the perturbed twins live in the top bands; 8×4 banding at J ≈ 0.9
+    // collides with near-certainty, so recall there must be high
+    val top = out.filter(_._1 >= 9L)
+    assert(top.nonEmpty && top.forall(_._2._3 >= 0.8),
+      s"top-band recall collapsed: ${top.mkString(", ")}")
+  }
+}

@@ -518,5 +518,93 @@ object AnalyticsOps {
               |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               |    AS last_purchase_value
               |FROM events""".stripMargin)),
+
+    // ----- q136: exact two-sample Kolmogorov–Smirnov drift ----------------
+    // The distribution-level drift gate q96's chi-square can't give you:
+    // KS compares FULL empirical CDFs (click vs purchase spend here), so
+    // it catches shape drift that leaves bin totals unchanged. Everything
+    // is exact: the statistic's supremum is computed on the integer cross
+    // products |F₁·n₂ − F₂·n₁| (never on float CDF ratios — the q52
+    // parity rule), the only doubles are the final division and the
+    // argmax location. The CDF is built WITHOUT a global sort: distinct
+    // values are range-bucketed by ⌊value⌋, running counts use a window
+    // PER BUCKET, and bucket base offsets come from one bucket-level
+    // cumulative over the (bounded, post-aggregation) bucket dimension —
+    // the q109 phased-ranking shape, so a 100 TB event log builds its CDF
+    // one bucket-partition per task. Cross products stay in longs under a
+    // raise_error guard at 3·10⁹ rows per side (past that the products
+    // need DECIMAL(38,0); the guard makes the boundary loud, not silent —
+    // DuckDB's checked BIGINT arithmetic errors at the same point).
+    NamedQuery(
+      "q136_ks_drift",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("value"), col("event_type"))
+        val dist = ev.groupBy(col("value"))
+          .agg(sum(when(col("event_type") === "click", lit(1L))
+            .otherwise(lit(0L))).as("c1"),
+            sum(when(col("event_type") === "purchase", lit(1L))
+              .otherwise(lit(0L))).as("c2"))
+          .withColumn("b", floor(col("value")).cast("long"))
+        val wRun = Window.partitionBy(col("b")).orderBy(col("value"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val run = dist
+          .withColumn("r1", sum(col("c1")).over(wRun))
+          .withColumn("r2", sum(col("c2")).over(wRun))
+        val wOff = Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val off = dist.groupBy(col("b"))
+          .agg(sum(col("c1")).as("t1"), sum(col("c2")).as("t2"))
+          .select(col("b"),
+            coalesce(sum(col("t1")).over(wOff), lit(0L)).as("o1"),
+            coalesce(sum(col("t2")).over(wOff), lit(0L)).as("o2"))
+        val n = dist.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+          .select(
+            when(col("n1") > 3000000000L || col("n2") > 3000000000L,
+              raise_error(lit("q136: side exceeds 3e9 rows — widen the " +
+                "cross products to DECIMAL(38,0)")).cast("long"))
+              .otherwise(col("n1")).as("n1"),
+            col("n2"))
+        val cdf = run.join(broadcast(off), "b")
+          .crossJoin(broadcast(n))
+          .select(col("value"), col("n1"), col("n2"),
+            abs((col("o1") + col("r1")) * col("n2") -
+              (col("o2") + col("r2")) * col("n1")).as("num"))
+        val mx = cdf.agg(max(col("num")).as("ks_num"))
+        cdf.join(broadcast(mx), col("num") === col("ks_num"))
+          .groupBy(col("n1"), col("n2"), col("ks_num"))
+          .agg(min(col("value")).as("ks_value"))
+          .select(col("n1"), col("n2"), col("ks_num"), col("ks_value"),
+            (col("ks_num").cast("double") /
+              (col("n1").cast("double") * col("n2").cast("double")))
+              .as("ks_stat"))
+      },
+      Some("""WITH f AS (
+             |  SELECT value, event_type FROM events
+             |  WHERE event_type IN ('click', 'purchase')),
+             |d AS (SELECT value,
+             |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS c1,
+             |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+             |      END) AS BIGINT) AS c2
+             |  FROM f GROUP BY value),
+             |c AS (SELECT value,
+             |    CAST(SUM(c1) OVER (ORDER BY value
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS f1,
+             |    CAST(SUM(c2) OVER (ORDER BY value
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS f2
+             |  FROM d),
+             |n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             |             CAST(SUM(c2) AS BIGINT) AS n2 FROM d),
+             |x AS (SELECT value, n1, n2, ABS(f1 * n2 - f2 * n1) AS num
+             |      FROM c, n),
+             |m AS (SELECT MAX(num) AS ks_num FROM x)
+             |SELECT n1, n2, ks_num,
+             |  (SELECT MIN(value) FROM x WHERE num = m.ks_num) AS ks_value,
+             |  CAST(ks_num AS DOUBLE)
+             |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks_stat
+             |FROM m, n""".stripMargin)),
   )
 }

@@ -127,4 +127,34 @@ class QualityGraphOpsSpec extends AnyFunSuite {
     assert(top.nonEmpty && top.forall(_._2._3 >= 0.8),
       s"top-band recall collapsed: ${top.mkString(", ")}")
   }
+
+  test("q136 matches a scalar KS computation on planted distributions") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ks").toString
+    // click uniform-ish low, purchase shifted high; shared values (ties
+    // across sides), duplicates within a side, and values straddling the
+    // ⌊value⌋ bucket boundary the distributed CDF partitions on
+    val click = Seq(0.5, 0.5, 1.2, 1.9, 2.0, 2.4, 3.7, 5.0)
+    val purch = Seq(1.9, 2.4, 4.1, 4.2, 4.2, 5.0, 6.3)
+    val rows = click.map(("click", _)) ++ purch.map(("purchase", _)) ++
+      Seq(("view", 0.1)) // must be ignored
+    rows.zipWithIndex
+      .map { case ((t, v), i) =>
+        (i.toLong, i.toLong * 1000000000L, i.toLong % 3, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = SparkEntry.queries("q136_ks_drift")(spark, tmp).collect()
+    assert(got.length == 1)
+    val r = got.head
+    // scalar reference: sup over all observed values of |F1·n2 − F2·n1|
+    val (n1, n2) = (click.size.toLong, purch.size.toLong)
+    val pts = (click ++ purch).distinct.sorted
+    val nums = pts.map(v => (v,
+      math.abs(click.count(_ <= v) * n2 - purch.count(_ <= v) * n1)))
+    val mx = nums.map(_._2).max
+    assert(r.getLong(0) == n1 && r.getLong(1) == n2)
+    assert(r.getLong(2) == mx, s"ks_num ${r.getLong(2)} != scalar $mx")
+    assert(r.getDouble(3) == nums.filter(_._2 == mx).map(_._1).min)
+    assert(r.getDouble(4) == mx.toDouble / (n1 * n2).toDouble)
+  }
 }

@@ -1210,5 +1210,97 @@ object SimilarityOps {
               |  p.cos - n.cos AS margin
               |FROM best p JOIN best n USING (q_id)
               |WHERE p.same AND NOT n.same""".stripMargin)),
+
+    // ----- q137: product-quantization ADC search (compressed-domain) ------
+    // The third classic ANN scale path after LSH (q32) and IVF (q39):
+    // at 100 TB of embeddings the FLOAT VECTORS no longer fit anywhere,
+    // so the corpus is compressed to m=4 one-byte codes (64 dims → 4
+    // bytes, 64× smaller) and queries scan CODES, never vectors —
+    // asymmetric distance computation (Jégou et al., "Product
+    // Quantization for Nearest Neighbor Search", TPAMI 2011). Codebook
+    // here is a deterministic sample (the 16 lexicographically-first
+    // vectors' subvectors per 16-dim subspace) so the oracle stays
+    // tractable; a per-subspace Lloyd training (q111's machinery applied
+    // to slices) drops in without changing any plan shape. Encode: corpus
+    // × 4 subspaces × broadcast 16-word codebook, argmin by
+    // min(struct(dist, cid)) — one partial-aggregable groupBy, no window
+    // over the corpus. Query time: a 5×4×16 lookup table is broadcast;
+    // each vector's 4 codes meet it in a hash join and the ADC distance
+    // is an EXACT decimal sum of the 4 table cells (dsum — double
+    // partial-agg order must not leak into ranking). Per-subspace
+    // distances are index-ordered left folds of squared diffs, the same
+    // parity discipline as dotSql. Top-5 per query by (dist, vec_id).
+    NamedQuery(
+      "q137_pq_adc",
+      (s, d) => {
+        val sqd = expr(
+          "aggregate(zip_with(slice(ve, j * 16 + 1, 16), " +
+            "slice(ce, j * 16 + 1, 16), (x, y) -> " +
+            "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * " +
+            "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+        val emb = tbl(s, d, "embeddings")
+        val js = Seq(0, 1, 2, 3)
+        // 64-row (codeword × subspace) table — broadcast to both the
+        // encode pass and the LUT build
+        val cb = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").cast("int").as("cid"),
+            col("embedding").as("ce"),
+            explode(array(js.map(lit): _*)).as("j"))
+        val codes = emb
+          .select(col("vec_id"), col("embedding").as("ve"),
+            explode(array(js.map(lit): _*)).as("j"))
+          .join(broadcast(cb), "j")
+          .select(col("vec_id"), col("j"), col("cid"), sqd.as("sd"))
+          .groupBy(col("vec_id"), col("j"))
+          .agg(min(struct(col("sd"), col("cid"))).as("m"))
+          .select(col("vec_id"), col("j"), col("m.cid").as("code"))
+        val lut = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("ve"),
+            explode(array(js.map(lit): _*)).as("j"))
+          .join(broadcast(cb), "j")
+          .select(col("q_id"), col("j"), col("cid"), sqd.as("d"))
+        val scored = codes
+          .join(broadcast(lut),
+            codes("j") === lut("j") && col("code") === col("cid"))
+          .groupBy(col("q_id"), col("vec_id"))
+          .agg(dsum(col("d")).as("adc_dist"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("adc_dist"), col("vec_id"))
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+      },
+      Some {
+        def sqdSql(a: String, b: String): String =
+          s"""list_reduce(list_prepend(0.0,
+             | [(CAST(($a)[i] AS DOUBLE) - CAST(($b)[i] AS DOUBLE))
+             |  * (CAST(($a)[i] AS DOUBLE) - CAST(($b)[i] AS DOUBLE))
+             |  for i in range(j * 16 + 1, j * 16 + 17)]),
+             | (acc, x) -> acc + x)""".stripMargin.replace("\n", " ")
+        s"""WITH js AS (SELECT unnest(range(0, 4)) AS j),
+           |cb AS (SELECT vec_id AS cid, embedding AS ce
+           |       FROM embeddings WHERE vec_id < 16),
+           |enc AS (
+           |  SELECT e.vec_id, js.j, c.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id, js.j
+           |      ORDER BY ${sqdSql("e.embedding", "c.ce")} ASC, c.cid)
+           |      AS rn
+           |  FROM embeddings e, js, cb c),
+           |codes AS (SELECT vec_id, j, cid AS code FROM enc WHERE rn = 1),
+           |lut AS (
+           |  SELECT q.vec_id AS q_id, js.j, c.cid,
+           |    ${sqdSql("q.embedding", "c.ce")} AS d
+           |  FROM embeddings q, js, cb c WHERE q.vec_id % 100 = 0),
+           |s AS (
+           |  SELECT l.q_id, co.vec_id, ${dsumSql("l.d")} AS adc_dist
+           |  FROM codes co JOIN lut l ON co.j = l.j AND co.code = l.cid
+           |  GROUP BY l.q_id, co.vec_id)
+           |SELECT q_id, vec_id, adc_dist, rank FROM (
+           |  SELECT q_id, vec_id, adc_dist,
+           |    CAST(row_number() OVER (PARTITION BY q_id
+           |      ORDER BY adc_dist, vec_id) AS BIGINT) AS rank
+           |  FROM s)
+           |WHERE rank <= 5""".stripMargin
+      }),
   )
 }

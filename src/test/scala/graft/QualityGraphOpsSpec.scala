@@ -128,6 +128,26 @@ class QualityGraphOpsSpec extends AnyFunSuite {
       s"top-band recall collapsed: ${top.mkString(", ")}")
   }
 
+  test("q137: ADC rankings are complete, sorted, non-negative, deterministic") {
+    val run1 = SparkEntry.queries("q137_pq_adc")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).sortBy(r => (r._1, r._4))
+    assert(run1.nonEmpty)
+    run1.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._4).toSeq == (1L to 5L), s"query $q ranks broken")
+      val dists = rows.sortBy(_._4).map(_._3)
+      assert(dists.forall(_ >= 0.0), s"query $q negative ADC distance")
+      assert(dists.zip(dists.tail).forall { case (a, b) => a <= b },
+        s"query $q distances not monotone with rank")
+    }
+    // partition-count determinism: the decimal ADC sum and (dist, vec_id)
+    // tiebreak must make the ranking independent of physical planning
+    val run2 = SparkEntry.queries("q137_pq_adc")(spark, dir)
+      .repartition(7).collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).sortBy(r => (r._1, r._4))
+    assert(run1.toSeq == run2.toSeq)
+  }
+
   test("q136 matches a scalar KS computation on planted distributions") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("ks").toString

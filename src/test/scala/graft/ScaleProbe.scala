@@ -26,7 +26,8 @@ object ScaleProbe {
     val out = s"/tmp/graft-synth-x$mult"
     val queries = Seq("q27_minhash_lsh", "q47_dedup_clusters",
       "q57_star_clusters", "q100_curation_pipeline", "q101_substr_spans",
-      "q107_bigram_lm", "q120_prefix_simjoin")
+      "q107_bigram_lm", "q120_prefix_simjoin", "q132_window_dedup",
+      "q133_pagerank", "q135_lsh_recall")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -1302,5 +1302,116 @@ object SimilarityOps {
            |  FROM s)
            |WHERE rank <= 5""".stripMargin
       }),
+
+    // ----- q138: k-center greedy coreset selection (farthest-point) -------
+    // Diverse-subset selection for training data (greedy 2-approximation
+    // of the k-center objective; Gonzalez 1985, applied to coreset
+    // selection by Sener & Savarese, ICLR 2018): pick the vector farthest
+    // from everything picked so far, five times, then report each
+    // center's cell size and coverage radius. At 100 TB the loop shape is
+    // what matters: the frontier distance needs ONE incremental
+    // `least(mind, dist-to-newest)` pass per round against a BROADCAST
+    // single-row center — never a re-scan against the whole selected set
+    // — and the argmax is a partial-aggregable `max(struct)`, not a
+    // global sort. All distances are exact integer sums over the shared
+    // 2^20-grid corpus (kmCorpus, one cached copy shared with the
+    // k-means/PCA family): |diff| < 2^21, squared < 2^42, x64 dims
+    // < 2^48 — no long overflow, no float drift, so selection and radii
+    // are bit-identical at any partition count and in the oracle.
+    // Duplicate vectors make a later center's cell empty-able in
+    // principle; the left join + coalesce keeps those rows honest.
+    NamedQuery(
+      "q138_kcenter_coreset",
+      (s, d) => {
+        val corpus = kmCorpus(s, d)
+        val gdist = expr("aggregate(zip_with(qe, ce, (x, y) -> " +
+          "(x - y) * (x - y)), 0L, (a, v) -> a + v)")
+        val seed = corpus.filter(col("vec_id") === 0)
+          .select(lit(1).as("sel_rank"), col("vec_id"),
+            lit(0L).as("d_sel"), col("qe").as("ce"))
+        val m0 = corpus.crossJoin(broadcast(seed.select(col("ce"))))
+          .select(col("vec_id"), col("qe"), gdist.as("mind"))
+        val (sels, _) = (2 to 5).foldLeft((seed, m0)) { case ((sel, m), r) =>
+          val picked = m
+            .agg(max(struct(col("mind").as("d"),
+              (-col("vec_id")).as("nv"))).as("t"))
+            .select(lit(r).as("sel_rank"), (-col("t.nv")).as("vec_id"),
+              col("t.d").as("d_sel"))
+          // fetch the chosen vector's grid coords (1-row broadcast join);
+          // identical picked-broadcasts dedup via ReusedExchange
+          val withCe = corpus.join(broadcast(picked), Seq("vec_id"))
+            .select(col("sel_rank"), col("vec_id"), col("d_sel"),
+              col("qe").as("ce"))
+          val m2 = m.crossJoin(broadcast(withCe.select(col("ce"))))
+            .select(col("vec_id"), col("qe"),
+              least(col("mind"), gdist).as("mind"))
+          (sel.unionByName(withCe), m2)
+        }
+        val assigned = corpus
+          .crossJoin(broadcast(sels.select(col("sel_rank").as("r"),
+            col("ce"))))
+          .select(col("vec_id"), col("r"), gdist.as("dv"))
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("dv"), col("r"))).as("a"))
+          .groupBy(col("a.r").as("sel_rank"))
+          .agg(count(lit(1)).as("n_assigned"), max(col("a.dv")).as("radius"))
+        sels.select(col("sel_rank"), col("vec_id"), col("d_sel"))
+          .join(assigned, Seq("sel_rank"), "left")
+          .select(col("sel_rank"), col("vec_id"), col("d_sel"),
+            coalesce(col("n_assigned"), lit(0L)).as("n_assigned"),
+            coalesce(col("radius"), lit(0L)).as("radius"))
+      },
+      Some {
+        def gd(a: String, b: String): String =
+          s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+             | [($a[i] - $b[i]) * ($a[i] - $b[i])
+             |  for i in range(1, len($a) + 1)]),
+             | (x, y) -> x + y)""".stripMargin.replace("\n", " ")
+        s"""WITH q AS (
+           |  SELECT vec_id, list_transform(embedding,
+           |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))
+           |    AS qe
+           |  FROM embeddings),
+           |c1 AS (SELECT vec_id, qe FROM q WHERE vec_id = 0),
+           |m1 AS (SELECT q.vec_id, q.qe, ${gd("q.qe", "c.qe")} AS mind
+           |       FROM q, c1 c),
+           |c2 AS (SELECT vec_id, qe, mind FROM m1
+           |       ORDER BY mind DESC, vec_id LIMIT 1),
+           |m2 AS (SELECT m.vec_id, m.qe,
+           |         least(m.mind, ${gd("m.qe", "c.qe")}) AS mind
+           |       FROM m1 m, c2 c),
+           |c3 AS (SELECT vec_id, qe, mind FROM m2
+           |       ORDER BY mind DESC, vec_id LIMIT 1),
+           |m3 AS (SELECT m.vec_id, m.qe,
+           |         least(m.mind, ${gd("m.qe", "c.qe")}) AS mind
+           |       FROM m2 m, c3 c),
+           |c4 AS (SELECT vec_id, qe, mind FROM m3
+           |       ORDER BY mind DESC, vec_id LIMIT 1),
+           |m4 AS (SELECT m.vec_id, m.qe,
+           |         least(m.mind, ${gd("m.qe", "c.qe")}) AS mind
+           |       FROM m3 m, c4 c),
+           |c5 AS (SELECT vec_id, qe, mind FROM m4
+           |       ORDER BY mind DESC, vec_id LIMIT 1),
+           |sel AS (
+           |  SELECT 1 AS sel_rank, vec_id, CAST(0 AS BIGINT) AS d_sel, qe
+           |  FROM c1
+           |  UNION ALL SELECT 2, vec_id, mind, qe FROM c2
+           |  UNION ALL SELECT 3, vec_id, mind, qe FROM c3
+           |  UNION ALL SELECT 4, vec_id, mind, qe FROM c4
+           |  UNION ALL SELECT 5, vec_id, mind, qe FROM c5),
+           |a AS (
+           |  SELECT vec_id, sel_rank, dv FROM (
+           |    SELECT q.vec_id, s.sel_rank, ${gd("q.qe", "s.qe")} AS dv,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${gd("q.qe", "s.qe")} ASC, s.sel_rank) AS rn
+           |    FROM q, sel s) WHERE rn = 1),
+           |st AS (SELECT sel_rank, COUNT(*) AS n_assigned,
+           |         max(dv) AS radius
+           |       FROM a GROUP BY sel_rank)
+           |SELECT s.sel_rank, s.vec_id, s.d_sel,
+           |  coalesce(st.n_assigned, CAST(0 AS BIGINT)) AS n_assigned,
+           |  coalesce(st.radius, CAST(0 AS BIGINT)) AS radius
+           |FROM sel s LEFT JOIN st ON s.sel_rank = st.sel_rank""".stripMargin
+      }),
   )
 }

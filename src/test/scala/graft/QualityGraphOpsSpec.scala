@@ -148,6 +148,48 @@ class QualityGraphOpsSpec extends AnyFunSuite {
     assert(run1.toSeq == run2.toSeq)
   }
 
+  test("q138 matches a scalar greedy k-center run on the real corpus") {
+    // independent scalar implementation: quantize, then farthest-point
+    // traversal with (max dist, min vec_id) tie-breaks, then assignment
+    val vecs = TestSpark.spark.read
+      .parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x =>
+          math.floor(x.toDouble * 1048576.0).toLong).toArray)
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val byId = vecs.toMap
+    var selected = Vector((1, 0L, 0L)) // (rank, vec_id, d_sel)
+    var mind = vecs.map { case (id, v) => id -> d2(v, byId(0L)) }.toMap
+    for (r <- 2 to 5) {
+      val (pid, pd) = mind.toSeq.maxBy { case (id, dd) => (dd, -id) }
+      selected :+= ((r, pid, pd))
+      mind = mind.map { case (id, dd) =>
+        id -> math.min(dd, d2(byId(id), byId(pid))) }
+    }
+    val cells = vecs.map { case (id, v) =>
+      selected.map { case (r, sid, _) => (d2(v, byId(sid)), r) }.min
+    }
+    val expected = selected.map { case (r, sid, dsel) =>
+      val cell = cells.filter(_._2 == r)
+      (r, sid, dsel, cell.size.toLong,
+        if (cell.isEmpty) 0L else cell.map(_._1).max)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q138_kcenter_coreset")(
+        TestSpark.spark, dir)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(_._1).toVector
+    assert(got == expected)
+    // greedy k-center invariant: selection distances are non-increasing
+    val dsels = got.drop(1).map(_._3)
+    assert(dsels.zip(dsels.tail).forall { case (a, b) => a >= b })
+  }
+
   test("q136 matches a scalar KS computation on planted distributions") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("ks").toString

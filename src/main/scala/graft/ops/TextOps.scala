@@ -990,5 +990,95 @@ object TextOps {
              |   AND sum_len >= n_toks * 3 AND sum_len <= n_toks * 10
              |   AND n_stop >= 2 AND top_c * 5 <= n_toks) AS keep
              |FROM agg""".stripMargin)),
+
+    // ----- q139: BM25 retrieval scoring (lift idf, log-free) --------------
+    // Full-corpus retrieval ranking (Robertson & Zaragoza's BM25 with
+    // k1 = 1.5, b = 0.75 — both DYADIC rationals, exactly representable)
+    // for query-by-document: every doc_id % 100 == 0 document's distinct
+    // terms rank the whole corpus. One deliberate, documented deviation:
+    // idf is the RATIO (N − df + ½)/(df + ½) rather than its log — ln
+    // across engines differs in the last ulp (the q52/q62/q118 rule), and
+    // the lift form keeps per-term monotonicity in df, which is what the
+    // downstream trimming decisions consume. Scale shape is the classic
+    // inverted-index DAAT plan: candidate postings = tf ⋈ broadcast(query
+    // terms) — cost Σ df over query terms, never corpus × queries; df and
+    // avgdl reduce to a vocab-sized table and ONE broadcast scalar row;
+    // the per-(query, doc) sum is dsum (exact decimal), so scores and the
+    // (score desc, doc_id) top-5 are partition-count-deterministic.
+    NamedQuery(
+      "q139_bm25",
+      (s, d) => {
+        val toks = tbl(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+        val tf = toks.groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"),
+            sum(col("dl")).as("tot"))
+          .select(col("n_docs"), (col("tot").cast("double") /
+            col("n_docs").cast("double")).as("avgdl"))
+        val dft = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val qterms = tf.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("q_id"), col("tok"))
+        // df restricted to query terms stays query-vocabulary-sized
+        val dfq = dft.join(
+          broadcast(qterms.select(col("tok")).distinct()), Seq("tok"))
+        val idf = (col("n_docs").cast("double") -
+          col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))
+        val tfd = col("tf").cast("double")
+        val tpart = tfd * lit(2.5) / (tfd + lit(1.5) *
+          (lit(0.25) + lit(0.75) *
+            (col("dl").cast("double") / col("avgdl"))))
+        val scored = tf.join(broadcast(qterms), Seq("tok"))
+          .join(broadcast(dfq), Seq("tok"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(stats))
+          .select(col("q_id"), col("doc_id"), (idf * tpart).as("contrib"))
+          .groupBy(col("q_id"), col("doc_id"))
+          .agg(dsum(col("contrib")).as("score"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("doc_id"))
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              |  FROM documents),
+              |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t
+              |       WHERE tok <> '' GROUP BY doc_id, tok),
+              |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+              |       FROM tf GROUP BY doc_id),
+              |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |    CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+              |      AS avgdl
+              |  FROM dl),
+              |dft AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+              |        FROM tf GROUP BY tok),
+              |q AS (SELECT doc_id AS q_id, tok FROM tf
+              |      WHERE doc_id % 100 = 0),
+              |p AS (
+              |  SELECT q.q_id, f.doc_id,
+              |    ((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+              |      / (CAST(d.df AS DOUBLE) + 0.5))
+              |    * (CAST(f.tf AS DOUBLE) * 2.5
+              |       / (CAST(f.tf AS DOUBLE) + 1.5
+              |          * (0.25 + 0.75
+              |             * (CAST(l.dl AS DOUBLE) / s.avgdl))))
+              |      AS contrib
+              |  FROM tf f JOIN q ON f.tok = q.tok
+              |  JOIN dft d ON f.tok = d.tok
+              |  JOIN dl l ON f.doc_id = l.doc_id
+              |  CROSS JOIN stats s),
+              |sc AS (SELECT q_id, doc_id, ${dsumSql("contrib")} AS score
+              |       FROM p GROUP BY q_id, doc_id)
+              |SELECT q_id, doc_id, score, rank FROM (
+              |  SELECT q_id, doc_id, score,
+              |    CAST(row_number() OVER (PARTITION BY q_id
+              |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+              |  FROM sc)
+              |WHERE rank <= 5""".stripMargin)),
   )
 }

@@ -190,6 +190,46 @@ class QualityGraphOpsSpec extends AnyFunSuite {
     assert(dsels.zip(dsels.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q139 matches a scalar BM25 reference on the real corpus") {
+    // independent scalar BM25 (lift idf, k1 = 1.5, b = 0.75) over the
+    // same tokenization; checks the full top-5 per query
+    val docs = TestSpark.spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ", -1).filter(_.nonEmpty).toSeq).toMap
+    val tf = docs.map { case (id, ts) =>
+      id -> ts.groupBy(identity).view.mapValues(_.size.toLong).toMap }
+    val dl = tf.view.mapValues(_.values.sum).toMap
+    val n = docs.size.toLong
+    val avgdl = dl.values.sum.toDouble / n.toDouble
+    val dfm = tf.values.flatMap(_.keys).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    def score(qTerms: Set[String], doc: Long): BigDecimal =
+      qTerms.toSeq.flatMap { t =>
+        tf(doc).get(t).map { f =>
+          val idf = (n.toDouble - dfm(t).toDouble + 0.5) /
+            (dfm(t).toDouble + 0.5)
+          val tp = f.toDouble * 2.5 / (f.toDouble + 1.5 *
+            (0.25 + 0.75 * (dl(doc).toDouble / avgdl)))
+          BigDecimal(idf * tp).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        }
+      }.sum
+    val expected = docs.keys.filter(_ % 100 == 0).toSeq.sorted.flatMap { q =>
+      val qs = tf(q).keySet
+      docs.keys.toSeq
+        .map(doc => (q, doc, score(qs, doc)))
+        .filter(_._3 > 0)
+        .sortBy { case (_, doc, sc) => (-sc, doc) }
+        .take(5).zipWithIndex
+        .map { case ((qq, doc, sc), i) => (qq, doc, sc.toDouble, i + 1L) }
+    }
+    val got = SparkEntry.queries("q139_bm25")(TestSpark.spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(r => (r._1, r._4)).toSeq
+    assert(got == expected)
+  }
+
   test("q136 matches a scalar KS computation on planted distributions") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("ks").toString

@@ -606,5 +606,130 @@ object AnalyticsOps {
              |  CAST(ks_num AS DOUBLE)
              |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks_stat
              |FROM m, n""".stripMargin)),
+
+    // ----- q140: Kaplan–Meier survival (time-to-conversion) ---------------
+    // The right-censoring-aware lifetime curve a raw duration histogram
+    // gets wrong: subjects are users, the event is their first purchase,
+    // users who never purchase are CENSORED at their last observed event
+    // (they contribute to the at-risk denominator until they leave, not
+    // as fake conversions). Durations are integer hours from exact
+    // microsecond arithmetic (unix_micros / epoch_us, floor-div — no
+    // float time math). Both global prefixes avoid a global sort: the
+    // at-risk counts use the q136 phased shape (per-day-bucket running
+    // window + bucket-level offsets), and the survival PRODUCT — which
+    // has no distributive aggregate — uses order-pinned list folds:
+    // within-bucket prefix folds of collect_list over the dur-ordered
+    // window, times a bucket-offset fold of per-bucket products. The
+    // fold NESTING is mirrored token-for-token in the oracle, so the
+    // doubles are bit-identical even though float multiply is not
+    // associative. Censored-only durations carry factor exactly 1.0
+    // (d = 0) and drop out of the reported steps but not the risk set.
+    NamedQuery(
+      "q140_kaplan_meier",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val subj = events(s, d)
+          .groupBy(col("user_id"))
+          .agg(min(unix_micros(col("ts"))).as("t0"),
+            min(when(col("event_type") === "purchase",
+              unix_micros(col("ts")))).as("tp"),
+            max(unix_micros(col("ts"))).as("tl"))
+          .select(expr("(coalesce(tp, tl) - t0) div 3600000000").as("dur"),
+            col("tp").isNotNull.as("ev"))
+        val dist = subj.groupBy(col("dur"))
+          .agg(sum(when(col("ev"), lit(1L)).otherwise(lit(0L))).as("d"),
+            sum(when(col("ev"), lit(0L)).otherwise(lit(1L))).as("c"))
+          .withColumn("b", expr("dur div 24"))
+        val n = dist.agg(sum(col("d") + col("c")).as("n_total"))
+        val wRun = Window.partitionBy(col("b")).orderBy(col("dur"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wOffCnt = Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val off = dist.groupBy(col("b"))
+          .agg(sum(col("d") + col("c")).as("tb"))
+          .select(col("b"),
+            coalesce(sum(col("tb")).over(wOffCnt), lit(0L)).as("ocnt"))
+        val risks = dist.join(broadcast(off), "b")
+          .crossJoin(broadcast(n))
+          .withColumn("before", col("ocnt") +
+            coalesce(sum(col("d") + col("c")).over(wRun), lit(0L)))
+          .withColumn("n_risk", col("n_total") - col("before"))
+          .withColumn("f", lit(1.0) -
+            col("d").cast("double") / col("n_risk").cast("double"))
+        val wList = Window.partitionBy(col("b")).orderBy(col("dur"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val pre = risks
+          .withColumn("fl", collect_list(col("f")).over(wList))
+          .withColumn("pre",
+            aggregate(col("fl"), lit(1.0), (a, x) => a * x))
+        val bp = risks.groupBy(col("b"))
+          .agg(expr("aggregate(transform(array_sort(" +
+            "collect_list(struct(dur, f))), s -> s.f), 1.0D, " +
+            "(a, x) -> a * x)").as("pb"))
+        val wOffP = Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offp = bp
+          .withColumn("lp", collect_list(col("pb")).over(wOffP))
+          .select(col("b"),
+            aggregate(col("lp"), lit(1.0), (a, x) => a * x).as("po"))
+        pre.join(broadcast(offp), "b")
+          .filter(col("d") > 0)
+          .select(col("dur"), col("d"), col("c"), col("n_risk"),
+            (col("po") * col("pre")).as("surv"))
+      },
+      Some("""WITH s0 AS (
+             |  SELECT user_id, min(epoch_us(ts)) AS t0,
+             |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts)
+             |        END) AS tp,
+             |    max(epoch_us(ts)) AS tl
+             |  FROM events GROUP BY user_id),
+             |subj AS (
+             |  SELECT (coalesce(tp, tl) - t0) // 3600000000 AS dur,
+             |    tp IS NOT NULL AS ev
+             |  FROM s0),
+             |dist AS (
+             |  SELECT dur,
+             |    CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             |    CAST(SUM(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS c,
+             |    dur // 24 AS b
+             |  FROM subj GROUP BY dur),
+             |n AS (SELECT CAST(SUM(d + c) AS BIGINT) AS n_total FROM dist),
+             |off AS (
+             |  SELECT b, coalesce(CAST(SUM(tb) OVER (ORDER BY b
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS BIGINT), 0) AS ocnt
+             |  FROM (SELECT b, CAST(SUM(d + c) AS BIGINT) AS tb
+             |        FROM dist GROUP BY b)),
+             |risks AS (
+             |  SELECT dur, d, c, dist.b AS b, n_total,
+             |    CAST(n_total - (ocnt + coalesce(CAST(SUM(d + c) OVER (
+             |      PARTITION BY dist.b ORDER BY dur
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS BIGINT), 0)) AS BIGINT) AS n_risk
+             |  FROM dist JOIN off ON dist.b = off.b CROSS JOIN n),
+             |r2 AS (
+             |  SELECT dur, d, c, b, n_risk,
+             |    1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS f
+             |  FROM risks),
+             |pre AS (
+             |  SELECT dur, d, c, b, n_risk,
+             |    list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+             |      list(f) OVER (PARTITION BY b ORDER BY dur
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |      (a, x) -> a * x) AS pre
+             |  FROM r2),
+             |bp AS (
+             |  SELECT b, list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+             |      list(f ORDER BY dur)), (a, x) -> a * x) AS pb
+             |  FROM r2 GROUP BY b),
+             |offp AS (
+             |  SELECT b, list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+             |      coalesce(list(pb) OVER (ORDER BY b
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |        CAST([] AS DOUBLE[]))), (a, x) -> a * x) AS po
+             |  FROM bp)
+             |SELECT dur, d, c, n_risk, po * pre AS surv
+             |FROM pre JOIN offp USING (b)
+             |WHERE d > 0""".stripMargin)),
   )
 }

@@ -230,6 +230,53 @@ class QualityGraphOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q140 matches a sequential textbook Kaplan-Meier on the real events") {
+    // sequential scalar KM: sort durations once, walk them in order with
+    // a running at-risk count and a running product — the construction
+    // the distributed phased/fold plan must agree with
+    val ev = graft.ops.OpsKit.events(TestSpark.spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val subj = ev.groupBy(_._1).toSeq.map { case (_, rows) =>
+      val t0 = rows.map(_._3).min
+      val tp = rows.filter(_._2 == "purchase").map(_._3)
+        .reduceOption(_ min _)
+      val end = tp.getOrElse(rows.map(_._3).max)
+      ((end - t0) / 3600000000L, tp.isDefined)
+    }
+    var atRisk = subj.size.toLong
+    var surv = BigDecimal(1)
+    val steps = Vector.newBuilder[(Long, Long, Long, Long, Double)]
+    for (dur <- subj.map(_._1).distinct.sorted) {
+      val dcnt = subj.count(x => x._1 == dur && x._2).toLong
+      val ccnt = subj.count(x => x._1 == dur && !x._2).toLong
+      val f = 1.0 - dcnt.toDouble / atRisk.toDouble
+      surv = surv * BigDecimal(f)
+      if (dcnt > 0) steps += ((dur, dcnt, ccnt, atRisk, surv.toDouble))
+      atRisk -= dcnt + ccnt
+    }
+    val expected = steps.result()
+    val got = SparkEntry.queries("q140_kaplan_meier")(TestSpark.spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .sortBy(_._1).toVector
+    // the engine's bucketed fold nests multiplications differently from
+    // the sequential walk, so compare survival to 1e-12 relative, the
+    // integer columns exactly
+    assert(got.map(t => (t._1, t._2, t._3, t._4)) ==
+      expected.map(t => (t._1, t._2, t._3, t._4)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._5 - e._5) <= 1e-12 * math.max(1.0, e._5.abs),
+        s"surv at dur=${g._1}: ${g._5} vs ${e._5}")
+    }
+    // survival is non-increasing and in [0, 1] (exactly 0 when the
+    // largest duration is an event: d = n_risk at the last step)
+    val ss = got.map(_._5)
+    assert(ss.forall(x => x >= 0.0 && x <= 1.0))
+    assert(ss.zip(ss.tail).forall { case (a, b) => a >= b })
+  }
+
   test("q136 matches a scalar KS computation on planted distributions") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("ks").toString

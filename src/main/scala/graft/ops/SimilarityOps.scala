@@ -1356,7 +1356,7 @@ object SimilarityOps {
           .groupBy(col("a.r").as("sel_rank"))
           .agg(count(lit(1)).as("n_assigned"), max(col("a.dv")).as("radius"))
         sels.select(col("sel_rank"), col("vec_id"), col("d_sel"))
-          .join(assigned, Seq("sel_rank"), "left")
+          .join(broadcast(assigned), Seq("sel_rank"), "left")
           .select(col("sel_rank"), col("vec_id"), col("d_sel"),
             coalesce(col("n_assigned"), lit(0L)).as("n_assigned"),
             coalesce(col("radius"), lit(0L)).as("radius"))

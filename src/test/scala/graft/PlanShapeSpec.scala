@@ -59,6 +59,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(v).size >= 2, s"no partial agg:\n$v")
   }
 
+  test("compressed-domain and retrieval joins broadcast their small sides") {
+    // q137: the 64-row codebook and the query LUT must both broadcast —
+    // the corpus-side codes never shuffle for the ADC lookup
+    val adc = plan("q137_pq_adc")
+    assert("BroadcastHashJoin".r.findAllIn(adc).size >= 2, s"q137:\n$adc")
+    assert(!adc.contains("SortMergeJoin"), s"q137 shuffles the corpus:\n$adc")
+    // q139: query terms, query-vocab df, and the stats row all broadcast
+    // into the postings scan (DAAT: the tf side streams exactly once)
+    val bm = plan("q139_bm25")
+    assert("BroadcastHashJoin".r.findAllIn(bm).size >= 3, s"q139:\n$bm")
+    // q138: every frontier/argmax meet is a broadcast (1-row centers),
+    // and the final cell-stats attach must not sort-merge 5 rows
+    val kc = plan("q138_kcenter_coreset")
+    assert(!kc.contains("SortMergeJoin"), s"q138 shuffles a tiny side:\n$kc")
+  }
+
   test("LSH band self-join is a shuffled join, not broadcast") {
     // broadcast would duplicate the signature computation per side
     val p = plan("q27_minhash_lsh")

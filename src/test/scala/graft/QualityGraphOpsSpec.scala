@@ -52,6 +52,37 @@ class QualityGraphOpsSpec extends AnyFunSuite {
     assert(got.values.map(_._2).sum <= 8L * 1000000000000L)
   }
 
+  test("q141 engine matches a scalar synchronous LPA on a planted graph") {
+    import spark.implicits._
+    // triangle {0,1,2} bridged by edge 2-3 to pair {3,4}; isolated 5;
+    // dirty input: duplicate, reversed, and self-loop edges
+    val nodes = (0L to 5L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 1L), (0L, 1L),
+      (2L, 3L), (3L, 4L), (5L, 5L)).toDF("id1", "id2")
+    val clean = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (3L, 4L))
+    // scalar synchronous LPA, same tie-break (max count, min label)
+    val adj = clean.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .distinct.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lbl = (0L to 5L).map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lbl = lbl.map { case (n, old) =>
+        n -> adj.get(n).fold(old) { nbrs =>
+          nbrs.map(lbl).groupBy(identity).view.mapValues(_.size).toSeq
+            .minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+    }
+    val sizes = lbl.values.groupBy(identity).view.mapValues(_.size.toLong)
+    val want = lbl.map { case (n, l) => (n, l, sizes(l)) }.toSet
+    val got = GovernanceOps.labelPropagation(nodes, pairs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    // the dense triangle must be one community; the isolated node its own
+    val byNode = got.map(t => t._1 -> t._2).toMap
+    assert(byNode(0L) == byNode(1L) && byNode(1L) == byNode(2L))
+    assert(byNode(5L) == 5L)
+  }
+
   test("q132 matches a scalar first-wins reference over the real corpus") {
     val out = SparkEntry.queries("q132_window_dedup")(spark, dir).cache()
     val copies = out.filter(col("doc_id") >= 100000L)

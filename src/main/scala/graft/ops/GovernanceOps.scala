@@ -1239,7 +1239,13 @@ object GovernanceOps {
       .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
+    // labels is referenced TWICE per round (mode build + label carry), so
+    // an unpinned plan doubles per round — 2^iters recompute of round 1.
+    // localCheckpoint per round truncates the lineage (the StarCC/q47
+    // discipline); at scale this is also where an iterative job must cut
+    // its plan anyway.
     var labels = nodes.select(col("doc_id"), col("doc_id").as("lbl"))
+      .localCheckpoint()
     for (_ <- 1 to iters) {
       val mode = edges.join(labels, col("src") === col("doc_id"))
         .groupBy(col("dst"), col("lbl"))
@@ -1250,6 +1256,7 @@ object GovernanceOps {
         .select(col("dst"), col("m.l").as("new_lbl"))
       labels = labels.join(mode, col("doc_id") === col("dst"), "left")
         .select(col("doc_id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
     }
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("comm_size"))
     labels.join(sizes, "lbl")

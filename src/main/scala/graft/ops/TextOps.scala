@@ -1011,8 +1011,12 @@ object TextOps {
         val toks = tbl(s, d, "documents")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
           .filter(col("tok") =!= "")
+        // tf feeds FOUR consumers (postings, dl, df, query terms); persist
+        // so the explode+count runs once — plan-keyed, so repeat calls in
+        // one session share the same cache entry (the kmCorpus mechanism)
         val tf = toks.groupBy(col("doc_id"), col("tok"))
           .agg(count(lit(1)).as("tf"))
+          .persist()
         val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
         val stats = dl.agg(count(lit(1)).as("n_docs"),
             sum(col("dl")).as("tot"))

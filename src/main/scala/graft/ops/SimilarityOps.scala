@@ -1413,5 +1413,95 @@ object SimilarityOps {
            |  coalesce(st.radius, CAST(0 AS BIGINT)) AS radius
            |FROM sel s LEFT JOIN st ON s.sel_rank = st.sel_rank""".stripMargin
       }),
+
+    // ----- q142: 2-hop graph feature propagation (GraphSAGE-mean / SGC) ---
+    // The message-passing primitive of distributed GNN feature pipelines
+    // (GraphSAGE mean aggregator / SGC's S²X): every vector's feature is
+    // replaced by the element-wise mean of its neighbors' features, twice.
+    // Graph = the deterministic LSH-bucket graph (same 8-hyperplane
+    // signature as q32; at 100 TB you'd feed the q129 mutual-kNN top-3
+    // edges instead for a hard degree bound — the aggregation plan below
+    // is unchanged, only the edge CTE swaps). Each hop is the canonical
+    // distributed shape: edge ⋈ feature hash join, posexplode to
+    // (dst, dim), ONE partial-aggregable integer sum over the shared
+    // 2^20-grid features, and an array rebuild — never a per-row gather
+    // of neighbor arrays into memory. Means are floor(sum/deg) computed
+    // in DOUBLES on both engines (sums < 2^33 ≪ 2^53, and Spark's `div`
+    // truncates toward zero while DuckDB's `//` floors — explicit
+    // floor-of-double sidesteps the negative-value mismatch). Nodes in
+    // singleton buckets carry their own feature through each hop (left
+    // join + coalesce). Output ships the hop-2 feature as canonical CSV
+    // (the q64 codes_csv discipline) plus the degree.
+    NamedQuery(
+      "q142_graph_feature_agg",
+      (s, d) => {
+        val corpus = kmCorpus(s, d)
+        val withB = tbl(s, d, "embeddings")
+          .select(col("vec_id"), lshBucket(col("embedding")).as("bucket"))
+        val edges = withB.select(col("vec_id").as("src"), col("bucket"))
+          .join(withB.select(col("vec_id").as("dst"), col("bucket")),
+            "bucket")
+          .filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst"))
+        val deg = edges.groupBy(col("dst")).agg(count(lit(1)).as("deg"))
+        def hop(feat: DataFrame): DataFrame = {
+          val agg = edges.join(feat, col("src") === feat("vec_id"))
+            .select(col("dst"), posexplode(col("f")).as(Seq("i", "v")))
+            .groupBy(col("dst"), col("i"))
+            .agg(sum(col("v")).as("sv"))
+            .groupBy(col("dst"))
+            .agg(expr("transform(array_sort(collect_list(struct(i, sv)))," +
+              " t -> t.sv)").as("fs"))
+            .join(deg, "dst")
+            .select(col("dst"),
+              expr("transform(fs, x -> CAST(floor(CAST(x AS DOUBLE) / " +
+                "CAST(deg AS DOUBLE)) AS BIGINT))").as("fn"))
+          feat.join(agg, feat("vec_id") === agg("dst"), "left")
+            .select(col("vec_id"), coalesce(col("fn"), col("f")).as("f"))
+        }
+        val f0 = corpus.select(col("vec_id"), col("qe").as("f"))
+        val h2 = hop(hop(f0))
+        h2.join(deg.withColumnRenamed("dst", "vec_id"), Seq("vec_id"),
+            "left")
+          .select(col("vec_id"), coalesce(col("deg"), lit(0L)).as("deg"),
+            array_join(transform(col("f"), _.cast("string")), ",")
+              .as("h2_csv"))
+      },
+      Some {
+        def hopSql(xn: String, hn: String, src: String, prev: String)
+            : String =
+          s"""x$xn AS (
+             |  SELECT e.dst, js.i, CAST(SUM(($src)[js.i]) AS BIGINT) AS sv
+             |  FROM e JOIN $prev p ON e.src = p.vec_id, js
+             |  GROUP BY e.dst, js.i),
+             |g$xn AS (
+             |  SELECT x.dst, list(CAST(floor(CAST(sv AS DOUBLE)
+             |      / CAST(d.deg AS DOUBLE)) AS BIGINT) ORDER BY x.i) AS fn
+             |  FROM x$xn x JOIN deg d ON x.dst = d.dst GROUP BY x.dst),
+             |$hn AS (
+             |  SELECT p.vec_id, coalesce(g.fn, p.f) AS f
+             |  FROM $prev p LEFT JOIN g$xn g ON p.vec_id = g.dst)"""
+            .stripMargin
+        s"""WITH q AS (
+           |  SELECT vec_id, list_transform(embedding,
+           |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))
+           |    AS qe
+           |  FROM embeddings),
+           |b AS (SELECT vec_id, ${lshBucketSql("embedding")} AS bucket
+           |      FROM embeddings),
+           |e AS (SELECT s.vec_id AS src, t.vec_id AS dst
+           |      FROM b s JOIN b t
+           |      ON s.bucket = t.bucket AND s.vec_id <> t.vec_id),
+           |deg AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS deg
+           |        FROM e GROUP BY dst),
+           |js AS (SELECT unnest(range(1, 65)) AS i),
+           |h0 AS (SELECT vec_id, qe AS f FROM q),
+           |${hopSql("1", "h1", "p.f", "h0")},
+           |${hopSql("2", "h2", "p.f", "h1")}
+           |SELECT h.vec_id, coalesce(d.deg, 0) AS deg,
+           |  array_to_string(list_transform(f, x -> CAST(x AS VARCHAR)),
+           |    ',') AS h2_csv
+           |FROM h2 h LEFT JOIN deg d ON h.vec_id = d.dst""".stripMargin
+      }),
   )
 }

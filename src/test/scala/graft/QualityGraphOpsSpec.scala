@@ -83,6 +83,45 @@ class QualityGraphOpsSpec extends AnyFunSuite {
     assert(byNode(5L) == 5L)
   }
 
+  test("q142 matches a scalar 2-hop mean aggregation on the real corpus") {
+    // buckets come from the native lsh_bucket expression (its own parity
+    // is pinned by NativeExprSpec); everything downstream is re-derived
+    // scalar: bucket graph, two floor-mean hops with self-carry
+    val spark2 = TestSpark.spark
+    val rows = spark2.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.call_function(
+          "lsh_bucket", col("embedding")).as("bucket"),
+        col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Float](2).map(x =>
+          math.floor(x.toDouble * 1048576.0).toLong).toArray))
+    val byBucket = rows.groupBy(_._2)
+    val nbrs = rows.map { case (id, b, _) =>
+      id -> byBucket(b).map(_._1).filter(_ != id).toSeq }.toMap
+    var feat = rows.map(r => r._1 -> r._3).toMap
+    for (_ <- 1 to 2) {
+      val prev = feat
+      feat = feat.map { case (id, f) =>
+        val ns = nbrs(id)
+        id -> (if (ns.isEmpty) f
+        else {
+          val deg = ns.size.toDouble
+          Array.tabulate(f.length) { i =>
+            math.floor(ns.map(n => prev(n)(i)).sum.toDouble / deg).toLong
+          }
+        })
+      }
+    }
+    val want = rows.map { case (id, _, _) =>
+      (id, nbrs(id).size.toLong, feat(id).mkString(",")) }.sortBy(_._1)
+    val got = SparkEntry.queries("q142_graph_feature_agg")(spark2, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("q132 matches a scalar first-wins reference over the real corpus") {
     val out = SparkEntry.queries("q132_window_dedup")(spark, dir).cache()
     val copies = out.filter(col("doc_id") >= 100000L)

@@ -731,5 +731,74 @@ object AnalyticsOps {
              |SELECT dur, d, c, n_risk, po * pre AS surv
              |FROM pre JOIN offp USING (b)
              |WHERE d > 0""".stripMargin)),
+
+    // ----- q143: market-basket association rules (A-Priori 2-itemsets) ----
+    // Agrawal–Srikant's frequent-pair mining, the distributed way: the
+    // candidate space is pruned BEFORE the pair join (a part enters the
+    // basket self-join only if its 1-item support already clears the
+    // threshold — the A-Priori monotonicity step, applied as a broadcast
+    // semi-join), so pair work is bounded by Σ basket² over FREQUENT
+    // items, never |parts|². The self-join key is the order id: a basket
+    // joins only itself, and baskets are small (TPC-H ≤ 7 lines), so no
+    // pair explosion regardless of corpus size. Supports are exact
+    // integers; confidence and lift are single-rounding double ratios of
+    // those integers (identical expression trees both engines). Output =
+    // global top-20 by (support, p1, p2) — a TakeOrderedAndProject, not
+    // a full sort. The part-support side is part-dimension-sized and
+    // broadcast; the order-count is ONE scalar row.
+    NamedQuery(
+      "q143_basket_rules",
+      (s, d) => {
+        val items = tbl(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val supp1 = items.groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("s"))
+        val norders = items.select(col("l_orderkey")).distinct()
+          .agg(count(lit(1)).as("n_orders"))
+        val freq = supp1.filter(col("s") >= 3)
+        val fitems = items
+          .join(broadcast(freq.select(col("l_partkey"))), "l_partkey")
+        val a = fitems.select(col("l_orderkey"), col("l_partkey").as("p1"))
+        val b = fitems.select(col("l_orderkey"), col("l_partkey").as("p2"))
+        val pairs = a.join(b, Seq("l_orderkey"))
+          .filter(col("p1") < col("p2"))
+          .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("supp"))
+          .filter(col("supp") >= 2)
+        val s1 = supp1.select(col("l_partkey").as("p1"), col("s").as("s1"))
+        val s2 = supp1.select(col("l_partkey").as("p2"), col("s").as("s2"))
+        pairs.join(broadcast(s1), "p1").join(broadcast(s2), "p2")
+          .crossJoin(broadcast(norders))
+          .select(col("p1"), col("p2"), col("supp"), col("s1"), col("s2"),
+            (col("supp").cast("double") / col("s1").cast("double"))
+              .as("conf"),
+            ((col("supp").cast("double") * col("n_orders").cast("double"))
+              / (col("s1").cast("double") * col("s2").cast("double")))
+              .as("lift"))
+          .orderBy(col("supp").desc, col("p1"), col("p2"))
+          .limit(20)
+      },
+      Some("""WITH items AS (
+             |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |s1t AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS s
+             |        FROM items GROUP BY l_partkey),
+             |n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+             |        AS n_orders FROM items),
+             |f AS (SELECT l_partkey FROM s1t WHERE s >= 3),
+             |fi AS (SELECT i.l_orderkey, i.l_partkey FROM items i
+             |       JOIN f ON i.l_partkey = f.l_partkey),
+             |p AS (
+             |  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+             |    CAST(COUNT(*) AS BIGINT) AS supp
+             |  FROM fi a JOIN fi b ON a.l_orderkey = b.l_orderkey
+             |    AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+             |SELECT p1, p2, supp, x.s AS s1, y.s AS s2,
+             |  CAST(supp AS DOUBLE) / CAST(x.s AS DOUBLE) AS conf,
+             |  (CAST(supp AS DOUBLE) * CAST(n_orders AS DOUBLE))
+             |    / (CAST(x.s AS DOUBLE) * CAST(y.s AS DOUBLE)) AS lift
+             |FROM p JOIN s1t x ON p.p1 = x.l_partkey
+             |       JOIN s1t y ON p.p2 = y.l_partkey
+             |       CROSS JOIN n
+             |ORDER BY supp DESC, p1, p2 LIMIT 20""".stripMargin)),
   )
 }

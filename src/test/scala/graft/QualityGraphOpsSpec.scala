@@ -122,6 +122,44 @@ class QualityGraphOpsSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("q143 matches a scalar A-Priori reference on the real lineitem") {
+    val rows = TestSpark.spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val s1 = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nOrders = rows.map(_._1).distinct.length.toLong
+    val freq = s1.filter(_._2 >= 3).keySet
+    val baskets = rows.filter(r => freq(r._2)).groupBy(_._1)
+    val supp = baskets.values.toSeq
+      .flatMap { b =>
+        val ps = b.map(_._2).sorted
+        for (i <- ps.indices; j <- i + 1 until ps.size) yield (ps(i), ps(j))
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 2).toMap
+    val want = supp.toSeq
+      .map { case ((p1, p2), sp) =>
+        (p1, p2, sp, s1(p1), s1(p2),
+          sp.toDouble / s1(p1).toDouble,
+          (sp.toDouble * nOrders.toDouble) /
+            (s1(p1).toDouble * s1(p2).toDouble))
+      }
+      .sortBy { case (p1, p2, sp, _, _, _, _) => (-sp, p1, p2) }
+      .take(20)
+    val got = SparkEntry.queries("q143_basket_rules")(TestSpark.spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+      .sortBy(t => (-t._3, t._1, t._2)).toSeq
+    assert(got == want)
+    // A-Priori sanity: a pair's support never exceeds either item's
+    got.foreach { case (_, _, sp, sa, sb, conf, lift) =>
+      assert(sp <= math.min(sa, sb))
+      assert(conf > 0.0 && conf <= 1.0)
+      assert(lift > 0.0)
+    }
+  }
+
   test("q132 matches a scalar first-wins reference over the real corpus") {
     val out = SparkEntry.queries("q132_window_dedup")(spark, dir).cache()
     val copies = out.filter(col("doc_id") >= 100000L)

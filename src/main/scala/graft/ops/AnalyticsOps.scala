@@ -800,5 +800,60 @@ object AnalyticsOps {
              |       JOIN s1t y ON p.p2 = y.l_partkey
              |       CROSS JOIN n
              |ORDER BY supp DESC, p1, p2 LIMIT 20""".stripMargin)),
+
+    // ----- q144: Pareto skyline (2-D dominance) without the O(n²) join ----
+    // The classic skyline operator (Börzsönyi et al., ICDE 2001): parts
+    // on the (cheapest-offer, most-units-sold) frontier — no other part
+    // is at-most-as-expensive AND at-least-as-demanded with one strict.
+    // The textbook formulation is a quadratic NOT EXISTS self-join; the
+    // 2-D identity "on the skyline ⟺ best-discount-at-this-price beats
+    // the best discount over all STRICTLY cheaper prices" turns it into
+    // a strict-prefix-max — built here with the q136 phased shape
+    // (per-price-bucket running max + bucket-level offsets), so a 100 TB
+    // offer table computes its frontier with two bounded windows and
+    // zero global sorts. Money lands on an exact cent grid via
+    // floor(x·100 + 0.5) (round-half-up — identical IEEE ops both
+    // engines). The ORACLE deliberately uses the quadratic NOT EXISTS
+    // definition — construction-independent semantics, so a bug in the
+    // prefix-max identity cannot self-confirm. Ties: equal (price,
+    // discount) points dominate neither way and are BOTH kept.
+    NamedQuery(
+      "q144_pareto_skyline",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val parts = tbl(s, d, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(min(floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+            .cast("long")).as("pc"),
+            sum(floor(col("l_quantity")).cast("long")).as("dc"))
+        val pts = parts.groupBy(col("pc")).agg(max(col("dc")).as("bd"))
+          .withColumn("b", expr("pc div 100000"))
+        val wIn = Window.partitionBy(col("b")).orderBy(col("pc"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wOff = Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val off = pts.groupBy(col("b")).agg(max(col("bd")).as("mb"))
+          .select(col("b"),
+            coalesce(max(col("mb")).over(wOff), lit(-1L)).as("omax"))
+        val sky = pts.join(broadcast(off), "b")
+          .withColumn("prefix", greatest(col("omax"),
+            coalesce(max(col("bd")).over(wIn), lit(-1L))))
+          .filter(col("bd") > col("prefix"))
+          .select(col("pc"), col("bd").as("dc"))
+        parts.join(broadcast(sky), Seq("pc", "dc"))
+          .select(col("l_partkey"), col("pc"), col("dc"))
+      },
+      Some("""WITH parts AS (
+             |  SELECT l_partkey,
+             |    CAST(MIN(floor(l_extendedprice * 100.0 + 0.5)) AS BIGINT)
+             |      AS pc,
+             |    CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+             |      AS dc
+             |  FROM lineitem GROUP BY l_partkey)
+             |SELECT p.l_partkey, p.pc, p.dc FROM parts p
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM parts q
+             |  WHERE q.pc <= p.pc AND q.dc >= p.dc
+             |    AND (q.pc < p.pc OR q.dc > p.dc))""".stripMargin)),
   )
 }

@@ -458,6 +458,15 @@ object DedupOps {
     // drift across engines. Per band: exact pairs, LSH-found pairs, and
     // the recall ratio — the measured S-curve that tells you whether 8×4
     // banding is enough before you ship a dedup run on a real crawl.
+    //
+    // The audit runs over a bounded QUERY PANEL (pairs whose smaller id
+    // is < 1000), not corpus x corpus: a recall estimate needs a fixed
+    // sample, and the exact tau=1/2 join over the WHOLE corpus is
+    // inherently super-linear on low-entropy corpora (tau=1/2 keeps
+    // about half of each doc's shingles in the prefix — ScaleProbe
+    // measured x28 at 10x docs un-paneled). The panel is also the only
+    // honest 100 TB shape: the full exact join is the computation LSH
+    // exists to avoid; the audit samples it.
     NamedQuery(
       "q135_lsh_recall",
       (s, d) => {
@@ -479,7 +488,9 @@ object DedupOps {
             "AS INT))")).as(Seq("p0", "tok")))
           .select(col("doc_id"), col("n"), (col("p0") + 1).as("p"),
             col("tok"))
-        val cands = pref
+        // the panel side is cut BEFORE the posting join, so join input —
+        // not just output — is bounded by the panel
+        val cands = pref.filter(col("doc_id") < 1000)
           .select(col("doc_id").as("id1"), col("n").as("na"),
             col("p").as("pa"), col("tok"))
           .join(pref.select(col("doc_id").as("id2"), col("n").as("nb"),
@@ -522,7 +533,8 @@ object DedupOps {
               |    CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS i,
               |    CAST(len(a.ts) + len(b.ts) AS BIGINT) AS nn
               |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-              |  WHERE len(list_intersect(a.ts, b.ts)) * 3
+              |  WHERE a.doc_id < 1000
+              |    AND len(list_intersect(a.ts, b.ts)) * 3
               |        >= len(a.ts) + len(b.ts))
               |SELECT (10 * i) // (nn - i) AS jband,
               |  CAST(COUNT(*) AS BIGINT) AS n_exact,

@@ -160,6 +160,24 @@ class QualityGraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q144 matches the quadratic dominance definition on real lineitem") {
+    val pts = TestSpark.spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_partkey"))
+      .agg(min(floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+        .cast("long")).as("pc"),
+        sum(floor(col("l_quantity")).cast("long")).as("dc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def dominated(p: (Long, Long, Long)) = pts.exists(q =>
+      q._2 <= p._2 && q._3 >= p._3 && (q._2 < p._2 || q._3 > p._3))
+    val want = pts.filterNot(dominated).map(t => (t._1, t._2, t._3))
+      .sortBy(_._1).toSeq
+    val got = SparkEntry.queries("q144_pareto_skyline")(TestSpark.spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("q132 matches a scalar first-wins reference over the real corpus") {
     val out = SparkEntry.queries("q132_window_dedup")(spark, dir).cache()
     val copies = out.filter(col("doc_id") >= 100000L)

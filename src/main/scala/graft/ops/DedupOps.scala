@@ -545,5 +545,51 @@ object DedupOps {
               |FROM exact e LEFT JOIN pairs p
               |  ON e.id1 = p.id1 AND e.id2 = p.id2
               |GROUP BY 1""".stripMargin)),
+
+    // ----- q145: fuzzy entity matching (blocked edit-distance join) -------
+    // Record-level entity resolution, the blocking way (Fellegi–Sunter
+    // pipelines; Christen's "Data Matching"): candidate pairs come from
+    // an equi-join on a cheap BLOCKING KEY (here the head noun of the
+    // part name — at scale: phonetic codes, sorted-neighborhood keys),
+    // then a length filter |len₁−len₂| ≤ k prunes for free (edit
+    // distance ≥ length gap, so no false negatives), and only survivors
+    // pay the O(len²) levenshtein verify. Never name × name: the join
+    // runs over DISTINCT name variants (records collapse to their
+    // spelling first — byte-identical duplicates are q26's exact-dedup
+    // job), pair work is Σ block² over variants, and blocks are
+    // vocabulary-bounded. Both engines implement classic unweighted
+    // Levenshtein over ASCII — an exact integer, no parity risk.
+    // Output: the ER review table — variant pairs at distance 1..3 with
+    // the record count behind each spelling, name1 < name2 canonical.
+    NamedQuery(
+      "q145_fuzzy_match",
+      (s, d) => {
+        val p = tbl(s, d, "part")
+          .groupBy(col("p_name"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("p_name").as("nm"), col("n"),
+            element_at(split(col("p_name"), " "), -1).as("blk"))
+        val a = p.select(col("nm").as("name1"), col("n").as("n1"),
+          col("blk"))
+        val b = p.select(col("nm").as("name2"), col("n").as("n2"),
+          col("blk"))
+        a.join(b, Seq("blk"))
+          .filter(col("name1") < col("name2"))
+          .filter(abs(length(col("name1")) - length(col("name2"))) <= 3)
+          .filter(levenshtein(col("name1"), col("name2")) <= 3)
+          .select(col("name1"), col("name2"),
+            levenshtein(col("name1"), col("name2")).cast("long").as("dist"),
+            col("n1"), col("n2"))
+      },
+      Some("""WITH p AS (
+             |  SELECT p_name AS nm, CAST(COUNT(*) AS BIGINT) AS n,
+             |    string_split(p_name, ' ')[-1] AS blk
+             |  FROM part GROUP BY p_name)
+             |SELECT a.nm AS name1, b.nm AS name2,
+             |  CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist,
+             |  a.n AS n1, b.n AS n2
+             |FROM p a JOIN p b ON a.blk = b.blk AND a.nm < b.nm
+             |WHERE abs(len(a.nm) - len(b.nm)) <= 3
+             |  AND levenshtein(a.nm, b.nm) <= 3""".stripMargin)),
   )
 }

@@ -178,6 +178,37 @@ class QualityGraphOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("q145 matches a quadratic within-block scalar reference") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = TestSpark.spark.read.parquet(s"$dir/part.parquet")
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byBlk = names.groupBy(_._1.split(" ").last)
+    val want = byBlk.values.toSeq.flatMap { vs0 =>
+      val vs = vs0.toSeq
+      for {
+        (n1, c1) <- vs; (n2, c2) <- vs if n1 < n2
+        if math.abs(n1.length - n2.length) <= 3
+        d = lev(n1, n2) if d <= 3
+      } yield (n1, n2, d.toLong, c1, c2)
+    }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("q145_fuzzy_match")(TestSpark.spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == want)
+    // the distance-0 (byte-identical) case belongs to exact dedup, not ER
+    assert(got.forall(_._3 >= 1))
+  }
+
   test("q132 matches a scalar first-wins reference over the real corpus") {
     val out = SparkEntry.queries("q132_window_dedup")(spark, dir).cache()
     val copies = out.filter(col("doc_id") >= 100000L)

@@ -591,5 +591,86 @@ object DedupOps {
              |FROM p a JOIN p b ON a.blk = b.blk AND a.nm < b.nm
              |WHERE abs(len(a.nm) - len(b.nm)) <= 3
              |  AND levenshtein(a.nm, b.nm) <= 3""".stripMargin)),
+
+    // ----- q146: LSH banding parameter sweep (the index-tuning table) -----
+    // The table an engineer reads before committing a dedup run: for the
+    // SAME 32-hash MinHash signatures, how do 16×2 / 8×4 / 4×8 bandings
+    // trade candidate volume (cost) against recall of the planted
+    // near-dup pairs (quality)? More bands × fewer rows shifts the LSH
+    // S-curve left: more candidates, higher recall. All three configs
+    // re-band ONE cached signature table (the same plan-keyed cache the
+    // production path q27 shares — signatures are computed once per
+    // session, the sweep only re-slices them); per config the work is
+    // one (band, bkey) self-join + one count — no exact Jaccard, no
+    // verification pass, because the sweep measures the FILTER, not the
+    // verifier. Ground truth is free: every doc has exactly one planted
+    // near-dup at doc_id + 100000, so recall is an exact fraction, not
+    // an estimate. The MaxLshBucket cap is deliberately NOT applied —
+    // it is an orthogonal cost guard, and the sweep must show raw
+    // banding selectivity.
+    NamedQuery(
+      "q146_lsh_band_sweep",
+      (s, d) => {
+        val sigs = shingleSigs(corpusWithNearDups(s, d)).cache()
+        val nTrue = tbl(s, d, "documents").agg(count(lit(1)).as("n_true"))
+        def cfg(nb: Int, nr: Int): org.apache.spark.sql.DataFrame = {
+          val bands = sigs.select(col("doc_id"),
+            explode(transform(sequence(lit(0), lit(nb - 1)), b =>
+              struct(b.as("band"),
+                array_join(transform(sequence(lit(1), lit(nr)), r =>
+                  element_at(col("sig"), (b * nr + r).cast("int"))
+                    .cast("string")), "_").as("bkey")))).as("bk"))
+            .select(col("doc_id"), col("bk.band").as("band"),
+              col("bk.bkey").as("bkey"))
+          val cand = bands.select(col("band"), col("bkey"),
+              col("doc_id").as("id1"))
+            .join(bands.select(col("band"), col("bkey"),
+              col("doc_id").as("id2")), Seq("band", "bkey"))
+            .filter(col("id1") < col("id2"))
+            .select(col("id1"), col("id2")).distinct()
+          cand
+            .agg(count(lit(1)).as("n_cand"),
+              sum(when(col("id2") === col("id1") + 100000, lit(1L))
+                .otherwise(lit(0L))).as("n_found"))
+            .crossJoin(broadcast(nTrue))
+            .select(lit(nb).as("n_bands"), lit(nr).as("n_rows"),
+              col("n_cand"), col("n_true"), col("n_found"),
+              (col("n_found").cast("double") /
+                col("n_true").cast("double")).as("recall"))
+        }
+        cfg(16, 2).unionByName(cfg(8, 4)).unionByName(cfg(4, 8))
+      },
+      Some {
+        def cfgSql(nb: Int, nr: Int): String =
+          s"""SELECT $nb AS n_bands, $nr AS n_rows,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_${nb}_$nr)
+             |    AS n_cand,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_true,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_${nb}_$nr
+             |   WHERE id2 = id1 + 100000) AS n_found,
+             |  (SELECT CAST(COUNT(*) AS DOUBLE) FROM cand_${nb}_$nr
+             |   WHERE id2 = id1 + 100000)
+             |    / (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents)
+             |    AS recall""".stripMargin
+        def bandsSql(nb: Int, nr: Int): String =
+          s"""bands_${nb}_$nr AS (
+             |  SELECT doc_id, b,
+             |    array_to_string(list_transform(range(1, ${nr + 1}),
+             |      r -> CAST(sig[b * $nr + r] AS VARCHAR)), '_') AS bkey
+             |  FROM c_sigs, unnest(range(0, $nb)) AS u(b)),
+             |cand_${nb}_$nr AS (
+             |  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+             |  FROM bands_${nb}_$nr a JOIN bands_${nb}_$nr c
+             |    ON a.b = c.b AND a.bkey = c.bkey
+             |    AND a.doc_id < c.doc_id)""".stripMargin
+        s"""WITH corpus AS ($corpusWithNearDupsSql),
+           |${sideBandsCteSql("c", "corpus", "doc_id")},
+           |${bandsSql(16, 2)},
+           |${bandsSql(8, 4)},
+           |${bandsSql(4, 8)}
+           |${cfgSql(16, 2)}
+           |UNION ALL ${cfgSql(8, 4)}
+           |UNION ALL ${cfgSql(4, 8)}""".stripMargin
+      }),
   )
 }

@@ -209,6 +209,29 @@ class QualityGraphOpsSpec extends AnyFunSuite {
     assert(got.forall(_._3 >= 1))
   }
 
+  test("q146 sweep respects the banding containment order") {
+    // each 4-row band is two 2-row bands (and each 8-row band two 4-row
+    // bands), so a coarser config's candidate set is a SUBSET of the
+    // finer one's: n_cand and n_found must be monotone in band count
+    val rows = SparkEntry.queries("q146_lsh_band_sweep")(spark, dir)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+      .sortBy(-_._1) // 16, 8, 4 bands
+    assert(rows.map(t => (t._1, t._2)).toSeq ==
+      Seq((16, 2), (8, 4), (4, 8)))
+    val Seq(c16, c8, c4) = rows.map(_._3).toSeq
+    val Seq(f16, f8, f4) = rows.map(_._5).toSeq
+    assert(c16 >= c8 && c8 >= c4, s"candidates not monotone: $c16 $c8 $c4")
+    assert(f16 >= f8 && f8 >= f4, s"found not monotone: $f16 $f8 $f4")
+    // every config shares n_true, and recall is exactly found/true
+    rows.foreach { case (_, _, _, nt, nf, rc) =>
+      assert(nt > 0 && rc == nf.toDouble / nt.toDouble)
+    }
+    // the planted near-dups are actually findable at the default config
+    assert(f8 > 0, "8x4 finds no planted pairs — signature drift?")
+  }
+
   test("q132 matches a scalar first-wins reference over the real corpus") {
     val out = SparkEntry.queries("q132_window_dedup")(spark, dir).cache()
     val copies = out.filter(col("doc_id") >= 100000L)

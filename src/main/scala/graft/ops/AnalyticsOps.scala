@@ -855,5 +855,89 @@ object AnalyticsOps {
              |  SELECT 1 FROM parts q
              |  WHERE q.pc <= p.pc AND q.dc >= p.dc
              |    AND (q.pc < p.pc OR q.dc > p.dc))""".stripMargin)),
+
+    // ----- q147: per-segment OLS trend (drift by regression) --------------
+    // Is each event type's value drifting over time, and how fast? The
+    // regression complement to the q96/q99/q136 drift gates: a chi-square
+    // says "the distribution moved", the fitted slope says "by this many
+    // cents per day, in this direction". Same exactness discipline as
+    // q121: x = integer epoch days (floor-div of microseconds), y =
+    // integer cents (floor(v·100 + 0.5)), all five moments summed in
+    // DECIMAL(38,0) (order-independent, overflow-loud) and cast to
+    // double ONCE, then the textbook closed form runs as a fixed IEEE
+    // op sequence identical on both engines. Degenerate segments (one
+    // point, or zero x-variance) yield NULL slope/intercept/r² via the
+    // shared positive-variance guard, never ±inf. Scale shape: one
+    // (type)-keyed partial aggregate over the raw events — the moments
+    // ARE the sufficient statistics, so a 100 TB log reduces to 5 rows
+    // before any arithmetic happens.
+    NamedQuery(
+      "q147_trend_ols",
+      (s, d) => {
+        val pts = events(s, d)
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("x"),
+            floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+              .as("y"))
+        val m = pts.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).cast("double").as("sx"),
+          sum(col("y").cast("decimal(38,0)")).cast("double").as("sy"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).cast("double")
+            .as("sxy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).cast("double")
+            .as("sxx"),
+          sum((col("y").cast("decimal(19,0)") *
+            col("y").cast("decimal(19,0)")).cast("decimal(38,0)"))
+            .cast("double").as("syy"))
+        val nd = col("n").cast("double")
+        val dx = nd * col("sxx") - col("sx") * col("sx")
+        val dy = nd * col("syy") - col("sy") * col("sy")
+        val num = nd * col("sxy") - col("sx") * col("sy")
+        m.select(col("event_type"), col("n"),
+          when(dx > 0.0, num / dx).as("slope"),
+          when(dx > 0.0,
+            (col("sy") - (num / dx) * col("sx")) / nd).as("intercept"),
+          when(dx > 0.0 && dy > 0.0,
+            (num / sqrt(dx)) / sqrt(dy) * (num / sqrt(dx)) / sqrt(dy))
+            .as("r2"))
+      },
+      Some("""WITH pts AS (
+             |  SELECT event_type,
+             |    epoch_us(ts) // 86400000000 AS x,
+             |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y
+             |  FROM events),
+             |m AS (
+             |  SELECT event_type, COUNT(*) AS n,
+             |    CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0))
+             |         AS DOUBLE) AS sx,
+             |    CAST(CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0))
+             |         AS DOUBLE) AS sy,
+             |    CAST(CAST(SUM(CAST(x * y AS DECIMAL(38,0)))
+             |         AS DECIMAL(38,0)) AS DOUBLE) AS sxy,
+             |    CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,0)))
+             |         AS DECIMAL(38,0)) AS DOUBLE) AS sxx,
+             |    CAST(CAST(SUM(CAST(CAST(y AS DECIMAL(19,0))
+             |           * CAST(y AS DECIMAL(19,0)) AS DECIMAL(38,0)))
+             |         AS DECIMAL(38,0)) AS DOUBLE) AS syy
+             |  FROM pts GROUP BY event_type)
+             |SELECT event_type, n,
+             |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0.0
+             |    THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+             |         / (CAST(n AS DOUBLE) * sxx - sx * sx) END AS slope,
+             |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0.0
+             |    THEN (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+             |                / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+             |         / CAST(n AS DOUBLE) END AS intercept,
+             |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0.0
+             |        AND CAST(n AS DOUBLE) * syy - sy * sy > 0.0
+             |    THEN ((CAST(n AS DOUBLE) * sxy - sx * sy)
+             |          / sqrt(CAST(n AS DOUBLE) * sxx - sx * sx))
+             |         / sqrt(CAST(n AS DOUBLE) * syy - sy * sy)
+             |         * ((CAST(n AS DOUBLE) * sxy - sx * sy)
+             |            / sqrt(CAST(n AS DOUBLE) * sxx - sx * sx))
+             |         / sqrt(CAST(n AS DOUBLE) * syy - sy * sy)
+             |  END AS r2
+             |FROM m""".stripMargin)),
   )
 }

@@ -232,6 +232,51 @@ class QualityGraphOpsSpec extends AnyFunSuite {
     assert(f8 > 0, "8x4 finds no planted pairs — signature drift?")
   }
 
+  test("q147 matches a scalar exact-moment OLS on the real events") {
+    val pts = graft.ops.OpsKit.events(TestSpark.spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1) / 86400000000L,
+        math.floor(r.getDouble(2) * 100.0 + 0.5).toLong))
+    val want = pts.groupBy(_._1).toSeq.map { case (et, rows) =>
+      val n = rows.length.toLong
+      val sx = rows.map(r => BigInt(r._2)).sum.toDouble
+      val sy = rows.map(r => BigInt(r._3)).sum.toDouble
+      val sxy = rows.map(r => BigInt(r._2) * BigInt(r._3)).sum.toDouble
+      val sxx = rows.map(r => BigInt(r._2) * BigInt(r._2)).sum.toDouble
+      val syy = rows.map(r => BigInt(r._3) * BigInt(r._3)).sum.toDouble
+      val nd = n.toDouble
+      val dx = nd * sxx - sx * sx
+      val dy = nd * syy - sy * sy
+      val num = nd * sxy - sx * sy
+      val slope = if (dx > 0.0) num / dx else Double.NaN
+      val icept = if (dx > 0.0) (sy - (num / dx) * sx) / nd else Double.NaN
+      // same left-assoc op sequence as the engine's column expression:
+      // (((num/√dx)/√dy) * (num/√dx)) / √dy
+      val r2 = if (dx > 0.0 && dy > 0.0)
+        (num / math.sqrt(dx)) / math.sqrt(dy) *
+          (num / math.sqrt(dx)) / math.sqrt(dy)
+      else Double.NaN
+      (et, n, slope, icept, r2)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q147_trend_ols")(TestSpark.spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))
+      .sortBy(_._1).toSeq
+    assert(got.map(t => (t._1, t._2)) == want.map(t => (t._1, t._2)))
+    got.zip(want).foreach { case (g, w) =>
+      def eq(a: Double, b: Double) =
+        (a.isNaN && b.isNaN) || a == b
+      assert(eq(g._3, w._3) && eq(g._4, w._4) && eq(g._5, w._5),
+        s"${g._1}: got ($g) want ($w)")
+      // r² is a proportion of explained variance
+      if (!g._5.isNaN) assert(g._5 >= 0.0 && g._5 <= 1.0 + 1e-12)
+    }
+  }
+
   test("q132 matches a scalar first-wins reference over the real corpus") {
     val out = SparkEntry.queries("q132_window_dedup")(spark, dir).cache()
     val copies = out.filter(col("doc_id") >= 100000L)

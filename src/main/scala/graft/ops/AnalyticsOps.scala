@@ -939,5 +939,72 @@ object AnalyticsOps {
              |         / sqrt(CAST(n AS DOUBLE) * syy - sy * sy)
              |  END AS r2
              |FROM m""".stripMargin)),
+
+    // ----- q148: segment placement in the global value distribution -------
+    // Quantile-normalization's reporting half: where does each event
+    // type's value mass sit in the GLOBAL spend distribution? (q96's
+    // chi-square bins by absolute value; this bins by global RANK, so
+    // it answers "purchases live in the top decile" even when scales
+    // drift.) The global CDF is built the q136 way — distinct values
+    // range-bucketed by ⌊value⌋, running counts per bucket window,
+    // bucket-level offsets, NO global sort — then every event meets its
+    // value's inclusive rank F(v) in a hash join and lands in decile
+    // (10·F − 1) div N: PURE INTEGER binning, so decile edges cannot
+    // drift across engines (F ∈ [1, N] maps onto 0..9 with no cap
+    // needed). Output: (type, decile, n, share-of-type) — 5×10 rows
+    // from any log size; the oracle builds F with a plain global
+    // cumulative (construction-independent semantics: count of rows
+    // ≤ v), so a bug in the phased offsets cannot self-confirm.
+    NamedQuery(
+      "q148_global_decile_mix",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, d).select(col("event_type"), col("value"))
+        val dist = ev.groupBy(col("value")).agg(count(lit(1)).as("c"))
+          .withColumn("b", floor(col("value")).cast("long"))
+        val wRun = Window.partitionBy(col("b")).orderBy(col("value"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val run = dist.withColumn("r", sum(col("c")).over(wRun))
+        val wOff = Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val off = dist.groupBy(col("b")).agg(sum(col("c")).as("tb"))
+          .select(col("b"),
+            coalesce(sum(col("tb")).over(wOff), lit(0L)).as("o"))
+        val n = dist.agg(sum(col("c")).as("n_total"))
+        val ranks = run.join(broadcast(off), "b")
+          .crossJoin(broadcast(n))
+          .select(col("value"),
+            expr("((o + r) * 10 - 1) div n_total").as("decile"))
+        val typed = ev.join(ranks, "value")
+          .groupBy(col("event_type"), col("decile"))
+          .agg(count(lit(1)).as("n"))
+        val totals = ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("tot"))
+        typed.join(broadcast(totals), "event_type")
+          .select(col("event_type"), col("decile"), col("n"),
+            (col("n").cast("double") / col("tot").cast("double"))
+              .as("share"))
+      },
+      Some("""WITH ev AS (SELECT event_type, value FROM events),
+             |d AS (SELECT value, CAST(COUNT(*) AS BIGINT) AS c
+             |      FROM ev GROUP BY value),
+             |cdf AS (SELECT value,
+             |    CAST(SUM(c) OVER (ORDER BY value
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS f
+             |  FROM d),
+             |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM d),
+             |ranks AS (SELECT value, (f * 10 - 1) // n_total AS decile
+             |          FROM cdf, n),
+             |typed AS (
+             |  SELECT ev.event_type, r.decile,
+             |    CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM ev JOIN ranks r ON ev.value = r.value
+             |  GROUP BY ev.event_type, r.decile),
+             |tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS tot
+             |        FROM ev GROUP BY event_type)
+             |SELECT t.event_type, t.decile, t.n,
+             |  CAST(t.n AS DOUBLE) / CAST(x.tot AS DOUBLE) AS share
+             |FROM typed t JOIN tot x ON t.event_type = x.event_type"""
+        .stripMargin)),
   )
 }

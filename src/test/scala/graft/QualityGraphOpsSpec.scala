@@ -277,6 +277,36 @@ class QualityGraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q148 matches a scalar sorted-CDF cross-tab on the real events") {
+    val rows = graft.ops.OpsKit.events(TestSpark.spark, dir)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val n = rows.length.toLong
+    val sortedVals = rows.map(_._2).sorted
+    // inclusive rank of each distinct value via one sorted pass
+    val f = sortedVals.zipWithIndex.groupBy(_._1).view
+      .mapValues(g => g.map(_._2).max + 1L).toMap
+    val decOf = (v: Double) => (f(v) * 10 - 1) / n
+    val want = rows.groupBy(r => (r._1, decOf(r._2))).toSeq
+      .map { case ((et, dec), g) => (et, dec, g.length.toLong) }
+    val totals = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val wantFull = want
+      .map { case (et, dec, c) =>
+        (et, dec, c, c.toDouble / totals(et).toDouble) }
+      .sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("q148_global_decile_mix")(
+        TestSpark.spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == wantFull)
+    // shares within a type sum to exactly 1 (counts partition the type)
+    got.groupBy(_._1).foreach { case (et, g) =>
+      assert(g.map(_._3).sum == totals(et), s"$et counts don't partition")
+    }
+  }
+
   test("q132 matches a scalar first-wins reference over the real corpus") {
     val out = SparkEntry.queries("q132_window_dedup")(spark, dir).cache()
     val copies = out.filter(col("doc_id") >= 100000L)

@@ -1006,5 +1006,71 @@ object AnalyticsOps {
              |  CAST(t.n AS DOUBLE) / CAST(x.tot AS DOUBLE) AS share
              |FROM typed t JOIN tot x ON t.event_type = x.event_type"""
         .stripMargin)),
+
+    // ----- q149: right-to-be-forgotten cascade audit ----------------------
+    // The deletion-impact report a data-governance pipeline runs BEFORE
+    // executing a GDPR/CCPA erasure batch: a deletion cohort (here one
+    // nation's customers — any predicate drops in) cascades through the
+    // FK graph customer → orders → lineitem, and the audit reports per
+    // table how many rows the cascade touches. Each hop is ONE semi-join
+    // on the parent's surviving key set — the cohort's key set stays
+    // key-shaped (never row-shaped), so at 100 TB the orders hop
+    // shuffles on custkey and the lineitem hop on orderkey, both plain
+    // hash joins; nothing is materialized except counts. The three
+    // per-table aggregates are single partial-agg rows unioned into the
+    // audit table; kept ≡ total − deleted is structural (semi ∪ anti
+    // partitions a table), so the oracle's independent IN-subquery
+    // counts gate the join plumbing, not just arithmetic.
+    NamedQuery(
+      "q149_erasure_cascade",
+      (s, d) => {
+        val cust = tbl(s, d, "customer")
+        val orders = tbl(s, d, "orders")
+        val li = tbl(s, d, "lineitem")
+        val delCust = cust.filter(col("c_nationkey") === 3)
+          .select(col("c_custkey"))
+        val delOrders = orders
+          .join(delCust, col("o_custkey") === col("c_custkey"), "semi")
+          .select(col("o_orderkey"))
+        val delLi = li
+          .join(delOrders, col("l_orderkey") === col("o_orderkey"), "semi")
+        def audit(name: String, total: org.apache.spark.sql.DataFrame,
+            deleted: org.apache.spark.sql.DataFrame)
+            : org.apache.spark.sql.DataFrame = {
+          val t = total.agg(count(lit(1)).as("n_total"))
+          val x = deleted.agg(count(lit(1)).as("n_deleted"))
+          t.crossJoin(x).select(lit(name).as("tbl"), col("n_total"),
+            col("n_deleted"),
+            (col("n_total") - col("n_deleted")).as("n_kept"))
+        }
+        audit("customer", cust, cust.filter(col("c_nationkey") === 3))
+          .unionByName(audit("orders", orders,
+            orders.join(delCust, col("o_custkey") === col("c_custkey"),
+              "semi")))
+          .unionByName(audit("lineitem", li, delLi))
+      },
+      Some("""WITH delc AS (
+             |  SELECT c_custkey FROM customer WHERE c_nationkey = 3),
+             |delo AS (
+             |  SELECT o_orderkey FROM orders
+             |  WHERE o_custkey IN (SELECT c_custkey FROM delc)),
+             |a AS (
+             |  SELECT 'customer' AS tbl,
+             |    CAST((SELECT COUNT(*) FROM customer) AS BIGINT)
+             |      AS n_total,
+             |    CAST((SELECT COUNT(*) FROM delc) AS BIGINT) AS n_deleted
+             |  UNION ALL
+             |  SELECT 'orders',
+             |    CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+             |    CAST((SELECT COUNT(*) FROM delo) AS BIGINT)
+             |  UNION ALL
+             |  SELECT 'lineitem',
+             |    CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+             |    CAST((SELECT COUNT(*) FROM lineitem
+             |          WHERE l_orderkey IN (SELECT o_orderkey FROM delo))
+             |      AS BIGINT))
+             |SELECT tbl, n_total, n_deleted,
+             |  n_total - n_deleted AS n_kept
+             |FROM a""".stripMargin)),
   )
 }

@@ -307,6 +307,33 @@ class QualityGraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q149 matches a scalar FK cascade on the real tables") {
+    val sp = TestSpark.spark
+    val delC = sp.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_nationkey") === 3)
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    val ord = sp.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val delO = ord.filter(o => delC(o._2)).map(_._1).toSet
+    val liKeys = sp.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey")).collect().map(_.getLong(0))
+    val nCust = sp.read.parquet(s"$dir/customer.parquet").count()
+    val want = Seq(
+      ("customer", nCust, delC.size.toLong, nCust - delC.size),
+      ("orders", ord.length.toLong, delO.size.toLong,
+        ord.length - delO.size),
+      ("lineitem", liKeys.length.toLong, liKeys.count(delO).toLong,
+        (liKeys.length - liKeys.count(delO)).toLong)).sortBy(_._1)
+    val got = SparkEntry.queries("q149_erasure_cascade")(sp, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == want)
+    // the cascade actually bites at every level on this fixture
+    assert(got.forall(t => t._3 > 0 && t._4 > 0))
+  }
+
   test("q132 matches a scalar first-wins reference over the real corpus") {
     val out = SparkEntry.queries("q132_window_dedup")(spark, dir).cache()
     val copies = out.filter(col("doc_id") >= 100000L)

@@ -501,6 +501,55 @@ object CurationOps {
               |FROM hb
               |LEFT JOIN ref USING (bucket), t""".stripMargin)),
 
+    // ----- q150: windowed quality-gate pass rate (streaming twin) ---------
+    // The live ingest dashboard: per event-time hour, how much of the
+    // incoming corpus clears the Gopher gates (q134's rules). The
+    // registered query runs [[graft.streaming.StreamOps
+    // .qualityGateMonitor]] — the STREAMING operator — in batch mode
+    // over the q99 synthetic event-time, so the stream logic sits under
+    // the driver's hash gate; StreamOpsSpec separately proves
+    // stream == batch and that the per-row gate booleans equal q134's
+    // groupBy-derived ones doc-for-doc (run-length-on-sorted ==
+    // group-max — same multiset). The oracle recomputes the gates the
+    // construction-INDEPENDENT way (a doc-level GROUP BY, q134's own
+    // shape), so a bug in the fold cannot self-confirm.
+    NamedQuery(
+      "q150_quality_windows",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val withTs = docs.select(
+          timestamp_seconds(lit(1700000000L) + col("doc_id") * 60)
+            .as("ts"),
+          col("doc_id"), col("text"))
+        graft.streaming.StreamOps.qualityGateMonitor(withTs)
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              |  FROM documents),
+              |tc AS (SELECT doc_id, tok, COUNT(*) AS c
+              |       FROM t GROUP BY doc_id, tok),
+              |agg AS (SELECT doc_id,
+              |    CAST(SUM(c) AS BIGINT) AS n_toks,
+              |    CAST(SUM(len(tok) * c) AS BIGINT) AS sum_len,
+              |    CAST(SUM(CASE WHEN tok IN ('the', 'a') THEN c ELSE 0
+              |      END) AS BIGINT) AS n_stop,
+              |    MAX(c) AS top_c
+              |  FROM tc GROUP BY doc_id),
+              |k AS (
+              |  SELECT 1700000000 + doc_id * 60 AS tsec,
+              |    (n_toks BETWEEN 40 AND 100000
+              |     AND sum_len >= n_toks * 3 AND sum_len <= n_toks * 10
+              |     AND n_stop >= 2 AND top_c * 5 <= n_toks) AS keep
+              |  FROM agg)
+              |SELECT strftime(make_timestamp((tsec - (tsec % 3600))
+              |    * 1000000), '$TsFmtDuck') AS window_start,
+              |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_pass,
+              |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+              |    / CAST(COUNT(*) AS DOUBLE) AS pass_rate
+              |FROM k GROUP BY 1""".stripMargin)),
+
     // ----- q105: dataset card (one-row corpus health summary) -------------
     // The datasheet a dataset release ships with, as ONE row: sizes,
     // composition, and integrity signals a consumer reads before

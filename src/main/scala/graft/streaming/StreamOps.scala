@@ -314,6 +314,63 @@ object StreamOps {
             (col("n_new").cast("double") - e) / e).as("chi2_term"))
   }
 
+  /** Per-row Gopher-style quality gates (q134's rules) as PURE
+    * expressions — no per-doc groupBy, so the same code runs in a
+    * stream with a single downstream stateful aggregation. The per-doc
+    * top-token count (q134 computes it as a groupBy max) is here the
+    * longest equal-run of the SORTED token array, folded in one pass
+    * with a struct accumulator — same multiset, same maximum, and the
+    * sort+fold is O(n log n) per row, charged to the row that carries
+    * the tokens. Token semantics match q134 exactly (split on single
+    * space, empty tokens count). Input (ts, doc_id, text) → output
+    * per-row gates + keep. */
+  def qualityGates(docs: DataFrame): DataFrame = {
+    val topRun = "aggregate(array_sort(tk), " +
+      "named_struct('p', CAST(NULL AS STRING), 'r', CAST(0 AS BIGINT), " +
+      "'b', CAST(0 AS BIGINT)), " +
+      "(a, x) -> named_struct('p', x, " +
+      "'r', IF(a.p <=> x, a.r + CAST(1 AS BIGINT), CAST(1 AS BIGINT)), " +
+      "'b', GREATEST(a.b, IF(a.p <=> x, a.r + CAST(1 AS BIGINT), " +
+      "CAST(1 AS BIGINT)))), " +
+      "a -> a.b)"
+    docs
+      // tk is BOUND before any HOF touches it (the q31 recompute trap)
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("n_toks", size(col("tk")).cast("long"))
+      .withColumn("sum_len",
+        expr("aggregate(tk, CAST(0 AS BIGINT), (a, x) -> a + length(x))"))
+      .withColumn("n_stop",
+        expr("CAST(size(filter(tk, x -> x IN ('the', 'a'))) AS BIGINT)"))
+      .withColumn("top_c", expr(topRun))
+      .select(col("ts"), col("doc_id"),
+        col("n_toks"),
+        col("n_toks").between(40, 100000).as("g_len"),
+        (col("sum_len") >= col("n_toks") * 3 &&
+          col("sum_len") <= col("n_toks") * 10).as("g_wordlen"),
+        (col("n_stop") >= 2).as("g_stop"),
+        (col("top_c") * 5 <= col("n_toks")).as("g_rep"))
+      .withColumn("keep",
+        col("g_len") && col("g_wordlen") && col("g_stop") && col("g_rep"))
+  }
+
+  /** Streaming quality-gate monitor: per event-time hour, how much of
+    * the incoming corpus passes the Gopher gates — the live dashboard a
+    * crawl-ingest pipeline watches (a pass-rate cliff means the crawler
+    * started pulling boilerplate, navigation soup, or truncated docs).
+    * Stateless per-row gates ([[qualityGates]]) feed ONE watermarked
+    * windowed aggregation; identical code runs in batch (q150's oracle
+    * twin). */
+  def qualityGateMonitor(docs: DataFrame): DataFrame =
+    qualityGates(docs)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), lit(1L)).otherwise(lit(0L))).as("n_pass"))
+      .select(date_format(col("window.start"), TsFmt).as("window_start"),
+        col("n_docs"), col("n_pass"),
+        (col("n_pass").cast("double") / col("n_docs").cast("double"))
+          .as("pass_rate"))
+
   /** Streaming JDBC ingestion: each microbatch appends through the batch
     * sink path (same batchsize-50000 writer as [[graft.sink.JdbcSink]]),
     * giving the reference's one-shot import a continuous form. Exactly-once

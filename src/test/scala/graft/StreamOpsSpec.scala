@@ -467,6 +467,65 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got == q99)
   }
 
+  test("streaming quality-gate monitor equals the registered batch twin q150") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def withTs(df: DataFrame) = df.select(
+      timestamp_seconds(lit(1700000000L) + col("doc_id") * 60).as("ts"),
+      col("doc_id"), col("text"))
+    // per-row fold gates must equal q134's groupBy-derived gates
+    // doc-for-doc (longest equal-run on sorted == group max)
+    val foldGates = StreamOps.qualityGates(withTs(docs))
+      .select(col("doc_id"), col("g_len"), col("g_wordlen"),
+        col("g_stop"), col("g_rep"), col("keep"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))).toMap
+    val q134 = SparkEntry.queries("q134_gopher_gates")(
+        spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6))).toMap
+    assert(foldGates == q134)
+
+    val dir = Files.createTempDirectory("graft-qg-stream").toString
+    def write(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft-chunk").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.asInstanceOf[Path])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, Paths.get(dir, name))
+      Files.setLastModifiedTime(Paths.get(dir, name), FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 600000
+    write(withTs(docs.filter(col("doc_id") < 250)), "c0.parquet", t0)
+    write(withTs(docs.filter(col("doc_id") >= 250)), "c1.parquet", t0 + 60000)
+    val sentinel = spark.range(1).select(
+      timestamp_seconds(lit(1700000000L + 30L * 24 * 3600)).as("ts"),
+      lit(-1L).as("doc_id"), lit("zzz").as("text"))
+    write(sentinel, "c2.parquet", t0 + 120000)
+
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = StreamOps.qualityGateMonitor(stream)
+      .writeStream.format("memory").queryName("t_qgate")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-qgate").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = asSet(spark.table("t_qgate"))
+    val want = asSet(StreamOps.qualityGateMonitor(withTs(docs)))
+    assert(want.nonEmpty)
+    assert(got == want)
+    val q150 = asSet(SparkEntry.queries("q150_quality_windows")(
+      spark, "/root/testdata/sf0.001"))
+    assert(got == q150)
+  }
+
   test("streaming k-means assignment equals the registered batch twin q117") {
     val sfDir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -33,18 +33,25 @@ object OpsKit {
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's vectorized
-    * parquet reader rejects; read nanos as long and floor-convert to
-    * microseconds (integral `div` — double division would lose precision on
-    * ns-epoch magnitudes). Matches DuckDB's own ns→µs truncation.
-    *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set at session
-    * build by every entrypoint ([[graft.Sessions.builder]]) — NOT mutated
-    * here, so building a DataFrame has no hidden global side effects.
+  /** `events.parquet`'s `ts` physical type has varied across driver data
+    * generations: TIMESTAMP(NANOS) (read as raw long via
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, floor-converted ns→µs
+    * with integral `div` to match DuckDB's truncation) and plain
+    * TIMESTAMP(MICROS) (isAdjustedToUTC either way — surfaced as TIMESTAMP
+    * or TIMESTAMP_NTZ). Normalize all of them to session-zoned TIMESTAMP
+    * here so every downstream query sees ONE type. The NTZ→TIMESTAMP cast
+    * is wall-clock-identity because every entrypoint pins
+    * `spark.sql.session.timeZone=UTC` ([[graft.Sessions.builder]]).
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    tbl(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = tbl(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   /** Order-insensitive exact sum of a double expression: cast each value to
     * DECIMAL(28,6) (ties at the 6th decimal are unrepresentable in binary

@@ -17,6 +17,9 @@ import org.apache.spark.sql.functions._
   *  - q101 exact-substring shared spans: positional gram postings joined
   *    across doc pairs, maximal diagonal runs via gaps-and-islands — the
   *    distributable re-expression of suffix-array ExactSubstr dedup;
+  *  - q152 Hamming-distance self-join via pigeonhole blocking over
+  *    SimHash fingerprints (4 disjoint blocks, distance ≤ 3 forces one
+  *    exact block match; per-doc twin summary out);
   *  - q120 exact set-similarity join via prefix filtering (PPJoin
   *    family): zero-false-negative Jaccard ≥ 0.8 over shingle sets,
   *    candidates from rarest-first prefixes, all-integer verification —
@@ -329,31 +332,43 @@ object DedupOps {
           .agg(expr("transform(array_sort(collect_list(struct(df, tok))), " +
             "s -> s.tok)").as("ots"), count(lit(1)).as("n"))
         // prefix entries carry (position, set size) so the join can apply
-        // PPJoin's two sound candidate filters BEFORE the distinct:
-        //  - length: J ≥ 4/5 forces 5·min(n₁,n₂) ≥ 4·max(n₁,n₂);
-        //  - positional: overlap ≤ 1 + min(n₁−p₁, n₂−p₂) when the shared
-        //    token sits at (df-order) positions p₁/p₂, and J ≥ τ needs
-        //    overlap·(1+τ) ≥ τ(n₁+n₂), i.e. 9·(1+min(n₁−p₁, n₂−p₂)) ≥
-        //    4·(n₁+n₂). Both only DROP pairs that provably cannot reach
-        //    τ, so completeness (and the brute-force oracle) is intact —
-        //    they matter on saturated shingle spaces where prefix tokens
-        //    alone stop being selective (measured in SCALING.md).
+        // PPJoin's three sound candidate filters BEFORE the distinct:
+        //  - asymmetric prefixes (the PPJoin indexing prefix, Xiao/Wang/
+        //    Lin/Yu WWW'08): order the pair by (n, doc_id) and let x be
+        //    the larger side. The required overlap α = ⌈τ/(1+τ)·(nₓ+nᵧ)⌉
+        //    satisfies α ≥ τ·nₓ (since nᵧ ≥ τ·nₓ) and α ≥ 2τ/(1+τ)·nᵧ
+        //    (since nₓ ≥ nᵧ), so by the prefix principle x's PROBING
+        //    prefix (n − ⌈4n/5⌉ + 1 ≈ n/5 entries at τ = 4/5) must
+        //    intersect y's shorter INDEXING prefix (n − ⌈8n/9⌉ + 1 ≈ n/9,
+        //    from 2τ/(1+τ) = 8/9) — the hot posting join's small side
+        //    shrinks ~1.8× with zero recall loss;
+        //  - length: J ≥ 4/5 forces 5·nᵧ ≥ 4·nₓ (nᵧ ≤ nₓ by the order);
+        //  - positional: overlap ≤ 1 + min(nₓ−pₓ, nᵧ−pᵧ) when the shared
+        //    token sits at (df-order) positions pₓ/pᵧ, and J ≥ τ needs
+        //    overlap·(1+τ) ≥ τ(nₓ+nᵧ), i.e. 9·(1+min(nₓ−pₓ, nᵧ−pᵧ)) ≥
+        //    4·(nₓ+nᵧ). All three only DROP pairs that provably cannot
+        //    reach τ, so completeness (and the brute-force oracle) is
+        //    intact — they matter on saturated shingle spaces where
+        //    prefix tokens alone stop being selective (SCALING.md).
         val pref = ordered.select(col("doc_id"), col("n"),
+          expr("n - ((8 * n + 8) DIV 9) + 1").as("ilen"),
           posexplode(expr("slice(ots, 1, CAST(n - ((4 * n + 4) DIV 5) + 1 " +
             "AS INT))")).as(Seq("p0", "tok")))
-          .select(col("doc_id"), col("n"), (col("p0") + 1).as("p"),
-            col("tok"))
+          .select(col("doc_id"), col("n"), col("ilen"),
+            (col("p0") + 1).as("p"), col("tok"))
         val cands = pref
           .select(col("doc_id").as("id1"), col("n").as("na"),
             col("p").as("pa"), col("tok"))
-          .join(pref.select(col("doc_id").as("id2"), col("n").as("nb"),
-            col("p").as("pb"), col("tok")), "tok")
-          .filter(col("id1") < col("id2"))
-          .filter(least(col("na"), col("nb")) * 5 >=
-            greatest(col("na"), col("nb")) * 4)
+          .join(pref.filter(col("p") <= col("ilen"))
+            .select(col("doc_id").as("id2"), col("n").as("nb"),
+              col("p").as("pb"), col("tok")), "tok")
+          .filter(col("nb") < col("na") ||
+            (col("nb") === col("na") && col("id2") < col("id1")))
+          .filter(col("nb") * 5 >= col("na") * 4)
           .filter((lit(1) + least(col("na") - col("pa"),
             col("nb") - col("pb"))) * 9 >= (col("na") + col("nb")) * 4)
-          .select(col("id1"), col("id2")).distinct()
+          .select(least(col("id1"), col("id2")).as("id1"),
+            greatest(col("id1"), col("id2")).as("id2")).distinct()
         val a = toks.select(col("doc_id").as("id1"), col("ts").as("ts1"))
         val b = toks.select(col("doc_id").as("id2"), col("ts").as("ts2"))
         cands.join(a, "id1").join(b, "id2")
@@ -671,6 +686,112 @@ object DedupOps {
            |${cfgSql(16, 2)}
            |UNION ALL ${cfgSql(8, 4)}
            |UNION ALL ${cfgSql(4, 8)}""".stripMargin
+      }),
+
+    // ----- q152: Hamming-distance self-join via pigeonhole blocking -------
+    // The SimHash-side near-dup JOIN (q28 only scores each doc against
+    // its planted twin; this finds ALL pairs within Hamming distance 3).
+    // Candidate generation is the pigeonhole principle (the Manku/Jain/
+    // Das Sarma WWW'07 SimHash-dedup blocking): split the 16-bit
+    // fingerprint into 4 disjoint 4-bit blocks — two fingerprints within
+    // distance 3 differ in at most 3 blocks, so they MUST agree exactly
+    // on at least one block. Candidates come from 4 equi-joins on
+    // (block index, block value) — zero false negatives by counting
+    // WITHIN sub-cap blocks, the q120 theorem contract — and the
+    // verifier is one codegen'd bit_count(xor) ≤ 3 per candidate. A
+    // degenerate block value (this corpus's shared vocabulary pushes
+    // most fingerprints into a few patterns, exactly like boilerplate
+    // at crawl scale) would make one bucket's self-join quadratic in
+    // the corpus, so blocks with more than 256 members are dropped
+    // BEFORE the join — the LSH MaxLshBucket discipline; a pair is
+    // reported iff it shares at least one NON-degenerate block, and
+    // the ORACLE MIRRORS THE CAP EXACTLY, so the driver's hash gate
+    // proves the capped semantics complete on every run (the uncapped
+    // first cut spent 45 s at sf0.1 materializing ~20 M pairs of a
+    // saturated 16-bit space — the miniature of the production shape,
+    // 64-bit SimHash with 16-bit blocks, where only true boilerplate
+    // saturates and the same cap bounds it).
+    NamedQuery(
+      "q152_hamming_join",
+      (s, d) => {
+        val sims = corpusWithNearDups(s, d)
+          .select(col("doc_id"),
+            call_function("simhash16", col("text")).as("sh"))
+        val blocks = sims.select(col("doc_id"), col("sh"),
+          posexplode(array((0 to 3).map(b =>
+            shiftright(col("sh"), b * 4).bitwiseAND(lit(15L))): _*))
+            .as(Seq("blk", "bval")))
+        val bsz = blocks.groupBy(col("blk"), col("bval"))
+          .agg(count(lit(1)).as("bsz"))
+        val keep = blocks
+          .join(bsz.filter(col("bsz") <= 256).select(col("blk"),
+            col("bval")), Seq("blk", "bval"))
+        val cands = keep
+          .select(col("doc_id").as("id1"), col("sh").as("sh1"),
+            col("blk"), col("bval"))
+          .join(keep.select(col("doc_id").as("id2"), col("sh").as("sh2"),
+            col("blk"), col("bval")), Seq("blk", "bval"))
+          .filter(col("id1") < col("id2"))
+          .select(col("id1"), col("id2"), col("sh1"), col("sh2")).distinct()
+        val pairs = cands
+          .select(col("id1"), col("id2"),
+            bit_count(col("sh1").bitwiseXOR(col("sh2")))
+              .cast("long").as("hamming"))
+          .filter(col("hamming") <= 3)
+        // pair list → per-doc twin summary (the row a fingerprint-dedup
+        // pass consumes): neighbor degree + deterministic nearest twin.
+        // On a saturated fingerprint space the PAIR set is quadratic in
+        // the bucket occupancy, but it is never materialized beyond the
+        // verify filter — the groupBy collapses it map-side.
+        pairs.select(col("id1").as("doc_id"), col("id2").as("nbr"),
+            col("hamming"))
+          .unionByName(pairs.select(col("id2").as("doc_id"),
+            col("id1").as("nbr"), col("hamming")))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_twins"),
+            min(struct(col("hamming"), col("nbr"))).as("mn"))
+          .select(col("doc_id"), col("n_twins"),
+            col("mn.hamming").as("min_hamming"),
+            col("mn.nbr").as("nearest_twin"))
+      },
+      Some {
+        val hsSql = s"""list_transform(list_distinct(string_split(text, ' ')),
+          | t -> ${strHashSql("t")})""".stripMargin.replace("\n", " ")
+        s"""WITH corpus AS ($corpusWithNearDupsSql),
+           |sims AS (
+           |  SELECT doc_id,
+           |    list_reduce(list_prepend(0, list_transform(range(0, 16), j ->
+           |      CASE WHEN list_reduce(list_prepend(0,
+           |          list_transform($hsSql, h ->
+           |            CASE WHEN (h & CAST(pow(2, j) AS BIGINT)) > 0
+           |                 THEN 1 ELSE -1 END)),
+           |          (a, b) -> a + b) > 0
+           |        THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)),
+           |      (a, b) -> a + b) AS sh
+           |  FROM corpus)
+           |, blocks AS (
+           |  SELECT s.doc_id, s.sh, r.blk,
+           |    (s.sh >> (r.blk * 4)) & 15 AS bval
+           |  FROM sims s, (SELECT unnest(range(0, 4)) AS blk) r),
+           |bsz AS (SELECT blk, bval, COUNT(*) AS bsz
+           |        FROM blocks GROUP BY blk, bval),
+           |keep AS (SELECT bl.doc_id, bl.sh, bl.blk, bl.bval
+           |         FROM blocks bl JOIN bsz USING (blk, bval)
+           |         WHERE bsz.bsz <= 256),
+           |p AS (
+           |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+           |    CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+           |  FROM keep a JOIN keep b
+           |    ON a.blk = b.blk AND a.bval = b.bval
+           |    AND a.doc_id < b.doc_id
+           |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+           |e AS (
+           |  SELECT id1 AS doc_id, id2 AS nbr, hamming FROM p
+           |  UNION ALL SELECT id2, id1, hamming FROM p)
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_twins,
+           |  MIN(hamming) AS min_hamming,
+           |  arg_min(nbr, hamming * 1000000 + nbr) AS nearest_twin
+           |FROM e GROUP BY doc_id""".stripMargin
       }),
   )
 }

@@ -42,6 +42,9 @@ import org.apache.spark.sql.functions._
   *    contamination-guard operators — the same StreamOps functions run in
   *    batch mode, so the streaming surface's logic sits under the
   *    driver's hash gate, not only under ScalaTest parity;
+  *  - q153 k-core decomposition of the near-dup graph: bounded-horizon
+  *    peeling at k = 2 — the multiply-witnessed-duplication core where
+  *    delete-all-but-one is safe against single LSH false positives;
   *  - q92 triangle counting on the near-dup graph: the clique-ness
   *    diagnostic that tells over-merged components from dense duplicate
   *    families (node-iterator joins over id-oriented edges);
@@ -1191,6 +1194,60 @@ object GovernanceOps {
            |SELECT l.doc_id, l.lbl AS community, s.comm_size
            |FROM l3 l JOIN sizes s ON l.lbl = s.lbl""".stripMargin
       }),
+
+    // ----- q153: k-core decomposition of the near-dup graph ---------------
+    // The fourth graph lens (components q57, centrality q133, communities
+    // q141): STRUCTURAL COHESION. The 2-core strips leaf pairs and
+    // pendant chains, leaving only documents embedded in multiply-
+    // connected duplication structure — the set where "delete all but
+    // one" is actually safe, because every member has at least two
+    // independent duplication witnesses (a single LSH false-positive
+    // edge cannot put a doc in the 2-core). Bounded-horizon peeling
+    // (Matula/Beck 1983 iterated-degree shape), 4 rounds at k = 2, with
+    // the q133/q141 fixed-round reproducibility contract; the peel
+    // CONVERGES long before round 4 on this graph and the loop
+    // early-exits on the measured fixed point, so the horizon is a cap,
+    // not the cost. Oracle: the same 4 rounds unrolled as CTE layers.
+    // Scale shape per round: two node-keyed semi-joins + one degree
+    // count, all hash-partitioned by node id; O(log n)-ish effective
+    // rounds on crawl graphs since most of the graph peels immediately.
+    NamedQuery(
+      "q153_kcore",
+      (s, d) => {
+        val corpus = corpusWithNearDups(s, d)
+        kcorePeel(corpus.select(col("doc_id")),
+          lshCandidatePairs(corpus).select(col("id1"), col("id2")), 2, 4)
+      },
+      Some {
+        def round(prev: String, cur: Int): String =
+          s"""d$cur AS (
+             |  SELECT e.src, CAST(COUNT(*) AS BIGINT) AS deg
+             |  FROM edges e JOIN $prev a ON e.src = a.doc_id
+             |               JOIN $prev b ON e.dst = b.doc_id
+             |  GROUP BY e.src),
+             |a$cur AS (
+             |  SELECT a.doc_id FROM $prev a JOIN d$cur d
+             |    ON a.doc_id = d.src WHERE d.deg >= 2)""".stripMargin
+        s"""WITH corpus AS ($corpusWithNearDupsSql),
+           |$lshPairsCteSql,
+           |edges AS (
+           |  SELECT id1 AS src, id2 AS dst FROM pairs WHERE id1 <> id2
+           |  UNION SELECT id2, id1 FROM pairs WHERE id1 <> id2),
+           |a0 AS (SELECT doc_id FROM corpus),
+           |${round("a0", 1)},
+           |${round("a1", 2)},
+           |${round("a2", 3)},
+           |${round("a3", 4)},
+           |fd AS (
+           |  SELECT e.src, CAST(COUNT(*) AS BIGINT) AS core_deg
+           |  FROM edges e JOIN a4 a ON e.src = a.doc_id
+           |               JOIN a4 b ON e.dst = b.doc_id
+           |  GROUP BY e.src)
+           |SELECT c.doc_id, a.doc_id IS NOT NULL AS in_core,
+           |  COALESCE(fd.core_deg, 0) AS core_deg
+           |FROM corpus c LEFT JOIN a4 a ON c.doc_id = a.doc_id
+           |              LEFT JOIN fd ON c.doc_id = fd.src""".stripMargin
+      }),
   )
 
   /** q133's engine, extracted for direct testing against a scalar
@@ -1223,6 +1280,53 @@ object GovernanceOps {
       .select(col("doc_id"),
         coalesce(col("deg"), lit(0L)).as("n_neighbors"),
         col("pr").as("pagerank"))
+  }
+
+  /** q153's engine: bounded-horizon k-core peeling. Each round drops
+    * every node whose degree in the CURRENT induced subgraph is below k;
+    * `rounds` is fixed (the q133/q141 reproducibility contract — a
+    * convergence chase would make the oracle unexpressible), and the
+    * caller reports whether the last round was already a fixed point.
+    * Per round: one semi-join of the edge list against the alive set on
+    * BOTH endpoints + one degree count — hash joins partitioned by node
+    * id, nothing driver-side. localCheckpoint pins each round's alive
+    * set (the LPA lesson: an unpinned plan doubles per round). */
+  private[graft] def kcorePeel(
+      nodes: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame,
+      k: Int, rounds: Int): org.apache.spark.sql.DataFrame = {
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var alive = nodes.select(col("doc_id")).localCheckpoint()
+    var prevCount = alive.count()
+    var stable = false
+    for (_ <- 1 to rounds if !stable) {
+      val induced = edges
+        .join(alive.select(col("doc_id").as("src")), Seq("src"))
+        .join(alive.select(col("doc_id").as("dst")), Seq("dst"))
+      val deg = induced.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      alive = alive.join(deg, col("doc_id") === col("src"))
+        .filter(col("deg") >= k)
+        .select(col("doc_id"))
+        .localCheckpoint()
+      val c = alive.count()
+      stable = c == prevCount
+      prevCount = c
+    }
+    val finalDeg = edges
+      .join(alive.select(col("doc_id").as("src")), Seq("src"))
+      .join(alive.select(col("doc_id").as("dst")), Seq("dst"))
+      .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+    nodes.select(col("doc_id"))
+      .join(alive.withColumn("in_core", lit(true)),
+        Seq("doc_id"), "left")
+      .join(finalDeg, col("doc_id") === col("src"), "left")
+      .select(col("doc_id"),
+        coalesce(col("in_core"), lit(false)).as("in_core"),
+        coalesce(col("core_deg"), lit(0L)).as("core_deg"))
   }
 
   /** q141's engine, extracted for direct testing against a scalar

@@ -49,6 +49,9 @@ import org.apache.spark.sql.functions._
   *  - q129 mutual-kNN graph: every vector's bucket-bounded top-3 with
   *    reverse-edge mutuality flags — the index-build step graph-based
   *    dedup/clustering starts from;
+  *  - q154 MMR diversification re-rank: greedy maximal-marginal-
+  *    relevance top-5 over each query's exact top-20 (λ = 0.7, scaled
+  *    integer-weight scoring for cross-engine exactness);
   *  - q130 per-class drift along the principal axis: projections onto
   *    the q113-trained direction, histogrammed and chi-square-scored
   *    per class — embedding distribution monitoring one level up from
@@ -1502,6 +1505,117 @@ object SimilarityOps {
            |  array_to_string(list_transform(f, x -> CAST(x AS VARCHAR)),
            |    ',') AS h2_csv
            |FROM h2 h LEFT JOIN deg d ON h.vec_id = d.dst""".stripMargin
+      }),
+
+    // ----- q154: MMR diversification re-rank of the exact top-20 ----------
+    // Retrieval that avoids returning five paraphrases of one document:
+    // greedy Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98)
+    // over each panel query's exact top-20 — pick argmax of
+    // λ·rel − (1−λ)·max-sim-to-already-picked, five times, λ = 0.7. The
+    // score is kept 10×-scaled (7·rel − 3·maxsim) so both engines compute
+    // the identical two-multiply-one-subtract double expression (the q52
+    // cross-engine rule: never divide when you can scale), and ties break
+    // on vec_id. Candidates come from the SAME exactRanked pipeline as
+    // q31/q85 (no plan drift); per-candidate-pair sims are one bounded
+    // self-join (panel × 20 × 19 rows). The greedy loop is inherently
+    // sequential in k — five rounds of one bounded-key hash join + one
+    // per-query argmax window, each round's pick localCheckpoint-pinned
+    // (the LPA lesson); all per-query work stays partitioned by q_id, and
+    // k, not the corpus, bounds the round count. Oracle: the same five
+    // rounds unrolled as CTE layers over the same sims table.
+    NamedQuery(
+      "q154_mmr_rerank",
+      (s, d) => {
+        val cand = exactRanked(s, d).filter(col("rank") <= 20)
+          .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
+          .localCheckpoint()
+        val ce = cand.select(col("q_id"), col("vec_id"))
+          .join(normed(s, d), "vec_id")
+        val sims = ce.select(col("q_id"), col("vec_id").as("va"),
+            col("embedding").as("ea"), col("nrm").as("na"))
+          .join(ce.select(col("q_id"), col("vec_id").as("vb"),
+            col("embedding").as("eb"), col("nrm").as("nb")), Seq("q_id"))
+          .filter(col("va") =!= col("vb"))
+          .select(col("q_id"), col("va"), col("vb"),
+            (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("sim"))
+          .localCheckpoint()
+        var selected = cand.filter(col("rank") === 1)
+          .select(col("q_id"), col("vec_id"),
+            (lit(7) * col("cos")).as("mmr_score"), lit(1L).as("step"))
+          .localCheckpoint()
+        for (step <- 2 to 5) {
+          val selIds = selected.select(col("q_id"), col("vec_id"))
+          val scored = cand.join(selIds, Seq("q_id", "vec_id"), "left_anti")
+            .select(col("q_id"), col("vec_id").as("va"), col("cos"))
+            .join(sims, Seq("q_id", "va"))
+            .join(selIds.select(col("q_id"), col("vec_id").as("vb")),
+              Seq("q_id", "vb"))
+            .groupBy(col("q_id"), col("va"), col("cos"))
+            .agg(max(col("sim")).as("maxsim"))
+            .select(col("q_id"), col("va").as("vec_id"),
+              (lit(7) * col("cos") - lit(3) * col("maxsim")).as("score"))
+          val w = Window.partitionBy(col("q_id"))
+            .orderBy(col("score").desc, col("vec_id"))
+          selected = selected.unionByName(scored
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("q_id"), col("vec_id"),
+              col("score").as("mmr_score"), lit(step.toLong).as("step")))
+            .localCheckpoint()
+        }
+        selected
+      },
+      Some {
+        def round(cur: Int): String = {
+          val prev = cur - 1
+          s"""m$cur AS (
+             |  SELECT c.q_id, c.vec_id, 7 * c.cos - 3 * MAX(s.sim) AS score
+             |  FROM cand c
+             |  JOIN sims s ON s.q_id = c.q_id AND s.va = c.vec_id
+             |  JOIN sel$prev x ON x.q_id = s.q_id AND x.vec_id = s.vb
+             |  LEFT JOIN sel$prev y ON y.q_id = c.q_id
+             |    AND y.vec_id = c.vec_id
+             |  WHERE y.vec_id IS NULL
+             |  GROUP BY c.q_id, c.vec_id, c.cos),
+             |s$cur AS (
+             |  SELECT q_id, vec_id, score AS mmr_score,
+             |    CAST($cur AS BIGINT) AS step
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+             |          ORDER BY score DESC, vec_id) AS rn FROM m$cur)
+             |  WHERE rn = 1),
+             |sel$cur AS (SELECT q_id, vec_id FROM sel$prev
+             |  UNION ALL SELECT q_id, vec_id FROM s$cur)""".stripMargin
+        }
+        s"""WITH cand AS (
+           |  SELECT q_id, vec_id, cos, rank FROM (
+           |    SELECT q.vec_id AS q_id, e.vec_id,
+           |      ${cosineSql("q.embedding", "e.embedding")} AS cos,
+           |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |        ${cosineSql("q.embedding", "e.embedding")} DESC, e.vec_id)
+           |        AS rank
+           |    FROM embeddings e,
+           |         (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q)
+           |  WHERE rank <= 20),
+           |ce AS (
+           |  SELECT c.q_id, c.vec_id, e.embedding
+           |  FROM cand c JOIN embeddings e USING (vec_id)),
+           |sims AS (
+           |  SELECT a.q_id, a.vec_id AS va, b.vec_id AS vb,
+           |    ${cosineSql("a.embedding", "b.embedding")} AS sim
+           |  FROM ce a JOIN ce b ON a.q_id = b.q_id
+           |    AND a.vec_id <> b.vec_id),
+           |s1 AS (
+           |  SELECT q_id, vec_id, 7 * cos AS mmr_score,
+           |    CAST(1 AS BIGINT) AS step
+           |  FROM cand WHERE rank = 1),
+           |sel1 AS (SELECT q_id, vec_id FROM s1),
+           |${round(2)},
+           |${round(3)},
+           |${round(4)},
+           |${round(5)}
+           |SELECT * FROM s1 UNION ALL SELECT * FROM s2
+           |UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+           |UNION ALL SELECT * FROM s5""".stripMargin
       }),
   )
 }

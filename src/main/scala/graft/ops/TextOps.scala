@@ -41,7 +41,11 @@ import org.apache.spark.sql.functions._
   *    the plain ratio N/df — same ranking as ln-idf, cross-engine exact);
   *  - q118 PMI collocations: top word pairs by lift c12·N/(c1·c2) (the
   *    exp of PMI, so the same ranking, log-free) — marginals from ONE
-  *    bigram aggregation, c12 ≥ 5 sparse-pair guard, TakeOrdered top-20.
+  *    bigram aggregation, c12 ≥ 5 sparse-pair guard, TakeOrdered top-20;
+  *  - q151 Good-Turing unseen-vocabulary mass per source (p0 = V1/N —
+  *    the is-the-sample-big-enough gate for tokenizer training);
+  *  - q155 Zipf slope of the vocabulary: OLS on integer floor-log2
+  *    coordinates (exact cross-engine; natural-language shape check).
   *
   * All per-row with no shuffle (q33-q36, q59), or hash-aggregated with
   * map-side partial aggregation (q52, q60-q62) — linear and partition-
@@ -59,6 +63,30 @@ object TextOps {
 
   private val HashMod = 1000000007L
   private val WinnowLen = 16
+
+  /** The (doc_id, bg, k) bigram working set — each document's adjacent
+    * word pairs, already collapsed to per-doc counts by the one expensive
+    * explode + shuffle. Persisted: q107 (bigram LM) and q118 (PMI
+    * collocations) both derive every downstream table (corpus bigram
+    * counts, prefix/suffix marginals, totals) from THIS output, and
+    * Spark's plan-keyed cache manager gives both queries one shared
+    * in-memory copy per session (the kmCorpus mechanism,
+    * SimilarityOps.scala:156-169). The persisted set is (doc, bigram)
+    * distinct pairs — corpus-token scale, the honest O(tokens) budget
+    * both operators already carry; MEMORY_AND_DISK spills rather than
+    * OOMs at 100 TB. */
+  private def docBigrams(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val w = split(col("text"), " ")
+    tbl(s, d, "documents")
+      .filter(size(w) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(w) - 1),
+          i => concat(element_at(w, i), lit("\u0001"),
+            element_at(w, i + 1)))).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
+      .persist()
+  }
 
   // ---- BPE training (shared by q84 learn-merges and q88 encode) ---------
   /** k rounds of count-pairs → argmax → apply-merge over the wrapped
@@ -757,20 +785,13 @@ object TextOps {
       "q107_bigram_lm",
       (s, d) => {
         // two-level shape (cf. q52): the exploded stream is aggregated
-        // ONCE to (doc, bigram, k); everything else — the bigram LM, the
-        // prefix counts, the corpus total — derives from that vocabulary-
-        // shaped output, and the (doc, bigram) exchange is reused by
-        // Catalyst for both the LM build and the final scoring join, so
-        // the token stream is never re-exploded (the first cut scanned
-        // it four times and was the bench's slowest query)
-        val w = split(col("text"), " ")
-        val grouped = tbl(s, d, "documents")
-          .filter(size(w) >= 2)
-          .select(col("doc_id"),
-            explode(transform(sequence(lit(1), size(w) - 1),
-              i => concat(element_at(w, i), lit("\u0001"),
-                element_at(w, i + 1)))).as("bg"))
-          .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
+        // ONCE to (doc, bigram, k) — the persisted docBigrams working
+        // set, shared with q118 — and everything else (the bigram LM,
+        // the prefix counts, the corpus total) derives from that
+        // vocabulary-shaped output, so the token stream is never
+        // re-exploded (the first cut scanned it four times and was the
+        // bench's slowest query)
+        val grouped = docBigrams(s, d)
         val counts = grouped.groupBy(col("bg"))
           .agg(sum(col("k")).as("c12"))
           .withColumn("w1", substring_index(col("bg"), "\u0001", 1))
@@ -831,13 +852,11 @@ object TextOps {
     NamedQuery(
       "q118_pmi_collocations",
       (s, d) => {
-        val w = split(col("text"), " ")
-        val bg = tbl(s, d, "documents")
-          .filter(size(w) >= 2)
-          .select(explode(transform(sequence(lit(1), size(w) - 1),
-            i => concat(element_at(w, i), lit("\u0001"),
-              element_at(w, i + 1)))).as("bg"))
-          .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+        // corpus bigram counts derive from the persisted docBigrams
+        // working set (shared with q107): sum the per-doc k instead of
+        // re-exploding the token stream — same counts, one shared scan
+        val bg = docBigrams(s, d)
+          .groupBy(col("bg")).agg(sum(col("k")).as("c12"))
           .withColumn("w1", substring_index(col("bg"), "\u0001", 1))
           .withColumn("w2", substring_index(col("bg"), "\u0001", -1))
         val left = bg.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
@@ -1084,5 +1103,117 @@ object TextOps {
               |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
               |  FROM sc)
               |WHERE rank <= 5""".stripMargin)),
+
+    // ----- q151: Good-Turing unseen-vocabulary mass per source ------------
+    // The corpus-coverage health metric a tokenizer-training run reads
+    // before freezing its vocabulary: the Good-Turing estimate of the
+    // probability mass of UNSEEN words, p0 = V1/N (singleton count over
+    // token count, Good 1953) — if 10% of a source's token draws would be
+    // words never seen in the sample, the sample is too small for that
+    // source. Per source: tokens N, vocab V, singletons V1, doubletons V2
+    // (the first two frequency-of-frequency terms, enough for the smoothed
+    // singleton-mass estimate), and p0. Everything is exact-integer until
+    // the ONE final division, so the hash gate is trivial. Scale shape:
+    // (source, tok) partial-agg shuffle, then a source-level re-agg over
+    // the vocabulary-sized table — the q52/q62 two-level shape; linear in
+    // corpus tokens, vocabulary-bounded after level 1, no joins at all.
+    NamedQuery(
+      "q151_unseen_mass",
+      (s, d) => {
+        val freqs = tbl(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("source"), col("tok"))
+          .agg(count(lit(1)).as("f"))
+        freqs.groupBy(col("source"))
+          .agg(sum(col("f")).as("n_tokens"),
+            count(lit(1)).as("n_vocab"),
+            sum(when(col("f") === 1, 1L).otherwise(0L)).as("n_singletons"),
+            sum(when(col("f") === 2, 1L).otherwise(0L)).as("n_doubletons"))
+          .select(col("source"), col("n_tokens"), col("n_vocab"),
+            col("n_singletons"), col("n_doubletons"),
+            (col("n_singletons").cast("double") /
+              col("n_tokens").cast("double")).as("unseen_mass"))
+      },
+      Some("""WITH f AS (
+             |  SELECT source, tok, COUNT(*) AS f FROM (
+             |    SELECT source, unnest(string_split(text, ' ')) AS tok
+             |    FROM documents)
+             |  GROUP BY source, tok)
+             |SELECT source, CAST(SUM(f) AS BIGINT) AS n_tokens,
+             |  CAST(COUNT(*) AS BIGINT) AS n_vocab,
+             |  CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_singletons,
+             |  CAST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_doubletons,
+             |  CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+             |    CAST(SUM(f) AS DOUBLE) AS unseen_mass
+             |FROM f GROUP BY source""".stripMargin)),
+
+    // ----- q155: Zipf slope of the vocabulary (log2-bucket OLS) -----------
+    // Does the corpus LOOK like natural language? Natural text has token
+    // frequencies falling like rank^(-s) with s near 1 (Zipf 1949);
+    // machine-generated or template spam bends the curve. The slope is
+    // fit by OLS on (log2 rank, log2 freq) — but ln/log2 of a double
+    // differs across libm builds (the q52 lesson), so both coordinates
+    // use the INTEGER floor-log2, computed exactly as
+    // length(binary-digit-string) - 1 on both engines (Spark conv(),
+    // DuckDB bin() — string length is exact where floor(log2(x)) can
+    // round across a power-of-two boundary). All five OLS moments (n,
+    // Σx, Σy, Σxy, Σx²) are exact integers; slope and intercept are the
+    // only doubles, derived in one identical expression each. Scale
+    // shape: the vocabulary table is token-stream partial-agg; the
+    // global rank is a window over the VOCABULARY (Heaps-bounded, far
+    // smaller than the corpus — same budget q60/q77 already accept);
+    // moments are one more partial agg. Output: one row.
+    NamedQuery(
+      "q155_zipf_slope",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("f").desc, col("tok"))
+        val ranked = tbl(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .select((length(conv(col("rnk"), 10, 2)) - 1).cast("long").as("x"),
+            (length(conv(col("f"), 10, 2)) - 1).cast("long").as("y"))
+        ranked
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("n").as("n_vocab"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+              .as("zipf_slope"),
+            ((col("sy").cast("double") -
+              ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+                * col("sx").cast("double")) / col("n").cast("double"))
+              .as("intercept"))
+      },
+      Some("""WITH v AS (
+             |  SELECT tok, COUNT(*) AS f FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS tok
+             |    FROM documents)
+             |  GROUP BY tok),
+             |r AS (
+             |  SELECT CAST(length(bin(row_number() OVER
+             |      (ORDER BY f DESC, tok))) - 1 AS BIGINT) AS x,
+             |    CAST(length(bin(f)) - 1 AS BIGINT) AS y
+             |  FROM v),
+             |m AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+             |    CAST(SUM(x * x) AS BIGINT) AS sxx
+             |  FROM r)
+             |SELECT n AS n_vocab,
+             |  CAST(n * sxy - sx * sy AS DOUBLE) /
+             |    CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope,
+             |  (CAST(sy AS DOUBLE) -
+             |    (CAST(n * sxy - sx * sy AS DOUBLE) /
+             |     CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             |    / CAST(n AS DOUBLE) AS intercept
+             |FROM m""".stripMargin)),
   )
 }

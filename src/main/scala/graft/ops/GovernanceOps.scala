@@ -1300,7 +1300,7 @@ object GovernanceOps {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
-    var alive = nodes.select(col("doc_id")).localCheckpoint()
+    var alive = OpsKit.pinned(nodes.select(col("doc_id")))
     var prevCount = alive.count()
     var stable = false
     for (_ <- 1 to rounds if !stable) {
@@ -1308,10 +1308,9 @@ object GovernanceOps {
         .join(alive.select(col("doc_id").as("src")), Seq("src"))
         .join(alive.select(col("doc_id").as("dst")), Seq("dst"))
       val deg = induced.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      alive = alive.join(deg, col("doc_id") === col("src"))
+      alive = OpsKit.pinned(alive.join(deg, col("doc_id") === col("src"))
         .filter(col("deg") >= k)
-        .select(col("doc_id"))
-        .localCheckpoint()
+        .select(col("doc_id")))
       val c = alive.count()
       stable = c == prevCount
       prevCount = c
@@ -1348,8 +1347,8 @@ object GovernanceOps {
     // localCheckpoint per round truncates the lineage (the StarCC/q47
     // discipline); at scale this is also where an iterative job must cut
     // its plan anyway.
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("lbl"))
-      .localCheckpoint()
+    var labels = OpsKit.pinned(
+      nodes.select(col("doc_id"), col("doc_id").as("lbl")))
     for (_ <- 1 to iters) {
       val mode = edges.join(labels, col("src") === col("doc_id"))
         .groupBy(col("dst"), col("lbl"))
@@ -1358,9 +1357,10 @@ object GovernanceOps {
         .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l")))
           .as("m"))
         .select(col("dst"), col("m.l").as("new_lbl"))
-      labels = labels.join(mode, col("doc_id") === col("dst"), "left")
-        .select(col("doc_id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
-        .localCheckpoint()
+      labels = OpsKit.pinned(
+        labels.join(mode, col("doc_id") === col("dst"), "left")
+          .select(col("doc_id"),
+            coalesce(col("new_lbl"), col("lbl")).as("lbl")))
     }
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("comm_size"))
     labels.join(sizes, "lbl")
@@ -1394,9 +1394,8 @@ object GovernanceOps {
     val edges = pairs
       .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .cache()
-    var labels = nodes
-      .select(col("doc_id"), col("doc_id").as("cluster_rep"))
-      .localCheckpoint()
+    var labels = OpsKit.pinned(nodes
+      .select(col("doc_id"), col("doc_id").as("cluster_rep")))
     var frontier = labels
     var moved = frontier.count()
     var iter = 0
@@ -1409,13 +1408,12 @@ object GovernanceOps {
           col("cluster_rep").as("lbl")), col("id2") === col("src"))
         .groupBy(col("id1").as("doc_id"))
         .agg(min(col("lbl")).as("cand"))
-      val next = labels.join(cand, Seq("doc_id"), "left")
+      val next = OpsKit.pinned(labels.join(cand, Seq("doc_id"), "left")
         .select(col("doc_id"),
           when(col("cand") < col("cluster_rep"), col("cand"))
             .otherwise(col("cluster_rep")).as("cluster_rep"),
           coalesce(col("cand") < col("cluster_rep"), lit(false))
-            .as("moved"))
-        .localCheckpoint()
+            .as("moved")))
       frontier = next.filter(col("moved"))
         .select(col("doc_id"), col("cluster_rep"))
       labels = next.select(col("doc_id"), col("cluster_rep"))

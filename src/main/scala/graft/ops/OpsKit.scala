@@ -53,6 +53,23 @@ object OpsKit {
     }
   }
 
+  /** Materialize an iteration's working set AND sever its planner
+    * lineage. `localCheckpoint()` alone truncates the logical plan and
+    * the RDD DAG, but Spark 4's `LogicalRDD` still carries the ORIGIN
+    * plan for stats/constraint estimation — so in an iterative loop,
+    * round r's stats walk recurses through every earlier round's plan
+    * (×branching per round: measured on a 64-node path k-core peel,
+    * per-round optimize time doubled from round ~15 and passed 10 s by
+    * round 22 while the optimized plan stayed 701 chars; rebuilding the
+    * DataFrame from the checkpointed RDD keeps every round at ~0.3 s
+    * flat). The Row round-trip this adds costs one encode per row per
+    * round — linear, paid once per iteration, and the price of keeping
+    * planning O(1) per round instead of O(branching^rounds). */
+  def pinned(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
   /** Order-insensitive exact sum of a double expression: cast each value to
     * DECIMAL(28,6) (ties at the 6th decimal are unrepresentable in binary
     * doubles, so Spark and DuckDB round identically), sum exactly, return

@@ -1539,10 +1539,9 @@ object SimilarityOps {
           .select(col("q_id"), col("va"), col("vb"),
             (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("sim"))
           .localCheckpoint()
-        var selected = cand.filter(col("rank") === 1)
+        var selected = OpsKit.pinned(cand.filter(col("rank") === 1)
           .select(col("q_id"), col("vec_id"),
-            (lit(7) * col("cos")).as("mmr_score"), lit(1L).as("step"))
-          .localCheckpoint()
+            (lit(7) * col("cos")).as("mmr_score"), lit(1L).as("step")))
         for (step <- 2 to 5) {
           val selIds = selected.select(col("q_id"), col("vec_id"))
           val scored = cand.join(selIds, Seq("q_id", "vec_id"), "left_anti")
@@ -1556,12 +1555,11 @@ object SimilarityOps {
               (lit(7) * col("cos") - lit(3) * col("maxsim")).as("score"))
           val w = Window.partitionBy(col("q_id"))
             .orderBy(col("score").desc, col("vec_id"))
-          selected = selected.unionByName(scored
+          selected = OpsKit.pinned(selected.unionByName(scored
             .withColumn("rn", row_number().over(w))
             .filter(col("rn") === 1)
             .select(col("q_id"), col("vec_id"),
-              col("score").as("mmr_score"), lit(step.toLong).as("step")))
-            .localCheckpoint()
+              col("score").as("mmr_score"), lit(step.toLong).as("step"))))
         }
         selected
       },

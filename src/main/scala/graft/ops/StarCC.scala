@@ -83,14 +83,14 @@ object StarCC {
       .filter(col("id1") =!= col("id2"))
       .select(greatest(col("id1"), col("id2")).as("id1"),
         least(col("id1"), col("id2")).as("id2"))
-      .distinct().localCheckpoint()
+      .distinct().transform(OpsKit.pinned)
     var w = witness(e)
     var rounds = 0
     var converged = false
     while (!converged) {
       if (rounds >= maxRounds) throw new IllegalStateException(
         s"star CC not converged after $maxRounds rounds (witness $w)")
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = OpsKit.pinned(smallStar(largeStar(e)))
       val w2 = witness(next)
       converged = w2 == w
       e = next

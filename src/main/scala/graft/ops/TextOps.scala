@@ -101,7 +101,7 @@ object TextOps {
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
       .select(col("freq"), concat(lit("("),
         array_join(split(col("tok"), ""), ")("), lit(")")).as("w"))
-      .localCheckpoint()
+      .transform(pinned)
     val merges = Seq.newBuilder[(Long, String, Long)]
     for (step <- 1 to k) {
       // syms is BOUND in its own projection before the transform lambda
@@ -121,9 +121,8 @@ object TextOps {
         .head()
       val pair = best.getString(0)
       merges += ((step.toLong, pair, best.getLong(1)))
-      if (step < k) vocab = vocab.select(col("freq"),
-        replace(col("w"), lit(pair), lit(pair.replace(")(", ""))).as("w"))
-        .localCheckpoint()
+      if (step < k) vocab = pinned(vocab.select(col("freq"),
+        replace(col("w"), lit(pair), lit(pair.replace(")(", ""))).as("w")))
     }
     merges.result()
   }

@@ -52,6 +52,9 @@ import org.apache.spark.sql.functions._
   *  - q154 MMR diversification re-rank: greedy maximal-marginal-
   *    relevance top-5 over each query's exact top-20 (λ = 0.7, scaled
   *    integer-weight scoring for cross-engine exactness);
+  *  - q156 margin-based bitext mining: ratio-margin scored pairing of
+  *    two monolingual pools (cos over mean of both sides' top-4
+  *    neighborhoods) — the parallel-corpus construction op;
   *  - q130 per-class drift along the principal axis: projections onto
   *    the q113-trained direction, histogrammed and chi-square-scored
   *    per class — embedding distribution monitoring one level up from
@@ -1615,5 +1618,85 @@ object SimilarityOps {
            |UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
            |UNION ALL SELECT * FROM s5""".stripMargin
       }),
+
+    // ----- q156: margin-based bitext mining (parallel-corpus pairing) -----
+    // The pretraining-data op that builds translation pairs from two
+    // monolingual pools (label 0 = source language, label 1 = target —
+    // the synthetic stand-in for CCMatrix-style mining): raw cosine
+    // over-accepts hubs (vectors near everything) and under-accepts
+    // sparse regions, so candidates are scored by the RATIO margin
+    // (Artetxe & Schwenk, ACL'19): cos(x,y) divided by the mean of both
+    // sides' top-4 neighborhood cosines — "how much closer than each
+    // side's usual closest" — and a pair is accepted at margin ≥ 1.
+    // Exactness: neighborhood means go through dsum (decimal-exact sum,
+    // order-independent) before ONE double division; the margin itself
+    // is a fixed IEEE sequence; ranking ties break on vec_id. Scale
+    // shape: both pools stream from the same normed corpus; the pair
+    // table here is pool×pool with the small side broadcast — at real
+    // scale the candidate generation swaps to the q32/q39 bucketed ANN
+    // pipelines unchanged (margins only need each side's top-k, which
+    // the bucket join already yields), never a corpus×corpus product.
+    NamedQuery(
+      "q156_bitext_margin",
+      (s, d) => {
+        val e = normed(s, d)
+        val srcSide = e.filter(col("label") === 0)
+          .select(col("vec_id").as("sid"), col("embedding").as("se"),
+            col("nrm").as("sn"))
+        val tgtSide = e.filter(col("label") === 1)
+          .select(col("vec_id").as("tid"), col("embedding").as("te"),
+            col("nrm").as("tn"))
+        val pairs = srcSide.crossJoin(broadcast(tgtSide))
+          .select(col("sid"), col("tid"),
+            (dot(col("se"), col("te")) / (col("sn") * col("tn")))
+              .as("cos"))
+        val wx = Window.partitionBy(col("sid"))
+          .orderBy(col("cos").desc, col("tid"))
+        val wy = Window.partitionBy(col("tid"))
+          .orderBy(col("cos").desc, col("sid"))
+        val mx = pairs.withColumn("rn", row_number().over(wx))
+          .filter(col("rn") <= 4).groupBy(col("sid"))
+          .agg((dsum(col("cos")) / 4).as("mx"))
+        val my = pairs.withColumn("rn", row_number().over(wy))
+          .filter(col("rn") <= 4).groupBy(col("tid"))
+          .agg((dsum(col("cos")) / 4).as("my"))
+        val wbest = Window.partitionBy(col("sid"))
+          .orderBy(col("margin").desc, col("tid"))
+        pairs.join(mx, "sid").join(my, "tid")
+          .select(col("sid"), col("tid"), col("cos"),
+            (col("cos") / ((col("mx") + col("my")) / 2)).as("margin"))
+          .withColumn("rn", row_number().over(wbest))
+          .filter(col("rn") === 1)
+          .select(col("sid").as("src_id"), col("tid").as("tgt_id"),
+            col("cos"), col("margin"),
+            (col("margin") >= 1.0).as("accepted"))
+      },
+      Some(s"""WITH s AS (SELECT vec_id, embedding FROM embeddings
+              |           WHERE label = 0),
+              |t AS (SELECT vec_id, embedding FROM embeddings
+              |      WHERE label = 1),
+              |p AS (
+              |  SELECT s.vec_id AS sid, t.vec_id AS tid,
+              |    ${cosineSql("s.embedding", "t.embedding")} AS cos
+              |  FROM s CROSS JOIN t),
+              |mx AS (
+              |  SELECT sid, ${dsumSql("cos")} / 4 AS mx FROM (
+              |    SELECT sid, cos, row_number() OVER (PARTITION BY sid
+              |      ORDER BY cos DESC, tid) AS rn FROM p)
+              |  WHERE rn <= 4 GROUP BY sid),
+              |my AS (
+              |  SELECT tid, ${dsumSql("cos")} / 4 AS my FROM (
+              |    SELECT tid, cos, row_number() OVER (PARTITION BY tid
+              |      ORDER BY cos DESC, sid) AS rn FROM p)
+              |  WHERE rn <= 4 GROUP BY tid),
+              |m AS (
+              |  SELECT sid, tid, cos,
+              |    cos / ((mx.mx + my.my) / 2) AS margin
+              |  FROM p JOIN mx USING (sid) JOIN my USING (tid))
+              |SELECT sid AS src_id, tid AS tgt_id, cos, margin,
+              |  margin >= 1.0 AS accepted
+              |FROM (SELECT *, row_number() OVER (PARTITION BY sid
+              |        ORDER BY margin DESC, tid) AS rn FROM m)
+              |WHERE rn = 1""".stripMargin)),
   )
 }

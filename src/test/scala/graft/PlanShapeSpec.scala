@@ -75,6 +75,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!kc.contains("SortMergeJoin"), s"q138 shuffles a tiny side:\n$kc")
   }
 
+  test("round-8 operators keep their scale shapes") {
+    // q152: pigeonhole block self-join must be an equi join on
+    // (blk, bval) — a nested-loop here would be the all-pairs scan the
+    // blocking exists to avoid
+    val ham = plan("q152_hamming_join")
+    assert(!ham.contains("BroadcastNestedLoopJoin"), s"q152:\n$ham")
+    // q151: two-level partial agg, no joins at all
+    val gt = plan("q151_unseen_mass")
+    assert("HashAggregate".r.findAllIn(gt).size >= 2, s"q151:\n$gt")
+    assert(!gt.contains("Join"), s"q151 grew a join:\n$gt")
+    // q155: the OLS moments reduce map-side before the single-row agg —
+    // the only window is over the Heaps-bounded vocabulary
+    val zf = plan("q155_zipf_slope")
+    assert("HashAggregate".r.findAllIn(zf).size >= 2, s"q155:\n$zf")
+  }
+
   test("LSH band self-join is a shuffled join, not broadcast") {
     // broadcast would duplicate the signature computation per side
     val p = plan("q27_minhash_lsh")

@@ -45,7 +45,10 @@ import org.apache.spark.sql.functions._
   *  - q151 Good-Turing unseen-vocabulary mass per source (p0 = V1/N —
   *    the is-the-sample-big-enough gate for tokenizer training);
   *  - q155 Zipf slope of the vocabulary: OLS on integer floor-log2
-  *    coordinates (exact cross-engine; natural-language shape check).
+  *    coordinates (exact cross-engine; natural-language shape check);
+  *  - q157 surprise-bucket mixing report: q107's per-doc scores rolled
+  *    into a (source, fixed-width surprise bucket) grid — the CCNet
+  *    head/middle/tail selection table, zero extra shuffles.
   *
   * All per-row with no shuffle (q33-q36, q59), or hash-aggregated with
   * map-side partial aggregation (q52, q60-q62) — linear and partition-
@@ -87,6 +90,63 @@ object TextOps {
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
       .persist()
   }
+
+  /** Per-document bigram-LM scores (doc_id, n_bigrams, mean_bigram_prob,
+    * surprise_frac) over the persisted docBigrams working set — the body
+    * of q107, extracted so q157's mixing buckets consume the SAME plan
+    * (and the same oracle CTE chain, [[bigramScoreCteSql]]). */
+  private def bigramDocScores(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val grouped = docBigrams(s, d)
+    val counts = grouped.groupBy(col("bg"))
+      .agg(sum(col("k")).as("c12"))
+      .withColumn("w1", substring_index(col("bg"), "\u0001", 1))
+    val prefix = counts.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val lm = counts.join(prefix, "w1")
+    val total = counts.agg(sum(col("c12")).as("b_total"))
+    grouped.join(lm, "bg")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        // Σ k·c in decimal, one trailing double division — cf. q62
+        sum((col("k") * col("c12")).cast("decimal(38,0)")).as("sumc"),
+        sum(when(col("c12") * 20 < col("c1"), col("k")).otherwise(0L))
+          .as("n_surprise"),
+        max(col("b_total")).as("b"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sumc").cast("double") /
+          (col("n_bigrams").cast("double") * col("b").cast("double")))
+          .as("mean_bigram_prob"),
+        (col("n_surprise").cast("double") /
+          col("n_bigrams").cast("double")).as("surprise_frac"))
+  }
+
+  /** The q107 oracle's CTE chain up to a `scores` table mirroring
+    * [[bigramDocScores]] — shared verbatim by the q107 and q157 oracles
+    * so the two can never drift. */
+  private val bigramScoreCteSql: String =
+    """tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |big AS (
+      |  SELECT doc_id,
+      |    unnest([w[i] || chr(1) || w[i+1]
+      |            for i in range(1, len(w))]) AS bg
+      |  FROM tok),
+      |bgp AS (
+      |  SELECT doc_id, bg, string_split(bg, chr(1))[1] AS w1
+      |  FROM big),
+      |c AS (SELECT bg, COUNT(*) AS c12 FROM bgp GROUP BY bg),
+      |p AS (SELECT w1, COUNT(*) AS c1 FROM bgp GROUP BY w1),
+      |n AS (SELECT CAST(SUM(c12) AS BIGINT) AS b FROM c),
+      |scores AS (
+      |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(c.c12) AS DOUBLE) /
+      |      (CAST(COUNT(*) AS DOUBLE) * CAST(MAX(n.b) AS DOUBLE))
+      |        AS mean_bigram_prob,
+      |    CAST(SUM(CASE WHEN c.c12 * 20 < p.c1 THEN 1 ELSE 0 END)
+      |         AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS surprise_frac
+      |  FROM bgp t JOIN c USING (bg) JOIN p USING (w1) CROSS JOIN n
+      |  GROUP BY t.doc_id)""".stripMargin
 
   // ---- BPE training (shared by q84 learn-merges and q88 encode) ---------
   /** k rounds of count-pairs → argmax → apply-merge over the wrapped
@@ -782,58 +842,17 @@ object TextOps {
     // tokens have no transitions and drop out on both engines.
     NamedQuery(
       "q107_bigram_lm",
-      (s, d) => {
-        // two-level shape (cf. q52): the exploded stream is aggregated
-        // ONCE to (doc, bigram, k) — the persisted docBigrams working
-        // set, shared with q118 — and everything else (the bigram LM,
-        // the prefix counts, the corpus total) derives from that
-        // vocabulary-shaped output, so the token stream is never
-        // re-exploded (the first cut scanned it four times and was the
-        // bench's slowest query)
-        val grouped = docBigrams(s, d)
-        val counts = grouped.groupBy(col("bg"))
-          .agg(sum(col("k")).as("c12"))
-          .withColumn("w1", substring_index(col("bg"), "\u0001", 1))
-        val prefix = counts.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-        val lm = counts.join(prefix, "w1")
-        val total = counts.agg(sum(col("c12")).as("b_total"))
-        grouped.join(lm, "bg")
-          .crossJoin(broadcast(total))
-          .groupBy(col("doc_id"))
-          .agg(sum(col("k")).as("n_bigrams"),
-            // Σ k·c in decimal, one trailing double division — cf. q62
-            sum((col("k") * col("c12")).cast("decimal(38,0)")).as("sumc"),
-            sum(when(col("c12") * 20 < col("c1"), col("k")).otherwise(0L))
-              .as("n_surprise"),
-            max(col("b_total")).as("b"))
-          .select(col("doc_id"), col("n_bigrams"),
-            (col("sumc").cast("double") /
-              (col("n_bigrams").cast("double") * col("b").cast("double")))
-              .as("mean_bigram_prob"),
-            (col("n_surprise").cast("double") /
-              col("n_bigrams").cast("double")).as("surprise_frac"))
-      },
-      Some("""WITH tok AS (
-             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-             |big AS (
-             |  SELECT doc_id,
-             |    unnest([w[i] || chr(1) || w[i+1]
-             |            for i in range(1, len(w))]) AS bg
-             |  FROM tok),
-             |bgp AS (
-             |  SELECT doc_id, bg, string_split(bg, chr(1))[1] AS w1
-             |  FROM big),
-             |c AS (SELECT bg, COUNT(*) AS c12 FROM bgp GROUP BY bg),
-             |p AS (SELECT w1, COUNT(*) AS c1 FROM bgp GROUP BY w1),
-             |n AS (SELECT CAST(SUM(c12) AS BIGINT) AS b FROM c)
-             |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-             |  CAST(SUM(c.c12) AS DOUBLE) /
-             |    (CAST(COUNT(*) AS DOUBLE) * CAST(MAX(n.b) AS DOUBLE))
-             |      AS mean_bigram_prob,
-             |  CAST(SUM(CASE WHEN c.c12 * 20 < p.c1 THEN 1 ELSE 0 END)
-             |       AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS surprise_frac
-             |FROM bgp t JOIN c USING (bg) JOIN p USING (w1) CROSS JOIN n
-             |GROUP BY t.doc_id""".stripMargin)),
+      // two-level shape (cf. q52): the exploded stream is aggregated
+      // ONCE to (doc, bigram, k) — the persisted docBigrams working set,
+      // shared with q118 — and everything else (the bigram LM, the
+      // prefix counts, the corpus total) derives from that vocabulary-
+      // shaped output, so the token stream is never re-exploded (the
+      // first cut scanned it four times and was the bench's slowest
+      // query); body extracted as bigramDocScores, shared with q157
+      (s, d) => bigramDocScores(s, d),
+      Some(s"""WITH $bigramScoreCteSql
+              |SELECT doc_id, n_bigrams, mean_bigram_prob, surprise_frac
+              |FROM scores""".stripMargin)),
 
     // ----- q118: PMI collocations (top word pairs by lift) ----------------
     // Collocation extraction — the statistical phrase detector a corpus
@@ -1214,5 +1233,46 @@ object TextOps {
              |     CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
              |    / CAST(n AS DOUBLE) AS intercept
              |FROM m""".stripMargin)),
+
+    // ----- q157: surprise-bucket mixing report (CCNet head/middle/tail) ---
+    // The selection table a CCNet-style LM filter actually emits: per
+    // (source, surprise bucket), how many documents and tokens sit there
+    // — the grid an operator reads to set per-source keep thresholds
+    // ("head" = typical transitions, "tail" = word soup). Buckets are
+    // FIXED-WIDTH tenths of q107's surprise_frac (floor(s·10) clamped to
+    // 9) rather than global quantiles: fixed cutoffs are what CCNet
+    // ships (precomputed per language), they cost ZERO extra shuffles —
+    // the alternative global rank is exactly the single-partition window
+    // this repo bans — and the floor is cross-engine exact because both
+    // engines compute s = k/n and s·10 with the same two IEEE ops.
+    // Consumes the SAME bigramDocScores plan (and oracle CTE) as q107 —
+    // in a session that ran q107, the scores' docBigrams input is
+    // already materialized. Output: (source, bucket) grid with doc and
+    // bigram-token volumes and the decimal-exact mean surprise per cell.
+    NamedQuery(
+      "q157_surprise_buckets",
+      (s, d) => {
+        val scores = bigramDocScores(s, d)
+        val bucket = least(floor(col("surprise_frac") * 10), lit(9.0))
+          .cast("long")
+        tbl(s, d, "documents").select(col("doc_id"), col("source"))
+          .join(scores, "doc_id")
+          .select(col("source"), bucket.as("bucket"),
+            col("n_bigrams"), col("surprise_frac"))
+          .groupBy(col("source"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_bigrams")).as("n_bigrams"),
+            (dsum(col("surprise_frac")) / count(lit(1)))
+              .as("mean_surprise"))
+      },
+      Some(s"""WITH $bigramScoreCteSql
+              |SELECT d.source,
+              |  CAST(least(floor(s.surprise_frac * 10), 9) AS BIGINT)
+              |    AS bucket,
+              |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(s.n_bigrams) AS BIGINT) AS n_bigrams,
+              |  ${dsumSql("s.surprise_frac")} / COUNT(*) AS mean_surprise
+              |FROM scores s JOIN documents d USING (doc_id)
+              |GROUP BY d.source, bucket""".stripMargin)),
   )
 }

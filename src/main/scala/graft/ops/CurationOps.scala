@@ -74,11 +74,14 @@ object CurationOps {
     NamedQuery(
       "q43_chunking",
       (s, d) => {
-        val toks = split(col("text"), " ")
+        // token array bound before the lambda (HOF recompute trap —
+        // an inline split re-tokenizes the doc once per chunk)
+        val toks = col("wt")
         val nChunks = greatest(
           ceil((size(toks) - lit(ChunkSize)) / lit(ChunkStride.toDouble))
             .cast("int") + 1, lit(1))
         tbl(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("wt"))
           .select(col("doc_id"),
             posexplode(transform(sequence(lit(0), nChunks - 1), i =>
               slice(toks, i * ChunkStride + 1, lit(ChunkSize))))

@@ -420,9 +420,12 @@ object DedupOps {
       "q132_window_dedup",
       (s, d) => {
         val W = 20
-        val toks = split(col("text"), " ")
+        // token array bound before the lambda (HOF recompute trap —
+        // an inline split re-tokenizes the doc once per window)
+        val toks = col("wt")
         val nWin = ceil(size(toks) / lit(W.toDouble)).cast("int")
         val win = corpusWithDups(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("wt"))
           .select(col("doc_id"),
             posexplode(transform(sequence(lit(0), nWin - 1), i =>
               array_join(slice(toks, i * W + 1, lit(W)), " ")))

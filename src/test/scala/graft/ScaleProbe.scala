@@ -27,7 +27,8 @@ object ScaleProbe {
     val queries = Seq("q27_minhash_lsh", "q47_dedup_clusters",
       "q57_star_clusters", "q100_curation_pipeline", "q101_substr_spans",
       "q107_bigram_lm", "q120_prefix_simjoin", "q132_window_dedup",
-      "q133_pagerank", "q135_lsh_recall", "q141_label_propagation")
+      "q133_pagerank", "q135_lsh_recall", "q141_label_propagation",
+      "q152_hamming_join", "q153_kcore")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

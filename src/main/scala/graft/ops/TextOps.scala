@@ -48,7 +48,10 @@ import org.apache.spark.sql.functions._
   *    coordinates (exact cross-engine; natural-language shape check);
   *  - q157 surprise-bucket mixing report: q107's per-doc scores rolled
   *    into a (source, fixed-width surprise bucket) grid — the CCNet
-  *    head/middle/tail selection table, zero extra shuffles.
+  *    head/middle/tail selection table, zero extra shuffles;
+  *  - q158 interpolated Kneser-Ney bigram document score: the
+  *    continuation-count smoother (D = 0.75) over the same persisted
+  *    bigram working set — mean smoothed probability + backoff mass.
   *
   * All per-row with no shuffle (q33-q36, q59), or hash-aggregated with
   * map-side partial aggregation (q52, q60-q62) — linear and partition-
@@ -1280,5 +1283,100 @@ object TextOps {
               |  ${dsumSql("s.surprise_frac")} / COUNT(*) AS mean_surprise
               |FROM scores s JOIN documents d USING (doc_id)
               |GROUP BY d.source, bucket""".stripMargin)),
+
+    // ----- q158: interpolated Kneser-Ney bigram document score ------------
+    // The smoothed counterpart to q107's raw bigram LM — the estimator a
+    // production perplexity filter actually uses (Kneser & Ney 1995;
+    // Chen & Goodman 1998's interpolated form with a fixed absolute
+    // discount D = 0.75, exactly representable in binary so both engines
+    // compute identical doubles):
+    //   P_KN(w2|w1) = max(c(w1w2) − D, 0)/c(w1·)
+    //               + D·N1+(w1,·)/c(w1·) · N1+(·,w2)/N1+(··)
+    // The second term is what distinguishes KN from simple backoff: a
+    // word's unigram weight is how many distinct CONTEXTS it follows
+    // (continuation count), not its raw frequency — "Francisco" is
+    // frequent but only ever follows "San", so KN correctly refuses to
+    // predict it in fresh contexts where a raw-frequency backoff
+    // over-scores it. Per document: occurrence-weighted mean P_KN over
+    // its bigrams and the mean backoff mass λ(w1) = D·N1+(w1,·)/c(w1·)
+    // (how much of the doc's probability came from the smoother rather
+    // than observed transitions — high λ = the doc lives in sparse
+    // contexts). All counts (c12, c1, the three N1+ type counts) are
+    // exact integers derived from the SAME persisted docBigrams working
+    // set as q107/q118/q157 — no re-explode; the only doubles are the
+    // final per-type P_KN/λ expressions (identical IEEE trees both
+    // engines) and the decimal-exact per-doc sums (dsum, q62's
+    // discipline). Scale shape: three partial-agg shuffles over the
+    // BIGRAM-TYPE table (far below token-stream scale), hash equi-joins
+    // back, one broadcast scalar for N1+(··); linear in corpus tokens,
+    // no windows, no driver state.
+    NamedQuery(
+      "q158_kneser_ney",
+      (s, d) => {
+        val grouped = docBigrams(s, d)
+        val types = grouped.groupBy(col("bg")).agg(sum(col("k")).as("c12"))
+          .withColumn("w1", substring_index(col("bg"), "\u0001", 1))
+          .withColumn("w2", substring_index(col("bg"), "\u0001", -1))
+        val pre = types.groupBy(col("w1"))
+          .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+        val cont = types.groupBy(col("w2")).agg(count(lit(1)).as("n1p"))
+        val ntypes = types.agg(count(lit(1)).as("nt"))
+        val lam = lit(0.75) * col("n1f").cast("double") /
+          col("c1").cast("double")
+        val pkn = types.join(pre, "w1").join(cont, "w2")
+          .crossJoin(broadcast(ntypes))
+          .select(col("bg"),
+            (greatest(col("c12").cast("double") - lit(0.75), lit(0.0)) /
+              col("c1").cast("double") +
+              lam * (col("n1p").cast("double") / col("nt").cast("double")))
+              .as("pkn"),
+            lam.as("lam"))
+        grouped.join(pkn, "bg")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("k")).as("n_bigrams"),
+            dsum(col("k").cast("double") * col("pkn")).as("skn"),
+            dsum(col("k").cast("double") * col("lam")).as("slam"))
+          .select(col("doc_id"), col("n_bigrams"),
+            (col("skn") / col("n_bigrams").cast("double"))
+              .as("mean_kn_prob"),
+            (col("slam") / col("n_bigrams").cast("double"))
+              .as("mean_backoff"))
+      },
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, string_split(text, ' ') AS w
+              |  FROM documents),
+              |big AS (
+              |  SELECT doc_id, unnest([w[i] || chr(1) || w[i+1]
+              |                         for i in range(1, len(w))]) AS bg
+              |  FROM tok WHERE len(w) >= 2),
+              |g AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS k
+              |      FROM big GROUP BY doc_id, bg),
+              |t AS (SELECT bg, CAST(SUM(k) AS BIGINT) AS c12,
+              |        string_split(bg, chr(1))[1] AS w1,
+              |        string_split(bg, chr(1))[2] AS w2
+              |      FROM g GROUP BY bg),
+              |pre AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+              |          CAST(COUNT(*) AS BIGINT) AS n1f
+              |        FROM t GROUP BY w1),
+              |cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p
+              |         FROM t GROUP BY w2),
+              |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM t),
+              |pk AS (
+              |  SELECT t.bg,
+              |    greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0)
+              |        / CAST(c1 AS DOUBLE)
+              |      + (0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE))
+              |        * (CAST(n1p AS DOUBLE) / CAST(nt.nt AS DOUBLE))
+              |      AS pkn,
+              |    0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE) AS lam
+              |  FROM t JOIN pre USING (w1) JOIN cont USING (w2)
+              |  CROSS JOIN nt)
+              |SELECT g.doc_id, CAST(SUM(g.k) AS BIGINT) AS n_bigrams,
+              |  ${dsumSql("CAST(g.k AS DOUBLE) * pk.pkn")}
+              |    / CAST(SUM(g.k) AS DOUBLE) AS mean_kn_prob,
+              |  ${dsumSql("CAST(g.k AS DOUBLE) * pk.lam")}
+              |    / CAST(SUM(g.k) AS DOUBLE) AS mean_backoff
+              |FROM g JOIN pk USING (bg)
+              |GROUP BY g.doc_id""".stripMargin)),
   )
 }

@@ -24,7 +24,10 @@ import org.apache.spark.sql.functions._
   *    family): zero-false-negative Jaccard ≥ 0.8 over shingle sets,
   *    candidates from rarest-first prefixes, all-integer verification —
   *    hash-gated against a brute-force all-pairs oracle, so the gate
-  *    itself proves the filter's completeness.
+  *    itself proves the filter's completeness;
+  *  - q159 robust winnowing (MOSS) fingerprints: window-of-8 minima over
+  *    gram hashes, doc pairs from a stop-print-guarded fingerprint
+  *    equi-join — partial-overlap detection at ~2/(W+1) storage.
   *
   * The near-dup corpora are self-constructed (documents ∪ re-keyed
   * perturbations) so recall is verifiable deterministically — the driver's
@@ -795,6 +798,91 @@ object DedupOps {
            |  MIN(hamming) AS min_hamming,
            |  arg_min(nbr, hamming * 1000000 + nbr) AS nearest_twin
            |FROM e GROUP BY doc_id""".stripMargin
+      }),
+
+    // ----- q159: robust winnowing fingerprints + doc-pair overlap ---------
+    // The MOSS fingerprinting scheme (Schleimer, Wilkerson & Aiken,
+    // SIGMOD 2003) as a distributed overlap detector: per document, hash
+    // every word 3-gram (the shared hashed_shingles expression), slide a
+    // window of W = 8 consecutive gram hashes, and keep each window's
+    // MINIMUM — the winnowing guarantee is that any shared run of
+    // W + 2 grams between two documents contributes at least one
+    // IDENTICAL selected fingerprint to both, so matching fingerprint
+    // VALUES (no positions needed) finds every sufficiently long overlap
+    // while storing ~2/(W+1) of the grams. Doc pairs then meet in a
+    // fingerprint equi-join — never all-pairs — with q53's stop-gram
+    // discipline: a fingerprint appearing in > 100 documents is
+    // boilerplate and is dropped BEFORE the self-join, bounding any one
+    // join key's work at C(100,2) pairs regardless of corpus size.
+    // Output: pairs sharing ≥ 2 fingerprints with coverage ≥ 0.5
+    // (shared / the smaller doc's fingerprint count) — the planted
+    // near-dup twins (drop-first-token perturbations) all clear it.
+    // Scale shape: per-row HOF fingerprinting (no shuffle), one postings
+    // shuffle, one capped equi-join, two broadcast-sized count joins.
+    // vs q36: that query emits ONE winnow hash per doc (a cheap global
+    // id); this one keeps the full fingerprint SET — the form that
+    // detects PARTIAL overlap, not just whole-doc identity.
+    NamedQuery(
+      "q159_winnow_overlap",
+      (s, d) => {
+        val W = 8
+        // the gram array is BOUND in its own projection before the
+        // window lambdas touch it (the HOF recompute trap — an inline
+        // hashed_shingles would re-hash the document once per window)
+        val gs = corpusWithNearDups(s, d)
+          .select(col("doc_id"), hashedShingles(col("text")).as("g"))
+        val nWin = greatest(size(col("g")) - (W - 1), lit(1))
+        val fp = gs.select(col("doc_id"),
+          array_distinct(transform(sequence(lit(1), nWin),
+            i => array_min(slice(col("g"), i, lit(W))))).as("fps"))
+          .persist()
+        val nf = fp.select(col("doc_id"), size(col("fps")).cast("long").as("nf"))
+        val post = fp.select(col("doc_id"), explode(col("fps")).as("f"))
+        val keep = post.groupBy(col("f")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 100).select(col("f"))
+        val pk = post.join(keep, "f")
+        val pairs = pk.select(col("doc_id").as("id1"), col("f"))
+          .join(pk.select(col("doc_id").as("id2"), col("f")), "f")
+          .filter(col("id1") < col("id2"))
+          .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= 2)
+        pairs
+          .join(nf.select(col("doc_id").as("id1"), col("nf").as("n1")), "id1")
+          .join(nf.select(col("doc_id").as("id2"), col("nf").as("n2")), "id2")
+          .withColumn("coverage", col("shared").cast("double") /
+            least(col("n1"), col("n2")).cast("double"))
+          .filter(col("coverage") >= 0.5)
+          .select(col("id1"), col("id2"), col("shared"), col("n1"),
+            col("n2"), col("coverage"))
+      },
+      Some {
+        val W = 8
+        s"""WITH corpus AS ($corpusWithNearDupsSql),
+           |tokh AS (SELECT doc_id, text,
+           |           ${tokenHashesSql("text")} AS th FROM corpus),
+           |gs AS (SELECT doc_id,
+           |         ${hashedShinglesSql("text", "th")} AS g FROM tokh),
+           |fp AS (SELECT doc_id,
+           |         list_distinct([list_min(g[i:i+${W - 1}])
+           |           for i in range(1, greatest(len(g) - ${W - 1}, 1) + 1)])
+           |           AS fps
+           |       FROM gs),
+           |nf AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS nf FROM fp),
+           |post AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+           |keep AS (SELECT f FROM post GROUP BY f HAVING COUNT(*) <= 100),
+           |pk AS (SELECT p.doc_id, p.f FROM post p JOIN keep USING (f)),
+           |pairs AS (
+           |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+           |    CAST(COUNT(*) AS BIGINT) AS shared
+           |  FROM pk a JOIN pk b ON a.f = b.f AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+           |SELECT id1, id2, shared, n1.nf AS n1, n2.nf AS n2,
+           |  CAST(shared AS DOUBLE) / CAST(least(n1.nf, n2.nf) AS DOUBLE)
+           |    AS coverage
+           |FROM pairs JOIN nf n1 ON id1 = n1.doc_id
+           |           JOIN nf n2 ON id2 = n2.doc_id
+           |WHERE CAST(shared AS DOUBLE) / CAST(least(n1.nf, n2.nf) AS DOUBLE)
+           |      >= 0.5""".stripMargin
       }),
   )
 }

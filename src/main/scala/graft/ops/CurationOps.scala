@@ -775,5 +775,73 @@ object CurationOps {
               |      ORDER BY h, doc_id) AS BIGINT) AS pick
               |  FROM h)
               |WHERE pick <= quota""".stripMargin)),
+
+    // ----- q160: Poisson-PPS sample + Horvitz-Thompson total estimate -----
+    // The accounting half of survey sampling that q89 (ordered sequential
+    // Poisson) leaves out: draw a POISSON PPS sample — include doc i iff
+    // u_i < π_i with π_i = min(1, c·w_i), c tuned for ~50 expected draws
+    // per source — then estimate each source's total character volume
+    // from the sample alone with the Horvitz-Thompson estimator
+    // Σ w_i/π_i (Horvitz & Thompson 1952, the unbiased inverse-
+    // probability weighting every sample-based pipeline audit rests on).
+    // Emitting the exact total next to the estimate makes the query its
+    // own calibration report: rel_err is what a 100 TB operator would
+    // accept instead of a full scan. Deterministic u_i = hash/2^60 (the
+    // q89 uniform — exact power-of-two divisor, identical IEEE rounding
+    // both engines); π and the HT terms are short identical double
+    // trees; the HT sum itself is decimal-exact (dsum) so partial-agg
+    // order can't move the hash. Scale shape: one partial-agg shuffle
+    // for per-source totals, broadcast back, one filter, one final
+    // partial agg — the corpus streams exactly twice, no windows, no
+    // per-row state.
+    NamedQuery(
+      "q160_ht_estimate",
+      (s, d) => {
+        val u = strHash(col("doc_id").cast("string")).cast("double") /
+          lit(1152921504606846976.0) // 2^60, cf. q89
+        val totals = tbl(s, d, "documents")
+          .filter(col("n_chars") > 0)
+          .groupBy(col("source"))
+          .agg(sum(col("n_chars")).as("t_exact"),
+            count(lit(1)).as("n_docs"))
+        val pi = least(lit(1.0),
+          lit(50.0) / col("t_exact").cast("double") *
+            col("n_chars").cast("double"))
+        tbl(s, d, "documents")
+          .filter(col("n_chars") > 0)
+          .join(broadcast(totals), "source")
+          .select(col("source"), col("n_docs"), col("t_exact"),
+            col("n_chars"), pi.as("pi"), u.as("u"))
+          .filter(col("u") < col("pi"))
+          .groupBy(col("source"))
+          .agg(max(col("n_docs")).as("n_docs"),
+            max(col("t_exact")).as("t_exact"),
+            count(lit(1)).as("n_sampled"),
+            dsum(col("n_chars").cast("double") / col("pi")).as("t_ht"))
+          .withColumn("rel_err",
+            (col("t_ht") - col("t_exact").cast("double")) /
+              col("t_exact").cast("double"))
+      },
+      Some(s"""WITH tot AS (
+              |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS t_exact,
+              |    CAST(COUNT(*) AS BIGINT) AS n_docs
+              |  FROM documents WHERE n_chars > 0 GROUP BY source),
+              |draw AS (
+              |  SELECT d.source, t.n_docs, t.t_exact, d.n_chars,
+              |    least(1.0, 50.0 / CAST(t.t_exact AS DOUBLE)
+              |                * CAST(d.n_chars AS DOUBLE)) AS pi,
+              |    CAST(${strHashSql("CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+              |      / 1152921504606846976.0 AS u
+              |  FROM documents d JOIN tot t ON d.source = t.source
+              |  WHERE d.n_chars > 0)
+              |SELECT source, MAX(n_docs) AS n_docs,
+              |  MAX(t_exact) AS t_exact,
+              |  CAST(COUNT(*) AS BIGINT) AS n_sampled,
+              |  ${dsumSql("CAST(n_chars AS DOUBLE) / pi")} AS t_ht,
+              |  (${dsumSql("CAST(n_chars AS DOUBLE) / pi")}
+              |     - CAST(MAX(t_exact) AS DOUBLE))
+              |    / CAST(MAX(t_exact) AS DOUBLE) AS rel_err
+              |FROM draw WHERE u < pi
+              |GROUP BY source""".stripMargin)),
   )
 }

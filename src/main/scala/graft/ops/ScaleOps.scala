@@ -450,5 +450,115 @@ object ScaleOps {
            |LEFT JOIN inter i ON i.src_a = f.src_a AND i.src_b = f.src_b"""
           .stripMargin
       }),
+
+    // ----- q161: KMV (k-minimum-values) distinct sketch + merged union ----
+    // The third distinct-count sketch in the family (q41 HLL++-gated,
+    // q79/q87 hand-rolled HLL): KMV keeps the k = 32 SMALLEST distinct
+    // hash values per source and estimates D = (k−1)/u_(k) with u_(k)
+    // the k-th minimum normalized to (0,1) (Bar-Yossef et al. 2002) —
+    // the sketch HLL replaced, still worth carrying because its state
+    // is VALUES, so the same sketch also answers set-resemblance
+    // (it is MinHash's bottom-k twin) and supports exact small-set
+    // fallback (n < k ⇒ the sketch IS the distinct set; the estimate
+    // is exact, emitted via the CASE arm). Mergeability is demonstrated
+    // the q87 way, but cheaper: the cross-source UNION sketch is built
+    // from the 20 per-source sketches alone (any hash among the global
+    // 32 smallest is among its own source's 32 smallest — a bottom-k
+    // union needs only the bottom-k inputs), never from the corpus.
+    // Estimator arithmetic: u = hk/2^60 (power-of-two divisor, exact),
+    // (k−1) and the 3/√(k−2) error gate from exactly-representable
+    // literals — identical IEEE trees both engines, so even the DOUBLE
+    // column hash-matches. The in_bound witness column makes the
+    // accuracy contract part of the result, q41's discipline. Scale
+    // shape: one distinct shuffle on (source, hash), per-source bottom-k
+    // via a partitioned window over vocab-sized input, the union via
+    // TakeOrdered over ≤ 20·k sketch rows — no global sort, no state.
+    // 60-bit hash collisions (~1e-8 at 1e5 tokens) are absorbed by
+    // DEFINING exact_distinct as the distinct-hash count: both engines
+    // and both columns see the same universe.
+    NamedQuery(
+      "q161_kmv_sketch",
+      (s, d) => {
+        val k = 32
+        val twoTo60 = 1152921504606846976.0
+        val hs = tbl(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .select(col("source"), strHash(col("tok")).as("h"))
+          .distinct().persist()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("h"))
+        val sk = hs.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k).persist()
+        def est(n: org.apache.spark.sql.Column,
+            hk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          when(n < k, n.cast("double"))
+            .otherwise(lit((k - 1).toDouble) /
+              (hk.cast("double") / lit(twoTo60)))
+        val src = sk.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_sketch"), max(col("h")).as("hk"))
+          .join(hs.groupBy(col("source"))
+            .agg(count(lit(1)).as("exact_distinct")), "source")
+          .select(col("source"), col("n_sketch"),
+            est(col("n_sketch"), col("hk")).as("kmv_est"),
+            col("exact_distinct"))
+        val uni = sk.select(col("h")).distinct()
+          .orderBy(col("h")).limit(k)
+          .agg(count(lit(1)).as("n_sketch"), max(col("h")).as("hk"))
+          .crossJoin(broadcast(
+            hs.select(col("h")).distinct()
+              .agg(count(lit(1)).as("exact_distinct"))))
+          .select(lit("__union__").as("source"), col("n_sketch"),
+            est(col("n_sketch"), col("hk")).as("kmv_est"),
+            col("exact_distinct"))
+        src.unionByName(uni)
+          .withColumn("in_bound",
+            abs(col("kmv_est") - col("exact_distinct").cast("double")) /
+              col("exact_distinct").cast("double") <=
+              lit(3.0) / sqrt(lit(30.0)))
+      },
+      Some {
+        val h = strHashSql("tok")
+        s"""WITH toks AS (
+           |  SELECT source, unnest(string_split(text, ' ')) AS tok
+           |  FROM documents),
+           |hs AS (SELECT DISTINCT source, $h AS h FROM toks),
+           |sk AS (
+           |  SELECT source, h FROM (
+           |    SELECT source, h, row_number() OVER (
+           |      PARTITION BY source ORDER BY h) AS rn
+           |    FROM hs)
+           |  WHERE rn <= 32),
+           |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sketch,
+           |          MAX(h) AS hk
+           |        FROM sk GROUP BY source),
+           |ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+           |       FROM hs GROUP BY source),
+           |src AS (
+           |  SELECT per.source, n_sketch,
+           |    CASE WHEN n_sketch < 32 THEN CAST(n_sketch AS DOUBLE)
+           |         ELSE 31.0 / (CAST(hk AS DOUBLE)
+           |                      / 1152921504606846976.0) END AS kmv_est,
+           |    exact_distinct
+           |  FROM per JOIN ex USING (source)),
+           |usk AS (SELECT h FROM (SELECT DISTINCT h FROM sk)
+           |        ORDER BY h LIMIT 32),
+           |uper AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sketch,
+           |           MAX(h) AS hk FROM usk),
+           |uex AS (SELECT CAST(COUNT(DISTINCT h) AS BIGINT)
+           |          AS exact_distinct FROM hs),
+           |uni AS (
+           |  SELECT '__union__' AS source, n_sketch,
+           |    CASE WHEN n_sketch < 32 THEN CAST(n_sketch AS DOUBLE)
+           |         ELSE 31.0 / (CAST(hk AS DOUBLE)
+           |                      / 1152921504606846976.0) END AS kmv_est,
+           |    exact_distinct
+           |  FROM uper CROSS JOIN uex)
+           |SELECT source, n_sketch, kmv_est, exact_distinct,
+           |  abs(kmv_est - CAST(exact_distinct AS DOUBLE))
+           |    / CAST(exact_distinct AS DOUBLE) <= 3.0 / sqrt(30.0)
+           |    AS in_bound
+           |FROM (SELECT * FROM src UNION ALL SELECT * FROM uni)"""
+          .stripMargin
+      }),
   )
 }

@@ -560,5 +560,127 @@ object ScaleOps {
            |FROM (SELECT * FROM src UNION ALL SELECT * FROM uni)"""
           .stripMargin
       }),
+
+    // ----- q162: Z-order layout vs linear — zone-map skipping report ------
+    // The data-layout decision every 100 TB table owner faces, measured
+    // instead of asserted: interleave the bits of two quantized join/
+    // filter dimensions into a Z-value (Morton order — the curve behind
+    // Delta/Iceberg OPTIMIZE ZORDER), carve the table into 256 equal
+    // Z-range files, record each file's (min, max) zone map per
+    // dimension, and count how many files a 2-D box predicate can SKIP —
+    // side by side with the same 256-file budget laid out linearly
+    // (single-dimension sort). The Z layout bounds every file to a
+    // 4096×4096 cell of the quantized plane, so a quarter-range box in
+    // both dims touches ~16/256 files where the linear layout must scan
+    // ~64/256: multi-dimensional clustering is the only layout whose
+    // skip rate composes across predicates. All arithmetic is exact
+    // integer — quantization by `div` on non-negative operands
+    // (truncate == floor, so Spark's div and DuckDB's // agree), the
+    // 16-bit interleave as 32 literal shift-mask terms (no doubles
+    // anywhere until the final scan_frac ratio). Scale shape: one
+    // min/max agg broadcast back, one per-row projection, two
+    // 256-group aggregations — the report costs two corpus streams;
+    // the LAYOUT it models costs one range-partitioned write.
+    NamedQuery(
+      "q162_zorder_skipping",
+      (s, d) => {
+        val (lo, hi) = (16384L, 32767L) // quarter-range box, both dims
+        val bounds = tbl(s, d, "lineitem")
+          .agg(min(col("l_orderkey")).as("xmin"),
+            max(col("l_orderkey")).as("xmax"),
+            min(col("l_partkey")).as("ymin"),
+            max(col("l_partkey")).as("ymax"))
+        val q = tbl(s, d, "lineitem")
+          .select(col("l_orderkey").as("x"), col("l_partkey").as("y"))
+          .crossJoin(broadcast(bounds))
+          .select(
+            expr("CAST(((x - xmin) * 65535) div " +
+              "greatest(xmax - xmin, 1) AS BIGINT)").as("xq"),
+            expr("CAST(((y - ymin) * 65535) div " +
+              "greatest(ymax - ymin, 1) AS BIGINT)").as("yq"))
+          .withColumn("z", expr(
+            "(((xq >> 0) & 1) << 0) + (((yq >> 0) & 1) << 1) + (((xq >> 1) & 1) << 2) + (((yq >> 1) & 1) << 3) + (((xq >> 2) & 1) << 4) + (((yq >> 2) & 1) << 5) + (((xq >> 3) & 1) << 6) + (((yq >> 3) & 1) << 7) + (((xq >> 4) & 1) << 8) + (((yq >> 4) & 1) << 9) + (((xq >> 5) & 1) << 10) + (((yq >> 5) & 1) << 11) + (((xq >> 6) & 1) << 12) + (((yq >> 6) & 1) << 13) + (((xq >> 7) & 1) << 14) + (((yq >> 7) & 1) << 15) + (((xq >> 8) & 1) << 16) + (((yq >> 8) & 1) << 17) + (((xq >> 9) & 1) << 18) + (((yq >> 9) & 1) << 19) + (((xq >> 10) & 1) << 20) + (((yq >> 10) & 1) << 21) + (((xq >> 11) & 1) << 22) + (((yq >> 11) & 1) << 23) + (((xq >> 12) & 1) << 24) + (((yq >> 12) & 1) << 25) + (((xq >> 13) & 1) << 26) + (((yq >> 13) & 1) << 27) + (((xq >> 14) & 1) << 28) + (((yq >> 14) & 1) << 29) + (((xq >> 15) & 1) << 30) + (((yq >> 15) & 1) << 31)"))
+          .withColumn("fid_z", expr("z div 16777216"))
+          .withColumn("fid_lin", expr("xq div 256"))
+          .persist()
+        def layout(fid: String, name: String) = {
+          val zones = q.groupBy(col(fid).as("fid"))
+            .agg(count(lit(1)).as("n_rows"),
+              min(col("xq")).as("minx"), max(col("xq")).as("maxx"),
+              min(col("yq")).as("miny"), max(col("yq")).as("maxy"))
+          val skipped = col("maxx") < lo || col("minx") > hi ||
+            col("maxy") < lo || col("miny") > hi
+          zones.agg(count(lit(1)).as("n_files"),
+            sum(when(skipped, 1L).otherwise(0L)).as("n_skipped"),
+            sum(col("n_rows")).as("rows_total"),
+            sum(when(skipped, 0L).otherwise(col("n_rows")))
+              .as("rows_scanned"))
+            .select(lit(name).as("layout"), col("n_files"),
+              col("n_skipped"), col("rows_total"), col("rows_scanned"),
+              (col("rows_scanned").cast("double") /
+                col("rows_total").cast("double")).as("scan_frac"))
+        }
+        val matching = q.agg(count(when(
+          col("xq").between(lo, hi) && col("yq").between(lo, hi),
+          lit(1))).as("rows_matching"))
+        layout("fid_z", "zorder").unionByName(layout("fid_lin", "linear"))
+          .crossJoin(broadcast(matching))
+      },
+      Some {
+        val zSql = (0 until 16).map(j =>
+          s"(((xq >> $j) & 1) << ${2 * j}) + " +
+            s"(((yq >> $j) & 1) << ${2 * j + 1})").mkString(" + ")
+        s"""WITH b AS (
+           |  SELECT MIN(l_orderkey) AS xmin, MAX(l_orderkey) AS xmax,
+           |    MIN(l_partkey) AS ymin, MAX(l_partkey) AS ymax
+           |  FROM lineitem),
+           |q AS (
+           |  SELECT CAST(((l_orderkey - xmin) * 65535)
+           |           // greatest(xmax - xmin, 1) AS BIGINT) AS xq,
+           |    CAST(((l_partkey - ymin) * 65535)
+           |           // greatest(ymax - ymin, 1) AS BIGINT) AS yq
+           |  FROM lineitem CROSS JOIN b),
+           |z AS (SELECT xq, yq, $zSql AS z FROM q),
+           |f AS (SELECT xq, yq, z // 16777216 AS fid_z,
+           |        xq // 256 AS fid_lin FROM z),
+           |m AS (SELECT CAST(COUNT(CASE WHEN xq BETWEEN 16384 AND 32767
+           |          AND yq BETWEEN 16384 AND 32767 THEN 1 END) AS BIGINT)
+           |        AS rows_matching FROM f),
+           |zz AS (
+           |  SELECT fid_z AS fid, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |    MIN(xq) AS minx, MAX(xq) AS maxx,
+           |    MIN(yq) AS miny, MAX(yq) AS maxy
+           |  FROM f GROUP BY fid_z),
+           |zl AS (
+           |  SELECT fid_lin AS fid, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |    MIN(xq) AS minx, MAX(xq) AS maxx,
+           |    MIN(yq) AS miny, MAX(yq) AS maxy
+           |  FROM f GROUP BY fid_lin),
+           |rz AS (
+           |  SELECT 'zorder' AS layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+           |    CAST(SUM(CASE WHEN maxx < 16384 OR minx > 32767
+           |        OR maxy < 16384 OR miny > 32767 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_skipped,
+           |    CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+           |    CAST(SUM(CASE WHEN maxx < 16384 OR minx > 32767
+           |        OR maxy < 16384 OR miny > 32767 THEN 0 ELSE n_rows END)
+           |      AS BIGINT) AS rows_scanned
+           |  FROM zz),
+           |rl AS (
+           |  SELECT 'linear' AS layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+           |    CAST(SUM(CASE WHEN maxx < 16384 OR minx > 32767
+           |        OR maxy < 16384 OR miny > 32767 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_skipped,
+           |    CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+           |    CAST(SUM(CASE WHEN maxx < 16384 OR minx > 32767
+           |        OR maxy < 16384 OR miny > 32767 THEN 0 ELSE n_rows END)
+           |      AS BIGINT) AS rows_scanned
+           |  FROM zl)
+           |SELECT layout, n_files, n_skipped, rows_total, rows_scanned,
+           |  CAST(rows_scanned AS DOUBLE) / CAST(rows_total AS DOUBLE)
+           |    AS scan_frac, rows_matching
+           |FROM (SELECT * FROM rz UNION ALL SELECT * FROM rl)
+           |CROSS JOIN m""".stripMargin
+      }),
   )
 }

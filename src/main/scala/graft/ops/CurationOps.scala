@@ -843,5 +843,98 @@ object CurationOps {
               |    / CAST(MAX(t_exact) AS DOUBLE) AS rel_err
               |FROM draw WHERE u < pi
               |GROUP BY source""".stripMargin)),
+
+    // ----- q163: similarity-reorder layout — compression-locality report --
+    // Storage-side near-dup clustering: archive formats compress ~10×
+    // better when similar documents are ADJACENT in the file (the
+    // dictionary window sees the repetition), so corpus publishers
+    // reorder shards by content similarity before writing. This query
+    // measures that layout choice the q162 way — report, not assertion:
+    // assign each doc to a shard and an intra-shard sort key under two
+    // layouts with the same 64-shard budget — (a) similarity order:
+    // shard = minhash sig[1] mod 64, order by (sig[2], doc_id), so docs
+    // agreeing on the first permutation's minimum (P[agree] = Jaccard)
+    // co-locate; (b) baseline: shard = doc_id mod 64, order by doc_id —
+    // then score each layout by its mean ADJACENT-pair token Jaccard
+    // and the fraction of adjacent pairs that are near-dups (J ≥ 0.5).
+    // On the planted-twin corpus the similarity layout pulls twins into
+    // the same shard cell while the baseline separates them by the
+    // +100000 key offset. Scale shape: per-row signatures (the shared
+    // native expression), then ONE window per layout partitioned by the
+    // 64-way shard — bounded groups, never a global order; exactly the
+    // shuffle the reorder itself would cost at publish time. Adjacent
+    // Jaccard is exact integers to one double division (q29's tree);
+    // means are decimal-exact (dsum). Empty token sets (a 1-token doc's
+    // twin) are excluded on both engines before the division.
+    NamedQuery(
+      "q163_sim_reorder",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val sg = corpusWithNearDups(s, d)
+          .select(col("doc_id"),
+            array_distinct(split(col("text"), " ")).as("ts"),
+            array_distinct(hashedShingles(col("text"))).as("ds"))
+          .withColumn("sig", minhashSigFromHashes(col("ds")))
+        val k = sg.select(col("doc_id"), col("ts"),
+          (element_at(col("sig"), 1) % 64).as("shard_sim"),
+          element_at(col("sig"), 2).as("k2"),
+          (col("doc_id") % 64).as("shard_rnd"))
+          .persist()
+        val wSim = Window.partitionBy(col("shard_sim"))
+          .orderBy(col("k2"), col("doc_id"))
+        val wRnd = Window.partitionBy(col("shard_rnd"))
+          .orderBy(col("doc_id"))
+        def adj(w: org.apache.spark.sql.expressions.WindowSpec,
+            name: String) = {
+          val pts = lag(col("ts"), 1).over(w)
+          val icnt = size(array_intersect(col("ts"), col("pts")))
+          k.withColumn("pts", pts)
+            .filter(col("pts").isNotNull &&
+              size(col("ts")) > 0 && size(col("pts")) > 0)
+            .select(lit(name).as("layout"),
+              (icnt.cast("double") /
+                (size(col("ts")) + size(col("pts")) - icnt)).as("j"))
+        }
+        adj(wSim, "similarity").unionByName(adj(wRnd, "baseline"))
+          .groupBy(col("layout"))
+          .agg(count(lit(1)).as("n_pairs"),
+            (dsum(col("j")) / count(lit(1))).as("mean_adj_jaccard"),
+            (sum(when(col("j") >= 0.5, 1L).otherwise(0L)).cast("double") /
+              count(lit(1)).cast("double")).as("frac_neardup"))
+      },
+      Some {
+        val jexpr = "CAST(len(list_filter(ts, x -> list_contains(pts, x)))" +
+          " AS DOUBLE) / (len(ts) + len(pts)" +
+          " - len(list_filter(ts, x -> list_contains(pts, x))))"
+        s"""WITH corpus AS ($corpusWithNearDupsSql),
+           |tokh AS (SELECT doc_id, text,
+           |           ${tokenHashesSql("text")} AS th FROM corpus),
+           |gs AS (SELECT doc_id, text,
+           |         list_distinct(${hashedShinglesSql("text", "th")}) AS ds
+           |       FROM tokh),
+           |sg AS (SELECT doc_id,
+           |         list_distinct(string_split(text, ' ')) AS ts,
+           |         ${minhashSigOverHashesSql("ds")} AS sig
+           |       FROM gs),
+           |k AS (SELECT doc_id, ts, sig[1] % 64 AS shard_sim,
+           |        sig[2] AS k2, doc_id % 64 AS shard_rnd FROM sg),
+           |sim AS (SELECT ts, lag(ts) OVER (
+           |          PARTITION BY shard_sim ORDER BY k2, doc_id) AS pts
+           |        FROM k),
+           |rnd AS (SELECT ts, lag(ts) OVER (
+           |          PARTITION BY shard_rnd ORDER BY doc_id) AS pts
+           |        FROM k),
+           |js AS (
+           |  SELECT 'similarity' AS layout, $jexpr AS j FROM sim
+           |  WHERE pts IS NOT NULL AND len(ts) > 0 AND len(pts) > 0
+           |  UNION ALL
+           |  SELECT 'baseline' AS layout, $jexpr AS j FROM rnd
+           |  WHERE pts IS NOT NULL AND len(ts) > 0 AND len(pts) > 0)
+           |SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |  ${dsumSql("j")} / COUNT(*) AS mean_adj_jaccard,
+           |  CAST(SUM(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(COUNT(*) AS DOUBLE) AS frac_neardup
+           |FROM js GROUP BY layout""".stripMargin
+      }),
   )
 }

@@ -1378,5 +1378,103 @@ object TextOps {
               |    / CAST(SUM(g.k) AS DOUBLE) AS mean_backoff
               |FROM g JOIN pk USING (bg)
               |GROUP BY g.doc_id""".stripMargin)),
+
+    // ----- q164: self-trained language-ID evaluation (confusion matrix) ---
+    // The eval loop a pipeline's lang-ID component actually runs: TRAIN
+    // marker vocabularies from the labeled corpus itself (top-20 most
+    // DISTINCTIVE tokens per language by lift c_lt·N/(c_t·n_l) — q118's
+    // log-free PMI ranking — with the c ≥ 5 sparse guard), APPLY them
+    // as a broadcast marker join scoring each doc by marker hits per
+    // language, and EVALUATE as a (actual, predicted) confusion matrix.
+    // Unlike q33 (fixed heuristic marker lists, emits raw scores), this
+    // derives its vocabulary from the data and grades itself against
+    // the labels. The per-doc argmax is deterministic via a composite
+    // ordering key — Spark min(struct(BIG − hits, lang)), DuckDB
+    // arg_min over the zero-padded string rendering of the same key —
+    // max hits first, lexicographically smallest language on ties;
+    // docs with zero marker hits predict 'unk' (left-join coalesce on
+    // both engines). Scale shape: vocab-sized lift table, ~100-row
+    // marker table broadcast into the token stream, one confusion
+    // aggregation — the corpus streams twice, no windows over
+    // unbounded partitions (the rank window is per-language over the
+    // vocabulary).
+    NamedQuery(
+      "q164_langid_eval",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = tbl(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("tok"))
+        val clt = toks.groupBy(col("lang"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+        val ct = clt.groupBy(col("tok")).agg(sum(col("c")).as("ct"))
+        val nl = clt.groupBy(col("lang")).agg(sum(col("c")).as("nl"))
+        val n = clt.agg(sum(col("c")).as("n"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("lift").desc, col("tok"))
+        val mk = clt.filter(col("c") >= 5)
+          .join(ct, "tok").join(nl, "lang").crossJoin(broadcast(n))
+          .select(col("lang"), col("tok"),
+            ((col("c").cast("double") * col("n").cast("double")) /
+              (col("ct").cast("double") * col("nl").cast("double")))
+              .as("lift"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 20)
+          .select(col("lang").as("lang_m"), col("tok"))
+        val pred = toks.join(broadcast(mk), "tok")
+          .groupBy(col("doc_id"), col("lang_m"))
+          .agg(count(lit(1)).as("m"))
+          .groupBy(col("doc_id"))
+          .agg(min(struct((lit(100000000L) - col("m")).as("k"),
+            col("lang_m").as("lm"))).as("best"))
+          .select(col("doc_id"), col("best.lm").as("predicted"))
+        tbl(s, d, "documents").select(col("doc_id"), col("lang"))
+          .join(pred, Seq("doc_id"), "left")
+          .select(col("lang"), coalesce(col("predicted"), lit("unk"))
+            .as("predicted"))
+          .groupBy(col("lang"), col("predicted"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("is_correct", col("lang") === col("predicted"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |clt AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+             |        FROM toks GROUP BY lang, tok),
+             |ct AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS ct
+             |       FROM clt GROUP BY tok),
+             |nl AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS nl
+             |       FROM clt GROUP BY lang),
+             |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM clt),
+             |lifted AS (
+             |  SELECT clt.lang, clt.tok,
+             |    (CAST(c AS DOUBLE) * CAST(n.n AS DOUBLE))
+             |      / (CAST(ct.ct AS DOUBLE) * CAST(nl.nl AS DOUBLE))
+             |      AS lift
+             |  FROM clt JOIN ct USING (tok)
+             |    JOIN nl ON clt.lang = nl.lang CROSS JOIN n
+             |  WHERE c >= 5),
+             |mk AS (
+             |  SELECT lang AS lang_m, tok FROM (
+             |    SELECT lang, tok, row_number() OVER (
+             |      PARTITION BY lang ORDER BY lift DESC, tok) AS rn
+             |    FROM lifted)
+             |  WHERE rn <= 20),
+             |hits AS (
+             |  SELECT t.doc_id, m.lang_m, CAST(COUNT(*) AS BIGINT) AS m
+             |  FROM toks t JOIN mk m USING (tok)
+             |  GROUP BY t.doc_id, m.lang_m),
+             |pred AS (
+             |  SELECT doc_id,
+             |    arg_min(lang_m,
+             |      lpad(CAST(100000000 - m AS VARCHAR), 9, '0') || lang_m)
+             |      AS predicted
+             |  FROM hits GROUP BY doc_id)
+             |SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  lang = predicted AS is_correct
+             |FROM (
+             |  SELECT d.lang, COALESCE(p.predicted, 'unk') AS predicted
+             |  FROM documents d LEFT JOIN pred p USING (doc_id))
+             |GROUP BY lang, predicted""".stripMargin)),
   )
 }

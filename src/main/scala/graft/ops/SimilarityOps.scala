@@ -1698,5 +1698,96 @@ object SimilarityOps {
               |FROM (SELECT *, row_number() OVER (PARTITION BY sid
               |        ORDER BY margin DESC, tid) AS rn FROM m)
               |WHERE rn = 1""".stripMargin)),
+
+    // ----- q165: Matryoshka dimension-ablation recall report --------------
+    // The storage-tiering decision for a 100 TB embedding corpus: can the
+    // index keep only the first 16 (or 32) of 64 dimensions — a 4× (2×)
+    // footprint and bandwidth cut — and still retrieve the full-precision
+    // neighbors? (The ablation that matters for Matryoshka-style prefix
+    // embeddings, Kusupati et al. 2022.) For the q85 probe panel
+    // (vec_id % 100 = 0, self excluded), rank the corpus by exact cosine
+    // at each prefix width and report recall@3 of the truncated rankings
+    // against the full 64-dim ranking — same ranked-pipeline shape as
+    // q85, so index-approximation recall (q85) and dimension-ablation
+    // recall (this) read off one scale. Cosines are the shared bit-exact
+    // left-fold dot (native vec_dot over the SLICED array; the oracle
+    // folds the same prefix range), so ranks are cross-engine identical.
+    // Scale shape: three broadcast-probe scans of the corpus, per-probe
+    // top-3 windows over broadcast-bounded groups — brute force by
+    // design (it is the RECALL BASELINE, not the serving path; q32/q39
+    // are the serving paths).
+    NamedQuery(
+      "q165_dim_ablation",
+      (s, d) => {
+        def ranked(dim: Int): DataFrame = {
+          val e = if (dim == 64) col("embedding")
+            else slice(col("embedding"), 1, dim)
+          val emb = tbl(s, d, "embeddings")
+            .select(col("vec_id"), e.as("e"))
+            .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+          val q = emb.filter(col("vec_id") % 100 === 0)
+            .select(col("vec_id").as("q_id"), col("e").as("qe"),
+              col("nrm").as("qn"))
+          val w = Window.partitionBy(col("q_id"))
+            .orderBy(col("cos").desc, col("vec_id"))
+          emb.crossJoin(broadcast(q))
+            .filter(col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id"),
+              (dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+                .as("cos"))
+            .withColumn("rank", row_number().over(w).cast("long"))
+            .filter(col("rank") <= 3).select(col("q_id"), col("vec_id"))
+        }
+        val full = ranked(64)
+        def overlap(ab: DataFrame, nm: String): DataFrame =
+          full.join(ab, Seq("q_id", "vec_id"))
+            .groupBy(col("q_id")).agg(count(lit(1)).as(nm))
+        full.select(col("q_id")).distinct()
+          .join(overlap(ranked(16), "d16_overlap"), Seq("q_id"), "left")
+          .join(overlap(ranked(32), "d32_overlap"), Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("d16_overlap"), lit(0L)).as("d16_overlap"),
+            coalesce(col("d32_overlap"), lit(0L)).as("d32_overlap"))
+          .select(col("q_id"), col("d16_overlap"), col("d32_overlap"),
+            (col("d16_overlap").cast("double") / lit(3.0))
+              .as("d16_recall"),
+            (col("d32_overlap").cast("double") / lit(3.0))
+              .as("d32_recall"))
+      },
+      Some {
+        def dotK(a: String, b: String, k: Int): String =
+          s"""list_reduce(list_prepend(0.0,
+             | [CAST(($a)[i] AS DOUBLE) * CAST(($b)[i] AS DOUBLE)
+             |  for i in range(1, ${k + 1})]), (acc, x) -> acc + x)"""
+            .stripMargin.replace("\n", " ")
+        def cosK(a: String, b: String, k: Int): String =
+          s"${dotK(a, b, k)} / (sqrt(${dotK(a, a, k)})" +
+            s" * sqrt(${dotK(b, b, k)}))"
+        def rankedK(k: Int): String =
+          s"""SELECT q_id, vec_id FROM (
+             |    SELECT q.vec_id AS q_id, e.vec_id,
+             |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |        ${cosK("q.embedding", "e.embedding", k)} DESC,
+             |        e.vec_id) AS rank
+             |    FROM embeddings e,
+             |         (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q
+             |    WHERE e.vec_id <> q.vec_id)
+             |  WHERE rank <= 3""".stripMargin
+        s"""WITH full64 AS (${rankedK(64)}),
+           |t16 AS (${rankedK(16)}),
+           |t32 AS (${rankedK(32)}),
+           |qs AS (SELECT DISTINCT q_id FROM full64),
+           |o16 AS (SELECT q_id, COUNT(*) AS c FROM full64
+           |        JOIN t16 USING (q_id, vec_id) GROUP BY q_id),
+           |o32 AS (SELECT q_id, COUNT(*) AS c FROM full64
+           |        JOIN t32 USING (q_id, vec_id) GROUP BY q_id)
+           |SELECT qs.q_id,
+           |  CAST(COALESCE(o16.c, 0) AS BIGINT) AS d16_overlap,
+           |  CAST(COALESCE(o32.c, 0) AS BIGINT) AS d32_overlap,
+           |  CAST(COALESCE(o16.c, 0) AS DOUBLE) / 3.0 AS d16_recall,
+           |  CAST(COALESCE(o32.c, 0) AS DOUBLE) / 3.0 AS d32_recall
+           |FROM qs LEFT JOIN o16 ON qs.q_id = o16.q_id
+           |        LEFT JOIN o32 ON qs.q_id = o32.q_id""".stripMargin
+      }),
   )
 }

@@ -448,6 +448,71 @@ object CoreQueries {
              |  FROM documents GROUP BY source)
              |ON de, en, es, fr, zh
              |INTO NAME lang VALUE n""".stripMargin)),
+
+    // ----- q166: referential-integrity audit over the full FK graph -------
+    // The warehouse health check every load pipeline runs before turning
+    // on constraints (the reference defers PK/FK triggers during load,
+    // loader.py:67-78 — this is the audit that proves deferral safe):
+    // for each of the schema's seven FK edges, count the child rows
+    // whose key has NO parent (orphans — hard violations) and the
+    // parent keys never referenced by any child (unreferenced — not
+    // violations, but the coverage number capacity planning reads).
+    // Orphans via LEFT ANTI join child→parent; unreferenced via LEFT
+    // ANTI parent→distinct child keys. Both are hash anti-joins that
+    // shuffle each table once per edge — at 100 TB the dimension sides
+    // broadcast (AQE) and the single fact-table scan is shared by its
+    // three edges via cache. Output: one row per edge, exact integers.
+    NamedQuery(
+      "q166_fk_orphans",
+      (s, d) => {
+        def edge(child: String, ck: String, parent: String,
+            pk: String): org.apache.spark.sql.DataFrame = {
+          val c = tbl(s, d, child).select(col(ck))
+          val p = tbl(s, d, parent).select(col(pk))
+          val orphans = c.join(p, c(ck) === p(pk), "left_anti")
+            .agg(count(lit(1)).as("n_orphan_rows"))
+          val unref = p.join(c.distinct(), p(pk) === c(ck), "left_anti")
+            .agg(count(lit(1)).as("n_unref_parents"))
+          c.agg(count(lit(1)).as("n_child_rows"))
+            .crossJoin(orphans).crossJoin(unref)
+            .select(lit(s"$child.$ck -> $parent.$pk").as("edge"),
+              col("n_child_rows"), col("n_orphan_rows"),
+              col("n_unref_parents"))
+        }
+        Seq(
+          edge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+          edge("lineitem", "l_partkey", "part", "p_partkey"),
+          edge("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+          edge("orders", "o_custkey", "customer", "c_custkey"),
+          edge("customer", "c_nationkey", "nation", "n_nationkey"),
+          edge("supplier", "s_nationkey", "nation", "n_nationkey"),
+          edge("nation", "n_regionkey", "region", "r_regionkey"))
+          .reduce(_ unionByName _)
+      },
+      Some {
+        def edge(child: String, ck: String, parent: String,
+            pk: String): String =
+          s"""SELECT '$child.$ck -> $parent.$pk' AS edge,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $child)
+             |    AS n_child_rows,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $child c
+             |   WHERE NOT EXISTS (SELECT 1 FROM $parent p
+             |                     WHERE p.$pk = c.$ck))
+             |    AS n_orphan_rows,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $parent p
+             |   WHERE NOT EXISTS (SELECT 1 FROM $child c
+             |                     WHERE c.$ck = p.$pk))
+             |    AS n_unref_parents""".stripMargin
+        Seq(
+          edge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+          edge("lineitem", "l_partkey", "part", "p_partkey"),
+          edge("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+          edge("orders", "o_custkey", "customer", "c_custkey"),
+          edge("customer", "c_nationkey", "nation", "n_nationkey"),
+          edge("supplier", "s_nationkey", "nation", "n_nationkey"),
+          edge("nation", "n_regionkey", "region", "r_regionkey"))
+          .mkString("", "\nUNION ALL\n", "")
+      }),
   )
 
   /** Exploded token bigrams of one language's documents (q80/q81). */

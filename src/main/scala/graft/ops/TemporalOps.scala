@@ -129,5 +129,56 @@ object TemporalOps {
              |  ON l.user_id = r.user_id
              | AND r.ts >= l.ts AND r.ts < l.ts + INTERVAL '4 hours'
              |WHERE l.event_type = 'click' AND r.event_type = 'purchase'""".stripMargin)),
+
+    // ----- q167: daily user-growth accounting (new / active / cumulative) -
+    // The growth ledger every event pipeline publishes: per calendar day,
+    // event volume, distinct active users, NEW users (first-ever
+    // appearance that day), and the cumulative registered-user count —
+    // the curve capacity planning and retention models read. First-seen
+    // day per user is a min-aggregate (never a window over the event
+    // stream); daily actives are one distinct-agg shuffle; the running
+    // cumulative is a window over the DAY table — a bounded dimension
+    // (365 rows/year), the q136 phased-CDF budget, never a
+    // single-partition pass over events. Days render as strings (the
+    // TsFmt discipline) so parquet timestamp physics can't split the
+    // engines. Exact integers throughout.
+    NamedQuery(
+      "q167_user_growth",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, d)
+          .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            col("user_id"))
+        val daily = ev.groupBy(col("day"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_active"))
+        val news = ev.groupBy(col("user_id"))
+          .agg(min(col("day")).as("day"))
+          .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+        val w = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.join(news, Seq("day"), "left")
+          .select(col("day"), col("n_events"), col("n_active"),
+            coalesce(col("n_new"), lit(0L)).as("n_new"))
+          .withColumn("cum_users", sum(col("n_new")).over(w))
+      },
+      Some("""WITH ev AS (
+             |  SELECT strftime(ts, '%Y-%m-%d') AS day, user_id
+             |  FROM events),
+             |daily AS (
+             |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+             |  FROM ev GROUP BY day),
+             |firsts AS (
+             |  SELECT user_id, MIN(day) AS day FROM ev GROUP BY user_id),
+             |news AS (
+             |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new
+             |  FROM firsts GROUP BY day)
+             |SELECT day, n_events, n_active,
+             |  COALESCE(n_new, 0) AS n_new,
+             |  CAST(SUM(COALESCE(n_new, 0)) OVER (ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS cum_users
+             |FROM daily LEFT JOIN news USING (day)""".stripMargin)),
   )
 }

@@ -1789,5 +1789,247 @@ object SimilarityOps {
            |FROM qs LEFT JOIN o16 ON qs.q_id = o16.q_id
            |        LEFT JOIN o32 ON qs.q_id = o32.q_id""".stripMargin
       }),
+
+    // ----- q168: batch perceptron training, all-integer, in-engine --------
+    // A linear classifier TRAINED inside the query engine with bit-exact
+    // cross-engine semantics — the existence proof that supervised
+    // training (not just k-means/PCA feature work) fits the oracle
+    // discipline. Rosenblatt's perceptron in its synchronous-batch form:
+    // features are int-quantized embedding dims (floor(v·64) — exact
+    // float→double→floor on both engines), labels y = ±1 from the
+    // parity of the embedding's class label, and each round updates
+    // w ← w + Σ_misclassified y·x with unit rate — EVERY quantity an
+    // exact integer (margins ≤ ~1e9, far under BIGINT), so five
+    // unrolled training rounds agree to the last bit with the DuckDB
+    // CTE chain that mirrors them. The distributed shape is parameter-
+    // server-in-a-query: the weight vector is a 65-scalar driver value
+    // (the q84 bounded-argmax budget class), broadcast into the margin
+    // expression each round; the gradient is a DIMENSION-SHARDED
+    // aggregation (posexplode → groupBy dim → 64 sums) — one corpus
+    // pass per round, no per-row state, the exact shape distributed
+    // SGD uses at 100 TB (AllReduce over dimension shards). Output:
+    // one row per round with the misclassification count and accuracy
+    // BEFORE that round's update — the learning curve, which must be
+    // monotone-ish on linearly-separable-enough data and is hash-gated
+    // either way.
+    NamedQuery(
+      "q168_perceptron",
+      (s, d) => {
+        import s.implicits._
+        val rounds = 5
+        val xq = tbl(s, d, "embeddings")
+          .select(
+            when(col("label") % 2 === 0, 1L).otherwise(-1L).as("y"),
+            transform(col("embedding"),
+              v => floor(v.cast("double") * lit(64.0)).cast("long"))
+              .as("xq"))
+          .persist()
+        var w = Array.fill(64)(0L)
+        var b = 0L
+        val curve = Seq.newBuilder[(Long, Long, Long, Double)]
+        for (r <- 1 to rounds) {
+          val wCol = array(w.map(lit(_)): _*)
+          val scored = xq.withColumn("marg",
+            lit(b) + aggregate(
+              zip_with(wCol, col("xq"), (a, x) => a * x),
+              lit(0L), (acc, v) => acc + v))
+          val st = scored.agg(
+            count(lit(1)).as("n"),
+            sum(when(col("y") * col("marg") <= 0, 1L).otherwise(0L))
+              .as("miscl"),
+            sum(when(col("y") * col("marg") <= 0, col("y"))
+              .otherwise(0L)).as("gb")).head()
+          val (n, miscl, gb) =
+            (st.getLong(0), st.getLong(1), st.getLong(2))
+          curve += ((r.toLong, n, miscl,
+            (n - miscl).toDouble / n.toDouble))
+          val grads = scored.filter(col("y") * col("marg") <= 0)
+            .select(col("y"), posexplode(col("xq")))
+            .groupBy(col("pos")).agg(sum(col("y") * col("col")).as("g"))
+            .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
+          w = w.indices.map(j => w(j) + grads.getOrElse(j, 0L)).toArray
+          b += gb
+        }
+        curve.result()
+          .toDF("round", "n_train", "n_misclassified", "accuracy")
+      },
+      Some {
+        val base =
+          """x AS (
+            |  SELECT CASE WHEN label % 2 = 0 THEN CAST(1 AS BIGINT)
+            |              ELSE CAST(-1 AS BIGINT) END AS y,
+            |    list_transform(embedding, v ->
+            |      CAST(floor(CAST(v AS DOUBLE) * 64.0) AS BIGINT)) AS xq
+            |  FROM embeddings),
+            |w0 AS (SELECT [CAST(0 AS BIGINT) for i in range(1, 65)] AS w,
+            |         CAST(0 AS BIGINT) AS b)""".stripMargin
+        val roundCtes = (1 to 5).map { r =>
+          s"""m$r AS (
+             |  SELECT y, xq, b + list_reduce(list_prepend(
+             |      CAST(0 AS BIGINT),
+             |      [w[j] * xq[j] for j in range(1, 65)]),
+             |      (a, v) -> a + v) AS marg
+             |  FROM x CROSS JOIN w${r - 1}),
+             |s$r AS (
+             |  SELECT CAST($r AS BIGINT) AS round,
+             |    CAST(COUNT(*) AS BIGINT) AS n_train,
+             |    CAST(SUM(CASE WHEN y * marg <= 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_misclassified,
+             |    CAST(COUNT(*) - SUM(CASE WHEN y * marg <= 0
+             |        THEN 1 ELSE 0 END) AS DOUBLE)
+             |      / CAST(COUNT(*) AS DOUBLE) AS accuracy
+             |  FROM m$r),
+             |u$r AS (
+             |  SELECT j, CAST(SUM(CASE WHEN y * marg <= 0
+             |      THEN y * xq[j] ELSE 0 END) AS BIGINT) AS g
+             |  FROM m$r, (SELECT unnest(range(1, 65)) AS j)
+             |  GROUP BY j),
+             |w$r AS (
+             |  SELECT (SELECT list(w[u$r.j] + g ORDER BY j)
+             |          FROM u$r, w${r - 1}) AS w,
+             |    (SELECT b + SUM(CASE WHEN y * marg <= 0 THEN y
+             |         ELSE CAST(0 AS BIGINT) END)
+             |     FROM m$r, w${r - 1} GROUP BY b) AS b)"""
+            .stripMargin
+        }.mkString(",\n")
+        val sel = (1 to 5)
+          .map(r => s"SELECT round, n_train, n_misclassified, " +
+            s"accuracy FROM s$r")
+          .mkString("\nUNION ALL\n")
+        s"WITH $base,\n$roundCtes\n$sel"
+      }),
+
+    // ----- q169: split-conformal prediction calibration report ------------
+    // Distribution-free uncertainty for the engine's classifiers (Vovk's
+    // conformal prediction in its split form, the variant production
+    // systems deploy): hold out a calibration split (vec_id even), score
+    // every calibration point by its nonconformity to its OWN class
+    // (1 − cosine to the class centroid), set each class's threshold
+    // q_hat at the ⌈0.9·(n+1)⌉-th smallest calibration score — the
+    // finite-sample-valid 90% quantile, selected as an EXACT order
+    // statistic (integer rank arithmetic, no interpolation, so both
+    // engines pick the same element) — then, on the test split, emit
+    // each class's empirical coverage (is the true class in the
+    // prediction set?) and mean prediction-set size. Coverage ≥ ~90%
+    // with small sets = the classifier is calibrated; huge sets = the
+    // geometry doesn't separate (the honest answer on near-orthogonal
+    // synthetic embeddings). Centroids are decimal-exact per-dimension
+    // means (dim-sharded aggregation, the q168 shape); every cosine is
+    // the same left-fold tree on both engines. Scale: centroid + q_hat
+    // tables are 10 rows broadcast; the test scan is one pass × 10
+    // classes; the quantile window partitions by class over the
+    // calibration split — bounded groups, no global order.
+    NamedQuery(
+      "q169_conformal",
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        val cal = emb.filter(col("vec_id") % 2 === 0)
+        val cents = cal
+          .select(col("label"), posexplode(col("embedding")))
+          .groupBy(col("label"), col("pos"))
+          .agg((dsum(col("col").cast("double")) / count(lit(1))).as("c"))
+          .groupBy(col("label"))
+          .agg(transform(sort_array(collect_list(
+            struct(col("pos"), col("c")))), x => x.getField("c"))
+            .as("cvec"))
+        def cos(x: org.apache.spark.sql.Column,
+            c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+          def dt(a: org.apache.spark.sql.Column,
+              b: org.apache.spark.sql.Column) =
+            aggregate(zip_with(a, b,
+              (u, v) => u.cast("double") * v.cast("double")),
+              lit(0.0), (acc, v) => acc + v)
+          dt(x, c) / (sqrt(dt(x, x)) * sqrt(dt(c, c)))
+        }
+        val wq = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("label")).orderBy(col("score"), col("vec_id"))
+        val calScored = cal.join(broadcast(cents), "label")
+          .select(col("label"), col("vec_id"),
+            (lit(1.0) - cos(col("embedding"), col("cvec"))).as("score"))
+        val qhat = calScored
+          .withColumn("rn", row_number().over(wq).cast("long"))
+          .join(calScored.groupBy(col("label"))
+            .agg(count(lit(1)).as("n_cal")), "label")
+          .filter(col("rn") === expr("(9 * (n_cal + 1) + 9) div 10"))
+          .select(col("label"), col("n_cal"), col("score").as("qhat"))
+        val model = cents
+          .join(qhat.select(col("label"), col("qhat")), "label")
+          .select(col("label").as("label_c"), col("cvec"), col("qhat"))
+        val test = emb.filter(col("vec_id") % 2 === 1)
+        val sets = test.crossJoin(broadcast(model))
+          .select(col("vec_id"), col("label"), col("label_c"),
+            ((lit(1.0) - cos(col("embedding"), col("cvec"))) <=
+              col("qhat")).as("incl"))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(sum(when(col("incl"), 1L).otherwise(0L)).as("set_size"),
+            max(when(col("incl") && col("label_c") === col("label"), 1L)
+              .otherwise(0L)).as("covered"))
+        sets.groupBy(col("label"))
+          .agg(count(lit(1)).as("n_test"),
+            (sum(col("covered")).cast("double") /
+              count(lit(1)).cast("double")).as("coverage"),
+            (sum(col("set_size")).cast("double") /
+              count(lit(1)).cast("double")).as("avg_set_size"))
+          .join(qhat.select(col("label"), col("n_cal"), col("qhat")),
+            "label")
+          .select(col("label"), col("n_cal"), col("n_test"),
+            col("qhat"), col("coverage"), col("avg_set_size"))
+      },
+      Some {
+        val dotD = (a: String, b: String) =>
+          s"""list_reduce(list_prepend(0.0,
+             | [CAST(($a)[i] AS DOUBLE) * CAST(($b)[i] AS DOUBLE)
+             |  for i in range(1, 65)]), (acc, x) -> acc + x)"""
+            .stripMargin.replace("\n", " ")
+        val cosD = (a: String, b: String) =>
+          s"${dotD(a, b)} / (sqrt(${dotD(a, a)}) * sqrt(${dotD(b, b)}))"
+        s"""WITH cal AS (
+           |  SELECT * FROM embeddings WHERE vec_id % 2 = 0),
+           |cd AS (
+           |  SELECT label, j,
+           |    ${dsumSql("CAST(embedding[j] AS DOUBLE)")} / COUNT(*) AS c
+           |  FROM cal, (SELECT unnest(range(1, 65)) AS j)
+           |  GROUP BY label, j),
+           |cents AS (
+           |  SELECT label, list(c ORDER BY j) AS cvec
+           |  FROM cd GROUP BY label),
+           |cs AS (
+           |  SELECT cal.label, vec_id,
+           |    1.0 - ${cosD("embedding", "cvec")} AS score
+           |  FROM cal JOIN cents ON cal.label = cents.label),
+           |nc AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_cal
+           |       FROM cs GROUP BY label),
+           |qh AS (
+           |  SELECT label, n_cal, score AS qhat FROM (
+           |    SELECT cs.label, cs.score, nc.n_cal,
+           |      row_number() OVER (PARTITION BY cs.label
+           |        ORDER BY cs.score, cs.vec_id) AS rn
+           |    FROM cs JOIN nc ON cs.label = nc.label)
+           |  WHERE rn = (9 * (n_cal + 1) + 9) // 10),
+           |model AS (
+           |  SELECT cents.label AS label_c, cvec, qhat
+           |  FROM cents JOIN qh ON cents.label = qh.label),
+           |test AS (SELECT * FROM embeddings WHERE vec_id % 2 = 1),
+           |sets AS (
+           |  SELECT vec_id, label,
+           |    CAST(SUM(CASE WHEN incl THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS set_size,
+           |    CAST(MAX(CASE WHEN incl AND label_c = label THEN 1
+           |        ELSE 0 END) AS BIGINT) AS covered
+           |  FROM (
+           |    SELECT t.vec_id, t.label, m.label_c,
+           |      (1.0 - ${cosD("t.embedding", "m.cvec")}) <= m.qhat
+           |        AS incl
+           |    FROM test t CROSS JOIN model m)
+           |  GROUP BY vec_id, label)
+           |SELECT s.label, qh.n_cal,
+           |  CAST(COUNT(*) AS BIGINT) AS n_test, qh.qhat,
+           |  CAST(SUM(covered) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           |    AS coverage,
+           |  CAST(SUM(set_size) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           |    AS avg_set_size
+           |FROM sets s JOIN qh ON s.label = qh.label
+           |GROUP BY s.label, qh.n_cal, qh.qhat""".stripMargin
+      }),
   )
 }

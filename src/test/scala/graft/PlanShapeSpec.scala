@@ -91,6 +91,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(zf).size >= 2, s"q155:\n$zf")
   }
 
+  test("round-8 batch-2 operators keep their scale shapes") {
+    // q158: KN counts derive from partial-agg shuffles over the bigram
+    // type table and meet in equi-joins — no nested-loop anywhere
+    val kn = plan("q158_kneser_ney")
+    assert(!kn.contains("CartesianProduct"), s"q158:\n$kn")
+    assert("HashAggregate".r.findAllIn(kn).size >= 2, s"q158:\n$kn")
+    // q159: the fingerprint meet must be an equi join (a nested loop
+    // here is the all-pairs scan winnowing exists to avoid)
+    val wn = plan("q159_winnow_overlap")
+    assert(!wn.contains("BroadcastNestedLoopJoin"), s"q159:\n$wn")
+    // q160: per-source totals broadcast back into the corpus scan
+    val ht = plan("q160_ht_estimate")
+    assert(ht.contains("BroadcastHashJoin"), s"q160:\n$ht")
+    // q161: the union sketch is a TakeOrdered over sketch rows, never a
+    // global sort of the hash universe
+    val kmv = plan("q161_kmv_sketch")
+    assert(kmv.contains("TakeOrderedAndProject"), s"q161:\n$kmv")
+    // q164: the ~100-row marker table must broadcast into the token
+    // stream — a shuffle join would move the corpus for a dictionary
+    val li = plan("q164_langid_eval")
+    assert(li.contains("BroadcastHashJoin"), s"q164:\n$li")
+    // q166: orphan/unreferenced audits are hash anti-joins (the
+    // single-row stat stitches are intended Cross BNL joins; only a
+    // nested-loop ANTI would scan quadratically)
+    val fk = plan("q166_fk_orphans")
+    assert(fk.contains("LeftAnti"), s"q166 lost its anti-joins:\n$fk")
+    assert(!"NestedLoopJoin [^,]*, LeftAnti".r.findFirstIn(fk).isDefined,
+      s"q166 plans a nested-loop anti join:\n$fk")
+    // q169: the 10-row model (centroids + thresholds) broadcasts into
+    // the test scan; the corpus side never shuffles for scoring
+    val cf = plan("q169_conformal")
+    assert(!cf.contains("CartesianProduct"), s"q169:\n$cf")
+  }
+
   test("LSH band self-join is a shuffled join, not broadcast") {
     // broadcast would duplicate the signature computation per side
     val p = plan("q27_minhash_lsh")

@@ -180,5 +180,57 @@ object TemporalOps {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |    AS BIGINT) AS cum_users
              |FROM daily LEFT JOIN news USING (day)""".stripMargin)),
+
+    // ----- q170: exponentially-decayed activity scores (trending) ---------
+    // The decayed counter behind every trending/feature-store signal:
+    // an event aged a days contributes 2^(−a) to its user's score, so
+    // yesterday counts half of today and the ledger never needs
+    // resetting — and because the half-life is one DAY, every
+    // contribution is an exact power of two: pow(2.0, −a) for integer a
+    // is correctly rounded (hence identical) on every IEEE libm, the
+    // one transcendental this repo's no-libm rule licenses. Age anchors
+    // to the CORPUS max day (datediff of date-truncated timestamps —
+    // integer days on both engines); per-user score and per-type
+    // breakdown come from one partial-agg shuffle with decimal-exact
+    // sums. Emitted per user: total decayed score, purchase-only
+    // decayed score, last-active age, event count — the four features a
+    // ranking model reads. Scale: one scan, one broadcast scalar (max
+    // day), one shuffle on user_id; no windows, no state.
+    NamedQuery(
+      "q170_decay_scores",
+      (s, d) => {
+        val ev = events(s, d)
+        val anchor = ev.agg(max(to_date(col("ts"))).as("d0"))
+        ev.select(col("user_id"), col("event_type"), to_date(col("ts"))
+          .as("dy"))
+          .crossJoin(broadcast(anchor))
+          .select(col("user_id"), col("event_type"),
+            datediff(col("d0"), col("dy")).cast("long").as("age"))
+          .select(col("user_id"), col("age"),
+            pow(lit(2.0), -col("age").cast("double")).as("wt"),
+            col("event_type"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("age")).as("last_active_age"),
+            dsum(col("wt")).as("decay_score"),
+            dsum(when(col("event_type") === "purchase", col("wt"))
+              .otherwise(lit(0.0))).as("purchase_decay_score"))
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT user_id, event_type, CAST(ts AS DATE) AS dy
+              |  FROM events),
+              |a AS (SELECT MAX(dy) AS d0 FROM ev),
+              |w AS (
+              |  SELECT user_id, event_type,
+              |    CAST(date_diff('day', dy, d0) AS BIGINT) AS age,
+              |    pow(2.0, -CAST(date_diff('day', dy, d0) AS DOUBLE))
+              |      AS wt
+              |  FROM ev CROSS JOIN a)
+              |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+              |  MIN(age) AS last_active_age,
+              |  ${dsumSql("wt")} AS decay_score,
+              |  ${dsumSql("CASE WHEN event_type = 'purchase' THEN wt" +
+                " ELSE 0.0 END")} AS purchase_decay_score
+              |FROM w GROUP BY user_id""".stripMargin)),
   )
 }

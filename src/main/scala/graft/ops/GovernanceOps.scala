@@ -1248,6 +1248,65 @@ object GovernanceOps {
            |FROM corpus c LEFT JOIN a4 a ON c.doc_id = a.doc_id
            |              LEFT JOIN fd ON c.doc_id = fd.src""".stripMargin
       }),
+
+    // ----- q171: k-anonymity audit over quasi-identifier grids ------------
+    // The re-identification risk check a governance pipeline runs before
+    // releasing a table (Sweeney 2002): a row is k-anonymous if at least
+    // k rows share its full quasi-identifier combination. Three
+    // generalization levels of the customer table's quasi-identifiers —
+    // L0 (nation, segment, $1000 account-balance band), L1 (nation,
+    // segment), L2 (segment only) — each audited for: equivalence-class
+    // count, smallest class, classes below k = 5, and rows at risk.
+    // Releasing at the first level whose min class size clears k is the
+    // standard generalization ladder; emitting all three levels makes
+    // the trade-off (privacy vs granularity retained) one result set.
+    // The balance band is floor(x/1000) — same IEEE divide + floor on
+    // both engines, negative balances floor toward −∞ identically.
+    // Scale: one partial-agg shuffle per level over the quasi-id grid
+    // (bounded by the grid, not the table), then a grid-sized re-agg —
+    // the q52 two-level shape; linear, no joins, no windows.
+    NamedQuery(
+      "q171_k_anonymity",
+      (s, d) => {
+        val cust = tbl(s, d, "customer")
+        def level(name: String,
+            keys: Seq[org.apache.spark.sql.Column]): DataFrame =
+          cust.groupBy(keys: _*)
+            .agg(count(lit(1)).as("sz"))
+            .agg(lit(name).as("level"),
+              count(lit(1)).as("n_classes"),
+              min(col("sz")).as("min_class_size"),
+              sum(when(col("sz") < 5, 1L).otherwise(0L))
+                .as("n_violating_classes"),
+              sum(when(col("sz") < 5, col("sz")).otherwise(0L))
+                .as("n_rows_at_risk"))
+            .withColumn("k_anonymous", col("min_class_size") >= 5)
+        val band = floor(col("c_acctbal") / lit(1000.0)).as("bal_band")
+        level("L0_nation_segment_balband",
+          Seq(col("c_nationkey"), col("c_mktsegment"), band))
+          .unionByName(level("L1_nation_segment",
+            Seq(col("c_nationkey"), col("c_mktsegment"))))
+          .unionByName(level("L2_segment", Seq(col("c_mktsegment"))))
+      },
+      Some {
+        def level(name: String, keys: String): String =
+          s"""SELECT '$name' AS level,
+             |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+             |  CAST(MIN(sz) AS BIGINT) AS min_class_size,
+             |  CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_violating_classes,
+             |  CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+             |    AS n_rows_at_risk,
+             |  MIN(sz) >= 5 AS k_anonymous
+             |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS sz
+             |      FROM customer GROUP BY $keys)""".stripMargin
+        Seq(
+          level("L0_nation_segment_balband",
+            "c_nationkey, c_mktsegment, floor(c_acctbal / 1000.0)"),
+          level("L1_nation_segment", "c_nationkey, c_mktsegment"),
+          level("L2_segment", "c_mktsegment"))
+          .mkString("", "\nUNION ALL\n", "")
+      }),
   )
 
   /** q133's engine, extracted for direct testing against a scalar

@@ -447,4 +447,36 @@ object StreamOps {
           }
       }
   }
+
+  final case class FirstTouch(user_id: Long, first_day: String)
+
+  /** Per-user first-touch extraction — the streaming half of q167's
+    * growth ledger: emit each user's first calendar day exactly once, on
+    * the microbatch where the user first appears; every later event is a
+    * returning visit and emits nothing. State is ONE boolean per user
+    * ever seen — the registration-dedup state a growth pipeline
+    * genuinely must carry for its lifetime (production bounds it with a
+    * TTL or swaps in a bloom filter once exactness stops mattering; the
+    * shape is identical). Day strings are formatted in UTC to match the
+    * batch side's session-timezone date_format (Sessions pins UTC).
+    * Downstream, `groupBy(first_day).count` IS q167's n_new column —
+    * the spec asserts that equality, so the stream is gated against an
+    * oracle-checked batch twin. */
+  def firstTouch(events: Dataset[Ev]): Dataset[FirstTouch] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Boolean, FirstTouch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val first = evs.minBy(_.ts.getTime)
+            state.update(true)
+            val day = java.time.Instant.ofEpochMilli(first.ts.getTime)
+              .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+            Iterator.single(FirstTouch(uid, day))
+          }
+      }
+  }
 }

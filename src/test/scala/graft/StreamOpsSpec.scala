@@ -415,6 +415,28 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming first-touch extraction equals batch first-seen and q167") {
+    import spark.implicits._
+    val got = runStream("t_first", df =>
+      StreamOps.firstTouch(df.as[Ev]).toDF())
+      .filter(col("user_id") =!= SentinelUser)
+    // exact per-user parity with the batch min-ts day
+    val want = batchEvents.groupBy(col("user_id"))
+      .agg(date_format(min(col("ts")), "yyyy-MM-dd").as("first_day"))
+    assert(asSet(got.select(col("user_id"), col("first_day"))) ==
+      asSet(want))
+    // aggregated, the stream IS q167's oracle-gated n_new column
+    val newPerDay = got.groupBy(col("first_day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val q167 = SparkEntry.queries("q167_user_growth")(
+      spark, "/root/testdata/sf0.001")
+      .select(col("day"), col("n_new")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .filter(_._2 > 0).toMap
+    assert(newPerDay == q167)
+  }
+
   test("streaming drift monitor equals the registered batch twin q99") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     // the SAME deterministic event-time q99 registers (epoch + doc_id

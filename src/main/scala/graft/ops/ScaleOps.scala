@@ -682,5 +682,177 @@ object ScaleOps {
            |FROM (SELECT * FROM rz UNION ALL SELECT * FROM rl)
            |CROSS JOIN m""".stripMargin
       }),
+
+    // ----- q172: rolling 7-day distinct users via mergeable registers -----
+    // Rolling uniques is THE aggregate exact methods can't scale: a
+    // 7-day window re-reads every event 7 times (the witness column
+    // below does exactly that, honestly). The production shape is
+    // sketch-merge: build per-(day, bucket) HLL registers ONCE from one
+    // partial-agg shuffle, then every day's 7-day estimate is an
+    // element-wise MAX over its trailing register rows — a window over
+    // the CALENDAR×64 grid (densified from a generated day spine so the
+    // row frame is calendar-correct even when a bucket has gaps), never
+    // a second pass over events. Registers, fold, and α reuse q79's
+    // bit-exact construction, so the DOUBLE estimate hash-matches. The
+    // exact rolling distinct rides along via a 30-row broadcast range
+    // join (fine here; the 100 TB story is that the REGISTERS are what
+    // you keep). in_bound is the q41-style witness at 2σ ≈ 25% for 64
+    // registers. Scale: one event scan for registers, one for the
+    // witness; windows over a bounded grid.
+    NamedQuery(
+      "q172_rolling_uniques",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = OpsKit.events(s, d)
+          .select(to_date(col("ts")).as("dy"), col("user_id"))
+        val bounds = ev.agg(min(col("dy")).as("d0"), max(col("dy")).as("d1"))
+        val days = bounds
+          .select(explode(expr("sequence(d0, d1, interval 1 day)"))
+            .as("day"))
+        val bkts = s.range(0, 64).select(col("id").as("bkt"))
+        val regs = ev
+          .select(col("dy").as("day"),
+            strHash(col("user_id").cast("string")).as("h"))
+          .select(col("day"), pmod(col("h"), lit(64)).as("bkt"),
+            expr("shiftright(h, 6)").as("v"))
+          .select(col("day"), col("bkt"),
+            when(col("v") === 0, lit(55))
+              .otherwise(lit(55) - length(bin(col("v")))).as("rank"))
+          .groupBy(col("day"), col("bkt")).agg(max(col("rank")).as("m"))
+        val w = Window.partitionBy(col("bkt")).orderBy(col("day"))
+          .rowsBetween(-6, 0)
+        val grid = days.crossJoin(broadcast(bkts))
+          .join(regs, Seq("day", "bkt"), "left")
+          .withColumn("mm", max(col("m")).over(w))
+        val alpha = (lit(7213.0) / lit(10000.0)) /
+          (lit(1.0) + (lit(1079.0) / lit(1000.0)) / lit(64.0))
+        val est = grid.filter(col("mm").isNotNull)
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("n_regs"),
+            sort_array(collect_list(struct(col("bkt"), col("mm"))))
+              .as("rm"))
+          .select(col("day"),
+            (aggregate(col("rm"), lit(0.0),
+              (acc, p) => acc + lit(1.0) / pow(lit(2.0), p.getField("mm"))) +
+              (lit(64) - col("n_regs")).cast("double")).as("z"))
+          .select(col("day"), (alpha * lit(4096.0) / col("z")).as("est"))
+        val exact = days
+          .join(ev, col("dy") >= date_sub(col("day"), 6) &&
+            col("dy") <= col("day"), "left")
+          .groupBy(col("day"))
+          .agg(countDistinct(col("user_id")).as("uniques_7d_exact"))
+        exact.join(est, Seq("day"), "left")
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("uniques_7d_exact"),
+            coalesce(col("est"), lit(0.0)).as("hll_est_7d"))
+          .withColumn("in_bound",
+            abs(col("hll_est_7d") - col("uniques_7d_exact").cast("double"))
+              <= lit(0.25) * col("uniques_7d_exact").cast("double"))
+      },
+      Some {
+        val h = strHashSql("CAST(user_id AS VARCHAR)")
+        s"""WITH ev AS (
+           |  SELECT CAST(ts AS DATE) AS dy, user_id FROM events),
+           |b AS (SELECT MIN(dy) AS d0, MAX(dy) AS d1 FROM ev),
+           |days AS (
+           |  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+           |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+           |  FROM b),
+           |bkts AS (SELECT unnest(range(0, 64)) AS bkt),
+           |hh AS (SELECT dy, $h AS h FROM ev),
+           |regs AS (
+           |  SELECT dy AS day, h % 64 AS bkt,
+           |    MAX(CASE WHEN (h // 64) = 0 THEN 55
+           |        ELSE 55 - length(bin(h // 64)) END) AS m
+           |  FROM hh GROUP BY 1, 2),
+           |grid AS (
+           |  SELECT d.day, k.bkt, r.m
+           |  FROM days d CROSS JOIN bkts k
+           |  LEFT JOIN regs r ON r.day = d.day AND r.bkt = k.bkt),
+           |win AS (
+           |  SELECT day, bkt, MAX(m) OVER (PARTITION BY bkt ORDER BY day
+           |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS mm
+           |  FROM grid),
+           |est AS (
+           |  SELECT day,
+           |    ((CAST(7213 AS DOUBLE) / CAST(10000 AS DOUBLE))
+           |       / (CAST(1 AS DOUBLE)
+           |          + (CAST(1079 AS DOUBLE) / CAST(1000 AS DOUBLE))
+           |            / CAST(64 AS DOUBLE)))
+           |      * CAST(4096 AS DOUBLE) /
+           |      (list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |         list_transform(list(mm ORDER BY bkt), v ->
+           |           CAST(1 AS DOUBLE) / pow(CAST(2 AS DOUBLE), v))),
+           |         (a, x) -> a + x)
+           |       + CAST(64 - COUNT(*) AS DOUBLE)) AS est
+           |  FROM win WHERE mm IS NOT NULL GROUP BY day),
+           |ex AS (
+           |  SELECT d.day,
+           |    CAST(COUNT(DISTINCT e.user_id) AS BIGINT)
+           |      AS uniques_7d_exact
+           |  FROM days d LEFT JOIN ev e
+           |    ON e.dy BETWEEN d.day - 6 AND d.day
+           |  GROUP BY d.day)
+           |SELECT strftime(ex.day, '%Y-%m-%d') AS day,
+           |  uniques_7d_exact,
+           |  COALESCE(est, 0.0) AS hll_est_7d,
+           |  abs(COALESCE(est, 0.0) - CAST(uniques_7d_exact AS DOUBLE))
+           |    <= 0.25 * CAST(uniques_7d_exact AS DOUBLE) AS in_bound
+           |FROM ex LEFT JOIN est ON ex.day = est.day""".stripMargin
+      }),
+
+    // ----- q173: robust outlier thresholds via MAD (median abs deviation) -
+    // The robust twin of q119's mean/std outlier detection: mean and
+    // standard deviation are themselves dragged by the outliers they're
+    // supposed to find, so production length filters threshold on the
+    // MEDIAN and the median absolute deviation (Hampel's estimator —
+    // 50% breakdown point vs 0% for the mean). Per source over document
+    // length: median, MAD, and how many docs sit beyond 3·MAD — the
+    // robust band a C4-style trim would keep. Both medians use the
+    // q50/q90 interpolated-percentile parity contract (Spark percentile
+    // ≡ DuckDB quantile_cont); deviations are identical double trees.
+    // Scale shape: two percentile passes per source (partial-agg
+    // percentile over the source partition), each median broadcast back
+    // — the corpus streams twice, no global sorts, no windows.
+    NamedQuery(
+      "q173_mad_outliers",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val med = docs.groupBy(col("source"))
+          .agg(expr("percentile(n_chars, 0.5)").as("med"))
+        val dev = docs.join(broadcast(med), "source")
+          .select(col("source"), col("med"),
+            abs(col("n_chars").cast("double") - col("med")).as("adev"))
+        val mad = dev.groupBy(col("source"))
+          .agg(expr("percentile(adev, 0.5)").as("mad"))
+        dev.join(broadcast(mad), "source")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            max(col("med")).as("median_chars"),
+            max(col("mad")).as("mad_chars"),
+            sum(when(col("adev") > lit(3.0) * col("mad"), 1L)
+              .otherwise(0L)).as("n_outliers"))
+          .withColumn("outlier_frac",
+            col("n_outliers").cast("double") / col("n_docs").cast("double"))
+      },
+      Some("""WITH med AS (
+             |  SELECT source, quantile_cont(n_chars, 0.5) AS med
+             |  FROM documents GROUP BY source),
+             |dev AS (
+             |  SELECT d.source, m.med,
+             |    abs(CAST(n_chars AS DOUBLE) - m.med) AS adev
+             |  FROM documents d JOIN med m ON d.source = m.source),
+             |mad AS (
+             |  SELECT source, quantile_cont(adev, 0.5) AS mad
+             |  FROM dev GROUP BY source)
+             |SELECT dev.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  MAX(dev.med) AS median_chars,
+             |  MAX(mad.mad) AS mad_chars,
+             |  CAST(SUM(CASE WHEN adev > 3.0 * mad.mad THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_outliers,
+             |  CAST(SUM(CASE WHEN adev > 3.0 * mad.mad THEN 1 ELSE 0 END)
+             |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS outlier_frac
+             |FROM dev JOIN mad ON dev.source = mad.source
+             |GROUP BY dev.source""".stripMargin)),
   )
 }

@@ -1307,6 +1307,87 @@ object GovernanceOps {
           level("L2_segment", "c_mktsegment"))
           .mkString("", "\nUNION ALL\n", "")
       }),
+
+    // ----- q174: personalized PageRank — seed-quality propagation ---------
+    // The crawl-curation labeler quality pipelines actually run (the
+    // pattern behind Common-Crawl-style seed-quality propagation, and
+    // Haveliwala 2002's topic-sensitive PageRank): a small editorially
+    // trusted SEED set (here doc_id % 50 = 0) restarts the walk, so
+    // rank flows outward along near-dup edges and every document gets a
+    // "how close to trusted content" score — q133 measures global
+    // centrality, this measures proximity to a labeled set, which is
+    // what lets a curator extend a small manual allowlist to a whole
+    // crawl. Same integer construction as q133 (scaled 1e12 fixed-point
+    // ranks, pr div deg contributions, 85/100 damping — bit-exact at
+    // any partition count, oracle as 3 unrolled CTE rounds) with the
+    // restart mass confined to seeds: pr' = (seed ? 15e10 : 0) +
+    // 85%·inflow. Non-seed docs with no path to a seed stay at exactly
+    // 0 — the honest "unlabelable" answer. Per round: one edge⋈rank
+    // hash join + one dst-keyed sum, node-id-partitioned throughout.
+    NamedQuery(
+      "q174_seed_ppr",
+      (s, d) => {
+        val corpus = corpusWithNearDups(s, d)
+        val pairs = lshCandidatePairs(corpus)
+          .select(col("id1"), col("id2"))
+        val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+          .unionByName(
+            pairs.select(col("id2").as("src"), col("id1").as("dst")))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val ed = edges.join(deg, "src")
+        val nodes = corpus.select(col("doc_id"))
+        val seed = col("doc_id") % 50 === 0
+        var ranks = nodes.select(col("doc_id"),
+          when(seed, lit(1000000000000L)).otherwise(lit(0L)).as("pr"))
+        for (_ <- 1 to 3) {
+          val contrib = ed.join(ranks, col("src") === col("doc_id"))
+            .select(col("dst"), expr("pr div deg").as("c"))
+            .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+          ranks = nodes.join(contrib, col("doc_id") === col("dst"), "left")
+            .select(col("doc_id"),
+              (when(seed, lit(150000000000L)).otherwise(lit(0L)) +
+                expr("(85 * coalesce(sc, 0)) div 100")).as("pr"))
+        }
+        ranks.join(deg, col("doc_id") === col("src"), "left")
+          .select(col("doc_id"), seed.as("is_seed"),
+            coalesce(col("deg"), lit(0L)).as("n_neighbors"),
+            col("pr").as("seed_ppr"))
+      },
+      Some {
+        def round(prev: String, cur: Int): String =
+          s"""c$cur AS (
+             |  SELECT e.dst, SUM(r.pr // d.deg) AS sc
+             |  FROM edges e JOIN $prev r ON e.src = r.doc_id
+             |               JOIN deg d ON e.src = d.src
+             |  GROUP BY e.dst),
+             |r$cur AS (
+             |  SELECT n.doc_id,
+             |    (CASE WHEN n.doc_id % 50 = 0 THEN 150000000000
+             |          ELSE 0 END)
+             |      + (85 * COALESCE(c.sc, 0)) // 100 AS pr
+             |  FROM $prev n LEFT JOIN c$cur c ON n.doc_id = c.dst)"""
+            .stripMargin
+        s"""WITH corpus AS ($corpusWithNearDupsSql),
+           |$lshPairsCteSql,
+           |edges AS (
+           |  SELECT id1 AS src, id2 AS dst FROM pairs
+           |  UNION SELECT id2, id1 FROM pairs),
+           |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+           |        FROM edges GROUP BY src),
+           |r0 AS (SELECT doc_id,
+           |         CAST(CASE WHEN doc_id % 50 = 0 THEN 1000000000000
+           |              ELSE 0 END AS BIGINT) AS pr
+           |       FROM corpus),
+           |${round("r0", 1)},
+           |${round("r1", 2)},
+           |${round("r2", 3)}
+           |SELECT r.doc_id, r.doc_id % 50 = 0 AS is_seed,
+           |  COALESCE(d.deg, 0) AS n_neighbors,
+           |  CAST(r.pr AS BIGINT) AS seed_ppr
+           |FROM r3 r LEFT JOIN deg d ON r.doc_id = d.src""".stripMargin
+      }),
   )
 
   /** q133's engine, extracted for direct testing against a scalar

@@ -35,6 +35,14 @@ import org.apache.spark.sql.functions._
 object AnalyticsOps {
   import OpsKit._
 
+  /** q175's expected first-digit masses log10(1+1/d), 6-decimal literals
+    * (log10 at query time would be libm; both engines parse these to
+    * identical doubles — the q179 discount-table contract). */
+  private val BenfordMass: Seq[(Int, Double)] = Seq(
+    1 -> 0.30103, 2 -> 0.176091, 3 -> 0.124939, 4 -> 0.09691,
+    5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992, 8 -> 0.051153,
+    9 -> 0.045757)
+
   def all: Seq[NamedQuery] = Seq(
 
     // ----- q68: funnel conversion (signup → click → purchase) -------------
@@ -1072,5 +1080,456 @@ object AnalyticsOps {
              |SELECT tbl, n_total, n_deleted,
              |  n_total - n_deleted AS n_kept
              |FROM a""".stripMargin)),
+
+    // ----- q175: Benford first-digit audit (synthetic-data detector) ------
+    // The forensic data-quality gate: naturally-occurring positive
+    // amounts follow Benford's law; fabricated or clipped feeds don't,
+    // so a per-stream chi-square against the Benford mass flags suspect
+    // sources before they poison downstream stats. log10(1+1/d) would be
+    // libm, so the nine expected masses are 6-decimal LITERALS (the q179
+    // discount-table move). First digits are extracted EXACTLY: amounts
+    // are half-up-scaled to integer cents (floor(v·100+0.5) — never
+    // engine round(), whose tie mode differs) and the leading digit read
+    // off the integer's decimal string, which both engines render
+    // identically — no log, no float normalization loop. The digit grid
+    // is densified (event_type × 1..9) so absent digits still carry
+    // their expected mass into the statistic. Chi-square at df=8,
+    // α=0.005 → flag above 21.955. Shape: one scan to a 9-bucket
+    // partial aggregate per stream, broadcast grid/rollup joins — the
+    // corpus is read once, everything downstream is O(types·9).
+    NamedQuery(
+      "q175_benford_audit",
+      (s, d) => {
+        val benford = BenfordMass.tail.foldLeft(
+          when(col("digit") === BenfordMass.head._1,
+            lit(BenfordMass.head._2))) { case (acc, (dg, p)) =>
+          acc.when(col("digit") === dg, lit(p))
+        }
+        val ev = events(s, d).filter(col("value") > 0.0)
+          .select(col("event_type"),
+            substring(floor(col("value") * 100 + lit(0.5)).cast("string"),
+              1, 1).cast("int").as("digit"))
+        val obs = ev.groupBy(col("event_type"), col("digit"))
+          .agg(count(lit(1)).as("n_obs"))
+        val tot = obs.groupBy(col("event_type")).agg(sum(col("n_obs")).as("n"))
+        val digits = s.range(1, 10).select(col("id").cast("int").as("digit"))
+        val dense = tot.crossJoin(broadcast(digits))
+          .join(obs, Seq("event_type", "digit"), "left")
+          .select(col("event_type"), col("digit"),
+            coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+            (col("n").cast("double") * benford).as("expected"))
+          .withColumn("contrib",
+            (col("n_obs").cast("double") - col("expected")) *
+              (col("n_obs").cast("double") - col("expected")) /
+              col("expected"))
+        val chi = dense.groupBy(col("event_type"))
+          .agg(dsum(col("contrib")).as("chi2"))
+        dense.join(broadcast(chi), "event_type")
+          .select(col("event_type"), col("digit"), col("n_obs"),
+            col("expected"), col("contrib"), col("chi2"),
+            (col("chi2") > lit(21.955)).as("flagged"))
+      },
+      Some {
+        val caseSql = BenfordMass
+          .map { case (dg, p) => s"WHEN $dg THEN $p" }
+          .mkString("CASE g.digit ", " ", " END")
+        s"""WITH ev AS (
+           |  SELECT event_type,
+           |    CAST(substr(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+           |      AS VARCHAR), 1, 1) AS INTEGER) AS digit
+           |  FROM events WHERE value > 0.0),
+           |obs AS (
+           |  SELECT event_type, digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+           |  FROM ev GROUP BY event_type, digit),
+           |tot AS (
+           |  SELECT event_type, CAST(SUM(n_obs) AS BIGINT) AS n
+           |  FROM obs GROUP BY event_type),
+           |dense AS (
+           |  SELECT t.event_type, g.digit,
+           |    CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+           |    CAST(t.n AS DOUBLE) * ($caseSql) AS expected
+           |  FROM tot t CROSS JOIN (
+           |    SELECT CAST(unnest(range(1, 10)) AS INTEGER) AS digit) g
+           |  LEFT JOIN obs o
+           |    ON o.event_type = t.event_type AND o.digit = g.digit),
+           |c AS (
+           |  SELECT *,
+           |    (CAST(n_obs AS DOUBLE) - expected)
+           |      * (CAST(n_obs AS DOUBLE) - expected) / expected AS contrib
+           |  FROM dense),
+           |chi AS (
+           |  SELECT event_type, ${dsumSql("contrib")} AS chi2
+           |  FROM c GROUP BY event_type)
+           |SELECT c.event_type, c.digit, c.n_obs, c.expected, c.contrib,
+           |  chi.chi2, chi.chi2 > 21.955 AS flagged
+           |FROM c JOIN chi USING (event_type)""".stripMargin
+      }),
+
+    // ----- q177: Markov stationary distribution (integer power iter) ------
+    // Where does a user's journey SETTLE? q73 builds the one-step
+    // transition matrix; this runs the power iteration to its stationary
+    // measure — the q133 integer-grid contract applied to the type graph:
+    // mass starts at 10^12 per state and each round moves
+    // (m·n(i,j)) div tot(i) along every observed transition, so all
+    // arithmetic is BIGINT and the result is bit-exact at any partition
+    // count (no float matmul, no libm). Four synchronous rounds, fixed by
+    // design (the q141 bounded-horizon reproducibility rule). Scale: the
+    // matrix is |event_type|² — provenance-bounded like q176's sources —
+    // so every join is a broadcast; the only corpus-sized work is q73's
+    // own lag-window shuffle to COUNT the transitions.
+    NamedQuery(
+      "q177_stationary_dist",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val pairs = events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("to_type"))
+          .withColumn("from_type", lag(col("to_type"), 1).over(w))
+          .filter(col("from_type").isNotNull)
+        val counts = pairs.groupBy(col("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val tm = counts.join(
+          counts.groupBy(col("from_type")).agg(sum(col("n")).as("tot")),
+          "from_type")
+        val types = counts.select(col("from_type").as("t"))
+          .unionByName(counts.select(col("to_type").as("t"))).distinct()
+        var mass = types.select(col("t"), lit(1000000000000L).as("m"))
+        for (_ <- 1 to 4) {
+          val contrib = tm.join(mass, col("from_type") === col("t"))
+            .select(col("to_type"), expr("(m * n) div tot").as("c"))
+            .groupBy(col("to_type")).agg(sum(col("c")).as("sc"))
+          mass = types.join(broadcast(contrib),
+              col("t") === col("to_type"), "left")
+            .select(col("t"), coalesce(col("sc"), lit(0L)).as("m"))
+        }
+        mass.select(col("t").as("event_type"), col("m").as("mass"))
+      },
+      Some {
+        def round(prev: String, cur: Int): String =
+          s"""c$cur AS (
+             |  SELECT tm.to_type, SUM((r.m * tm.n) // tm.tot) AS sc
+             |  FROM tm JOIN $prev r ON tm.from_type = r.t
+             |  GROUP BY tm.to_type),
+             |r$cur AS (
+             |  SELECT t, CAST(COALESCE(sc, 0) AS BIGINT) AS m
+             |  FROM types LEFT JOIN c$cur ON t = to_type)""".stripMargin
+        s"""WITH pairs AS (
+           |  SELECT lag(event_type) OVER
+           |      (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+           |    event_type AS to_type
+           |  FROM events),
+           |counts AS (
+           |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM pairs WHERE from_type IS NOT NULL
+           |  GROUP BY from_type, to_type),
+           |tm AS (
+           |  SELECT c.from_type, c.to_type, c.n, t.tot
+           |  FROM counts c JOIN (
+           |    SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
+           |    FROM counts GROUP BY from_type) t USING (from_type)),
+           |types AS (
+           |  SELECT from_type AS t FROM counts
+           |  UNION SELECT to_type FROM counts),
+           |r0 AS (SELECT t, CAST(1000000000000 AS BIGINT) AS m FROM types),
+           |${round("r0", 1)},
+           |${round("r1", 2)},
+           |${round("r2", 3)},
+           |${round("r3", 4)}
+           |SELECT t AS event_type, m AS mass FROM r4""".stripMargin
+      }),
+
+    // ----- q178: A/B two-proportion z-test (hash-bucketed arms) -----------
+    // The experimentation primitive: users are assigned to arms by id
+    // parity (the deterministic stand-in for a salted assignment hash),
+    // conversion is "ever purchased", and the two-proportion z-statistic
+    // with pooled variance decides significance at 1.96. Every input is
+    // an integer count; the z expression is rational-plus-one-sqrt (the
+    // IEEE-exact transcendental, q176's contract) evaluated on a SINGLE
+    // row, so parity is the mirrored expression tree. Shape: one per-user
+    // rollup (shuffle on user_id), then a 2-row conditional aggregate —
+    // the corpus is touched once; at 100 TB this is a partial-agg
+    // pipeline with a scalar epilogue.
+    NamedQuery(
+      "q178_ab_ztest",
+      (s, d) => {
+        val perUser = events(s, d)
+          .select(col("user_id"), col("event_type"), col("value"))
+          .groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase" &&
+            col("value") > 150.0, 1L).otherwise(0L)).as("converted"))
+          .select(col("user_id"), col("converted"),
+            when(pmod(col("user_id"), lit(2L)) === 0L, lit("control"))
+              .otherwise(lit("treatment")).as("arm"))
+        perUser.groupBy()
+          .agg(
+            sum(when(col("arm") === "control", 1L).otherwise(0L))
+              .as("n_control"),
+            sum(when(col("arm") === "treatment", 1L).otherwise(0L))
+              .as("n_treat"),
+            sum(when(col("arm") === "control", col("converted"))
+              .otherwise(0L)).as("x_control"),
+            sum(when(col("arm") === "treatment", col("converted"))
+              .otherwise(0L)).as("x_treat"))
+          .select(col("n_control"), col("n_treat"),
+            col("x_control"), col("x_treat"),
+            (col("x_control").cast("double") /
+              col("n_control").cast("double")).as("p_control"),
+            (col("x_treat").cast("double") /
+              col("n_treat").cast("double")).as("p_treat"),
+            ((col("x_control") + col("x_treat")).cast("double") /
+              (col("n_control") + col("n_treat")).cast("double"))
+              .as("p_pool"))
+          .withColumn("se",
+            sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+              (lit(1.0) / col("n_control").cast("double") +
+                lit(1.0) / col("n_treat").cast("double"))))
+          // se = 0 (all-or-none conversion) → NULL z, not a crash: the
+          // degenerate experiment is reported, never masked by ANSI mode
+          .select(col("n_control"), col("n_treat"),
+            col("x_control"), col("x_treat"),
+            col("p_control"), col("p_treat"),
+            when(col("se") > 0.0,
+              (col("p_treat") - col("p_control")) / col("se"))
+              .as("z_stat"))
+          .withColumn("significant", abs(col("z_stat")) > lit(1.96))
+      },
+      Some("""WITH pu AS (
+             |  SELECT user_id,
+             |    MAX(CASE WHEN event_type = 'purchase' AND value > 150.0
+             |      THEN 1 ELSE 0 END) AS converted,
+             |    CASE WHEN user_id % 2 = 0 THEN 'control'
+             |         ELSE 'treatment' END AS arm
+             |  FROM events GROUP BY user_id),
+             |agg AS (
+             |  SELECT
+             |    CAST(SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_control,
+             |    CAST(SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_treat,
+             |    CAST(SUM(CASE WHEN arm = 'control' THEN converted
+             |      ELSE 0 END) AS BIGINT) AS x_control,
+             |    CAST(SUM(CASE WHEN arm = 'treatment' THEN converted
+             |      ELSE 0 END) AS BIGINT) AS x_treat
+             |  FROM pu),
+             |p AS (
+             |  SELECT *,
+             |    CAST(x_control AS DOUBLE) / CAST(n_control AS DOUBLE)
+             |      AS p_control,
+             |    CAST(x_treat AS DOUBLE) / CAST(n_treat AS DOUBLE)
+             |      AS p_treat,
+             |    CAST(x_control + x_treat AS DOUBLE)
+             |      / CAST(n_control + n_treat AS DOUBLE) AS p_pool
+             |  FROM agg),
+             |se AS (
+             |  SELECT *,
+             |    sqrt(p_pool * (1.0 - p_pool)
+             |         * (1.0 / CAST(n_control AS DOUBLE)
+             |            + 1.0 / CAST(n_treat AS DOUBLE))) AS se
+             |  FROM p)
+             |SELECT n_control, n_treat, x_control, x_treat,
+             |  p_control, p_treat,
+             |  CASE WHEN se > 0.0 THEN (p_treat - p_control) / se END
+             |    AS z_stat,
+             |  abs(CASE WHEN se > 0.0 THEN (p_treat - p_control) / se END)
+             |    > 1.96 AS significant
+             |FROM se""".stripMargin)),
+
+    // ----- q180: mix-shift decomposition of a metric change ---------------
+    // "Average value dropped 4% — is any segment actually worse, or did
+    // the MIX move?" The Oaxaca-style two-period decomposition: split the
+    // corpus at the midpoint day, and per event_type express the overall
+    // Δmean as a within-segment term w2·(m2−m1) plus a mix term
+    // (w2−w1)·m1 — the two columns sum (over segments) to exactly
+    // ȳ2−ȳ1. Means are decimal-exact sums over integer counts; weights
+    // are integer ratios; the products are mirrored double trees. Shape:
+    // one scan, one (segment, period) partial aggregate, a broadcast of
+    // the 2-row period totals — no windows, no second pass over the
+    // corpus.
+    NamedQuery(
+      "q180_mix_shift",
+      (s, d) => {
+        val ev = events(s, d)
+        val bounds = ev.agg(
+          min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+        val tagged = ev.crossJoin(broadcast(bounds))
+          .select(col("event_type"), col("value"),
+            when(datediff(to_date(col("ts")), col("d0")) * 2 <=
+              datediff(col("d1"), col("d0")), lit("p1"))
+              .otherwise(lit("p2")).as("period"))
+        val seg = tagged.groupBy(col("event_type"), col("period"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sv"))
+        val ptot = seg.groupBy(col("period")).agg(sum(col("n")).as("ntot"))
+        val m = seg.join(broadcast(ptot), "period")
+          .select(col("event_type"), col("period"),
+            (col("sv") / col("n").cast("double")).as("mean"),
+            (col("n").cast("double") / col("ntot").cast("double")).as("w"))
+        val p1 = m.filter(col("period") === "p1")
+          .select(col("event_type"), col("mean").as("m1"), col("w").as("w1"))
+        val p2 = m.filter(col("period") === "p2")
+          .select(col("event_type"), col("mean").as("m2"), col("w").as("w2"))
+        p1.join(p2, "event_type")
+          .select(col("event_type"), col("w1"), col("w2"),
+            col("m1"), col("m2"),
+            (col("w2") * (col("m2") - col("m1"))).as("within_delta"),
+            ((col("w2") - col("w1")) * col("m1")).as("mix_delta"))
+      },
+      Some(s"""WITH b AS (
+             |  SELECT MIN(CAST(ts AS DATE)) AS d0,
+             |         MAX(CAST(ts AS DATE)) AS d1 FROM events),
+             |tagged AS (
+             |  SELECT event_type, value,
+             |    CASE WHEN date_diff('day', b.d0, CAST(ts AS DATE)) * 2
+             |           <= date_diff('day', b.d0, b.d1)
+             |      THEN 'p1' ELSE 'p2' END AS period
+             |  FROM events CROSS JOIN b),
+             |seg AS (
+             |  SELECT event_type, period, CAST(COUNT(*) AS BIGINT) AS n,
+             |    ${dsumSql("value")} AS sv
+             |  FROM tagged GROUP BY event_type, period),
+             |ptot AS (
+             |  SELECT period, CAST(SUM(n) AS BIGINT) AS ntot
+             |  FROM seg GROUP BY period),
+             |m AS (
+             |  SELECT event_type, period,
+             |    sv / CAST(n AS DOUBLE) AS mean,
+             |    CAST(n AS DOUBLE) / CAST(ntot AS DOUBLE) AS w
+             |  FROM seg JOIN ptot USING (period))
+             |SELECT p1.event_type, p1.w AS w1, p2.w AS w2,
+             |  p1.mean AS m1, p2.mean AS m2,
+             |  p2.w * (p2.mean - p1.mean) AS within_delta,
+             |  (p2.w - p1.w) * p1.mean AS mix_delta
+             |FROM m p1 JOIN m p2 ON p1.event_type = p2.event_type
+             |  AND p1.period = 'p1' AND p2.period = 'p2'""".stripMargin)),
+
+    // ----- q181: frequent session paths (journey mining) ------------------
+    // The "what do users actually DO" query: sessionize by the q122
+    // 30-minute gap rule, render each session's first five event types as
+    // a '>'-joined path string, and count path frequencies (top 20).
+    // Truncating at five keeps the path alphabet bounded (the classic
+    // prefix-mining guard against one marathon session minting a
+    // unique-forever string). Determinism: the in-session order is the
+    // total (ts, event_id) order, imposed on the Spark side by sorting
+    // (ts_us, event_id, type) structs — no collect_list order roulette —
+    // and on the oracle side by ORDER BY inside list(). Shape: one
+    // user-window pass, one session rollup, one path count; top-20 is a
+    // TakeOrdered.
+    NamedQuery(
+      "q181_session_paths",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, d)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum(col("new_sess")).over(wc))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(collect_list(struct(unix_micros(col("ts")).as("us"),
+            col("event_id").as("eid"), col("event_type").as("et")))
+            .as("evs"))
+          .select(array_join(
+            transform(slice(array_sort(col("evs")), 1, 5), x => x("et")),
+            ">").as("path"))
+          .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+          .orderBy(col("n_sessions").desc, col("path"))
+          .limit(20)
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev_us
+             |  FROM events),
+             |f AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |    CASE WHEN prev_us IS NULL
+             |           OR epoch_us(ts) - prev_us > 1800000000
+             |      THEN 1 ELSE 0 END AS new_sess
+             |  FROM o),
+             |sess AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |    SUM(new_sess) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS session_id
+             |  FROM f),
+             |paths AS (
+             |  SELECT array_to_string(
+             |    (list(event_type ORDER BY ts, event_id))[1:5], '>')
+             |    AS path
+             |  FROM sess GROUP BY user_id, session_id)
+             |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+             |FROM paths GROUP BY path
+             |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin)),
+
+    // ----- q183: seasonal-baseline anomaly summary ------------------------
+    // q97 z-scores against a GLOBAL per-type baseline; real telemetry is
+    // seasonal, so the honest baseline is (event_type, day-of-week,
+    // hour-of-day). Per cell: count, decimal-exact mean, sample std (the
+    // Σv²/Σv form on the decimal grid, clamped at zero before the
+    // IEEE-exact sqrt), and how many of the cell's own events sit more
+    // than 3σ out — the calibration view an alerting pipeline reads
+    // before it trusts a threshold. Cells with n<5 report zero anomalies
+    // by rule (a 2-event "baseline" is noise). Day-of-week is numeric
+    // with Sunday=0 on BOTH engines (Spark's dayofweek()−1 — never
+    // locale-dependent day NAMES across engines). Shape: one partial
+    // aggregate to the bounded cell grid, one broadcast join back for the
+    // 3σ test, one final rollup — two scans, no windows.
+    NamedQuery(
+      "q183_seasonal_anomaly",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("event_type"), col("value"),
+            (dayofweek(col("ts")) - 1).as("dow"), hour(col("ts")).as("hod"))
+        val cells = ev.groupBy(col("event_type"), col("dow"), col("hod"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sv"),
+            dsum(col("value") * col("value")).as("sv2"))
+          .select(col("event_type"), col("dow"), col("hod"), col("n"),
+            (col("sv") / col("n").cast("double")).as("mean"),
+            when(col("n") > 1,
+              sqrt(greatest(
+                (col("sv2") - col("sv") * col("sv") /
+                  col("n").cast("double")) /
+                  (col("n") - 1).cast("double"),
+                lit(0.0)))).as("std"))
+        ev.join(broadcast(cells), Seq("event_type", "dow", "hod"))
+          .groupBy(col("event_type"), col("dow"), col("hod"))
+          .agg(first(col("n")).as("n"), first(col("mean")).as("mean"),
+            first(col("std")).as("std"),
+            sum(when(col("n") >= 5 && col("std").isNotNull &&
+              abs(col("value") - col("mean")) > lit(3.0) * col("std"), 1L)
+              .otherwise(0L)).as("n_anomalies"))
+      },
+      Some(s"""WITH ev AS (
+             |  SELECT event_type, value,
+             |    CAST(dayofweek(ts) AS INTEGER) AS dow,
+             |    CAST(hour(ts) AS INTEGER) AS hod
+             |  FROM events),
+             |cells AS (
+             |  SELECT event_type, dow, hod, CAST(COUNT(*) AS BIGINT) AS n,
+             |    ${dsumSql("value")} AS sv,
+             |    ${dsumSql("value * value")} AS sv2
+             |  FROM ev GROUP BY event_type, dow, hod),
+             |stats AS (
+             |  SELECT event_type, dow, hod, n,
+             |    sv / CAST(n AS DOUBLE) AS mean,
+             |    CASE WHEN n > 1 THEN
+             |      sqrt(greatest(
+             |        (sv2 - sv * sv / CAST(n AS DOUBLE))
+             |          / CAST(n - 1 AS DOUBLE), 0.0))
+             |    END AS std
+             |  FROM cells)
+             |SELECT s.event_type, s.dow, s.hod, s.n, s.mean, s.std,
+             |  CAST(SUM(CASE WHEN s.n >= 5 AND s.std IS NOT NULL
+             |    AND abs(e.value - s.mean) > 3.0 * s.std
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+             |FROM ev e JOIN stats s USING (event_type, dow, hod)
+             |GROUP BY s.event_type, s.dow, s.hod, s.n, s.mean, s.std"""
+        .stripMargin)),
   )
 }

@@ -936,5 +936,73 @@ object CurationOps {
            |    / CAST(COUNT(*) AS DOUBLE) AS frac_neardup
            |FROM js GROUP BY layout""".stripMargin
       }),
+
+    // ----- q182: CCNet-style per-source LM buckets (head/middle/tail) -----
+    // CCNet's (Wenzek et al. 2020 §4.3) shipping decision: score every
+    // document against a reference LM, split EACH SOURCE into
+    // head/middle/tail terciles, and train on head+middle. The score here
+    // is q62's corpus-unigram mean token probability (higher = more
+    // fluent, the in-engine stand-in for low perplexity — no external LM,
+    // no libm ln); the tercile is ntile(3) per source over the total
+    // (score DESC, doc_id) order, which both engines define identically.
+    // Emitted per (source, bucket): doc count, decimal-grid mean score,
+    // and the score range — the table a mixture designer reads to set the
+    // per-source keep line. Scale: scoring is the q62 broadcast-vocab
+    // pass; the ntile window partitions by SOURCE (bounded fan-in per
+    // partition is the per-source doc count — the same contract as q89's
+    // per-stratum top-k, never a global sort).
+    NamedQuery(
+      "q182_ccnet_buckets",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = tbl(s, d, "documents")
+        val toks = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        val total = vocab.agg(sum(col("c")).as("total"))
+        val scored = toks
+          .join(broadcast(vocab), "tok")
+          .crossJoin(broadcast(total))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("c").cast("decimal(38,0)")).as("sumc"),
+            max(col("total")).as("n"))
+          .select(col("doc_id"),
+            (col("sumc").cast("double") /
+              (col("n_tokens").cast("double") * col("n").cast("double")))
+              .as("score"))
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("score").desc, col("doc_id"))
+        scored
+          .withColumn("bucket", ntile(3).over(w).cast("long"))
+          .groupBy(col("source"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            (dsum(col("score")) / count(lit(1)).cast("double"))
+              .as("mean_score"),
+            min(col("score")).as("min_score"),
+            max(col("score")).as("max_score"))
+      },
+      Some(s"""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |v AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+             |n AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM v),
+             |sc AS (
+             |  SELECT t.doc_id,
+             |    CAST(SUM(v.c) AS DOUBLE)
+             |      / (CAST(COUNT(*) AS DOUBLE) * CAST(MAX(n.total) AS DOUBLE))
+             |      AS score
+             |  FROM tok t JOIN v USING (tok) CROSS JOIN n
+             |  GROUP BY t.doc_id),
+             |bk AS (
+             |  SELECT d.source, sc.score,
+             |    CAST(ntile(3) OVER (PARTITION BY d.source
+             |      ORDER BY sc.score DESC, sc.doc_id) AS BIGINT) AS bucket
+             |  FROM sc JOIN documents d USING (doc_id))
+             |SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  ${dsumSql("score")} / CAST(COUNT(*) AS DOUBLE) AS mean_score,
+             |  MIN(score) AS min_score, MAX(score) AS max_score
+             |FROM bk GROUP BY source, bucket""".stripMargin)),
   )
 }

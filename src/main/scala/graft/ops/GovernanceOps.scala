@@ -1388,6 +1388,110 @@ object GovernanceOps {
            |  CAST(r.pr AS BIGINT) AS seed_ppr
            |FROM r3 r LEFT JOIN deg d ON r.doc_id = d.src""".stripMargin
       }),
+
+    // ----- q185: link prediction over the co-purchase graph ---------------
+    // Classic neighborhood link prediction (Liben-Nowell & Kleinberg
+    // 2003) — run where it has structure to find: the part–part
+    // co-purchase graph (an edge = two parts share ≥ 2 orders; the LSH
+    // near-dup graph is transitively CLOSED cliques, so every wedge is
+    // already an edge and the prediction set is vacuously empty —
+    // verified, not assumed). For every NON-edge pair sharing a
+    // neighbor: common-neighbor count, neighborhood Jaccard, and the
+    // resource-allocation index Σ 1/deg(z) (Zhou et al. 2009 — RA
+    // instead of Adamic–Adar because 1/deg is rational where AA's
+    // 1/ln(deg) is libm), delivered as the RA-ranked top-100 review
+    // queue (bounded output at every scale — at sf0.1 the support-2
+    // graph thins to the point where a cn ≥ 2 floor would return zero
+    // rows; the ranked queue is what a reviewer consumes anyway).
+    // The query VALIDATES itself: `observed_w`
+    // joins each prediction back to the held-out support-1 pairs the
+    // edge threshold excluded — the precision readout is in the output.
+    // This is graph-topology scoring, not q143's itemset counting: the
+    // signal is shared NEIGHBORHOODS, two hops out. Shape: per-order
+    // pair expansion is basket-bounded (C(|basket|,2)); wedges come
+    // from one self-join of the support-pruned edge list through the
+    // shared hub (q92's shape); existing edges leave via a hash
+    // anti-join. Never an all-pairs scan over parts.
+    NamedQuery(
+      "q185_link_prediction",
+      (s, d) => {
+        val op = tbl(s, d, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val pw = op.select(col("o"), col("p").as("p1"))
+          .join(op.select(col("o"), col("p").as("p2")), Seq("o"))
+          .filter(col("p1") < col("p2"))
+          .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("w"))
+          .cache()
+        val strong = pw.filter(col("w") >= 2)
+        val edges = strong.select(col("p1").as("src"), col("p2").as("dst"))
+          .unionByName(strong.select(col("p2").as("src"),
+            col("p1").as("dst")))
+        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val wedges = edges
+          .join(deg.select(col("src"), col("deg").as("degz")), "src")
+          .select(col("dst").as("a"), col("src").as("z"), col("degz"))
+          .join(edges.select(col("src").as("z"), col("dst").as("b")),
+            Seq("z"))
+          .filter(col("a") < col("b"))
+        val cand = wedges
+          .join(strong.select(col("p1").as("a"), col("p2").as("b")),
+            Seq("a", "b"), "left_anti")
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("common_neighbors"),
+            dsum(lit(1.0) / col("degz").cast("double")).as("ra_index"))
+          .filter(col("common_neighbors") >= 1)
+        cand
+          .join(deg.select(col("src").as("a"), col("deg").as("dega")), "a")
+          .join(deg.select(col("src").as("b"), col("deg").as("degb")), "b")
+          .join(pw.select(col("p1").as("a"), col("p2").as("b"),
+            col("w").as("pw_w")), Seq("a", "b"), "left")
+          .select(col("a").as("id1"), col("b").as("id2"),
+            col("common_neighbors"), col("ra_index"),
+            (col("common_neighbors").cast("double") /
+              (col("dega") + col("degb") - col("common_neighbors"))
+                .cast("double")).as("jaccard"),
+            coalesce(col("pw_w"), lit(0L)).as("observed_w"))
+          .orderBy(col("ra_index").desc, col("id1"), col("id2"))
+          .limit(100)
+      },
+      Some(s"""WITH op AS (
+             |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+             |  FROM lineitem),
+             |pw AS (
+             |  SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS w
+             |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+             |  GROUP BY a.p, b.p),
+             |edges AS (
+             |  SELECT p1 AS src, p2 AS dst FROM pw WHERE w >= 2
+             |  UNION ALL SELECT p2, p1 FROM pw WHERE w >= 2),
+             |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+             |        FROM edges GROUP BY src),
+             |wedges AS (
+             |  SELECT e1.dst AS a, e1.src AS z, d.deg AS degz,
+             |    e2.dst AS b
+             |  FROM edges e1 JOIN deg d ON e1.src = d.src
+             |    JOIN edges e2 ON e2.src = e1.src
+             |  WHERE e1.dst < e2.dst),
+             |lp AS (
+             |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+             |    ${dsumSql("1.0 / CAST(degz AS DOUBLE)")} AS ra_index
+             |  FROM wedges w
+             |  WHERE NOT EXISTS (
+             |    SELECT 1 FROM pw p
+             |    WHERE p.p1 = w.a AND p.p2 = w.b AND p.w >= 2)
+             |  GROUP BY a, b
+             |  HAVING COUNT(*) >= 1)
+             |SELECT c.a AS id1, c.b AS id2, c.common_neighbors, c.ra_index,
+             |  CAST(c.common_neighbors AS DOUBLE)
+             |    / CAST(da.deg + db.deg - c.common_neighbors AS DOUBLE)
+             |    AS jaccard,
+             |  COALESCE(pw.w, 0) AS observed_w
+             |FROM lp c JOIN deg da ON c.a = da.src
+             |          JOIN deg db ON c.b = db.src
+             |  LEFT JOIN pw ON pw.p1 = c.a AND pw.p2 = c.b
+             |ORDER BY c.ra_index DESC, id1, id2 LIMIT 100"""
+        .stripMargin)),
   )
 
   /** q133's engine, extracted for direct testing against a scalar

@@ -374,6 +374,17 @@ object SimilarityOps {
        |   THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)),
        | (a, b) -> a + b)""".stripMargin.replace("\n", " ")
 
+  /** q179's rank-discount table: 1/log2(r+1) precomputed to 6 decimals
+    * (log2 at query time would be libm; a 10-entry literal table is the
+    * bounded-rank equivalent both engines parse identically). */
+  private val NdcgDiscounts: Seq[(Int, Double)] = Seq(
+    1 -> 1.0, 2 -> 0.63093, 3 -> 0.5, 4 -> 0.430677, 5 -> 0.386853,
+    6 -> 0.356207, 7 -> 0.333333, 8 -> 0.315465, 9 -> 0.30103,
+    10 -> 0.289065)
+
+  /** Ideal DCG@10 — the sum of [[NdcgDiscounts]] (all ten ranks relevant). */
+  private val IdealDcg10: Double = 4.54356
+
   def all: Seq[NamedQuery] = Seq(
 
     // ----- q30: top-1 cosine neighbor (embedding near-dup primitive) ------
@@ -2030,6 +2041,83 @@ object SimilarityOps {
            |    AS avg_set_size
            |FROM sets s JOIN qh ON s.label = qh.label
            |GROUP BY s.label, qh.n_cal, qh.qhat""".stripMargin
+      }),
+
+    // ----- q179: ranking quality — nDCG@10 + MRR of the ANN list ----------
+    // q85 measures set recall; retrieval eval cares about ORDER, so this
+    // scores the LSH candidate list against the exact top-10 with the two
+    // standard ranking metrics. The log2 discount would be libm, so the
+    // ten discount values 1/log2(r+1) are PRECOMPUTED 6-decimal literals
+    // (a bounded-rank lookup — the same move as q181's path cap), which
+    // both engines parse to identical doubles; DCG is their decimal-grid
+    // sum, nDCG divides by the literal ideal-DCG, MRR is 1/min(rank) on
+    // an exact integer. Binary relevance = membership in the exact
+    // top-10. Shape: both rankings are the shared broadcast-query
+    // pipelines (no plan drift vs q85 — the judge-facing contract); the
+    // metric join is per-(query, hit), output one row per query.
+    NamedQuery(
+      "q179_ndcg",
+      (s, d) => {
+        val disc = NdcgDiscounts.tail.foldLeft(
+          when(col("rank") === NdcgDiscounts.head._1,
+            lit(NdcgDiscounts.head._2))) { case (acc, (r, v)) =>
+          acc.when(col("rank") === r, lit(v))
+        }
+        val ex = exactRanked(s, d).filter(col("rank") <= 10)
+          .select(col("q_id"), col("vec_id"))
+        val lsh = lshRanked(s, d).filter(col("rank") <= 10)
+          .select(col("q_id"), col("vec_id"), col("rank"))
+        val perQ = lsh.join(ex, Seq("q_id", "vec_id"))
+          .groupBy(col("q_id"))
+          .agg(count(lit(1)).as("n_hits"), dsum(disc).as("dcg"),
+            min(col("rank")).as("minr"))
+        ex.select(col("q_id")).distinct()
+          .join(perQ, Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            coalesce(col("dcg"), lit(0.0)).as("dcg"),
+            (coalesce(col("dcg"), lit(0.0)) / lit(IdealDcg10)).as("ndcg10"),
+            coalesce(lit(1.0) / col("minr").cast("double"), lit(0.0))
+              .as("mrr"))
+      },
+      Some {
+        val caseSql = NdcgDiscounts
+          .map { case (r, v) => s"WHEN $r THEN $v" }
+          .mkString("CAST(CASE rank ", " ", " END AS DOUBLE)")
+        s"""WITH ex AS (
+           |  SELECT q_id, vec_id FROM (
+           |    SELECT q.vec_id AS q_id, e.vec_id,
+           |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |        ${cosineSql("q.embedding", "e.embedding")} DESC,
+           |        e.vec_id) AS rank
+           |    FROM embeddings e,
+           |         (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q)
+           |  WHERE rank <= 10),
+           |b AS (
+           |  SELECT vec_id, embedding,
+           |    ${lshBucketSql("embedding")} AS bucket
+           |  FROM embeddings),
+           |lsh AS (
+           |  SELECT q_id, vec_id, rank FROM (
+           |    SELECT q.vec_id AS q_id, e.vec_id,
+           |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |        ${cosineSql("q.embedding", "e.embedding")} DESC,
+           |        e.vec_id) AS rank
+           |    FROM b e JOIN (SELECT * FROM b WHERE vec_id % 100 = 0) q
+           |      ON e.bucket = q.bucket)
+           |  WHERE rank <= 10),
+           |pq AS (
+           |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+           |    ${dsumSql(caseSql)} AS dcg,
+           |    CAST(MIN(rank) AS BIGINT) AS minr
+           |  FROM lsh JOIN ex USING (q_id, vec_id) GROUP BY q_id),
+           |qs AS (SELECT DISTINCT q_id FROM ex)
+           |SELECT qs.q_id,
+           |  COALESCE(n_hits, 0) AS n_hits,
+           |  COALESCE(dcg, 0.0) AS dcg,
+           |  COALESCE(dcg, 0.0) / $IdealDcg10 AS ndcg10,
+           |  COALESCE(1.0 / CAST(minr AS DOUBLE), 0.0) AS mrr
+           |FROM qs LEFT JOIN pq USING (q_id)""".stripMargin
       }),
   )
 }

@@ -232,5 +232,142 @@ object TemporalOps {
               |  ${dsumSql("CASE WHEN event_type = 'purchase' THEN wt" +
                 " ELSE 0.0 END")} AS purchase_decay_score
               |FROM w GROUP BY user_id""".stripMargin)),
+
+    // ----- q184: EWMA forecast + error (daily per-type series) ------------
+    // The one-line forecaster every monitoring pipeline runs before it
+    // buys a real model: tomorrow ≈ exponentially-weighted mean of the
+    // trailing week. Formulated COUNT-WEIGHTED so the whole pipeline
+    // stays on the exact grid: day weights are the INTEGERS 2^(7−age)
+    // (64…1 — never a fractional 2^−age whose per-term decimal rounding
+    // can land on a half-ulp tie and split the engines), day-value sums
+    // stay DECIMAL (never re-rounded doubles), and weight·sum products
+    // are decimal×integer — exact. The single division double-izes at
+    // the very end, one mirrored IEEE op. The trailing-week meet is a
+    // bounded-range self join on the DAY table (|days|·|types| rows —
+    // the corpus-sized work ends at the daily partial aggregate), so at
+    // 100 TB the inequality join runs over thousands of rows, not
+    // events. Absolute error per (type, day) is the calibration readout.
+    NamedQuery(
+      "q184_ewma_forecast",
+      (s, d) => {
+        val ev = events(s, d)
+        val anchor = ev.agg(min(to_date(col("ts"))).as("d0"))
+        val daily = ev.crossJoin(broadcast(anchor))
+          .select(col("event_type"),
+            datediff(to_date(col("ts")), col("d0")).cast("long").as("idx"),
+            col("value"))
+          .groupBy(col("event_type"), col("idx"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(org.apache.spark.sql.types
+              .DecimalType(28, 6))).as("svd"))
+        val hist = daily.select(col("event_type").as("h_et"),
+          col("idx").as("hidx"), col("n").as("hn"), col("svd").as("hsvd"))
+        daily.join(broadcast(hist),
+            col("h_et") === col("event_type") &&
+              col("hidx") >= col("idx") - 7 && col("hidx") <= col("idx") - 1)
+          .select(col("event_type"), col("idx"), col("n"), col("svd"),
+            col("hn"), col("hsvd"),
+            expr("shiftleft(1L, cast(7 - (idx - hidx) as int))").as("wt"))
+          .groupBy(col("event_type"), col("idx"), col("n"), col("svd"))
+          .agg(sum(col("hsvd") * col("wt")).as("wnum"),
+            sum(col("hn") * col("wt")).as("wden"))
+          .select(col("event_type"), col("idx"), col("n"),
+            (col("svd").cast("double") / col("n").cast("double"))
+              .as("mean"),
+            (col("wnum").cast("double") / col("wden").cast("double"))
+              .as("forecast"))
+          .withColumn("abs_err", abs(col("mean") - col("forecast")))
+      },
+      Some(s"""WITH ev AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS dy, value
+             |  FROM events),
+             |a AS (SELECT MIN(dy) AS d0 FROM ev),
+             |daily AS (
+             |  SELECT event_type,
+             |    CAST(date_diff('day', d0, dy) AS BIGINT) AS idx,
+             |    CAST(COUNT(*) AS BIGINT) AS n,
+             |    SUM(CAST(value AS DECIMAL(28,6))) AS svd
+             |  FROM ev CROSS JOIN a GROUP BY event_type, idx),
+             |j AS (
+             |  SELECT c.event_type, c.idx, c.n, c.svd,
+             |    h.n AS hn, h.svd AS hsvd,
+             |    CAST(pow(2.0, CAST(7 - (c.idx - h.idx) AS DOUBLE))
+             |      AS BIGINT) AS wt
+             |  FROM daily c JOIN daily h ON c.event_type = h.event_type
+             |    AND h.idx >= c.idx - 7 AND h.idx <= c.idx - 1),
+             |f AS (
+             |  SELECT event_type, idx, n, svd,
+             |    SUM(hsvd * wt) AS wnum, CAST(SUM(hn * wt) AS BIGINT)
+             |      AS wden
+             |  FROM j GROUP BY event_type, idx, n, svd)
+             |SELECT event_type, idx, n,
+             |  CAST(svd AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             |  CAST(wnum AS DOUBLE) / CAST(wden AS DOUBLE) AS forecast,
+             |  abs(CAST(svd AS DOUBLE) / CAST(n AS DOUBLE)
+             |      - CAST(wnum AS DOUBLE) / CAST(wden AS DOUBLE))
+             |    AS abs_err
+             |FROM f""".stripMargin)),
+
+    // ----- q186: activity streaks (gaps-and-islands per user) -------------
+    // The retention feature cohort tables can't see: CONSECUTIVE-day
+    // activity runs. Classic gaps-and-islands — day index minus the
+    // per-user row_number is constant exactly along a streak — entirely
+    // in integer arithmetic on the distinct (user, day) table, so the
+    // corpus-sized work ends at one distinct. Per user: active days,
+    // streak count, longest streak, and the longest streak's start day
+    // (earliest on ties, resolved by an explicit len-match join — never
+    // an unordered first()). One user-partitioned window over day
+    // counts; the q48 shuffle contract.
+    NamedQuery(
+      "q186_activity_streaks",
+      (s, d) => {
+        val ev = events(s, d)
+        val anchor = ev.agg(min(to_date(col("ts"))).as("d0"))
+        val days = ev.crossJoin(broadcast(anchor))
+          .select(col("user_id"),
+            datediff(to_date(col("ts")), col("d0")).cast("long").as("idx"))
+          .distinct()
+        val w = Window.partitionBy(col("user_id")).orderBy(col("idx"))
+        val streaks = days
+          .withColumn("grp", col("idx") - row_number().over(w).cast("long"))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(count(lit(1)).as("len"), min(col("idx")).as("start_idx"))
+        val per = streaks.groupBy(col("user_id"))
+          .agg(sum(col("len")).as("n_active_days"),
+            count(lit(1)).as("n_streaks"), max(col("len")).as("longest"))
+        val sr = streaks.select(col("user_id").as("s_uid"),
+          col("len").as("s_len"), col("start_idx"))
+        per.join(sr,
+            col("s_uid") === col("user_id") && col("longest") === col("s_len"))
+          .groupBy(col("user_id"), col("n_active_days"), col("n_streaks"),
+            col("longest"))
+          .agg(min(col("start_idx")).as("longest_start"))
+      },
+      Some("""WITH dy AS (
+             |  SELECT DISTINCT user_id,
+             |    CAST(date_diff('day',
+             |      (SELECT MIN(CAST(ts AS DATE)) FROM events),
+             |      CAST(ts AS DATE)) AS BIGINT) AS idx
+             |  FROM events),
+             |st AS (
+             |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len,
+             |    MIN(idx) AS start_idx
+             |  FROM (
+             |    SELECT user_id, idx,
+             |      idx - row_number() OVER (PARTITION BY user_id
+             |        ORDER BY idx) AS grp
+             |    FROM dy)
+             |  GROUP BY user_id, grp),
+             |per AS (
+             |  SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+             |    CAST(COUNT(*) AS BIGINT) AS n_streaks,
+             |    MAX(len) AS longest
+             |  FROM st GROUP BY user_id)
+             |SELECT p.user_id, p.n_active_days, p.n_streaks, p.longest,
+             |  MIN(s.start_idx) AS longest_start
+             |FROM per p JOIN st s
+             |  ON s.user_id = p.user_id AND s.len = p.longest
+             |GROUP BY p.user_id, p.n_active_days, p.n_streaks,
+             |  p.longest""".stripMargin)),
   )
 }

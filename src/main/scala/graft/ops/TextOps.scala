@@ -1476,5 +1476,135 @@ object TextOps {
              |  SELECT d.lang, COALESCE(p.predicted, 'unk') AS predicted
              |  FROM documents d LEFT JOIN pred p USING (doc_id))
              |GROUP BY lang, predicted""".stripMargin)),
+
+
+    // ----- q176: pairwise source divergence (TV + Hellinger) --------------
+    // The mixture-design question q76's MinHash answer can't see: HOW FAR
+    // APART are two sources as unigram DISTRIBUTIONS (not just how much
+    // raw text they share). Total-variation distance (½Σ|p−q|, pure
+    // rational) and squared Hellinger distance (1−Σ√(pq) — sqrt is
+    // IEEE-correctly-rounded on both engines, the cosineSql contract, so
+    // this is the one f-divergence the no-libm rule licenses; KL/JSD's ln
+    // is why chi-square guards drift in q96 instead). Distributions are
+    // densified over the corpus top-V vocabulary (V=200, count-desc/tok
+    // tie-break) plus an explicit '<other>' residual bucket so both
+    // vectors sum to exactly 1 and the pair meet is a bounded
+    // sources×(V+1) frame; per-term contributions round onto the decimal
+    // grid before the order-independent sum. Scale: sources are
+    // provenance-bounded (≤ thousands), vocab is capped — the quadratic
+    // lives on S²·(V+1), never on the corpus.
+    NamedQuery(
+      "q176_source_divergence",
+      (s, d) => {
+        val toks = tbl(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        val st = toks.groupBy(col("source"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+        val tot = st.groupBy(col("source")).agg(sum(col("c")).as("tot"))
+        val vocab = st.groupBy(col("tok")).agg(sum(col("c")).as("gc"))
+          .orderBy(col("gc").desc, col("tok")).limit(200)
+          .select(col("tok"))
+        val inVocab = st.join(broadcast(vocab), "tok")
+        val other = inVocab.groupBy(col("source"))
+          .agg(sum(col("c")).as("vc"))
+          .join(tot, "source")
+          .select(col("source"), lit("<other>").as("tok"),
+            (col("tot") - col("vc")).as("c"))
+        val universe = vocab.select(col("tok"))
+          .unionByName(s.range(1).select(lit("<other>").as("tok")))
+        val dense = tot.select(col("source"), col("tot"))
+          .crossJoin(broadcast(universe))
+          .join(inVocab.select(col("source"), col("tok"), col("c"))
+            .unionByName(other), Seq("source", "tok"), "left")
+          .select(col("source"), col("tok"),
+            (coalesce(col("c"), lit(0L)).cast("double") /
+              col("tot").cast("double")).as("p"))
+        val a = dense.select(col("source").as("s1"), col("tok"),
+          col("p").as("pa"))
+        val b = dense.select(col("source").as("s2"), col("tok"),
+          col("p").as("pb"))
+        a.join(b, Seq("tok")).filter(col("s1") < col("s2"))
+          .select(col("s1"), col("s2"),
+            abs(col("pa") - col("pb")).as("td"),
+            sqrt(col("pa") * col("pb")).as("bc"))
+          .groupBy(col("s1"), col("s2"))
+          .agg((lit(0.5) * dsum(col("td"))).as("tv_dist"),
+            (lit(1.0) - dsum(col("bc"))).as("hellinger2"))
+      },
+      Some(s"""WITH tok AS (
+             |  SELECT source, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+             |       FROM tok GROUP BY source, tok),
+             |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot
+             |        FROM st GROUP BY source),
+             |vocab AS (SELECT tok FROM (
+             |  SELECT tok, SUM(c) AS gc FROM st GROUP BY tok
+             |  ORDER BY gc DESC, tok LIMIT 200)),
+             |iv AS (SELECT st.* FROM st JOIN vocab USING (tok)),
+             |oth AS (
+             |  SELECT iv.source, '<other>' AS tok,
+             |    tot.tot - SUM(iv.c) AS c
+             |  FROM iv JOIN tot USING (source)
+             |  GROUP BY iv.source, tot.tot),
+             |uni AS (SELECT tok FROM vocab UNION ALL SELECT '<other>'),
+             |cnt AS (SELECT source, tok, c FROM iv
+             |        UNION ALL SELECT source, tok, c FROM oth),
+             |dense AS (
+             |  SELECT t.source, u.tok,
+             |    CAST(COALESCE(cnt.c, 0) AS DOUBLE)
+             |      / CAST(t.tot AS DOUBLE) AS p
+             |  FROM tot t CROSS JOIN uni u
+             |  LEFT JOIN cnt ON cnt.source = t.source AND cnt.tok = u.tok)
+             |SELECT a.source AS s1, b.source AS s2,
+             |  0.5 * ${dsumSql("abs(a.p - b.p)")} AS tv_dist,
+             |  1.0 - ${dsumSql("sqrt(a.p * b.p)")} AS hellinger2
+             |FROM dense a JOIN dense b
+             |  ON a.tok = b.tok AND a.source < b.source
+             |GROUP BY a.source, b.source""".stripMargin)),
+
+    // ----- q187: positional phrase search ---------------------------------
+    // The retrieval feature tf can't fake: exact PHRASE match. A
+    // positional posting list (term → (doc, position)) for each phrase
+    // term, adjacency joined on (doc, pos+1) — the standard inverted-
+    // index phrase walk, here for the bigram "table hash". The term
+    // filters push into the token explode, so only the two phrase
+    // terms' postings ever leave the scan (posting-list-sized, not
+    // corpus-sized — the q139 DAAT contract); the adjacency meet is an
+    // equi join on (doc_id, p). Per matching doc: occurrence count and
+    // the first match position (1-based), top-20 by count. Extending to
+    // k-term phrases chains k−1 of the same join.
+    NamedQuery(
+      "q187_phrase_search",
+      (s, d) => {
+        val toks = tbl(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        val p1 = toks.filter(col("tok") === "table")
+          .select(col("doc_id"), col("pos").as("p"))
+        val p2 = toks.filter(col("tok") === "hash")
+          .select(col("doc_id"), (col("pos") - 1).as("p"))
+        p1.join(p2, Seq("doc_id", "p"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_occurrences"),
+            (min(col("p")) + 1).cast("long").as("first_pos"))
+          .orderBy(col("n_occurrences").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS l
+             |  FROM documents),
+             |pos AS (
+             |  SELECT doc_id, i, l[i] AS tok
+             |  FROM t, unnest(range(1, len(l) + 1)) AS u(i)),
+             |hits AS (
+             |  SELECT a.doc_id, a.i
+             |  FROM pos a JOIN pos b
+             |    ON b.doc_id = a.doc_id AND b.i = a.i + 1
+             |  WHERE a.tok = 'table' AND b.tok = 'hash')
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             |  CAST(MIN(i) AS BIGINT) AS first_pos
+             |FROM hits GROUP BY doc_id
+             |ORDER BY n_occurrences DESC, doc_id LIMIT 20""".stripMargin)),
   )
 }

@@ -125,6 +125,47 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!cf.contains("CartesianProduct"), s"q169:\n$cf")
   }
 
+  test("round-8 batch-3 operators keep their scale shapes") {
+    // q175: the digit histogram partial-aggregates map-side; the dense
+    // grid and chi-square rollup come BACK as broadcasts — the event
+    // scan must never sort-merge against a 9-row side
+    val bf = plan("q175_benford_audit")
+    assert("HashAggregate".r.findAllIn(bf).size >= 2, s"q175:\n$bf")
+    assert(!bf.contains("SortMergeJoin"), s"q175 shuffles a tiny side:\n$bf")
+    // q176: the divergence pair meet is an equi join on tok over the
+    // capped vocab; the vocab cut itself is a TakeOrdered, not a sort
+    val dv = plan("q176_source_divergence")
+    assert(dv.contains("TakeOrderedAndProject"), s"q176 vocab cut:\n$dv")
+    // q177: every power-iteration join is over the |event_type|-bounded
+    // matrix — only the lag-window COUNT touches the corpus; the
+    // contrib joins stay hash/broadcast
+    val st = plan("q177_stationary_dist")
+    assert(!st.contains("SortMergeJoin"), s"q177 shuffles the matrix:\n$st")
+    // q181: top-20 paths is a TakeOrdered over the path histogram
+    val sp = plan("q181_session_paths")
+    assert(sp.contains("TakeOrderedAndProject"), s"q181 global sort:\n$sp")
+    // q183: the 840-cell baseline broadcasts back onto the event scan
+    // for the 3-sigma test — the corpus shuffles once (for the cells),
+    // never a second time for the probe
+    val sa = plan("q183_seasonal_anomaly")
+    assert(sa.contains("BroadcastHashJoin"), s"q183 baseline join:\n$sa")
+    // q184: the trailing-week range meet is an EQUI join on event_type
+    // over the bounded day table (range as residual filter), with the
+    // history side broadcast (the one BNLJ is the intended 1-row anchor
+    // cross join — the q170 pattern)
+    val ew = plan("q184_ewma_forecast")
+    assert(ew.contains("BroadcastHashJoin"), s"q184 day meet:\n$ew")
+    // q185: wedges and the edge-removal anti-join are hash equi-joins —
+    // a nested loop here is the all-pairs scan the support prune avoids
+    val lk = plan("q185_link_prediction")
+    assert(!lk.contains("BroadcastNestedLoopJoin"), s"q185:\n$lk")
+    assert(lk.contains("TakeOrderedAndProject"), s"q185 queue cut:\n$lk")
+    // q187: only the two phrase terms' postings leave the scan (filter
+    // below the generate), and the top-20 is a TakeOrdered
+    val ph = plan("q187_phrase_search")
+    assert(ph.contains("TakeOrderedAndProject"), s"q187 top-k:\n$ph")
+  }
+
   test("LSH band self-join is a shuffled join, not broadcast") {
     // broadcast would duplicate the signature computation per side
     val p = plan("q27_minhash_lsh")

@@ -1531,5 +1531,208 @@ object AnalyticsOps {
              |FROM ev e JOIN stats s USING (event_type, dow, hod)
              |GROUP BY s.event_type, s.dow, s.hod, s.n, s.mean, s.std"""
         .stripMargin)),
+
+    // ----- q188: log-rank test (two-sample survival comparison) -----------
+    // q140 draws the curve; the log-rank test (Mantel 1966) answers the
+    // question the curve raises: do the two arms' time-to-conversion
+    // distributions actually DIFFER? Same subjects/censoring as q140
+    // (first purchase = event, last-seen = censor), arms by id parity
+    // (q178's assignment). At each event time: observed-vs-expected arm-A
+    // events under the shared-hazard null, hypergeometric variance,
+    // χ²₁ = (Σ(O−E))²/ΣV, significance at 3.841. All at-risk counts come
+    // from a range self-join on the HOUR-grain duration-distribution
+    // table (≈ retention-horizon-bounded rows — T² on a dimension table,
+    // zero windows, no q140-style phased prefix needed); per-time terms
+    // are integer ratios on mirrored trees, summed on the decimal grid.
+    // n = 1 tails carry V = 0 by rule (the 0/0 hypergeometric cell).
+    NamedQuery(
+      "q188_logrank",
+      (s, d) => {
+        val subj = events(s, d)
+          .groupBy(col("user_id"))
+          .agg(min(unix_micros(col("ts"))).as("t0"),
+            min(when(col("event_type") === "purchase",
+              unix_micros(col("ts")))).as("tp"),
+            max(unix_micros(col("ts"))).as("tl"))
+          .select(expr("(coalesce(tp, tl) - t0) div 3600000000").as("dur"),
+            col("tp").isNotNull.as("ev"),
+            (pmod(col("user_id"), lit(2L)) === 0L).as("grp_a"))
+        val dist = subj.groupBy(col("dur"))
+          .agg(
+            sum(when(col("grp_a") && col("ev"), 1L).otherwise(0L)).as("da"),
+            sum(when(col("grp_a") && !col("ev"), 1L).otherwise(0L)).as("ca"),
+            sum(when(!col("grp_a") && col("ev"), 1L).otherwise(0L)).as("db"),
+            sum(when(!col("grp_a") && !col("ev"), 1L).otherwise(0L))
+              .as("cb"))
+        val times = dist.filter(col("da") + col("db") > 0)
+          .select(col("dur").as("t"), col("da"), col("db"))
+        val risk = times.join(dist.select(col("dur"),
+            (col("da") + col("ca")).as("ta"),
+            (col("db") + col("cb")).as("tb")),
+            col("dur") >= col("t"))
+          .groupBy(col("t"), col("da"), col("db"))
+          .agg(sum(col("ta")).as("na"), sum(col("tb")).as("nb"))
+        val terms = risk
+          .select(col("t"), col("da"), col("db"), col("na"), col("nb"),
+            (col("da") + col("db")).as("dd"),
+            (col("na") + col("nb")).as("nn"))
+          .select(col("da"),
+            (col("da").cast("double") -
+              col("na").cast("double") * col("dd").cast("double") /
+                col("nn").cast("double")).as("ome"),
+            when(col("nn") > 1,
+              col("dd").cast("double") *
+                (col("na").cast("double") / col("nn").cast("double")) *
+                (col("nb").cast("double") / col("nn").cast("double")) *
+                ((col("nn") - col("dd")).cast("double") /
+                  (col("nn") - 1).cast("double"))).otherwise(lit(0.0))
+              .as("v"))
+        val tot = subj.groupBy()
+          .agg(sum(when(col("grp_a"), 1L).otherwise(0L)).as("n_a"),
+            sum(when(!col("grp_a"), 1L).otherwise(0L)).as("n_b"),
+            sum(when(col("grp_a") && col("ev"), 1L).otherwise(0L))
+              .as("events_a"),
+            sum(when(!col("grp_a") && col("ev"), 1L).otherwise(0L))
+              .as("events_b"))
+        terms.groupBy()
+          .agg(dsum(col("ome")).as("o_minus_e"), dsum(col("v")).as("var_sum"))
+          .crossJoin(broadcast(tot))
+          .select(col("n_a"), col("n_b"), col("events_a"), col("events_b"),
+            col("o_minus_e"), col("var_sum"),
+            when(col("var_sum") > 0.0,
+              col("o_minus_e") * col("o_minus_e") / col("var_sum"))
+              .as("chi2"))
+          .withColumn("significant", col("chi2") > lit(3.841))
+      },
+      Some(s"""WITH subj AS (
+             |  SELECT (COALESCE(tp, tl) - t0) // 3600000000 AS dur,
+             |    tp IS NOT NULL AS ev, grp_a
+             |  FROM (
+             |    SELECT user_id % 2 = 0 AS grp_a,
+             |      MIN(epoch_us(ts)) AS t0,
+             |      MIN(CASE WHEN event_type = 'purchase'
+             |        THEN epoch_us(ts) END) AS tp,
+             |      MAX(epoch_us(ts)) AS tl
+             |    FROM events GROUP BY user_id)),
+             |dist AS (
+             |  SELECT dur,
+             |    CAST(SUM(CASE WHEN grp_a AND ev THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS da,
+             |    CAST(SUM(CASE WHEN grp_a AND NOT ev THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS ca,
+             |    CAST(SUM(CASE WHEN NOT grp_a AND ev THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS db,
+             |    CAST(SUM(CASE WHEN NOT grp_a AND NOT ev THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS cb
+             |  FROM subj GROUP BY dur),
+             |times AS (
+             |  SELECT dur AS t, da, db FROM dist WHERE da + db > 0),
+             |risk AS (
+             |  SELECT t.t, t.da, t.db,
+             |    CAST(SUM(u.da + u.ca) AS BIGINT) AS na,
+             |    CAST(SUM(u.db + u.cb) AS BIGINT) AS nb
+             |  FROM times t JOIN dist u ON u.dur >= t.t
+             |  GROUP BY t.t, t.da, t.db),
+             |terms AS (
+             |  SELECT da,
+             |    CAST(da AS DOUBLE)
+             |      - CAST(na AS DOUBLE) * CAST(da + db AS DOUBLE)
+             |        / CAST(na + nb AS DOUBLE) AS ome,
+             |    CASE WHEN na + nb > 1 THEN
+             |      CAST(da + db AS DOUBLE)
+             |        * (CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE))
+             |        * (CAST(nb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+             |        * (CAST(na + nb - (da + db) AS DOUBLE)
+             |           / CAST(na + nb - 1 AS DOUBLE))
+             |    ELSE 0.0 END AS v
+             |  FROM risk),
+             |tot AS (
+             |  SELECT
+             |    CAST(SUM(CASE WHEN grp_a THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_a,
+             |    CAST(SUM(CASE WHEN NOT grp_a THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_b,
+             |    CAST(SUM(CASE WHEN grp_a AND ev THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS events_a,
+             |    CAST(SUM(CASE WHEN NOT grp_a AND ev THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS events_b
+             |  FROM subj),
+             |agg AS (
+             |  SELECT ${dsumSql("ome")} AS o_minus_e,
+             |    ${dsumSql("v")} AS var_sum
+             |  FROM terms)
+             |SELECT n_a, n_b, events_a, events_b, o_minus_e, var_sum,
+             |  CASE WHEN var_sum > 0.0
+             |    THEN o_minus_e * o_minus_e / var_sum END AS chi2,
+             |  CASE WHEN var_sum > 0.0
+             |    THEN o_minus_e * o_minus_e / var_sum END > 3.841
+             |    AS significant
+             |FROM agg CROSS JOIN tot""".stripMargin)),
+
+    // ----- q189: difference-in-differences estimator ----------------------
+    // The observational-causal companion to q178's randomized z-test:
+    // when assignment is NOT randomized, the DiD point estimate
+    // (Δtreatment − Δcontrol across the midpoint period split) nets out
+    // both the group level and the common time trend — the standard
+    // first answer to "did the rollout move the metric". Arms by id
+    // parity, periods by q180's midpoint-day rule; the four cell means
+    // are decimal-exact sums over integer counts, the three deltas are
+    // mirrored double subtractions. One scan, one 4-cell aggregate.
+    NamedQuery(
+      "q189_diff_in_diff",
+      (s, d) => {
+        val ev = events(s, d)
+        val bounds = ev.agg(
+          min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+        val cells = ev.crossJoin(broadcast(bounds))
+          .select(col("value"),
+            (pmod(col("user_id"), lit(2L)) === 0L).as("treated"),
+            (datediff(to_date(col("ts")), col("d0")) * 2 <=
+              datediff(col("d1"), col("d0"))).as("pre"))
+          .groupBy(col("treated"), col("pre"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sv"))
+          .select(col("treated"), col("pre"),
+            (col("sv") / col("n").cast("double")).as("m"))
+        cells.groupBy()
+          .agg(
+            max(when(col("treated") && col("pre"), col("m"))).as("m_t_pre"),
+            max(when(col("treated") && !col("pre"), col("m")))
+              .as("m_t_post"),
+            max(when(!col("treated") && col("pre"), col("m")))
+              .as("m_c_pre"),
+            max(when(!col("treated") && !col("pre"), col("m")))
+              .as("m_c_post"))
+          .select(col("m_t_pre"), col("m_t_post"), col("m_c_pre"),
+            col("m_c_post"),
+            (col("m_t_post") - col("m_t_pre")).as("delta_treat"),
+            (col("m_c_post") - col("m_c_pre")).as("delta_control"),
+            ((col("m_t_post") - col("m_t_pre")) -
+              (col("m_c_post") - col("m_c_pre"))).as("did"))
+      },
+      Some(s"""WITH b AS (
+             |  SELECT MIN(CAST(ts AS DATE)) AS d0,
+             |         MAX(CAST(ts AS DATE)) AS d1 FROM events),
+             |cells AS (
+             |  SELECT treated, pre,
+             |    ${dsumSql("value")} / CAST(COUNT(*) AS DOUBLE) AS m
+             |  FROM (
+             |    SELECT value, user_id % 2 = 0 AS treated,
+             |      date_diff('day', b.d0, CAST(ts AS DATE)) * 2
+             |        <= date_diff('day', b.d0, b.d1) AS pre
+             |    FROM events CROSS JOIN b)
+             |  GROUP BY treated, pre),
+             |w AS (
+             |  SELECT
+             |    MAX(CASE WHEN treated AND pre THEN m END) AS m_t_pre,
+             |    MAX(CASE WHEN treated AND NOT pre THEN m END) AS m_t_post,
+             |    MAX(CASE WHEN NOT treated AND pre THEN m END) AS m_c_pre,
+             |    MAX(CASE WHEN NOT treated AND NOT pre THEN m END)
+             |      AS m_c_post
+             |  FROM cells)
+             |SELECT m_t_pre, m_t_post, m_c_pre, m_c_post,
+             |  m_t_post - m_t_pre AS delta_treat,
+             |  m_c_post - m_c_pre AS delta_control,
+             |  (m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did
+             |FROM w""".stripMargin)),
   )
 }

@@ -513,6 +513,111 @@ object CoreQueries {
           edge("nation", "n_regionkey", "region", "r_regionkey"))
           .mkString("", "\nUNION ALL\n", "")
       }),
+
+    // ----- q191: column profile (the warehouse intake report) -------------
+    // The first query anyone runs on an unfamiliar table: per column —
+    // row count, null count, exact distinct count, min and max. ONE scan
+    // computes all 24 aggregates (a per-column loop would be six scans
+    // of a 100 TB table), then `stack` unpivots the single row into the
+    // six-row report. Mins/maxes are rendered to strings on a fixed
+    // contract per type (longs verbatim, doubles via the DECIMAL(28,6)
+    // grid — never engine-native double formatting, whose exponent
+    // notation differs — timestamps via the shared TsFmt), so one
+    // VARCHAR column carries every type without a schema union. Exact
+    // distincts expand the aggregate; the approximate twin is q41's HLL
+    // when the intake report can tolerate ±2%.
+    NamedQuery(
+      "q191_data_profile",
+      (s, d) => {
+        val ev = events(s, d)
+        def nulls(c: String) =
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nu_$c")
+        def nd(c: String) = countDistinct(col(c)).as(s"nd_$c")
+        val agg = ev.agg(
+          count(lit(1)).as("n"),
+          nulls("event_id"), nd("event_id"),
+          min(col("event_id")).cast("string").as("mn_event_id"),
+          max(col("event_id")).cast("string").as("mx_event_id"),
+          nulls("ts"), nd("ts"),
+          date_format(min(col("ts")), TsFmt).as("mn_ts"),
+          date_format(max(col("ts")), TsFmt).as("mx_ts"),
+          nulls("user_id"), nd("user_id"),
+          min(col("user_id")).cast("string").as("mn_user_id"),
+          max(col("user_id")).cast("string").as("mx_user_id"),
+          nulls("event_type"), nd("event_type"),
+          min(col("event_type")).as("mn_event_type"),
+          max(col("event_type")).as("mx_event_type"),
+          nulls("value"), nd("value"),
+          min(col("value")).cast("decimal(28,6)").cast("string")
+            .as("mn_value"),
+          max(col("value")).cast("decimal(28,6)").cast("string")
+            .as("mx_value"),
+          nulls("props"), nd("props"),
+          min(col("props")).as("mn_props"),
+          max(col("props")).as("mx_props"))
+        agg.select(expr(
+          """stack(6,
+            |  'event_id', n, nu_event_id, nd_event_id, mn_event_id,
+            |    mx_event_id,
+            |  'ts', n, nu_ts, nd_ts, mn_ts, mx_ts,
+            |  'user_id', n, nu_user_id, nd_user_id, mn_user_id,
+            |    mx_user_id,
+            |  'event_type', n, nu_event_type, nd_event_type,
+            |    mn_event_type, mx_event_type,
+            |  'value', n, nu_value, nd_value, mn_value, mx_value,
+            |  'props', n, nu_props, nd_props, mn_props, mx_props)
+            |  AS (column_name, n_rows, n_nulls, n_distinct, min_value,
+            |      max_value)""".stripMargin))
+      },
+      Some(s"""WITH agg AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS nu_event_id,
+             |    CAST(COUNT(DISTINCT event_id) AS BIGINT) AS nd_event_id,
+             |    CAST(MIN(event_id) AS VARCHAR) AS mn_event_id,
+             |    CAST(MAX(event_id) AS VARCHAR) AS mx_event_id,
+             |    CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS nu_ts,
+             |    CAST(COUNT(DISTINCT ts) AS BIGINT) AS nd_ts,
+             |    strftime(MIN(ts), '$TsFmtDuck') AS mn_ts,
+             |    strftime(MAX(ts), '$TsFmtDuck') AS mx_ts,
+             |    CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS nu_user_id,
+             |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nd_user_id,
+             |    CAST(MIN(user_id) AS VARCHAR) AS mn_user_id,
+             |    CAST(MAX(user_id) AS VARCHAR) AS mx_user_id,
+             |    CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS nu_event_type,
+             |    CAST(COUNT(DISTINCT event_type) AS BIGINT)
+             |      AS nd_event_type,
+             |    MIN(event_type) AS mn_event_type,
+             |    MAX(event_type) AS mx_event_type,
+             |    CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS nu_value,
+             |    CAST(COUNT(DISTINCT value) AS BIGINT) AS nd_value,
+             |    CAST(CAST(MIN(value) AS DECIMAL(28,6)) AS VARCHAR)
+             |      AS mn_value,
+             |    CAST(CAST(MAX(value) AS DECIMAL(28,6)) AS VARCHAR)
+             |      AS mx_value,
+             |    CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS nu_props,
+             |    CAST(COUNT(DISTINCT props) AS BIGINT) AS nd_props,
+             |    MIN(props) AS mn_props,
+             |    MAX(props) AS mx_props
+             |  FROM events)
+             |SELECT 'event_id' AS column_name, n AS n_rows,
+             |  nu_event_id AS n_nulls, nd_event_id AS n_distinct,
+             |  mn_event_id AS min_value, mx_event_id AS max_value FROM agg
+             |UNION ALL SELECT 'ts', n, nu_ts, nd_ts, mn_ts, mx_ts
+             |  FROM agg
+             |UNION ALL SELECT 'user_id', n, nu_user_id, nd_user_id,
+             |  mn_user_id, mx_user_id FROM agg
+             |UNION ALL SELECT 'event_type', n, nu_event_type,
+             |  nd_event_type, mn_event_type, mx_event_type FROM agg
+             |UNION ALL SELECT 'value', n, nu_value, nd_value, mn_value,
+             |  mx_value FROM agg
+             |UNION ALL SELECT 'props', n, nu_props, nd_props, mn_props,
+             |  mx_props FROM agg""".stripMargin)),
   )
 
   /** Exploded token bigrams of one language's documents (q80/q81). */

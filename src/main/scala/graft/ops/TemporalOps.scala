@@ -369,5 +369,89 @@ object TemporalOps {
              |  ON s.user_id = p.user_id AND s.len = p.longest
              |GROUP BY p.user_id, p.n_active_days, p.n_streaks,
              |  p.longest""".stripMargin)),
+
+    // ----- q190: peak session concurrency (distributed sweep line) --------
+    // The capacity-planning number: how many sessions are open AT ONCE.
+    // Interval-overlap counting as a sweep line — every session emits
+    // +1 at its start and −1 just past its inclusive end, and the
+    // running sum over the totally-ordered boundary stream (ends before
+    // starts on timestamp ties, so back-to-back sessions never
+    // double-count) IS the concurrency curve. The global prefix uses
+    // the q136/q140 phased shape: within-hour-bucket running windows
+    // plus bucket-level offsets from the bounded bucket table — never a
+    // single global-order window over the boundary stream. All integer
+    // arithmetic; reported as the per-day maximum (the dashboard
+    // grain). Sessions are q122's 30-minute-gap rule, unchanged.
+    NamedQuery(
+      "q190_max_concurrency",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sess = events(s, d)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sid", sum(col("new_sess")).over(wc))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min(unix_micros(col("ts"))).as("t0"),
+            max(unix_micros(col("ts"))).as("t1"))
+        val bounds = sess.select(col("t0").as("t"), lit(1L).as("delta"),
+            col("user_id"), col("sid"))
+          .unionByName(sess.select((col("t1") + 1).as("t"),
+            lit(-1L).as("delta"), col("user_id"), col("sid")))
+          .withColumn("b", expr("t div 3600000000"))
+        val wRun = Window.partitionBy(col("b"))
+          .orderBy(col("t"), col("delta"), col("user_id"), col("sid"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wOff = Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val off = bounds.groupBy(col("b")).agg(sum(col("delta")).as("tb"))
+          .select(col("b"), coalesce(sum(col("tb")).over(wOff), lit(0L))
+            .as("boff"))
+        bounds.join(broadcast(off), "b")
+          .withColumn("conc", col("boff") + sum(col("delta")).over(wRun))
+          .groupBy(expr("t div 86400000000").as("day_idx"))
+          .agg(max(col("conc")).as("max_concurrent"),
+            sum(when(col("delta") === 1L, 1L).otherwise(0L))
+              .as("n_starts"))
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+             |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev_us
+             |  FROM events),
+             |f AS (
+             |  SELECT user_id, us, ts, event_id,
+             |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+             |      THEN 1 ELSE 0 END AS new_sess
+             |  FROM o),
+             |sess AS (
+             |  SELECT user_id, sid, MIN(us) AS t0, MAX(us) AS t1 FROM (
+             |    SELECT user_id, us,
+             |      SUM(new_sess) OVER (PARTITION BY user_id
+             |        ORDER BY ts, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |        AS sid
+             |    FROM f)
+             |  GROUP BY user_id, sid),
+             |bounds AS (
+             |  SELECT t0 AS t, CAST(1 AS BIGINT) AS delta, user_id, sid
+             |  FROM sess
+             |  UNION ALL
+             |  SELECT t1 + 1, CAST(-1 AS BIGINT), user_id, sid FROM sess),
+             |curve AS (
+             |  SELECT t, delta,
+             |    SUM(delta) OVER (ORDER BY t, delta, user_id, sid
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS conc
+             |  FROM bounds)
+             |SELECT t // 86400000000 AS day_idx,
+             |  CAST(MAX(conc) AS BIGINT) AS max_concurrent,
+             |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_starts
+             |FROM curve GROUP BY t // 86400000000""".stripMargin)),
   )
 }

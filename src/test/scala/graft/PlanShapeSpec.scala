@@ -164,6 +164,19 @@ class PlanShapeSpec extends AnyFunSuite {
     // below the generate), and the top-20 is a TakeOrdered
     val ph = plan("q187_phrase_search")
     assert(ph.contains("TakeOrderedAndProject"), s"q187 top-k:\n$ph")
+    // q188: the subject rollup partial-aggregates before the shuffle;
+    // the at-risk range join runs on the bounded duration table
+    val lr = plan("q188_logrank")
+    assert("HashAggregate".r.findAllIn(lr).size >= 2, s"q188:\n$lr")
+    // q190: the bucket-offset table broadcasts back onto the boundary
+    // stream (the q136 phased-prefix contract — no global-order window)
+    val mc = plan("q190_max_concurrency")
+    assert(mc.contains("BroadcastHashJoin"), s"q190 offset join:\n$mc")
+    // q191: ONE scan computes all 24 profile aggregates — a per-column
+    // loop would read the table six times
+    val dp = plan("q191_data_profile")
+    assert("FileScan|Scan parquet".r.findAllIn(dp).size <= 1,
+      s"q191 scans more than once:\n$dp")
   }
 
   test("LSH band self-join is a shuffled join, not broadcast") {

@@ -38,7 +38,7 @@ object AnalyticsOps {
   /** q175's expected first-digit masses log10(1+1/d), 6-decimal literals
     * (log10 at query time would be libm; both engines parse these to
     * identical doubles — the q179 discount-table contract). */
-  private val BenfordMass: Seq[(Int, Double)] = Seq(
+  private[graft] val BenfordMass: Seq[(Int, Double)] = Seq(
     1 -> 0.30103, 2 -> 0.176091, 3 -> 0.124939, 4 -> 0.09691,
     5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992, 8 -> 0.051153,
     9 -> 0.045757)
@@ -1734,5 +1734,52 @@ object AnalyticsOps {
              |  m_c_post - m_c_pre AS delta_control,
              |  (m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did
              |FROM w""".stripMargin)),
+
+    // ----- q192: windowed Benford gate (batch twin of the streaming op) ---
+    // q175 audits the accumulated corpus; the streaming form
+    // [[graft.streaming.StreamOps.benfordGate]] watches the SAME
+    // statistic per event-time hour window, so a feed that starts
+    // fabricating amounts mid-day trips the gate in that hour, not at
+    // month-end. The registered query runs the IDENTICAL function in
+    // batch mode over real event time (the q99 twin pattern), putting
+    // the streaming operator's logic under the driver's hash gate;
+    // StreamOpsSpec separately proves stream == batch on the same
+    // chunked input. Vanished digits keep their (0−e)²/e term via the
+    // nine conditional sums carried through the window aggregate.
+    NamedQuery(
+      "q192_benford_windows",
+      (s, d) => graft.streaming.StreamOps.benfordGate(events(s, d)),
+      Some {
+        val caseSql = BenfordMass
+          .map { case (dg, p) => s"WHEN $dg THEN $p" }
+          .mkString("CASE digit ", " ", " END")
+        s"""WITH ev AS (
+           |  SELECT epoch_us(ts) // 1000000 AS tsec,
+           |    CAST(substr(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+           |      AS VARCHAR), 1, 1) AS INTEGER) AS digit
+           |  FROM events WHERE value > 0.0),
+           |h AS (
+           |  SELECT tsec - (tsec % 3600) AS wsec, digit,
+           |    CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM ev GROUP BY 1, 2),
+           |nw AS (
+           |  SELECT wsec, CAST(SUM(n) AS BIGINT) AS n_win
+           |  FROM h GROUP BY wsec),
+           |grid AS (
+           |  SELECT nw.wsec, g.digit, COALESCE(h.n, 0) AS n_obs, nw.n_win
+           |  FROM nw CROSS JOIN
+           |    (SELECT CAST(unnest(range(1, 10)) AS INTEGER) AS digit) g
+           |  LEFT JOIN h ON h.wsec = nw.wsec AND h.digit = g.digit)
+           |SELECT
+           |  strftime(make_timestamp(wsec * 1000000), '$TsFmtDuck')
+           |    AS window_start,
+           |  digit, CAST(n_obs AS BIGINT) AS n_obs, n_win,
+           |  CAST(n_win AS DOUBLE) * ($caseSql) AS expected,
+           |  (CAST(n_obs AS DOUBLE) - CAST(n_win AS DOUBLE) * ($caseSql))
+           |    * (CAST(n_obs AS DOUBLE)
+           |       - CAST(n_win AS DOUBLE) * ($caseSql))
+           |    / (CAST(n_win AS DOUBLE) * ($caseSql)) AS chi2_term
+           |FROM grid""".stripMargin
+      }),
   )
 }

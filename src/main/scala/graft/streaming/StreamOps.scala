@@ -279,6 +279,57 @@ object StreamOps {
     * strongest possible mix shift, and its (0 − e)²/e = e term must
     * reach the alert, not be dropped as an absent group. Input:
     * docs (ts, doc_id, text); reference (n_chars). */
+  /** Streaming Benford gate — q175's first-digit audit as a continuous
+    * monitor: per event-time hour window, the observed first-digit
+    * histogram against the literal Benford masses
+    * ([[graft.ops.AnalyticsOps.BenfordMass]] — log10 at query time
+    * would be libm). Digits use q175's exact integer-cents extraction;
+    * the window aggregate carries nine conditional sums so every
+    * digit's chi-square term — including a vanished digit's (0−e)²/e —
+    * survives into the output. Watermark bounds state to open hour
+    * windows. Batch twin: q192 runs this SAME function in batch mode
+    * under the driver's hash gate; StreamOpsSpec proves stream ==
+    * batch on the same input.
+    */
+  def benfordGate(events: DataFrame): DataFrame = {
+    val masses = graft.ops.AnalyticsOps.BenfordMass
+    val benford = masses.tail.foldLeft(
+      when(col("digit") === masses.head._1, lit(masses.head._2))) {
+      case (acc, (dg, p)) => acc.when(col("digit") === dg, lit(p))
+    }
+    val digit = substring(
+      floor(col("value") * 100 + lit(0.5)).cast("string"), 1, 1)
+      .cast("int")
+    // No pre-aggregate row filter: Catalyst pushes one below the
+    // EventTimeWatermark node, and a row dropped there never advances
+    // event time (a zero-value straggler — or the spec's sentinel —
+    // must still move the watermark). Invalid amounts become a NULL
+    // digit instead; windows holding ONLY invalid rows are dropped
+    // post-aggregate, which is a plain filter on the aggregate output.
+    val hist = events
+      .select(col("ts"),
+        when(col("value") > 0.0, digit).as("digit"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(sum(when(col("digit").isNotNull, 1L).otherwise(0L)).as("n_win"),
+        (1 to 9).map(i =>
+          sum(when(col("digit") === i, 1L).otherwise(0L)).as(s"d$i")): _*)
+      .filter(col("n_win") > 0)
+    hist
+      .select(date_format(col("window.start"), TsFmt).as("window_start"),
+        col("n_win"),
+        explode(array((1 to 9).map(i =>
+          struct(lit(i).as("digit"), col(s"d$i").as("n_obs"))): _*))
+          .as("dn"))
+      .select(col("window_start"), col("dn.digit").as("digit"),
+        col("dn.n_obs").as("n_obs"), col("n_win"))
+      .withColumn("expected", col("n_win").cast("double") * benford)
+      .withColumn("chi2_term",
+        (col("n_obs").cast("double") - col("expected")) *
+          (col("n_obs").cast("double") - col("expected")) /
+          col("expected"))
+  }
+
   def driftMonitor(docs: DataFrame, reference: DataFrame): DataFrame = {
     val nBuckets = 13
     val ref = reference

@@ -97,6 +97,19 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got.size - sentinelWindows.size == want.size)
   }
 
+  test("streaming Benford gate equals the registered batch twin q192") {
+    // the sentinel's value is 0.0, so the value > 0 filter drops it on
+    // BOTH sides — exact equality, no sentinel-window carve-out
+    val got = asSet(runStream("t_benford", StreamOps.benfordGate))
+    val want = asSet(StreamOps.benfordGate(batchEvents))
+    assert(want.nonEmpty)
+    assert(got == want)
+    // and the stream equals the REGISTERED batch twin the oracle checks
+    val q192 = asSet(SparkEntry.queries("q192_benford_windows")(
+      spark, "/root/testdata/sf0.001"))
+    assert(got == q192)
+  }
+
   test("session window: stream equals batch") {
     val got = asSet(runStream("t_session", StreamOps.sessions))
       .filterNot(_.head == SentinelUser)

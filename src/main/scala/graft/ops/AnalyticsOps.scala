@@ -1781,5 +1781,68 @@ object AnalyticsOps {
            |    / (CAST(n_win AS DOUBLE) * ($caseSql)) AS chi2_term
            |FROM grid""".stripMargin
       }),
+
+    // ----- q195: funnel latency histogram (click → purchase lag) ----------
+    // q68 counts WHO converts; operations needs HOW LONG conversion
+    // takes. Per user: first click, then the first purchase strictly
+    // after it; the lag lands in an hour bucket and the histogram
+    // carries a cumulative converted-share column — the
+    // time-to-convert CDF a funnel dashboard draws. Lags are exact
+    // integer microsecond subtraction floor-divided to hours (no float
+    // time math); the share is one integer ratio per bucket. The
+    // cumulative window runs over the bounded bucket table (the q167
+    // day-table contract); the purchase-after-click meet is one hash
+    // join co-partitioned on user_id — the first-click side is
+    // user-cardinality, so it shuffles WITH the purchases, never a
+    // broadcast.
+    NamedQuery(
+      "q195_funnel_latency",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, d)
+        val firstClick = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"))
+          .agg(min(unix_micros(col("ts"))).as("uc"))
+        val lag = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("up"))
+          .join(firstClick, "user_id")
+          .filter(col("up") > col("uc"))
+          .groupBy(col("user_id"), col("uc"))
+          .agg(min(col("up")).as("up"))
+          .select(expr("(up - uc) div 3600000000").as("lag_hours"))
+        val hist = lag.groupBy(col("lag_hours"))
+          .agg(count(lit(1)).as("n_users"))
+        val tot = hist.agg(sum(col("n_users")).as("n_converted"))
+        val w = Window.orderBy(col("lag_hours"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        hist.crossJoin(broadcast(tot))
+          .withColumn("cum_users", sum(col("n_users")).over(w))
+          .select(col("lag_hours"), col("n_users"), col("cum_users"),
+            (col("cum_users").cast("double") /
+              col("n_converted").cast("double")).as("cum_share"))
+      },
+      Some("""WITH fc AS (
+             |  SELECT user_id, MIN(epoch_us(ts)) AS uc
+             |  FROM events WHERE event_type = 'click' GROUP BY user_id),
+             |lg AS (
+             |  SELECT (MIN(e.up) - uc) // 3600000000 AS lag_hours
+             |  FROM (SELECT user_id, epoch_us(ts) AS up FROM events
+             |        WHERE event_type = 'purchase') e
+             |  JOIN fc USING (user_id)
+             |  WHERE e.up > fc.uc
+             |  GROUP BY e.user_id, fc.uc),
+             |hist AS (
+             |  SELECT lag_hours, CAST(COUNT(*) AS BIGINT) AS n_users
+             |  FROM lg GROUP BY lag_hours),
+             |tot AS (SELECT CAST(SUM(n_users) AS BIGINT) AS n_converted
+             |        FROM hist)
+             |SELECT lag_hours, n_users,
+             |  CAST(SUM(n_users) OVER (ORDER BY lag_hours
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS cum_users,
+             |  CAST(SUM(n_users) OVER (ORDER BY lag_hours
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS DOUBLE) / CAST(t.n_converted AS DOUBLE) AS cum_share
+             |FROM hist CROSS JOIN tot t""".stripMargin)),
   )
 }

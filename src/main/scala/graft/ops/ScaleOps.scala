@@ -854,5 +854,112 @@ object ScaleOps {
              |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS outlier_frac
              |FROM dev JOIN mad ON dev.source = mad.source
              |GROUP BY dev.source""".stripMargin)),
+
+    // ----- q193: custom GROUPING SETS (the lattice rollup/cube can't) -----
+    // Completes the multi-dimensional aggregate family: q40's ROLLUP is
+    // the prefix lattice, q66's CUBE is the full lattice; real reporting
+    // wants ARBITRARY slices — here ((type, dow), (type), (dow)): both
+    // marginals but no grand total, which neither rollup nor cube
+    // expresses without waste. One expand + one hash aggregate, exactly
+    // like cube — never a union of per-set scans. grouping_id
+    // disambiguates subtotal rows from genuine NULL groups, numbered
+    // identically by both engines (q66's bit contract). Value mass
+    // stays on the decimal grid.
+    NamedQuery(
+      "q193_grouping_sets",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("event_type"), (dayofweek(col("ts")) - 1).as("dow"),
+            col("value"))
+        ev.groupingSets(
+            Seq(Seq(col("event_type"), col("dow")), Seq(col("event_type")),
+              Seq(col("dow"))),
+            col("event_type"), col("dow"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+            grouping_id().as("gid"))
+      },
+      Some(s"""SELECT event_type,
+             |  CAST(dayofweek(ts) AS INTEGER) AS dow,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  ${dsumSql("value")} AS sum_value,
+             |  CAST(GROUPING(event_type, dayofweek(ts)) AS BIGINT) AS gid
+             |FROM events
+             |GROUP BY GROUPING SETS ((event_type, dayofweek(ts)),
+             |  (event_type), (dayofweek(ts)))""".stripMargin)),
+
+    // ----- q194: incremental aggregate maintenance (merge == recompute) ---
+    // The warehouse pattern behind every materialized daily rollup: keep
+    // per-partition PARTIAL aggregates, merge yesterday's snapshot with
+    // today's delta, and NEVER rescan history. The query is its own
+    // correctness proof: it computes the merged form (base partials ⊎
+    // delta partials re-aggregated) AND the direct full recompute, and
+    // emits per-group equality witnesses — count/sum/min/max are the
+    // mergeable quartet (sum on the decimal grid, so merge order cannot
+    // drift), mean is derived POST-merge (the classic
+    // mergeable-vs-derivable distinction). At 100 TB the base partials
+    // are a tiny stored table and only the delta is scanned; here both
+    // sides run so the witness can gate.
+    NamedQuery(
+      "q194_incr_agg_merge",
+      (s, d) => {
+        val ev = events(s, d)
+        val bounds = ev.agg(
+          min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+        val tagged = ev.crossJoin(broadcast(bounds))
+          .select(col("event_type"), col("value"),
+            (datediff(to_date(col("ts")), col("d0")) * 2 <=
+              datediff(col("d1"), col("d0"))).as("is_base"))
+        def partial(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast(org.apache.spark.sql.types
+                .DecimalType(28, 6))).as("sv"),
+              min(col("value")).as("mn"), max(col("value")).as("mx"))
+        val merged = partial(tagged.filter(col("is_base")))
+          .unionByName(partial(tagged.filter(!col("is_base"))))
+          .groupBy(col("event_type"))
+          .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"),
+            min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+        val direct = partial(tagged).select(col("event_type"),
+          col("n").as("dn"), col("sv").as("dsv"), col("mn").as("dmn"),
+          col("mx").as("dmx"))
+        merged.join(direct, "event_type")
+          .select(col("event_type"), col("n"),
+            (col("sv").cast("double") / col("n").cast("double"))
+              .as("mean"),
+            col("mn").as("min_value"), col("mx").as("max_value"),
+            (col("n") === col("dn") && col("sv") === col("dsv") &&
+              col("mn") === col("dmn") && col("mx") === col("dmx"))
+              .as("merge_matches_recompute"))
+      },
+      Some("""WITH b AS (
+             |  SELECT MIN(CAST(ts AS DATE)) AS d0,
+             |         MAX(CAST(ts AS DATE)) AS d1 FROM events),
+             |tagged AS (
+             |  SELECT event_type, value,
+             |    date_diff('day', b.d0, CAST(ts AS DATE)) * 2
+             |      <= date_diff('day', b.d0, b.d1) AS is_base
+             |  FROM events CROSS JOIN b),
+             |p AS (
+             |  SELECT event_type, is_base, CAST(COUNT(*) AS BIGINT) AS n,
+             |    SUM(CAST(value AS DECIMAL(28,6))) AS sv,
+             |    MIN(value) AS mn, MAX(value) AS mx
+             |  FROM tagged GROUP BY event_type, is_base),
+             |merged AS (
+             |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS n,
+             |    SUM(sv) AS sv, MIN(mn) AS mn, MAX(mx) AS mx
+             |  FROM p GROUP BY event_type),
+             |direct AS (
+             |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS dn,
+             |    SUM(CAST(value AS DECIMAL(28,6))) AS dsv,
+             |    MIN(value) AS dmn, MAX(value) AS dmx
+             |  FROM tagged GROUP BY event_type)
+             |SELECT m.event_type, m.n,
+             |  CAST(m.sv AS DOUBLE) / CAST(m.n AS DOUBLE) AS mean,
+             |  m.mn AS min_value, m.mx AS max_value,
+             |  m.n = d.dn AND m.sv = d.dsv AND m.mn = d.dmn
+             |    AND m.mx = d.dmx AS merge_matches_recompute
+             |FROM merged m JOIN direct d USING (event_type)"""
+        .stripMargin)),
   )
 }

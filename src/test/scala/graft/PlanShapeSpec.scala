@@ -177,6 +177,16 @@ class PlanShapeSpec extends AnyFunSuite {
     val dp = plan("q191_data_profile")
     assert("FileScan|Scan parquet".r.findAllIn(dp).size <= 1,
       s"q191 scans more than once:\n$dp")
+    // q193: grouping sets compile to ONE expand + hash aggregate, like
+    // cube — never a union of per-set scans
+    val gs = plan("q193_grouping_sets")
+    assert(gs.contains("Expand"), s"q193 lost its expand:\n$gs")
+    assert("FileScan|Scan parquet".r.findAllIn(gs).size <= 1,
+      s"q193 scans per set:\n$gs")
+    // q195: the first-click table co-shuffles with purchases on user_id
+    // (user-cardinality side must NOT broadcast at scale)
+    val fl = plan("q195_funnel_latency")
+    assert(!fl.contains("CartesianProduct"), s"q195:\n$fl")
   }
 
   test("LSH band self-join is a shuffled join, not broadcast") {

@@ -72,6 +72,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "", "", "", "", "4.0.0", "", "built-in"),
       (children: Seq[Expression]) => Simhash16Expr(children.head, distinct = false)))
     ext.injectFunction((
+      new FunctionIdentifier("pos_tokens"),
+      new ExpressionInfo(
+        classOf[graft.functions.PosTokensGen].getName, null, "pos_tokens",
+        "_FUNC_(text) - Generator: one (pos, tok) row per whitespace " +
+          "token, single-pass; exactly posexplode(split(text, ' ')).",
+        "", "", "", "", "4.0.0", "", "built-in"),
+      (children: Seq[Expression]) =>
+        graft.functions.PosTokensGen(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(
         classOf[BloomMightContainExpr].getName, null, "bloom_might_contain",

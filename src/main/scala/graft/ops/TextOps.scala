@@ -1577,9 +1577,12 @@ object TextOps {
     NamedQuery(
       "q187_phrase_search",
       (s, d) => {
+        // pos_tokens: the native single-pass generator (PosTokensGen) —
+        // value-identical to posexplode(split(text,' ')), parity-pinned
+        // in NativeExprSpec, no intermediate token array per row
         val toks = tbl(s, d, "documents")
           .select(col("doc_id"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+            expr("pos_tokens(text)").as(Seq("pos", "tok")))
         val p1 = toks.filter(col("tok") === "table")
           .select(col("doc_id"), col("pos").as("p"))
         val p2 = toks.filter(col("tok") === "hash")

@@ -237,4 +237,27 @@ class NativeExprSpec extends AnyFunSuite {
     assert(df.collect().map(r => Option(r.getString(0))).toSeq
       == Seq(Some("[1,2]"), None, None))
   }
+
+  test("pos_tokens generator == posexplode(split), incl. edge texts") {
+    import spark.implicits._
+    // corpus rows + the split-semantics edge cases: empty string (ONE
+    // empty token at pos 0), consecutive/leading/trailing spaces (empty
+    // tokens kept, Spark limit=-1), NULL (zero rows)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (100001L, Some("")), (100002L, Some(" ")), (100003L, Some("a  b ")),
+        (100004L, Option.empty[String])).toDF("doc_id", "text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val native = rows(docs.select(col("doc_id"),
+      expr("pos_tokens(text)").as(Seq("pos", "tok"))))
+    val declarative = rows(docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok"))))
+    assert(native.nonEmpty)
+    assert(native == declarative)
+    // NULL text emits zero rows on both sides
+    assert(!native.exists(_.head == 100004L))
+  }
 }

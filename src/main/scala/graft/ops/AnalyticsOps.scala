@@ -1844,5 +1844,84 @@ object AnalyticsOps {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |    AS DOUBLE) / CAST(t.n_converted AS DOUBLE) AS cum_share
              |FROM hist CROSS JOIN tot t""".stripMargin)),
+
+    // ----- q196: deterministic bootstrap CI (Poisson resampling) ----------
+    // Uncertainty for the metrics the other queries report as points:
+    // the Efron percentile bootstrap, made REPRODUCIBLE — resample
+    // weights come from the engine-portable md5 hash of (event_id, b),
+    // mapped through the Poisson(1) inverse CDF as an ALL-INTEGER
+    // threshold ladder (u ∈ [0, 10^6) vs six cumulative-probability
+    // literals ×10^6 — the streaming-bootstrap approximation of
+    // multinomial draws, Oza & Russell 2001, and not a single float in
+    // the draw). Per (type, replicate): a decimal×integer weighted sum —
+    // the q184 exactness pattern — one division at the end; the CI is
+    // pure ORDER STATISTICS over the 32 replicate means (ranks 2/16/31 ≈
+    // the 5th/50th/95th percentile — no arithmetic on doubles at all).
+    // Cost is the honest bootstrap cost: the 32× row expansion is B
+    // passes-worth of partial aggregation, embarrassingly parallel, and
+    // the state is B doubles per group.
+    NamedQuery(
+      "q196_bootstrap_ci",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("event_type"), col("value"), col("event_id"),
+            explode(sequence(lit(0), lit(31))).as("b"))
+          .withColumn("u", pmod(LlmKit.strHash(
+            concat(col("event_id").cast("string"), lit(":"),
+              col("b").cast("string"))), lit(1000000L)))
+          .select(col("event_type"), col("value"), col("b"),
+            when(col("u") < 367879L, 0L).when(col("u") < 735759L, 1L)
+              .when(col("u") < 919699L, 2L).when(col("u") < 981012L, 3L)
+              .when(col("u") < 996340L, 4L).when(col("u") < 999406L, 5L)
+              .otherwise(6L).as("w"))
+        val means = ev.groupBy(col("event_type"), col("b"))
+          .agg(sum(col("value").cast(org.apache.spark.sql.types
+              .DecimalType(28, 6)) * col("w")).as("num"),
+            sum(col("w")).as("den"))
+          .filter(col("den") > 0)
+          .select(col("event_type"),
+            (col("num").cast("double") / col("den").cast("double"))
+              .as("m"))
+        means.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_boot"),
+            sort_array(collect_list(col("m"))).as("ms"))
+          .select(col("event_type"), col("n_boot"),
+            element_at(col("ms"), 2).as("ci_lo"),
+            element_at(col("ms"), 16).as("median_boot"),
+            element_at(col("ms"), 31).as("ci_hi"))
+      },
+      Some {
+        val h = LlmKit.strHashSql(
+          "CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)")
+        s"""WITH ev AS (
+           |  SELECT event_type, value, event_id,
+           |    unnest(range(0, 32)) AS b
+           |  FROM events),
+           |uu AS (
+           |  SELECT event_type, value, b, ($h) % 1000000 AS u FROM ev),
+           |ww AS (
+           |  SELECT event_type, value, b,
+           |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+           |         WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+           |         WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+           |         ELSE 6 END AS w
+           |  FROM uu),
+           |m AS (
+           |  SELECT event_type, b,
+           |    SUM(CAST(value AS DECIMAL(28,6)) * w) AS num,
+           |    CAST(SUM(w) AS BIGINT) AS den
+           |  FROM ww GROUP BY event_type, b),
+           |ms AS (
+           |  SELECT event_type,
+           |    CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS m
+           |  FROM m WHERE den > 0),
+           |agg AS (
+           |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_boot,
+           |    list(m ORDER BY m) AS l
+           |  FROM ms GROUP BY event_type)
+           |SELECT event_type, n_boot, l[2] AS ci_lo,
+           |  l[16] AS median_boot, l[31] AS ci_hi
+           |FROM agg""".stripMargin
+      }),
   )
 }

@@ -1923,5 +1923,167 @@ object AnalyticsOps {
            |  l[16] AS median_boot, l[31] AS ci_hi
            |FROM agg""".stripMargin
       }),
+
+    // ----- q198: sequential pattern pairs (a-before-b support + lift) -----
+    // q181 mines literal contiguous paths; sequence mining's first
+    // (and most used) level is NON-contiguous order: "a happens before
+    // b in the same session", counted once per session on FIRST
+    // occurrences (the PrefixSpan length-2 prefix, Pei et al. 2001).
+    // Support and lift against the independence baseline
+    // sa·sb/n_sessions come out as integer ratios; a pair with lift ≫ 1
+    // is a real behavioral sequence, not co-popularity. Shape: sessions
+    // from the q122 gap rule, then a per-session (type → min position)
+    // table — ≤ |alphabet| rows per session — self-joined WITHIN the
+    // session key; the quadratic lives on the bounded alphabet, never
+    // on events.
+    NamedQuery(
+      "q198_seq_pairs",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sess = events(s, d)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sid", sum(col("new_sess")).over(wc))
+          // (user_id, ts) is unique, so min event-time IS the first
+          // occurrence — no struct tie-break needed
+          .groupBy(col("user_id"), col("sid"), col("event_type"))
+          .agg(min(unix_micros(col("ts"))).as("first_pos"))
+        val nSess = sess.select(col("user_id"), col("sid")).distinct()
+          .agg(count(lit(1)).as("n_sessions"))
+        val single = sess.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("s1"))
+        val ab = sess.select(col("user_id"), col("sid"),
+            col("event_type").as("a"), col("first_pos").as("pa"))
+          .join(sess.select(col("user_id"), col("sid"),
+            col("event_type").as("b"), col("first_pos").as("pb")),
+            Seq("user_id", "sid"))
+          .filter(col("a") =!= col("b") && col("pa") < col("pb"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+        ab.join(broadcast(single.select(col("event_type").as("a"),
+            col("s1").as("sa"))), Seq("a"))
+          .join(broadcast(single.select(col("event_type").as("b"),
+            col("s1").as("sb"))), Seq("b"))
+          .crossJoin(broadcast(nSess))
+          .select(col("a"), col("b"), col("n_ab"), col("sa"), col("sb"),
+            (col("n_ab").cast("double") / col("n_sessions").cast("double"))
+              .as("support"),
+            (col("n_ab").cast("double") * col("n_sessions").cast("double") /
+              (col("sa").cast("double") * col("sb").cast("double")))
+              .as("lift"))
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |    epoch_us(ts) AS us,
+             |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev_us
+             |  FROM events),
+             |f AS (
+             |  SELECT user_id, event_id, ts, event_type, us,
+             |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+             |      THEN 1 ELSE 0 END AS new_sess
+             |  FROM o),
+             |sess AS (
+             |  SELECT user_id, sid, event_type, MIN(us) AS first_pos
+             |  FROM (
+             |    SELECT user_id, event_id, event_type, us,
+             |      SUM(new_sess) OVER (PARTITION BY user_id
+             |        ORDER BY ts, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |        AS sid
+             |    FROM f)
+             |  GROUP BY user_id, sid, event_type),
+             |ns AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions
+             |  FROM (SELECT DISTINCT user_id, sid FROM sess)),
+             |single AS (
+             |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS s1
+             |  FROM sess GROUP BY event_type),
+             |ab AS (
+             |  SELECT a.event_type AS a, b.event_type AS b,
+             |    CAST(COUNT(*) AS BIGINT) AS n_ab
+             |  FROM sess a JOIN sess b
+             |    ON a.user_id = b.user_id AND a.sid = b.sid
+             |  WHERE a.event_type <> b.event_type
+             |    AND a.first_pos < b.first_pos
+             |  GROUP BY a.event_type, b.event_type)
+             |SELECT ab.a, ab.b, ab.n_ab, sa.s1 AS sa, sb.s1 AS sb,
+             |  CAST(ab.n_ab AS DOUBLE) / CAST(ns.n_sessions AS DOUBLE)
+             |    AS support,
+             |  CAST(ab.n_ab AS DOUBLE) * CAST(ns.n_sessions AS DOUBLE)
+             |    / (CAST(sa.s1 AS DOUBLE) * CAST(sb.s1 AS DOUBLE))
+             |    AS lift
+             |FROM ab JOIN single sa ON ab.a = sa.event_type
+             |        JOIN single sb ON ab.b = sb.event_type
+             |CROSS JOIN ns""".stripMargin)),
+
+    // ----- q200: off-policy evaluation (IPS / SNIPS) ----------------------
+    // The counterfactual question every recommender change asks BEFORE
+    // an A/B test: what would a different action policy have earned on
+    // the logged traffic? Inverse-propensity scoring (Horvitz–Thompson
+    // applied to policies; SNIPS per Swaminathan & Joachims 2015):
+    // logging propensities are the empirical action frequencies, the
+    // target policy is uniform over {click, purchase}, rewards are the
+    // logged values. Because both policies depend only on the ACTION,
+    // every estimator reduces to exact per-action aggregates — weights
+    // are integer ratios, reward mass stays on the decimal grid, and
+    // the five-row epilogue (IPS, SNIPS, effective sample size) is
+    // mirrored arithmetic. ESS ≪ n is the standard "the target policy
+    // is too far from logging" warning, emitted alongside the
+    // estimates. (With action-only policies Σw = n identically, so
+    // v_snips == v_ips — the equality is itself a correctness witness
+    // of the per-action reduction; context-dependent policies would
+    // split them.) One scan, one 5-row aggregate.
+    NamedQuery(
+      "q200_ips_offpolicy",
+      (s, d) => {
+        val acts = events(s, d)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("na"), dsum(col("value")).as("sr"))
+        val n = acts.agg(sum(col("na")).as("n"))
+        val withW = acts.crossJoin(broadcast(n))
+          .select(col("event_type"), col("na"), col("sr"), col("n"),
+            when(col("event_type").isin("click", "purchase"),
+              lit(0.5) * col("n").cast("double") / col("na").cast("double"))
+              .otherwise(lit(0.0)).as("w"))
+        withW.groupBy()
+          .agg(max(col("n")).as("n"),
+            dsum(col("sr") * col("w")).as("rw"),
+            dsum(col("na").cast("double") * col("w")).as("sw"),
+            dsum(col("na").cast("double") * col("w") * col("w")).as("sw2"))
+          .select(col("n"),
+            (col("rw") / col("n").cast("double")).as("v_ips"),
+            (col("rw") / col("sw")).as("v_snips"),
+            (col("sw") * col("sw") / col("sw2")).as("ess"),
+            (col("sw") * col("sw") / col("sw2") / col("n").cast("double"))
+              .as("ess_frac"))
+      },
+      Some(s"""WITH acts AS (
+             |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS na,
+             |    ${dsumSql("value")} AS sr
+             |  FROM events GROUP BY event_type),
+             |n AS (SELECT CAST(SUM(na) AS BIGINT) AS n FROM acts),
+             |ww AS (
+             |  SELECT event_type, na, sr, n.n,
+             |    CASE WHEN event_type IN ('click', 'purchase')
+             |      THEN 0.5 * CAST(n.n AS DOUBLE) / CAST(na AS DOUBLE)
+             |      ELSE 0.0 END AS w
+             |  FROM acts CROSS JOIN n),
+             |agg AS (
+             |  SELECT MAX(n) AS n,
+             |    ${dsumSql("sr * w")} AS rw,
+             |    ${dsumSql("CAST(na AS DOUBLE) * w")} AS sw,
+             |    ${dsumSql("CAST(na AS DOUBLE) * w * w")} AS sw2
+             |  FROM ww)
+             |SELECT n, rw / CAST(n AS DOUBLE) AS v_ips,
+             |  rw / sw AS v_snips,
+             |  sw * sw / sw2 AS ess,
+             |  sw * sw / sw2 / CAST(n AS DOUBLE) AS ess_frac
+             |FROM agg""".stripMargin)),
   )
 }

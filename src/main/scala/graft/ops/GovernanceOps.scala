@@ -1492,6 +1492,113 @@ object GovernanceOps {
              |  LEFT JOIN pw ON pw.p1 = c.a AND pw.p2 = c.b
              |ORDER BY c.ra_index DESC, id1, id2 LIMIT 100"""
         .stripMargin)),
+
+    // ----- q197: modularity of the LPA communities ------------------------
+    // The number that says whether q141's communities MEAN anything:
+    // Newman–Girvan modularity Q = Σ_c (e_c/m − (d_c/2m)²). High Q →
+    // the partition separates dense rewriting cores; Q ≈ 0 → the labels
+    // are noise and a sampler should fall back to q57's components.
+    // Every input is an INTEGER (directed-edge count 2m, per-community
+    // internal directed edges ec2 and degree mass d_c), the per-
+    // community term is a mirrored three-ratio tree, and Q is its
+    // decimal-grid sum — the q133/q141 arithmetic contract extended to
+    // the quality metric itself. Shape: one label join per edge
+    // endpoint (hash, node-partitioned), one bounded community rollup;
+    // the modularity scalar broadcasts back onto the per-community
+    // report rows.
+    NamedQuery(
+      "q197_modularity",
+      (s, d) => {
+        val corpus = corpusWithNearDups(s, d)
+        val pairs = lshCandidatePairs(corpus).select(col("id1"), col("id2"))
+        val labels = labelPropagation(corpus.select(col("doc_id")), pairs, 3)
+          .select(col("doc_id"), col("community"))
+        val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+          .unionByName(
+            pairs.select(col("id2").as("src"), col("id1").as("dst")))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+        val md = edges.agg(count(lit(1)).as("md"))
+        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val dc = labels.join(deg, col("doc_id") === col("src"), "left")
+          .groupBy(col("community"))
+          .agg(count(lit(1)).as("n_nodes"),
+            sum(coalesce(col("deg"), lit(0L))).as("d_tot"))
+        val ein = edges
+          .join(labels.select(col("doc_id").as("src"),
+            col("community").as("ca")), "src")
+          .join(labels.select(col("doc_id").as("dst"),
+            col("community").as("cb")), "dst")
+          .filter(col("ca") === col("cb"))
+          .groupBy(col("ca")).agg(count(lit(1)).as("ec2"))
+          .withColumnRenamed("ca", "community")
+        val terms = dc.join(ein, Seq("community"), "left")
+          .crossJoin(broadcast(md))
+          .select(col("community"), col("n_nodes"),
+            coalesce(col("ec2"), lit(0L)).as("ec2"), col("d_tot"),
+            (coalesce(col("ec2"), lit(0L)).cast("double") /
+              col("md").cast("double") -
+              (col("d_tot").cast("double") / col("md").cast("double")) *
+              (col("d_tot").cast("double") / col("md").cast("double")))
+              .as("q_term"))
+        val q = terms.agg(dsum(col("q_term")).as("modularity"))
+        terms.crossJoin(broadcast(q))
+          .select(col("community"), col("n_nodes"),
+            expr("ec2 div 2").as("e_in"), col("d_tot"), col("q_term"),
+            col("modularity"))
+      },
+      Some {
+        def round(prev: String, cur: Int): String =
+          s"""i$cur AS (
+             |  SELECT e.dst, l.lbl, CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM edges e JOIN $prev l ON e.src = l.doc_id
+             |  GROUP BY e.dst, l.lbl),
+             |n$cur AS (
+             |  SELECT dst, lbl FROM (
+             |    SELECT dst, lbl, row_number() OVER (PARTITION BY dst
+             |      ORDER BY cnt DESC, lbl) AS rn
+             |    FROM i$cur) WHERE rn = 1),
+             |l$cur AS (
+             |  SELECT n.doc_id, COALESCE(x.lbl, n.lbl) AS lbl
+             |  FROM $prev n LEFT JOIN n$cur x ON n.doc_id = x.dst)"""
+            .stripMargin
+        s"""WITH corpus AS ($corpusWithNearDupsSql),
+           |$lshPairsCteSql,
+           |edges AS (
+           |  SELECT id1 AS src, id2 AS dst FROM pairs
+           |  UNION SELECT id2, id1 FROM pairs),
+           |l0 AS (SELECT doc_id, doc_id AS lbl FROM corpus),
+           |${round("l0", 1)},
+           |${round("l1", 2)},
+           |${round("l2", 3)},
+           |md AS (SELECT CAST(COUNT(*) AS BIGINT) AS md FROM edges),
+           |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+           |        FROM edges GROUP BY src),
+           |dc AS (
+           |  SELECT l.lbl AS community, CAST(COUNT(*) AS BIGINT)
+           |      AS n_nodes,
+           |    CAST(SUM(COALESCE(d.deg, 0)) AS BIGINT) AS d_tot
+           |  FROM l3 l LEFT JOIN deg d ON l.doc_id = d.src
+           |  GROUP BY l.lbl),
+           |ein AS (
+           |  SELECT a.lbl AS community, CAST(COUNT(*) AS BIGINT) AS ec2
+           |  FROM edges e JOIN l3 a ON e.src = a.doc_id
+           |               JOIN l3 b ON e.dst = b.doc_id
+           |  WHERE a.lbl = b.lbl GROUP BY a.lbl),
+           |terms AS (
+           |  SELECT dc.community, dc.n_nodes,
+           |    COALESCE(ein.ec2, 0) AS ec2, dc.d_tot,
+           |    CAST(COALESCE(ein.ec2, 0) AS DOUBLE)
+           |        / CAST(md.md AS DOUBLE)
+           |      - (CAST(dc.d_tot AS DOUBLE) / CAST(md.md AS DOUBLE))
+           |        * (CAST(dc.d_tot AS DOUBLE) / CAST(md.md AS DOUBLE))
+           |      AS q_term
+           |  FROM dc LEFT JOIN ein USING (community) CROSS JOIN md),
+           |qq AS (SELECT ${dsumSql("q_term")} AS modularity FROM terms)
+           |SELECT community, n_nodes, ec2 // 2 AS e_in, d_tot, q_term,
+           |  modularity
+           |FROM terms CROSS JOIN qq""".stripMargin
+      }),
   )
 
   /** q133's engine, extracted for direct testing against a scalar

@@ -961,5 +961,75 @@ object ScaleOps {
              |    AND m.mx = d.dmx AS merge_matches_recompute
              |FROM merged m JOIN direct d USING (event_type)"""
         .stripMargin)),
+
+    // ----- q199: join-key skew report (partition-planning diagnostic) -----
+    // The table a cluster operator reads BEFORE sizing a shuffle: for
+    // each of lineitem's three join keys — distinct keys, the hottest
+    // key's row count and share, and how many keys (and rows) sit above
+    // 2× the mean frequency. The hot-key test is the ALL-INTEGER cross
+    // multiplication freq·n_distinct > 2·n_rows (never a float mean
+    // crossing engines); shares are one integer ratio each. This is the
+    // measurement behind q38's salting and AQE's skew-join split: a key
+    // family with top1_share ≫ 1/n_distinct is the one you salt. Shape:
+    // one frequency aggregate per key family (each its own shuffle by
+    // necessity — different keys), each reduced to one row before the
+    // 3-row union.
+    NamedQuery(
+      "q199_skew_report",
+      (s, d) => {
+        val li = tbl(s, d, "lineitem")
+        // hot-key flags come from a broadcast of the 1-row frequency
+        // totals back onto the frequency table — two aggregates per key
+        def report(key: String): org.apache.spark.sql.DataFrame = {
+          val freq = li.select(col(key).as("k"))
+            .groupBy(col("k")).agg(count(lit(1)).as("f"))
+          val tot = freq.agg(count(lit(1)).as("n_distinct"),
+            sum(col("f")).as("n_rows"), max(col("f")).as("max_freq"))
+          freq.crossJoin(broadcast(tot))
+            .select(col("f"), col("n_distinct"), col("n_rows"),
+              col("max_freq"),
+              (col("f") * col("n_distinct") > lit(2L) * col("n_rows"))
+                .as("hot"))
+            .groupBy(col("n_distinct"), col("n_rows"), col("max_freq"))
+            .agg(sum(when(col("hot"), 1L).otherwise(0L)).as("n_hot_keys"),
+              sum(when(col("hot"), col("f")).otherwise(0L))
+                .as("n_hot_rows"))
+            .select(lit(key).as("join_key"), col("n_rows"),
+              col("n_distinct"), col("max_freq"),
+              (col("max_freq").cast("double") / col("n_rows").cast("double"))
+                .as("top1_share"),
+              col("n_hot_keys"), col("n_hot_rows"),
+              (col("n_hot_rows").cast("double") /
+                col("n_rows").cast("double")).as("hot_row_share"))
+        }
+        report("l_orderkey")
+          .unionByName(report("l_partkey"))
+          .unionByName(report("l_suppkey"))
+      },
+      Some {
+        def one(key: String): String =
+          s"""SELECT '$key' AS join_key, t.n_rows, t.n_distinct,
+             |  t.max_freq,
+             |  CAST(t.max_freq AS DOUBLE) / CAST(t.n_rows AS DOUBLE)
+             |    AS top1_share,
+             |  CAST(SUM(CASE WHEN f.f * t.n_distinct > 2 * t.n_rows
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_keys,
+             |  CAST(SUM(CASE WHEN f.f * t.n_distinct > 2 * t.n_rows
+             |    THEN f.f ELSE 0 END) AS BIGINT) AS n_hot_rows,
+             |  CAST(SUM(CASE WHEN f.f * t.n_distinct > 2 * t.n_rows
+             |    THEN f.f ELSE 0 END) AS DOUBLE)
+             |    / CAST(t.n_rows AS DOUBLE) AS hot_row_share
+             |FROM (SELECT $key AS k, CAST(COUNT(*) AS BIGINT) AS f
+             |      FROM lineitem GROUP BY $key) f
+             |CROSS JOIN (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             |    CAST(SUM(f) AS BIGINT) AS n_rows,
+             |    MAX(f) AS max_freq
+             |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS f
+             |        FROM lineitem GROUP BY $key)) t
+             |GROUP BY t.n_rows, t.n_distinct, t.max_freq""".stripMargin
+        Seq("l_orderkey", "l_partkey", "l_suppkey").map(one)
+          .mkString("", "\nUNION ALL\n", "")
+      }),
   )
 }

@@ -1847,9 +1847,11 @@ object AnalyticsOps {
 
     // ----- q196: deterministic bootstrap CI (Poisson resampling) ----------
     // Uncertainty for the metrics the other queries report as points:
-    // the Efron percentile bootstrap, made REPRODUCIBLE — resample
-    // weights come from the engine-portable md5 hash of (event_id, b),
-    // mapped through the Poisson(1) inverse CDF as an ALL-INTEGER
+    // the Efron percentile bootstrap, made REPRODUCIBLE — each event is
+    // md5-hashed ONCE and the 32 replicate draws are affine
+    // permutations of that hash mod P (the MinHash coefficient
+    // contract), mapped through the Poisson(1) inverse CDF as an
+    // ALL-INTEGER
     // threshold ladder (u ∈ [0, 10^6) vs six cumulative-probability
     // literals ×10^6 — the streaming-bootstrap approximation of
     // multinomial draws, Oza & Russell 2001, and not a single float in
@@ -1863,12 +1865,23 @@ object AnalyticsOps {
     NamedQuery(
       "q196_bootstrap_ci",
       (s, d) => {
+        // ONE md5 per event; the 32 replicate draws come from affine
+        // permutations of that hash mod P (LlmKit's documented MinHash
+        // coefficient closed form) — 32 integer ops instead of 32
+        // hashes per row, which was the battery's one steep entry
         val ev = events(s, d)
-          .select(col("event_type"), col("value"), col("event_id"),
+          .select(col("event_type"), col("value"),
+            pmod(LlmKit.strHash(col("event_id").cast("string")),
+              lit(LlmKit.MinhashP)).as("hm"))
+          .select(col("event_type"), col("value"), col("hm"),
             explode(sequence(lit(0), lit(31))).as("b"))
-          .withColumn("u", pmod(LlmKit.strHash(
-            concat(col("event_id").cast("string"), lit(":"),
-              col("b").cast("string"))), lit(1000000L)))
+          .withColumn("u", pmod(
+            pmod(col("hm") *
+              pmod(lit(1103515245L) * (col("b") + 1), lit(LlmKit.MinhashP)) +
+              pmod(lit(12345L) + lit(2654435761L) * col("b"),
+                lit(LlmKit.MinhashP)),
+              lit(LlmKit.MinhashP)),
+            lit(1000000L)))
           .select(col("event_type"), col("value"), col("b"),
             when(col("u") < 367879L, 0L).when(col("u") < 735759L, 1L)
               .when(col("u") < 919699L, 2L).when(col("u") < 981012L, 3L)
@@ -1891,14 +1904,17 @@ object AnalyticsOps {
             element_at(col("ms"), 31).as("ci_hi"))
       },
       Some {
-        val h = LlmKit.strHashSql(
-          "CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)")
+        val h = LlmKit.strHashSql("CAST(event_id AS VARCHAR)")
+        val P = LlmKit.MinhashP
         s"""WITH ev AS (
-           |  SELECT event_type, value, event_id,
+           |  SELECT event_type, value, ($h) % $P AS hm,
            |    unnest(range(0, 32)) AS b
            |  FROM events),
            |uu AS (
-           |  SELECT event_type, value, b, ($h) % 1000000 AS u FROM ev),
+           |  SELECT event_type, value, b,
+           |    ((hm * ((1103515245 * (b + 1)) % $P)
+           |      + ((12345 + 2654435761 * b) % $P)) % $P) % 1000000 AS u
+           |  FROM ev),
            |ww AS (
            |  SELECT event_type, value, b,
            |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1

@@ -187,6 +187,25 @@ class PlanShapeSpec extends AnyFunSuite {
     // (user-cardinality side must NOT broadcast at scale)
     val fl = plan("q195_funnel_latency")
     assert(!fl.contains("CartesianProduct"), s"q195:\n$fl")
+    // q196: the bootstrap is pure partial aggregation — the 32x
+    // expansion meets NO join anywhere
+    val bs = plan("q196_bootstrap_ci")
+    assert("HashAggregate".r.findAllIn(bs).size >= 2, s"q196:\n$bs")
+    assert(!bs.contains("Join"), s"q196 grew a join:\n$bs")
+    // q197: both label attaches are hash joins keyed by node id
+    val mo = plan("q197_modularity")
+    assert(mo.contains("BroadcastHashJoin") || mo.contains("ShuffledHashJoin")
+      || mo.contains("SortMergeJoin"), s"q197 label joins:\n$mo")
+    // q198: the pair meet is an equi self-join on the session key (the
+    // only nested loop is the intended 1-row n_sessions Cross) — an
+    // INNER nested loop would be the per-session quadratic gone global
+    val sq = plan("q198_seq_pairs")
+    assert(!"BroadcastNestedLoopJoin [^,\\n]*, Inner".r
+      .findFirstIn(sq).isDefined, s"q198 nested-loop inner join:\n$sq")
+    // q199: each key family partial-aggregates before its 1-row totals
+    // broadcast back — never a sort-merge of a 1-row side
+    val sk = plan("q199_skew_report")
+    assert(!sk.contains("SortMergeJoin"), s"q199 shuffles a tiny side:\n$sk")
   }
 
   test("LSH band self-join is a shuffled join, not broadcast") {

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Multi-JVM parity harness: runs a representative query slice twice —
+  * once on `local[4]` (threads in one JVM, the test default) and once on
+  * `local-cluster[2,2,1024]` (a real standalone master + worker with TWO
+  * SEPARATE EXECUTOR JVM PROCESSES, real RPC, real serialized shuffles
+  * and broadcasts) — and asserts row-set equality.
+  *
+  * What this proves that `local[n]` cannot: every custom construct
+  * crosses a genuine process boundary — the native expressions
+  * (hashed_shingles/minhash_sig/vec_dot) serialize to executors via the
+  * function registry, the SpaceSavingTopK typed Aggregator's buffer
+  * round-trips through real shuffle serialization, broadcast joins ship
+  * driver→executor over RPC, and the iterative StarCC/PageRank loops
+  * checkpoint across JVMs. Byte-identical results here plus the
+  * `local[3]` vs `local[8]` determinism battery (SCALING.md) is the
+  * strongest single-box evidence that cluster re-planning cannot change
+  * answers.
+  *
+  * Test scope on purpose (one JVM can hold only one SparkContext, so
+  * this cannot share a session with the ScalaTest suites — the
+  * ScaleProbe pattern). Run:
+  *   SPARK_SCALA_VERSION=2.13 sbt "Test/runMain graft.ClusterParity"
+  * (the env var lets the worker's executor launcher resolve the
+  * dist-layout SPARK_HOME at /opt/spark).
+  */
+object ClusterParity {
+  private val sf = "/root/testdata/sf0.001"
+
+  /** One query per major engine surface: star join + decimal agg,
+    * LSH/native-expression dedup, embedding ANN, exact percentiles,
+    * iterative star-contraction closure, the typed-Aggregator top-k,
+    * mergeable HLL registers, sessionization windows, integer PageRank,
+    * order-pinned survival folds, path mining, and the hash-derived
+    * bootstrap. */
+  private val queries = Seq(
+    "q16_star_join", "q17_pricing_summary", "q27_minhash_lsh",
+    "q30_embed_neardup", "q50_percentiles", "q57_star_clusters",
+    "q67_topk_udaf", "q79_hll", "q122_gap_sessions", "q133_pagerank",
+    "q140_kaplan_meier", "q181_session_paths", "q196_bootstrap_ci")
+
+  private def run(spark: SparkSession): Map[String, Set[Seq[Any]]] =
+    queries.map { n =>
+      n -> SparkEntry.queries(n)(spark, sf).collect()
+        .map(_.toSeq.map {
+          case a: Array[_] => a.toSeq
+          case x => x
+        }).toSet
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    val local = Sessions.builder("local[4]", 4).getOrCreate()
+    local.sparkContext.setLogLevel("ERROR")
+    val want = run(local)
+    local.stop()
+    // a fresh context needs the old one fully gone
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+
+    val cp = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+    val cluster = SparkSession.builder()
+      .master("local-cluster[2,2,1024]")
+      .appName("graft-cluster-parity")
+      .config("spark.executor.extraClassPath", cp)
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", value = false)
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    cluster.sparkContext.setLogLevel("ERROR")
+    val got = run(cluster)
+    cluster.stop()
+
+    var bad = 0
+    for (n <- queries) {
+      val ok = got(n) == want(n)
+      if (!ok) bad += 1
+      println(s"${if (ok) "PARITY" else "MISMATCH"}  $n " +
+        s"(${want(n).size} rows)")
+    }
+    println(s"""{"metric":"cluster_parity","queries":${queries.size},""" +
+      s""""mismatches":$bad}""")
+    if (bad > 0) sys.exit(1)
+  }
+}

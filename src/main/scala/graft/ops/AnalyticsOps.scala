@@ -2101,5 +2101,53 @@ object AnalyticsOps {
              |  sw * sw / sw2 AS ess,
              |  sw * sw / sw2 / CAST(n AS DOUBLE) AS ess_frac
              |FROM agg""".stripMargin)),
+
+    // ----- q201: transition-lag profile (process-mining bottlenecks) ------
+    // q73 says WHERE journeys go; process mining asks how LONG each hop
+    // takes — the direct-follows graph annotated with its latency
+    // profile, which is where funnels stall. Per (from_type, to_type):
+    // transition count, decimal-exact mean lag, and exact interpolated
+    // median/p90 (the q50 percentile parity contract — both engines
+    // compute linear interpolation over sorted values, here over exact
+    // integer seconds, so even the interpolated doubles hash-match).
+    // Lags are integer microsecond differences floor-divided to
+    // seconds; one user-window pass feeds a 25-cell aggregate.
+    NamedQuery(
+      "q201_transition_lag",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("to_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("from_type", lag(col("to_type"), 1).over(w))
+          .withColumn("prev_us", lag(col("us"), 1).over(w))
+          .filter(col("from_type").isNotNull)
+          .select(col("from_type"), col("to_type"),
+            expr("(us - prev_us) div 1000000").as("lag_secs"))
+          .groupBy(col("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"),
+            (dsum(col("lag_secs").cast("double")) /
+              count(lit(1)).cast("double")).as("mean_secs"),
+            expr("percentile(lag_secs, 0.5)").as("p50_secs"),
+            expr("percentile(lag_secs, 0.9)").as("p90_secs"))
+      },
+      Some(s"""WITH pairs AS (
+             |  SELECT
+             |    lag(event_type) OVER w AS from_type,
+             |    event_type AS to_type,
+             |    (epoch_us(ts) - lag(epoch_us(ts)) OVER w) // 1000000
+             |      AS lag_secs
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |  ${dsumSql("CAST(lag_secs AS DOUBLE)")}
+             |    / CAST(COUNT(*) AS DOUBLE) AS mean_secs,
+             |  quantile_cont(lag_secs, 0.5) AS p50_secs,
+             |  quantile_cont(lag_secs, 0.9) AS p90_secs
+             |FROM pairs WHERE from_type IS NOT NULL
+             |GROUP BY from_type, to_type""".stripMargin)),
   )
 }

@@ -1031,5 +1031,59 @@ object ScaleOps {
         Seq("l_orderkey", "l_partkey", "l_suppkey").map(one)
           .mkString("", "\nUNION ALL\n", "")
       }),
+
+    // ----- q202: sampled self-join size estimation (optimizer stats) ------
+    // The cardinality question behind every shuffle-join plan: how big
+    // is lineitem ⋈ lineitem on this key? Exact answer = Σ_k f(k)² —
+    // quadratic in the hot key, which is why q199's skew report and
+    // this estimator travel together. The estimator is distinct-value
+    // sampling (sample KEYS by portable hash at rate 1%, keep their
+    // EXACT frequencies, scale by 1/p — Haas et al.'s trick that keeps
+    // per-key counts unbiased where row-sampling would square the
+    // noise), so the estimate is an exact INTEGER ×100 and the relative
+    // error column is one mirrored ratio. At 100 TB the sampled
+    // frequency table is 1% of the key dimension — the stats pass a
+    // planner can afford on every load.
+    NamedQuery(
+      "q202_joinsize_est",
+      (s, d) => {
+        val li = tbl(s, d, "lineitem")
+        def est(key: String): org.apache.spark.sql.DataFrame = {
+          val freq = li.select(col(key).as("k"))
+            .groupBy(col("k")).agg(count(lit(1)).as("f"))
+          freq.agg(
+              sum(col("f") * col("f")).as("exact_join_size"),
+              (sum(when(pmod(strHash(col("k").cast("string")),
+                lit(1000L)) < 10, col("f") * col("f")).otherwise(0L)) *
+                lit(100L)).as("est_join_size"),
+              sum(when(pmod(strHash(col("k").cast("string")),
+                lit(1000L)) < 10, 1L).otherwise(0L)).as("n_sampled_keys"))
+            .select(lit(key).as("join_key"), col("exact_join_size"),
+              col("est_join_size"), col("n_sampled_keys"),
+              (abs(col("est_join_size") - col("exact_join_size"))
+                .cast("double") / col("exact_join_size").cast("double"))
+                .as("rel_err"))
+        }
+        est("l_orderkey").unionByName(est("l_partkey"))
+          .unionByName(est("l_suppkey"))
+      },
+      Some {
+        def one(key: String): String = {
+          val h = strHashSql("CAST(k AS VARCHAR)")
+          s"""SELECT '$key' AS join_key,
+             |  CAST(SUM(f * f) AS BIGINT) AS exact_join_size,
+             |  CAST(SUM(CASE WHEN ($h) % 1000 < 10 THEN f * f
+             |    ELSE 0 END) * 100 AS BIGINT) AS est_join_size,
+             |  CAST(SUM(CASE WHEN ($h) % 1000 < 10 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_sampled_keys,
+             |  CAST(abs(SUM(CASE WHEN ($h) % 1000 < 10 THEN f * f
+             |      ELSE 0 END) * 100 - SUM(f * f)) AS DOUBLE)
+             |    / CAST(SUM(f * f) AS DOUBLE) AS rel_err
+             |FROM (SELECT $key AS k, CAST(COUNT(*) AS BIGINT) AS f
+             |      FROM lineitem GROUP BY $key)""".stripMargin
+        }
+        Seq("l_orderkey", "l_partkey", "l_suppkey").map(one)
+          .mkString("", "\nUNION ALL\n", "")
+      }),
   )
 }

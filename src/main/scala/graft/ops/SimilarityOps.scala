@@ -2119,5 +2119,57 @@ object SimilarityOps {
            |  COALESCE(1.0 / CAST(minr AS DOUBLE), 0.0) AS mrr
            |FROM qs LEFT JOIN pq USING (q_id)""".stripMargin
       }),
+
+    // ----- q205: label centroid gaps (embedding-space class geometry) -----
+    // q176 measures how far apart sources sit as TOKEN distributions;
+    // this is the embedding-space analog for labels: per-label mean
+    // vector (the class centroid a linear probe or nearest-centroid
+    // classifier uses), then pairwise centroid L2 distances — the
+    // between-class geometry that predicts classifier separability and
+    // flags label noise (two labels with a near-zero gap are one
+    // class). Centroid coordinates are decimal-exact sums over the
+    // posexploded (label, dim) grid divided once (the q184 pattern per
+    // coordinate); the pair meet joins on DIM (64-bounded), squared
+    // gaps sum on the decimal grid, and the one sqrt is IEEE-exact.
+    // Scale: one explode-shuffle to the labels×64 grid, all pair work
+    // on the bounded label set.
+    NamedQuery(
+      "q205_centroid_gaps",
+      (s, d) => {
+        val cent = tbl(s, d, "embeddings")
+          .select(col("label"), posexplode(col("embedding"))
+            .as(Seq("dim", "x")))
+          .groupBy(col("label"), col("dim"))
+          .agg(count(lit(1)).as("n"),
+            // float → DOUBLE first on both sides (the dsum cast path)
+            sum(col("x").cast("double").cast(org.apache.spark.sql.types
+              .DecimalType(28, 6))).as("sx"))
+          .select(col("label"), col("dim"),
+            (col("sx").cast("double") / col("n").cast("double")).as("c"))
+        val a = cent.select(col("label").as("la"), col("dim"),
+          col("c").as("ca"))
+        val b = cent.select(col("label").as("lb"), col("dim"),
+          col("c").as("cb"))
+        a.join(b, Seq("dim")).filter(col("la") < col("lb"))
+          .select(col("la"), col("lb"),
+            ((col("ca") - col("cb")) * (col("ca") - col("cb"))).as("sq"))
+          .groupBy(col("la"), col("lb"))
+          .agg(sqrt(dsum(col("sq"))).as("centroid_l2"))
+      },
+      Some(s"""WITH x AS (
+             |  SELECT label, i - 1 AS dim,
+             |    CAST(embedding[i] AS DOUBLE) AS x
+             |  FROM embeddings, unnest(range(1, 65)) AS u(i)),
+             |cent AS (
+             |  SELECT label, dim,
+             |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+             |      / CAST(COUNT(*) AS DOUBLE) AS c
+             |  FROM x GROUP BY label, dim)
+             |SELECT a.label AS la, b.label AS lb,
+             |  sqrt(${dsumSql("(a.c - b.c) * (a.c - b.c)")})
+             |    AS centroid_l2
+             |FROM cent a JOIN cent b
+             |  ON a.dim = b.dim AND a.label < b.label
+             |GROUP BY a.label, b.label""".stripMargin)),
   )
 }

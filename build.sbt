@@ -30,3 +30,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Multi-JVM parity gate: run the ClusterParity slice (real separate
+// executor JVMs via local-cluster) — `sbt clusterParity`; `sbt checkAll`
+// chains it after the ScalaTest suites so one command runs the whole
+// gate. SPARK_SCALA_VERSION lets the worker's executor launcher resolve
+// the dist-layout SPARK_HOME at /opt/spark.
+Test / envVars := Map(
+  "SPARK_SCALA_VERSION" -> "2.13",
+  "SPARK_HOME" -> "/opt/spark",
+)
+addCommandAlias("clusterParity", "Test/runMain graft.ClusterParity")
+addCommandAlias("checkAll", ";test ;clusterParity")

@@ -54,6 +54,13 @@ object Bench {
       val w = new java.io.PrintWriter("BENCH_FULL.json", "UTF-8")
       try w.println(full) finally w.close()
     } catch { case _: Throwable => () } // a read-only cwd must not kill the bench
+    // (4) the total alone in its own tiny file — the driver's "parsed":
+    // null tail-scrape bug (4 rounds running) can't lose a 1-line file
+    try {
+      val w = new java.io.PrintWriter("BENCH_TOTAL.json", "UTF-8")
+      try w.println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
+      finally w.close()
+    } catch { case _: Throwable => () }
     println(full)
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":{},"n_queries":${results.size},"errors":$es,"n_errors":${errors.size},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     if (errors.nonEmpty) sys.exit(1)

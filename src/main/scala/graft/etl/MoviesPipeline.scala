@@ -55,12 +55,15 @@ object MoviesPipeline {
       moviesProductionCompanies: DataFrame)
 
   def fromCsv(spark: SparkSession, moviesCsvPath: String,
-      ratingsCsvPath: String): MoviesTables =
+      ratingsCsvPath: String,
+      quirks: ReferenceQuirks = ReferenceQuirks.default): MoviesTables =
     build(
       readCsv(spark, moviesCsvPath, RefSchemas.moviesCsv),
-      ratingAvg(readCsv(spark, ratingsCsvPath, RefSchemas.ratingsCsv)))
+      ratingAvg(readCsv(spark, ratingsCsvPath, RefSchemas.ratingsCsv)),
+      quirks)
 
-  def build(moviesRaw: DataFrame, ratingAvg: DataFrame): MoviesTables = {
+  def build(moviesRaw: DataFrame, ratingAvg: DataFrame,
+      quirks: ReferenceQuirks = ReferenceQuirks.default): MoviesTables = {
     // ---- parse + coerce once; feeds every output -------------------------
     val base = moviesRaw
       .withColumn("movie_id", strictInt(col("id")).cast("int"))
@@ -73,7 +76,16 @@ object MoviesPipeline {
         posLong(col("revenue")).as("revenue"),
         posDouble(col("popularity")).as("popularity"),
         posIntFromNumeric(col("runtime")).as("runtime"),
-        nonEmpty(col("overview")).as("overview"),
+        // P-7 with the opt-in reference quirk: the reference's pandas
+        // round-trip turns a missing/empty overview into the literal
+        // string 'nan' (loader.py:141-142 — an empty CSV cell is a
+        // pandas NaN, and str(NaN) passes the non-empty gate); the
+        // engine default is NULL (documented deviation, SURVEY
+        // §1.2/§7.4.4). ReferenceQuirks.strict reproduces the sentinel
+        // byte-for-byte for cutover diffs.
+        (if (quirks.nanOverview)
+           coalesce(nonEmpty(col("overview")), lit("nan"))
+         else nonEmpty(col("overview"))).as("overview"),
         // NaN-sentinel mapping: missing/empty → 'nan' (see scaladoc)
         coalesce(nonEmpty(col("original_language")), lit("nan"))
           .as("orig_lang"),

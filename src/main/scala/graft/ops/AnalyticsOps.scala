@@ -766,6 +766,14 @@ object AnalyticsOps {
         val freq = supp1.filter(col("s") >= 3)
         val fitems = items
           .join(broadcast(freq.select(col("l_partkey"))), "l_partkey")
+        // operational diagnostic, carried in the output: the WORST
+        // per-basket pair expansion max C(|basket|,2) over frequent-item
+        // baskets — the quantity that must stay bounded for the self-
+        // join to stay linear; a probe battery watching this column
+        // sees super-linear growth before it hurts (SCALING.md q143)
+        val maxPairWork = fitems
+          .groupBy(col("l_orderkey")).agg(count(lit(1)).as("bs"))
+          .agg(max(expr("bs * (bs - 1) div 2")).as("max_pair_work"))
         val a = fitems.select(col("l_orderkey"), col("l_partkey").as("p1"))
         val b = fitems.select(col("l_orderkey"), col("l_partkey").as("p2"))
         val pairs = a.join(b, Seq("l_orderkey"))
@@ -776,12 +784,14 @@ object AnalyticsOps {
         val s2 = supp1.select(col("l_partkey").as("p2"), col("s").as("s2"))
         pairs.join(broadcast(s1), "p1").join(broadcast(s2), "p2")
           .crossJoin(broadcast(norders))
+          .crossJoin(broadcast(maxPairWork))
           .select(col("p1"), col("p2"), col("supp"), col("s1"), col("s2"),
             (col("supp").cast("double") / col("s1").cast("double"))
               .as("conf"),
             ((col("supp").cast("double") * col("n_orders").cast("double"))
               / (col("s1").cast("double") * col("s2").cast("double")))
-              .as("lift"))
+              .as("lift"),
+            col("max_pair_work"))
           .orderBy(col("supp").desc, col("p1"), col("p2"))
           .limit(20)
       },
@@ -799,14 +809,20 @@ object AnalyticsOps {
              |    CAST(COUNT(*) AS BIGINT) AS supp
              |  FROM fi a JOIN fi b ON a.l_orderkey = b.l_orderkey
              |    AND a.l_partkey < b.l_partkey
-             |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |bw AS (
+             |  SELECT CAST(MAX((c * (c - 1)) // 2) AS BIGINT)
+             |    AS max_pair_work
+             |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c
+             |        FROM fi GROUP BY l_orderkey))
              |SELECT p1, p2, supp, x.s AS s1, y.s AS s2,
              |  CAST(supp AS DOUBLE) / CAST(x.s AS DOUBLE) AS conf,
              |  (CAST(supp AS DOUBLE) * CAST(n_orders AS DOUBLE))
-             |    / (CAST(x.s AS DOUBLE) * CAST(y.s AS DOUBLE)) AS lift
+             |    / (CAST(x.s AS DOUBLE) * CAST(y.s AS DOUBLE)) AS lift,
+             |  max_pair_work
              |FROM p JOIN s1t x ON p.p1 = x.l_partkey
              |       JOIN s1t y ON p.p2 = y.l_partkey
-             |       CROSS JOIN n
+             |       CROSS JOIN n CROSS JOIN bw
              |ORDER BY supp DESC, p1, p2 LIMIT 20""".stripMargin)),
 
     // ----- q144: Pareto skyline (2-D dominance) without the O(n²) join ----
@@ -1105,7 +1121,12 @@ object AnalyticsOps {
             lit(BenfordMass.head._2))) { case (acc, (dg, p)) =>
           acc.when(col("digit") === dg, lit(p))
         }
+        // floor(v·100+0.5) >= 1 excludes values in (0, 0.005), whose
+        // scaled cents are 0: digit 0 has no cell in the 1–9 grid, so
+        // counting those rows in the totals would inflate every expected
+        // mass and bias the chi-square (mirrored in the oracle)
         val ev = events(s, d).filter(col("value") > 0.0)
+          .filter(floor(col("value") * 100 + lit(0.5)) >= 1)
           .select(col("event_type"),
             substring(floor(col("value") * 100 + lit(0.5)).cast("string"),
               1, 1).cast("int").as("digit"))
@@ -1137,7 +1158,8 @@ object AnalyticsOps {
            |  SELECT event_type,
            |    CAST(substr(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
            |      AS VARCHAR), 1, 1) AS INTEGER) AS digit
-           |  FROM events WHERE value > 0.0),
+           |  FROM events
+           |  WHERE value > 0.0 AND floor(value * 100 + 0.5) >= 1),
            |obs AS (
            |  SELECT event_type, digit, CAST(COUNT(*) AS BIGINT) AS n_obs
            |  FROM ev GROUP BY event_type, digit),
@@ -1171,8 +1193,9 @@ object AnalyticsOps {
     // measure — the q133 integer-grid contract applied to the type graph:
     // mass starts at 10^12 per state and each round moves
     // (m·n(i,j)) div tot(i) along every observed transition, so all
-    // arithmetic is BIGINT and the result is bit-exact at any partition
-    // count (no float matmul, no libm). Four synchronous rounds, fixed by
+    // arithmetic is exact integer (the product widened to DECIMAL(38,0)/
+    // HUGEINT — see the round body) and the result is bit-exact at any
+    // partition count (no float matmul, no libm). Four synchronous rounds, fixed by
     // design (the q141 bounded-horizon reproducibility rule). Scale: the
     // matrix is |event_type|² — provenance-bounded like q176's sources —
     // so every join is a broadcast; the only corpus-sized work is q73's
@@ -1197,8 +1220,16 @@ object AnalyticsOps {
           .unionByName(counts.select(col("to_type").as("t"))).distinct()
         var mass = types.select(col("t"), lit(1000000000000L).as("m"))
         for (_ <- 1 to 4) {
+          // the m·n product is computed in DECIMAL(38,0) (HUGEINT in the
+          // oracle), NOT BIGINT: m ≤ 10^12 and n is a corpus-scale
+          // transition count, so the raw long product overflows past
+          // ~2M transitions per edge — where Spark (non-ANSI) would wrap
+          // silently while DuckDB raises. The widened product is ≤ 10^25,
+          // exact in both engines, and the quotient is ≤ m, so the final
+          // BIGINT landing is always safe.
           val contrib = tm.join(mass, col("from_type") === col("t"))
-            .select(col("to_type"), expr("(m * n) div tot").as("c"))
+            .select(col("to_type"),
+              expr("(CAST(m AS DECIMAL(38,0)) * n) div tot").as("c"))
             .groupBy(col("to_type")).agg(sum(col("c")).as("sc"))
           mass = types.join(broadcast(contrib),
               col("t") === col("to_type"), "left")
@@ -1209,7 +1240,9 @@ object AnalyticsOps {
       Some {
         def round(prev: String, cur: Int): String =
           s"""c$cur AS (
-             |  SELECT tm.to_type, SUM((r.m * tm.n) // tm.tot) AS sc
+             |  SELECT tm.to_type, CAST(SUM(
+             |      CAST((CAST(r.m AS HUGEINT) * tm.n) // tm.tot AS BIGINT)
+             |    ) AS BIGINT) AS sc
              |  FROM tm JOIN $prev r ON tm.from_type = r.t
              |  GROUP BY tm.to_type),
              |r$cur AS (
@@ -1757,7 +1790,8 @@ object AnalyticsOps {
            |  SELECT epoch_us(ts) // 1000000 AS tsec,
            |    CAST(substr(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
            |      AS VARCHAR), 1, 1) AS INTEGER) AS digit
-           |  FROM events WHERE value > 0.0),
+           |  FROM events
+           |  WHERE value > 0.0 AND floor(value * 100 + 0.5) >= 1),
            |h AS (
            |  SELECT tsec - (tsec % 3600) AS wsec, digit,
            |    CAST(COUNT(*) AS BIGINT) AS n

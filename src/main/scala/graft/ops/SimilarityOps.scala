@@ -174,53 +174,106 @@ object SimilarityOps {
         .as("qe"))
       .persist()
 
-  /** Nearest-centroid assignment of the quantized corpus:
-    * (vec_id, qe, cluster, dist) with dist in grid units. */
-  private def kmAssign(corpus: DataFrame, cents: DataFrame): DataFrame = {
-    val dist = expr("aggregate(zip_with(qe, ce, (x, c) -> " +
-      "(CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), 0D, " +
-      "(a, v) -> a + v)")
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist").asc, col("cluster"))
-    corpus.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("qe"), col("cluster"),
-        dist.as("dist"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
+  /** Literal-centroid nearest-centroid assignment: each centroid becomes
+    * an `array(lit, …)` of 64 doubles baked into the plan, the k squared
+    * distances are computed side by side, and `least(struct(dist,
+    * cluster), …)` picks the winner — comparing `dist` first and
+    * breaking exact-double ties toward the smaller `cluster` id, the
+    * same ordering as the DuckDB oracle's windowed
+    * rank. With the centroids in the plan there is NO join, NO broadcast
+    * exchange, and NO shuffle in the assignment: it is a single narrow
+    * map over the (persisted) corpus — the shape Lloyd assignment should
+    * have on a 1000-executor cluster. Arithmetic is bit-identical to the
+    * joined form: same zip_with/aggregate left fold over the same
+    * doubles. */
+  private def kmAssignLit(
+      corpus: DataFrame, cents: Array[(Long, Array[Double])]): DataFrame = {
+    val cands = cents.map { case (cid, ce) =>
+      // typedLit, NOT array(lit,…): one ArrayType literal lands in the
+      // codegen references array instead of 64 inlined doubles, so the
+      // generated source is identical across Lloyd rounds and the Janino
+      // cache compiles the assignment stage once per JVM, not once per
+      // round.
+      val ceArr = typedLit(ce.toSeq)
+      val dist = aggregate(
+        zip_with(col("qe"), ceArr,
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0d), (a, v) => a + v)
+      struct(dist.as("dist"), lit(cid).as("cluster"))
+    }
+    val m = if (cands.length == 1) cands.head else least(cands.toSeq: _*)
+    corpus.withColumn("m", m)
+      .select(col("vec_id"), col("qe"),
+        col("m.cluster").as("cluster"), col("m.dist").as("dist"))
+  }
+
+  /** Driver-side Lloyd state, memoized per (data dir, rounds): the k=8
+    * trained centroids as plain JVM arrays. Bounded at k×dim doubles
+    * (8×64 = 512) — the same centers-on-the-driver shape Spark MLlib's
+    * KMeans uses, NOT a data-sized collect. Iterating driver-side keeps
+    * each Lloyd round at exactly ONE Spark job (an 8×64-row partial
+    * aggregate) instead of re-executing every earlier round inside the
+    * next round's broadcast build (the r8 nested-fold plan paid ~3.6 s
+    * of plan/exchange constants for 2 updates at sf0.1). The memo is
+    * what lets q111/q116/q117/q205 and the streaming twin share ONE
+    * training run per JVM. Exactness is unchanged: per-dim sums are
+    * exact BIGINT sums over the 2^20 grid, and `sv.toDouble/n.toDouble`
+    * is the same IEEE division the previous in-plan
+    * `CAST(sv AS DOUBLE)/CAST(n AS DOUBLE)` performed. */
+  private val kmMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), Array[(Long, Array[Double])]]()
+
+  /** Test hook: drop the memoized Lloyd state so a spec can force
+    * training to re-run (KMeansSpec's partition-independence case). */
+  private[graft] def kmMemoClear(): Unit = kmMemo.clear()
+
+  private def kmCentroidsLocal(
+      s: SparkSession, d: String, rounds: Int): Array[(Long, Array[Double])] = {
+    require(rounds >= 1, "kmeansTrain needs at least one assignment pass")
+    kmMemo.computeIfAbsent((d, rounds), _ => {
+      val corpus = kmCorpus(s, d)
+      var cents: Array[(Long, Array[Double])] = corpus
+        .filter(col("vec_id") < 8)
+        .select(col("vec_id"),
+          expr("transform(qe, x -> CAST(x AS DOUBLE))").as("ce"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      for (_ <- 1 until rounds) {
+        val sums = kmAssignLit(corpus, cents)
+          .select(col("cluster"), posexplode(col("qe")).as(Seq("i", "v")))
+          .groupBy(col("cluster"), col("i"))
+          .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+          .toMap
+        cents = cents.map { case (cid, ce) =>
+          val moved = Array.tabulate(ce.length) { i =>
+            sums.get((cid, i)) match {
+              case Some((sv, n)) => sv.toDouble / n.toDouble
+              case None          => ce(i) // empty cluster keeps its centroid
+            }
+          }
+          (cid, moved)
+        }
+      }
+      cents
+    })
   }
 
   /** The trained centroid table (cluster, ce: array<double>) after
-    * `rounds−1` Lloyd updates from the vec_id<8 seeds. */
+    * `rounds−1` Lloyd updates from the vec_id<8 seeds — the collected
+    * [[kmCentroidsLocal]] state re-lifted to a (tiny, local) DataFrame
+    * for consumers that join against it (the streaming assigner's
+    * stream-static broadcast, q205's gap report). */
   def kmeansCentroids(s: SparkSession, d: String, rounds: Int): DataFrame = {
-    require(rounds >= 1, "kmeansTrain needs at least one assignment pass")
-    val corpus = kmCorpus(s, d)
-    val seeds = corpus.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cluster"),
-        expr("transform(qe, x -> CAST(x AS DOUBLE))").as("ce"))
-    def update(assigned: DataFrame, prev: DataFrame): DataFrame = {
-      val means = assigned
-        .select(col("cluster"), posexplode(col("qe")).as(Seq("i", "v")))
-        .groupBy(col("cluster"), col("i"))
-        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
-        .groupBy(col("cluster"))
-        .agg(expr("transform(array_sort(collect_list(struct(i, " +
-          "CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)))), s -> s.col2)")
-          .as("mce"))
-      prev.join(means, Seq("cluster"), "left")
-        .select(col("cluster"),
-          coalesce(col("mce"), col("ce")).as("ce"))
-    }
-    // persisted: the trained table is 8 rows, and its plan is pure-
-    // declarative, so Spark's plan-keyed cache lets q111/q116/q117 (and
-    // the streaming scorer's batch twin) share ONE training run per
-    // session instead of re-running both Lloyd updates each
-    (1 until rounds).foldLeft(seeds) {
-      case (cents, _) => update(kmAssign(corpus, cents), cents)
-    }.persist()
+    val local = kmCentroidsLocal(s, d, rounds)
+    s.createDataFrame(local.toSeq.map { case (c, ce) => (c, ce.toSeq) })
+      .toDF("cluster", "ce")
   }
 
   def kmeansTrain(s: SparkSession, d: String, rounds: Int): DataFrame =
-    kmAssign(kmCorpus(s, d), kmeansCentroids(s, d, rounds))
+    kmAssignLit(kmCorpus(s, d), kmCentroidsLocal(s, d, rounds))
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_points"),
         dsum(col("dist") / lit(1099511627776.0)).as("inertia"))
@@ -324,7 +377,7 @@ object SimilarityOps {
        |${iterSql(3, "v2")}""".stripMargin
   }
 
-  /** DuckDB rendering of [[kmAssign]]'s squared grid distance. */
+  /** DuckDB rendering of [[kmAssignLit]]'s squared grid distance. */
   private def kmDistSql(q: String, c: String): String =
     s"""list_reduce(list_prepend(0.0,
        |  [(CAST($q.qe[i] AS DOUBLE) - $c.ce[i]) *
@@ -768,7 +821,7 @@ object SimilarityOps {
     // label: (cluster, label, n, frac-of-cluster). A concentrated row
     // means the coarse quantizer is carving label-coherent cells — the
     // property SemDeDup (q86) and IVF probing (q39) silently rely on.
-    // Same assignment plan as q111 (shared kmAssign/kmeansCentroids, and
+    // Same assignment arithmetic as q111 (shared kmAssignLit/kmCentroidsLocal, and
     // the oracle reuses the SAME iteration SQL via kmPrefixSql), plus
     // one (cluster, label) aggregate and an exact-integer share division.
     NamedQuery(
@@ -777,7 +830,7 @@ object SimilarityOps {
         val labels = tbl(s, d, "embeddings")
           .select(col("vec_id"), col("label"))
         val wc = Window.partitionBy(col("cluster"))
-        kmAssign(kmCorpus(s, d), kmeansCentroids(s, d, rounds = 3))
+        kmAssignLit(kmCorpus(s, d), kmCentroidsLocal(s, d, rounds = 3))
           .join(labels, "vec_id")
           .groupBy(col("cluster"), col("label"))
           .agg(count(lit(1)).as("n"))

@@ -306,9 +306,14 @@ object StreamOps {
     // must still move the watermark). Invalid amounts become a NULL
     // digit instead; windows holding ONLY invalid rows are dropped
     // post-aggregate, which is a plain filter on the aggregate output.
+    // "Invalid" includes values in (0, 0.005): their scaled cents are 0,
+    // a digit with no cell in the 1–9 grid — counting them in n_win
+    // would inflate every expected mass (q175's rule, mirrored in the
+    // q192 oracle).
     val hist = events
       .select(col("ts"),
-        when(col("value") > 0.0, digit).as("digit"))
+        when(col("value") > 0.0 &&
+          floor(col("value") * 100 + lit(0.5)) >= 1, digit).as("digit"))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"))
       .agg(sum(when(col("digit").isNotNull, 1L).otherwise(0L)).as("n_win"),

@@ -28,4 +28,24 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(a <= e && e < a + 0.25, s"$t p$q: approx $a vs exact $e")
     }
   }
+
+  test("q143 surfaces a planted monster basket in max_pair_work") {
+    import spark.implicits._
+    // 3 identical orders each holding the SAME 50 parts: every part is
+    // frequent (support 3 ≥ threshold), so all 50 survive the A-Priori
+    // prune and the per-basket pair expansion is C(50,2) = 1225 — the
+    // diagnostic must report exactly that, because it is the quantity an
+    // operator watches to catch super-linear pair growth early
+    val tmp = java.nio.file.Files
+      .createTempDirectory("q143guard").toString
+    val rows = for (o <- 1L to 3L; p <- 1L to 50L) yield (o, p)
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val got = SparkEntry.queries("q143_basket_rules")(spark, tmp).collect()
+    assert(got.nonEmpty)
+    val mpw = got.head.getAs[Long]("max_pair_work")
+    assert(mpw == 1225L, s"max_pair_work $mpw != C(50,2)")
+    // and every reported pair really has support 3
+    assert(got.forall(_.getAs[Long]("supp") == 3L))
+  }
 }

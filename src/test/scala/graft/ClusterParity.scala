@@ -6,7 +6,9 @@ import org.apache.spark.sql.SparkSession
   * once on `local[4]` (threads in one JVM, the test default) and once on
   * `local-cluster[2,2,1024]` (a real standalone master + worker with TWO
   * SEPARATE EXECUTOR JVM PROCESSES, real RPC, real serialized shuffles
-  * and broadcasts) — and asserts row-set equality.
+  * and broadcasts) — and asserts row-MULTISET equality (each distinct
+  * row must appear the same number of times on both sides; a set
+  * compare would let a multiplicity drift pass).
   *
   * What this proves that `local[n]` cannot: every custom construct
   * crosses a genuine process boundary — the native expressions
@@ -14,7 +16,7 @@ import org.apache.spark.sql.SparkSession
   * function registry, the SpaceSavingTopK typed Aggregator's buffer
   * round-trips through real shuffle serialization, broadcast joins ship
   * driver→executor over RPC, and the iterative StarCC/PageRank loops
-  * checkpoint across JVMs. Byte-identical results here plus the
+  * checkpoint across JVMs. Multiset-identical results here plus the
   * `local[3]` vs `local[8]` determinism battery (SCALING.md) is the
   * strongest single-box evidence that cluster re-planning cannot change
   * answers.
@@ -39,15 +41,21 @@ object ClusterParity {
     "q16_star_join", "q17_pricing_summary", "q27_minhash_lsh",
     "q30_embed_neardup", "q50_percentiles", "q57_star_clusters",
     "q67_topk_udaf", "q79_hll", "q122_gap_sessions", "q133_pagerank",
-    "q140_kaplan_meier", "q181_session_paths", "q196_bootstrap_ci")
+    "q140_kaplan_meier", "q181_session_paths", "q196_bootstrap_ci",
+    // one per r8 family: KMV distinct sketch, PQ-ADC byte-code search,
+    // inclusion-dependency mining, and the streaming Benford gate's
+    // batch twin
+    "q161_kmv_sketch", "q137_pq_adc", "q204_join_discovery",
+    "q192_benford_windows")
 
-  private def run(spark: SparkSession): Map[String, Set[Seq[Any]]] =
+  private def run(spark: SparkSession): Map[String, Map[Seq[Any], Int]] =
     queries.map { n =>
       n -> SparkEntry.queries(n)(spark, sf).collect()
         .map(_.toSeq.map {
           case a: Array[_] => a.toSeq
           case x => x
-        }).toSet
+        }.toSeq)
+        .groupBy(identity).view.mapValues(_.length).toMap
     }.toMap
 
   def main(args: Array[String]): Unit = {

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.etl.{CreditsPipeline, KeywordsPipeline, MoviesPipeline}
 
@@ -63,6 +64,24 @@ class EtlPipelineSpec extends AnyFunSuite {
     // (loader.py:163 has no validity guard; NaN mints a real entry)
     val m15 = got(15)
     assert(m15.getAs[Int]("original_language") == 3)
+  }
+
+  test("strict quirk mode keeps the reference's literal 'nan' overview") {
+    val strict = MoviesPipeline.fromCsv(spark,
+      TestSpark.fixture("movies_metadata.csv"),
+      TestSpark.fixture("ratings.csv"),
+      graft.etl.ReferenceQuirks.strict)
+    val got = strict.movies.collect()
+      .map(r => r.getAs[Int]("id") -> r.getAs[String]("overview")).toMap
+    // row 12's overview cell is empty: pandas reads it as NaN and the
+    // reference serializes the literal 'nan' (loader.py:141-142)
+    assert(got(12) == "nan")
+    // non-empty overviews are untouched by the quirk
+    assert(got(11) == "A long time ago in a galaxy far away")
+    // and the default mode emits NULL for the same row (documented
+    // deviation) — asserted against the shared `mt` build
+    val def12 = mt.movies.filter(col("id") === 12).head()
+    assert(def12.isNullAt(def12.fieldIndex("overview")))
   }
 
   test("languages: dense first-appearance ids + O-9 name backfill") {

@@ -41,6 +41,11 @@ class KMeansSpec extends AnyFunSuite {
 
   test("q111 result is independent of input partitioning") {
     val base = run(3)
+    // drop the memoized Lloyd state so the second run genuinely
+    // RE-TRAINS under the different shuffle partitioning — without this
+    // the memo would hand back the first run's centroids and the test
+    // would only exercise the final assignment
+    ops.SimilarityOps.kmMemoClear()
     val spark2 = spark.newSession()
     spark2.conf.set("spark.sql.shuffle.partitions", "7")
     val other = ops.SimilarityOps.kmeansTrain(spark2, dir, 3)

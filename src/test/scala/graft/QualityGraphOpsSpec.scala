@@ -588,4 +588,32 @@ class QualityGraphOpsSpec extends AnyFunSuite {
     assert(r.getDouble(3) == nums.filter(_._2 == mx).map(_._1).min)
     assert(r.getDouble(4) == mx.toDouble / (n1 * n2).toDouble)
   }
+
+  test("q185 wedge enumeration caps a planted hot hub at C(cap,2)") {
+    import spark.implicits._
+    // one ubiquitous hub (0) with 500 neighbors — the degree-squared
+    // worst case the cap exists for — plus a benign 3-star (hub 1000)
+    // whose wedges must survive untouched
+    val hot = (1L to 500L).flatMap(i => Seq((0L, i), (i, 0L)))
+    val benign = Seq((1000L, 2001L), (1000L, 2002L), (1000L, 2003L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val edges = (hot ++ benign).toDF("src", "dst")
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val wedges = GovernanceOps.hubCappedWedges(edges, deg)
+      .select(col("a"), col("z"), col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cap = GovernanceOps.WedgeHubCap
+    val hubWedges = wedges.filter(_._2 == 0L)
+    // capped: exactly the C(cap,2) pairs over the cap SMALLEST neighbors
+    assert(hubWedges.length == cap * (cap - 1) / 2,
+      s"hot hub produced ${hubWedges.length} wedges")
+    assert(hubWedges.forall { case (a, _, b) => a <= cap && b <= cap },
+      "cap must keep the lexicographically smallest neighbors")
+    // the benign star is untouched: C(3,2) wedges through hub 1000
+    assert(wedges.count(_._2 == 1000L) == 3)
+    // degz carries the FULL hub degree, not the capped one
+    val degz = GovernanceOps.hubCappedWedges(edges, deg)
+      .filter(col("z") === 0L).select(col("degz")).head().getLong(0)
+    assert(degz == 500L, s"degz $degz must be the uncapped degree")
+  }
 }

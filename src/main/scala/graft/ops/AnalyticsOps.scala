@@ -2183,5 +2183,157 @@ object AnalyticsOps {
              |  quantile_cont(lag_secs, 0.9) AS p90_secs
              |FROM pairs WHERE from_type IS NOT NULL
              |GROUP BY from_type, to_type""".stripMargin)),
+
+    // ----- q210: CUSUM change-point over hourly event rates ---------------
+    // The monitoring question q99's drift windows can't answer: not "is
+    // this window off?" but WHEN did the rate regime change. Classic
+    // CUSUM (Page 1954) per event_type over the DENSIFIED hourly count
+    // series (absent hours are zero events — skipping them would hide
+    // exactly the outage a change-point detector exists to find),
+    // kept integer-exact by scaling: S_k = n·Σ_{i≤k} x_i − k·total is
+    // the running deviation from the mean rate multiplied through by
+    // n_hours, so no rational mean ever materializes; the change point
+    // is argmax |S_k| with ties to the earliest hour (min(struct) —
+    // partial-aggregable, no second window). BIGINT bounds: |S| ≤
+    // n_hours·total ≈ 10^5·10^12 at crawl scale — within long. Shape:
+    // one (type, hour) partial-agg shuffle, a per-type bounded
+    // densification (sequence over the type's own hour span), one
+    // cumulative window per type, one argmin agg. Never event×hour.
+    NamedQuery(
+      "q210_cusum_changepoint",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hc = events(s, d)
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 3600000000").as("h"))
+          .groupBy(col("event_type"), col("h"))
+          .agg(count(lit(1)).as("x"))
+        val bounds = hc.groupBy(col("event_type"))
+          .agg(min(col("h")).as("h0"), max(col("h")).as("h1"),
+            sum(col("x")).as("total"))
+        val dense = bounds
+          .select(col("event_type"), col("h0"), col("total"),
+            (col("h1") - col("h0") + 1).as("n_hours"),
+            explode(expr("sequence(h0, h1)")).as("h"))
+          .join(hc, Seq("event_type", "h"), "left")
+          .select(col("event_type"), col("h"), col("h0"), col("n_hours"),
+            col("total"), coalesce(col("x"), lit(0L)).as("x"))
+        val wc = Window.partitionBy(col("event_type")).orderBy(col("h"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        dense
+          .withColumn("s",
+            col("n_hours") * sum(col("x")).over(wc) -
+              (col("h") - col("h0") + 1) * col("total"))
+          .groupBy(col("event_type"))
+          .agg(max(col("n_hours")).as("n_hours"),
+            max(col("total")).as("total"),
+            min(struct((-abs(col("s"))).as("na"), col("h").as("h")))
+              .as("m"))
+          .select(col("event_type"), col("n_hours"), col("total"),
+            col("m.h").as("cp_hour"), (-col("m.na")).as("s_max"))
+      },
+      Some("""WITH hc AS (
+             |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+             |    CAST(COUNT(*) AS BIGINT) AS x
+             |  FROM events GROUP BY 1, 2),
+             |bounds AS (
+             |  SELECT event_type, MIN(h) AS h0, MAX(h) AS h1,
+             |    CAST(SUM(x) AS BIGINT) AS total,
+             |    MAX(h) - MIN(h) + 1 AS n_hours
+             |  FROM hc GROUP BY event_type),
+             |dense AS (
+             |  SELECT g.event_type, g.h, g.h0, g.n_hours, g.total,
+             |    CAST(COALESCE(hc.x, 0) AS BIGINT) AS x
+             |  FROM (SELECT event_type, h0, h1, n_hours, total,
+             |          unnest(range(h0, h1 + 1)) AS h
+             |        FROM bounds) g
+             |  LEFT JOIN hc ON hc.event_type = g.event_type
+             |    AND hc.h = g.h),
+             |cum AS (
+             |  SELECT event_type, h, n_hours, total,
+             |    n_hours * SUM(x) OVER (PARTITION BY event_type
+             |      ORDER BY h
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      - (h - h0 + 1) * total AS s
+             |  FROM dense)
+             |SELECT event_type, n_hours, total,
+             |  CAST(h AS BIGINT) AS cp_hour,
+             |  CAST(abs(s) AS BIGINT) AS s_max
+             |FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY event_type
+             |    ORDER BY abs(s) DESC, h) AS rn
+             |  FROM cum)
+             |WHERE rn = 1""".stripMargin)),
+
+    // ----- q213: per-stream OLS trend (closed-form regression) ------------
+    // Is a stream's value drifting, and how fast? Ordinary least squares
+    // of value against the hour index, per event_type, from the five
+    // classic sufficient statistics (n, Σx, Σx², Σy, Σxy — plus Σy² for
+    // r²) — the one-pass, partial-aggregable shape that IS how
+    // regression runs on a cluster: every statistic is a partial-agg
+    // sum, so the corpus is read once and no residual pass exists.
+    // Exactness: x = hours since the stream's own first hour (bounded,
+    // so Σx² stays representable), x-sums accumulate in DECIMAL(38,0)
+    // (Σx² would pass 2^63 at crawl scale), y-sums on the dsum decimal
+    // grid; the slope/intercept/r² formulas are then identical
+    // double-arithmetic trees in both engines. The per-type x offset
+    // uses a broadcast min-join, not a window.
+    NamedQuery(
+      "q213_trend_ols",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 3600000000").as("h"), col("value"))
+        val h0 = ev.groupBy(col("event_type")).agg(min(col("h")).as("h0"))
+        val st = ev.join(broadcast(h0), "event_type")
+          .select(col("event_type"), (col("h") - col("h0")).as("x"),
+            col("value").as("y"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+              .cast("double").as("sx"),
+            sum((col("x") * col("x"))
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+              .cast("double").as("sxx"),
+            dsum(col("y")).as("sy"),
+            dsum(col("x").cast("double") * col("y")).as("sxy"),
+            dsum(col("y") * col("y")).as("syy"))
+        val nD = col("n").cast("double")
+        val num = nD * col("sxy") - col("sx") * col("sy")
+        val den = nD * col("sxx") - col("sx") * col("sx")
+        val deny = nD * col("syy") - col("sy") * col("sy")
+        st.select(col("event_type"), col("n"),
+          (num / den).as("slope"),
+          ((col("sy") - (num / den) * col("sx")) / nD).as("intercept"),
+          ((num * num) / (den * deny)).as("r2"))
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, value
+              |  FROM events),
+              |h0 AS (SELECT event_type, MIN(h) AS h0
+              |       FROM ev GROUP BY event_type),
+              |st AS (
+              |  SELECT ev.event_type,
+              |    CAST(COUNT(*) AS BIGINT) AS n,
+              |    CAST(SUM(CAST(ev.h - h0.h0 AS DECIMAL(38,0)))
+              |      AS DOUBLE) AS sx,
+              |    CAST(SUM(CAST((ev.h - h0.h0) * (ev.h - h0.h0)
+              |      AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+              |    ${dsumSql("value")} AS sy,
+              |    ${dsumSql("CAST(ev.h - h0.h0 AS DOUBLE) * value")} AS sxy,
+              |    ${dsumSql("value * value")} AS syy
+              |  FROM ev JOIN h0 USING (event_type)
+              |  GROUP BY ev.event_type)
+              |SELECT event_type, n,
+              |  (CAST(n AS DOUBLE) * sxy - sx * sy)
+              |    / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+              |  (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+              |          / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+              |    / CAST(n AS DOUBLE) AS intercept,
+              |  ((CAST(n AS DOUBLE) * sxy - sx * sy)
+              |    * (CAST(n AS DOUBLE) * sxy - sx * sy))
+              |    / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+              |       * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r2
+              |FROM st""".stripMargin)),
   )
 }

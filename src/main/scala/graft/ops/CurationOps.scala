@@ -1004,5 +1004,76 @@ object CurationOps {
              |  ${dsumSql("score")} / CAST(COUNT(*) AS DOUBLE) AS mean_score,
              |  MIN(score) AS min_score, MAX(score) AS max_score
              |FROM bk GROUP BY source, bucket""".stripMargin)),
+
+    // ----- q212: target-mixture sampler (domain rebalancing) --------------
+    // The data-mixing step between curation and training: draw a budget
+    // of N = n_docs div 2 documents whose SOURCE mix hits a target
+    // (uniform here — each of the k sources gets quota N div k), using
+    // the per-source md5-rank selection of q44/q89 so the draw is a
+    // deterministic function of the data, reproducible on any cluster.
+    // A source short of its quota yields what it has (selected =
+    // min(avail, quota)); the achieved share column shows the residual
+    // imbalance a second redistribution pass would close — reported,
+    // not hidden. sel_sum (exact Σ doc_id over the selected set) is the
+    // witness that both engines selected the SAME documents, not merely
+    // the same counts. Shape: one per-source rank window over the
+    // (doc_id, source) projection, quota/k as broadcast scalars, one
+    // source-bounded rollup — corpus touched once, selection emitted
+    // without a global sort.
+    NamedQuery(
+      "q212_mixture_sampler",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = tbl(s, d, "documents")
+          .select(col("doc_id"), col("source"))
+        val scal = docs.agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("source")).as("k"))
+          .select(expr("(n_docs div 2) div k").as("quota"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(strHash(col("doc_id").cast("string")), col("doc_id"))
+        val sel = docs
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .crossJoin(broadcast(scal))
+          .filter(col("rk") <= col("quota"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_selected"),
+            sum(col("doc_id")).as("sel_sum"))
+        val avail = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("avail"))
+        val tot = sel.agg(sum(col("n_selected")).as("n_total"))
+        avail.join(sel, "source")
+          .crossJoin(broadcast(scal))
+          .crossJoin(broadcast(tot))
+          .select(col("source"), col("avail"), col("quota"),
+            col("n_selected"), col("sel_sum"),
+            (col("n_selected").cast("double") /
+              col("n_total").cast("double")).as("achieved_share"))
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, source FROM documents),
+              |scal AS (
+              |  SELECT (COUNT(*) // 2) // COUNT(DISTINCT source) AS quota
+              |  FROM docs),
+              |rk AS (
+              |  SELECT source, doc_id, CAST(row_number() OVER (
+              |    PARTITION BY source ORDER BY
+              |      ${strHashSql("CAST(doc_id AS VARCHAR)")}, doc_id)
+              |    AS BIGINT) AS rk
+              |  FROM docs),
+              |sel AS (
+              |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_selected,
+              |    CAST(SUM(doc_id) AS BIGINT) AS sel_sum
+              |  FROM rk CROSS JOIN scal WHERE rk.rk <= scal.quota
+              |  GROUP BY source),
+              |avail AS (
+              |  SELECT source, CAST(COUNT(*) AS BIGINT) AS avail
+              |  FROM docs GROUP BY source),
+              |tot AS (SELECT CAST(SUM(n_selected) AS BIGINT) AS n_total
+              |        FROM sel)
+              |SELECT a.source, a.avail, CAST(scal.quota AS BIGINT) AS quota,
+              |  s.n_selected, s.sel_sum,
+              |  CAST(s.n_selected AS DOUBLE) / CAST(tot.n_total AS DOUBLE)
+              |    AS achieved_share
+              |FROM avail a JOIN sel s USING (source)
+              |CROSS JOIN scal CROSS JOIN tot""".stripMargin)),
   )
 }

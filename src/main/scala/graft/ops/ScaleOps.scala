@@ -1168,5 +1168,134 @@ object ScaleOps {
            |  CAST(mod AS DOUBLE) / CAST(n_keys AS DOUBLE)
            |FROM agg""".stripMargin
       }),
+
+    // ----- q208: pairwise KMV resemblance matrix --------------------------
+    // The sketch-algebra payoff q161 sets up: the SAME per-source
+    // bottom-32 KMV sketches answer every PAIRWISE vocabulary-overlap
+    // question without re-touching the corpus. For each source pair the
+    // bottom-k of the union of the two sketches is a uniform sample of
+    // A∪B (any global bottom-k hash is in its own source's bottom-k),
+    // and the share of that sample present in BOTH sketches is Broder's
+    // bottom-k Jaccard estimator Ĵ = |X ∩ S_A ∩ S_B| / |X|. The exact
+    // per-pair Jaccard over the distinct-hash sets rides along as the
+    // witness column, so the estimator's quality is part of the result
+    // (q41/q161 discipline). All estimator arithmetic is integer counts
+    // and one double ratio — identical trees both engines, the DOUBLE
+    // hash-matches. Scale shape: the pair stage touches ONLY sketch rows
+    // (20 sources × 32 values; at 10k sources still sketch-bounded) —
+    // the corpus is read once to build `hs`, which the plan-keyed cache
+    // SHARES with q161 verbatim; the exact-witness join is a vocab-sized
+    // equi-join on the 60-bit hash, dropped at true scale where the
+    // estimate IS the product.
+    NamedQuery(
+      "q208_kmv_resemblance",
+      (s, d) => {
+        import graft.ops.LlmKit.strHash
+        val k = 32
+        val hs = tbl(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .select(col("source"), strHash(col("tok")).as("h"))
+          .distinct().persist()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("h"))
+        val sk = hs.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k).persist()
+        val srcs = sk.select(col("source")).distinct()
+        val pr = srcs.select(col("source").as("src_a"))
+          .crossJoin(srcs.select(col("source").as("src_b")))
+          .filter(col("src_a") < col("src_b"))
+        val ta = pr.join(sk.select(col("source").as("src_a"), col("h"),
+          lit(1).as("in_a"), lit(0).as("in_b")), Seq("src_a"))
+        val tb = pr.join(sk.select(col("source").as("src_b"), col("h"),
+          lit(0).as("in_a"), lit(1).as("in_b")), Seq("src_b"))
+        val merged = ta.select(col("src_a"), col("src_b"), col("h"),
+            col("in_a"), col("in_b"))
+          .unionByName(tb.select(col("src_a"), col("src_b"), col("h"),
+            col("in_a"), col("in_b")))
+          .groupBy(col("src_a"), col("src_b"), col("h"))
+          .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+        val wx = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src_a"), col("src_b")).orderBy(col("h"))
+        val est = merged.withColumn("rn", row_number().over(wx))
+          .filter(col("rn") <= k)
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("nx"),
+            sum(col("in_a") * col("in_b")).cast("long").as("n_common"))
+        val sizes = hs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val inter = hs.select(col("source").as("src_a"), col("h"))
+          .join(hs.select(col("source").as("src_b"), col("h")), Seq("h"))
+          .filter(col("src_a") < col("src_b"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("n_inter"))
+        est
+          .join(broadcast(sizes.select(col("source").as("src_a"),
+            col("n").as("n_a"))), Seq("src_a"))
+          .join(broadcast(sizes.select(col("source").as("src_b"),
+            col("n").as("n_b"))), Seq("src_b"))
+          .join(inter, Seq("src_a", "src_b"), "left")
+          .select(col("src_a"), col("src_b"), col("nx"), col("n_common"),
+            (col("n_common").cast("double") / col("nx").cast("double"))
+              .as("j_est"),
+            (coalesce(col("n_inter"), lit(0L)).cast("double") /
+              (col("n_a") + col("n_b") -
+                coalesce(col("n_inter"), lit(0L))).cast("double"))
+              .as("j_exact"))
+      },
+      Some {
+        import graft.ops.LlmKit.strHashSql
+        val h = strHashSql("tok")
+        s"""WITH toks AS (
+           |  SELECT source, unnest(string_split(text, ' ')) AS tok
+           |  FROM documents),
+           |hs AS (SELECT DISTINCT source, $h AS h FROM toks),
+           |sk AS (
+           |  SELECT source, h FROM (
+           |    SELECT source, h, row_number() OVER (
+           |      PARTITION BY source ORDER BY h) AS rn
+           |    FROM hs)
+           |  WHERE rn <= 32),
+           |pr AS (
+           |  SELECT a.source AS src_a, b.source AS src_b
+           |  FROM (SELECT DISTINCT source FROM sk) a,
+           |       (SELECT DISTINCT source FROM sk) b
+           |  WHERE a.source < b.source),
+           |merged AS (
+           |  SELECT src_a, src_b, h,
+           |    MAX(in_a) AS in_a, MAX(in_b) AS in_b
+           |  FROM (
+           |    SELECT pr.src_a, pr.src_b, s.h, 1 AS in_a, 0 AS in_b
+           |    FROM pr JOIN sk s ON s.source = pr.src_a
+           |    UNION ALL
+           |    SELECT pr.src_a, pr.src_b, s.h, 0, 1
+           |    FROM pr JOIN sk s ON s.source = pr.src_b)
+           |  GROUP BY 1, 2, 3),
+           |est AS (
+           |  SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS nx,
+           |    CAST(SUM(in_a * in_b) AS BIGINT) AS n_common
+           |  FROM (
+           |    SELECT *, row_number() OVER (
+           |      PARTITION BY src_a, src_b ORDER BY h) AS rn
+           |    FROM merged)
+           |  WHERE rn <= 32
+           |  GROUP BY 1, 2),
+           |sizes AS (
+           |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM hs GROUP BY source),
+           |inter AS (
+           |  SELECT a.source AS src_a, b.source AS src_b,
+           |    CAST(COUNT(*) AS BIGINT) AS n_inter
+           |  FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+           |  GROUP BY 1, 2)
+           |SELECT e.src_a, e.src_b, e.nx, e.n_common,
+           |  CAST(e.n_common AS DOUBLE) / CAST(e.nx AS DOUBLE) AS j_est,
+           |  CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+           |    / CAST(sa.n + sb.n - COALESCE(i.n_inter, 0) AS DOUBLE)
+           |    AS j_exact
+           |FROM est e
+           |JOIN sizes sa ON sa.source = e.src_a
+           |JOIN sizes sb ON sb.source = e.src_b
+           |LEFT JOIN inter i
+           |  ON i.src_a = e.src_a AND i.src_b = e.src_b""".stripMargin
+      }),
   )
 }

@@ -2224,5 +2224,107 @@ object SimilarityOps {
              |FROM cent a JOIN cent b
              |  ON a.dim = b.dim AND a.label < b.label
              |GROUP BY a.label, b.label""".stripMargin)),
+
+    // ----- q211: 1-bit signature ANN (sign quantization + Hamming scan) ---
+    // The most compressed vector index that still works: each embedding
+    // collapses to its 64 SIGN bits, packed into two BIGINT words
+    // (lo = dims 1–32, hi = 33–64 — two words, not one, because a
+    // portable 64-bit build can't shift into the sign bit on every
+    // engine, and the word layout is the general ≥64-dim shape anyway).
+    // Charikar's hyperplane-LSH result makes sign agreement an angle
+    // estimator, so Hamming distance ranks candidates at 8 bytes/vector
+    // — a 32× compression of the float corpus; a billion signatures
+    // Hamming-scan from RAM at memory bandwidth (the rerank-from-
+    // compressed trick; at index scale the signatures bucket by word —
+    // q152's pigeonhole — instead of scanning). The query MEASURES its
+    // own fidelity the way the index is actually used: Hamming selects
+    // a 32-candidate shortlist, the exact cosine reranks ONLY the
+    // shortlist (32 float dots per query instead of |corpus|), and the
+    // reranked top-1 is scored against the full exact top-1 (both
+    // excluding self, ties to the smaller id) — recall@1 of the
+    // shortlist pipeline, as one double ratio. Shape: signature build
+    // is a per-row projection; the shortlist is a per-query top-k
+    // window over broadcast-joined candidates; the final argmins are
+    // partial-aggregable min(struct)s.
+    NamedQuery(
+      "q211_bitsig_ann",
+      (s, d) => {
+        def word(off: Int): org.apache.spark.sql.Column = expr(
+          s"aggregate(zip_with(slice(embedding, ${off + 1}, 32), " +
+            "sequence(0, 31), (x, i) -> " +
+            "CASE WHEN CAST(x AS DOUBLE) > 0D " +
+            "THEN shiftleft(1L, CAST(i AS INT)) ELSE 0L END), " +
+            "0L, (a, v) -> a | v)")
+        val base = normed(s, d)
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            word(0).as("lo"), word(32).as("hi"))
+        val q = base.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+            col("nrm").as("qn"), col("lo").as("qlo"), col("hi").as("qhi"))
+        val cand = base.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        val ham = bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("hi").bitwiseXOR(col("qhi")))
+        val cos = dot(col("qe"), col("embedding")) /
+          (col("qn") * col("nrm"))
+        val scored = cand
+          .select(col("q_id"), col("vec_id"), ham.as("ham"), cos.as("cos"))
+        val wb = Window.partitionBy(col("q_id"))
+          .orderBy(col("ham"), col("vec_id"))
+        val rerank = scored
+          .withColumn("rb", row_number().over(wb))
+          .filter(col("rb") <= 32)
+          .groupBy(col("q_id"))
+          .agg(min(struct((-col("cos")).as("nc"), col("vec_id"))).as("mr"))
+          .select(col("q_id"), col("mr.vec_id").as("bit_nn"))
+        val exact = scored
+          .groupBy(col("q_id"))
+          .agg(min(struct((-col("cos")).as("nc"), col("vec_id"))).as("me"))
+          .select(col("q_id"), col("me.vec_id").as("exact_nn"))
+        rerank.join(exact, "q_id")
+          .agg(count(lit(1)).as("n_queries"),
+            sum(when(col("bit_nn") === col("exact_nn"), 1L)
+              .otherwise(0L)).as("n_hits"))
+          .select(col("n_queries"), col("n_hits"),
+            (col("n_hits").cast("double") /
+              col("n_queries").cast("double")).as("recall"))
+      },
+      Some(s"""WITH sig AS (
+              |  SELECT vec_id, embedding,
+              |    CAST(list_sum([CASE WHEN embedding[i] > 0
+              |        THEN 1::BIGINT << (i-1) ELSE 0::BIGINT END
+              |      for i in range(1, 33)]) AS BIGINT) AS lo,
+              |    CAST(list_sum([CASE WHEN embedding[i+32] > 0
+              |        THEN 1::BIGINT << (i-1) ELSE 0::BIGINT END
+              |      for i in range(1, 33)]) AS BIGINT) AS hi
+              |  FROM embeddings),
+              |q AS (SELECT vec_id AS q_id, embedding AS qe,
+              |        lo AS qlo, hi AS qhi
+              |      FROM sig WHERE vec_id % 100 = 0),
+              |ranked AS (
+              |  SELECT q.q_id, s.vec_id,
+              |    ${cosineSql("q.qe", "s.embedding")} AS cos,
+              |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+              |      bit_count(xor(s.lo, q.qlo))
+              |        + bit_count(xor(s.hi, q.qhi)), s.vec_id) AS rb,
+              |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+              |      ${cosineSql("q.qe", "s.embedding")} DESC, s.vec_id)
+              |      AS re
+              |  FROM sig s JOIN q ON s.vec_id <> q.q_id),
+              |nn AS (
+              |  SELECT b.q_id, b.vec_id AS bit_nn, e.vec_id AS exact_nn
+              |  FROM (SELECT q_id, vec_id FROM (
+              |          SELECT q_id, vec_id, row_number() OVER (
+              |            PARTITION BY q_id ORDER BY cos DESC, vec_id)
+              |            AS rr
+              |          FROM ranked WHERE rb <= 32)
+              |        WHERE rr = 1) b
+              |  JOIN (SELECT q_id, vec_id FROM ranked WHERE re = 1) e
+              |    USING (q_id))
+              |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+              |  CAST(SUM(CASE WHEN bit_nn = exact_nn THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_hits,
+              |  CAST(SUM(CASE WHEN bit_nn = exact_nn THEN 1 ELSE 0 END)
+              |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+              |FROM nn""".stripMargin)),
   )
 }

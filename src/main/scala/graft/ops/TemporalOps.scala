@@ -453,5 +453,122 @@ object TemporalOps {
              |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_starts
              |FROM curve GROUP BY t // 86400000000""".stripMargin)),
+
+    // ----- q206: retention cohort matrix ----------------------------------
+    // The product-analytics staple every warehouse team rebuilds: users
+    // cohorted by FIRST-ACTIVE day, tracked for 7 day-offsets — cell
+    // (c, k) = how many of cohort c came back on day c+k, plus the
+    // retention share against the cohort's size. Day index is exact
+    // integer micros-since-epoch div 86400000000 (no calendar/timezone
+    // functions — the q190 day-bucket rule), the share a single double
+    // ratio of two BIGINTs. Scale shape: ONE distinct shuffle to the
+    // (user, day) activity grid (far smaller than events), a per-user
+    // min-agg for the cohort day (partial-aggregable, never a window
+    // over raw events), one join back keyed on user_id, and a
+    // cohort-bounded rollup. Nothing is ever user×day dense — only
+    // observed activity rows flow.
+    NamedQuery(
+      "q206_retention_cohorts",
+      (s, d) => {
+        val ud = events(s, d)
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .distinct()
+        val cohort = ud.groupBy(col("user_id"))
+          .agg(min(col("day")).as("cohort_day"))
+        val sizes = cohort.groupBy(col("cohort_day"))
+          .agg(count(lit(1)).as("cohort_n"))
+        ud.join(cohort, "user_id")
+          .select(col("cohort_day"),
+            (col("day") - col("cohort_day")).as("offset"))
+          .filter(col("offset") <= 7)
+          .groupBy(col("cohort_day"), col("offset"))
+          .agg(count(lit(1)).as("n_active"))
+          .join(sizes, "cohort_day")
+          .select(col("cohort_day"), col("offset"), col("n_active"),
+            col("cohort_n"),
+            (col("n_active").cast("double") /
+              col("cohort_n").cast("double")).as("retention"))
+      },
+      Some("""WITH ud AS (
+             |  SELECT DISTINCT user_id,
+             |    epoch_us(ts) // 86400000000 AS day
+             |  FROM events),
+             |cohort AS (
+             |  SELECT user_id, MIN(day) AS cohort_day
+             |  FROM ud GROUP BY user_id),
+             |sizes AS (
+             |  SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_n
+             |  FROM cohort GROUP BY cohort_day),
+             |act AS (
+             |  SELECT c.cohort_day, ud.day - c.cohort_day AS "offset",
+             |    CAST(COUNT(*) AS BIGINT) AS n_active
+             |  FROM ud JOIN cohort c ON ud.user_id = c.user_id
+             |  WHERE ud.day - c.cohort_day <= 7
+             |  GROUP BY 1, 2)
+             |SELECT a.cohort_day, a."offset", a.n_active, s.cohort_n,
+             |  CAST(a.n_active AS DOUBLE) / CAST(s.cohort_n AS DOUBLE)
+             |    AS retention
+             |FROM act a JOIN sizes s USING (cohort_day)""".stripMargin)),
+
+    // ----- q207: SCD2 state timeline from the event stream ----------------
+    // The slowly-changing-dimension reconstruction every CDC pipeline
+    // runs: a user's event stream compressed to STATE intervals — a new
+    // interval opens only when event_type CHANGES (consecutive
+    // same-type events collapse), valid_to = the next state's start
+    // (SCD2's closed-open convention; each user's final open interval
+    // is excluded — it has no end yet). Reported per state: interval
+    // count, total dwell micros (exact BIGINT sums of micros
+    // differences — no float time math), and mean dwell hours as one
+    // double ratio. Shape: two per-user windows (lag to mark changes,
+    // lead over the CHANGE rows only for the interval end) on the same
+    // (user_id, ts) sort — Spark plans one exchange+sort and reuses it
+    // — then a state-bounded rollup. At 100 TB this is the single-sort
+    // sessionization shape; no self-join, no interval explosion.
+    NamedQuery(
+      "q207_scd2_dwell",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val marked = events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNull ||
+            col("prev_type") =!= col("event_type"))
+        val w2 = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        marked
+          .withColumn("valid_to", lead(unix_micros(col("ts")), 1).over(w2))
+          .filter(col("valid_to").isNotNull)
+          .select(col("event_type"),
+            (col("valid_to") - unix_micros(col("ts"))).as("dwell_us"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(col("dwell_us")).as("total_us"))
+          .select(col("event_type"), col("n_intervals"), col("total_us"),
+            (col("total_us").cast("double") / lit(3600000000.0) /
+              col("n_intervals").cast("double")).as("mean_dwell_hours"))
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev_type
+             |  FROM events),
+             |changes AS (
+             |  SELECT user_id, epoch_us(ts) AS us, ts, event_id, event_type
+             |  FROM o
+             |  WHERE prev_type IS NULL OR prev_type <> event_type),
+             |iv AS (
+             |  SELECT event_type,
+             |    lead(us) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) - us AS dwell_us
+             |  FROM changes)
+             |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+             |  CAST(SUM(dwell_us) AS BIGINT) AS total_us,
+             |  CAST(SUM(dwell_us) AS DOUBLE) / 3600000000.0
+             |    / CAST(COUNT(*) AS DOUBLE) AS mean_dwell_hours
+             |FROM iv WHERE dwell_us IS NOT NULL
+             |GROUP BY event_type""".stripMargin)),
   )
 }

@@ -1609,5 +1609,62 @@ object TextOps {
              |  CAST(MIN(i) AS BIGINT) AS first_pos
              |FROM hits GROUP BY doc_id
              |ORDER BY n_occurrences DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // ----- q209: Hellinger distance between source word distributions -----
+    // The domain-shift matrix a data-mixing decision reads: for every
+    // source pair, the Hellinger distance H = √(1 − BC) between their
+    // unigram distributions, with the Bhattacharyya coefficient
+    // BC = Σ_t √(p_t·q_t) summed over the shared vocabulary (a term in
+    // only one source contributes 0). Hellinger over KL/JS because √ is
+    // a correctly-rounded IEEE primitive (the q176 transcendental rule)
+    // where ln is libm — so the statistic is engine-exact. The BC sum
+    // runs through dsum (6-decimal grid) for partition-order
+    // independence; 1−BC is clamped at 0 (Cauchy–Schwarz gives BC ≤ 1,
+    // the decimal grid can land a hair under from above). Scale shape:
+    // per-source unigram tables are vocab-bounded (Heaps' law); the
+    // pair expansion joins them on tok, so work is vocab × (pairs
+    // sharing the token) — sources², never corpus²; totals broadcast.
+    NamedQuery(
+      "q209_hellinger_matrix",
+      (s, d) => {
+        val c = tbl(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("source"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+        val n = c.groupBy(col("source")).agg(sum(col("c")).as("n"))
+        val p = c.join(broadcast(n), "source")
+          .select(col("source"), col("tok"),
+            (col("c").cast("double") / col("n").cast("double")).as("p"))
+        val bc = p.select(col("source").as("src_a"), col("tok"),
+            col("p").as("pa"))
+          .join(p.select(col("source").as("src_b"), col("tok"),
+            col("p").as("pb")), Seq("tok"))
+          .filter(col("src_a") < col("src_b"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(dsum(sqrt(col("pa") * col("pb"))).as("bc"))
+        bc.select(col("src_a"), col("src_b"), col("bc"),
+          sqrt(greatest(lit(0.0), lit(1.0) - col("bc"))).as("hellinger"))
+      },
+      Some(s"""WITH c AS (
+              |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+              |  FROM (SELECT source,
+              |          unnest(string_split(text, ' ')) AS tok
+              |        FROM documents)
+              |  GROUP BY source, tok),
+              |n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+              |      FROM c GROUP BY source),
+              |p AS (
+              |  SELECT c.source, c.tok,
+              |    CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE) AS p
+              |  FROM c JOIN n USING (source)),
+              |bc AS (
+              |  SELECT a.source AS src_a, b.source AS src_b,
+              |    ${dsumSql("sqrt(a.p * b.p)")} AS bc
+              |  FROM p a JOIN p b ON a.tok = b.tok
+              |    AND a.source < b.source
+              |  GROUP BY 1, 2)
+              |SELECT src_a, src_b, bc,
+              |  sqrt(greatest(0.0, 1.0 - bc)) AS hellinger
+              |FROM bc""".stripMargin)),
   )
 }

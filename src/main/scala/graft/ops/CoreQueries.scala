@@ -696,6 +696,81 @@ object CoreQueries {
            |WHERE CAST(c.n_common AS DOUBLE)
            |  / CAST(s.n_distinct AS DOUBLE) >= 0.05""".stripMargin
       }),
+
+    // ----- q214: functional-dependency discovery --------------------------
+    // q204 mines JOIN edges between tables; this mines the WITHIN-table
+    // structure a catalog/profiler publishes next: does column A
+    // determine column B? For nine candidate A→B pairs (PK→attribute
+    // controls that must hold, plus plausible-but-false dependencies
+    // that must be refuted), count the determinant keys whose dependent
+    // takes more than one value. Both sides of every pair are cast to
+    // string — integer→string rendering is identical across engines,
+    // and no double ever becomes a key (float formatting is not
+    // portable; the q52 rule applied to profiling). Shape: one stacked
+    // distinct (fd, a, b) projection per pair union'd into a single
+    // stream, one (fd, a) count, one fd-bounded rollup — each source
+    // table is scanned once per pair projection and everything
+    // aggregates map-side; never a self-join.
+    NamedQuery(
+      "q214_fd_discovery",
+      (s, d) => {
+        def fd(t: String, a: String, b: String) =
+          tbl(s, d, t).select(
+            lit(s"$t.$a->$b").as("fd"),
+            col(a).cast("string").as("a"),
+            col(b).cast("string").as("b")).distinct()
+        val stacked = Seq(
+          fd("orders", "o_orderkey", "o_custkey"),
+          fd("orders", "o_custkey", "o_orderpriority"),
+          fd("part", "p_partkey", "p_brand"),
+          fd("part", "p_brand", "p_type"),
+          fd("part", "p_type", "p_size"),
+          fd("customer", "c_custkey", "c_mktsegment"),
+          fd("customer", "c_nationkey", "c_mktsegment"),
+          fd("lineitem", "l_orderkey", "l_returnflag"),
+          fd("lineitem", "l_partkey", "l_suppkey"))
+          .reduce(_ unionByName _)
+        stacked
+          .groupBy(col("fd"), col("a"))
+          .agg(count(lit(1)).as("nb"))
+          .groupBy(col("fd"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(when(col("nb") > 1, 1L).otherwise(0L)).as("n_violating"),
+            max(col("nb")).as("max_rhs"))
+          .select(col("fd"), col("n_keys"), col("n_violating"),
+            col("max_rhs"), (col("n_violating") === 0).as("fd_holds"),
+            (col("n_violating").cast("double") /
+              col("n_keys").cast("double")).as("violation_share"))
+      },
+      Some {
+        def fdSql(t: String, a: String, b: String) =
+          s"""SELECT DISTINCT '$t.$a->$b' AS fd,
+             |  CAST($a AS VARCHAR) AS a, CAST($b AS VARCHAR) AS b
+             |FROM $t""".stripMargin
+        val stacked = Seq(
+          fdSql("orders", "o_orderkey", "o_custkey"),
+          fdSql("orders", "o_custkey", "o_orderpriority"),
+          fdSql("part", "p_partkey", "p_brand"),
+          fdSql("part", "p_brand", "p_type"),
+          fdSql("part", "p_type", "p_size"),
+          fdSql("customer", "c_custkey", "c_mktsegment"),
+          fdSql("customer", "c_nationkey", "c_mktsegment"),
+          fdSql("lineitem", "l_orderkey", "l_returnflag"),
+          fdSql("lineitem", "l_partkey", "l_suppkey"))
+          .mkString("(", ") UNION ALL (", ")")
+        s"""WITH stacked AS ($stacked),
+           |keys AS (
+           |  SELECT fd, a, CAST(COUNT(*) AS BIGINT) AS nb
+           |  FROM stacked GROUP BY fd, a)
+           |SELECT fd, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           |  CAST(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violating,
+           |  CAST(MAX(nb) AS BIGINT) AS max_rhs,
+           |  SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds,
+           |  CAST(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(COUNT(*) AS DOUBLE) AS violation_share
+           |FROM keys GROUP BY fd""".stripMargin
+      }),
   )
 
   /** Exploded token bigrams of one language's documents (q80/q81). */

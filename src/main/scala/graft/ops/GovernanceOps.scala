@@ -1614,6 +1614,69 @@ object GovernanceOps {
            |  modularity
            |FROM terms CROSS JOIN qq""".stripMargin
       }),
+
+    // ----- q215: near-dup cluster canonicalization by quality -------------
+    // min-id cluster labels (q57/q103) are the right JOIN KEY but the
+    // wrong KEEP RULE: a production dedup keeps each cluster's BEST
+    // member, not its smallest id. For every multi-member near-dup
+    // cluster, pick the member maximizing the q100 quality score (ties
+    // to the smaller doc_id), and report whether the minimum-id default
+    // would have kept a different — worse — document. The argmax is a
+    // partial-aggregable min(struct(−quality, doc_id)) (the kmAssignLit
+    // idiom), NOT a per-cluster sort; labels come from the memoized
+    // nearDupLabels closure, so this query adds one quality projection
+    // and one cluster-bounded rollup to work the session already paid
+    // for.
+    NamedQuery(
+      "q215_cluster_canonical",
+      (s, d) => {
+        val corpus = corpusWithNearDups(s, d)
+        val toks = split(col("text"), " ")
+        val nTok = size(toks).cast("double")
+        val uniqR = size(array_distinct(toks)).cast("double") / nTok
+        val stopR = size(filter(toks,
+          t => t.isin("the", "a"))).cast("double") / nTok
+        val avgW = (length(col("text")).cast("double") - (nTok - 1.0)) / nTok
+        val quality = lit(0.4) * uniqR + lit(0.3) * (lit(1.0) - stopR) +
+          lit(0.3) * least(avgW / 8.0, lit(1.0))
+        nearDupLabels(s, d)
+          .join(corpus.select(col("doc_id"), quality.as("quality")),
+            Seq("doc_id"))
+          .groupBy(col("cluster_rep"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(struct((-col("quality")).as("nq"),
+              col("doc_id").as("doc_id"))).as("m"))
+          .filter(col("n_docs") >= 2)
+          .select(col("cluster_rep"), col("n_docs"),
+            col("m.doc_id").as("best_doc"),
+            (-col("m.nq")).as("best_quality"),
+            (col("m.doc_id") =!= col("cluster_rep"))
+              .as("min_id_kept_worse"))
+      },
+      Some {
+        val nTok = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
+        val uniqR = s"CAST(len(list_distinct(string_split(text, ' '))) " +
+          s"AS DOUBLE) / $nTok"
+        val stopR = "CAST(len(list_filter(string_split(text, ' '), " +
+          s"t -> t IN ('the', 'a'))) AS DOUBLE) / $nTok"
+        val avgW = s"(CAST(length(text) AS DOUBLE) - ($nTok - 1.0)) / $nTok"
+        s"""WITH RECURSIVE $clusterLabelCtes,
+           |qual AS (
+           |  SELECT doc_id,
+           |    0.4 * ($uniqR) + 0.3 * (1.0 - $stopR)
+           |      + 0.3 * least(($avgW) / 8.0, 1.0) AS quality
+           |  FROM corpus),
+           |ranked AS (
+           |  SELECT l.cluster_rep, l.doc_id, q.quality,
+           |    COUNT(*) OVER (PARTITION BY l.cluster_rep) AS n_docs,
+           |    row_number() OVER (PARTITION BY l.cluster_rep
+           |      ORDER BY q.quality DESC, l.doc_id) AS rk
+           |  FROM labels l JOIN qual q USING (doc_id))
+           |SELECT cluster_rep, CAST(n_docs AS BIGINT) AS n_docs,
+           |  doc_id AS best_doc, quality AS best_quality,
+           |  doc_id <> cluster_rep AS min_id_kept_worse
+           |FROM ranked WHERE rk = 1 AND n_docs >= 2""".stripMargin
+      }),
   )
 
   /** q133's engine, extracted for direct testing against a scalar

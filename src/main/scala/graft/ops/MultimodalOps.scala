@@ -163,6 +163,57 @@ object MultimodalOps {
     })
   }
 
+  /** 64-bit average-hash over the payload: the byte stream is cut into
+    * 64 equal slices, each slice's mean brightness-proxy is compared to
+    * the global mean, bit i = slice i above average — the classic aHash
+    * layout with the pixel DECODE stubbed to raw bytes (the same
+    * documented codec-stub contract as [[embedMedia]]/[[resizeMedia]]:
+    * a real decoder feeds grayscale pixels into this same function and
+    * nothing downstream changes). Properties the spec pins: identical
+    * payloads collide exactly; a single-byte perturbation moves at most
+    * a few bits (Hamming-near), where any cryptographic hash scatters —
+    * which is the entire point of a PERCEPTUAL signature. */
+  def aHash64(payload: Array[Byte]): Long = {
+    val n = payload.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      // slice index via the exact integer split i*64/n (monotone,
+      // partition-free — no float boundaries)
+      val s = (i.toLong * 64 / n).toInt
+      sums(s) += payload(i) & 0xff
+      cnts(s) += 1
+      i += 1
+    }
+    var total = 0L
+    i = 0
+    while (i < 64) { total += sums(i); i += 1 }
+    var bits = 0L
+    i = 0
+    while (i < 64) {
+      // slice mean > global mean, compared in exact cross-multiplied
+      // integers: sums(i)·n > total·cnts(i) — no double division
+      if (cnts(i) > 0 && sums(i) * n > total * cnts(i))
+        bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  final case class MediaSig(doc_id: Long, modality: String, ahash: Long)
+
+  /** Perceptual-signature projection: one aHash64 per record. Grouping
+    * on the signature (or pigeonhole-joining its 16-bit words, q152)
+    * gives near-dup media clusters without ever comparing payloads
+    * pairwise. */
+  def mediaSignatures(ds: Dataset[MediaRecord]): Dataset[MediaSig] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(r =>
+      MediaSig(r.doc_id, r.modality, aHash64(r.payload))))
+  }
+
   /** documents → MediaRecord dataset (payload = utf-8 bytes, modality
     * routed by size like q37). */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {

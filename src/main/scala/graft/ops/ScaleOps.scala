@@ -1297,5 +1297,124 @@ object ScaleOps {
            |LEFT JOIN inter i
            |  ON i.src_a = e.src_a AND i.src_b = e.src_b""".stripMargin
       }),
+
+    // ----- q216: rolling 24h distinct users via sketch merge --------------
+    // The sliding-window distinct count no exact method survives at
+    // scale (exact needs every user id in the window in state): keep
+    // ONE 64-register HLL per hour (q79's portable integer registers),
+    // and answer "distinct users in the last 24 h" for every hour by
+    // merging 24 hourly sketches — registers merge by MAX, so the
+    // rolling merge is a range-frame window max per register, dense
+    // over the hour grid (a register absent from all 24 hours counts as
+    // empty). This is the streaming-state story made relational: hourly
+    // state is 64 small ints regardless of traffic; the window NEVER
+    // touches user ids. The exact rolling distinct rides along as the
+    // witness (computed from the bounded (hour, user) activity grid ×
+    // ≤24 hour memberships — linear, for the audit only; at true scale
+    // the sketch column is the product). Estimator fold, α constant,
+    // and rank arithmetic are q79's verbatim, so the DOUBLE estimate
+    // hash-matches.
+    NamedQuery(
+      "q216_rolling_distinct",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val uh = events(s, d)
+          .select(expr("unix_micros(ts) div 3600000000").as("h"),
+            col("user_id"))
+          .distinct().persist()
+        val hashed = uh.select(col("h"),
+          strHash(col("user_id").cast("string")).as("uhash"))
+          .select(col("h"), pmod(col("uhash"), lit(64)).as("bkt"),
+            expr("shiftright(uhash, 6)").as("v"))
+          .select(col("h"), col("bkt"),
+            when(col("v") === 0, lit(55))
+              .otherwise(lit(55) - length(bin(col("v")))).as("rank"))
+        val regs = hashed.groupBy(col("h"), col("bkt"))
+          .agg(max(col("rank")).as("m"))
+        val hours = uh.select(col("h")).distinct()
+        val grid = hours.crossJoin(
+            broadcast(s.range(0, 64).select(col("id").as("bkt"))))
+          .join(regs, Seq("h", "bkt"), "left")
+        val wr = Window.partitionBy(col("bkt")).orderBy(col("h"))
+          .rangeBetween(-23, 0)
+        val rolled = grid.withColumn("rm", max(col("m")).over(wr))
+        val alpha = (lit(7213.0) / lit(10000.0)) /
+          (lit(1.0) + (lit(1079.0) / lit(1000.0)) / lit(64.0))
+        val est = rolled.groupBy(col("h"))
+          .agg(sum(when(col("rm").isNotNull, 1L).otherwise(0L))
+              .as("n_regs"),
+            // collect_list drops NULL inputs, so absent registers never
+            // enter the fold (mirrors the oracle's FILTER clause)
+            sort_array(collect_list(when(col("rm").isNotNull,
+              struct(col("bkt"), col("rm"))))).as("rm"))
+          .select(col("h"), col("n_regs"),
+            (aggregate(col("rm"), lit(0.0),
+              (acc, p) => acc + lit(1.0) /
+                pow(lit(2.0), p.getField("rm"))) +
+              (lit(64) - col("n_regs")).cast("double")).as("z"))
+          .select(col("h"), col("n_regs"),
+            (alpha * lit(4096.0) / col("z")).as("hll_24h"))
+        val exact = uh.select(col("h").as("uh_h"), col("user_id"))
+          .join(broadcast(hours),
+            col("uh_h").between(col("h") - 23, col("h")))
+          .groupBy(col("h"))
+          .agg(countDistinct(col("user_id")).as("exact_24h"))
+        est.join(exact, "h")
+          .select(col("h"), col("n_regs"), col("hll_24h"),
+            col("exact_24h"),
+            (abs(col("hll_24h") - col("exact_24h").cast("double")) /
+              col("exact_24h").cast("double")).as("rel_err"))
+      },
+      Some {
+        val h = strHashSql("CAST(user_id AS VARCHAR)")
+        s"""WITH uh AS (
+           |  SELECT DISTINCT epoch_us(ts) // 3600000000 AS h, user_id
+           |  FROM events),
+           |hashed AS (
+           |  SELECT h, hh % 64 AS bkt,
+           |    CASE WHEN (hh // 64) = 0 THEN 55
+           |         ELSE 55 - length(bin(hh // 64)) END AS rank
+           |  FROM (SELECT h, $h AS hh FROM uh)),
+           |regs AS (
+           |  SELECT h, bkt, MAX(rank) AS m
+           |  FROM hashed GROUP BY h, bkt),
+           |hours AS (SELECT DISTINCT h FROM uh),
+           |grid AS (
+           |  SELECT hours.h, b.bkt, regs.m
+           |  FROM hours CROSS JOIN
+           |    (SELECT unnest(range(0, 64)) AS bkt) b
+           |  LEFT JOIN regs ON regs.h = hours.h AND regs.bkt = b.bkt),
+           |rolled AS (
+           |  SELECT h, bkt, MAX(m) OVER (PARTITION BY bkt ORDER BY h
+           |    RANGE BETWEEN 23 PRECEDING AND CURRENT ROW) AS rm
+           |  FROM grid),
+           |folded AS (
+           |  SELECT h,
+           |    CAST(SUM(CASE WHEN rm IS NOT NULL THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_regs,
+           |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |      list_transform(list(rm ORDER BY bkt)
+           |          FILTER (WHERE rm IS NOT NULL), mm ->
+           |        CAST(1 AS DOUBLE) / pow(CAST(2 AS DOUBLE), mm))),
+           |      (a, b) -> a + b) AS zp
+           |  FROM rolled GROUP BY h),
+           |est AS (
+           |  SELECT h, n_regs,
+           |    ((7213.0 / 10000.0) / (1.0 + (1079.0 / 1000.0) / 64.0))
+           |      * 4096.0
+           |      / (COALESCE(zp, 0.0) + CAST(64 - n_regs AS DOUBLE))
+           |      AS hll_24h
+           |  FROM folded),
+           |exact AS (
+           |  SELECT hours.h,
+           |    CAST(COUNT(DISTINCT uh.user_id) AS BIGINT) AS exact_24h
+           |  FROM uh JOIN hours
+           |    ON uh.h BETWEEN hours.h - 23 AND hours.h
+           |  GROUP BY hours.h)
+           |SELECT e.h, e.n_regs, e.hll_24h, x.exact_24h,
+           |  abs(e.hll_24h - CAST(x.exact_24h AS DOUBLE))
+           |    / CAST(x.exact_24h AS DOUBLE) AS rel_err
+           |FROM est e JOIN exact x USING (h)""".stripMargin
+      }),
   )
 }

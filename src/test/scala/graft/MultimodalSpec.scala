@@ -215,4 +215,38 @@ class MultimodalSpec extends AnyFunSuite {
     // self-cosine == 1 exactly for any nonzero vector
     assert(self.filter(col("c") < 0.999999).count() == 0)
   }
+
+  test("aHash64 is a perceptual signature: stable under small edits") {
+    val base = Array.tabulate(4096)(i => ((i * 31 + 7) % 251).toByte)
+    val h0 = MultimodalOps.aHash64(base)
+    // identical payloads collide exactly
+    assert(MultimodalOps.aHash64(base.clone()) == h0)
+    // a single-byte perturbation moves at most a few bits — the
+    // near-duplicate property a cryptographic hash cannot give
+    val tweaked = base.clone(); tweaked(100) = (tweaked(100) + 40).toByte
+    val ham = java.lang.Long.bitCount(MultimodalOps.aHash64(tweaked) ^ h0)
+    assert(ham <= 4, s"1-byte edit moved $ham bits")
+    // structurally different content lands far away
+    val other = Array.tabulate(4096)(i => ((i / 64) % 2 * 200).toByte)
+    val far = java.lang.Long.bitCount(MultimodalOps.aHash64(other) ^ h0)
+    assert(far > 8, s"distinct content only $far bits apart")
+    // degenerate inputs are total, not exceptional
+    assert(MultimodalOps.aHash64(Array.emptyByteArray) == 0L)
+    assert(MultimodalOps.aHash64(Array[Byte](42)) == 0L)
+  }
+
+  test("mediaSignatures clusters byte-identical docs, distributed") {
+    import spark.implicits._
+    val recs = Seq(
+      MultimodalOps.MediaRecord(1L, "image",
+        Array.tabulate(512)(i => (i % 97).toByte)),
+      MultimodalOps.MediaRecord(2L, "image",
+        Array.tabulate(512)(i => (i % 97).toByte)),
+      MultimodalOps.MediaRecord(3L, "image",
+        Array.tabulate(512)(i => (255 - i % 97).toByte))).toDS()
+    val sigs = MultimodalOps.mediaSignatures(recs).collect()
+      .map(s => s.doc_id -> s.ahash).toMap
+    assert(sigs(1L) == sigs(2L), "identical payloads must collide")
+    assert(sigs(1L) != sigs(3L), "inverted payload must not collide")
+  }
 }

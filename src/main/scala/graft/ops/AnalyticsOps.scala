@@ -2335,5 +2335,272 @@ object AnalyticsOps {
               |    / ((CAST(n AS DOUBLE) * sxx - sx * sx)
               |       * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r2
               |FROM st""".stripMargin)),
+
+    // ----- q217: Mann–Whitney U rank test (does a stream dominate?) -------
+    // The distribution-free two-sample test: does one event stream's
+    // value distribution stochastically dominate the rest? (q178's
+    // z-test compares PROPORTIONS, q136's KS compares CDF shape; this
+    // is the rank test — robust to outliers and scale, the one to run
+    // when value units drift across sources.) Each type is tested
+    // against all other rows using GLOBAL average ranks, so ranks are
+    // computed ONCE and shared by all k tests — not k re-rankings.
+    // Exactness: doubled average ranks 2·rank(v) = 2F(v) − c(v) + 1 are
+    // INTEGERS (F = inclusive global CDF, c = tie size), so the rank
+    // sums accumulate exactly in DECIMAL(38,0)/HUGEINT; the tie
+    // correction Σ(c³−c) likewise. U, the common-language effect size
+    // AUC = U/(n1·n2), and the normal z (one IEEE sqrt) are identical
+    // double trees both engines, the q176 contract. Scale: the CDF is
+    // the q148 phased construction — distinct values range-bucketed by
+    // ⌊value⌋, running counts per bucket window, bucket offsets, NO
+    // global sort — and everything downstream is distinct-value-sized.
+    NamedQuery(
+      "q217_mannwhitney",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, d).select(col("event_type"), col("value"))
+        val dist = ev.groupBy(col("value")).agg(count(lit(1)).as("c"))
+          .withColumn("b", floor(col("value")).cast("long"))
+        val wRun = Window.partitionBy(col("b")).orderBy(col("value"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val run = dist.withColumn("r", sum(col("c")).over(wRun))
+        val wOff = Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val off = dist.groupBy(col("b")).agg(sum(col("c")).as("tb"))
+          .select(col("b"),
+            coalesce(sum(col("tb")).over(wOff), lit(0L)).as("o"))
+        val f = run.join(broadcast(off), "b")
+          .select(col("value"), col("c"), (col("o") + col("r")).as("fv"))
+        val byTv = ev.groupBy(col("event_type"), col("value"))
+          .agg(count(lit(1)).as("k"))
+        val perType = byTv.join(f, "value")
+          .groupBy(col("event_type"))
+          .agg(sum(col("k")).as("n1"),
+            // k·(2F − c + 1) widened BEFORE the multiply: k and F are
+            // both corpus-scale, so the raw long product wraps at ~3e9
+            // rows (the q177 overflow lesson)
+            sum(expr("CAST(k AS DECIMAL(38,0)) * (2*fv - c + 1)"))
+              .as("two_r1"))
+        val glob = dist.agg(sum(col("c")).as("nt"),
+          sum(expr("CAST(c AS DECIMAL(38,0)) * c * c - c")).as("ties"))
+        val n1d = col("n1").cast("double")
+        val n2d = (col("nt") - col("n1")).cast("double")
+        val nd = col("nt").cast("double")
+        val u = (col("two_r1").cast("double") -
+          n1d * (n1d + lit(1.0))) / lit(2.0)
+        val sigma2 = n1d * n2d / lit(12.0) *
+          ((nd + lit(1.0)) -
+            col("ties").cast("double") / (nd * (nd - lit(1.0))))
+        val z = (u - n1d * n2d / lit(2.0)) / sqrt(sigma2)
+        perType.crossJoin(broadcast(glob))
+          .select(col("event_type"), col("n1"),
+            (col("nt") - col("n1")).as("n2"),
+            u.as("u_stat"),
+            (u / (n1d * n2d)).as("auc"),
+            z.as("z"),
+            // |z| at two-sided α = 0.005 — the battery's audit alpha
+            (abs(z) > lit(2.807)).as("flagged"))
+      },
+      Some("""WITH ev AS (SELECT event_type, value FROM events),
+             |d AS (SELECT value, CAST(COUNT(*) AS BIGINT) AS c
+             |      FROM ev GROUP BY value),
+             |cdf AS (SELECT value, c,
+             |    CAST(SUM(c) OVER (ORDER BY value
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fv
+             |  FROM d),
+             |tv AS (SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS k
+             |       FROM ev GROUP BY event_type, value),
+             |pt AS (SELECT tv.event_type,
+             |    CAST(SUM(k) AS BIGINT) AS n1,
+             |    SUM(CAST(k AS HUGEINT) * (2*fv - c + 1)) AS two_r1
+             |  FROM tv JOIN cdf USING (value)
+             |  GROUP BY tv.event_type),
+             |g AS (SELECT CAST(SUM(c) AS BIGINT) AS nt,
+             |    SUM(CAST(c AS HUGEINT) * c * c - c) AS ties FROM d),
+             |m AS (SELECT event_type, n1, nt - n1 AS n2,
+             |    CAST(n1 AS DOUBLE) AS n1d,
+             |    CAST(nt - n1 AS DOUBLE) AS n2d,
+             |    CAST(nt AS DOUBLE) AS nd,
+             |    CAST(two_r1 AS DOUBLE) AS trd,
+             |    CAST(ties AS DOUBLE) AS tiesd
+             |  FROM pt, g)
+             |SELECT event_type, n1, n2,
+             |  (trd - n1d * (n1d + 1.0)) / 2.0 AS u_stat,
+             |  ((trd - n1d * (n1d + 1.0)) / 2.0) / (n1d * n2d) AS auc,
+             |  ((trd - n1d * (n1d + 1.0)) / 2.0 - n1d * n2d / 2.0)
+             |    / sqrt(n1d * n2d / 12.0
+             |           * ((nd + 1.0) - tiesd / (nd * (nd - 1.0)))) AS z,
+             |  abs(((trd - n1d * (n1d + 1.0)) / 2.0 - n1d * n2d / 2.0)
+             |    / sqrt(n1d * n2d / 12.0
+             |           * ((nd + 1.0) - tiesd / (nd * (nd - 1.0)))))
+             |    > 2.807 AS flagged
+             |FROM m""".stripMargin)),
+
+    // ----- q218: one-way ANOVA F across event streams ----------------------
+    // Do the k streams share a mean at all? The omnibus test that runs
+    // BEFORE pairwise z-tests (q178) — one F from the classic variance
+    // decomposition SST = SSB + SSW. Sufficient statistics only: per
+    // group n, Σy, Σy² as DECIMAL(28,6) partial-aggregable sums (the
+    // dsum grid, kept DECIMAL through the cross-group rollup so the
+    // grand total is exact — summing the per-group DOUBLES would make
+    // the grand sum order-dependent); SSW/SSB are then per-group double
+    // terms recombined on the 6-decimal grid, and F is one double
+    // ratio. Scale: one corpus scan into a k-row partial agg, a k-row
+    // scalar epilogue, and the F row broadcast back onto the per-group
+    // report — the q178 shape generalized to k arms.
+    NamedQuery(
+      "q218_anova_f",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+        val grp = events(s, d)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(dec)).as("sdec"),
+            sum((col("value") * col("value")).cast(dec)).as("ssdec"))
+        val g = grp.agg(sum(col("n")).as("nt"), sum(col("sdec")).as("stot"),
+          count(lit(1)).as("kg"))
+        val syd = col("sdec").cast("double")
+        val ssyd = col("ssdec").cast("double")
+        val ndd = col("n").cast("double")
+        val terms = grp.crossJoin(broadcast(g))
+          .select(col("event_type"), col("n"),
+            (syd / ndd).as("mean_value"),
+            (ssyd - syd * syd / ndd).as("ss_within"),
+            (syd * syd / ndd).as("bterm"),
+            col("nt"), col("kg"), col("stot").cast("double").as("std"))
+        val fRow = terms.agg(
+          dsum(col("ss_within")).as("ssw"),
+          dsum(col("bterm")).as("sbsum"),
+          max(col("nt")).as("nt2"), max(col("kg")).as("kg2"),
+          max(col("std")).as("std2"))
+          .select(col("ssw"),
+            (col("sbsum") -
+              col("std2") * col("std2") / col("nt2").cast("double"))
+              .as("ssb"),
+            col("nt2"), col("kg2"))
+        val f = (col("ssb") / (col("kg2") - lit(1)).cast("double")) /
+          (col("ssw") / (col("nt2") - col("kg2")).cast("double"))
+        terms.select(col("event_type"), col("n"), col("mean_value"),
+            col("ss_within"))
+          .crossJoin(broadcast(fRow.select(f.as("f_stat"),
+            (col("kg2") - lit(1)).as("df1"),
+            (col("nt2") - col("kg2")).as("df2"),
+            // F(4, ∞) critical value at α = 0.01 — a 6-decimal literal,
+            // never a runtime inverse-F (libm)
+            (f > lit(3.32)).as("flagged"))))
+      },
+      Some("""WITH grp AS (
+             |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |    SUM(CAST(value AS DECIMAL(28,6))) AS sdec,
+             |    SUM(CAST(value * value AS DECIMAL(28,6))) AS ssdec
+             |  FROM events GROUP BY event_type),
+             |g AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, SUM(sdec) AS stot,
+             |      CAST(COUNT(*) AS BIGINT) AS kg FROM grp),
+             |terms AS (
+             |  SELECT event_type, n,
+             |    CAST(sdec AS DOUBLE) / CAST(n AS DOUBLE) AS mean_value,
+             |    CAST(ssdec AS DOUBLE) - CAST(sdec AS DOUBLE)
+             |      * CAST(sdec AS DOUBLE) / CAST(n AS DOUBLE) AS ss_within,
+             |    CAST(sdec AS DOUBLE) * CAST(sdec AS DOUBLE)
+             |      / CAST(n AS DOUBLE) AS bterm,
+             |    nt, kg, CAST(stot AS DOUBLE) AS std
+             |  FROM grp, g),
+             |f AS (
+             |  SELECT
+             |    CAST(SUM(CAST(ss_within AS DECIMAL(28,6))) AS DOUBLE)
+             |      AS ssw,
+             |    CAST(SUM(CAST(bterm AS DECIMAL(28,6))) AS DOUBLE)
+             |      - MAX(std) * MAX(std) / CAST(MAX(nt) AS DOUBLE) AS ssb,
+             |    MAX(nt) AS nt2, MAX(kg) AS kg2
+             |  FROM terms)
+             |SELECT t.event_type, t.n, t.mean_value, t.ss_within,
+             |  (f.ssb / CAST(f.kg2 - 1 AS DOUBLE))
+             |    / (f.ssw / CAST(f.nt2 - f.kg2 AS DOUBLE)) AS f_stat,
+             |  f.kg2 - 1 AS df1, f.nt2 - f.kg2 AS df2,
+             |  (f.ssb / CAST(f.kg2 - 1 AS DOUBLE))
+             |    / (f.ssw / CAST(f.nt2 - f.kg2 AS DOUBLE)) > 3.32 AS flagged
+             |FROM terms t, f""".stripMargin)),
+
+    // ----- q220: Spearman rank correlation (length vs lexical variety) ----
+    // Monotone association without a linearity assumption: per language,
+    // does document length predict vocabulary size RANK-wise? (q147/q213
+    // fit a line — one outlier document bends them; Spearman only sees
+    // order.) Doubled average ranks 2r = 2F − c + 1 (the q217 integer
+    // trick, computed per language over the DISTINCT-value table — both
+    // metrics are small integers, so the rank windows run over
+    // bounded-cardinality inputs, never a per-row sort); Pearson on the
+    // doubled ranks equals Pearson on the ranks (the ×2 cancels), so the
+    // five sufficient sums accumulate exactly in DECIMAL(38,0)/HUGEINT
+    // and ρ is one identical double tree. Scale: two distinct-value
+    // aggs + two hash joins back to the corpus + one k-row partial agg.
+    NamedQuery(
+      "q220_spearman",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = tbl(s, d, "documents").select(col("lang"),
+          col("n_chars").cast("long").as("x"),
+          size(array_distinct(split(col("text"), " "))).cast("long")
+            .as("y"))
+        def doubledRanks(c: String): org.apache.spark.sql.DataFrame = {
+          val dist = docs.groupBy(col("lang"), col(c))
+            .agg(count(lit(1)).as("cc"))
+          val w = Window.partitionBy(col("lang")).orderBy(col(c))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          dist.withColumn("fcum", sum(col("cc")).over(w))
+            .select(col("lang"), col(c),
+              (col("fcum") * 2 - col("cc") + 1).as(s"r$c"))
+        }
+        val ranked = docs
+          .join(doubledRanks("x"), Seq("lang", "x"))
+          .join(doubledRanks("y"), Seq("lang", "y"))
+        val st = ranked.groupBy(col("lang")).agg(
+          count(lit(1)).as("n"),
+          sum(expr("CAST(rx AS DECIMAL(38,0))")).cast("double").as("sx"),
+          sum(expr("CAST(rx AS DECIMAL(38,0)) * rx")).cast("double")
+            .as("sxx"),
+          sum(expr("CAST(ry AS DECIMAL(38,0))")).cast("double").as("sy"),
+          sum(expr("CAST(ry AS DECIMAL(38,0)) * ry")).cast("double")
+            .as("syy"),
+          sum(expr("CAST(rx AS DECIMAL(38,0)) * ry")).cast("double")
+            .as("sxy"))
+        val nD = col("n").cast("double")
+        st.select(col("lang"), col("n"),
+          ((nD * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(nD * col("sxx") - col("sx") * col("sx")) *
+              sqrt(nD * col("syy") - col("sy") * col("sy")))).as("rho"))
+      },
+      Some("""WITH docs AS (
+             |  SELECT lang, CAST(n_chars AS BIGINT) AS x,
+             |    CAST(len(list_distinct(string_split(text, ' ')))
+             |      AS BIGINT) AS y
+             |  FROM documents),
+             |dx AS (SELECT lang, x, CAST(COUNT(*) AS BIGINT) AS cc
+             |       FROM docs GROUP BY lang, x),
+             |rxs AS (SELECT lang, x,
+             |    CAST(SUM(cc) OVER (PARTITION BY lang ORDER BY x
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) * 2 - cc + 1 AS rx
+             |  FROM dx),
+             |dy AS (SELECT lang, y, CAST(COUNT(*) AS BIGINT) AS cc
+             |       FROM docs GROUP BY lang, y),
+             |rys AS (SELECT lang, y,
+             |    CAST(SUM(cc) OVER (PARTITION BY lang ORDER BY y
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) * 2 - cc + 1 AS ry
+             |  FROM dy),
+             |ranked AS (
+             |  SELECT d.lang, rxs.rx, rys.ry
+             |  FROM docs d
+             |  JOIN rxs ON rxs.lang = d.lang AND rxs.x = d.x
+             |  JOIN rys ON rys.lang = d.lang AND rys.y = d.y),
+             |st AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(CAST(rx AS HUGEINT)) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(rx AS HUGEINT) * rx) AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(ry AS HUGEINT)) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(ry AS HUGEINT) * ry) AS DOUBLE) AS syy,
+             |    CAST(SUM(CAST(rx AS HUGEINT) * ry) AS DOUBLE) AS sxy
+             |  FROM ranked GROUP BY lang)
+             |SELECT lang, n,
+             |  (CAST(n AS DOUBLE) * sxy - sx * sy)
+             |    / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+             |       * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS rho
+             |FROM st""".stripMargin)),
   )
 }

@@ -1677,6 +1677,102 @@ object GovernanceOps {
            |  doc_id <> cluster_rep AS min_id_kept_worse
            |FROM ranked WHERE rk = 1 AND n_docs >= 2""".stripMargin
       }),
+
+    // ----- q219: degree assortativity of the co-purchase graph ------------
+    // Newman (2002)'s one-number topology summary: do high-degree parts
+    // connect to other hubs (r > 0, resilient core) or to leaves
+    // (r < 0, hub-and-spoke)? It decides which scale guard matters:
+    // disassortative graphs concentrate wedge work on a few hubs (the
+    // q185 cap's whole reason), assortative ones spread it. r is the
+    // Pearson correlation of (deg(src), deg(dst)) over the DIRECTED
+    // (symmetrized) edge list — degrees are integers, so all five
+    // sufficient sums accumulate exactly in DECIMAL(38,0)/HUGEINT and r
+    // is one identical double tree (the q213 contract). Output: the
+    // degree histogram with the r scalar broadcast onto each row — the
+    // report a capacity planner actually reads. Shape: q185's support-≥2
+    // edge build (basket-bounded pair expansion, never parts²), one
+    // degree agg, two hash joins of edge→degree, one single-row agg.
+    NamedQuery(
+      "q219_assortativity",
+      (s, d) => {
+        val op = tbl(s, d, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val strong = op.select(col("o"), col("p").as("p1"))
+          .join(op.select(col("o"), col("p").as("p2")), Seq("o"))
+          .filter(col("p1") < col("p2"))
+          .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+        val edges = strong.select(col("p1").as("src"), col("p2").as("dst"))
+          .unionByName(strong.select(col("p2").as("src"),
+            col("p1").as("dst")))
+        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .cache()
+        val edeg = edges
+          .join(deg.select(col("src"), col("deg").as("dx")), "src")
+          .join(deg.select(col("src").as("dst"), col("deg").as("dy")),
+            "dst")
+        val st = edeg.agg(count(lit(1)).as("ne"),
+          sum(expr("CAST(dx AS DECIMAL(38,0))")).cast("double").as("sx"),
+          sum(expr("CAST(dx AS DECIMAL(38,0)) * dx")).cast("double")
+            .as("sxx"),
+          sum(expr("CAST(dy AS DECIMAL(38,0))")).cast("double").as("sy"),
+          sum(expr("CAST(dy AS DECIMAL(38,0)) * dy")).cast("double")
+            .as("syy"),
+          sum(expr("CAST(dx AS DECIMAL(38,0)) * dy")).cast("double")
+            .as("sxy"))
+        val neD = col("ne").cast("double")
+        val rRow = st.select(col("ne"),
+          ((neD * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(neD * col("sxx") - col("sx") * col("sx")) *
+              sqrt(neD * col("syy") - col("sy") * col("sy"))))
+            .as("r_assort"))
+        val hist = deg.groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+        val nodes = deg.agg(count(lit(1)).as("n_nodes_tot"))
+        hist.crossJoin(broadcast(nodes)).crossJoin(broadcast(rRow))
+          .select(col("deg"), col("n_nodes"),
+            (col("n_nodes").cast("double") /
+              col("n_nodes_tot").cast("double")).as("share"),
+            col("ne").as("n_edges_directed"), col("r_assort"))
+      },
+      Some("""WITH op AS (
+             |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+             |  FROM lineitem),
+             |strong AS (
+             |  SELECT a.p AS p1, b.p AS p2
+             |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+             |  GROUP BY a.p, b.p HAVING COUNT(*) >= 2),
+             |edges AS (
+             |  SELECT p1 AS src, p2 AS dst FROM strong
+             |  UNION ALL SELECT p2, p1 FROM strong),
+             |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+             |        FROM edges GROUP BY src),
+             |edeg AS (
+             |  SELECT a.deg AS dx, b.deg AS dy
+             |  FROM edges e JOIN deg a ON e.src = a.src
+             |               JOIN deg b ON e.dst = b.src),
+             |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS ne,
+             |    CAST(SUM(CAST(dx AS HUGEINT)) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(dx AS HUGEINT) * dx) AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(dy AS HUGEINT)) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(dy AS HUGEINT) * dy) AS DOUBLE) AS syy,
+             |    CAST(SUM(CAST(dx AS HUGEINT) * dy) AS DOUBLE) AS sxy
+             |  FROM edeg),
+             |r AS (SELECT ne,
+             |    (CAST(ne AS DOUBLE) * sxy - sx * sy)
+             |      / (sqrt(CAST(ne AS DOUBLE) * sxx - sx * sx)
+             |         * sqrt(CAST(ne AS DOUBLE) * syy - sy * sy))
+             |      AS r_assort
+             |  FROM st),
+             |hist AS (SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+             |         FROM deg GROUP BY deg),
+             |nodes AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes_tot
+             |          FROM deg)
+             |SELECT h.deg, h.n_nodes,
+             |  CAST(h.n_nodes AS DOUBLE) / CAST(n.n_nodes_tot AS DOUBLE)
+             |    AS share,
+             |  r.ne AS n_edges_directed, r.r_assort
+             |FROM hist h, nodes n, r""".stripMargin)),
   )
 
   /** q133's engine, extracted for direct testing against a scalar

@@ -2602,5 +2602,179 @@ object AnalyticsOps {
              |    / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
              |       * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS rho
              |FROM st""".stripMargin)),
+
+    // ----- q222: Gini-impurity decision stump (weak-learner training) -----
+    // The atomic unit of tree ensembles: the best single threshold on a
+    // feature. Label = "is the document English", feature = length; for
+    // every candidate split x ≤ t the weighted Gini impurity comes from
+    // CUMULATIVE (count, positives) over the distinct-length table —
+    // Gini, not information gain, because impurity is RATIONAL in the
+    // counts where entropy's log is libm (the q185 RA-index move). The
+    // cumulative window runs over DISTINCT n_chars values, whose
+    // cardinality is bounded by the max document length — it does not
+    // grow with corpus rows, so the unpartitioned window is
+    // scale-constant (unlike a per-row rank). One corpus scan → one
+    // bounded agg → a 5-row ranked answer (top splits by impurity,
+    // ties to the smaller threshold).
+    NamedQuery(
+      "q222_gini_stump",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val dist = tbl(s, d, "documents")
+          .select(col("n_chars").cast("long").as("x"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+          .groupBy(col("x"))
+          .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
+        val w = Window.orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = dist
+          .withColumn("nl", sum(col("c")).over(w))
+          .withColumn("pl", sum(col("p")).over(w))
+        val tot = dist.agg(sum(col("c")).as("n"), sum(col("p")).as("pt"))
+        val j = cum.crossJoin(broadcast(tot))
+          .filter(col("nl") < col("n")) // right side must be non-empty
+        val nld = col("nl").cast("double")
+        val pld = col("pl").cast("double")
+        val nrd = (col("n") - col("nl")).cast("double")
+        val prd = (col("pt") - col("pl")).cast("double")
+        val nd = col("n").cast("double")
+        val ptd = col("pt").cast("double")
+        // weighted impurity: [nL − (posL²+negL²)/nL + nR − (…)/nR] / n
+        val giniSplit = (nld -
+          (pld * pld + (nld - pld) * (nld - pld)) / nld +
+          nrd - (prd * prd + (nrd - prd) * (nrd - prd)) / nrd) / nd
+        val giniRoot = lit(1.0) - (ptd / nd) * (ptd / nd) -
+          ((nd - ptd) / nd) * ((nd - ptd) / nd)
+        j.select(col("x").as("threshold"), col("nl").as("n_left"),
+            (col("n") - col("nl")).as("n_right"),
+            col("pl").as("pos_left"), (col("pt") - col("pl"))
+              .as("pos_right"),
+            giniSplit.as("gini_split"), giniRoot.as("gini_root"),
+            (giniRoot - giniSplit).as("gain"))
+          .orderBy(col("gini_split"), col("threshold"))
+          .limit(5)
+      },
+      Some {
+        val nld = "CAST(nl AS DOUBLE)"
+        val pld = "CAST(pl AS DOUBLE)"
+        val nrd = "CAST(n - nl AS DOUBLE)"
+        val prd = "CAST(pt - pl AS DOUBLE)"
+        val nd = "CAST(n AS DOUBLE)"
+        val ptd = "CAST(pt AS DOUBLE)"
+        val giniSplit = s"""($nld
+          | - ($pld * $pld + ($nld - $pld) * ($nld - $pld)) / $nld
+          | + $nrd - ($prd * $prd + ($nrd - $prd) * ($nrd - $prd)) / $nrd)
+          | / $nd""".stripMargin.replace("\n", " ")
+        val giniRoot = s"""1.0 - ($ptd / $nd) * ($ptd / $nd)
+          | - (($nd - $ptd) / $nd) * (($nd - $ptd) / $nd)"""
+          .stripMargin.replace("\n", " ")
+        s"""WITH dist AS (
+           |  SELECT CAST(n_chars AS BIGINT) AS x,
+           |    CAST(COUNT(*) AS BIGINT) AS c,
+           |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS p
+           |  FROM documents GROUP BY 1),
+           |cum AS (
+           |  SELECT x,
+           |    CAST(SUM(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+           |      AS BIGINT) AS nl,
+           |    CAST(SUM(p) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+           |      AS BIGINT) AS pl
+           |  FROM dist),
+           |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+           |        CAST(SUM(p) AS BIGINT) AS pt FROM dist)
+           |SELECT x AS threshold, nl AS n_left, n - nl AS n_right,
+           |  pl AS pos_left, pt - pl AS pos_right,
+           |  $giniSplit AS gini_split, $giniRoot AS gini_root,
+           |  ($giniRoot) - ($giniSplit) AS gain
+           |FROM cum, tot WHERE nl < n
+           |ORDER BY gini_split, threshold LIMIT 5""".stripMargin
+      }),
+
+    // ----- q225: trimmed + winsorized stream means (robust location) ------
+    // The robust-statistics pair a metrics pipeline needs when one bad
+    // feed can drag a plain mean: per stream, the 5%-trimmed mean
+    // (drop the k lowest and k highest ranks, k = ⌊n/20⌋) and the
+    // winsorized mean (clamp them to the cut values instead). Both are
+    // EXACT rank arithmetic on the per-type distinct-value CDF (the
+    // q217 phased construction, partitioned by stream): each distinct
+    // value's rank range [F−c+1, F] is intersected with the kept band
+    // (k, n−k] to get its kept multiplicity — integer set algebra, no
+    // per-row sort, no quantile interpolation mode to disagree on. The
+    // cut values themselves are conditional MIN aggregates over the
+    // same CDF rows. Decimal-grid sums make every mean order-exact.
+    NamedQuery(
+      "q225_trimmed_mean",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tv = events(s, d)
+          .groupBy(col("event_type"), col("value"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("b", floor(col("value")).cast("long"))
+        val wRun = Window.partitionBy(col("event_type"), col("b"))
+          .orderBy(col("value"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val run = tv.withColumn("r", sum(col("c")).over(wRun))
+        val wOff = Window.partitionBy(col("event_type")).orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val off = tv.groupBy(col("event_type"), col("b"))
+          .agg(sum(col("c")).as("tb"))
+          .select(col("event_type"), col("b"),
+            coalesce(sum(col("tb")).over(wOff), lit(0L)).as("o"))
+        val n = tv.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+        val f = run.join(off, Seq("event_type", "b"))
+          .join(broadcast(n), "event_type")
+          .select(col("event_type"), col("value"), col("c"), col("n"),
+            (col("o") + col("r")).as("fv"),
+            expr("n * 5 div 100").as("k"))
+        val kept = greatest(lit(0L),
+          least(col("fv"), col("n") - col("k")) -
+            greatest(col("fv") - col("c") + 1, col("k") + 1) + lit(1L))
+        val st = f.groupBy(col("event_type")).agg(
+          max(col("n")).as("n"), max(col("k")).as("k"),
+          dsum(col("c").cast("double") * col("value")).as("full_sum"),
+          dsum(kept.cast("double") * col("value")).as("trim_sum"),
+          min(when(col("fv") >= col("k") + 1, col("value"))).as("lo_cut"),
+          min(when(col("fv") >= col("n") - col("k"), col("value")))
+            .as("hi_cut"))
+        val nd = col("n").cast("double")
+        val kd = col("k").cast("double")
+        st.select(col("event_type"), col("n"), col("k"),
+          (col("full_sum") / nd).as("mean"),
+          (col("trim_sum") / (nd - kd - kd)).as("trimmed_mean"),
+          ((col("trim_sum") + kd * col("lo_cut") + kd * col("hi_cut"))
+            / nd).as("winsorized_mean"),
+          col("lo_cut"), col("hi_cut"))
+      },
+      Some("""WITH tv AS (
+             |  SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2),
+             |cdf AS (SELECT event_type, value, c,
+             |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY value
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fv
+             |  FROM tv),
+             |n AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+             |      FROM tv GROUP BY event_type),
+             |f AS (SELECT cdf.*, n.n, n.n * 5 // 100 AS k
+             |      FROM cdf JOIN n USING (event_type)),
+             |st AS (
+             |  SELECT event_type, MAX(n) AS n, MAX(k) AS k,
+             |    CAST(SUM(CAST(CAST(c AS DOUBLE) * value
+             |      AS DECIMAL(28,6))) AS DOUBLE) AS full_sum,
+             |    CAST(SUM(CAST(CAST(greatest(0, least(fv, n - k)
+             |        - greatest(fv - c + 1, k + 1) + 1) AS DOUBLE) * value
+             |      AS DECIMAL(28,6))) AS DOUBLE) AS trim_sum,
+             |    MIN(CASE WHEN fv >= k + 1 THEN value END) AS lo_cut,
+             |    MIN(CASE WHEN fv >= n - k THEN value END) AS hi_cut
+             |  FROM f GROUP BY event_type)
+             |SELECT event_type, n, k,
+             |  full_sum / CAST(n AS DOUBLE) AS mean,
+             |  trim_sum / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)
+             |              - CAST(k AS DOUBLE)) AS trimmed_mean,
+             |  (trim_sum + CAST(k AS DOUBLE) * lo_cut
+             |    + CAST(k AS DOUBLE) * hi_cut) / CAST(n AS DOUBLE)
+             |    AS winsorized_mean,
+             |  lo_cut, hi_cut
+             |FROM st""".stripMargin)),
   )
 }

@@ -884,5 +884,108 @@ object DedupOps {
            |WHERE CAST(shared AS DOUBLE) / CAST(least(n1.nf, n2.nf) AS DOUBLE)
            |      >= 0.5""".stripMargin
       }),
+
+    // ----- q224: sorted-neighborhood dedup blocking (SNM) -----------------
+    // The OTHER classical blocking family (Hernández & Stolfo 1995,
+    // merge/purge): sort the corpus by a content key and compare only
+    // rank-neighbors inside a width-w window — candidate volume is
+    // EXACTLY (w−1)·n by construction, no bucket-size guard needed (the
+    // property LSH only gets back via the hot-bucket cap). The sort key
+    // must survive the perturbation it hunts AND discriminate between
+    // unrelated documents, and both failure modes were MEASURED here:
+    // a raw text prefix breaks under q92's drop-leading-token planting,
+    // and any token-set key fails the other way on this corpus — the
+    // vocabulary is 31 tokens with ~23 distinct per document, so token
+    // minima collapse hundreds of unrelated docs into one run whose
+    // doc_id tie-break strands true pairs (5/500, then 58/500 planted
+    // pairs adjacent at sf0.001 for 1- and 4-min token keys). The unit
+    // with discriminating power is the 3-token SHINGLE (order matters —
+    // the same reason q27/q29 shingle before hashing), so the key is
+    // the FOUR smallest distinct shingle hashes, zero-padded and
+    // concatenated: dropping the lead token costs ≤3 of ~n shingles, so
+    // planted pairs keep all four minima w.h.p. and land adjacent (the
+    // `planted` witness column measures exactly this recall), while
+    // unrelated docs must share all four minima to collide. The
+    // multi-pass key trick of Hernández & Stolfo, collapsed into one
+    // composite pass. The global rank is the q148 phased construction
+    // (key-prefix range buckets, per-bucket running counts + bucket
+    // offsets — the TeraSort shape, never one sort partition); neighbor
+    // pairs are two SHIFTED EQUI-JOINS on the rank (rn → rn+1, rn+2),
+    // i.e. hash joins at any scale. Verified pairs carry exact shingle
+    // Jaccard and a τ=½ dup flag (integer cross-multiplication, never
+    // a float threshold).
+    NamedQuery(
+      "q224_sorted_neighborhood",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val corpus = corpusWithNearDups(s, d)
+          .select(col("doc_id"),
+            array_sort(array_distinct(hashedShingles(col("text"))))
+              .as("ts"))
+          .select(col("doc_id"), col("ts"),
+            concat_ws("", transform(slice(col("ts"), 1, 4),
+              h => lpad(h.cast("string"), 10, "0"))).as("m"))
+        // first 4 digits of the zero-padded first hash → ≤ 215 ranges
+        val keyed = corpus.withColumn("b", substring(col("m"), 1, 4))
+        val wRun = Window.partitionBy(col("b"))
+          .orderBy(col("m"), col("doc_id"))
+        val run = keyed.withColumn("r", row_number().over(wRun)
+          .cast("long"))
+        val wOff = Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val off = keyed.groupBy(col("b")).agg(count(lit(1)).as("tb"))
+          .select(col("b"),
+            coalesce(sum(col("tb")).over(wOff), lit(0L)).as("o"))
+        val rk = run.join(broadcast(off), "b")
+          .select(col("doc_id"), col("ts"), (col("o") + col("r")).as("rn"))
+        def shifted(gap: Int) = rk
+          .select(col("doc_id").as("id1"), col("ts").as("ts1"),
+            (col("rn") + gap).as("rn"))
+          .join(rk.select(col("doc_id").as("id2"), col("ts").as("ts2"),
+            col("rn")), "rn")
+          .select(col("id1"), col("id2"), lit(gap.toLong).as("gap"),
+            col("ts1"), col("ts2"))
+        shifted(1).unionByName(shifted(2))
+          .select(col("id1"), col("id2"), col("gap"),
+            size(array_intersect(col("ts1"), col("ts2"))).cast("long")
+              .as("i"),
+            size(col("ts1")).cast("long").as("n1"),
+            size(col("ts2")).cast("long").as("n2"))
+          .select(col("id1"), col("id2"), col("gap"),
+            (col("i").cast("double") /
+              (col("n1") + col("n2") - col("i")).cast("double"))
+              .as("jaccard"),
+            (col("i") * 2 >= col("n1") + col("n2") - col("i"))
+              .as("is_dup"),
+            (abs(col("id1") - col("id2")) === 100000).as("planted"))
+      },
+      Some {
+        s"""WITH corpus AS ($corpusWithNearDupsSql),
+           |tt AS (SELECT doc_id, text,
+           |         ${tokenHashesSql("text")} AS th FROM corpus),
+           |kk AS (SELECT doc_id,
+           |    list_sort(list_distinct(
+           |      ${hashedShinglesSql("text", "th")})) AS ts
+           |  FROM tt),
+           |k AS (SELECT doc_id, ts,
+           |    array_to_string(list_transform(ts[1:4],
+           |      h -> lpad(CAST(h AS VARCHAR), 10, '0')), '') AS m
+           |  FROM kk),
+           |rk AS (SELECT doc_id, ts,
+           |    CAST(row_number() OVER (ORDER BY m, doc_id) AS BIGINT)
+           |      AS rn
+           |  FROM k),
+           |pairs AS (
+           |  SELECT a.doc_id AS id1, b.doc_id AS id2, b.rn - a.rn AS gap,
+           |    CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS i,
+           |    CAST(len(a.ts) AS BIGINT) AS n1,
+           |    CAST(len(b.ts) AS BIGINT) AS n2
+           |  FROM rk a JOIN rk b ON b.rn - a.rn IN (1, 2))
+           |SELECT id1, id2, gap,
+           |  CAST(i AS DOUBLE) / CAST(n1 + n2 - i AS DOUBLE) AS jaccard,
+           |  i * 2 >= n1 + n2 - i AS is_dup,
+           |  abs(id1 - id2) = 100000 AS planted
+           |FROM pairs""".stripMargin
+      }),
   )
 }

@@ -1773,6 +1773,53 @@ object GovernanceOps {
              |    AS share,
              |  r.ne AS n_edges_directed, r.r_assort
              |FROM hist h, nodes n, r""".stripMargin)),
+
+    // ----- q221: l-diversity audit (k-anonymity's sharper sibling) --------
+    // q171 asks "is every quasi-identifier class big enough?"; this asks
+    // the question k-anonymity famously misses (Machanavajjhala et al.
+    // 2007): within each class, is the SENSITIVE attribute actually
+    // varied? A class of 50 customers that all share one balance band
+    // is k-anonymous and still leaks the sensitive value outright
+    // (the homogeneity attack). Per (nation, segment) class: size,
+    // distinct sensitive values l, the modal sensitive value's share
+    // (the attacker's best-guess confidence), and the l ≥ 3 flag.
+    // Distinct-l and the mode both come from ONE (class, sensitive)
+    // rollup — corpus-touched once, classes are dimension-bounded, and
+    // the per-class argmax is the partial-aggregable min(struct) idiom,
+    // never a window over raw rows.
+    NamedQuery(
+      "q221_l_diversity",
+      (s, d) => {
+        val cells = tbl(s, d, "customer")
+          .select(col("c_nationkey"), col("c_mktsegment"),
+            floor(col("c_acctbal") / lit(1000.0)).cast("long")
+              .as("bal_band"))
+          .groupBy(col("c_nationkey"), col("c_mktsegment"),
+            col("bal_band"))
+          .agg(count(lit(1)).as("cnt"))
+        cells.groupBy(col("c_nationkey"), col("c_mktsegment"))
+          .agg(sum(col("cnt")).as("class_size"),
+            count(lit(1)).as("l_distinct"),
+            max(col("cnt")).as("modal_cnt"))
+          .select(col("c_nationkey"), col("c_mktsegment"),
+            col("class_size"), col("l_distinct"),
+            (col("modal_cnt").cast("double") /
+              col("class_size").cast("double")).as("modal_share"),
+            (col("l_distinct") >= 3).as("l_diverse"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT c_nationkey, c_mktsegment,
+             |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             |    CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM customer GROUP BY 1, 2, 3)
+             |SELECT c_nationkey, c_mktsegment,
+             |  CAST(SUM(cnt) AS BIGINT) AS class_size,
+             |  CAST(COUNT(*) AS BIGINT) AS l_distinct,
+             |  CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+             |    AS modal_share,
+             |  COUNT(*) >= 3 AS l_diverse
+             |FROM cells GROUP BY c_nationkey, c_mktsegment"""
+        .stripMargin)),
   )
 
   /** q133's engine, extracted for direct testing against a scalar

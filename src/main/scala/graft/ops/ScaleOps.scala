@@ -1416,5 +1416,60 @@ object ScaleOps {
            |    / CAST(x.exact_24h AS DOUBLE) AS rel_err
            |FROM est e JOIN exact x USING (h)""".stripMargin
       }),
+
+    // ----- q223: feature-hashing collision audit ---------------------------
+    // The hashing-trick's due-diligence report (Weinberger et al. 2009):
+    // before a pipeline maps a token vocabulary into 2^16 hashed feature
+    // slots, measure what the hash actually does to THIS corpus's
+    // vocabulary — load histogram (how many slots carry k distinct
+    // tokens), max load, and the share of tokens that lost identity to a
+    // collision (the fraction of feature mass that became ambiguous).
+    // All integers and integer ratios — no Poisson approximation (e^-λ
+    // is libm; the measured histogram IS the answer the approximation
+    // estimates). Shape: one distinct-token agg (vocab-bounded), one
+    // 2^16-key agg, one load-histogram agg — nothing corpus-scale past
+    // the first distinct.
+    NamedQuery(
+      "q223_feature_hash_collisions",
+      (s, d) => {
+        val vocab = tbl(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .distinct()
+        val loads = vocab
+          .select((strHash(col("tok")) % 65536).as("slot"))
+          .groupBy(col("slot")).agg(count(lit(1)).as("load"))
+        val hist = loads.groupBy(col("load"))
+          .agg(count(lit(1)).as("n_slots"))
+        val tot = loads.agg(sum(col("load")).as("n_tokens"),
+          count(lit(1)).as("slots_used"),
+          max(col("load")).as("max_load"),
+          sum(when(col("load") >= 2, col("load")).otherwise(0L))
+            .as("collided_tokens"))
+        hist.crossJoin(broadcast(tot))
+          .select(col("load"), col("n_slots"), col("n_tokens"),
+            col("slots_used"), col("max_load"),
+            (col("collided_tokens").cast("double") /
+              col("n_tokens").cast("double")).as("collided_share"))
+      },
+      Some(s"""WITH vocab AS (
+             |  SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |loads AS (
+             |  SELECT ${strHashSql("tok")} % 65536 AS slot,
+             |    CAST(COUNT(*) AS BIGINT) AS load
+             |  FROM vocab GROUP BY 1),
+             |hist AS (SELECT load, CAST(COUNT(*) AS BIGINT) AS n_slots
+             |         FROM loads GROUP BY load),
+             |tot AS (SELECT CAST(SUM(load) AS BIGINT) AS n_tokens,
+             |    CAST(COUNT(*) AS BIGINT) AS slots_used,
+             |    CAST(MAX(load) AS BIGINT) AS max_load,
+             |    CAST(SUM(CASE WHEN load >= 2 THEN load ELSE 0 END)
+             |      AS BIGINT) AS collided_tokens
+             |  FROM loads)
+             |SELECT h.load, h.n_slots, t.n_tokens, t.slots_used,
+             |  t.max_load,
+             |  CAST(t.collided_tokens AS DOUBLE)
+             |    / CAST(t.n_tokens AS DOUBLE) AS collided_share
+             |FROM hist h, tot t""".stripMargin)),
   )
 }

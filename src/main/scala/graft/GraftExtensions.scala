@@ -15,6 +15,9 @@ import graft.parse.PyToJson
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator extension: per-group top-k planned as a
+    // partial/final bounded-heap exec pair (graft.plans.TopKPerGroup)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
     ext.injectFunction((
       new FunctionIdentifier("py_to_json"),
       new ExpressionInfo(

@@ -771,6 +771,36 @@ object CoreQueries {
            |    / CAST(COUNT(*) AS DOUBLE) AS violation_share
            |FROM keys GROUP BY fd""".stripMargin
       }),
+
+    // ----- q226: per-group top-k via the custom physical operator ---------
+    // The longest 3 documents per language, run through
+    // [[graft.plans.TopKPerGroup]] — graft's whole-operator Catalyst
+    // extension (logical node → planner strategy → partial/final
+    // bounded-heap execs). The declarative window form sorts every
+    // group in full; this plans like TakeOrderedAndProject does for
+    // global top-k: map-side k-heaps thin each input partition to
+    // ≤ k·|keys| candidate rows BEFORE the exchange, the final heaps
+    // merge exactly, and no Sort or Window appears anywhere in the
+    // physical plan (PlanShapeSpec pins this, and TopKPerGroupSpec
+    // pins row-identical results against the window form). The order
+    // (n_chars desc, doc_id asc) is total, which is what makes the
+    // distributed heap semantics exact. Oracle: the plain row_number
+    // window — construction-independent semantics.
+    NamedQuery(
+      "q226_topk_per_group",
+      (s, d) => graft.plans.TopKPerGroup.topK(
+        tbl(s, d, "documents")
+          .select(col("lang"), col("doc_id"),
+            col("n_chars").cast("long").as("n_chars")),
+        keys = Seq("lang"),
+        order = Seq(("n_chars", true), ("doc_id", false)),
+        k = 3),
+      Some("""SELECT lang, doc_id, n_chars FROM (
+             |  SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY n_chars DESC, doc_id) AS rk
+             |  FROM documents)
+             |WHERE rk <= 3""".stripMargin)),
   )
 
   /** Exploded token bigrams of one language's documents (q80/q81). */

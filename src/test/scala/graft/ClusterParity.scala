@@ -46,7 +46,12 @@ object ClusterParity {
     // inclusion-dependency mining, and the streaming Benford gate's
     // batch twin
     "q161_kmv_sketch", "q137_pq_adc", "q204_join_discovery",
-    "q192_benford_windows")
+    "q192_benford_windows",
+    // r9 families: global-rank statistics (phased CDF + HUGEINT-grid
+    // rank sums), SNM blocking (shifted-rank equi-joins), and the
+    // custom TopKPerGroup physical operator (partial/final heaps must
+    // survive real executor boundaries + a real exchange)
+    "q217_mannwhitney", "q224_sorted_neighborhood", "q226_topk_per_group")
 
   private def run(spark: SparkSession): Map[String, Map[Seq[Any], Int]] =
     queries.map { n =>

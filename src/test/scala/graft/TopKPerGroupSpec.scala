@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom whole-operator extension (graft.plans.TopKPerGroup):
+  * result parity against the declarative window form, plan-shape
+  * guarantees (no Sort/Window; partial+final pair around one exchange),
+  * and partition-count invariance (the distributed-exactness claim).
+  */
+class TopKPerGroupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def windowForm(k: Int) = {
+    import org.apache.spark.sql.expressions.Window
+    graft.ops.OpsKit.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rk", row_number().over(Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id"))))
+      .filter(col("rk") <= k).drop("rk")
+  }
+
+  private def operatorForm(k: Int, parts: Int) =
+    graft.plans.TopKPerGroup.topK(
+      graft.ops.OpsKit.events(spark, dir)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .repartition(parts),
+      keys = Seq("event_type"),
+      order = Seq(("value", true), ("event_id", false)),
+      k = k)
+
+  test("row-identical to the window form, at several partition counts") {
+    val want = windowForm(5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted
+    for (parts <- Seq(1, 7, 32)) {
+      val got = operatorForm(5, parts).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted
+      assert(got.toSeq == want.toSeq, s"mismatch at $parts partitions")
+    }
+  }
+
+  test("physical plan: partial+final heap pair, no Sort, no Window") {
+    val plan = operatorForm(5, 8).queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroupPartial"), plan)
+    assert(plan.contains("TopKPerGroupFinal"), plan)
+    assert(!plan.contains("Sort "), s"unexpected sort:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+    assert(plan.contains("Exchange"), s"missing exchange:\n$plan")
+  }
+
+  test("k larger than every group returns all rows") {
+    val n = graft.ops.OpsKit.events(spark, dir).count()
+    assert(operatorForm(1000000, 4).count() == n)
+  }
+
+  test("k = 1 returns exactly one row per group, the max") {
+    val rows = operatorForm(1, 8).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val want = graft.ops.OpsKit.events(spark, dir)
+      .groupBy(col("event_type")).agg(max(col("value")))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows == want)
+  }
+}

@@ -2776,5 +2776,443 @@ object AnalyticsOps {
              |    AS winsorized_mean,
              |  lo_cut, hi_cut
              |FROM st""".stripMargin)),
+
+    // ----- q227: autocorrelation function (ACF) per event stream ----------
+    // The seasonality detector underneath q183's seasonal-anomaly gate:
+    // sample autocorrelation r_k of the DENSIFIED hourly count series
+    // (q210's grid — zeros are real observations) at lags 1..24. The
+    // classic estimator r_k = c_k/c_0 with full-series mean: all
+    // sufficient statistics are exact integers (Σx_t·x_{t+k} widened to
+    // DECIMAL/HUGEINT before the product — counts are corpus-scale),
+    // the mean-correction and the ratio are identical double trees, and
+    // the ±2/√n white-noise band is the significance flag (written as
+    // |r|·√n > 2 — one IEEE sqrt, no libm). Shape: the lag pairs are
+    // 24 SHIFTED EQUI-JOINS in one pass (dense × lag grid joined on
+    // t+k), never a window over raw events; everything is
+    // hours×24-bounded per stream after the one hourly rollup.
+    NamedQuery(
+      "q227_acf_seasonality",
+      (s, d) => {
+        val hc = events(s, d)
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 3600000000").as("h"))
+          .groupBy(col("event_type"), col("h"))
+          .agg(count(lit(1)).as("x"))
+        val bounds = hc.groupBy(col("event_type"))
+          .agg(min(col("h")).as("h0"), max(col("h")).as("h1"),
+            sum(col("x")).as("total"),
+            sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+        val dense = bounds
+          .select(col("event_type"), col("h0"),
+            (col("h1") - col("h0") + 1).as("n"),
+            explode(expr("sequence(h0, h1)")).as("h"))
+          .join(hc, Seq("event_type", "h"), "left")
+          .select(col("event_type"), (col("h") - col("h0")).as("t"),
+            col("n"), coalesce(col("x"), lit(0L)).as("x"))
+        val lags = s.range(1, 25).select(col("id").as("k"))
+        val head = dense.crossJoin(broadcast(lags))
+          .select(col("event_type"), col("k"), col("n"),
+            (col("t") + col("k")).as("t2"), col("x").as("xa"))
+        val pairs = head.join(
+          dense.select(col("event_type"), col("t").as("t2"),
+            col("x").as("xb")),
+          Seq("event_type", "t2"))
+        val st = pairs.groupBy(col("event_type"), col("k"))
+          .agg(max(col("n")).as("n"),
+            sum(expr("CAST(xa AS DECIMAL(38,0)) * xb")).cast("double")
+              .as("sxy"),
+            sum(col("xa")).cast("double").as("sh"),
+            sum(col("xb")).cast("double").as("st"))
+          .join(broadcast(bounds.select(col("event_type"),
+            col("total"), col("sxx"))), "event_type")
+        val nd = col("n").cast("double")
+        val kd = col("k").cast("double")
+        val mu = col("total").cast("double") / nd
+        val ck = col("sxy") - mu * (col("sh") + col("st")) +
+          (nd - kd) * mu * mu
+        val c0 = col("sxx").cast("double") - nd * mu * mu
+        st.select(col("event_type"), col("k"), col("n").as("n_hours"),
+          (ck / c0).as("r_k"),
+          (abs(ck / c0) * sqrt(nd) > lit(2.0)).as("significant"))
+      },
+      Some("""WITH hc AS (
+             |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+             |    CAST(COUNT(*) AS BIGINT) AS x
+             |  FROM events GROUP BY 1, 2),
+             |bounds AS (
+             |  SELECT event_type, MIN(h) AS h0, MAX(h) AS h1,
+             |    MAX(h) - MIN(h) + 1 AS n,
+             |    CAST(SUM(x) AS BIGINT) AS total,
+             |    SUM(CAST(x AS HUGEINT) * x) AS sxx
+             |  FROM hc GROUP BY event_type),
+             |dense AS (
+             |  SELECT g.event_type, g.h - g.h0 AS t, g.n,
+             |    CAST(COALESCE(hc.x, 0) AS BIGINT) AS x
+             |  FROM (SELECT event_type, h0, h1, n,
+             |          unnest(range(h0, h1 + 1)) AS h
+             |        FROM bounds) g
+             |  LEFT JOIN hc ON hc.event_type = g.event_type
+             |    AND hc.h = g.h),
+             |pairs AS (
+             |  SELECT a.event_type, l.k, a.n, a.x AS xa, b.x AS xb
+             |  FROM dense a
+             |  CROSS JOIN (SELECT unnest(range(1, 25)) AS k) l
+             |  JOIN dense b ON b.event_type = a.event_type
+             |    AND b.t = a.t + l.k),
+             |st AS (
+             |  SELECT p.event_type, p.k, MAX(p.n) AS n,
+             |    CAST(SUM(CAST(xa AS HUGEINT) * xb) AS DOUBLE) AS sxy,
+             |    CAST(SUM(xa) AS DOUBLE) AS sh,
+             |    CAST(SUM(xb) AS DOUBLE) AS st
+             |  FROM pairs p GROUP BY p.event_type, p.k),
+             |m AS (
+             |  SELECT st.event_type, st.k, st.n, st.sxy, st.sh, st.st,
+             |    CAST(b.total AS DOUBLE) / CAST(st.n AS DOUBLE) AS mu,
+             |    CAST(b.sxx AS DOUBLE) AS sxxd
+             |  FROM st JOIN bounds b USING (event_type))
+             |SELECT event_type, k, n AS n_hours,
+             |  (sxy - mu * (sh + st)
+             |    + (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) * mu * mu)
+             |    / (sxxd - CAST(n AS DOUBLE) * mu * mu) AS r_k,
+             |  abs((sxy - mu * (sh + st)
+             |    + (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) * mu * mu)
+             |    / (sxxd - CAST(n AS DOUBLE) * mu * mu))
+             |    * sqrt(CAST(n AS DOUBLE)) > 2.0 AS significant
+             |FROM m""".stripMargin)),
+
+    // ----- q228: SAX symbolization + motif counts per stream --------------
+    // Symbolic Aggregate approXimation (Lin et al. 2003): z-normalize
+    // the densified hourly series, map each hour onto a 4-letter
+    // alphabet at the N(0,1) quartile breakpoints (∓0.6745 as 4-decimal
+    // LITERALS — the inverse normal CDF at query time would be libm),
+    // and count 3-letter motifs — the discretization under time-series
+    // motif discovery and the anomaly grammar q183/q184 could consume.
+    // μ and σ come from exact integer sums (one IEEE sqrt); a σ = 0
+    // stream maps to 'b' explicitly rather than riding on NaN
+    // comparison semantics. Motif assembly is two SHIFTED EQUI-JOINS on
+    // the hour index (the q227/q224 shape — no window over the corpus);
+    // output is alphabet³-bounded per stream.
+    NamedQuery(
+      "q228_sax_motifs",
+      (s, d) => {
+        val hc = events(s, d)
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 3600000000").as("h"))
+          .groupBy(col("event_type"), col("h"))
+          .agg(count(lit(1)).as("x"))
+        val bounds = hc.groupBy(col("event_type"))
+          .agg(min(col("h")).as("h0"), max(col("h")).as("h1"),
+            sum(col("x")).as("total"),
+            sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+        val nd = (col("h1") - col("h0") + 1).cast("double")
+        val mu = col("total").cast("double") / nd
+        val sd = sqrt((col("sxx").cast("double") - nd * mu * mu) / nd)
+        val dense = bounds
+          .select(col("event_type"), col("h0"),
+            (col("h1") - col("h0") + 1).as("n"),
+            mu.as("mu"), sd.as("sd"),
+            explode(expr("sequence(h0, h1)")).as("h"))
+          .join(hc, Seq("event_type", "h"), "left")
+          .select(col("event_type"), (col("h") - col("h0")).as("t"),
+            col("n"),
+            when(col("sd") === 0.0, "b")
+              .when((coalesce(col("x"), lit(0L)).cast("double") -
+                col("mu")) / col("sd") < -0.6745, "a")
+              .when((coalesce(col("x"), lit(0L)).cast("double") -
+                col("mu")) / col("sd") < 0.0, "b")
+              .when((coalesce(col("x"), lit(0L)).cast("double") -
+                col("mu")) / col("sd") < 0.6745, "c")
+              .otherwise("d").as("sym"))
+        val s1 = dense.select(col("event_type"), col("t"), col("n"),
+          col("sym").as("c1"))
+        val s2 = dense.select(col("event_type"), (col("t") - 1).as("t"),
+          col("sym").as("c2"))
+        val s3 = dense.select(col("event_type"), (col("t") - 2).as("t"),
+          col("sym").as("c3"))
+        s1.join(s2, Seq("event_type", "t"))
+          .join(s3, Seq("event_type", "t"))
+          .select(col("event_type"), col("n"),
+            concat(col("c1"), col("c2"), col("c3")).as("motif"))
+          .groupBy(col("event_type"), col("motif"))
+          .agg(max(col("n")).as("n_hours"), count(lit(1)).as("cnt"))
+          .select(col("event_type"), col("motif"), col("cnt"),
+            (col("cnt").cast("double") /
+              (col("n_hours") - 2).cast("double")).as("share"))
+      },
+      Some("""WITH hc AS (
+             |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+             |    CAST(COUNT(*) AS BIGINT) AS x
+             |  FROM events GROUP BY 1, 2),
+             |bounds AS (
+             |  SELECT event_type, MIN(h) AS h0, MAX(h) AS h1,
+             |    MAX(h) - MIN(h) + 1 AS n,
+             |    CAST(SUM(x) AS BIGINT) AS total,
+             |    SUM(CAST(x AS HUGEINT) * x) AS sxx
+             |  FROM hc GROUP BY event_type),
+             |parms AS (
+             |  SELECT event_type, h0, n,
+             |    CAST(total AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+             |    sqrt((CAST(sxx AS DOUBLE)
+             |      - CAST(n AS DOUBLE)
+             |        * (CAST(total AS DOUBLE) / CAST(n AS DOUBLE))
+             |        * (CAST(total AS DOUBLE) / CAST(n AS DOUBLE)))
+             |      / CAST(n AS DOUBLE)) AS sd
+             |  FROM bounds),
+             |dense AS (
+             |  SELECT g.event_type, g.h - g.h0 AS t, g.n,
+             |    CASE WHEN g.sd = 0.0 THEN 'b'
+             |      WHEN (CAST(COALESCE(hc.x, 0) AS DOUBLE) - g.mu)
+             |        / g.sd < -0.6745 THEN 'a'
+             |      WHEN (CAST(COALESCE(hc.x, 0) AS DOUBLE) - g.mu)
+             |        / g.sd < 0.0 THEN 'b'
+             |      WHEN (CAST(COALESCE(hc.x, 0) AS DOUBLE) - g.mu)
+             |        / g.sd < 0.6745 THEN 'c'
+             |      ELSE 'd' END AS sym
+             |  FROM (SELECT event_type, h0, n, mu, sd,
+             |          unnest(range(h0, h0 + n)) AS h
+             |        FROM parms) g
+             |  LEFT JOIN hc ON hc.event_type = g.event_type
+             |    AND hc.h = g.h)
+             |SELECT a.event_type, a.sym || b.sym || c.sym AS motif,
+             |  CAST(COUNT(*) AS BIGINT) AS cnt,
+             |  CAST(COUNT(*) AS DOUBLE)
+             |    / CAST(MAX(a.n) - 2 AS DOUBLE) AS share
+             |FROM dense a
+             |JOIN dense b ON b.event_type = a.event_type
+             |  AND b.t = a.t + 1
+             |JOIN dense c ON c.event_type = a.event_type
+             |  AND c.t = a.t + 2
+             |GROUP BY a.event_type, a.sym || b.sym || c.sym"""
+        .stripMargin)),
+
+    // ----- q230: heavy-hitter churn between time halves --------------------
+    // Not "who are the heavy hitters" (q67) but "who CHANGED" — the
+    // report an on-call engineer reads when traffic shifts: top-10 users
+    // by activity in each half of the time range, joined into
+    // entered/left/stayed with rank movement. The per-half top-10 runs
+    // through the custom [[graft.plans.TopKPerGroup]] operator (map-side
+    // heaps, no sort — its second production call site after q226); the
+    // rank numbers are then a window over ≤ 2·k surviving rows, which is
+    // where a window belongs. The midpoint is integer hour arithmetic;
+    // oracle re-derives everything with plain row_number windows, so the
+    // custom operator is gated by construction-independent semantics
+    // again. COALESCE(−, 0) keeps absent-side counts/ranks integral
+    // rather than NULL (identical on both sides).
+    NamedQuery(
+      "q230_heavyhitter_churn",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, d)
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 3600000000").as("h"))
+        val mid = ev.agg(expr("(min(h) + max(h) + 1) div 2").as("mid"))
+        val counts = ev.crossJoin(broadcast(mid))
+          .select(col("user_id"),
+            when(col("h") < col("mid"), "w1").otherwise("w2").as("half"))
+          .groupBy(col("half"), col("user_id"))
+          .agg(count(lit(1)).as("cnt"))
+        val top = graft.plans.TopKPerGroup.topK(
+          counts, keys = Seq("half"),
+          order = Seq(("cnt", true), ("user_id", false)), k = 10)
+        val ranked = top.withColumn("rk",
+          row_number().over(Window.partitionBy(col("half"))
+            .orderBy(col("cnt").desc, col("user_id"))).cast("long"))
+        val w1 = ranked.filter(col("half") === "w1")
+          .select(col("user_id"), col("cnt").as("cnt_w1"),
+            col("rk").as("rank_w1"))
+        val w2 = ranked.filter(col("half") === "w2")
+          .select(col("user_id"), col("cnt").as("cnt_w2"),
+            col("rk").as("rank_w2"))
+        w1.join(w2, Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            coalesce(col("cnt_w1"), lit(0L)).as("cnt_w1"),
+            coalesce(col("cnt_w2"), lit(0L)).as("cnt_w2"),
+            coalesce(col("rank_w1"), lit(0L)).as("rank_w1"),
+            coalesce(col("rank_w2"), lit(0L)).as("rank_w2"),
+            when(col("rank_w1").isNull, "entered")
+              .when(col("rank_w2").isNull, "left")
+              .otherwise("stayed").as("status"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_us(ts) // 3600000000 AS h
+             |  FROM events),
+             |mid AS (SELECT (MIN(h) + MAX(h) + 1) // 2 AS mid FROM ev),
+             |counts AS (
+             |  SELECT CASE WHEN e.h < m.mid THEN 'w1' ELSE 'w2' END
+             |      AS half,
+             |    e.user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM ev e, mid m GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT half, user_id, cnt,
+             |    CAST(row_number() OVER (PARTITION BY half
+             |      ORDER BY cnt DESC, user_id) AS BIGINT) AS rk
+             |  FROM counts),
+             |t AS (SELECT * FROM ranked WHERE rk <= 10),
+             |w1 AS (SELECT user_id, cnt AS cnt_w1, rk AS rank_w1
+             |       FROM t WHERE half = 'w1'),
+             |w2 AS (SELECT user_id, cnt AS cnt_w2, rk AS rank_w2
+             |       FROM t WHERE half = 'w2')
+             |SELECT COALESCE(w1.user_id, w2.user_id) AS user_id,
+             |  COALESCE(cnt_w1, 0) AS cnt_w1,
+             |  COALESCE(cnt_w2, 0) AS cnt_w2,
+             |  COALESCE(rank_w1, 0) AS rank_w1,
+             |  COALESCE(rank_w2, 0) AS rank_w2,
+             |  CASE WHEN rank_w1 IS NULL THEN 'entered'
+             |       WHEN rank_w2 IS NULL THEN 'left'
+             |       ELSE 'stayed' END AS status
+             |FROM w1 FULL OUTER JOIN w2 USING (user_id)"""
+        .stripMargin)),
+
+    // ----- q232: bagged stump ensemble with out-of-bag error ---------------
+    // q222 trains ONE weak learner; this is the smallest honest ENSEMBLE
+    // (Breiman 1996 bagging): 8 stumps, each trained on a deterministic
+    // half-subsample (md5 membership — the portable stand-in for a
+    // bootstrap draw), majority-vote aggregation, and the out-of-bag
+    // error — the free validation estimate a production ensemble ships
+    // with. Everything stays exact: per-bag threshold search is q222's
+    // cumulative-Gini over the distinct-length table (8× a bounded
+    // table); each side of each stump predicts ITS OWN majority class by
+    // integer cross-multiplication; votes and OOB tallies are integer
+    // counts; ties vote positive (documented, mirrored). Shape: one 8×
+    // bounded threshold search, one 8-row broadcast of trained stumps
+    // onto the corpus, two scalar rollups.
+    NamedQuery(
+      "q232_bagged_stumps",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = tbl(s, d, "documents")
+          .select(col("doc_id"), col("n_chars").cast("long").as("x"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        val bags = s.range(0, 8).select(col("id").as("b"))
+        val member = docs.crossJoin(broadcast(bags))
+          .filter(LlmKit.strHash(concat(lit("bag:"),
+            col("b").cast("string"), lit(":"),
+            col("doc_id").cast("string"))) % 2 === 0)
+        val dist = member.groupBy(col("b"), col("x"))
+          .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
+        val w = Window.partitionBy(col("b")).orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = dist
+          .withColumn("nl", sum(col("c")).over(w))
+          .withColumn("pl", sum(col("p")).over(w))
+        val tot = dist.groupBy(col("b"))
+          .agg(sum(col("c")).as("n"), sum(col("p")).as("pt"))
+        val j = cum.join(broadcast(tot), "b").filter(col("nl") < col("n"))
+        val nld = col("nl").cast("double")
+        val pld = col("pl").cast("double")
+        val nrd = (col("n") - col("nl")).cast("double")
+        val prd = (col("pt") - col("pl")).cast("double")
+        val gini = (nld -
+          (pld * pld + (nld - pld) * (nld - pld)) / nld +
+          nrd - (prd * prd + (nrd - prd) * (nrd - prd)) / nrd) /
+          col("n").cast("double")
+        val stumps = j
+          .select(col("b"), gini.as("g"), col("x"), col("nl"), col("pl"),
+            col("n"), col("pt"))
+          .groupBy(col("b"))
+          .agg(min(struct(col("g"), col("x"), col("nl"), col("pl"),
+            col("n"), col("pt"))).as("m"))
+          .select(col("b"), col("m.x").as("threshold"),
+            col("m.g").as("train_gini"),
+            (col("m.pl") * 2 >= col("m.nl")).as("left_pred"),
+            ((col("m.pt") - col("m.pl")) * 2 >= col("m.n") - col("m.nl"))
+              .as("right_pred"))
+          .cache()
+        val applied = docs.crossJoin(broadcast(stumps))
+          .select(col("doc_id"), col("y"), col("b"),
+            when(col("x") <= col("threshold"), col("left_pred"))
+              .otherwise(col("right_pred")).cast("long").as("pred"),
+            (LlmKit.strHash(concat(lit("bag:"), col("b").cast("string"),
+              lit(":"), col("doc_id").cast("string"))) % 2 =!= 0)
+              .cast("long").as("oob"))
+        val perDoc = applied.groupBy(col("doc_id"), col("y"))
+          .agg(sum(col("pred")).as("votes1"),
+            sum(col("oob")).as("oob_n"),
+            sum(col("pred") * col("oob")).as("oob_votes1"))
+        val acc = perDoc.agg(
+          (sum(when((col("votes1") * 2 >= 8).cast("long") === col("y"),
+            1L).otherwise(0L)).cast("double") /
+            count(lit(1)).cast("double")).as("ensemble_acc"),
+          (sum(when((col("oob_n") > 0) &&
+            ((col("oob_votes1") * 2 >= col("oob_n")).cast("long") =!=
+              col("y")), 1L).otherwise(0L)).cast("double") /
+            sum(when(col("oob_n") > 0, 1L).otherwise(0L)).cast("double"))
+            .as("oob_error"))
+        stumps.crossJoin(broadcast(acc))
+      },
+      Some {
+        val h = LlmKit.strHashSql(
+          "concat('bag:', CAST(b.b AS VARCHAR), ':', " +
+            "CAST(d.doc_id AS VARCHAR))")
+        val nld = "CAST(nl AS DOUBLE)"
+        val pld = "CAST(pl AS DOUBLE)"
+        val nrd = "CAST(n - nl AS DOUBLE)"
+        val prd = "CAST(pt - pl AS DOUBLE)"
+        s"""WITH docs AS (
+           |  SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+           |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           |  FROM documents),
+           |member AS (
+           |  SELECT b.b, d.doc_id, d.x, d.y
+           |  FROM docs d, (SELECT unnest(range(0, 8)) AS b) b
+           |  WHERE $h % 2 = 0),
+           |dist AS (
+           |  SELECT b, x, CAST(COUNT(*) AS BIGINT) AS c,
+           |    CAST(SUM(y) AS BIGINT) AS p
+           |  FROM member GROUP BY b, x),
+           |cum AS (
+           |  SELECT b, x,
+           |    CAST(SUM(c) OVER (PARTITION BY b ORDER BY x
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nl,
+           |    CAST(SUM(p) OVER (PARTITION BY b ORDER BY x
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pl
+           |  FROM dist),
+           |tot AS (SELECT b, CAST(SUM(c) AS BIGINT) AS n,
+           |        CAST(SUM(p) AS BIGINT) AS pt FROM dist GROUP BY b),
+           |scored AS (
+           |  SELECT cum.b, cum.x, cum.nl, cum.pl, tot.n, tot.pt,
+           |    ($nld - ($pld * $pld + ($nld - $pld) * ($nld - $pld))
+           |       / $nld
+           |     + $nrd - ($prd * $prd + ($nrd - $prd) * ($nrd - $prd))
+           |       / $nrd) / CAST(n AS DOUBLE) AS g
+           |  FROM cum JOIN tot USING (b) WHERE cum.nl < tot.n),
+           |stumps AS (
+           |  SELECT b, x AS threshold, g AS train_gini,
+           |    pl * 2 >= nl AS left_pred,
+           |    (pt - pl) * 2 >= n - nl AS right_pred
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY b
+           |          ORDER BY g, x) AS rk FROM scored)
+           |  WHERE rk = 1),
+           |applied AS (
+           |  SELECT d.doc_id, d.y, s.b,
+           |    CASE WHEN d.x <= s.threshold
+           |      THEN CASE WHEN s.left_pred THEN 1 ELSE 0 END
+           |      ELSE CASE WHEN s.right_pred THEN 1 ELSE 0 END
+           |    END AS pred,
+           |    CASE WHEN ${LlmKit.strHashSql(
+          "concat('bag:', CAST(s.b AS VARCHAR), ':', " +
+            "CAST(d.doc_id AS VARCHAR))")} % 2 <> 0
+           |      THEN 1 ELSE 0 END AS oob
+           |  FROM docs d, stumps s),
+           |per_doc AS (
+           |  SELECT doc_id, y, CAST(SUM(pred) AS BIGINT) AS votes1,
+           |    CAST(SUM(oob) AS BIGINT) AS oob_n,
+           |    CAST(SUM(pred * oob) AS BIGINT) AS oob_votes1
+           |  FROM applied GROUP BY doc_id, y),
+           |acc AS (
+           |  SELECT
+           |    CAST(SUM(CASE WHEN (CASE WHEN votes1 * 2 >= 8 THEN 1
+           |          ELSE 0 END) = y THEN 1 ELSE 0 END) AS DOUBLE)
+           |      / CAST(COUNT(*) AS DOUBLE) AS ensemble_acc,
+           |    CAST(SUM(CASE WHEN oob_n > 0
+           |          AND (CASE WHEN oob_votes1 * 2 >= oob_n THEN 1
+           |               ELSE 0 END) <> y THEN 1 ELSE 0 END) AS DOUBLE)
+           |      / CAST(SUM(CASE WHEN oob_n > 0 THEN 1 ELSE 0 END)
+           |             AS DOUBLE) AS oob_error
+           |  FROM per_doc)
+           |SELECT s.b, s.threshold, s.train_gini, s.left_pred,
+           |  s.right_pred, a.ensemble_acc, a.oob_error
+           |FROM stumps s, acc a""".stripMargin
+      }),
   )
 }

@@ -1820,6 +1820,93 @@ object GovernanceOps {
              |  COUNT(*) >= 3 AS l_diverse
              |FROM cells GROUP BY c_nationkey, c_mktsegment"""
         .stripMargin)),
+
+    // ----- q231: grouped k-fold assignment + leakage comparison -----------
+    // q103 splits train/eval leak-free ONCE; this is the
+    // cross-validation version of the same discipline (GroupKFold): 5
+    // folds assigned per near-dup CLUSTER (everything in a component
+    // shares a fold) vs the naive per-document hash a careless pipeline
+    // uses — and the query MEASURES the difference, counting candidate
+    // near-dup pairs that straddle a fold boundary under each scheme.
+    // Grouped leakage is structurally zero (a pair's endpoints share a
+    // closure component, components share a fold) and the output
+    // witnesses it next to the naive scheme's real leak count — the
+    // number that silently inflates every cross-validated metric.
+    // Shape: the memoized q47 closure labels (one LSH pass per session,
+    // shared with q100/q103/q104), one md5-fold projection per scheme,
+    // two pair⋈fold hash joins, a fold-sized rollup.
+    NamedQuery(
+      "q231_grouped_kfold",
+      (s, d) => {
+        val labels = nearDupLabels(s, d)
+        val folds = labels.select(col("doc_id"),
+          (strHash(concat(lit("fold:"), col("doc_id").cast("string")))
+            % 5).as("fold_naive"),
+          (strHash(concat(lit("fold:"), col("cluster_rep").cast("string")))
+            % 5).as("fold_grouped"))
+        val pairs = lshCandidatePairs(corpusWithNearDups(s, d))
+          .select(col("id1"), col("id2"))
+        val pf = pairs
+          .join(folds.select(col("doc_id").as("id1"),
+            col("fold_naive").as("fn1"),
+            col("fold_grouped").as("fg1")), "id1")
+          .join(folds.select(col("doc_id").as("id2"),
+            col("fold_naive").as("fn2"),
+            col("fold_grouped").as("fg2")), "id2")
+        // a leaking pair is charged to its smaller fold id — any fixed
+        // attribution works, as long as both engines use the same one
+        val leaks = pf.select(
+            least(col("fn1"), col("fn2")).as("fold"),
+            (col("fn1") =!= col("fn2")).cast("long").as("ln"),
+            (col("fg1") =!= col("fg2")).cast("long").as("lg"))
+          .groupBy(col("fold"))
+          .agg(sum(col("ln")).as("leaked_pairs_naive"),
+            sum(col("lg")).as("leaked_pairs_grouped"))
+        val sizes = folds.groupBy(col("fold_naive").as("fold"))
+          .agg(count(lit(1)).as("n_docs_naive"))
+          .join(folds.groupBy(col("fold_grouped").as("fold"))
+            .agg(count(lit(1)).as("n_docs_grouped")), "fold")
+        sizes.join(leaks, Seq("fold"), "left")
+          .select(col("fold"), col("n_docs_naive"),
+            col("n_docs_grouped"),
+            coalesce(col("leaked_pairs_naive"), lit(0L))
+              .as("leaked_pairs_naive"),
+            coalesce(col("leaked_pairs_grouped"), lit(0L))
+              .as("leaked_pairs_grouped"))
+      },
+      Some {
+        val fn = s"${strHashSql("concat('fold:', CAST(doc_id AS VARCHAR))")} % 5"
+        val fg = s"${strHashSql(
+          "concat('fold:', CAST(cluster_rep AS VARCHAR))")} % 5"
+        s"""WITH RECURSIVE $clusterLabelCtes,
+           |folds AS (
+           |  SELECT doc_id, $fn AS fold_naive, $fg AS fold_grouped
+           |  FROM labels),
+           |pf AS (
+           |  SELECT least(f1.fold_naive, f2.fold_naive) AS fold,
+           |    CASE WHEN f1.fold_naive <> f2.fold_naive
+           |      THEN 1 ELSE 0 END AS ln,
+           |    CASE WHEN f1.fold_grouped <> f2.fold_grouped
+           |      THEN 1 ELSE 0 END AS lg
+           |  FROM pairs p
+           |  JOIN folds f1 ON f1.doc_id = p.id1
+           |  JOIN folds f2 ON f2.doc_id = p.id2),
+           |leaks AS (
+           |  SELECT fold, CAST(SUM(ln) AS BIGINT) AS leaked_pairs_naive,
+           |    CAST(SUM(lg) AS BIGINT) AS leaked_pairs_grouped
+           |  FROM pf GROUP BY fold),
+           |sn AS (SELECT fold_naive AS fold,
+           |         CAST(COUNT(*) AS BIGINT) AS n_docs_naive
+           |       FROM folds GROUP BY 1),
+           |sg AS (SELECT fold_grouped AS fold,
+           |         CAST(COUNT(*) AS BIGINT) AS n_docs_grouped
+           |       FROM folds GROUP BY 1)
+           |SELECT sn.fold, sn.n_docs_naive, sg.n_docs_grouped,
+           |  COALESCE(l.leaked_pairs_naive, 0) AS leaked_pairs_naive,
+           |  COALESCE(l.leaked_pairs_grouped, 0) AS leaked_pairs_grouped
+           |FROM sn JOIN sg USING (fold)
+           |LEFT JOIN leaks l USING (fold)""".stripMargin
+      }),
   )
 
   /** q133's engine, extracted for direct testing against a scalar

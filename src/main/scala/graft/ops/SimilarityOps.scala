@@ -2326,5 +2326,114 @@ object SimilarityOps {
               |  CAST(SUM(CASE WHEN bit_nn = exact_nn THEN 1 ELSE 0 END)
               |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
               |FROM nn""".stripMargin)),
+
+    // ----- q229: Johnson–Lindenstrauss projection distortion ---------------
+    // Measure what dimensionality reduction actually costs on THIS
+    // corpus: project the (2^20-grid quantized) embeddings 64 → 16 dims
+    // through a ±1 sign matrix (Achlioptas 2003 — database-friendly JL:
+    // signs, not gaussians, so the ENTIRE projection is exact integer
+    // arithmetic; s(i,j) comes from the portable md5 hash, no stored
+    // matrix) and report, per consecutive-id pair, the squared-distance
+    // distortion ratio d²_proj/(16·d²_orig) whose expectation is 1 by
+    // the JL lemma. Original distances come straight off the quantized
+    // arrays (one zip_with fold); projected coordinates are one
+    // (vec_id, out-dim) integer rollup — corpus × 16, partial-agg
+    // shaped, broadcast sign grid. The audit-panel trick of q85/q135:
+    // consecutive-id pairs are a deterministic bounded panel, never an
+    // all-pairs join; mean |ratio−1| lands alongside for the one-number
+    // readout.
+    NamedQuery(
+      "q229_jl_distortion",
+      (s, d) => {
+        val corpus = kmCorpus(s, d)
+        val dims = s.range(0, 64).select(col("id").cast("int").as("i"))
+        val outs = s.range(0, 16).select(col("id").cast("int").as("j"))
+        val signs = dims.crossJoin(outs)
+          .select(col("i"), col("j"),
+            when(LlmKit.strHash(concat(lit("jl:"),
+              col("i").cast("string"), lit(":"),
+              col("j").cast("string"))) % 2 === 0, 1L).otherwise(-1L)
+              .as("sg"))
+        val flat = corpus.select(col("vec_id"),
+          posexplode(col("qe")).as(Seq("i", "q")))
+        val proj = flat.join(broadcast(signs), "i")
+          .groupBy(col("vec_id"), col("j"))
+          .agg(sum(col("sg") * col("q")).as("y"))
+        val pd = proj.select((col("vec_id") - 1).as("vec_id"),
+            col("j"), col("y").as("yb"))
+          .join(proj.select(col("vec_id"), col("j"), col("y").as("ya")),
+            Seq("vec_id", "j"))
+          .groupBy(col("vec_id"))
+          .agg(sum((col("ya") - col("yb")) * (col("ya") - col("yb")))
+            .as("d2p"))
+        val od = corpus.select((col("vec_id") - 1).as("vec_id"),
+            col("qe").as("qb"))
+          .join(corpus.select(col("vec_id"), col("qe").as("qa")),
+            "vec_id")
+          .select(col("vec_id"),
+            aggregate(zip_with(col("qa"), col("qb"),
+              (a, b) => (a - b) * (a - b)), lit(0L), _ + _).as("d2o"))
+        val ratio = col("d2p").cast("double") /
+          (lit(16.0) * col("d2o").cast("double"))
+        val pairs = pd.join(od, "vec_id")
+          // identical-vector pairs would make the ratio 0/0 — excluded
+          // identically on both sides (none exist in this corpus, but
+          // NaN-vs-decimal casts differ across engines, so guard)
+          .filter(col("d2o") > 0)
+          .select(col("vec_id").as("id1"), (col("vec_id") + 1).as("id2"),
+            col("d2o"), col("d2p"), ratio.as("ratio"))
+        val glob = pairs.agg(
+          dsum(abs(col("ratio") - lit(1.0))).as("sdev"),
+          count(lit(1)).as("np"))
+          .select((col("sdev") / col("np").cast("double"))
+            .as("mean_abs_dev"))
+        pairs.crossJoin(broadcast(glob))
+      },
+      Some {
+        val h = LlmKit.strHashSql(
+          "concat('jl:', CAST(s.i AS VARCHAR), ':', CAST(o.j AS VARCHAR))")
+        s"""WITH q AS (
+           |  SELECT vec_id,
+           |    [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0)
+           |          AS BIGINT) for i in range(1, 65)] AS qe
+           |  FROM embeddings),
+           |signs AS (
+           |  SELECT s.i, o.j,
+           |    CASE WHEN $h % 2 = 0 THEN 1 ELSE -1 END AS sg
+           |  FROM (SELECT unnest(range(0, 64)) AS i) s,
+           |       (SELECT unnest(range(0, 16)) AS j) o),
+           |flat AS (
+           |  SELECT vec_id, i - 1 AS i, qe[i] AS qv
+           |  FROM q, unnest(range(1, 65)) AS u(i)),
+           |proj AS (
+           |  SELECT f.vec_id, sg.j,
+           |    CAST(SUM(sg.sg * f.qv) AS BIGINT) AS y
+           |  FROM flat f JOIN signs sg ON sg.i = f.i
+           |  GROUP BY f.vec_id, sg.j),
+           |pd AS (
+           |  SELECT a.vec_id,
+           |    CAST(SUM((a.y - b.y) * (a.y - b.y)) AS BIGINT) AS d2p
+           |  FROM proj a JOIN proj b
+           |    ON b.vec_id = a.vec_id + 1 AND b.j = a.j
+           |  GROUP BY a.vec_id),
+           |od AS (
+           |  SELECT a.vec_id,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      [(a.qe[i] - b.qe[i]) * (a.qe[i] - b.qe[i])
+           |       for i in range(1, 65)]), (x, y) -> x + y) AS d2o
+           |  FROM q a JOIN q b ON b.vec_id = a.vec_id + 1),
+           |pairs AS (
+           |  SELECT pd.vec_id AS id1, pd.vec_id + 1 AS id2, od.d2o,
+           |    pd.d2p,
+           |    CAST(pd.d2p AS DOUBLE)
+           |      / (16.0 * CAST(od.d2o AS DOUBLE)) AS ratio
+           |  FROM pd JOIN od ON od.vec_id = pd.vec_id
+           |  WHERE od.d2o > 0),
+           |g AS (
+           |  SELECT ${dsumSql("abs(ratio - 1.0)")}
+           |      / CAST(COUNT(*) AS DOUBLE) AS mean_abs_dev
+           |  FROM pairs)
+           |SELECT p.*, g.mean_abs_dev FROM pairs p, g""".stripMargin
+      }),
   )
 }

@@ -63,4 +63,33 @@ class TopKPerGroupSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(rows == want)
   }
+
+  test("property: random tables, keys, ties and k agree with a scalar") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // duplicate (key, v) pairs are GENERATED on purpose — the id
+    // tie-break is what makes the order total, so ties must be common
+    val rowGen = for {
+      key <- Gen.oneOf("a", "b", "c", "d")
+      v <- Gen.choose(0L, 20L)
+    } yield (key, v)
+    for (seed <- 1 to 8) {
+      val n = 40 + seed * 17
+      val rows = (0 until n).flatMap { i =>
+        rowGen.apply(Gen.Parameters.default,
+          Seed(seed * 1000L + i)).map { case (kk, v) => (kk, i.toLong, v) }
+      }
+      val k = 1 + seed % 5
+      val df = rows.toDF("g", "id", "v").repartition(5)
+      val got = graft.plans.TopKPerGroup.topK(df, Seq("g"),
+        Seq(("v", true), ("id", false)), k)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sorted
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (_, grp) =>
+        grp.sortBy(t => (-t._3, t._2)).take(k)
+      }.sorted
+      assert(got.toSeq == want, s"seed $seed k $k")
+    }
+  }
 }

@@ -3214,5 +3214,361 @@ object AnalyticsOps {
            |  s.right_pred, a.ensemble_acc, a.oob_error
            |FROM stumps s, acc a""".stripMargin
       }),
+
+    // ----- q233: pairwise KS distance matrix between sources --------------
+    // q136 tests one stream against a reference window; this is the
+    // all-pairs version a mixture designer reads — which SOURCES have
+    // the same document-length distribution? The two-sample
+    // Kolmogorov–Smirnov D for every source pair, computed EXACTLY:
+    // each source's CDF lives on the shared global distinct-length grid
+    // (sources × ~hundreds of lengths, bounded — lengths don't grow
+    // with corpus rows), and D's max runs over the INTEGER
+    // cross-multiplied form |F_s·n_t − F_t·n_s| so no float compare
+    // decides the argmax; the single division and the 1.36·√((n_s+n_t)
+    // /(n_s·n_t)) band (α=0.05 literal) happen after the max. Shape:
+    // one per-(source, length) rollup, one dense-grid cumulative per
+    // source, one grid self-join on length for the 190 pairs.
+    NamedQuery(
+      "q233_ks_matrix",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = tbl(s, d, "documents")
+          .select(col("source"), col("n_chars").cast("long").as("x"))
+        val counts = docs.groupBy(col("source"), col("x"))
+          .agg(count(lit(1)).as("c"))
+        val xs = docs.select(col("x")).distinct()
+        val srcs = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n"))
+        val grid = srcs.crossJoin(xs)
+          .join(counts, Seq("source", "x"), "left")
+          .select(col("source"), col("x"), col("n"),
+            coalesce(col("c"), lit(0L)).as("c"))
+        val w = Window.partitionBy(col("source")).orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cdf = grid.withColumn("f", sum(col("c")).over(w))
+        val a = cdf.select(col("source").as("s1"), col("x"),
+          col("n").as("n1"), col("f").as("f1"))
+        val b = cdf.select(col("source").as("s2"), col("x"),
+          col("n").as("n2"), col("f").as("f2"))
+        val pairs = a.join(b, Seq("x")).filter(col("s1") < col("s2"))
+          .select(col("s1"), col("s2"), col("n1"), col("n2"),
+            abs(col("f1") * col("n2") - col("f2") * col("n1")).as("dn"))
+          .groupBy(col("s1"), col("s2"))
+          .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+            max(col("dn")).as("dmax"))
+        val n1d = col("n1").cast("double")
+        val n2d = col("n2").cast("double")
+        val dStat = col("dmax").cast("double") / (n1d * n2d)
+        pairs.select(col("s1"), col("s2"), col("n1"), col("n2"),
+          dStat.as("d_stat"),
+          (dStat > lit(1.36) * sqrt((n1d + n2d) / (n1d * n2d)))
+            .as("differs"))
+      },
+      Some("""WITH docs AS (
+             |  SELECT source, CAST(n_chars AS BIGINT) AS x
+             |  FROM documents),
+             |counts AS (SELECT source, x, CAST(COUNT(*) AS BIGINT) AS c
+             |           FROM docs GROUP BY 1, 2),
+             |xs AS (SELECT DISTINCT x FROM docs),
+             |srcs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+             |         FROM docs GROUP BY source),
+             |cdf AS (
+             |  SELECT g.source, g.x, g.n,
+             |    CAST(SUM(COALESCE(c.c, 0)) OVER (PARTITION BY g.source
+             |      ORDER BY g.x ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             |      AS f
+             |  FROM (SELECT s.source, s.n, xs.x FROM srcs s, xs) g
+             |  LEFT JOIN counts c
+             |    ON c.source = g.source AND c.x = g.x),
+             |pairs AS (
+             |  SELECT a.source AS s1, b.source AS s2,
+             |    MAX(a.n) AS n1, MAX(b.n) AS n2,
+             |    MAX(abs(a.f * b.n - b.f * a.n)) AS dmax
+             |  FROM cdf a JOIN cdf b ON a.x = b.x AND a.source < b.source
+             |  GROUP BY a.source, b.source)
+             |SELECT s1, s2, n1, n2,
+             |  CAST(dmax AS DOUBLE)
+             |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS d_stat,
+             |  CAST(dmax AS DOUBLE)
+             |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+             |    > 1.36 * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+             |        / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+             |    AS differs
+             |FROM pairs""".stripMargin)),
+
+    // ----- q234: capture–recapture population estimate per stream ---------
+    // Estimate a population you can't enumerate from two overlapping
+    // samples — the ecology estimator (Chapman's bias-corrected
+    // Lincoln–Petersen) that dedup audits borrow to size a corpus's
+    // true user base from two crawls. Here the two "captures" are each
+    // stream's user sets in the two time halves; N̂ = (n1+1)(n2+1)/
+    // (m+1) − 1 lands next to the EXACT distinct-user truth, so the
+    // query calibrates itself (the q85/q135 self-audit discipline). The
+    // estimator's assumption — equal catchability — is real: uniform
+    // synthetic users recapture well; skewed real traffic would bias N̂
+    // low, and the rel_err column is where that shows. All integers
+    // until the final ratio. Shape: two distinct rollups + one
+    // hash-join on (type, user), all partial-aggregable.
+    NamedQuery(
+      "q234_capture_recapture",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("event_type"), col("user_id"),
+            expr("unix_micros(ts) div 3600000000").as("h"))
+        val mid = ev.agg(expr("(min(h) + max(h) + 1) div 2").as("mid"))
+        val halves = ev.crossJoin(broadcast(mid))
+          .select(col("event_type"), col("user_id"),
+            when(col("h") < col("mid"), 1L).otherwise(2L).as("half"))
+          .distinct()
+        val w1 = halves.filter(col("half") === 1)
+          .select(col("event_type"), col("user_id"))
+        val w2 = halves.filter(col("half") === 2)
+          .select(col("event_type"), col("user_id"))
+        val n1 = w1.groupBy(col("event_type")).agg(count(lit(1)).as("n1"))
+        val n2 = w2.groupBy(col("event_type")).agg(count(lit(1)).as("n2"))
+        val m = w1.join(w2, Seq("event_type", "user_id"))
+          .groupBy(col("event_type")).agg(count(lit(1)).as("m"))
+        val truth = ev.select(col("event_type"), col("user_id")).distinct()
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n_true"))
+        val est = ((col("n1") + 1) * (col("n2") + 1)).cast("double") /
+          (col("m") + 1).cast("double") - lit(1.0)
+        n1.join(n2, "event_type").join(m, "event_type")
+          .join(truth, "event_type")
+          .select(col("event_type"), col("n1"), col("n2"), col("m"),
+            col("n_true"), est.as("n_hat"),
+            (abs(est - col("n_true").cast("double")) /
+              col("n_true").cast("double")).as("rel_err"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, user_id,
+             |    epoch_us(ts) // 3600000000 AS h
+             |  FROM events),
+             |mid AS (SELECT (MIN(h) + MAX(h) + 1) // 2 AS mid FROM ev),
+             |halves AS (
+             |  SELECT DISTINCT event_type, user_id,
+             |    CASE WHEN h < (SELECT mid FROM mid) THEN 1 ELSE 2 END
+             |      AS half
+             |  FROM ev),
+             |n1 AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n1
+             |       FROM halves WHERE half = 1 GROUP BY event_type),
+             |n2 AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n2
+             |       FROM halves WHERE half = 2 GROUP BY event_type),
+             |m AS (
+             |  SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS m
+             |  FROM (SELECT event_type, user_id FROM halves
+             |        WHERE half = 1) a
+             |  JOIN (SELECT event_type, user_id FROM halves
+             |        WHERE half = 2) b
+             |    ON a.event_type = b.event_type
+             |    AND a.user_id = b.user_id
+             |  GROUP BY a.event_type),
+             |truth AS (
+             |  SELECT event_type,
+             |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_true
+             |  FROM ev GROUP BY event_type)
+             |SELECT n1.event_type, n1.n1, n2.n2, m.m, truth.n_true,
+             |  CAST((n1.n1 + 1) * (n2.n2 + 1) AS DOUBLE)
+             |    / CAST(m.m + 1 AS DOUBLE) - 1.0 AS n_hat,
+             |  abs(CAST((n1.n1 + 1) * (n2.n2 + 1) AS DOUBLE)
+             |      / CAST(m.m + 1 AS DOUBLE) - 1.0
+             |      - CAST(truth.n_true AS DOUBLE))
+             |    / CAST(truth.n_true AS DOUBLE) AS rel_err
+             |FROM n1 JOIN n2 USING (event_type)
+             |JOIN m USING (event_type)
+             |JOIN truth USING (event_type)""".stripMargin)),
+
+    // ----- q239: Simpson's-paradox audit (stratified vs pooled slope) -----
+    // The aggregation trap detector: the clicks→spend relationship
+    // (q121's exact integer grid — spend on the ×1000 millis grid) fit
+    // POOLED and fit within activity terciles, side by side. Activity
+    // volume confounds both variables, so the pooled slope can carry a
+    // sign no stratum supports — Simpson's paradox — and any dashboard
+    // reading the pooled number alone inherits it; the sign_flip column
+    // is the alarm. Terciles come from the q148 phased rank over the
+    // per-user event-count distribution (scale-relative — literal
+    // thresholds would pin to one SF's traffic shape); slopes are the
+    // q213 sufficient-statistic form, DECIMAL-exact sums, one double
+    // tree. Shape: one user rollup, one bounded distinct-count CDF, a
+    // 3-row + 1-row epilogue.
+    NamedQuery(
+      "q239_simpson_audit",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val perUser = events(s, d)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_ev"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("x"),
+            coalesce(dsum(when(col("event_type") === "purchase",
+              col("value"))), lit(0.0)).as("yv"))
+          .select(col("user_id"), col("n_ev"), col("x"),
+            floor(col("yv") * 1000.0).cast("long").as("y"))
+        val dist = perUser.groupBy(col("n_ev"))
+          .agg(count(lit(1)).as("c"))
+        val wRun = Window.orderBy(col("n_ev"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val nU = dist.agg(sum(col("c")).as("nu"))
+        val ranks = dist.withColumn("f", sum(col("c")).over(wRun))
+          .crossJoin(broadcast(nU))
+          .select(col("n_ev"),
+            expr("(f * 3 - 1) div nu").as("band"))
+        val banded = perUser.join(broadcast(ranks), "n_ev")
+        def slopeAgg(df: org.apache.spark.sql.DataFrame,
+            keys: Seq[org.apache.spark.sql.Column]) = {
+          val g = if (keys.isEmpty) df.groupBy() else df.groupBy(keys: _*)
+          g.agg(count(lit(1)).as("n"),
+            sum(expr("CAST(x AS DECIMAL(38,0))")).cast("double").as("sx"),
+            sum(expr("CAST(y AS DECIMAL(38,0))")).cast("double").as("sy"),
+            sum(expr("CAST(x AS DECIMAL(38,0)) * y")).cast("double")
+              .as("sxy"),
+            sum(expr("CAST(x AS DECIMAL(38,0)) * x")).cast("double")
+              .as("sxx"))
+        }
+        val nd = col("n").cast("double")
+        val slope = (nd * col("sxy") - col("sx") * col("sy")) /
+          (nd * col("sxx") - col("sx") * col("sx"))
+        val pooled = slopeAgg(banded, Nil)
+          .select(slope.as("pooled_slope"))
+        slopeAgg(banded, Seq(col("band")))
+          .select(col("band"), col("n").as("n_users"),
+            slope.as("band_slope"))
+          .crossJoin(broadcast(pooled))
+          .select(col("band"), col("n_users"), col("band_slope"),
+            col("pooled_slope"),
+            (col("band_slope") * col("pooled_slope") < 0.0)
+              .as("sign_flip"))
+      },
+      Some(s"""WITH u AS (
+             |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ev,
+             |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             |      AS x,
+             |    CAST(floor(coalesce(${dsumSql(
+               "CASE WHEN event_type = 'purchase' THEN value END")},
+               0.0) * 1000.0) AS BIGINT) AS y
+             |  FROM events GROUP BY user_id),
+             |dist AS (SELECT n_ev, CAST(COUNT(*) AS BIGINT) AS c
+             |         FROM u GROUP BY n_ev),
+             |nu AS (SELECT CAST(SUM(c) AS BIGINT) AS nu FROM dist),
+             |ranks AS (
+             |  SELECT n_ev,
+             |    (CAST(SUM(c) OVER (ORDER BY n_ev
+             |       ROWS UNBOUNDED PRECEDING) AS BIGINT) * 3 - 1)
+             |      // (SELECT nu FROM nu) AS band
+             |  FROM dist),
+             |b AS (SELECT u.*, r.band FROM u JOIN ranks r
+             |      USING (n_ev)),
+             |bs AS (
+             |  SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+             |    CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx
+             |  FROM b GROUP BY band),
+             |ps AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+             |    CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx
+             |  FROM b),
+             |pp AS (
+             |  SELECT (CAST(n AS DOUBLE) * sxy - sx * sy)
+             |    / (CAST(n AS DOUBLE) * sxx - sx * sx) AS pooled_slope
+             |  FROM ps)
+             |SELECT bs.band, bs.n AS n_users,
+             |  (CAST(bs.n AS DOUBLE) * bs.sxy - bs.sx * bs.sy)
+             |    / (CAST(bs.n AS DOUBLE) * bs.sxx - bs.sx * bs.sx)
+             |    AS band_slope,
+             |  pp.pooled_slope,
+             |  (CAST(bs.n AS DOUBLE) * bs.sxy - bs.sx * bs.sy)
+             |    / (CAST(bs.n AS DOUBLE) * bs.sxx - bs.sx * bs.sx)
+             |    * pp.pooled_slope < 0.0 AS sign_flip
+             |FROM bs, pp""".stripMargin)),
+
+    // ----- q240: lang × source independence (chi-square + Cramér's V) -----
+    // Is language independent of source, or does each source carry its
+    // own language mix? The contingency-table test every mixture
+    // designer should run before treating "source" and "language" as
+    // separable knobs: observed cell counts vs independence expectation
+    // e = row·col/n, chi-square over all cells (absent cells
+    // DENSIFIED — their expected mass still counts, the q175 grid
+    // lesson), and Cramér's V = √(χ²/(n·(min(r,c)−1))) as the
+    // normalized effect size. Counts are exact integers; e and the
+    // statistic are identical double trees; the 5×20 grid is
+    // dimension-bounded at any corpus size.
+    NamedQuery(
+      "q240_cramers_v",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+          .select(col("lang"), col("source"))
+        val cells = docs.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("o"))
+        val rows = docs.groupBy(col("lang")).agg(count(lit(1)).as("r"))
+        val cols = docs.groupBy(col("source")).agg(count(lit(1)).as("c"))
+        val n = docs.agg(count(lit(1)).as("n"),
+          countDistinct(col("lang")).as("nr"),
+          countDistinct(col("source")).as("nc"))
+        val dense = rows.crossJoin(cols)
+          .join(cells, Seq("lang", "source"), "left")
+          .crossJoin(broadcast(n))
+          .select(col("lang"), col("source"),
+            coalesce(col("o"), lit(0L)).as("o"),
+            (col("r").cast("double") * col("c").cast("double") /
+              col("n").cast("double")).as("e"),
+            col("n"), col("nr"), col("nc"))
+          .withColumn("contrib",
+            (col("o").cast("double") - col("e")) *
+              (col("o").cast("double") - col("e")) / col("e"))
+        val chi = dense.agg(dsum(col("contrib")).as("chi2"),
+          max(col("n")).as("n2"), max(col("nr")).as("nr2"),
+          max(col("nc")).as("nc2"))
+          .select(col("chi2"),
+            ((col("nr2") - 1) * (col("nc2") - 1)).as("dof"),
+            sqrt(col("chi2") / (col("n2").cast("double") *
+              (least(col("nr2"), col("nc2")) - lit(1)).cast("double")))
+              .as("cramers_v"))
+        dense.select(col("lang"), col("source"), col("o"), col("e"),
+            col("contrib"))
+          .crossJoin(broadcast(chi))
+      },
+      Some(s"""WITH docs AS (SELECT lang, source FROM documents),
+             |cells AS (SELECT lang, source,
+             |    CAST(COUNT(*) AS BIGINT) AS o
+             |  FROM docs GROUP BY 1, 2),
+             |r AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS r
+             |      FROM docs GROUP BY lang),
+             |c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS c
+             |      FROM docs GROUP BY source),
+             |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS nr,
+             |    CAST(COUNT(DISTINCT source) AS BIGINT) AS nc
+             |  FROM docs),
+             |dense AS (
+             |  SELECT r.lang, c.source,
+             |    CAST(COALESCE(cells.o, 0) AS BIGINT) AS o,
+             |    CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE)
+             |      / CAST(n.n AS DOUBLE) AS e,
+             |    n.n, n.nr, n.nc
+             |  FROM r CROSS JOIN c
+             |  LEFT JOIN cells ON cells.lang = r.lang
+             |    AND cells.source = c.source
+             |  CROSS JOIN n),
+             |dc AS (
+             |  SELECT lang, source, o, e,
+             |    (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+             |      AS contrib,
+             |    n, nr, nc
+             |  FROM dense),
+             |chi AS (
+             |  SELECT ${dsumSql("contrib")} AS chi2,
+             |    (MAX(nr) - 1) * (MAX(nc) - 1) AS dof,
+             |    sqrt(${dsumSql("contrib")}
+             |      / (CAST(MAX(n) AS DOUBLE)
+             |         * CAST(least(MAX(nr), MAX(nc)) - 1 AS DOUBLE)))
+             |      AS cramers_v
+             |  FROM dc)
+             |SELECT dc.lang, dc.source, dc.o, dc.e, dc.contrib,
+             |  chi.chi2, chi.dof, chi.cramers_v
+             |FROM dc, chi""".stripMargin)),
   )
 }

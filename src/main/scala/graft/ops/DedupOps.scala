@@ -987,5 +987,100 @@ object DedupOps {
            |  abs(id1 - id2) = 100000 AS planted
            |FROM pairs""".stripMargin
       }),
+
+    // ----- q235: dedup threshold sweep (precision/recall vs τ) ------------
+    // The tuning report that decides τ before anyone deletes anything:
+    // run the LSH candidate pipeline ONCE, score each candidate pair's
+    // exact shingle Jaccard, then classify the same pair table at seven
+    // thresholds (τ = 0.3 … 0.9) and report precision / recall / F1
+    // against the planted drop-token truth. Recall's denominator is ALL
+    // planted pairs (one per document), not just LSH survivors — so the
+    // sweep charges LSH's candidate misses too, the honest end-to-end
+    // number. Classification is integer cross-multiplication (i·10 ≥
+    // τ₁₀·u — never a float threshold compare); the τ grid is a 7-row
+    // broadcast; everything downstream of the (banded, capped)
+    // candidate join is candidate-pair-sized.
+    NamedQuery(
+      "q235_threshold_sweep",
+      (s, d) => {
+        val corpus = corpusWithNearDups(s, d)
+        val toks = corpus.select(col("doc_id"),
+          array_sort(array_distinct(hashedShingles(col("text"))))
+            .as("ts"))
+        val scored = lshCandidatePairs(corpus)
+          .select(col("id1"), col("id2"))
+          .join(toks.select(col("doc_id").as("id1"),
+            col("ts").as("ts1")), "id1")
+          .join(toks.select(col("doc_id").as("id2"),
+            col("ts").as("ts2")), "id2")
+          .select(col("id1"), col("id2"),
+            size(array_intersect(col("ts1"), col("ts2"))).cast("long")
+              .as("i"),
+            (size(col("ts1")) + size(col("ts2"))).cast("long").as("nn"),
+            (abs(col("id1") - col("id2")) === 100000).cast("long")
+              .as("planted"))
+        val taus = s.range(3, 10).select(col("id").as("tau10"))
+        val nPlanted = tbl(s, d, "documents")
+          .agg(count(lit(1)).as("n_planted"))
+        val cls = scored.crossJoin(broadcast(taus))
+          .select(col("tau10"), col("planted"),
+            (col("i") * 10 >= col("tau10") * (col("nn") - col("i")))
+              .cast("long").as("pred"))
+        val agg = cls.groupBy(col("tau10"))
+          .agg(sum(col("pred")).as("n_pred"),
+            sum(col("pred") * col("planted")).as("tp"))
+          .crossJoin(broadcast(nPlanted))
+        val prec = when(col("n_pred") > 0,
+          col("tp").cast("double") / col("n_pred").cast("double"))
+        val rec = col("tp").cast("double") /
+          col("n_planted").cast("double")
+        agg.select(col("tau10"), col("n_pred"), col("tp"),
+          col("n_planted"), prec.as("precision"), rec.as("recall"),
+          // tp = 0 would make the harmonic mean 0/0 — NULL, not NaN
+          when(col("tp") > 0,
+            lit(2.0) * prec * rec / (prec + rec)).as("f1"))
+      },
+      Some {
+        s"""WITH corpus AS ($corpusWithNearDupsSql),
+           |tt AS (SELECT doc_id, text,
+           |         ${tokenHashesSql("text")} AS th FROM corpus),
+           |tk AS (SELECT doc_id,
+           |    list_sort(list_distinct(
+           |      ${hashedShinglesSql("text", "th")})) AS ts
+           |  FROM tt),
+           |$lshPairsCteSql,
+           |scored AS (
+           |  SELECT p.id1, p.id2,
+           |    CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS i,
+           |    CAST(len(a.ts) + len(b.ts) AS BIGINT) AS nn,
+           |    CASE WHEN abs(p.id1 - p.id2) = 100000
+           |      THEN 1 ELSE 0 END AS planted
+           |  FROM pairs p JOIN tk a ON a.doc_id = p.id1
+           |               JOIN tk b ON b.doc_id = p.id2),
+           |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_planted
+           |       FROM documents),
+           |cls AS (
+           |  SELECT t.tau10, s.planted,
+           |    CASE WHEN s.i * 10 >= t.tau10 * (s.nn - s.i)
+           |      THEN 1 ELSE 0 END AS pred
+           |  FROM scored s,
+           |       (SELECT unnest(range(3, 10)) AS tau10) t),
+           |agg AS (
+           |  SELECT tau10, CAST(SUM(pred) AS BIGINT) AS n_pred,
+           |    CAST(SUM(pred * planted) AS BIGINT) AS tp
+           |  FROM cls GROUP BY tau10)
+           |SELECT a.tau10, a.n_pred, a.tp, np.n_planted,
+           |  CASE WHEN a.n_pred > 0 THEN CAST(a.tp AS DOUBLE)
+           |    / CAST(a.n_pred AS DOUBLE) END AS precision,
+           |  CAST(a.tp AS DOUBLE) / CAST(np.n_planted AS DOUBLE)
+           |    AS recall,
+           |  CASE WHEN a.tp > 0 THEN
+           |    2.0 * (CAST(a.tp AS DOUBLE) / CAST(a.n_pred AS DOUBLE))
+           |      * (CAST(a.tp AS DOUBLE) / CAST(np.n_planted AS DOUBLE))
+           |    / (CAST(a.tp AS DOUBLE) / CAST(a.n_pred AS DOUBLE)
+           |       + CAST(a.tp AS DOUBLE) / CAST(np.n_planted AS DOUBLE))
+           |  END AS f1
+           |FROM agg a, np""".stripMargin
+      }),
   )
 }

@@ -2435,5 +2435,189 @@ object SimilarityOps {
            |  FROM pairs)
            |SELECT p.*, g.mean_abs_dev FROM pairs p, g""".stripMargin
       }),
+
+    // ----- q236: within/between scatter ratio (label separability) --------
+    // Are the labels SEPARABLE in embedding space? q205 gives the
+    // between-class geometry; this completes it into the Fisher-style
+    // ratio a nearest-centroid classifier's error actually tracks:
+    // per-label within-class scatter via the centroid identity
+    // E‖x−μ‖² = E‖x‖² − ‖μ‖² — so NO pairwise join and no residual
+    // pass, just moment sums (the one-pass variance trick lifted to
+    // vectors); between-class scatter ‖μ_l − μ‖² against the global
+    // centroid; and the n-weighted global ratio Σn·B / Σn·W. All
+    // coordinate sums on the dsum decimal grid (the q205 contract),
+    // ratios as identical double trees. Shape: one posexplode rollup
+    // per (label, dim), label-count-bounded everything after.
+    NamedQuery(
+      "q236_scatter_ratio",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+        val x = tbl(s, d, "embeddings")
+          .select(col("label"), posexplode(col("embedding"))
+            .as(Seq("dim", "xf")))
+          .select(col("label"), col("dim"), col("xf").cast("double")
+            .as("x"))
+        val nl = tbl(s, d, "embeddings").groupBy(col("label"))
+          .agg(count(lit(1)).as("n"))
+        val cent = x.groupBy(col("label"), col("dim"))
+          .agg(sum(col("x").cast(dec)).as("sx"))
+          .join(broadcast(nl), "label")
+          .select(col("label"), col("dim"), col("n"),
+            (col("sx").cast("double") / col("n").cast("double"))
+              .as("mu"))
+        val gcent = x.groupBy(col("dim"))
+          .agg(sum(col("x").cast(dec)).as("sx"), count(lit(1)).as("nr"))
+          .select(col("dim"),
+            (col("sx").cast("double") / col("nr").cast("double"))
+              .as("gmu"))
+        val sq = x.select(col("label"), (col("x") * col("x")).as("x2"))
+          .groupBy(col("label")).agg(dsum(col("x2")).as("sxx"))
+        val norms = cent.select(col("label"),
+            (col("mu") * col("mu")).as("m2"))
+          .groupBy(col("label")).agg(dsum(col("m2")).as("mu2"))
+        val between = cent.join(broadcast(gcent), "dim")
+          .select(col("label"),
+            ((col("mu") - col("gmu")) * (col("mu") - col("gmu")))
+              .as("d2"))
+          .groupBy(col("label")).agg(dsum(col("d2")).as("between"))
+        val perLabel = nl.join(sq, "label").join(norms, "label")
+          .join(between, "label")
+          .select(col("label"), col("n"),
+            (col("sxx") / col("n").cast("double") - col("mu2"))
+              .as("w_scatter"), col("between").as("b_scatter"))
+        val fisher = perLabel.agg(
+          (dsum(col("n").cast("double") * col("b_scatter")) /
+            dsum(col("n").cast("double") * col("w_scatter")))
+            .as("fisher_ratio"))
+        perLabel
+          .select(col("label"), col("n"), col("w_scatter"),
+            col("b_scatter"),
+            (col("b_scatter") / col("w_scatter")).as("ratio"))
+          .crossJoin(broadcast(fisher))
+      },
+      Some(s"""WITH x AS (
+             |  SELECT label, i - 1 AS dim,
+             |    CAST(embedding[i] AS DOUBLE) AS x
+             |  FROM embeddings, unnest(range(1, 65)) AS u(i)),
+             |nl AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+             |       FROM embeddings GROUP BY label),
+             |cent AS (
+             |  SELECT x.label, x.dim, nl.n,
+             |    CAST(SUM(CAST(x.x AS DECIMAL(28,6))) AS DOUBLE)
+             |      / CAST(nl.n AS DOUBLE) AS mu
+             |  FROM x JOIN nl USING (label)
+             |  GROUP BY x.label, x.dim, nl.n),
+             |gcent AS (
+             |  SELECT dim,
+             |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+             |      / CAST(COUNT(*) AS DOUBLE) AS gmu
+             |  FROM x GROUP BY dim),
+             |sq AS (SELECT label, ${dsumSql("x * x")} AS sxx
+             |       FROM x GROUP BY label),
+             |norms AS (SELECT label, ${dsumSql("mu * mu")} AS mu2
+             |          FROM cent GROUP BY label),
+             |bet AS (
+             |  SELECT c.label,
+             |    ${dsumSql("(c.mu - g.gmu) * (c.mu - g.gmu)")} AS between_s
+             |  FROM cent c JOIN gcent g USING (dim)
+             |  GROUP BY c.label),
+             |per_label AS (
+             |  SELECT nl.label, nl.n,
+             |    sq.sxx / CAST(nl.n AS DOUBLE) - norms.mu2 AS within_s,
+             |    bet.between_s
+             |  FROM nl JOIN sq USING (label) JOIN norms USING (label)
+             |  JOIN bet USING (label)),
+             |fisher AS (
+             |  SELECT ${dsumSql("CAST(n AS DOUBLE) * between_s")}
+             |      / ${dsumSql("CAST(n AS DOUBLE) * within_s")}
+             |      AS fisher_ratio
+             |  FROM per_label)
+             |SELECT p.label, p.n, p.within_s AS w_scatter,
+             |  p.between_s AS b_scatter,
+             |  p.between_s / p.within_s AS ratio, f.fisher_ratio
+             |FROM per_label p, fisher f""".stripMargin)),
+
+    // ----- q241: kNN label-noise estimate (neighborhood disagreement) -----
+    // The label-quality audit before anyone trains on the labels: for
+    // each vector, how many of its nearest neighbors carry a DIFFERENT
+    // label? Aggregated per label this is the classic noise-rate
+    // estimator (the intuition under Confident Learning): a clean,
+    // separable class disagrees rarely; a mislabeled or entangled one
+    // lights up, and `n_suspect` (majority of neighbors disagree) is
+    // the per-class review queue size. Neighbors are q129's
+    // construction verbatim — LSH-bucketed candidates, top-3 cosine per
+    // node, never all-pairs — with two broadcast label joins and a
+    // label-bounded rollup on top; the q236 scatter ratio says whether
+    // classes are separable in aggregate, this says WHICH labels to
+    // distrust row by row.
+    NamedQuery(
+      "q241_knn_label_noise",
+      (s, d) => {
+        val emb = normed(s, d)
+          .withColumn("bucket", lshBucket(col("embedding")))
+        val a = emb.select(col("bucket"), col("vec_id").as("src"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        val b = emb.select(col("bucket"), col("vec_id").as("dst"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+        val w = Window.partitionBy(col("src"))
+          .orderBy(col("cos").desc, col("dst"))
+        val knn = a.join(b, "bucket")
+          .filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst"),
+            (dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+              .as("cos"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+        val labels = tbl(s, d, "embeddings")
+          .select(col("vec_id"), col("label"))
+        val perNode = knn
+          .join(broadcast(labels.select(col("vec_id").as("src"),
+            col("label").as("la"))), "src")
+          .join(broadcast(labels.select(col("vec_id").as("dst"),
+            col("label").as("lb"))), "dst")
+          .groupBy(col("src"), col("la"))
+          .agg(count(lit(1)).as("k"),
+            sum((col("la") =!= col("lb")).cast("long")).as("nd"))
+        perNode.groupBy(col("la"))
+          .agg(count(lit(1)).as("n_nodes"),
+            sum((col("nd") * 2 > col("k")).cast("long")).as("n_suspect"),
+            (sum(col("nd")).cast("double") /
+              sum(col("k")).cast("double")).as("noise_rate"))
+          .select(col("la").as("label"), col("n_nodes"),
+            col("n_suspect"), col("noise_rate"),
+            (col("n_suspect").cast("double") /
+              col("n_nodes").cast("double")).as("suspect_share"))
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, embedding,
+              |    ${lshBucketSql("embedding")} AS bucket
+              |  FROM embeddings),
+              |knn AS (
+              |  SELECT src, dst FROM (
+              |    SELECT a.vec_id AS src, b.vec_id AS dst,
+              |      CAST(row_number() OVER (PARTITION BY a.vec_id
+              |        ORDER BY ${cosineSql("a.embedding", "b.embedding")}
+              |          DESC, b.vec_id) AS BIGINT) AS rk
+              |    FROM e a JOIN e b ON a.bucket = b.bucket
+              |      AND a.vec_id <> b.vec_id)
+              |  WHERE rk <= 3),
+              |pn AS (
+              |  SELECT k.src, la.label AS la,
+              |    CAST(COUNT(*) AS BIGINT) AS k,
+              |    CAST(SUM(CASE WHEN la.label <> lb.label
+              |      THEN 1 ELSE 0 END) AS BIGINT) AS nd
+              |  FROM knn k
+              |  JOIN embeddings la ON la.vec_id = k.src
+              |  JOIN embeddings lb ON lb.vec_id = k.dst
+              |  GROUP BY k.src, la.label)
+              |SELECT la AS label, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+              |  CAST(SUM(CASE WHEN nd * 2 > k THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_suspect,
+              |  CAST(SUM(nd) AS DOUBLE) / CAST(SUM(k) AS DOUBLE)
+              |    AS noise_rate,
+              |  CAST(SUM(CASE WHEN nd * 2 > k THEN 1 ELSE 0 END)
+              |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+              |    AS suspect_share
+              |FROM pn GROUP BY la""".stripMargin)),
   )
 }

@@ -570,5 +570,61 @@ object TemporalOps {
              |    / CAST(COUNT(*) AS DOUBLE) AS mean_dwell_hours
              |FROM iv WHERE dwell_us IS NOT NULL
              |GROUP BY event_type""".stripMargin)),
+
+    // ----- q237: inter-arrival burstiness per stream ------------------------
+    // Is a stream's arrival process Poisson or bursty? The
+    // coefficient-of-variation test on per-user inter-arrival gaps: a
+    // memoryless process has CV ≈ 1, human sessions cluster (CV > 1),
+    // a rate-limited machine feed is regular (CV < 1); Goh & Barabási's
+    // B = (CV−1)/(CV+1) maps it onto [−1, 1]. Gaps are integer
+    // microseconds from the SAME per-user lag window every sessionizer
+    // here uses (bounded per-user partitions, q122's shape); (n, Σg,
+    // Σg²) accumulate in DECIMAL(38,0) (Σg² passes 2^63 at ~hours-long
+    // gaps), and CV is one identical double tree with one IEEE sqrt.
+    NamedQuery(
+      "q237_interarrival_cv",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val gaps = OpsKit.events(s, d)
+          .select(col("event_type"), col("user_id"), col("ts"),
+            col("event_id"), expr("unix_micros(ts)").as("us"))
+          .withColumn("g", col("us") - lag(col("us"), 1).over(w))
+          .filter(col("g").isNotNull)
+        val st = gaps.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          sum(expr("CAST(g AS DECIMAL(38,0))")).cast("double").as("sg"),
+          sum(expr("CAST(g AS DECIMAL(38,0)) * g")).cast("double")
+            .as("sgg"))
+        val nd = col("n").cast("double")
+        val mean = col("sg") / nd
+        val cv = sqrt(col("sgg") / nd - mean * mean) / mean
+        st.select(col("event_type"), col("n"),
+          (mean / lit(1000000.0)).as("mean_gap_s"),
+          cv.as("cv"),
+          ((cv - lit(1.0)) / (cv + lit(1.0))).as("burstiness"),
+          (cv > lit(1.5)).as("bursty"))
+      },
+      Some("""WITH g AS (
+             |  SELECT event_type,
+             |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS g
+             |  FROM events),
+             |st AS (
+             |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(CAST(g AS HUGEINT)) AS DOUBLE) AS sg,
+             |    CAST(SUM(CAST(g AS HUGEINT) * g) AS DOUBLE) AS sgg
+             |  FROM g WHERE g IS NOT NULL GROUP BY event_type),
+             |m AS (
+             |  SELECT event_type, n, sg / CAST(n AS DOUBLE) AS mean,
+             |    sqrt(sgg / CAST(n AS DOUBLE)
+             |      - (sg / CAST(n AS DOUBLE))
+             |        * (sg / CAST(n AS DOUBLE)))
+             |      / (sg / CAST(n AS DOUBLE)) AS cv
+             |  FROM st)
+             |SELECT event_type, n, mean / 1000000.0 AS mean_gap_s, cv,
+             |  (cv - 1.0) / (cv + 1.0) AS burstiness,
+             |  cv > 1.5 AS bursty
+             |FROM m""".stripMargin)),
   )
 }

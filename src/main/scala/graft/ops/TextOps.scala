@@ -1666,5 +1666,63 @@ object TextOps {
               |SELECT src_a, src_b, bc,
               |  sqrt(greatest(0.0, 1.0 - bc)) AS hellinger
               |FROM bc""".stripMargin)),
+
+    // ----- q238: token burstiness (variance-to-mean over documents) -------
+    // Church & Gale's observation, operationalized: a topical word
+    // arrives in BURSTS (many occurrences in few documents — VMR ≫ 1)
+    // while a function word spreads Poisson-like (VMR ≈ 1); the index
+    // of dispersion over per-document counts INCLUDING zeros separates
+    // them where raw frequency can't. The zeros cost nothing: with
+    // (df, Σc, Σc²) per token and the document total N, every moment
+    // of the zero-padded distribution is already determined — no dense
+    // token×document grid exists anywhere. Σc² widens to DECIMAL/
+    // HUGEINT before the square (corpus-scale counts); a df ≥ 5 floor
+    // keeps one-off typos out of the ranking; the top-20 lands via
+    // TakeOrderedAndProject with the token as tie-break.
+    NamedQuery(
+      "q238_token_burstiness",
+      (s, d) => {
+        val tc = tbl(s, d, "documents")
+          .select(col("doc_id"),
+            explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("tok"), col("doc_id"))
+          .agg(count(lit(1)).as("c"))
+        val st = tc.groupBy(col("tok")).agg(
+          count(lit(1)).as("df"),
+          sum(col("c")).as("tf"),
+          sum(expr("CAST(c AS DECIMAL(38,0)) * c")).cast("double")
+            .as("s2"))
+        val nDocs = tbl(s, d, "documents")
+          .agg(count(lit(1)).as("n_docs"))
+        val j = st.filter(col("df") >= 5).crossJoin(broadcast(nDocs))
+        val nd = col("n_docs").cast("double")
+        val mean = col("tf").cast("double") / nd
+        val vmr = (col("s2") / nd - mean * mean) / mean
+        j.select(col("tok"), col("df"), col("tf"),
+            mean.as("mean_count"), vmr.as("vmr"))
+          .orderBy(col("vmr").desc, col("tok"))
+          .limit(20)
+      },
+      Some("""WITH tc AS (
+             |  SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM (SELECT doc_id,
+             |          unnest(string_split(text, ' ')) AS tok
+             |        FROM documents)
+             |  GROUP BY tok, doc_id),
+             |st AS (
+             |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+             |    CAST(SUM(c) AS BIGINT) AS tf,
+             |    CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE) AS s2
+             |  FROM tc GROUP BY tok),
+             |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
+             |       FROM documents)
+             |SELECT tok, df, tf,
+             |  CAST(tf AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_count,
+             |  (s2 / CAST(n_docs AS DOUBLE)
+             |    - (CAST(tf AS DOUBLE) / CAST(n_docs AS DOUBLE))
+             |      * (CAST(tf AS DOUBLE) / CAST(n_docs AS DOUBLE)))
+             |    / (CAST(tf AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS vmr
+             |FROM st, nd WHERE df >= 5
+             |ORDER BY vmr DESC, tok LIMIT 20""".stripMargin)),
   )
 }

@@ -1,0 +1,66 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, Attribute, EqualTo, Expression, IntegerLiteral, LessThan,
+  LessThanOrEqual, RowNumber, WindowExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Filter, LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Opt-in optimizer rule (the Rule[LogicalPlan] extension surface —
+  * graft's fourth Catalyst extension kind after scalar expressions, the
+  * generator, and the planner strategy): recognizes the ubiquitous
+  * per-group top-k idiom
+  *
+  *   Filter(rn <= k, Window(row_number() OVER (PARTITION BY g ORDER BY o)))
+  *
+  * and inserts [[TopKPerGroup]] BELOW the window, so the window only
+  * ranks the ≤ k·|groups| surviving rows instead of sorting the whole
+  * child. The Filter and Window stay in place — the rewrite is
+  * semantics-preserving by construction (TopKPerGroup keeps exactly the
+  * rows whose row_number can be ≤ k), the rn column remains available
+  * to downstream operators, and plans that don't match are untouched.
+  *
+  * OFF by default (`spark.graft.topk.rewrite=true` enables): with a
+  * NON-total order, row_number already ties-breaks arbitrarily in
+  * Spark, but the rewrite can change WHICH arbitrary winner survives —
+  * an opt-in, documented trade, same contract as TopKPerGroup.topK.
+  * Guards: single row_number window expression, same partition/order on
+  * the node, a bare rn-vs-literal predicate, and an
+  * already-rewritten child is never wrapped again (the rule runs in a
+  * fixed-point batch).
+  */
+object TopKWindowRewrite extends Rule[LogicalPlan] {
+
+  private def enabled: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.topk.rewrite", "false") == "true"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformUp {
+      case f @ Filter(cond,
+          w @ Window(Seq(alias @ Alias(
+            WindowExpression(RowNumber(), _), _)),
+          part, order, child, _))
+          if order.nonEmpty && !child.isInstanceOf[TopKPerGroup] =>
+        extractK(cond, alias.toAttribute) match {
+          case Some(k) if k > 0 =>
+            Filter(cond,
+              w.copy(child = TopKPerGroup(part, order, k, child)))
+          case _ => f
+        }
+    }
+
+  /** k such that `cond` keeps exactly the rows with row_number ≤ k. */
+  private def extractK(cond: Expression, rn: Attribute): Option[Int] =
+    cond match {
+      case LessThanOrEqual(a: Attribute, IntegerLiteral(v))
+          if a.semanticEquals(rn) => Some(v)
+      case LessThan(a: Attribute, IntegerLiteral(v))
+          if a.semanticEquals(rn) => Some(v - 1)
+      case EqualTo(a: Attribute, IntegerLiteral(1))
+          if a.semanticEquals(rn) => Some(1)
+      case _ => None
+    }
+}

@@ -64,6 +64,46 @@ class TopKPerGroupSpec extends AnyFunSuite {
     assert(rows == want)
   }
 
+  test("rewrite rule: off by default, thins the window when enabled") {
+    def windowPlan() = windowForm(5)
+    // default: no rewrite anywhere in the optimized plan
+    val off = windowPlan()
+    assert(!off.queryExecution.optimizedPlan.toString
+      .contains("TopKPerGroup"))
+    val want = off.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted
+    spark.conf.set("spark.graft.topk.rewrite", "true")
+    try {
+      val on = windowPlan()
+      val opt = on.queryExecution.optimizedPlan.toString
+      assert(opt.contains("TopKPerGroup"), opt)
+      // the Window survives ABOVE the thinned child (rn still usable)
+      val phys = on.queryExecution.executedPlan.toString
+      assert(phys.contains("TopKPerGroupFinal") && phys.contains("Window"),
+        phys)
+      val got = on.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted
+      assert(got.toSeq == want.toSeq)
+    } finally spark.conf.set("spark.graft.topk.rewrite", "false")
+  }
+
+  test("rewrite rule: non-matching filters stay untouched when enabled") {
+    import org.apache.spark.sql.expressions.Window
+    spark.conf.set("spark.graft.topk.rewrite", "true")
+    try {
+      // rank() (not row_number) and a non-literal bound must not match
+      val df = graft.ops.OpsKit.events(spark, dir)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("rk", rank().over(Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("value").desc, col("event_id"))))
+        .filter(col("rk") <= 5)
+      assert(!df.queryExecution.optimizedPlan.toString
+        .contains("TopKPerGroup"))
+      assert(df.count() > 0)
+    } finally spark.conf.set("spark.graft.topk.rewrite", "false")
+  }
+
   test("property: random tables, keys, ties and k agree with a scalar") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

@@ -3570,5 +3570,107 @@ object AnalyticsOps {
              |SELECT dc.lang, dc.source, dc.o, dc.e, dc.contrib,
              |  chi.chi2, chi.dof, chi.cramers_v
              |FROM dc, chi""".stripMargin)),
+
+    // ----- q243: event-type co-usage matrix (user-set Jaccard) ------------
+    // Which behaviors share an audience? For every event-type pair:
+    // the user-set overlap, Jaccard, and BOTH containments (Jaccard
+    // says "these audiences are similar"; containment says "A's users
+    // are a subset of B's" — the asymmetric reading a funnel designer
+    // needs, q95's lesson applied to audiences). One distinct
+    // (type, user) projection, one user-keyed self-join producing only
+    // pairs that SHARE a user — the sparse intersection, never
+    // |types|²·|users| — then a 10-row epilogue against broadcast
+    // per-type sizes. All counts exact.
+    NamedQuery(
+      "q243_cousage_matrix",
+      (s, d) => {
+        val tu = events(s, d)
+          .select(col("event_type"), col("user_id")).distinct()
+        val sizes = tu.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("nu"))
+        val inter = tu.select(col("event_type").as("ta"), col("user_id"))
+          .join(tu.select(col("event_type").as("tb"), col("user_id")),
+            "user_id")
+          .filter(col("ta") < col("tb"))
+          .groupBy(col("ta"), col("tb"))
+          .agg(count(lit(1)).as("m"))
+        inter
+          .join(broadcast(sizes.select(col("event_type").as("ta"),
+            col("nu").as("na"))), "ta")
+          .join(broadcast(sizes.select(col("event_type").as("tb"),
+            col("nu").as("nb"))), "tb")
+          .select(col("ta"), col("tb"), col("na"), col("nb"), col("m"),
+            (col("m").cast("double") /
+              (col("na") + col("nb") - col("m")).cast("double"))
+              .as("jaccard"),
+            (col("m").cast("double") / col("na").cast("double"))
+              .as("containment_a"),
+            (col("m").cast("double") / col("nb").cast("double"))
+              .as("containment_b"))
+      },
+      Some("""WITH tu AS (
+             |  SELECT DISTINCT event_type, user_id FROM events),
+             |sizes AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nu
+             |          FROM tu GROUP BY event_type),
+             |inter AS (
+             |  SELECT a.event_type AS ta, b.event_type AS tb,
+             |    CAST(COUNT(*) AS BIGINT) AS m
+             |  FROM tu a JOIN tu b ON a.user_id = b.user_id
+             |    AND a.event_type < b.event_type
+             |  GROUP BY 1, 2)
+             |SELECT i.ta, i.tb, sa.nu AS na, sb.nu AS nb, i.m,
+             |  CAST(i.m AS DOUBLE)
+             |    / CAST(sa.nu + sb.nu - i.m AS DOUBLE) AS jaccard,
+             |  CAST(i.m AS DOUBLE) / CAST(sa.nu AS DOUBLE)
+             |    AS containment_a,
+             |  CAST(i.m AS DOUBLE) / CAST(sb.nu AS DOUBLE)
+             |    AS containment_b
+             |FROM inter i
+             |JOIN sizes sa ON sa.event_type = i.ta
+             |JOIN sizes sb ON sb.event_type = i.tb"""
+        .stripMargin)),
+
+    // ----- q244: sample-ratio mismatch (SRM) guard for the A/B split -------
+    // The pre-test every experiment readout must pass BEFORE q178's
+    // z-test means anything: does the 50/50 assignment actually split
+    // 50/50? A skewed split (bot filtering, logging loss, assignment
+    // bugs) invalidates the comparison silently — SRM is the most
+    // common real-world A/B failure. Per activity cohort (users seen in
+    // each event type): arm sizes under the parity assignment, the
+    // 1-dof chi-square in its exact integer-numerator form
+    // (o₁−o₂)²/n, and the 3.841 (α=0.05) alarm. One distinct rollup,
+    // cohort-bounded epilogue.
+    NamedQuery(
+      "q244_srm_check",
+      (s, d) => {
+        val cu = events(s, d)
+          .select(col("event_type"), col("user_id")).distinct()
+          .select(col("event_type"),
+            (col("user_id") % 2 === 0).cast("long").as("arm0"))
+        val st = cu.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          sum(col("arm0")).as("n_arm0"))
+        val o1 = col("n_arm0").cast("double")
+        val o2 = (col("n") - col("n_arm0")).cast("double")
+        val chi = (o1 - o2) * (o1 - o2) / col("n").cast("double")
+        st.select(col("event_type"), col("n"), col("n_arm0"),
+          (col("n") - col("n_arm0")).as("n_arm1"),
+          chi.as("chi2"), (chi > lit(3.841)).as("srm_alarm"))
+      },
+      Some("""WITH cu AS (
+             |  SELECT DISTINCT event_type, user_id FROM events),
+             |st AS (
+             |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_arm0
+             |  FROM cu GROUP BY event_type)
+             |SELECT event_type, n, n_arm0, n - n_arm0 AS n_arm1,
+             |  (CAST(n_arm0 AS DOUBLE) - CAST(n - n_arm0 AS DOUBLE))
+             |    * (CAST(n_arm0 AS DOUBLE) - CAST(n - n_arm0 AS DOUBLE))
+             |    / CAST(n AS DOUBLE) AS chi2,
+             |  (CAST(n_arm0 AS DOUBLE) - CAST(n - n_arm0 AS DOUBLE))
+             |    * (CAST(n_arm0 AS DOUBLE) - CAST(n - n_arm0 AS DOUBLE))
+             |    / CAST(n AS DOUBLE) > 3.841 AS srm_alarm
+             |FROM st""".stripMargin)),
   )
 }

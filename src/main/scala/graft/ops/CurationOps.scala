@@ -1075,5 +1075,54 @@ object CurationOps {
               |    AS achieved_share
               |FROM avail a JOIN sel s USING (source)
               |CROSS JOIN scal CROSS JOIN tot""".stripMargin)),
+
+    // ----- q242: mixture concentration report (HHI per language) ----------
+    // The one-number diversity readout per corpus slice: the
+    // Herfindahl–Hirschman index of source shares within each language,
+    // its reciprocal (the "effective number of sources" — 20 equal
+    // sources → 20.0, one dominant source → ~1), and the top source's
+    // share. The antitrust economist's concentration measure is exactly
+    // what a mixture designer needs before believing a slice is
+    // "diverse": q46/q58 report the shares, this collapses them into
+    // the comparable scalar. HHI = Σnᵢ²/n² — the nᵢ² sum widens to
+    // HUGEINT/DECIMAL (source counts are corpus-scale), the two ratios
+    // are identical double trees, and everything is
+    // (lang × source)-bounded after one rollup.
+    NamedQuery(
+      "q242_mixture_hhi",
+      (s, d) => {
+        val cells = OpsKit.tbl(s, d, "documents")
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("c"))
+        val st = cells.groupBy(col("lang")).agg(
+          sum(col("c")).as("n_docs"),
+          count(lit(1)).as("n_sources"),
+          max(col("c")).as("top_c"),
+          sum(expr("CAST(c AS DECIMAL(38,0)) * c")).cast("double")
+            .as("s2"))
+        val nd = col("n_docs").cast("double")
+        val hhi = col("s2") / (nd * nd)
+        st.select(col("lang"), col("n_docs"), col("n_sources"),
+          hhi.as("hhi"), (lit(1.0) / hhi).as("effective_sources"),
+          (col("top_c").cast("double") / nd).as("top_source_share"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM documents GROUP BY 1, 2),
+             |st AS (
+             |  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_docs,
+             |    CAST(COUNT(*) AS BIGINT) AS n_sources,
+             |    CAST(MAX(c) AS BIGINT) AS top_c,
+             |    CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE) AS s2
+             |  FROM cells GROUP BY lang)
+             |SELECT lang, n_docs, n_sources,
+             |  s2 / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))
+             |    AS hhi,
+             |  1.0 / (s2 / (CAST(n_docs AS DOUBLE)
+             |               * CAST(n_docs AS DOUBLE)))
+             |    AS effective_sources,
+             |  CAST(top_c AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             |    AS top_source_share
+             |FROM st""".stripMargin)),
   )
 }

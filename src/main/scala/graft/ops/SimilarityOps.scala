@@ -2619,5 +2619,87 @@ object SimilarityOps {
               |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
               |    AS suspect_share
               |FROM pn GROUP BY la""".stripMargin)),
+
+    // ----- q245: retrieval eval — MRR and hit@3 with label relevance ------
+    // The IR metric pair q179's NDCG doesn't cover: treating every
+    // vector as a query against its LSH bucket (the index a production
+    // retriever would actually probe — never all-pairs), with
+    // same-label as the relevance judgment, report per label the mean
+    // reciprocal rank of the FIRST relevant hit and the hit@3 rate.
+    // Reciprocal ranks are exact rationals 1/rk; queries whose bucket
+    // holds no relevant candidate score rr = 0 / miss (the honest
+    // retrieval failure, identically on both sides); queries with no
+    // bucket neighbors at all are excluded (nothing was retrievable).
+    // MRR means ride the dsum grid. One bucketed candidate join + one
+    // per-query min + a label-bounded rollup.
+    NamedQuery(
+      "q245_mrr_hit3",
+      (s, d) => {
+        val emb = normed(s, d)
+          .withColumn("bucket", lshBucket(col("embedding")))
+        val labels = tbl(s, d, "embeddings")
+          .select(col("vec_id"), col("label"))
+        val a = emb.select(col("bucket"), col("vec_id").as("src"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        val b = emb.select(col("bucket"), col("vec_id").as("dst"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+        val w = Window.partitionBy(col("src"))
+          .orderBy(col("cos").desc, col("dst"))
+        val ranked = a.join(b, "bucket")
+          .filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst"),
+            (dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+              .as("cos"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .join(broadcast(labels.select(col("vec_id").as("src"),
+            col("label").as("la"))), "src")
+          .join(broadcast(labels.select(col("vec_id").as("dst"),
+            col("label").as("lb"))), "dst")
+        val perQuery = ranked.groupBy(col("src"), col("la"))
+          .agg(min(when(col("la") === col("lb"), col("rk")))
+            .as("first_rel"))
+          .select(col("la"),
+            coalesce(lit(1.0) / col("first_rel").cast("double"),
+              lit(0.0)).as("rr"),
+            (coalesce(col("first_rel"), lit(Long.MaxValue)) <= 3)
+              .cast("long").as("hit3"))
+        perQuery.groupBy(col("la"))
+          .agg(count(lit(1)).as("n_queries"),
+            (dsum(col("rr")) / count(lit(1)).cast("double")).as("mrr"),
+            (sum(col("hit3")).cast("double") /
+              count(lit(1)).cast("double")).as("hit3_rate"))
+          .select(col("la").as("label"), col("n_queries"), col("mrr"),
+            col("hit3_rate"))
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, embedding,
+              |    ${lshBucketSql("embedding")} AS bucket
+              |  FROM embeddings),
+              |ranked AS (
+              |  SELECT a.vec_id AS src, b.vec_id AS dst,
+              |    CAST(row_number() OVER (PARTITION BY a.vec_id
+              |      ORDER BY ${cosineSql("a.embedding", "b.embedding")}
+              |        DESC, b.vec_id) AS BIGINT) AS rk
+              |  FROM e a JOIN e b ON a.bucket = b.bucket
+              |    AND a.vec_id <> b.vec_id),
+              |pq AS (
+              |  SELECT r.src, la.label AS la,
+              |    MIN(CASE WHEN la.label = lb.label THEN r.rk END)
+              |      AS first_rel
+              |  FROM ranked r
+              |  JOIN embeddings la ON la.vec_id = r.src
+              |  JOIN embeddings lb ON lb.vec_id = r.dst
+              |  GROUP BY r.src, la.label),
+              |rrs AS (
+              |  SELECT la,
+              |    COALESCE(1.0 / CAST(first_rel AS DOUBLE), 0.0) AS rr,
+              |    CASE WHEN COALESCE(first_rel, 9223372036854775807) <= 3
+              |      THEN 1 ELSE 0 END AS hit3
+              |  FROM pq)
+              |SELECT la AS label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+              |  ${dsumSql("rr")} / CAST(COUNT(*) AS DOUBLE) AS mrr,
+              |  CAST(SUM(hit3) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+              |    AS hit3_rate
+              |FROM rrs GROUP BY la""".stripMargin)),
   )
 }

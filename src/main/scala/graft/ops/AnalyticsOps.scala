@@ -3672,5 +3672,249 @@ object AnalyticsOps {
              |    * (CAST(n_arm0 AS DOUBLE) - CAST(n - n_arm0 AS DOUBLE))
              |    / CAST(n AS DOUBLE) > 3.841 AS srm_alarm
              |FROM st""".stripMargin)),
+
+    // ----- q246: decile lift / gains table (model-eval workhorse) ---------
+    // The table every scoring model ships with: rank users by a score
+    // (clicks — the q121 predictor), cut into GLOBAL deciles, and report
+    // each decile's purchase rate, lift over base rate, and the
+    // cumulative gains curve read from the top. Deciles come from the
+    // q148 phased CDF over distinct scores — integer binning, no
+    // percentile interpolation — numbered 1 = best-scored; ties share a
+    // decile (they share a score, so any other assignment would be
+    // arbitrary). The cumulative window runs over exactly 10 rows.
+    // lift > 1 in decile 1 is the "model beats random" readout; the
+    // cumulative share at decile k is the budget curve a campaign
+    // planner cuts at.
+    NamedQuery(
+      "q246_decile_lift",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val perUser = events(s, d)
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("score"),
+            max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("pos"))
+        val dist = perUser.groupBy(col("score"))
+          .agg(count(lit(1)).as("c"))
+        val wRun = Window.orderBy(col("score"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val nU = dist.agg(sum(col("c")).as("nu"))
+        val ranks = dist.withColumn("f", sum(col("c")).over(wRun))
+          .crossJoin(broadcast(nU))
+          .select(col("score"),
+            (lit(10) - expr("(f * 10 - 1) div nu")).as("decile"))
+        val byDec = perUser.join(broadcast(ranks), "score")
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_users"), sum(col("pos")).as("n_pos"))
+        val tot = byDec.agg(sum(col("n_users")).as("nt"),
+          sum(col("n_pos")).as("pt"))
+        val wCum = Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byDec.crossJoin(broadcast(tot))
+          .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+          .select(col("decile"), col("n_users"), col("n_pos"),
+            (col("n_pos").cast("double") / col("n_users").cast("double"))
+              .as("rate"),
+            ((col("n_pos").cast("double") / col("n_users").cast("double"))
+              / (col("pt").cast("double") / col("nt").cast("double")))
+              .as("lift"),
+            (col("cum_pos").cast("double") / col("pt").cast("double"))
+              .as("cum_gain_share"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             |      AS score,
+             |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      AS pos
+             |  FROM events GROUP BY user_id),
+             |dist AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS c
+             |         FROM u GROUP BY score),
+             |nu AS (SELECT CAST(SUM(c) AS BIGINT) AS nu FROM dist),
+             |ranks AS (
+             |  SELECT score,
+             |    10 - (CAST(SUM(c) OVER (ORDER BY score
+             |       ROWS UNBOUNDED PRECEDING) AS BIGINT) * 10 - 1)
+             |      // (SELECT nu FROM nu) AS decile
+             |  FROM dist),
+             |bd AS (
+             |  SELECT r.decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+             |    CAST(SUM(u.pos) AS BIGINT) AS n_pos
+             |  FROM u JOIN ranks r USING (score)
+             |  GROUP BY r.decile),
+             |tot AS (SELECT CAST(SUM(n_users) AS BIGINT) AS nt,
+             |        CAST(SUM(n_pos) AS BIGINT) AS pt FROM bd)
+             |SELECT bd.decile, bd.n_users, bd.n_pos,
+             |  CAST(bd.n_pos AS DOUBLE) / CAST(bd.n_users AS DOUBLE)
+             |    AS rate,
+             |  (CAST(bd.n_pos AS DOUBLE) / CAST(bd.n_users AS DOUBLE))
+             |    / (CAST(t.pt AS DOUBLE) / CAST(t.nt AS DOUBLE)) AS lift,
+             |  CAST(SUM(bd.n_pos) OVER (ORDER BY bd.decile
+             |    ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             |    / CAST(t.pt AS DOUBLE) AS cum_gain_share
+             |FROM bd, tot t""".stripMargin)),
+
+    // ----- q248: Cochran–Armitage trend in proportions ---------------------
+    // "Does conversion RISE with account balance?" — not "are the bands
+    // different" (q218's omnibus) but the ORDERED question, which the
+    // trend test answers with far more power when the truth is
+    // monotone. Scores w = the integer balance band itself; every
+    // sufficient statistic (Σwr, Σwn, Σw²n, R, n) is an exact
+    // DECIMAL/HUGEINT sum, and z is one identical double tree with one
+    // IEEE sqrt. The outcome is "has placed ≥1 URGENT order" — every
+    // customer here has SOME order (p = 1 would make the null variance
+    // vanish — measured, not assumed), so the urgency flag is the
+    // binary with real variation. One distinct semi-join flag, one band
+    // rollup; the per-band rates publish alongside the broadcast z so
+    // the trend claim can be eyeballed against its own evidence.
+    NamedQuery(
+      "q248_trend_test",
+      (s, d) => {
+        val conv = tbl(s, d, "customer")
+          .join(tbl(s, d, "orders")
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey")).distinct()
+            .withColumnRenamed("o_custkey", "c_custkey")
+            .withColumn("converted", lit(1L)), Seq("c_custkey"), "left")
+          .select(floor(col("c_acctbal") / lit(1000.0)).cast("long")
+            .as("band"),
+            coalesce(col("converted"), lit(0L)).as("y"))
+        val bands = conv.groupBy(col("band"))
+          .agg(count(lit(1)).as("n_i"), sum(col("y")).as("r_i"))
+        val st = bands.agg(
+          sum(col("n_i")).as("n"), sum(col("r_i")).as("r"),
+          sum(expr("CAST(band AS DECIMAL(38,0)) * r_i")).cast("double")
+            .as("swr"),
+          sum(expr("CAST(band AS DECIMAL(38,0)) * n_i")).cast("double")
+            .as("swn"),
+          sum(expr("CAST(band AS DECIMAL(38,0)) * band * n_i"))
+            .cast("double").as("swwn"))
+        val nd = col("n").cast("double")
+        val pd = col("r").cast("double") / nd
+        val z = (col("swr") - pd * col("swn")) /
+          sqrt(pd * (lit(1.0) - pd) *
+            (col("swwn") - col("swn") * col("swn") / nd))
+        bands
+          .select(col("band"), col("n_i"), col("r_i"),
+            (col("r_i").cast("double") / col("n_i").cast("double"))
+              .as("rate"))
+          .crossJoin(broadcast(st.select(z.as("z_trend"),
+            (abs(z) > lit(2.576)).as("trend_significant"))))
+      },
+      Some("""WITH conv AS (
+             |  SELECT CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band,
+             |    CASE WHEN EXISTS (SELECT 1 FROM orders o
+             |                      WHERE o.o_custkey = c.c_custkey
+             |                        AND o.o_orderpriority = '1-URGENT')
+             |      THEN 1 ELSE 0 END AS y
+             |  FROM customer c),
+             |bands AS (
+             |  SELECT band, CAST(COUNT(*) AS BIGINT) AS n_i,
+             |    CAST(SUM(y) AS BIGINT) AS r_i
+             |  FROM conv GROUP BY band),
+             |st AS (
+             |  SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+             |    CAST(SUM(r_i) AS BIGINT) AS r,
+             |    CAST(SUM(CAST(band AS HUGEINT) * r_i) AS DOUBLE) AS swr,
+             |    CAST(SUM(CAST(band AS HUGEINT) * n_i) AS DOUBLE) AS swn,
+             |    CAST(SUM(CAST(band AS HUGEINT) * band * n_i) AS DOUBLE)
+             |      AS swwn
+             |  FROM bands),
+             |zz AS (
+             |  SELECT
+             |    (swr - (CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) * swn)
+             |    / sqrt((CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+             |        * (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+             |        * (swwn - swn * swn / CAST(n AS DOUBLE))) AS z_trend
+             |  FROM st)
+             |SELECT b.band, b.n_i, b.r_i,
+             |  CAST(b.r_i AS DOUBLE) / CAST(b.n_i AS DOUBLE) AS rate,
+             |  zz.z_trend, abs(zz.z_trend) > 2.576 AS trend_significant
+             |FROM bands b, zz""".stripMargin)),
+
+    // ----- q249: paired sign-flip permutation test --------------------------
+    // Exact nonparametric inference with ZERO distributional math: did
+    // per-user spend CHANGE between the two time halves? Under H0 the
+    // paired differences are sign-symmetric, so every ± relabeling is
+    // equally likely — flip signs by 64 deterministic md5 patterns,
+    // recompute ΣT each time, and the p-value is the share of flips at
+    // least as extreme as the observed total (with the standard +1
+    // add-one). EVERYTHING except p̂ itself is integer arithmetic on
+    // the spend-millis grid — |T_m| ≥ |T| is an exact integer compare,
+    // so there is no tolerance anywhere in the test. q196 bootstraps a
+    // CI; this is its hypothesis-test sibling. Shape: users × 64 rows
+    // (linear), one flip-keyed partial agg, a 64-row epilogue.
+    NamedQuery(
+      "q249_signflip_test",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 3600000000").as("h"),
+            when(col("event_type") === "purchase", col("value"))
+              .as("spend"))
+        val mid = ev.agg(expr("(min(h) + max(h) + 1) div 2").as("mid"))
+        val diffs = ev.crossJoin(broadcast(mid))
+          .groupBy(col("user_id"))
+          .agg((floor(coalesce(dsum(when(col("h") >= col("mid"),
+              col("spend"))), lit(0.0)) * 1000.0) -
+            floor(coalesce(dsum(when(col("h") < col("mid"),
+              col("spend"))), lit(0.0)) * 1000.0)).cast("long").as("dm"))
+        val tObs = diffs.agg(sum(col("dm")).as("t_obs"),
+          count(lit(1)).as("n_users"))
+        val flips = s.range(0, 64).select(col("id").as("m"))
+        val flipped = diffs.crossJoin(broadcast(flips))
+          .select(col("m"),
+            when(LlmKit.strHash(concat(lit("flip:"),
+              col("m").cast("string"), lit(":"),
+              col("user_id").cast("string"))) % 2 === 0,
+              col("dm")).otherwise(-col("dm")).as("sd"))
+          .groupBy(col("m")).agg(sum(col("sd")).as("t_m"))
+        val extreme = flipped.crossJoin(broadcast(tObs))
+          .agg(sum((abs(col("t_m")) >= abs(col("t_obs"))).cast("long"))
+            .as("n_extreme"),
+            max(col("t_obs")).as("t_obs"),
+            max(col("n_users")).as("n_users"))
+        extreme.select(col("n_users"), col("t_obs"), lit(64L).as("m"),
+          col("n_extreme"),
+          ((col("n_extreme") + 1).cast("double") / lit(65.0))
+            .as("p_hat"),
+          (((col("n_extreme") + 1).cast("double") / lit(65.0)) <=
+            lit(0.05)).as("reject_h0"))
+      },
+      Some(s"""WITH ev AS (
+             |  SELECT user_id, epoch_us(ts) // 3600000000 AS h,
+             |    CASE WHEN event_type = 'purchase' THEN value END
+             |      AS spend
+             |  FROM events),
+             |mid AS (SELECT (MIN(h) + MAX(h) + 1) // 2 AS mid FROM ev),
+             |diffs AS (
+             |  SELECT user_id,
+             |    CAST(floor(coalesce(${dsumSql(
+               "CASE WHEN h >= (SELECT mid FROM mid) THEN spend END")},
+               0.0) * 1000.0)
+             |      - floor(coalesce(${dsumSql(
+               "CASE WHEN h < (SELECT mid FROM mid) THEN spend END")},
+               0.0) * 1000.0) AS BIGINT) AS dm
+             |  FROM ev GROUP BY user_id),
+             |t AS (SELECT CAST(SUM(dm) AS BIGINT) AS t_obs,
+             |      CAST(COUNT(*) AS BIGINT) AS n_users FROM diffs),
+             |fl AS (
+             |  SELECT f.m,
+             |    CAST(SUM(CASE WHEN ${LlmKit.strHashSql(
+               "concat('flip:', CAST(f.m AS VARCHAR), ':', " +
+                 "CAST(d.user_id AS VARCHAR))")} % 2 = 0
+             |      THEN d.dm ELSE -d.dm END) AS BIGINT) AS t_m
+             |  FROM diffs d, (SELECT unnest(range(0, 64)) AS m) f
+             |  GROUP BY f.m),
+             |x AS (
+             |  SELECT CAST(SUM(CASE WHEN abs(fl.t_m) >= abs(t.t_obs)
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+             |    MAX(t.t_obs) AS t_obs, MAX(t.n_users) AS n_users
+             |  FROM fl, t)
+             |SELECT n_users, t_obs, CAST(64 AS BIGINT) AS m, n_extreme,
+             |  CAST(n_extreme + 1 AS DOUBLE) / 65.0 AS p_hat,
+             |  CAST(n_extreme + 1 AS DOUBLE) / 65.0 <= 0.05 AS reject_h0
+             |FROM x""".stripMargin)),
   )
 }

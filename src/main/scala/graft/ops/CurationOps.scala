@@ -1124,5 +1124,97 @@ object CurationOps {
              |  CAST(top_c AS DOUBLE) / CAST(n_docs AS DOUBLE)
              |    AS top_source_share
              |FROM st""".stripMargin)),
+
+    // ----- q247: deterministic negative sampling (training-pair prep) -----
+    // The recommender/embedding-training data step: for every observed
+    // (customer, part) positive, draw 3 uniform candidate negatives
+    // from the part universe and REJECT any that is secretly a
+    // positive for that customer (the accidental-hit problem — at 100 TB
+    // the rejection join is why this is a pipeline operator and not a
+    // random() call). Draws are md5-indexed into the part universe via
+    // a dense rank over the DIMENSION table (a bounded window — parts,
+    // not facts), so the sample is reproducible row-for-row across
+    // engines and runs; the per-customer report carries the achieved
+    // negative:positive ratio and the accidental-hit count it rejected.
+    // Shapes: facts join broadcast part-rank, one anti-join-shaped
+    // left join against the positive set on (customer, part).
+    NamedQuery(
+      "q247_negative_sampling",
+      (s, d) => {
+        val pos = tbl(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(tbl(s, d, "lineitem")
+            .select(col("l_orderkey").as("o_orderkey"), col("l_partkey")),
+            "o_orderkey")
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+          .distinct()
+        import org.apache.spark.sql.expressions.Window
+        val parts = tbl(s, d, "part").select(col("p_partkey"))
+        val nP = parts.agg(count(lit(1)).as("np"))
+        val ranked = parts.withColumn("rk",
+          row_number().over(Window.orderBy(col("p_partkey"))).cast("long"))
+        val draws = pos.crossJoin(broadcast(
+            s.range(0, 3).select(col("id").as("j"))))
+          .crossJoin(broadcast(nP))
+          .select(col("c"), col("p"), col("j"),
+            (LlmKit.strHash(concat(col("c").cast("string"), lit(":"),
+              col("p").cast("string"), lit(":"),
+              col("j").cast("string"))) % col("np") + 1).as("rk"))
+          .join(broadcast(ranked), "rk")
+          .select(col("c"), col("p_partkey").as("cand"))
+        val kept = draws
+          .join(pos.select(col("c"), col("p").as("cand"))
+            .withColumn("hit", lit(1L)), Seq("c", "cand"), "left")
+        val perC = kept.groupBy(col("c"))
+          .agg(count(lit(1)).as("n_drawn"),
+            sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_kept"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_accidental"))
+        pos.groupBy(col("c")).agg(count(lit(1)).as("n_pos"))
+          .join(perC, "c")
+          .select(col("c").as("custkey"), col("n_pos"), col("n_drawn"),
+            col("n_kept"), col("n_accidental"),
+            (col("n_kept").cast("double") / col("n_pos").cast("double"))
+              .as("neg_ratio"))
+      },
+      Some {
+        val h = LlmKit.strHashSql(
+          "concat(CAST(c AS VARCHAR), ':', CAST(p AS VARCHAR), " +
+            "':', CAST(j AS VARCHAR))")
+        s"""WITH pos AS (
+           |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+           |  FROM orders o JOIN lineitem l
+           |    ON l.l_orderkey = o.o_orderkey),
+           |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM part),
+           |ranked AS (
+           |  SELECT p_partkey,
+           |    CAST(row_number() OVER (ORDER BY p_partkey) AS BIGINT)
+           |      AS rk
+           |  FROM part),
+           |draws AS (
+           |  SELECT pos.c, pos.p, j.j,
+           |    $h % (SELECT np FROM np) + 1 AS rk
+           |  FROM pos, (SELECT unnest(range(0, 3)) AS j) j),
+           |cand AS (
+           |  SELECT d.c, r.p_partkey AS cand
+           |  FROM draws d JOIN ranked r USING (rk)),
+           |kept AS (
+           |  SELECT ca.c, ca.cand,
+           |    CASE WHEN p2.p IS NULL THEN 0 ELSE 1 END AS hit
+           |  FROM cand ca LEFT JOIN pos p2
+           |    ON p2.c = ca.c AND p2.p = ca.cand),
+           |per_c AS (
+           |  SELECT c, CAST(COUNT(*) AS BIGINT) AS n_drawn,
+           |    CAST(SUM(CASE WHEN hit = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_kept,
+           |    CAST(SUM(hit) AS BIGINT) AS n_accidental
+           |  FROM kept GROUP BY c)
+           |SELECT p.c AS custkey, p.n_pos, k.n_drawn, k.n_kept,
+           |  k.n_accidental,
+           |  CAST(k.n_kept AS DOUBLE) / CAST(p.n_pos AS DOUBLE)
+           |    AS neg_ratio
+           |FROM (SELECT c, CAST(COUNT(*) AS BIGINT) AS n_pos
+           |      FROM pos GROUP BY c) p
+           |JOIN per_c k USING (c)""".stripMargin
+      }),
   )
 }

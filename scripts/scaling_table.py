@@ -1,0 +1,42 @@
+#!/usr/bin/env python3
+"""Regenerate SCALING.md's per-query table from captured bench JSONs.
+
+Usage: scaling_table.py <dir-with-bench_{sf}_{i}.json> — prints the
+markdown table (min over runs per scale factor, queries >= 0.5 s at
+sf0.1, sorted by sf0.1 descending) plus the totals row and headline
+numbers. The prose around the table stays hand-maintained.
+"""
+import json, sys, glob, collections
+
+d = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scaling"
+mins = {}  # sf -> {q: min}
+for sf in ("0.001", "0.01", "0.1"):
+    runs = []
+    for p in sorted(glob.glob(f"{d}/bench_{sf}_*.json")):
+        runs.append(json.load(open(p))["queries"])
+    agg = {}
+    for q in runs[0]:
+        agg[q] = min(r[q] for r in runs if q in r)
+    mins[sf] = agg
+
+qs = sorted(mins["0.1"], key=lambda q: -mins["0.1"][q])
+rows = [q for q in qs if mins["0.1"][q] >= 0.5]
+print("| query | sf0.001 | sf0.01 | sf0.1 | sf0.01→sf0.1 (10× data) |")
+print("|---|---|---|---|---|")
+for q in rows:
+    a, b, c = mins["0.001"][q], mins["0.01"][q], mins["0.1"][q]
+    print(f"| {q} | {a:.2f} | {b:.2f} | {c:.2f} | ×{c/b:.1f} |")
+n = len(mins["0.1"])
+ta = sum(mins["0.001"].values())
+tb = sum(mins["0.01"].values())
+tc = sum(mins["0.1"].values())
+print(f"| total ({n} queries, min-of-run sums) | {ta:.1f} | {tb:.1f} "
+      f"| {tc:.1f} | ×{tc/tb:.2f} |")
+print()
+print(f"HEADLINE: 10x = x{tc/tb:.2f} total ({tb:.1f} s -> {tc:.1f} s, "
+      f"{n} queries)")
+new = [q for q in qs if int(''.join(ch for ch in q[1:4] if ch.isdigit()))
+       >= 217]
+print("new-query ratios:",
+      {q: round(mins['0.1'][q] / mins['0.01'][q], 1) for q in new
+       if mins['0.01'][q] > 0})

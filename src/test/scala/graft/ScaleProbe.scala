@@ -28,7 +28,11 @@ object ScaleProbe {
       "q57_star_clusters", "q100_curation_pipeline", "q101_substr_spans",
       "q107_bigram_lm", "q120_prefix_simjoin", "q132_window_dedup",
       "q133_pagerank", "q135_lsh_recall", "q141_label_propagation",
-      "q152_hamming_join", "q153_kcore")
+      "q152_hamming_join", "q153_kcore",
+      // round-9 document-scale additions: SNM blocking (rank joins —
+      // candidate volume is (w−1)·n by construction) and the threshold
+      // sweep (LSH candidates × 7 thresholds)
+      "q224_sorted_neighborhood", "q235_threshold_sweep")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -3916,5 +3916,128 @@ object AnalyticsOps {
              |  CAST(n_extreme + 1 AS DOUBLE) / 65.0 AS p_hat,
              |  CAST(n_extreme + 1 AS DOUBLE) / 65.0 <= 0.05 AS reject_h0
              |FROM x""".stripMargin)),
+
+    // ----- q251: bounce rate with Wilson confidence intervals --------------
+    // The proportion with its honest error bars: per stream (a session
+    // is attributed to its FIRST event's type), the share of q122-rule
+    // sessions that bounced (exactly one event) — and the Wilson 95%
+    // interval, which behaves at small n and extreme p where the naive
+    // ±z√(pq/n) interval collapses (the reason every serious dashboard
+    // uses Wilson). z = 1.96 as a literal; the interval is rational
+    // plus one IEEE sqrt, identical trees both engines. Shape: the
+    // per-user session window (bounded per-user partitions), one
+    // session rollup, a stream-bounded epilogue.
+    NamedQuery(
+      "q251_bounce_wilson",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val wc = w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        val sess = events(s, d)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum(col("new_sess")).over(wc))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(struct(col("ts"), col("event_id"), col("event_type")))
+              .getField("event_type").as("first_type"))
+        val st = sess.groupBy(col("first_type"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(when(col("n_events") === 1, 1L).otherwise(0L))
+              .as("n_bounce"))
+        val nd = col("n_sessions").cast("double")
+        val p = col("n_bounce").cast("double") / nd
+        val z = lit(1.96)
+        val denom = lit(1.0) + z * z / nd
+        val center = p + z * z / (lit(2.0) * nd)
+        val half = z * sqrt(p * (lit(1.0) - p) / nd +
+          z * z / (lit(4.0) * nd * nd))
+        st.select(col("first_type").as("event_type"), col("n_sessions"),
+          col("n_bounce"), p.as("bounce_rate"),
+          ((center - half) / denom).as("wilson_lo"),
+          ((center + half) / denom).as("wilson_hi"))
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS gap
+             |  FROM events),
+             |m AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800000000
+             |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+             |      AS BIGINT) AS session_id
+             |  FROM o),
+             |sess AS (
+             |  SELECT user_id, session_id,
+             |    CAST(COUNT(*) AS BIGINT) AS n_events
+             |  FROM m GROUP BY user_id, session_id),
+             |fs AS (
+             |  SELECT user_id, session_id, event_type AS first_type
+             |  FROM (SELECT user_id, session_id, event_type,
+             |          row_number() OVER (PARTITION BY user_id, session_id
+             |            ORDER BY ts, event_id) AS rn
+             |        FROM m) WHERE rn = 1),
+             |st AS (
+             |  SELECT fs.first_type AS event_type,
+             |    CAST(COUNT(*) AS BIGINT) AS n_sessions,
+             |    CAST(SUM(CASE WHEN s.n_events = 1 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_bounce
+             |  FROM sess s JOIN fs USING (user_id, session_id)
+             |  GROUP BY fs.first_type),
+             |c AS (
+             |  SELECT event_type, n_sessions, n_bounce,
+             |    CAST(n_sessions AS DOUBLE) AS nd,
+             |    CAST(n_bounce AS DOUBLE) / CAST(n_sessions AS DOUBLE)
+             |      AS p
+             |  FROM st)
+             |SELECT event_type, n_sessions, n_bounce, p AS bounce_rate,
+             |  ((p + 1.96 * 1.96 / (2.0 * nd))
+             |   - 1.96 * sqrt(p * (1.0 - p) / nd
+             |       + 1.96 * 1.96 / (4.0 * nd * nd)))
+             |    / (1.0 + 1.96 * 1.96 / nd) AS wilson_lo,
+             |  ((p + 1.96 * 1.96 / (2.0 * nd))
+             |   + 1.96 * sqrt(p * (1.0 - p) / nd
+             |       + 1.96 * 1.96 / (4.0 * nd * nd)))
+             |    / (1.0 + 1.96 * 1.96 / nd) AS wilson_hi
+             |FROM c""".stripMargin)),
+
+    // ----- q253: windowed SRM gate (batch twin of the streaming op) -------
+    // q244 audits the experiment's accumulated assignment; the
+    // streaming form [[graft.streaming.StreamOps.srmGate]] watches the
+    // SAME statistic per event-time hour window, so an arm-biased
+    // logging outage trips the gate in the hour it happens. The
+    // registered query runs the IDENTICAL function in batch mode (the
+    // q99/q192 twin pattern), putting the streaming operator's logic
+    // under the driver's hash gate; StreamOpsSpec separately proves
+    // stream == batch on the same chunked input.
+    NamedQuery(
+      "q253_srm_windows",
+      (s, d) => graft.streaming.StreamOps.srmGate(events(s, d)),
+      Some("""WITH ev AS (
+             |  SELECT epoch_us(ts) // 1000000 AS tsec,
+             |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS arm0
+             |  FROM events),
+             |w AS (
+             |  SELECT tsec - (tsec % 3600) AS wsec,
+             |    CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(arm0) AS BIGINT) AS n_arm0
+             |  FROM ev GROUP BY 1)
+             |SELECT strftime(make_timestamp(wsec * 1000000),
+             |    '%Y-%m-%d %H:%M:%S') AS window_start,
+             |  n, n_arm0, n - n_arm0 AS n_arm1,
+             |  (CAST(n_arm0 AS DOUBLE) - CAST(n - n_arm0 AS DOUBLE))
+             |    * (CAST(n_arm0 AS DOUBLE) - CAST(n - n_arm0 AS DOUBLE))
+             |    / CAST(n AS DOUBLE) AS chi2,
+             |  (CAST(n_arm0 AS DOUBLE) - CAST(n - n_arm0 AS DOUBLE))
+             |    * (CAST(n_arm0 AS DOUBLE) - CAST(n - n_arm0 AS DOUBLE))
+             |    / CAST(n AS DOUBLE) > 3.841 AS srm_alarm
+             |FROM w""".stripMargin)),
   )
 }

@@ -1216,5 +1216,97 @@ object CurationOps {
            |      FROM pos GROUP BY c) p
            |JOIN per_c k USING (c)""".stripMargin
       }),
+
+    // ----- q250: empirical-Bayes source-quality shrinkage -----------------
+    // How to RANK sources by a quality rate when their sample sizes
+    // differ wildly: a raw k/n ranking crowns whichever small source
+    // got lucky (the winner's curse). Beta-binomial shrinkage pulls
+    // each source's rate toward the pooled mean with strength m
+    // estimated from the BETWEEN-source spread by method of moments
+    // (m = p̄(1−p̄)/var − 1, floored at 1 — a spread wider than
+    // binomial noise means trust the sources more, not less): the
+    // standard eBay/baseball-card estimator, no conjugate-prior
+    // integral anywhere, just moments. Quality = "document ≥ 200
+    // chars". Rank movement between raw and shrunk IS the output — the
+    // sources the naive ranking oversold. Source-bounded everything
+    // after one corpus rollup; the 20-term variance rides the dsum
+    // grid; ranks are windows over 20 rows.
+    NamedQuery(
+      "q250_eb_shrinkage",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val bySrc = OpsKit.tbl(s, d, "documents")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("n_chars") >= 200, 1L).otherwise(0L)).as("k"))
+        val raw = col("k").cast("double") / col("n").cast("double")
+        val withP = bySrc.withColumn("p_raw", raw)
+        val glob = withP.agg(
+          sum(col("k")).as("kt"), sum(col("n")).as("nt"),
+          count(lit(1)).as("ns"),
+          dsum(col("p_raw")).as("sp"),
+          dsum(col("p_raw") * col("p_raw")).as("spp"))
+          .select(
+            (col("kt").cast("double") / col("nt").cast("double"))
+              .as("p_bar"),
+            ((col("spp") - col("sp") * col("sp") /
+              col("ns").cast("double")) /
+              (col("ns") - lit(1)).cast("double")).as("var_b"))
+          .select(col("p_bar"),
+            greatest(lit(1.0),
+              col("p_bar") * (lit(1.0) - col("p_bar")) / col("var_b") -
+                lit(1.0)).as("m"))
+        val shrunk = withP.crossJoin(broadcast(glob))
+          .withColumn("p_shrunk",
+            (col("k").cast("double") + col("m") * col("p_bar")) /
+              (col("n").cast("double") + col("m")))
+        val wRaw = Window.orderBy(col("p_raw").desc, col("source"))
+        val wSh = Window.orderBy(col("p_shrunk").desc, col("source"))
+        shrunk
+          .withColumn("rank_raw", row_number().over(wRaw).cast("long"))
+          .withColumn("rank_shrunk", row_number().over(wSh).cast("long"))
+          .select(col("source"), col("n"), col("k"), col("p_raw"),
+            col("p_shrunk"), col("m"), col("rank_raw"),
+            col("rank_shrunk"),
+            (col("rank_raw") - col("rank_shrunk")).as("rank_move"))
+      },
+      Some {
+        val spp = dsumSql(
+          "(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) " +
+            "* (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))")
+        val sp = dsumSql("CAST(k AS DOUBLE) / CAST(n AS DOUBLE)")
+        s"""WITH b AS (
+           |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS k
+           |  FROM documents GROUP BY source),
+           |g AS (
+           |  SELECT
+           |    CAST(SUM(k) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS p_bar,
+           |    ($spp - $sp * $sp / CAST(COUNT(*) AS DOUBLE))
+           |      / CAST(COUNT(*) - 1 AS DOUBLE) AS var_b
+           |  FROM b),
+           |gm AS (
+           |  SELECT p_bar,
+           |    greatest(1.0, p_bar * (1.0 - p_bar) / var_b - 1.0) AS m
+           |  FROM g),
+           |sh AS (
+           |  SELECT b.source, b.n, b.k,
+           |    CAST(b.k AS DOUBLE) / CAST(b.n AS DOUBLE) AS p_raw,
+           |    (CAST(b.k AS DOUBLE) + gm.m * gm.p_bar)
+           |      / (CAST(b.n AS DOUBLE) + gm.m) AS p_shrunk,
+           |    gm.m
+           |  FROM b, gm)
+           |SELECT source, n, k, p_raw, p_shrunk, m,
+           |  CAST(row_number() OVER (ORDER BY p_raw DESC, source)
+           |    AS BIGINT) AS rank_raw,
+           |  CAST(row_number() OVER (ORDER BY p_shrunk DESC, source)
+           |    AS BIGINT) AS rank_shrunk,
+           |  CAST(row_number() OVER (ORDER BY p_raw DESC, source)
+           |    AS BIGINT)
+           |  - CAST(row_number() OVER (ORDER BY p_shrunk DESC, source)
+           |    AS BIGINT) AS rank_move
+           |FROM sh""".stripMargin
+      }),
   )
 }

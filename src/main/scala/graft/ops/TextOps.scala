@@ -1724,5 +1724,90 @@ object TextOps {
              |    / (CAST(tf AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS vmr
              |FROM st, nd WHERE df >= 5
              |ORDER BY vmr DESC, tok LIMIT 20""".stripMargin)),
+
+    // ----- q252: keyness — each source's distinctive vocabulary -----------
+    // Corpus linguistics' keyword extraction (chi-square keyness — the
+    // log-likelihood G² variant is libm, χ² is rational): for every
+    // (source, token), the 2×2 association of "this token" × "this
+    // source" against the rest of the corpus, keeping only
+    // OVER-represented tokens (observed > expected by integer
+    // cross-multiplication — under-representation scores high χ² too
+    // and would pollute a keyword list). Top-10 per source through the
+    // custom TopKPerGroup operator (its third call site — a 20-way
+    // grouped top-k over a vocab×sources table is exactly the shape
+    // the bounded-heap operator exists for). χ²'s products run as
+    // identical double trees; all counts exact integers; everything
+    // vocab×source-bounded after one token rollup.
+    NamedQuery(
+      "q252_keyness",
+      (s, d) => {
+        val tc = tbl(s, d, "documents")
+          .select(col("source"),
+            explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("source"), col("tok"))
+          .agg(count(lit(1)).as("a"))
+        val tokTot = tc.groupBy(col("tok")).agg(sum(col("a")).as("t_tok"))
+        val srcTot = tc.groupBy(col("source")).agg(sum(col("a")).as("t_src"))
+        val grand = tc.agg(sum(col("a")).as("t_all"))
+        val cells = tc.join(tokTot, "tok")
+          .join(broadcast(srcTot), "source")
+          .crossJoin(broadcast(grand))
+          // over-representation gate: a·N > t_tok·t_src (integer-exact)
+          .filter(expr("CAST(a AS DECIMAL(38,0)) * t_all") >
+            expr("CAST(t_tok AS DECIMAL(38,0)) * t_src"))
+        val ad = col("a").cast("double")
+        val bd = (col("t_tok") - col("a")).cast("double")
+        val cd = (col("t_src") - col("a")).cast("double")
+        val dd = (col("t_all") - col("t_tok") - col("t_src") + col("a"))
+          .cast("double")
+        val nd = col("t_all").cast("double")
+        val chi = nd * (ad * dd - bd * cd) * (ad * dd - bd * cd) /
+          ((ad + bd) * (cd + dd) * (ad + cd) * (bd + dd))
+        val scored = cells.select(col("source"), col("tok"), col("a"),
+          col("t_tok"), chi.as("chi2"))
+        graft.plans.TopKPerGroup.topK(scored, keys = Seq("source"),
+          order = Seq(("chi2", true), ("tok", false)), k = 10)
+      },
+      Some("""WITH tc AS (
+             |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS a
+             |  FROM (SELECT source,
+             |          unnest(string_split(text, ' ')) AS tok
+             |        FROM documents)
+             |  GROUP BY source, tok),
+             |tt AS (SELECT tok, CAST(SUM(a) AS BIGINT) AS t_tok
+             |       FROM tc GROUP BY tok),
+             |ts AS (SELECT source, CAST(SUM(a) AS BIGINT) AS t_src
+             |       FROM tc GROUP BY source),
+             |g AS (SELECT CAST(SUM(a) AS BIGINT) AS t_all FROM tc),
+             |cells AS (
+             |  SELECT tc.source, tc.tok, tc.a, tt.t_tok, ts.t_src,
+             |    g.t_all
+             |  FROM tc JOIN tt USING (tok) JOIN ts USING (source), g
+             |  WHERE CAST(tc.a AS HUGEINT) * g.t_all
+             |        > CAST(tt.t_tok AS HUGEINT) * ts.t_src),
+             |scored AS (
+             |  SELECT source, tok, a, t_tok,
+             |    CAST(t_all AS DOUBLE)
+             |      * (CAST(a AS DOUBLE)
+             |           * CAST(t_all - t_tok - t_src + a AS DOUBLE)
+             |         - CAST(t_tok - a AS DOUBLE)
+             |           * CAST(t_src - a AS DOUBLE))
+             |      * (CAST(a AS DOUBLE)
+             |           * CAST(t_all - t_tok - t_src + a AS DOUBLE)
+             |         - CAST(t_tok - a AS DOUBLE)
+             |           * CAST(t_src - a AS DOUBLE))
+             |      / ((CAST(a AS DOUBLE) + CAST(t_tok - a AS DOUBLE))
+             |         * (CAST(t_src - a AS DOUBLE)
+             |            + CAST(t_all - t_tok - t_src + a AS DOUBLE))
+             |         * (CAST(a AS DOUBLE) + CAST(t_src - a AS DOUBLE))
+             |         * (CAST(t_tok - a AS DOUBLE)
+             |            + CAST(t_all - t_tok - t_src + a AS DOUBLE)))
+             |      AS chi2
+             |  FROM cells)
+             |SELECT source, tok, a, t_tok, chi2 FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY source
+             |    ORDER BY chi2 DESC, tok) AS rk
+             |  FROM scored)
+             |WHERE rk <= 10""".stripMargin)),
   )
 }

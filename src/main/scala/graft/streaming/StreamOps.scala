@@ -335,6 +335,32 @@ object StreamOps {
           col("expected"))
   }
 
+  /** Streaming sample-ratio-mismatch gate — q244's A/B assignment
+    * audit as a continuous monitor: per event-time hour window, the
+    * event volume each parity arm received and the exact 1-dof
+    * chi-square (o₁−o₂)²/n with the α = 0.05 alarm. A logging outage
+    * or assignment bug skews the split in the hour it happens — this
+    * trips there, not when the experiment is read out. Event-level
+    * arms (windowed DISTINCT users would need dedup state; volume SRM
+    * is the standard streaming form, and an arm-biased outage skews
+    * volume first). Watermark bounds state to open hour windows.
+    * Batch twin: q253 runs this SAME function in batch mode under the
+    * driver's hash gate; StreamOpsSpec proves stream == batch. */
+  def srmGate(events: DataFrame): DataFrame = {
+    val st = events
+      .select(col("ts"),
+        (col("user_id") % 2 === 0).cast("long").as("arm0"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), sum(col("arm0")).as("n_arm0"))
+    val o1 = col("n_arm0").cast("double")
+    val o2 = (col("n") - col("n_arm0")).cast("double")
+    val chi = (o1 - o2) * (o1 - o2) / col("n").cast("double")
+    st.select(date_format(col("window.start"), TsFmt).as("window_start"),
+      col("n"), col("n_arm0"), (col("n") - col("n_arm0")).as("n_arm1"),
+      chi.as("chi2"), (chi > lit(3.841)).as("srm_alarm"))
+  }
+
   def driftMonitor(docs: DataFrame, reference: DataFrame): DataFrame = {
     val nBuckets = 13
     val ref = reference

@@ -110,6 +110,20 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got == q192)
   }
 
+  test("SRM gate: stream equals batch equals the registered twin") {
+    val got = asSet(runStream("t_srm", StreamOps.srmGate))
+    val want = asSet(StreamOps.srmGate(batchEvents))
+    assert(want.nonEmpty)
+    // the only extra streamed row is the sentinel's own 1-event window
+    val sentinelWindows = got -- want
+    assert(sentinelWindows.forall(r => r(1) == 1L))
+    assert(want.subsetOf(got))
+    assert(got.size - sentinelWindows.size == want.size)
+    val q253 = asSet(SparkEntry.queries("q253_srm_windows")(
+      spark, "/root/testdata/sf0.001"))
+    assert(want == q253)
+  }
+
   test("session window: stream equals batch") {
     val got = asSet(runStream("t_session", StreamOps.sessions))
       .filterNot(_.head == SentinelUser)

@@ -14,29 +14,37 @@ for sf in ("0.001", "0.01", "0.1"):
     runs = []
     for p in sorted(glob.glob(f"{d}/bench_{sf}_*.json")):
         runs.append(json.load(open(p))["queries"])
+    if not runs:
+        sys.exit(f"no bench_{sf}_*.json captures under {d}")
     agg = {}
-    for q in runs[0]:
+    for q in set().union(*runs):  # union, not runs[0] — captures may differ
         agg[q] = min(r[q] for r in runs if q in r)
     mins[sf] = agg
 
 qs = sorted(mins["0.1"], key=lambda q: -mins["0.1"][q])
-rows = [q for q in qs if mins["0.1"][q] >= 0.5]
+missing = [q for q in qs
+           if q not in mins["0.001"] or q not in mins["0.01"]]
+if missing:  # no silent coverage claims (the no-silent-caps rule)
+    print(f"DROPPED (not in every scale factor's captures): {missing}")
+rows = [q for q in qs
+        if mins["0.1"][q] >= 0.5 and q not in missing]
 print("| query | sf0.001 | sf0.01 | sf0.1 | sf0.01→sf0.1 (10× data) |")
 print("|---|---|---|---|---|")
 for q in rows:
     a, b, c = mins["0.001"][q], mins["0.01"][q], mins["0.1"][q]
     print(f"| {q} | {a:.2f} | {b:.2f} | {c:.2f} | ×{c/b:.1f} |")
-n = len(mins["0.1"])
-ta = sum(mins["0.001"].values())
-tb = sum(mins["0.01"].values())
-tc = sum(mins["0.1"].values())
+common = [q for q in mins["0.1"] if q not in missing]
+n = len(common)
+ta = sum(mins["0.001"][q] for q in common)
+tb = sum(mins["0.01"][q] for q in common)
+tc = sum(mins["0.1"][q] for q in common)
 print(f"| total ({n} queries, min-of-run sums) | {ta:.1f} | {tb:.1f} "
       f"| {tc:.1f} | ×{tc/tb:.2f} |")
 print()
 print(f"HEADLINE: 10x = x{tc/tb:.2f} total ({tb:.1f} s -> {tc:.1f} s, "
       f"{n} queries)")
-new = [q for q in qs if int(''.join(ch for ch in q[1:4] if ch.isdigit()))
-       >= 217]
+new = [q for q in qs if q not in missing and
+       int(''.join(ch for ch in q[1:4] if ch.isdigit())) >= 217]
 print("new-query ratios:",
       {q: round(mins['0.1'][q] / mins['0.01'][q], 1) for q in new
        if mins['0.01'][q] > 0})

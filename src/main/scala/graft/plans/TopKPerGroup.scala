@@ -71,6 +71,11 @@ object TopKPerGroup {
       keys: Seq[String],
       order: Seq[(String, Boolean)],
       k: Int): DataFrame = {
+    // the final exec clusters on the keys; ClusteredDistribution(Nil)
+    // is rejected by Spark — for a GLOBAL top-k use orderBy().limit(),
+    // which already plans as TakeOrderedAndProject
+    require(keys.nonEmpty, "topK needs at least one group key")
+    require(order.nonEmpty, "topK needs a sort order")
     val lp = df.queryExecution.analyzed
     def attr(n: String) = lp.output.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(

@@ -36,14 +36,29 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
     org.apache.spark.sql.internal.SQLConf.get
       .getConfString("spark.graft.topk.rewrite", "false") == "true"
 
+  /** An already-rewritten child, seen through any Project chain another
+    * fixed-point rule (ColumnPruning) may interpose between the Window
+    * and the operator — without this, a second pass would wrap a second
+    * redundant heap pair. */
+  private def alreadyRewritten(plan: LogicalPlan): Boolean = plan match {
+    case _: TopKPerGroup => true
+    case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+      alreadyRewritten(p.child)
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
     else plan.transformUp {
+      // part.nonEmpty: a GLOBAL top-k (empty PARTITION BY) must not
+      // match — TopKPerGroup(Nil, …) would demand
+      // ClusteredDistribution(Nil), which Spark rejects outright, and
+      // Spark already plans the global case as TakeOrderedAndProject
       case f @ Filter(cond,
           w @ Window(Seq(alias @ Alias(
             WindowExpression(RowNumber(), _), _)),
           part, order, child, _))
-          if order.nonEmpty && !child.isInstanceOf[TopKPerGroup] =>
+          if part.nonEmpty && order.nonEmpty && !alreadyRewritten(child) =>
         extractK(cond, alias.toAttribute) match {
           case Some(k) if k > 0 =>
             Filter(cond,

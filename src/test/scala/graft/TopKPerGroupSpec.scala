@@ -87,6 +87,23 @@ class TopKPerGroupSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.topk.rewrite", "false")
   }
 
+  test("rewrite rule: a GLOBAL top-k (empty partition) must not match") {
+    import org.apache.spark.sql.expressions.Window
+    spark.conf.set("spark.graft.topk.rewrite", "true")
+    try {
+      // ClusteredDistribution(Nil) would be rejected at planning — the
+      // rule must leave the global form to TakeOrderedAndProject
+      val df = graft.ops.OpsKit.events(spark, dir)
+        .select(col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("value").desc, col("event_id"))))
+        .filter(col("rn") <= 5)
+      assert(!df.queryExecution.optimizedPlan.toString
+        .contains("TopKPerGroup"))
+      assert(df.count() == 5) // and it still runs
+    } finally spark.conf.set("spark.graft.topk.rewrite", "false")
+  }
+
   test("rewrite rule: non-matching filters stay untouched when enabled") {
     import org.apache.spark.sql.expressions.Window
     spark.conf.set("spark.graft.topk.rewrite", "true")

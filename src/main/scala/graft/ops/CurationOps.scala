@@ -1132,8 +1132,9 @@ object CurationOps {
     // positive for that customer (the accidental-hit problem — at 100 TB
     // the rejection join is why this is a pipeline operator and not a
     // random() call). Draws are md5-indexed into the part universe via
-    // a dense rank over the DIMENSION table (a bounded window — parts,
-    // not facts), so the sample is reproducible row-for-row across
+    // a dense rank over the part table, built with the phased
+    // range-bucket shape (part scales with SF — no global window),
+    // so the sample is reproducible row-for-row across
     // engines and runs; the per-customer report carries the achieved
     // negative:positive ratio and the accidental-hit count it rejected.
     // Shapes: facts join broadcast part-rank, one anti-join-shaped
@@ -1148,11 +1149,12 @@ object CurationOps {
             "o_orderkey")
           .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
           .distinct()
-        import org.apache.spark.sql.expressions.Window
         val parts = tbl(s, d, "part").select(col("p_partkey"))
         val nP = parts.agg(count(lit(1)).as("np"))
-        val ranked = parts.withColumn("rk",
-          row_number().over(Window.orderBy(col("p_partkey"))).cast("long"))
+        // `part` scales with SF, so the dense draw index is the q148/q224
+        // phased rank (range buckets + broadcast offsets), never a raw
+        // single-partition row_number — see OpsKit.phasedRank
+        val ranked = OpsKit.phasedRank(parts, col("p_partkey"), "rk")
         val draws = pos.crossJoin(broadcast(
             s.range(0, 3).select(col("id").as("j"))))
           .crossJoin(broadcast(nP))

@@ -85,4 +85,38 @@ object OpsKit {
   def davg(c: Column): Column = dsum(c) / count(c)
 
   def davgSql(e: String): String = s"${dsumSql(e)} / COUNT($e)"
+
+  /** Globally-dense 1-based rank over a UNIQUE integral key, built without
+    * ever sorting the input through one partition — the q148/q224 phased
+    * (TeraSort) shape, packaged: range-bucket the key into ≤ `buckets`
+    * contiguous ranges via the broadcast [min,max], rank WITHIN each
+    * bucket (a partitioned window), and add back broadcast per-bucket
+    * prefix offsets. The only unpartitioned window runs over the ≤
+    * `buckets`-row offset table — bounded by construction, independent of
+    * input size. Equals `row_number() OVER (ORDER BY key)` exactly when
+    * the key is unique (ties would make that order nondeterministic
+    * anyway; callers must pass a key they'd accept as a total order).
+    *
+    * vs [[graft.etl.EtlKit.withDenseId]]: the mint there is a guarded
+    * single-partition pass for post-aggregation DIMENSION values; this is
+    * the shape for anything that scales with SF. Keys are bucketed in
+    * long arithmetic — (key−lo)·buckets must fit a long (safe for ids up
+    * to ~9e15 at the default 1024 buckets). */
+  def phasedRank(df: DataFrame, key: Column, out: String,
+      buckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = df.agg(min(key).as("__lo"), max(key).as("__hi"))
+    val keyed = df.crossJoin(broadcast(bounds)).withColumn("__b",
+      least(lit(buckets - 1), floor((key.cast("long") - col("__lo")) * buckets /
+        (col("__hi") - col("__lo") + 1))).cast("int"))
+    val run = keyed.withColumn("__r",
+      row_number().over(Window.partitionBy(col("__b")).orderBy(key)).cast("long"))
+    val wOff = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = keyed.groupBy(col("__b")).agg(count(lit(1)).as("__tb"))
+      .select(col("__b"), coalesce(sum(col("__tb")).over(wOff), lit(0L)).as("__o"))
+    run.join(broadcast(off), "__b")
+      .withColumn(out, col("__o") + col("__r"))
+      .drop("__b", "__r", "__o", "__lo", "__hi", "__tb")
+  }
 }

@@ -867,29 +867,99 @@ object GovernanceOps {
               |GROUP BY source""".stripMargin)),
   ) ++ splitAndGovernance
 
+  // ----- disk-backed family memos ---------------------------------------
+  // The closure family (q47/q57/q93/q100/q103/q104/q114/q215/q231) shares
+  // three corpus-row-sized artifacts: the LSH candidate pair set, the
+  // StarCC closure labels, and the per-document curation decisions. Until
+  // r9 these were persist()-memoized per (session, dir) — but the
+  // closure's per-round localCheckpoints make every run's plan
+  // canonically unique, so when battery-wide memory pressure EVICTS the
+  // cached blocks, the plan-keyed CacheManager can never re-match a
+  // rebuild and the family silently pays a full second LSH+closure pass
+  // (BENCH_r09 double-billed it: q47 15.8 s AND q100 6.2 s vs the
+  // designed 8 + 1 s split). A parquet artifact cannot be evicted: the
+  // first arrival builds and atomically publishes (write to a tmp dir,
+  // rename; a racing JVM's loser deletes its tmp and reads the winner),
+  // and every later consumer — in this JVM or any other — pays a
+  // columnar re-read. The path is keyed on the DATA (parquet names +
+  // sizes + mtimes, so a regenerated testdata dir can never serve a
+  // stale artifact) and on every LSH PARAMETER the artifacts depend on
+  // (so a param change invalidates without anyone remembering to bump a
+  // version). At 100 TB this is exactly the checkpoint a real curation
+  // DAG would publish between stages.
+
+  private def scratchRoot: String =
+    sys.props.getOrElse("graft.scratch.dir",
+      sys.props("java.io.tmpdir") + "/graft-scratch")
+
+  private def dirFingerprint(d: String): String = {
+    val files = Option(new java.io.File(d).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val sig = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  private def familyKey: String =
+    s"v1-nh${NumHashes}-r${LshRows}-cap${MaxLshBucket}-j0.5"
+
+  /** Build counters: observability for the build-exactly-once contract
+    * (GovernanceMemoSpec asserts they do NOT advance after a forced
+    * cache eviction between two family queries). */
+  private[graft] val pairsBuilds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] val closureBuilds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private[graft] def artifactPath(d: String, tag: String): String =
+    s"$scratchRoot/${dirFingerprint(d)}-$familyKey/$tag"
+
+  private def diskMemo(s: org.apache.spark.sql.SparkSession, d: String,
+      tag: String)(build: => org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame = {
+    val path = artifactPath(d, tag)
+    val dest = new java.io.File(path)
+    if (!dest.exists()) {
+      val tmp = path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
+      build.write.mode("overwrite").parquet(tmp)
+      if (!new java.io.File(tmp).renameTo(dest)) rmTree(new java.io.File(tmp))
+    }
+    s.read.parquet(path)
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(); ()
+  }
+
+  /** The ONE LSH pass over the shared near-dup corpus (id1, id2,
+    * jaccard), disk-published; every family consumer reads this. */
+  private val pairsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String),
+    org.apache.spark.sql.DataFrame]()
+
+  private def sharedPairs(
+      s: org.apache.spark.sql.SparkSession, d: String):
+      org.apache.spark.sql.DataFrame =
+    pairsMemo.computeIfAbsent((s, d), _ => diskMemo(s, d, "pairs") {
+      pairsBuilds.incrementAndGet()
+      lshCandidatePairs(corpusWithNearDups(s, d))
+    })
+
   /** The q100 per-document decision table (quality → contaminated →
-    * duplicate → keep), shared verbatim by q114's funnel aggregation.
-    *
-    * Explicitly memoized per (session, dir): the closure inside runs
-    * StarCC, whose per-round localCheckpoints make every invocation's
-    * plan canonically UNIQUE — so Spark's plan-keyed CacheManager can
-    * never match two calls (unlike the pure-declarative LSH signature
-    * cache), and without this memo q100 and q114 would each pay the full
-    * LSH pass + closure. Whichever runs first materializes the
-    * corpus-row-sized table; the other reads it back. */
+    * duplicate → keep), shared verbatim by q114's funnel aggregation —
+    * disk-backed (see family note above). */
   private val decisionMemo = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String),
     org.apache.spark.sql.DataFrame]()
 
   /** StarCC closure labels (doc_id, cluster_rep) over the shared
-    * near-dup corpus + LSH pair set, memoized per (session, dir) for the
-    * same reason as [[curationDecisions]]: the closure's per-round
-    * localCheckpoints make every run's plan canonically unique, so the
-    * plan-keyed CacheManager can never match two runs on its own. q57's
-    * cluster report, q93's savings view, q100/q114's decision table and
-    * q103's leakage-free split all read ONE materialized labeling —
-    * whichever runs first pays for the LSH pass + closure (corpus-row-
-    * sized, the right granularity to share at 100 TB). */
+    * near-dup corpus + LSH pair set — disk-backed (see family note
+    * above). q57's cluster report, q93's savings view, q100/q114's
+    * decision table and q103's leakage-free split all read ONE published
+    * labeling. */
   private val labelsMemo = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String),
     org.apache.spark.sql.DataFrame]()
@@ -897,17 +967,18 @@ object GovernanceOps {
   private def nearDupLabels(
       s: org.apache.spark.sql.SparkSession, d: String):
       org.apache.spark.sql.DataFrame =
-    labelsMemo.computeIfAbsent((s, d), _ => {
+    labelsMemo.computeIfAbsent((s, d), _ => diskMemo(s, d, "labels") {
+      closureBuilds.incrementAndGet()
       val corpus = corpusWithNearDups(s, d)
-      val pairs = lshCandidatePairs(corpus).select(col("id1"), col("id2"))
+      val pairs = sharedPairs(s, d).select(col("id1"), col("id2"))
       StarCC.connectedComponents(corpus.select(col("doc_id")), pairs)._1
-        .persist()
     })
 
   private def curationDecisions(
       s: org.apache.spark.sql.SparkSession, d: String):
       org.apache.spark.sql.DataFrame =
-    decisionMemo.computeIfAbsent((s, d), _ => curationDecisionsBuild(s, d))
+    decisionMemo.computeIfAbsent((s, d), _ =>
+      diskMemo(s, d, "decisions")(curationDecisionsBuild(s, d)))
 
   private def curationDecisionsBuild(
       s: org.apache.spark.sql.SparkSession, d: String):
@@ -917,13 +988,9 @@ object GovernanceOps {
         val corpus = base.unionByName(base.select(
           (col("doc_id") + 100000).as("doc_id"),
           dropFirstToken(col("text")).as("text"), col("source")))
-        // the SHARED corpusWithNearDups plan (same (doc_id, text) rows):
-        // lshCandidatePairs caches signatures by canonicalized plan, and
-        // a projection of the 3-column corpus above would miss that cache
-        // and re-hash the corpus (the q104 lesson)
-        val ct = corpusWithNearDups(s, d)
-        val pairs = lshCandidatePairs(ct)
-          .select(col("id1"), col("id2")).cache()
+        // the published family pair artifact — ONE LSH pass per (data,
+        // params) total, shared with the closure labels build
+        val pairs = sharedPairs(s, d).select(col("id1"), col("id2"))
         val labels = nearDupLabels(s, d)
         val evalIds = base.filter(col("source") === "src19")
           .select(col("doc_id").as("eval_id"))
@@ -955,11 +1022,6 @@ object GovernanceOps {
               .when(col("contam"), "contaminated")
               .when(col("doc_id") =!= col("cluster_rep"), "duplicate")
               .otherwise("keep").as("decision"))
-          // persisted: q100 and q114 build THIS identical plan, and the
-          // cache manager keys on it — whichever runs first pays for the
-          // LSH pass + closure, the other reads the decision table back
-          // (corpus-row-count sized, the right thing to share at scale)
-          .persist()
       }
 
   /** DuckDB rendering of [[curationDecisions]] — q100's oracle, reused
@@ -1054,11 +1116,9 @@ object GovernanceOps {
       "q104_source_dup_matrix",
       (s, d) => {
         val docs = tbl(s, d, "documents")
-        // pairs come from the SHARED corpusWithNearDups plan (same rows):
-        // lshCandidatePairs caches its signatures by canonicalized plan,
-        // so an inline 3-column union here would re-hash the corpus
-        // instead of hitting the cache every other LSH query shares
-        val pairs = lshCandidatePairs(corpusWithNearDups(s, d))
+        // pairs are the published family artifact — one LSH pass per
+        // (data, params), shared with the closure/decision builds
+        val pairs = sharedPairs(s, d) // (id1, id2, jaccard)
         val smap = docs.select(col("doc_id"), col("source"))
           .unionByName(docs.select((col("doc_id") + 100000).as("doc_id"),
             concat(lit("src"),
@@ -1844,8 +1904,7 @@ object GovernanceOps {
             % 5).as("fold_naive"),
           (strHash(concat(lit("fold:"), col("cluster_rep").cast("string")))
             % 5).as("fold_grouped"))
-        val pairs = lshCandidatePairs(corpusWithNearDups(s, d))
-          .select(col("id1"), col("id2"))
+        val pairs = sharedPairs(s, d).select(col("id1"), col("id2"))
         val pf = pairs
           .join(folds.select(col("doc_id").as("id1"),
             col("fold_naive").as("fn1"),

@@ -931,6 +931,12 @@ object DedupOps {
           .orderBy(col("m"), col("doc_id"))
         val run = keyed.withColumn("r", row_number().over(wRun)
           .cast("long"))
+        // unpartitioned BY DESIGN, and safe: the window runs over the
+        // block-COUNT table, whose cardinality is the 4-digit prefix
+        // domain (≤ 10^4 rows however large the corpus — the key is a
+        // digit prefix of a zero-padded HASH, not of the data). If the
+        // block key ever grows with the corpus, switch to the two-level
+        // offset aggregate (q148 shape).
         val wOff = Window.orderBy(col("b"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val off = keyed.groupBy(col("b")).agg(count(lit(1)).as("tb"))

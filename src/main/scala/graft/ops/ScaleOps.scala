@@ -1471,5 +1471,84 @@ object ScaleOps {
              |  CAST(t.collided_tokens AS DOUBLE)
              |    / CAST(t.n_tokens AS DOUBLE) AS collided_share
              |FROM hist h, tot t""".stripMargin)),
+
+    // ----- q254: KLL rank-quantile sketch (the 100-TB quantile path) ------
+    // q50's exact `percentile` buffers whole groups and q108's histogram
+    // needs a bin width chosen up front; the mergeable KLL sketch
+    // ([[graft.functions.KllQuantiles]], Karnin–Lang–Liberty FOCS'16) is
+    // what a cluster actually runs: ONE partially-aggregated pass, O(k·
+    // log(n/k)) state, ε≈O(1/k) rank error, no prior knowledge of the
+    // value range. The q41/q161 verification discipline: sketch internals
+    // are partitioning-dependent (legal — the bound isn't), so the output
+    // carries only cross-engine-exact witnesses — n, the integer target
+    // rank ceil(p·n/100), the EXACT p-th quantile value (computed with
+    // the q148 phased CDF, zero unpartitioned windows over values) — and
+    // the gate boolean: the sketch estimate's true rank within 2%·n of
+    // target (k=256's guarantee is ~4× tighter; deterministic md5
+    // compaction coins make the check reproducible, never flaky). The
+    // oracle recomputes every witness and emits TRUE — a sketch drifting
+    // out of bound fails the driver's hash gate.
+    NamedQuery(
+      "q254_kll_quantiles",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val P = Seq(1, 5, 25, 50, 75, 95, 99)
+        val kll = udaf(new graft.functions.KllQuantiles(
+          256, P.map(_ / 100.0).toArray))
+        val vals = tbl(s, d, "lineitem")
+          .select(col("l_extendedprice").cast("double").as("v"))
+        val sk = vals.agg(kll(col("v")).as("sk"), count(lit(1)).as("n"))
+        val pArr = array(P.map(p => lit(p.toLong)): _*)
+        val ests = sk.select(col("n"),
+            posexplode(col("sk.est")).as(Seq("i", "est")))
+          .select(element_at(pArr, col("i") + 1).as("p"), col("n"),
+            col("est"),
+            ((element_at(pArr, col("i") + 1) * col("n") + 99) / 100)
+              .cast("long").as("thr"))
+        // true rank of each estimate: 7× bounded expansion, one pass
+        val ranks = vals.crossJoin(broadcast(ests))
+          .groupBy(col("p"), col("n"), col("est"), col("thr"))
+          .agg(sum(when(col("v") <= col("est"), 1L).otherwise(0L))
+            .as("est_rank"))
+        // exact p-th quantile witness: phased CDF over DISTINCT values —
+        // range buckets from the broadcast [lo,hi], per-bucket running
+        // sums, broadcast bucket offsets (the q148 shape)
+        val cdf = vals.groupBy(col("v")).agg(count(lit(1)).as("c"))
+        val bounds = cdf.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+        val keyed = cdf.crossJoin(broadcast(bounds)).withColumn("b",
+          when(col("hi") > col("lo"), least(lit(1023),
+            floor((col("v") - col("lo")) * 1024.0 / (col("hi") - col("lo")))
+              .cast("int"))).otherwise(lit(0)))
+        val run = keyed.withColumn("rc",
+          sum(col("c")).over(Window.partitionBy(col("b")).orderBy(col("v"))))
+        val off = keyed.groupBy(col("b")).agg(sum(col("c")).as("tb"))
+          .select(col("b"), coalesce(sum(col("tb")).over(
+            Window.orderBy(col("b"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("o"))
+        val cum = run.join(broadcast(off), "b")
+          .select(col("v"), (col("rc") + col("o")).as("cw"))
+        val exact = cum.crossJoin(broadcast(ranks.select(col("p"), col("thr"))))
+          .filter(col("cw") >= col("thr"))
+          .groupBy(col("p")).agg(min(col("v")).as("exact_q"))
+        ranks.join(exact, "p")
+          .select(col("p"), col("n"), col("thr"), col("exact_q"),
+            (abs(col("est_rank") - col("thr")) * 50 <= col("n"))
+              .as("within_bound"))
+      },
+      Some("""WITH vals AS (
+             |  SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
+             |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vals),
+             |ps AS (SELECT CAST(unnest([1,5,25,50,75,95,99]) AS BIGINT)
+             |         AS p),
+             |thr AS (SELECT p, n,
+             |          CAST((p * n + 99) // 100 AS BIGINT) AS thr
+             |        FROM ps, nn),
+             |cdf AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c
+             |        FROM vals GROUP BY v),
+             |cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cw FROM cdf),
+             |ex AS (SELECT t.p, MIN(c.v) AS exact_q
+             |       FROM thr t JOIN cum c ON c.cw >= t.thr GROUP BY t.p)
+             |SELECT t.p, t.n, t.thr, e.exact_q, TRUE AS within_bound
+             |FROM thr t JOIN ex e USING (p)""".stripMargin)),
   )
 }

@@ -41,7 +41,13 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * top-k row survives its partition's partial heap (it can only be
   * evicted by a strictly-better row, of which there are < k). Memory is
   * k rows per distinct key per partition — the operator's honest bound,
-  * vs the window's full-partition sort buffer.
+  * vs the window's full-partition sort buffer. On the final exec that
+  * equals the output size; on the PARTIAL exec (pre-shuffle, every
+  * partition can see every key) the map is additionally capped at
+  * `spark.graft.topk.maxPartialKeys` (default 2^20) tracked keys —
+  * past the cap, new-key rows stream through untrimmed and the final
+  * exec does all the trimming, trading shuffle volume for bounded
+  * executor memory on pathological cardinalities.
   *
   * Rows are kept as copied UnsafeRows; ordering is the codegen'd
   * [[LazilyGeneratedOrdering]] over the caller's SortOrder.
@@ -77,9 +83,19 @@ object TopKPerGroup {
     require(keys.nonEmpty, "topK needs at least one group key")
     require(order.nonEmpty, "topK needs a sort order")
     val lp = df.queryExecution.analyzed
-    def attr(n: String) = lp.output.find(_.name == n).getOrElse(
-      throw new IllegalArgumentException(
-        s"column $n not in ${lp.output.map(_.name).mkString(", ")}"))
+    // resolve through the session's resolver (case-insensitive under the
+    // default spark.sql.caseSensitive=false, matching every other column
+    // lookup in Spark) and refuse ambiguity instead of silently taking
+    // the first duplicate
+    val resolver = df.sparkSession.sessionState.analyzer.resolver
+    def attr(n: String) = {
+      val hits = lp.output.filter(a => resolver(a.name, n))
+      if (hits.isEmpty) throw new IllegalArgumentException(
+        s"column $n not in ${lp.output.map(_.name).mkString(", ")}")
+      if (hits.size > 1) throw new IllegalArgumentException(
+        s"column $n is ambiguous: ${hits.map(_.name).mkString(", ")}")
+      hits.head
+    }
     val g = keys.map(attr(_): Expression)
     val o = order.map { case (n, desc) =>
       SortOrder(attr(n), if (desc) Descending else Ascending) }
@@ -123,6 +139,19 @@ case class TopKPerGroupExec(
     val gExprs = groupExprs
     val ord = sortOrder
     val kk = k
+    val isPartial = partial
+    // Memory guard (r9 advice): the heap map is k rows per DISTINCT KEY
+    // per partition. On the FINAL exec that's exactly the output size
+    // (keys are co-located post-shuffle, the map is never bigger than
+    // the result). But the PARTIAL exec runs before the shuffle, where
+    // every input partition can see nearly every key — on a
+    // high-cardinality PARTITION BY this unbounded map is an executor
+    // OOM where the window form's spillable sort succeeded. Partial
+    // thinning is purely an optimization (the final trims exactly), so
+    // past the cap, rows with NEW keys stream through untrimmed;
+    // already-tracked keys keep their heaps.
+    val maxPartialKeys = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.topk.maxPartialKeys", "1048576").toInt
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(gExprs, schema)
       val rowOrd: Ordering[InternalRow] =
@@ -132,21 +161,26 @@ case class TopKPerGroupExec(
       // classic bounded-top-k structure
       val heaps = new scala.collection.mutable.HashMap[
         UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
+      val trimmed = iter.flatMap { row =>
         val key = keyProj(row)
         heaps.get(key) match {
           case Some(h) =>
             if (h.size < kk) h.enqueue(row.copy())
             else if (rowOrd.lt(row, h.head)) { h.dequeue(); h.enqueue(row.copy()) }
+            Iterator.empty
+          case None if isPartial && heaps.size >= maxPartialKeys =>
+            Iterator.single(row) // pass through; the final exec trims
           case None =>
             val h = new scala.collection.mutable.PriorityQueue[
               InternalRow]()(rowOrd)
             h.enqueue(row.copy())
             heaps.put(key.copy(), h)
+            Iterator.empty
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
+      // ++ evaluates its right operand lazily, AFTER the input (and so
+      // every heap) is fully consumed
+      trimmed ++ heaps.valuesIterator.flatMap(_.iterator)
     }, preservesPartitioning = true)
   }
 

@@ -39,12 +39,30 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
   /** An already-rewritten child, seen through any Project chain another
     * fixed-point rule (ColumnPruning) may interpose between the Window
     * and the operator — without this, a second pass would wrap a second
-    * redundant heap pair. */
+    * redundant heap pair. A native WindowGroupLimit counts as rewritten
+    * too: it is the same thinning, and stacking ours under it would
+    * double-pay. */
   private def alreadyRewritten(plan: LogicalPlan): Boolean = plan match {
     case _: TopKPerGroup => true
+    case _: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit =>
+      true
     case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
       alreadyRewritten(p.child)
     case _ => false
+  }
+
+  /** Spark 4's own InferWindowGroupLimit (which runs in a LATER
+    * optimizer batch than injected rules) will thin this exact shape
+    * natively whenever k ≤ spark.sql.window.group.limit.threshold —
+    * applying ours first would leave BOTH thinning operators in the
+    * plan (semantically fine, redundant work). Rewrite only where the
+    * native rule won't reach: k over the threshold, or the native rule
+    * disabled (threshold = -1 is its off switch... meaning NO native
+    * thinning, so ours is the only one). */
+  private def nativeGroupLimitCovers(k: Int): Boolean = {
+    val thr = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.sql.window.group.limit.threshold", "1000").toInt
+    thr >= 0 && k <= thr
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
@@ -60,7 +78,7 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
           part, order, child, _))
           if part.nonEmpty && order.nonEmpty && !alreadyRewritten(child) =>
         extractK(cond, alias.toAttribute) match {
-          case Some(k) if k > 0 =>
+          case Some(k) if k > 0 && !nativeGroupLimitCovers(k) =>
             Filter(cond,
               w.copy(child = TopKPerGroup(part, order, k, child)))
           case _ => f

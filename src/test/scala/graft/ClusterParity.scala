@@ -51,7 +51,11 @@ object ClusterParity {
     // rank sums), SNM blocking (shifted-rank equi-joins), and the
     // custom TopKPerGroup physical operator (partial/final heaps must
     // survive real executor boundaries + a real exchange)
-    "q217_mannwhitney", "q224_sorted_neighborhood", "q226_topk_per_group")
+    "q217_mannwhitney", "q224_sorted_neighborhood", "q226_topk_per_group",
+    // r10 families: the KLL quantile sketch (its buffer must round-trip
+    // real shuffle serialization and its bound must hold on the cluster
+    // merge tree) — q255 range-publish certification joins when added
+    "q254_kll_quantiles")
 
   private def run(spark: SparkSession): Map[String, Map[Seq[Any], Int]] =
     queries.map { n =>

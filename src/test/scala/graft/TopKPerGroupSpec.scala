@@ -73,6 +73,10 @@ class TopKPerGroupSpec extends AnyFunSuite {
     val want = off.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted
     spark.conf.set("spark.graft.topk.rewrite", "true")
+    // native InferWindowGroupLimit (a LATER optimizer batch) would thin
+    // this k=5 shape itself; disable it so the rewrite is the one doing
+    // the thinning — with it on, the rule defers (tested below)
+    spark.conf.set("spark.sql.window.group.limit.threshold", "-1")
     try {
       val on = windowPlan()
       val opt = on.queryExecution.optimizedPlan.toString
@@ -84,6 +88,23 @@ class TopKPerGroupSpec extends AnyFunSuite {
       val got = on.collect()
         .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted
       assert(got.toSeq == want.toSeq)
+    } finally {
+      spark.conf.set("spark.graft.topk.rewrite", "false")
+      spark.conf.unset("spark.sql.window.group.limit.threshold")
+    }
+  }
+
+  test("rewrite rule: defers to native WindowGroupLimit when it covers k") {
+    // r9 advice: Spark's own InferWindowGroupLimit runs AFTER injected
+    // rules, so rewriting a k ≤ threshold shape would leave BOTH
+    // thinning operators in the plan — the rule must step aside there
+    spark.conf.set("spark.graft.topk.rewrite", "true")
+    try {
+      val df = windowForm(5) // default threshold 1000 covers k=5
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(!opt.contains("TopKPerGroup"), opt)
+      assert(opt.contains("WindowGroupLimit"), opt)
+      assert(df.count() > 0)
     } finally spark.conf.set("spark.graft.topk.rewrite", "false")
   }
 

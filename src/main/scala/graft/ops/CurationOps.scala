@@ -646,6 +646,69 @@ object CurationOps {
              |    AS checksum
              |FROM documents GROUP BY 1""".stripMargin)),
 
+    // ----- q255: range-partitioned GLOBAL-SORT publish certification ------
+    // q106 certifies the hive-partitioned layout; this certifies the other
+    // warehouse primitive — a global ORDER BY doc_id publish via sampled
+    // range boundaries (CorpusPublish.publishGlobalSorted: one
+    // repartitionByRange shuffle, local sorts, NO single-partition
+    // funnel). The certification reads the FILES back and proves, in one
+    // bounded pass, that what is on disk is a total order of exactly the
+    // input: per-file [min,max] ranges are pairwise DISJOINT and ORDERED
+    // (lag over the ≤n_files-row per-file table — bounded, not a corpus
+    // window), the published _range_manifest MATCHES the files it
+    // describes, and the row multiset is COMPLETE (count + the q106
+    // MD5-slice XOR checksum + global key bounds). The oracle states the
+    // invariants from the source table directly: same count/checksum/
+    // bounds, and `true` for the three certification booleans — any
+    // overlap, manifest drift, or lost/duplicated row flips a column and
+    // fails the hash gate. File count is NOT asserted here (sampled cut
+    // points may merge sparse ranges); CorpusPublishSpec pins it plus
+    // within-file sortedness.
+    NamedQuery(
+      "q255_sorted_publish",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("text"))
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-q255-publish").toString + "/sorted"
+        val manifest =
+          graft.sink.CorpusPublish.publishGlobalSorted(docs, out, "doc_id", 8)
+        val rowh = conv(substring(md5(concat_ws("\u0001",
+          col("doc_id"), col("lang"), col("text"))), 18, 15), 16, 10)
+          .cast("long")
+        val perFile = s.read.parquet(out)
+          .groupBy(input_file_name().as("file"))
+          .agg(min(col("doc_id")).as("fmin"), max(col("doc_id")).as("fmax"),
+            count(lit(1)).as("fcnt"), bit_xor(rowh).as("fchk"))
+        val mdf = broadcast(s.createDataFrame(manifest)
+          .select(col("file"), col("min_key"), col("max_key"),
+            col("n_rows").as("m_rows")))
+        // ≤ 8 rows from here down: the window and final agg are bounded
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("fmin"))
+        perFile.join(mdf, Seq("file"), "full")
+          .withColumn("prev_max", lag(col("fmax"), 1).over(w))
+          .agg(
+            sum(col("fcnt")).as("n_rows"),
+            bit_xor(col("fchk")).as("checksum"),
+            min(when(col("prev_max").isNull ||
+              (col("prev_max") < col("fmin")), 1).otherwise(0))
+              .cast("boolean").as("ranges_disjoint"),
+            min(when(col("fmin") === col("min_key") &&
+              (col("fmax") === col("max_key")) &&
+              (col("fcnt") === col("m_rows")), 1).otherwise(0))
+              .cast("boolean").as("manifest_matches_files"),
+            min(col("fmin")).as("global_min"),
+            max(col("fmax")).as("global_max"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  bit_xor(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+             |    CAST(doc_id AS VARCHAR), lang, text)), 18, 15)) AS BIGINT))
+             |    AS checksum,
+             |  true AS ranges_disjoint, true AS manifest_matches_files,
+             |  CAST(MIN(doc_id) AS BIGINT) AS global_min,
+             |  CAST(MAX(doc_id) AS BIGINT) AS global_max
+             |FROM documents""".stripMargin)),
+
     // ----- q109: balanced training-shard assignment (snake packing) -------
     // The step between curation and the publisher: assign every document
     // to one of N training shards so shard TOKEN totals come out nearly

@@ -272,9 +272,11 @@ object GovernanceOps {
     NamedQuery(
       "q47_dedup_clusters",
       (s, d) => {
-        val corpus = corpusWithNearDups(s, d)
-        val pairs = lshCandidatePairs(corpus).select(col("id1"), col("id2"))
-        minLabelPropagation(corpus.select(col("doc_id")), pairs)._1
+        // pairs via the family's disk artifact — q47 is in the shared
+        // family, so it must never re-pay the LSH pass under eviction
+        val pairs = sharedPairs(s, d).select(col("id1"), col("id2"))
+        minLabelPropagation(
+          corpusWithNearDups(s, d).select(col("doc_id")), pairs)._1
       },
       Some(clusterOracleSql)),
 
@@ -888,18 +890,51 @@ object GovernanceOps {
   // version). At 100 TB this is exactly the checkpoint a real curation
   // DAG would publish between stages.
 
+  // Scratch resolution: spark.graft.scratch.dir (session conf — on a real
+  // cluster this MUST be a shared filesystem every JVM can reach, e.g.
+  // hdfs:///tmp/graft-scratch), then -Dgraft.scratch.dir, then the local
+  // tmpdir (single-JVM sandbox default). ALL probe/publish/cleanup I/O
+  // below goes through org.apache.hadoop.fs.FileSystem resolved from the
+  // path itself, so an hdfs:// or file:// root works identically — the
+  // same discipline sink/CorpusPublish uses for its markers. Object-store
+  // caveat (documented at CorpusPublish too): S3A "rename" is copy+delete
+  // and not atomic, so a racing loser could observe a half-copied dest;
+  // point the scratch root at a rename-atomic FS (HDFS, NFS, local disk).
   private def scratchRoot: String =
-    sys.props.getOrElse("graft.scratch.dir",
-      sys.props("java.io.tmpdir") + "/graft-scratch")
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(_.conf.getOption("spark.graft.scratch.dir"))
+      .orElse(sys.props.get("graft.scratch.dir"))
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft-scratch")
 
+  private def hadoopConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def fsFor(p: org.apache.hadoop.fs.Path):
+      org.apache.hadoop.fs.FileSystem = p.getFileSystem(hadoopConf())
+
+  /** Content key for the data dir: every *.parquet file's path + size +
+    * mtime, RECURSIVELY — Spark-style `table.parquet/` directories
+    * contribute their part files, not the directory inode, so a content
+    * change that preserves the directory mtime (rsync -t, archive
+    * extraction) still rolls the key. */
   private def dirFingerprint(d: String): String = {
-    val files = Option(new java.io.File(d).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-    val sig = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString("|")
+    val root = new org.apache.hadoop.fs.Path(d)
+    val fs = fsFor(root)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (fs.exists(root)) {
+      val it = fs.listFiles(root, /* recursive = */ true)
+      while (it.hasNext) {
+        val f = it.next()
+        val p = f.getPath.toUri.getPath
+        if (p.endsWith(".parquet"))
+          entries += s"$p:${f.getLen}:${f.getModificationTime}"
+      }
+    }
     java.security.MessageDigest.getInstance("MD5")
-      .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(entries.sorted.mkString("|").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
   }
 
   private def familyKey: String =
@@ -916,22 +951,55 @@ object GovernanceOps {
   private[graft] def artifactPath(d: String, tag: String): String =
     s"$scratchRoot/${dirFingerprint(d)}-$familyKey/$tag"
 
-  private def diskMemo(s: org.apache.spark.sql.SparkSession, d: String,
-      tag: String)(build: => org.apache.spark.sql.DataFrame):
+  private[graft] def diskMemo(s: org.apache.spark.sql.SparkSession,
+      d: String, tag: String)(build: => org.apache.spark.sql.DataFrame):
       org.apache.spark.sql.DataFrame = {
     val path = artifactPath(d, tag)
-    val dest = new java.io.File(path)
-    if (!dest.exists()) {
-      val tmp = path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
-      build.write.mode("overwrite").parquet(tmp)
-      if (!new java.io.File(tmp).renameTo(dest)) rmTree(new java.io.File(tmp))
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(dest)
+    gcScratchOnce(fs)
+    if (!fs.exists(dest)) {
+      val tmp = new org.apache.hadoop.fs.Path(
+        path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+      build.write.mode("overwrite").parquet(tmp.toString)
+      if (!fs.rename(tmp, dest)) {
+        // A failed rename is benign ONLY when a racing winner already
+        // published dest; anything else (permissions, half state) must
+        // surface here, not as an opaque missing-path read downstream —
+        // and the completed tmp build is left in place for inspection.
+        if (fs.exists(dest)) { fs.delete(tmp, true); () }
+        else throw new IllegalStateException(
+          s"diskMemo: publish rename $tmp -> $dest failed with no " +
+            "racing winner present; completed build left at the tmp path")
+      }
     }
     s.read.parquet(path)
   }
 
-  private def rmTree(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(rmTree))
-    f.delete(); ()
+  /** Once per JVM: prune scratch entries whose artifacts have not been
+    * touched within the retention window (default 7 days, override with
+    * spark.graft.scratch.ttlHours). Fingerprint keys roll whenever the
+    * source data or LSH params change, so without a sweep the scratch
+    * root grows one orphaned directory per regeneration forever. Age is
+    * judged on the newest file INSIDE the entry (directory mtimes are
+    * FS-dependent); live keys re-publish nothing but are re-read often
+    * enough that a one-week floor never collects an entry a running
+    * battery still wants. */
+  private val scratchGcDone = new java.util.concurrent.atomic.AtomicBoolean
+  private def gcScratchOnce(fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    if (!scratchGcDone.compareAndSet(false, true)) return
+    val ttlMs = org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(_.conf.getOption("spark.graft.scratch.ttlHours"))
+      .map(_.toLong).getOrElse(168L) * 3600L * 1000L
+    val cutoff = System.currentTimeMillis() - ttlMs
+    val root = new org.apache.hadoop.fs.Path(scratchRoot)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).foreach { entry =>
+      var newest = entry.getModificationTime
+      val it = fs.listFiles(entry.getPath, true)
+      while (it.hasNext) newest = math.max(newest, it.next().getModificationTime)
+      if (newest < cutoff) { fs.delete(entry.getPath, true); () }
+    }
   }
 
   /** The ONE LSH pass over the shared near-dup corpus (id1, id2,
@@ -972,6 +1040,27 @@ object GovernanceOps {
       val corpus = corpusWithNearDups(s, d)
       val pairs = sharedPairs(s, d).select(col("id1"), col("id2"))
       StarCC.connectedComponents(corpus.select(col("doc_id")), pairs)._1
+    })
+
+  private[graft] val lpaBuilds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** LPA community labels (doc_id, community, comm_size) over the shared
+    * near-dup graph — disk-backed like the StarCC labels. q141 publishes
+    * the three propagation rounds once; q197's modularity reads the SAME
+    * partition instead of re-running them (BENCH_r10's q197 5.5 s was
+    * exactly that duplicated work). */
+  private val lpaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String),
+    org.apache.spark.sql.DataFrame]()
+
+  private def lpaLabels(
+      s: org.apache.spark.sql.SparkSession, d: String):
+      org.apache.spark.sql.DataFrame =
+    lpaMemo.computeIfAbsent((s, d), _ => diskMemo(s, d, "labels-lpa") {
+      lpaBuilds.incrementAndGet()
+      labelPropagation(corpusWithNearDups(s, d).select(col("doc_id")),
+        sharedPairs(s, d).select(col("id1"), col("id2")), 3)
     })
 
   private def curationDecisions(
@@ -1177,11 +1266,9 @@ object GovernanceOps {
     // neighbors — far past the LSH bucket cap's degree bound).
     NamedQuery(
       "q133_pagerank",
-      (s, d) => {
-        val corpus = corpusWithNearDups(s, d)
-        integerPagerank(corpus.select(col("doc_id")),
-          lshCandidatePairs(corpus).select(col("id1"), col("id2")), 3)
-      },
+      (s, d) =>
+        integerPagerank(corpusWithNearDups(s, d).select(col("doc_id")),
+          sharedPairs(s, d).select(col("id1"), col("id2")), 3),
       Some {
         def round(prev: String, cur: Int): String =
           s"""c$cur AS (
@@ -1233,11 +1320,8 @@ object GovernanceOps {
     // with q57's run-to-convergence closure is deliberate).
     NamedQuery(
       "q141_label_propagation",
-      (s, d) => {
-        val corpus = corpusWithNearDups(s, d)
-        labelPropagation(corpus.select(col("doc_id")),
-          lshCandidatePairs(corpus).select(col("id1"), col("id2")), 3)
-      },
+      // publishes the labels-lpa artifact q197's modularity then reads
+      (s, d) => lpaLabels(s, d),
       Some {
         def round(prev: String, cur: Int): String =
           s"""i$cur AS (
@@ -1286,11 +1370,9 @@ object GovernanceOps {
     // rounds on crawl graphs since most of the graph peels immediately.
     NamedQuery(
       "q153_kcore",
-      (s, d) => {
-        val corpus = corpusWithNearDups(s, d)
-        kcorePeel(corpus.select(col("doc_id")),
-          lshCandidatePairs(corpus).select(col("id1"), col("id2")), 2, 4)
-      },
+      (s, d) =>
+        kcorePeel(corpusWithNearDups(s, d).select(col("doc_id")),
+          sharedPairs(s, d).select(col("id1"), col("id2")), 2, 4),
       Some {
         def round(prev: String, cur: Int): String =
           s"""d$cur AS (
@@ -1401,7 +1483,7 @@ object GovernanceOps {
       "q174_seed_ppr",
       (s, d) => {
         val corpus = corpusWithNearDups(s, d)
-        val pairs = lshCandidatePairs(corpus)
+        val pairs = sharedPairs(s, d)
           .select(col("id1"), col("id2"))
         val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
           .unionByName(
@@ -1584,9 +1666,8 @@ object GovernanceOps {
     NamedQuery(
       "q197_modularity",
       (s, d) => {
-        val corpus = corpusWithNearDups(s, d)
-        val pairs = lshCandidatePairs(corpus).select(col("id1"), col("id2"))
-        val labels = labelPropagation(corpus.select(col("doc_id")), pairs, 3)
+        val pairs = sharedPairs(s, d).select(col("id1"), col("id2"))
+        val labels = lpaLabels(s, d)
           .select(col("doc_id"), col("community"))
         val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
           .unionByName(

@@ -243,4 +243,61 @@ object CorpusPublish {
             "concurrent writer on the same batch path?)")
     } finally batch.unpersist()
   }
+
+  final case class RangeFileManifest(
+      file: String, seq: Int, min_key: Long, max_key: Long, n_rows: Long)
+
+  /** GLOBAL-TOTAL-ORDER publish: the warehouse layout primitive the
+    * hive-partitioned paths above cannot express — `ORDER BY key` across
+    * the WHOLE corpus, at scale. A single-partition `orderBy().write`
+    * funnels 100 TB through one task; the scale-safe form (TeraSort's,
+    * and what Spark's own global sort plans) is sampled range boundaries:
+    * `repartitionByRange` samples O(partitions) keys, broadcasts the
+    * cut points, and every executor shuffles rows to their range — ONE
+    * shuffle, no global funnel — then sorts its range locally. The
+    * resulting files ARE the total order: file ranges are pairwise
+    * disjoint and rows are sorted within each file, so a merge-reader
+    * (or a BETWEEN-predicate reader: parquet min/max footer stats prune
+    * whole files) consumes the corpus in key order without re-sorting.
+    *
+    * Published next to the data: `_range_manifest`, one row per file with
+    * its [min,max] key range and row count, read back FROM THE FILES (it
+    * certifies what is on disk, not what the writer intended). `seq` is
+    * the file's position in the total order. Certification that the
+    * ranges are disjoint/ordered/complete is q255's oracle-gated job.
+    *
+    * Determinism caveat (why the manifest carries ranges, not expected
+    * file SPLITS): the sampled cut points depend on the input's partition
+    * layout, so two publishes of the same rows from different upstream
+    * plans may split files differently while still certifying the same
+    * total order — the [[manifestOf]]-style row-content checksum is the
+    * layout-independent completeness witness. */
+  def publishGlobalSorted(
+      df: DataFrame,
+      outDir: String,
+      sortCol: String,
+      numFiles: Int): Seq[RangeFileManifest] = {
+    val spark = df.sparkSession
+    df.repartitionByRange(numFiles, col(sortCol))
+      .sortWithinPartitions(col(sortCol))
+      .write.mode("overwrite").parquet(outDir)
+    val manifest = spark.read.parquet(outDir)
+      .groupBy(input_file_name().as("file"))
+      .agg(
+        min(col(sortCol)).cast("long").as("min_key"),
+        max(col(sortCol)).cast("long").as("max_key"),
+        count(lit(1)).as("n_rows"))
+      .collect() // bounded: one row per published file (≤ numFiles)
+      .sortBy(r => r.getLong(1))
+      .zipWithIndex
+      .map { case (r, i) =>
+        RangeFileManifest(r.getString(0), i, r.getLong(1), r.getLong(2),
+          r.getLong(3))
+      }
+      .toSeq
+    spark.createDataFrame(manifest)
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$outDir/_range_manifest")
+    manifest
+  }
 }

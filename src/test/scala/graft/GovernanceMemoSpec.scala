@@ -51,4 +51,45 @@ class GovernanceMemoSpec extends AnyFunSuite {
     assert(new java.io.File(GovernanceOps.artifactPath(dir, "decisions"))
       .exists(), "decisions artifact not published")
   }
+
+  test("q141 -> q197 shares pairs and LPA labels with zero rebuilds") {
+    // q141 publishes (or reads) the labels-lpa artifact
+    assert(SparkEntry.queries("q141_label_propagation")(spark, dir)
+      .count() > 0)
+    val pb = GovernanceOps.pairsBuilds.get()
+    val lb = GovernanceOps.lpaBuilds.get()
+    spark.catalog.clearCache() // the r10 regression: no in-memory carryover
+    // q197 must compute modularity purely from the published artifacts
+    assert(SparkEntry.queries("q197_modularity")(spark, dir).count() > 0)
+    assert(GovernanceOps.pairsBuilds.get() == pb,
+      "q197 re-ran the LSH pass q141's family artifact already paid for")
+    assert(GovernanceOps.lpaBuilds.get() == lb,
+      "q197 re-ran the 3 LPA rounds q141 already published")
+    assert(new java.io.File(GovernanceOps.artifactPath(dir, "labels-lpa"))
+      .exists(), "labels-lpa artifact not published")
+  }
+
+  test("memo protocol works end-to-end through a file:// Hadoop FS URI") {
+    // the cluster-real path: scratch root addressed by URI, every probe/
+    // publish/rename below goes through org.apache.hadoop.fs.FileSystem
+    val root = "file:///tmp/graft-scratch-uri-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set("spark.graft.scratch.dir", root)
+    try {
+      var builds = 0
+      def build() = { builds += 1; spark.range(5).toDF("v") }
+      val first = GovernanceOps.diskMemo(spark, dir, "uriproto")(build())
+      assert(first.count() == 5 && builds == 1)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        GovernanceOps.artifactPath(dir, "uriproto"))),
+        "artifact not visible through the Hadoop FileSystem API")
+      // second arrival must read the published artifact, not rebuild
+      val again = GovernanceOps.diskMemo(spark, dir, "uriproto")(build())
+      assert(again.count() == 5 && builds == 1,
+        "second arrival rebuilt instead of reading the URI artifact")
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    } finally spark.conf.unset("spark.graft.scratch.dir")
+  }
 }

@@ -30,18 +30,26 @@ object Bench {
     // regression gate should read; the honest first-pass total (which
     // includes every cache-cold cost exactly once) is reported alongside.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
+      def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        val ok = try { fn(spark, sfDir).count(); true } catch {
           case e: Throwable =>
             errors ::= (name, Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+            false
         }
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      val first = once()
-      // don't re-run a failing query (it would double-log the error)
-      val best = if (errors.headOption.exists(_._1 == name)) first
-                 else math.min(first, once())
+      val (first, firstOk) = once()
+      // don't re-run a failing query (it would double-log the error), and
+      // the min is taken over SUCCESSFUL passes only — a flaky second
+      // pass's time-to-crash must not pose as a fast run to the 2× gate
+      // (n_errors still increments for it)
+      val best =
+        if (!firstOk) first
+        else {
+          val (second, secondOk) = once()
+          if (secondOk) math.min(first, second) else first
+        }
       (name, best, first)
     }
     // ms precision keeps the 80+-query JSON line compact (full double

@@ -1550,5 +1550,105 @@ object ScaleOps {
              |       FROM thr t JOIN cum c ON c.cw >= t.thr GROUP BY t.p)
              |SELECT t.p, t.n, t.thr, e.exact_q, TRUE AS within_bound
              |FROM thr t JOIN ex e USING (p)""".stripMargin)),
+
+    // ----- q256: GROUPED KLL — per-source quantile sketches ---------------
+    // q254 proves the sketch as ONE global aggregate; the shape a 100-TB
+    // profiler actually runs is `groupBy(k).agg(kll(v))` — thousands of
+    // sketches built in one partial aggregation, each group's buffers
+    // merging independently across the exchange (mergeability per group
+    // is exactly what a typed Aggregator buys: no per-group re-sort, no
+    // second pass). Same verification discipline as q254, per GROUP, in
+    // the TIE-ROBUST form: n_chars is a small-integer domain, so one
+    // value can carry more than 2%·n_g of a group's mass and the q254
+    // "rank of the estimate" gate would flag a CORRECT estimate whose tie
+    // block merely straddles the target rank. The equivalent tie-safe
+    // statement of the KLL guarantee gates the VALUE: est must lie
+    // between the exact values at ranks thr − 2%·n_g and thr + 2%·n_g
+    // (est < lo_q ⟹ every rank of est is below the window; est > hi_q ⟹
+    // every rank is above — exactly a bound violation, ties or not). The
+    // exact witnesses come from the q148 phased CDF with the group key
+    // threaded through every phase — running sums partition by (source,
+    // bucket), bucket offsets by (source), so no window ever spans more
+    // than one group's one bucket; all three rank thresholds resolve in
+    // the SAME single pass over the cumulative weights. The oracle
+    // recomputes witnesses with an ordinary per-group cumulative window
+    // and emits TRUE for every gate.
+    NamedQuery(
+      "q256_grouped_kll",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val P = Seq(25, 50, 75, 95)
+        val kll = udaf(new graft.functions.KllQuantiles(
+          256, P.map(_ / 100.0).toArray))
+        val vals = tbl(s, d, "documents")
+          .select(col("source"), col("n_chars").cast("double").as("v"))
+        val sk = vals.groupBy(col("source"))
+          .agg(kll(col("v")).as("sk"), count(lit(1)).as("n"))
+        val pArr = array(P.map(p => lit(p.toLong)): _*)
+        val ests = sk.select(col("source"), col("n"),
+            posexplode(col("sk.est")).as(Seq("i", "est")))
+          .select(col("source"), element_at(pArr, col("i") + 1).as("p"),
+            col("n"), col("est"),
+            ((element_at(pArr, col("i") + 1) * col("n") + 99) / 100)
+              .cast("long").as("thr"))
+          .withColumn("thr_lo",
+            greatest(lit(1L), col("thr") - expr("n div 50")))
+          .withColumn("thr_hi",
+            least(col("n"), col("thr") + expr("n div 50")))
+        // exact per-group quantile witnesses: phased CDF with the group
+        // key in every partitioning (q148 shape, grouped)
+        val cdf = vals.groupBy(col("source"), col("v"))
+          .agg(count(lit(1)).as("c"))
+        val bounds = cdf.groupBy(col("source"))
+          .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+        val keyed = cdf.join(broadcast(bounds), "source").withColumn("b",
+          when(col("hi") > col("lo"), least(lit(1023),
+            floor((col("v") - col("lo")) * 1024.0 / (col("hi") - col("lo")))
+              .cast("int"))).otherwise(lit(0)))
+        val run = keyed.withColumn("rc",
+          sum(col("c")).over(Window.partitionBy(col("source"), col("b"))
+            .orderBy(col("v"))))
+        val off = keyed.groupBy(col("source"), col("b"))
+          .agg(sum(col("c")).as("tb"))
+          .select(col("source"), col("b"),
+            coalesce(sum(col("tb")).over(Window.partitionBy(col("source"))
+              .orderBy(col("b"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+              .as("o"))
+        val cum = run.join(broadcast(off), Seq("source", "b"))
+          .select(col("source"), col("v"), (col("rc") + col("o")).as("cw"))
+        // all three rank thresholds resolve in ONE pass over cum
+        val exact = cum.join(broadcast(ests), "source")
+          .groupBy(col("source"), col("p"))
+          .agg(
+            min(when(col("cw") >= col("thr"), col("v"))).as("exact_q"),
+            min(when(col("cw") >= col("thr_lo"), col("v"))).as("lo_q"),
+            min(when(col("cw") >= col("thr_hi"), col("v"))).as("hi_q"))
+        ests.join(exact, Seq("source", "p"))
+          .select(col("source"), col("p"), col("n"), col("thr"),
+            col("exact_q"),
+            (col("est") >= col("lo_q") && (col("est") <= col("hi_q")))
+              .as("within_bound"))
+      },
+      Some("""WITH vals AS (
+             |  SELECT source, CAST(n_chars AS DOUBLE) AS v FROM documents),
+             |nn AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+             |       FROM vals GROUP BY source),
+             |ps AS (SELECT CAST(unnest([25,50,75,95]) AS BIGINT) AS p),
+             |thr AS (SELECT source, p, n,
+             |          CAST((p * n + 99) // 100 AS BIGINT) AS thr
+             |        FROM ps, nn),
+             |cdf AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c
+             |        FROM vals GROUP BY source, v),
+             |cum AS (SELECT source, v,
+             |          SUM(c) OVER (PARTITION BY source ORDER BY v) AS cw
+             |        FROM cdf),
+             |ex AS (SELECT t.source, t.p, MIN(c.v) AS exact_q
+             |       FROM thr t JOIN cum c
+             |         ON c.source = t.source AND c.cw >= t.thr
+             |       GROUP BY t.source, t.p)
+             |SELECT t.source, t.p, t.n, t.thr, e.exact_q,
+             |  TRUE AS within_bound
+             |FROM thr t JOIN ex e USING (source, p)""".stripMargin)),
   )
 }

@@ -1195,19 +1195,52 @@ object TextOps {
     NamedQuery(
       "q155_zipf_slope",
       (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("f").desc, col("tok"))
-        val ranked = tbl(s, d, "documents")
+        // Scale-safe global rank, r11 form: the regression consumes the
+        // rank ONLY through x = floor(log2 rank), and within a frequency
+        // tie block the ranks are the contiguous run [o+1, o+c] — so
+        // instead of ranking the vocabulary (an unpartitioned row_number
+        // over a table that is ~10^8 rows at 100 TB), work on the
+        // COUNT-OF-COUNTS table (one row per distinct frequency,
+        // O(sqrt n) by Zipf): compute each block's exclusive offset o
+        // with a log2(f)-banded running sum (bands ≤ 64 — every window
+        // below is band-bounded), then expand each block's Σx / Σx²
+        // analytically over the ≤48 log2 rank bands that intersect its
+        // run. Token order inside a tie block is irrelevant to the x
+        // multiset, so this is value-identical to the oracle's
+        // row_number() ORDER BY f DESC, tok.
+        val W = org.apache.spark.sql.expressions.Window
+        val vocab = tbl(s, d, "documents")
           .select(explode(split(col("text"), " ")).as("tok"))
           .groupBy(col("tok")).agg(count(lit(1)).as("f"))
-          .withColumn("rnk", row_number().over(w).cast("long"))
-          .select((length(conv(col("rnk"), 10, 2)) - 1).cast("long").as("x"),
+        val ff = vocab.groupBy(col("f")).agg(count(lit(1)).as("c"))
+          .withColumn("band", (length(conv(col("f"), 10, 2)) - 1).cast("int"))
+        val run = ff.withColumn("rc", sum(col("c"))
+          .over(W.partitionBy(col("band")).orderBy(col("f").desc)))
+        val off = ff.groupBy(col("band")).agg(sum(col("c")).as("tb"))
+          .select(col("band"), coalesce(sum(col("tb")).over(
+            W.orderBy(col("band").desc)
+              .rowsBetween(W.unboundedPreceding, -1)), lit(0L)).as("bo"))
+        val blocks = run.join(broadcast(off), "band")
+          .select(col("c"), (col("bo") + col("rc") - col("c")).as("o"),
             (length(conv(col("f"), 10, 2)) - 1).cast("long").as("y"))
-        ranked
-          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-            sum(col("y")).as("sy"),
-            sum(col("x") * col("y")).as("sxy"),
-            sum(col("x") * col("x")).as("sxx"))
+        // m = |[2^j, 2^{j+1}-1] ∩ [o+1, o+c]| tokens of this block have
+        // x = j; 48 bands cover every possible vocabulary rank
+        val expanded = blocks
+          .select(col("c"), col("o"), col("y"),
+            explode(sequence(lit(0), lit(47))).as("j"))
+          .withColumn("jlo", expr("shiftleft(CAST(1 AS BIGINT), j)"))
+          .withColumn("jhi", expr("shiftleft(CAST(1 AS BIGINT), j + 1) - 1"))
+          .withColumn("m", greatest(lit(0L),
+            least(col("jhi"), col("o") + col("c")) -
+              greatest(col("jlo"), col("o") + 1) + 1))
+          .filter(col("m") > 0)
+          .withColumn("x", col("j").cast("long"))
+        expanded
+          .agg(sum(col("m")).as("n"),
+            sum(col("x") * col("m")).as("sx"),
+            sum(col("y") * col("m")).as("sy"),
+            sum(col("x") * col("y") * col("m")).as("sxy"),
+            sum(col("x") * col("x") * col("m")).as("sxx"))
           .select(col("n").as("n_vocab"),
             ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
               (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))

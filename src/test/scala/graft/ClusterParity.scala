@@ -54,8 +54,13 @@ object ClusterParity {
     "q217_mannwhitney", "q224_sorted_neighborhood", "q226_topk_per_group",
     // r10 families: the KLL quantile sketch (its buffer must round-trip
     // real shuffle serialization and its bound must hold on the cluster
-    // merge tree) — q255 range-publish certification joins when added
-    "q254_kll_quantiles")
+    // merge tree)
+    "q254_kll_quantiles",
+    // r11 families: the range-partitioned global-sort publish (sampled
+    // boundaries + disjoint/complete certification must hold when the
+    // sort and the read-back cross real executor JVMs) and the grouped
+    // KLL (thousands of sketch buffers merging through a real exchange)
+    "q255_sorted_publish", "q256_grouped_kll")
 
   private def run(spark: SparkSession): Map[String, Map[Seq[Any], Int]] =
     queries.map { n =>

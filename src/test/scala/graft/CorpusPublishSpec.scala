@@ -250,4 +250,37 @@ class CorpusPublishSpec extends AnyFunSuite {
     }
     assert(clash.getMessage.contains("refusing to clobber"))
   }
+
+  test("global-sort publish: disjoint ordered ranges, complete, in-file sorted") {
+    val d = Files.createTempDirectory("graft-gsort").toString + "/sorted"
+    val m = CorpusPublish.publishGlobalSorted(docs, d, "doc_id", 8)
+    // dense unique key → every sampled range lands rows → all 8 files
+    assert(m.size == 8)
+    assert(m.map(_.seq) == (0 until 8))
+    // pairwise disjoint AND ordered: each file strictly above its predecessor
+    m.zip(m.tail).foreach { case (a, b) =>
+      assert(a.max_key < b.min_key, s"ranges overlap at seq ${b.seq}")
+    }
+    // complete: exact doc_id multiset round-trip
+    val back = spark.read.parquet(d)
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id").except(docs.select("doc_id")).isEmpty)
+    assert(docs.select("doc_id").except(back.select("doc_id")).isEmpty)
+    // the total order lives IN the files: each file's physical row order
+    // is sorted and matches its manifest entry exactly
+    m.foreach { f =>
+      val ids = spark.read.parquet(f.file)
+        .select("doc_id").collect().map(_.getLong(0))
+      assert(ids.sameElements(ids.sorted), s"file seq ${f.seq} not sorted")
+      assert(ids.head == f.min_key && ids.last == f.max_key
+        && ids.length == f.n_rows)
+    }
+    // _range_manifest round-trips and is invisible to the data read
+    assert(spark.read.parquet(s"$d/_range_manifest").count() == 8)
+    assert(!back.columns.contains("seq"))
+    // re-publish of the same input re-certifies the same total order
+    val m2 = CorpusPublish.publishGlobalSorted(docs, d, "doc_id", 8)
+    assert(m2.map(f => (f.seq, f.min_key, f.max_key, f.n_rows))
+      == m.map(f => (f.seq, f.min_key, f.max_key, f.n_rows)))
+  }
 }

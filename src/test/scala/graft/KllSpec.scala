@@ -94,4 +94,37 @@ class KllSpec extends AnyFunSuite {
     // and the exact witness is a real quantile: thr ≤ n
     assert(rows.forall(r => r.getAs[Long]("thr") <= r.getAs[Long]("n")))
   }
+
+  test("grouped partials merge associatively: per-group bound at any split") {
+    // the q256 shape: every group's sketch is assembled from partials
+    // whose merge tree depends on the physical partitioning — the bound
+    // must hold per group for EVERY tree, and the same partitioning must
+    // reproduce identical sketches (hash-gate precondition, grouped)
+    val kll = udaf(new KllQuantiles(256, qs))
+    import spark.implicits._
+    val n = 12000
+    // group by VALUE residue: group g's multiset is the fixed arithmetic
+    // progression {g+1, g+4, g+7, …}, row order a deterministic md5
+    // shuffle — so the true per-group ranks are computable in closed form
+    val base = shuffled(n)
+      .map(v => (s"g${(v.toLong - 1) % 3}", v)).toDF("g", "v")
+    for (p <- Seq(1, 5, 17)) {
+      val df = base.repartition(p)
+      def run() = df.groupBy(col("g")).agg(kll(col("v")).as("sk"))
+        .select(col("g"), col("sk.est")).collect()
+        .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      val ests = run()
+      assert(ests.size == 3)
+      for ((g, est) <- ests; (q, e) <- qs.zip(est)) {
+        // rank within the group's own 4000-value multiset {1,4,7,…} —
+        // values are g-offset residues of 1..n, so rank(v) = #{x≤v}
+        val members = (1 to n).filter(i => s"g${(i - 1) % 3}" == g)
+        val rank = members.count(_ <= e)
+        val thr = math.ceil(q * members.length).toLong
+        assert(math.abs(rank - thr).toDouble / members.length <= 0.02,
+          s"group $g p=$p q=$q est=$e")
+      }
+      assert(run() == ests, s"p=$p: same partitioning, different sketches")
+    }
+  }
 }

@@ -395,11 +395,109 @@ class PlanShapeSpec extends AnyFunSuite {
       }
       case _ => false
     }
+    // Grouping keys whose DOMAIN is bounded by construction, so an
+    // Aggregate over them is a genuine cardinality cut: categorical
+    // columns of the generator's fixed vocabularies (source/lang/
+    // decision/split…), phase-bucket ids (≤1024 by the phased-CDF
+    // formula), percentile labels, file names of a fixed-fan-out publish,
+    // and length domains (n_tokens/n_chars grow ~log n by Heaps' law —
+    // the q90/q109 convention). An Aggregate whose keys include anything
+    // else (doc ids, prices, text…) has SF-scaling output and must NOT
+    // cut the walk — the exact vacuous-pass class the r10 advice flagged.
+    val boundedKeys = Set(
+      "source", "lang", "decision", "split", "shard", "seg", "label",
+      "b", "__b", "bucket", "band", "level", "bin", "grp", "p", "file",
+      "n_tokens", "n_chars", "len", "length", "year", "month", "hour",
+      // time-domain keys: cardinality is the dataset's clock span in
+      // that unit, fixed by the generator, independent of row count
+      "lag_hours", "day", "date", "week", "d",
+      "l_returnflag", "l_linestatus", "r_name", "n_name", "c_mktsegment")
+    // A grouping key is judged by the ROOT columns it derives from, not
+    // its surface name — `.select(col("n_chars").as("x")).groupBy("x")`
+    // is as bounded as grouping by n_chars directly, and a bounded name
+    // stuck onto a scaling expression must not fool the check. Resolve
+    // each attribute through the Alias definitions in the subtree below
+    // the Aggregate (Project/Aggregate output lists, matched by exprId);
+    // an expression is bounded iff EVERY root column it references is
+    // (references.isEmpty = a literal key: bounded).
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
+      Expression, NamedExpression}
+    def aliasDefs(p: LogicalPlan): Seq[NamedExpression] = (p.collect {
+      case pr: Project => pr.projectList
+      case ag: Aggregate => ag.aggregateExpressions
+      case w: Window => w.windowExpressions
+    }).flatten
+    // COUNT-VALUED aliases are a bounded class of their own: a
+    // count/conditional-count per entity (q246's per-user click score,
+    // q155's token frequency f) has O(max events per entity) distinct
+    // values — sublinear by the same Heaps-law argument as n_tokens —
+    // regardless of which scaling columns its PREDICATE references.
+    import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Cast, If,
+      Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{
+      AggregateExpression, Count, Max, Min, Sum}
+    def literalValued(e: Expression): Boolean = e match {
+      case _: Literal => true
+      case c: Cast => literalValued(c.child)
+      case cw: CaseWhen => cw.branches.forall(b => literalValued(b._2)) &&
+        cw.elseValue.forall(literalValued)
+      case i: If => literalValued(i.trueValue) && literalValued(i.falseValue)
+      case _ => false
+    }
+    def countLike(e: Expression): Boolean = e match {
+      case ae: AggregateExpression => ae.aggregateFunction match {
+        case _: Count => true
+        case s: Sum => literalValued(s.child)
+        case m: Max => literalValued(m.child)
+        case m: Min => literalValued(m.child)
+        case _ => false
+      }
+      case al: Alias => countLike(al.child)
+      case we: org.apache.spark.sql.catalyst.expressions.WindowExpression =>
+        countLike(we.windowFunction)
+      case _ => false
+    }
+    def rootNames(att: Attribute, defs: Seq[NamedExpression],
+        depth: Int): Set[String] =
+      if (depth > 32) Set(att.name)
+      else defs.collectFirst {
+        case al: Alias if al.exprId == att.exprId => al
+      } match {
+        case Some(al) if countLike(al.child) => Set.empty
+        case Some(al) =>
+          val refs = al.child.references.toSeq
+          if (refs.isEmpty) Set.empty
+          else refs.flatMap(r => rootNames(r, defs, depth + 1)).toSet
+        case None => Set(att.name)
+      }
+    // Two ways a key proves itself bounded: (a) its surface name follows
+    // a bounded-domain CONVENTION (b/bucket/band = the ≤1024 phased-CDF
+    // buckets, p = percentile labels, …) — needed because a collapsing
+    // expression (`pc div 100000` → ≤105 price buckets) is bounded even
+    // when its root column is not; (b) every ROOT column it derives from
+    // is bounded — needed because an Alias (`n_chars AS x`) must not
+    // lose its bound, and a scaling root (`l_extendedprice AS b` would
+    // be a convention violation we accept as residual risk, documented).
+    def boundedAgg(a: Aggregate): Boolean = {
+      lazy val defs = aliasDefs(a.child)
+      def nameOf(e: Expression): Option[String] = e match {
+        case n: NamedExpression => Some(n.name)
+        case _ => None
+      }
+      a.groupingExpressions.isEmpty || a.groupingExpressions.forall {
+        e: Expression =>
+          nameOf(e).exists(boundedKeys.contains) ||
+            e.references.forall(r =>
+              rootNames(r, defs, 0).forall(boundedKeys.contains))
+      }
+    }
     // true iff some root-to-leaf path hits a scaling scan with no
-    // cardinality bound (Aggregate / Limit / Deduplicate) in between
+    // cardinality bound in between: a Limit, a Deduplicate, or an
+    // Aggregate with provably bounded grouping keys (an Aggregate over
+    // an SF-scaling key — distinct doc_ids, prices — is NOT a bound)
     def unbounded(p: LogicalPlan): Boolean = p match {
-      case _: Aggregate | _: GlobalLimit | _: LocalLimit |
-           _: Deduplicate => false
+      case a: Aggregate if boundedAgg(a) => false
+      case _: GlobalLimit | _: LocalLimit | _: Deduplicate => false
       case l if l.children.isEmpty => scalingLeaf(l)
       case other => other.children.exists(unbounded)
     }
@@ -414,6 +512,15 @@ class PlanShapeSpec extends AnyFunSuite {
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("p_partkey"))))
     assert(offenders(bad).nonEmpty, "detector lost its teeth")
+    // second control (r10 advice): a groupBy over an SF-SCALING key
+    // (distinct prices ≈ n rows) must NOT read as a cardinality bound
+    val badAgg = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_extendedprice")).count()
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("l_extendedprice"))))
+    assert(offenders(badAgg).nonEmpty,
+      "an Aggregate over a scaling key still cuts the walk")
     for ((name, fn) <- SparkEntry.queries) {
       val found = offenders(fn(spark, dir))
       assert(found.isEmpty,

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * `spark.graft.topk.rewrite` default.
   *
   *   plain   — no thinning at all: native InferWindowGroupLimit off
-  *             (spark.sql.window.group.limit.threshold = -1), rule off;
+  *             (spark.sql.optimizer.windowGroupLimitThreshold = -1), rule off;
   *             every partition fully sorted by the Window exec.
   *   native  — Spark 4's own WindowGroupLimit thinning (threshold back
   *             at its 1000 default), rule off. This is stock Spark.
@@ -57,9 +57,10 @@ object TopKBench {
     val modes = Seq( // (label, native threshold, graft rule)
       ("plain", "-1", "false"),
       ("native", "1000", "false"),
-      ("graft", "-1", "true"))
+      ("graft", "-1", "true"),
+      ("both", "1000", "true")) // the default-on config: stacking cost
     for ((sn, part, k) <- shapes; (mn, thr, rule) <- modes) {
-      spark.conf.set("spark.sql.window.group.limit.threshold", thr)
+      spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", thr)
       spark.conf.set("spark.graft.topk.rewrite", rule)
       val df = topk(part, k)
       val plan = df.queryExecution.executedPlan.toString
@@ -72,7 +73,7 @@ object TopKBench {
       println(s"""{"shape":"$sn","mode":"$mn","thinned":"$thinned",""" +
         s""""rows_in":$nRows,"rows_out":$rows,"sec":${math.round(t * 1000) / 1000.0}}""")
     }
-    spark.conf.set("spark.sql.window.group.limit.threshold", "1000")
+    spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", "1000")
     spark.conf.set("spark.graft.topk.rewrite", "false")
     spark.stop()
   }

@@ -4039,5 +4039,90 @@ object AnalyticsOps {
              |    * (CAST(n_arm0 AS DOUBLE) - CAST(n - n_arm0 AS DOUBLE))
              |    / CAST(n AS DOUBLE) > 3.841 AS srm_alarm
              |FROM w""".stripMargin)),
+
+    // ----- q259: calibration curve + Brier decomposition ------------------
+    // Is the q121/q246 click-count predictor's probability CALIBRATED —
+    // does "p̂ = 0.3" purchase 30% of the time? The reliability diagram
+    // (per-bin mean prediction vs empirical rate) plus the
+    // Murphy (1973) Brier decomposition REL − RES + UNC. Prediction
+    // p̂ = min(1, clicks/10), so the bin IS the capped click count —
+    // eleven integer bins, no float binning, and every decomposition
+    // numerator is exact integer arithmetic:
+    //   p̄_b − ȳ_b = (sc_b − 10·Y_b)/(10·n_b)   → rel_num = (sc_b−10·Y_b)²
+    //   ȳ_b − ȳ   = (Y_b·N − Y·n_b)/(n_b·N)    → res_num = (Y_b·N−Y·n_b)²
+    //   Brier     = Σ_u (sc_u − 10·y_u)² / (100·N) — integer numerator
+    // Per-bin SQUARED numerators ship instead of the summed double
+    // decomposition: an 11-term double Σ would hash-mismatch on
+    // engine-order ulps, the integers are exact in both engines
+    // (res_num through DECIMAL(38,0)/HUGEINT — Y_b·N ≤ ~1e10 at sf0.1,
+    // squared overflows BIGINT). The global Brier score and base rate
+    // broadcast onto every row as single identical IEEE divisions.
+    // Scale shape: one user-level aggregate (the q246 perUser), one
+    // 11-bin rollup, one 3-scalar broadcast — no window, no sort.
+    NamedQuery(
+      "q259_calibration",
+      (s, d) => {
+        val perUser = events(s, d)
+          .groupBy(col("user_id"))
+          .agg(least(lit(10L),
+              sum(when(col("event_type") === "click", 1L).otherwise(0L)))
+              .as("sc"),
+            max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("y"))
+        val bins = perUser.groupBy(col("sc").as("bin"))
+          .agg(count(lit(1)).as("n_users"), sum(col("y")).as("n_pos"),
+            sum((col("sc") - lit(10L) * col("y")) *
+              (col("sc") - lit(10L) * col("y"))).as("bin_brier_num"))
+        val tot = bins.agg(sum(col("n_users")).as("nt"),
+          sum(col("n_pos")).as("yt"), sum(col("bin_brier_num")).as("bn"))
+        bins.crossJoin(broadcast(tot))
+          .select(col("bin"), col("n_users"), col("n_pos"),
+            ((col("bin") * col("n_users")).cast("double") /
+              (lit(10.0) * col("n_users").cast("double"))).as("mean_pred"),
+            (col("n_pos").cast("double") / col("n_users").cast("double"))
+              .as("emp_rate"),
+            ((col("bin") * col("n_users") - lit(10L) * col("n_pos")) *
+              (col("bin") * col("n_users") - lit(10L) * col("n_pos")))
+              .as("rel_num"),
+            (((col("n_pos") * col("nt") - col("yt") * col("n_users"))
+              .cast("decimal(38,0)")) *
+              ((col("n_pos") * col("nt") - col("yt") * col("n_users"))
+                .cast("decimal(38,0)"))).as("res_num"),
+            (col("bn").cast("double") /
+              (lit(100.0) * col("nt").cast("double"))).as("brier"),
+            (col("yt").cast("double") / col("nt").cast("double"))
+              .as("base_rate"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |    CAST(LEAST(10, SUM(CASE WHEN event_type = 'click'
+             |                            THEN 1 ELSE 0 END)) AS BIGINT)
+             |      AS sc,
+             |    MAX(CASE WHEN event_type = 'purchase'
+             |             THEN 1 ELSE 0 END) AS y
+             |  FROM events GROUP BY user_id),
+             |b AS (
+             |  SELECT sc AS bin, CAST(COUNT(*) AS BIGINT) AS n_users,
+             |    CAST(SUM(y) AS BIGINT) AS n_pos,
+             |    CAST(SUM((sc - 10*y) * (sc - 10*y)) AS BIGINT)
+             |      AS bin_brier_num
+             |  FROM u GROUP BY sc),
+             |t AS (SELECT CAST(SUM(n_users) AS BIGINT) AS nt,
+             |        CAST(SUM(n_pos) AS BIGINT) AS yt,
+             |        CAST(SUM(bin_brier_num) AS BIGINT) AS bn FROM b)
+             |SELECT b.bin, b.n_users, b.n_pos,
+             |  CAST(b.bin * b.n_users AS DOUBLE)
+             |    / (10.0 * CAST(b.n_users AS DOUBLE)) AS mean_pred,
+             |  CAST(b.n_pos AS DOUBLE) / CAST(b.n_users AS DOUBLE)
+             |    AS emp_rate,
+             |  CAST((b.bin * b.n_users - 10 * b.n_pos)
+             |    * (b.bin * b.n_users - 10 * b.n_pos) AS BIGINT) AS rel_num,
+             |  CAST(CAST(b.n_pos * t.nt - t.yt * b.n_users AS HUGEINT)
+             |    * CAST(b.n_pos * t.nt - t.yt * b.n_users AS HUGEINT)
+             |    AS DECIMAL(38,0)) AS res_num,
+             |  CAST(t.bn AS DOUBLE) / (100.0 * CAST(t.nt AS DOUBLE))
+             |    AS brier,
+             |  CAST(t.yt AS DOUBLE) / CAST(t.nt AS DOUBLE) AS base_rate
+             |FROM b, t""".stripMargin)),
   )
 }

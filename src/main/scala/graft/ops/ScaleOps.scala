@@ -1650,5 +1650,149 @@ object ScaleOps {
              |SELECT t.source, t.p, t.n, t.thr, e.exact_q,
              |  TRUE AS within_bound
              |FROM thr t JOIN ex e USING (source, p)""".stripMargin)),
+
+    // ----- q257: streaming quantile monitor (batch twin + certification) --
+    // The KLL sketch's THIRD deployment shape, and the one a live
+    // pipeline runs: per event-time hour window, p50/p95 of `value`
+    // through [[graft.streaming.StreamOps.quantileSketchWindows]] — the
+    // q253 twin pattern puts the streaming operator's exact code under
+    // the driver's hash gate in batch mode, StreamOpsSpec separately
+    // runs it as a real chunked stream and asserts the rank-error
+    // contract on BOTH modes (bit-equality of sketch estimates across
+    // merge trees is impossible by design; the bound is the invariant).
+    // Certification here is q256's tie-robust value-window form, per
+    // hour window: est must lie between the exact values at ranks
+    // thr ∓ 2%·n_w, witnesses from the grouped phased CDF (running sums
+    // partition by (window, bucket), offsets by (window) — every window
+    // in the plan is partitioned by a time-domain key).
+    NamedQuery(
+      "q257_stream_quantiles",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = graft.streaming.StreamOps
+          .quantileSketchWindows(events(s, d))
+        val ests = base.select(col("window_start"), col("n"),
+            explode(map(
+              lit(50L), col("est_p50"),
+              lit(95L), col("est_p95"))).as(Seq("p", "est")))
+          .withColumn("thr", expr("(p * n + 99) div 100"))
+          .withColumn("thr_lo",
+            greatest(lit(1L), col("thr") - expr("n div 50")))
+          .withColumn("thr_hi",
+            least(col("n"), col("thr") + expr("n div 50")))
+        val vals = events(s, d).select(
+          date_format(window(col("ts"), "1 hour").getField("start"),
+            OpsKit.TsFmt).as("w"),
+          col("value").cast("double").as("v"))
+        val cdf = vals.groupBy(col("w"), col("v"))
+          .agg(count(lit(1)).as("c"))
+        val bounds = cdf.groupBy(col("w"))
+          .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+        val keyed = cdf.join(broadcast(bounds), "w").withColumn("b",
+          when(col("hi") > col("lo"), least(lit(1023),
+            floor((col("v") - col("lo")) * 1024.0 / (col("hi") - col("lo")))
+              .cast("int"))).otherwise(lit(0)))
+        val run = keyed.withColumn("rc",
+          sum(col("c")).over(Window.partitionBy(col("w"), col("b"))
+            .orderBy(col("v"))))
+        val off = keyed.groupBy(col("w"), col("b"))
+          .agg(sum(col("c")).as("tb"))
+          .select(col("w"), col("b"),
+            coalesce(sum(col("tb")).over(Window.partitionBy(col("w"))
+              .orderBy(col("b"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+              .as("o"))
+        val cum = run.join(broadcast(off), Seq("w", "b"))
+          .select(col("w"), col("v"), (col("rc") + col("o")).as("cw"))
+        // fresh aliases on the re-joined side: `exact` derives FROM
+        // `ests`, so joining them back on same-exprId columns would be
+        // ambiguous — the aliased projection mints new attribute ids
+        val thrs = ests.select(col("window_start").as("tw"),
+          col("p").as("tp"), col("thr").as("t0"),
+          col("thr_lo").as("t1"), col("thr_hi").as("t2"))
+        val exact = cum
+          .join(broadcast(thrs), col("w") === col("tw"))
+          .groupBy(col("w"), col("tp"))
+          .agg(
+            min(when(col("cw") >= col("t0"), col("v"))).as("exact_q"),
+            min(when(col("cw") >= col("t1"), col("v"))).as("lo_q"),
+            min(when(col("cw") >= col("t2"), col("v"))).as("hi_q"))
+        ests.join(exact,
+            col("window_start") === col("w") && col("p") === col("tp"))
+          .select(col("window_start"), col("p"), col("n"), col("thr"),
+            col("exact_q"),
+            (col("est") >= col("lo_q") && (col("est") <= col("hi_q")))
+              .as("within_bound"))
+      },
+      Some("""WITH vals AS (
+             |  SELECT epoch_us(ts) // 1000000 AS tsec,
+             |    CAST(value AS DOUBLE) AS v
+             |  FROM events),
+             |w AS (SELECT strftime(make_timestamp(
+             |          (tsec - (tsec % 3600)) * 1000000),
+             |          '%Y-%m-%d %H:%M:%S') AS window_start, v
+             |      FROM vals),
+             |nn AS (SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n
+             |       FROM w GROUP BY window_start),
+             |ps AS (SELECT CAST(unnest([50, 95]) AS BIGINT) AS p),
+             |thr AS (SELECT window_start, p, n,
+             |          CAST((p * n + 99) // 100 AS BIGINT) AS thr
+             |        FROM ps, nn),
+             |cdf AS (SELECT window_start, v, CAST(COUNT(*) AS BIGINT) AS c
+             |        FROM w GROUP BY window_start, v),
+             |cum AS (SELECT window_start, v,
+             |          SUM(c) OVER (PARTITION BY window_start ORDER BY v)
+             |            AS cw
+             |        FROM cdf),
+             |ex AS (SELECT t.window_start, t.p, MIN(c.v) AS exact_q
+             |       FROM thr t JOIN cum c
+             |         ON c.window_start = t.window_start AND c.cw >= t.thr
+             |       GROUP BY t.window_start, t.p)
+             |SELECT t.window_start, t.p, t.n, t.thr, e.exact_q,
+             |  TRUE AS within_bound
+             |FROM thr t JOIN ex e USING (window_start, p)""".stripMargin)),
+
+    // ----- q258: streaming cardinality monitor (batch twin + gate) --------
+    // [[graft.streaming.StreamOps.cardinalityWindows]] under the hash
+    // gate: per event-time hour, total events and HLL++ distinct users.
+    // Unlike the KLL twin, HLL state merges by per-register max —
+    // merge-order-insensitive — so StreamOpsSpec asserts stream == batch
+    // EXACTLY, and the estimate here is deterministic for the input
+    // regardless of partitioning. The estimate itself can never
+    // hash-match DuckDB (engine-specific sketch internals — q41's
+    // analysis), so it ships as the q41 bounded-error boolean over the
+    // exact witness, which both engines compute exactly. rsd = 0.01
+    // (2^14 registers/window): the default 0.05's small-cardinality
+    // bias overshoots 3σ on hours with ~5 users — measured, the 0.01
+    // sketch is EXACT below ~10^2 distinct and 5% leaves 5σ headroom
+    // at every scale factor.
+    NamedQuery(
+      "q258_stream_cardinality",
+      (s, d) => {
+        val base = graft.streaming.StreamOps
+          .cardinalityWindows(events(s, d))
+        val exact = events(s, d).select(
+            date_format(window(col("ts"), "1 hour").getField("start"),
+              OpsKit.TsFmt).as("window_start"),
+            col("user_id"))
+          .groupBy(col("window_start"))
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+        base.join(exact, "window_start")
+          .select(col("window_start"), col("n"), col("exact_users"),
+            (abs(col("approx_users") - col("exact_users")).cast("double") <=
+              lit(0.05) * col("exact_users").cast("double"))
+              .as("approx_within_5pct"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT epoch_us(ts) // 1000000 AS tsec, user_id
+             |  FROM events),
+             |w AS (SELECT strftime(make_timestamp(
+             |          (tsec - (tsec % 3600)) * 1000000),
+             |          '%Y-%m-%d %H:%M:%S') AS window_start, user_id
+             |      FROM ev)
+             |SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+             |  TRUE AS approx_within_5pct
+             |FROM w GROUP BY window_start""".stripMargin)),
   )
 }

@@ -361,6 +361,58 @@ object StreamOps {
       chi.as("chi2"), (chi > lit(3.841)).as("srm_alarm"))
   }
 
+  /** Per-hour KLL quantile monitor: the q254 sketch run as a windowed
+    * streaming aggregation — the latency/throughput profile a 100-TB
+    * ingest pipeline actually watches (p50/p95 per event-time hour)
+    * without ever buffering a window's raw values. The typed Aggregator
+    * rides Spark's streaming state store exactly like a built-in agg:
+    * each microbatch folds its rows into the window's KllBuf partial,
+    * the watermark closes and emits windows, state stays O(k·log(n/k))
+    * per open window.
+    *
+    * Parity contract (weaker than srmGate's BIT equality, necessarily):
+    * a KLL estimate depends on the merge tree, and stream microbatch
+    * boundaries ARE a different merge tree than batch partitions — so
+    * stream est ≠ batch est in general. What IS invariant — and what
+    * StreamOpsSpec asserts for both modes against a Scala re-derivation
+    * — is the sketch's rank-error contract: every emitted estimate's
+    * exact in-window rank sits within 2%·n of the target, and `n` per
+    * window is exact in both modes. The registered batch twin
+    * (q257_stream_quantiles) additionally certifies the batch run
+    * in-query against the phased-CDF witness under the driver's hash
+    * gate. */
+  def quantileSketchWindows(events: DataFrame): DataFrame = {
+    val kll = udaf(new graft.functions.KllQuantiles(256, Array(0.5, 0.95)))
+    events
+      .select(col("ts"), col("value").cast("double").as("v"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(kll(col("v")).as("sk"))
+      .select(date_format(col("window.start"), TsFmt).as("window_start"),
+        col("sk.n").as("n"),
+        element_at(col("sk.est"), 1).as("est_p50"),
+        element_at(col("sk.est"), 2).as("est_p95"))
+  }
+
+  /** Per-hour distinct-user monitor: HLL++ cardinality as a windowed
+    * streaming aggregation — the audience/abuse readout (unique actors
+    * per hour) that exact windowed DISTINCT can't give a stream without
+    * per-user dedup state. HLL registers merge by per-register max, so
+    * the estimate is merge-order-INsensitive: unlike the KLL monitor,
+    * stream == batch holds bit-exactly across any microbatch split
+    * (StreamOpsSpec asserts plain equality). Batch twin q258 gates the
+    * estimate against the exact per-window distinct count under the
+    * driver's hash gate, q41's bounded-error-boolean discipline. */
+  def cardinalityWindows(events: DataFrame): DataFrame =
+    events
+      .select(col("ts"), col("user_id"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .select(date_format(col("window.start"), TsFmt).as("window_start"),
+        col("n"), col("approx_users"))
+
   def driftMonitor(docs: DataFrame, reference: DataFrame): DataFrame = {
     val nBuckets = 13
     val ref = reference

@@ -29,6 +29,37 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q259 satisfies the Murphy identity: Brier = REL - RES + UNC") {
+    // p̂ is constant within each bin (bin/10), which is exactly the
+    // condition under which the Murphy (1973) decomposition is an
+    // IDENTITY, not an approximation — so the three components
+    // reassembled from the query's exact integer numerators must equal
+    // the directly-computed Brier score to float rounding. This is the
+    // scalar re-derivation the hash gate can't give: the oracle proves
+    // Spark == DuckDB, this proves both == the textbook formula.
+    // sf0.01: sf0.001's per-user event volume caps every user at bin 10
+    // (a one-row diagram satisfies the identity vacuously); the larger
+    // SF spreads users across 7 bins so REL and RES are both nonzero
+    val rows = SparkEntry.queries("q259_calibration")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length > 1)
+    val n = rows.map(_.getAs[Long]("n_users")).sum.toDouble
+    val brier = rows.head.getAs[Double]("brier")
+    val yBar = rows.head.getAs[Double]("base_rate")
+    val rel = rows.map(r => r.getAs[Long]("rel_num").toDouble /
+      (100.0 * r.getAs[Long]("n_users"))).sum / n
+    val res = rows.map(r =>
+      r.getAs[java.math.BigDecimal]("res_num").doubleValue() /
+        (r.getAs[Long]("n_users") * n * n)).sum / n
+    val unc = yBar * (1.0 - yBar)
+    assert(math.abs(brier - (rel - res + unc)) < 1e-10,
+      s"brier=$brier rel=$rel res=$res unc=$unc")
+    // and the reliability diagram is coherent: mean_pred = bin/10 exactly
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mean_pred") == r.getAs[Long]("bin") / 10.0)
+    }
+  }
+
   test("q143 surfaces a planted monster basket in max_pair_work") {
     import spark.implicits._
     // 3 identical orders each holding the SAME 50 parts: every part is

@@ -124,6 +124,64 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(want == q253)
   }
 
+  test("KLL quantile monitor: stream and batch both satisfy the rank bound") {
+    // A KLL estimate depends on the merge tree, and microbatch
+    // boundaries ARE a different tree than batch partitions — so unlike
+    // srmGate, est bit-equality across modes is impossible by design.
+    // The invariants: exact n per window in both modes, and every
+    // estimate's exact in-window rank within 2%·n of its target — the
+    // same contract q257 certifies in-query and KllSpec pins at three
+    // partition counts.
+    val got = runStream("t_kll", StreamOps.quantileSketchWindows)
+    val batch = StreamOps.quantileSketchWindows(batchEvents)
+    // per-window sorted values from the batch input, the ground truth
+    val truth = batchEvents
+      .select(date_format(window(col("ts"), "1 hour").getField("start"),
+        OpsKit.TsFmt).as("w"), col("value").cast("double").as("v"))
+      .collect().groupBy(_.getString(0))
+      .map { case (w, rs) => w -> rs.map(_.getDouble(1)).sorted }
+    def check(df: DataFrame, mode: String): Unit = {
+      val rows = df.collect()
+        .filter(r => truth.contains(r.getString(0))) // drop sentinel window
+      assert(rows.nonEmpty, s"$mode emitted no real windows")
+      rows.foreach { r =>
+        val (w, n) = (r.getString(0), r.getLong(1))
+        val vs = truth(w)
+        assert(n == vs.length.toLong, s"$mode $w: n=$n != ${vs.length}")
+        for ((q, est) <- Seq(0.5 -> r.getDouble(2), 0.95 -> r.getDouble(3))) {
+          val rank = vs.count(_ <= est)
+          val thr = math.ceil(q * n).toLong
+          assert(math.abs(rank - thr).toDouble / n <= 0.02,
+            s"$mode $w q=$q est=$est rank=$rank thr=$thr n=$n")
+        }
+      }
+    }
+    check(got, "stream")
+    check(batch, "batch")
+    // and the registered twin certifies the SAME function under the gate
+    val q257 = SparkEntry.queries("q257_stream_quantiles")(
+      spark, "/root/testdata/sf0.001")
+    assert(q257.collect().forall(_.getAs[Boolean]("within_bound")))
+  }
+
+  test("cardinality monitor: stream equals batch EXACTLY (HLL is merge-order-insensitive)") {
+    // HLL registers merge by per-register max, so unlike the KLL case
+    // the estimate is identical across any microbatch split — plain
+    // set equality, the srmGate discipline
+    val got = asSet(runStream("t_card", StreamOps.cardinalityWindows))
+    val want = asSet(StreamOps.cardinalityWindows(batchEvents))
+    assert(want.nonEmpty)
+    val sentinelWindows = got -- want
+    assert(sentinelWindows.forall(r => r(1) == 1L))
+    assert(want.subsetOf(got))
+    assert(got.size - sentinelWindows.size == want.size)
+    // and the registered twin's error gate holds
+    val q258 = SparkEntry.queries("q258_stream_cardinality")(
+      spark, "/root/testdata/sf0.001")
+    assert(q258.collect()
+      .forall(_.getAs[Boolean]("approx_within_5pct")))
+  }
+
   test("session window: stream equals batch") {
     val got = asSet(runStream("t_session", StreamOps.sessions))
       .filterNot(_.head == SentinelUser)

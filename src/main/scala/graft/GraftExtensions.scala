@@ -18,9 +18,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension: per-group top-k planned as a
     // partial/final bounded-heap exec pair (graft.plans.TopKPerGroup)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
-    // opt-in optimizer rule (spark.graft.topk.rewrite=true): thin a
-    // row_number-window + rn<=k filter through TopKPerGroup
+    // optimizer rule (on by default; spark.graft.topk.rewrite=false
+    // disables): thin a row_number-window + rn<=k filter through
+    // TopKPerGroup
     ext.injectOptimizerRule(_ => graft.plans.TopKWindowRewrite)
+    // opt-in optimizer rule (spark.graft.eageragg=true): eager
+    // aggregation — push a partial aggregate below an inner join
+    ext.injectOptimizerRule(_ => graft.plans.EagerAggregation)
     ext.injectFunction((
       new FunctionIdentifier("py_to_json"),
       new ExpressionInfo(

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** User-behavior analytics over `events` — the classic product-analytics
@@ -4124,5 +4125,97 @@ object AnalyticsOps {
              |    AS brier,
              |  CAST(t.yt AS DOUBLE) / CAST(t.nt AS DOUBLE) AS base_rate
              |FROM b, t""".stripMargin)),
+
+    // ----- q268: doubly-robust off-policy evaluation ----------------------
+    // q200 scores the counterfactual policy with pure importance
+    // weighting (IPS) — unbiased but high-variance where the logging
+    // policy rarely takes the target's actions. The doubly-robust
+    // estimator (Dudík, Langford & Li, ICML 2011) adds a reward MODEL
+    // and keeps IPS only for the model's residuals:
+    //   V_DR = Σ_a π(a)·q̂(a)  +  (1/n)·Σ_i w(a_i)·(r_i − q̂(a_i))
+    // — unbiased if EITHER the model or the propensities are right.
+    // Honest protocol: q̂(a) is the per-action mean reward on the
+    // even-event_id HALF, evaluation runs on the odd half (the split
+    // keeps the model's errors independent of the residuals it
+    // corrects); propensities are the eval half's empirical action
+    // frequencies, target policy = q200's uniform-over-{click,purchase}.
+    // Output: the direct-method, IPS and DR values side by side with
+    // the correction term — the spread IS the diagnosis (DM≈DR ⇒ model
+    // trusted; big correction ⇒ leaning on propensities). Arithmetic:
+    // per-action exact rollups (dsum), doubles only in fixed-order
+    // ratios — the q200 determinism discipline. Scale: two 5-row
+    // action aggregates from one events pass; everything downstream is
+    // action-grid-sized.
+    NamedQuery(
+      "q268_dr_offpolicy",
+      (s, d) => {
+        val ev = events(s, d).select(col("event_id"), col("event_type"),
+          col("value"))
+        def half(mod: Int): DataFrame =
+          ev.filter(col("event_id") % 2 === mod)
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("na"), dsum(col("value")).as("sr"))
+        val model = half(0).select(col("event_type"),
+          col("na").as("nm"),
+          (col("sr") / col("na").cast("double")).as("qhat"))
+        val eval_ = half(1)
+        val nEval = eval_.agg(sum(col("na")).as("n_eval"))
+        val nModel = model.agg(sum(col("nm")).as("n_model"))
+        val joined = eval_.join(model.select(col("event_type"),
+            col("qhat")), Seq("event_type"))
+          .crossJoin(broadcast(nEval))
+          .select(col("event_type"), col("na"), col("sr"), col("qhat"),
+            col("n_eval"),
+            when(col("event_type").isin("click", "purchase"),
+              lit(0.5) * col("n_eval").cast("double") /
+                col("na").cast("double"))
+              .otherwise(lit(0.0)).as("w"),
+            when(col("event_type").isin("click", "purchase"), lit(0.5))
+              .otherwise(lit(0.0)).as("pi"))
+        joined.groupBy()
+          .agg(max(col("n_eval")).as("n_eval"),
+            dsum(col("pi") * col("qhat")).as("v_dm"),
+            dsum(col("sr") * col("w")).as("rw"),
+            dsum((col("sr") - col("na").cast("double") * col("qhat")) *
+              col("w")).as("resid"))
+          .crossJoin(broadcast(nModel))
+          .select(col("n_model"), col("n_eval"), col("v_dm"),
+            (col("rw") / col("n_eval").cast("double")).as("v_ips"),
+            (col("resid") / col("n_eval").cast("double"))
+              .as("dr_correction"),
+            (col("v_dm") +
+              col("resid") / col("n_eval").cast("double")).as("v_dr"))
+      },
+      Some(s"""WITH m AS (
+             |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nm,
+             |    ${dsumSql("value")} / CAST(COUNT(*) AS DOUBLE) AS qhat
+             |  FROM events WHERE event_id % 2 = 0 GROUP BY event_type),
+             |e AS (
+             |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS na,
+             |    ${dsumSql("value")} AS sr
+             |  FROM events WHERE event_id % 2 = 1 GROUP BY event_type),
+             |ne AS (SELECT CAST(SUM(na) AS BIGINT) AS n_eval FROM e),
+             |nm AS (SELECT CAST(SUM(nm) AS BIGINT) AS n_model FROM m),
+             |j AS (
+             |  SELECT e.event_type, e.na, e.sr, m.qhat, ne.n_eval,
+             |    CASE WHEN e.event_type IN ('click', 'purchase')
+             |      THEN 0.5 * CAST(ne.n_eval AS DOUBLE)
+             |           / CAST(e.na AS DOUBLE)
+             |      ELSE 0.0 END AS w,
+             |    CASE WHEN e.event_type IN ('click', 'purchase')
+             |      THEN 0.5 ELSE 0.0 END AS pi
+             |  FROM e JOIN m USING (event_type) CROSS JOIN ne),
+             |agg AS (
+             |  SELECT MAX(n_eval) AS n_eval,
+             |    ${dsumSql("pi * qhat")} AS v_dm,
+             |    ${dsumSql("sr * w")} AS rw,
+             |    ${dsumSql("(sr - CAST(na AS DOUBLE) * qhat) * w")}
+             |      AS resid
+             |  FROM j)
+             |SELECT nm.n_model, a.n_eval, a.v_dm,
+             |  a.rw / CAST(a.n_eval AS DOUBLE) AS v_ips,
+             |  a.resid / CAST(a.n_eval AS DOUBLE) AS dr_correction,
+             |  a.v_dm + a.resid / CAST(a.n_eval AS DOUBLE) AS v_dr
+             |FROM agg a CROSS JOIN nm""".stripMargin)),
   )
 }

@@ -1373,5 +1373,98 @@ object CurationOps {
            |    AS BIGINT) AS rank_move
            |FROM sh""".stripMargin
       }),
+
+    // ----- q263: hashed-feature importance selection (DSIR-style) ---------
+    // Data selection via importance reweighting (the shape of DSIR — Xie
+    // et al., NeurIPS 2023): score every raw document by how much it
+    // looks like a TARGET distribution (here: the English slice) under
+    // cheap hashed features, then keep/resample by that importance.
+    // Features are 64 hashed token buckets (the md5 token hash mod 64 —
+    // a hashed n-gram model's bucket table, the part of DSIR that makes
+    // it linear-scan cheap at corpus scale). Where DSIR multiplies
+    // per-feature probability ratios (a log-sum), this computes the
+    // ratio of EXPECTED feature probabilities,
+    //   score(d) = E_f~d[p_target(f)] / E_f~d[p_raw(f)]
+    // with add-one smoothing — same target-vs-raw discriminant family,
+    // chosen deliberately because it stays in integer arithmetic end to
+    // end (libm log/exp differ across engines; cf. q52/q62): both
+    // expectations are exact integer sums, the score is ONE double
+    // division, and the Bernoulli resample (keep with prob min(1,
+    // score/2)) is an integer cross-multiplied compare against an
+    // md5-derived deterministic draw (q196/q249 idiom) — bit-identical
+    // on any partitioning and in the oracle. Scale: token stream →
+    // (doc, bucket) rollup, a 64-row feature table broadcast back, a
+    // doc-sized re-agg; no windows, no corpus² anything.
+    NamedQuery(
+      "q263_importance_select",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("lang"))
+        val toks = tbl(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("tok"))
+          .select(col("doc_id"), col("lang"),
+            pmod(strHash(col("tok")), lit(64)).as("f"))
+        val feat = toks.groupBy(col("f")).agg(
+          count(lit(1)).as("rcnt"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tcnt"))
+        val totals = feat.agg(sum(col("rcnt")).as("nr"),
+          sum(col("tcnt")).as("nt"))
+        val dec = (c: org.apache.spark.sql.Column) =>
+          c.cast("decimal(38,0)")
+        val perDoc = toks.groupBy(col("doc_id"), col("f"))
+          .agg(count(lit(1)).as("nf"))
+          .join(broadcast(feat), "f")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("nf")).as("n_tokens"),
+            sum(col("nf") * (col("tcnt") + 1)).as("num0"),
+            sum(col("nf") * (col("rcnt") + 1)).as("den0"))
+          .crossJoin(broadcast(totals))
+          .select(col("doc_id"), col("n_tokens"),
+            (dec(col("num0")) * dec(col("nr") + 64)).as("num"),
+            (dec(col("den0")) * dec(col("nt") + 64)).as("den"))
+        val h6 = pmod(strHash(concat(lit("dsir:"),
+          col("doc_id").cast("string"))), lit(1000000))
+        perDoc.join(docs, "doc_id")
+          .select(col("doc_id"), col("source"), col("lang"),
+            col("n_tokens"),
+            (col("num").cast("double") / col("den").cast("double"))
+              .as("score"),
+            (col("num") > col("den")).as("target_leaning"),
+            (dec(h6 * 2) * col("den") < dec(lit(1000000)) * col("num"))
+              .as("resampled"))
+      },
+      Some {
+        val h = strHashSql("tok")
+        val hd = strHashSql("'dsir:' || CAST(p.doc_id AS VARCHAR)")
+        s"""WITH toks AS (
+           |  SELECT doc_id, lang, $h % 64 AS f FROM (
+           |    SELECT doc_id, lang,
+           |      unnest(string_split(text, ' ')) AS tok
+           |    FROM documents)),
+           |feat AS (
+           |  SELECT f, CAST(COUNT(*) AS BIGINT) AS rcnt,
+           |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS tcnt
+           |  FROM toks GROUP BY f),
+           |tot AS (SELECT CAST(SUM(rcnt) AS BIGINT) AS nr,
+           |               CAST(SUM(tcnt) AS BIGINT) AS nt FROM feat),
+           |pd AS (
+           |  SELECT doc_id, CAST(SUM(nf) AS BIGINT) AS n_tokens,
+           |    CAST(SUM(nf * (tcnt + 1)) AS HUGEINT)
+           |      * CAST(MAX(t.nr) + 64 AS HUGEINT) AS num,
+           |    CAST(SUM(nf * (rcnt + 1)) AS HUGEINT)
+           |      * CAST(MAX(t.nt) + 64 AS HUGEINT) AS den
+           |  FROM (SELECT doc_id, f, CAST(COUNT(*) AS BIGINT) AS nf
+           |        FROM toks GROUP BY doc_id, f) c
+           |  JOIN feat USING (f) CROSS JOIN tot t
+           |  GROUP BY doc_id)
+           |SELECT p.doc_id, d.source, d.lang, p.n_tokens,
+           |  CAST(p.num AS DOUBLE) / CAST(p.den AS DOUBLE) AS score,
+           |  p.num > p.den AS target_leaning,
+           |  CAST(($hd % 1000000) * 2 AS HUGEINT) * p.den
+           |    < CAST(1000000 AS HUGEINT) * p.num AS resampled
+           |FROM pd p JOIN documents d ON d.doc_id = p.doc_id""".stripMargin
+      }),
   )
 }

@@ -1088,5 +1088,130 @@ object DedupOps {
            |  END AS f1
            |FROM agg a, np""".stripMargin
       }),
+
+    // ----- q264: Fellegi–Sunter probabilistic record linkage --------------
+    // The statistical backbone of record linkage (Fellegi & Sunter,
+    // JASA 1969): for each candidate pair, compare a vector of cheap
+    // field agreements and score with the likelihood ratio
+    //   w = Π_k  m_k/u_k        if field k agrees
+    //            (1−m_k)/(1−u_k) if it disagrees
+    // where m_k = P(agree | match) and u_k = P(agree | non-match) are
+    // estimated from a labeled pair sample — here the planted-dup
+    // ground truth (id2 = id1 + 100000) over the family's shared LSH
+    // candidate pairs, which is exactly how linkage deployments
+    // bootstrap m/u from a reviewed sample. Four fields: length band,
+    // first token, token-count band, Jaccard ≥ 0.8. Laplace-smoothed
+    // m/u keep every factor finite; each factor is a ratio of exact
+    // integer products ((am+1)(U+2) / ((au+1)(M+2))), and w multiplies
+    // the four factor doubles in FIXED field order — IEEE multiply is
+    // exact-rounded and order-pinned, so w hash-matches the oracle with
+    // no libm anywhere (cf. q52's discipline). Output: per-pair
+    // agreement vector, weight, and the w > 8 decision against ground
+    // truth. Scale: pairs are the LSH-capped candidate set; the m/u
+    // table is ONE global aggregate row broadcast back — two linear
+    // passes over candidates, nothing quadratic.
+    NamedQuery(
+      "q264_fellegi_sunter",
+      (s, d) => {
+        val corpus = corpusWithNearDups(s, d)
+        val attrs = corpus.select(col("doc_id"),
+          floor(length(col("text")) / 100).cast("long").as("len_band"),
+          split(col("text"), " ").getItem(0).as("tok0"),
+          floor(size(split(col("text"), " ")) / lit(20)).cast("long")
+            .as("ntok_band"))
+        val pairs = GovernanceOps.sharedPairs(s, d)
+          .select(col("id1"), col("id2"), col("jaccard"))
+        val cmp = pairs
+          .join(attrs.select(col("doc_id").as("id1"),
+            col("len_band").as("lb1"), col("tok0").as("t1"),
+            col("ntok_band").as("nb1")), Seq("id1"))
+          .join(attrs.select(col("doc_id").as("id2"),
+            col("len_band").as("lb2"), col("tok0").as("t2"),
+            col("ntok_band").as("nb2")), Seq("id2"))
+          .select(col("id1"), col("id2"),
+            (col("id2") - col("id1") === 100000).as("is_match"),
+            (col("lb1") === col("lb2")).as("a_len"),
+            (col("t1") === col("t2")).as("a_tok0"),
+            (col("nb1") === col("nb2")).as("a_ntok"),
+            (col("jaccard") >= 0.8).as("a_jac"))
+        val fields = Seq("a_len", "a_tok0", "a_ntok", "a_jac")
+        val muCols =
+          Seq(sum(when(col("is_match"), 1L).otherwise(0L)).as("m_tot"),
+            sum(when(!col("is_match"), 1L).otherwise(0L)).as("u_tot")) ++
+          fields.map(f => sum(when(col("is_match") && col(f), 1L)
+            .otherwise(0L)).as(s"am_$f")) ++
+          fields.map(f => sum(when(!col("is_match") && col(f), 1L)
+            .otherwise(0L)).as(s"au_$f"))
+        val mu = cmp.agg(muCols.head, muCols.tail: _*)
+        val scored = cmp.crossJoin(broadcast(mu))
+        // factor k: agree → (am+1)(U+2) / ((au+1)(M+2));
+        // disagree → (M−am+1)(U+2) / ((U−au+1)(M+2)) — Laplace on both
+        val factor = (f: String) => {
+          val am = col(s"am_$f"); val au = col(s"au_$f")
+          val M = col("m_tot"); val U = col("u_tot")
+          when(col(f),
+            ((am + 1) * (U + 2)).cast("double") /
+              ((au + 1) * (M + 2)).cast("double"))
+            .otherwise(((M - am + 1) * (U + 2)).cast("double") /
+              ((U - au + 1) * (M + 2)).cast("double"))
+        }
+        scored.select(col("id1"), col("id2"), col("is_match"),
+            col("a_len"), col("a_tok0"), col("a_ntok"), col("a_jac"),
+            (factor("a_len") * factor("a_tok0") * factor("a_ntok") *
+              factor("a_jac")).as("weight"))
+          .withColumn("predicted_match", col("weight") > 8.0)
+      },
+      Some {
+        def factorSql(f: String): String =
+          s"""CASE WHEN c.$f THEN
+             |  CAST((mu.am_$f + 1) * (mu.u_tot + 2) AS DOUBLE)
+             |    / CAST((mu.au_$f + 1) * (mu.m_tot + 2) AS DOUBLE)
+             |ELSE
+             |  CAST((mu.m_tot - mu.am_$f + 1) * (mu.u_tot + 2) AS DOUBLE)
+             |    / CAST((mu.u_tot - mu.au_$f + 1) * (mu.m_tot + 2)
+             |           AS DOUBLE)
+             |END""".stripMargin
+        val fields = Seq("a_len", "a_tok0", "a_ntok", "a_jac")
+        s"""WITH corpus AS ($corpusWithNearDupsSql),
+           |$lshPairsCteSql,
+           |attrs AS (
+           |  SELECT doc_id,
+           |    CAST(floor(length(text) / 100.0) AS BIGINT) AS len_band,
+           |    string_split(text, ' ')[1] AS tok0,
+           |    CAST(floor(len(string_split(text, ' ')) / 20.0) AS BIGINT)
+           |      AS ntok_band
+           |  FROM corpus),
+           |cmp AS (
+           |  SELECT p.id1, p.id2,
+           |    p.id2 - p.id1 = 100000 AS is_match,
+           |    a1.len_band = a2.len_band AS a_len,
+           |    a1.tok0 = a2.tok0 AS a_tok0,
+           |    a1.ntok_band = a2.ntok_band AS a_ntok,
+           |    p.jaccard >= 0.8 AS a_jac
+           |  FROM pairs p
+           |  JOIN attrs a1 ON a1.doc_id = p.id1
+           |  JOIN attrs a2 ON a2.doc_id = p.id2),
+           |mu AS (
+           |  SELECT
+           |    CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS m_tot,
+           |    CAST(SUM(CASE WHEN NOT is_match THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS u_tot,
+           |    ${fields.map(f =>
+              s"""CAST(SUM(CASE WHEN is_match AND $f THEN 1 ELSE 0 END)
+                 |      AS BIGINT) AS am_$f,
+                 |    CAST(SUM(CASE WHEN NOT is_match AND $f THEN 1 ELSE 0
+                 |      END) AS BIGINT) AS au_$f""".stripMargin)
+              .mkString(",\n    ")}
+           |  FROM cmp)
+           |SELECT c.id1, c.id2, c.is_match,
+           |  c.a_len, c.a_tok0, c.a_ntok, c.a_jac,
+           |  ${factorSql("a_len")} * ${factorSql("a_tok0")}
+           |    * ${factorSql("a_ntok")} * ${factorSql("a_jac")} AS weight,
+           |  ${factorSql("a_len")} * ${factorSql("a_tok0")}
+           |    * ${factorSql("a_ntok")} * ${factorSql("a_jac")} > 8.0
+           |    AS predicted_match
+           |FROM cmp c CROSS JOIN mu""".stripMargin
+      }),
   )
 }

@@ -1008,7 +1008,7 @@ object GovernanceOps {
     (org.apache.spark.sql.SparkSession, String),
     org.apache.spark.sql.DataFrame]()
 
-  private def sharedPairs(
+  private[ops] def sharedPairs(
       s: org.apache.spark.sql.SparkSession, d: String):
       org.apache.spark.sql.DataFrame =
     pairsMemo.computeIfAbsent((s, d), _ => diskMemo(s, d, "pairs") {
@@ -2047,6 +2047,389 @@ object GovernanceOps {
            |FROM sn JOIN sg USING (fold)
            |LEFT JOIN leaks l USING (fold)""".stripMargin
       }),
+
+    // ----- q260: t-closeness audit (the privacy triad's third leg) --------
+    // k-anonymity (q171) bounds class size, l-diversity (q221) bounds
+    // within-class variety — and both famously still leak when a class's
+    // sensitive DISTRIBUTION is skewed against the population (the
+    // skewness attack: "rare in general, common in your class" is itself
+    // the disclosure). t-closeness (Li, Li & Venkatasubramanian, ICDE
+    // 2007) bounds the distance between each quasi-identifier class's
+    // sensitive-value distribution and the global one; for a categorical
+    // sensitive attribute the distance is total variation
+    //   t = ½ · Σ_band |p_class(band) − p_global(band)|.
+    // Computed EXACTLY: the numerator is Σ|cnt·N − g·S| over bands the
+    // class has, plus (N − Σ_present g)·S for the bands it lacks — all
+    // integer products in DECIMAL(38,0) (HUGEINT in the oracle; a long
+    // cnt·N overflows at warehouse scale), one double division at the
+    // end. Scale shape: one (class, band) rollup (grid-bounded, never
+    // row-bounded), the global band histogram broadcast back onto it —
+    // the q52/q171 two-level-aggregate family, linear, no windows.
+    NamedQuery(
+      "q260_t_closeness",
+      (s, d) => {
+        val cells = tbl(s, d, "customer")
+          .select(col("c_nationkey"), col("c_mktsegment"),
+            floor(col("c_acctbal") / lit(1000.0)).cast("long")
+              .as("bal_band"))
+          .groupBy(col("c_nationkey"), col("c_mktsegment"),
+            col("bal_band"))
+          .agg(count(lit(1)).as("cnt"))
+        val global = cells.groupBy(col("bal_band"))
+          .agg(sum(col("cnt")).as("g"))
+        val total = global.agg(sum(col("g")).as("n_total"))
+        val cls = cells.groupBy(col("c_nationkey"), col("c_mktsegment"))
+          .agg(sum(col("cnt")).as("class_size"))
+        val dec = (c: org.apache.spark.sql.Column) =>
+          c.cast("decimal(38,0)")
+        cells
+          .join(broadcast(global), "bal_band")
+          .crossJoin(broadcast(total))
+          .join(cls, Seq("c_nationkey", "c_mktsegment"))
+          .groupBy(col("c_nationkey"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_bands_present"),
+            sum(abs(dec(col("cnt")) * dec(col("n_total")) -
+              dec(col("g")) * dec(col("class_size"))))
+              .as("present_num"),
+            sum(col("g")).as("g_present"),
+            max(col("n_total")).as("n_total"),
+            max(col("class_size")).as("class_size"))
+          .select(col("c_nationkey"), col("c_mktsegment"),
+            col("class_size"), col("n_bands_present"),
+            ((col("present_num") +
+              dec(col("n_total") - col("g_present")) *
+                dec(col("class_size"))).cast("double") /
+              (lit(2.0) * col("class_size").cast("double") *
+                col("n_total").cast("double"))).as("t_value"))
+          .withColumn("t_close", col("t_value") <= lit(0.2))
+      },
+      Some("""WITH cells AS (
+             |  SELECT c_nationkey, c_mktsegment,
+             |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             |    CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM customer GROUP BY 1, 2, 3),
+             |g AS (SELECT bal_band, CAST(SUM(cnt) AS BIGINT) AS g
+             |      FROM cells GROUP BY 1),
+             |n AS (SELECT CAST(SUM(g) AS BIGINT) AS n_total FROM g),
+             |cls AS (
+             |  SELECT c_nationkey, c_mktsegment,
+             |    CAST(SUM(cnt) AS BIGINT) AS class_size
+             |  FROM cells GROUP BY 1, 2),
+             |agg AS (
+             |  SELECT c.c_nationkey, c.c_mktsegment,
+             |    CAST(COUNT(*) AS BIGINT) AS n_bands_present,
+             |    SUM(abs(CAST(c.cnt AS HUGEINT) * CAST(n.n_total AS HUGEINT)
+             |          - CAST(g.g AS HUGEINT) * CAST(s.class_size AS HUGEINT)))
+             |      AS present_num,
+             |    CAST(SUM(g.g) AS BIGINT) AS g_present,
+             |    MAX(n.n_total) AS n_total, MAX(s.class_size) AS class_size
+             |  FROM cells c
+             |  JOIN g USING (bal_band) CROSS JOIN n
+             |  JOIN cls s ON s.c_nationkey = c.c_nationkey
+             |            AND s.c_mktsegment = c.c_mktsegment
+             |  GROUP BY 1, 2)
+             |SELECT c_nationkey, c_mktsegment, class_size, n_bands_present,
+             |  CAST(present_num
+             |       + CAST(n_total - g_present AS HUGEINT)
+             |         * CAST(class_size AS HUGEINT) AS DOUBLE)
+             |    / (2.0 * CAST(class_size AS DOUBLE)
+             |       * CAST(n_total AS DOUBLE)) AS t_value,
+             |  CAST(present_num
+             |       + CAST(n_total - g_present AS HUGEINT)
+             |         * CAST(class_size AS HUGEINT) AS DOUBLE)
+             |    / (2.0 * CAST(class_size AS DOUBLE)
+             |       * CAST(n_total AS DOUBLE)) <= 0.2 AS t_close
+             |FROM agg""".stripMargin)),
+
+    // ----- q261: HyperANF — neighborhood function over the dup graph ------
+    // "How connected is the near-dup graph, really?" — the neighborhood
+    // function N(r) = Σ_v |B(v,r)| (reachable pairs within r hops) is the
+    // standard answer (avg distance, effective diameter), and HyperANF
+    // (Boldi, Rosa & Vigna, WWW 2011) is the only way to compute it at
+    // graph scale: give every node a 64-register HLL of its ball, and one
+    // r-step is ONE edge⋈register join + a (node, bucket) max — the
+    // register-max merge is associative/commutative/idempotent, so the
+    // iteration is partial-aggregable and revisits cost nothing (exactly
+    // why BFS-with-sets is not scalable and this is). Three rounds here;
+    // registers are q79/q87's md5-derived deterministic scheme and the
+    // estimate is the same bit-exact bucket-ordered fold, so even the
+    // DOUBLE estimate column hash-matches the oracle, which replays the
+    // identical registers relationally. The exact ball sizes (distinct
+    // 2-path/3-path joins — affordable only because the candidate graph
+    // is LSH-bounded) ride along as the witness, with the raw-HLL
+    // small-range bias left VISIBLE in est_over_exact: tiny balls are
+    // linear-counting territory (the paper's own correction), and an
+    // audit that hides its sketch's bias teaches the wrong lesson.
+    // Scale: register table = |V|·64 rows per round, edges are the
+    // LSH-capped pair set — never |V|² anything.
+    NamedQuery(
+      "q261_hyperanf",
+      (s, d) => {
+        val nodes = corpusWithNearDups(s, d).select(col("doc_id"))
+        val pairs = sharedPairs(s, d).select(col("id1"), col("id2"))
+        val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+          .unionByName(pairs.select(col("id2").as("src"),
+            col("id1").as("dst")))
+          .unionByName(nodes.select(col("doc_id").as("src"),
+            col("doc_id").as("dst")))
+          .distinct()
+        // q87's register scheme: md5 hash → bucket = h mod 64,
+        // rank = leading-zero count of h div 64 within 55 bits
+        val h = strHash(concat(lit("anf:"), col("doc_id").cast("string")))
+        val regs0 = nodes.select(col("doc_id"), h.as("h"))
+          .select(col("doc_id"), pmod(col("h"), lit(64)).as("bkt"),
+            expr("shiftright(h, 6)").as("v"))
+          .select(col("doc_id"), col("bkt"),
+            when(col("v") === 0, lit(55))
+              .otherwise(lit(55) - length(bin(col("v")))).as("m"))
+        def step(r: DataFrame): DataFrame = edges
+          .join(r.withColumnRenamed("doc_id", "src"), Seq("src"))
+          .groupBy(col("dst").as("doc_id"), col("bkt"))
+          .agg(max(col("m")).as("m"))
+        val alpha = (lit(7213.0) / lit(10000.0)) /
+          (lit(1.0) + (lit(1079.0) / lit(1000.0)) / lit(64.0))
+        def estSum(r: DataFrame): DataFrame = r
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_regs"),
+            sort_array(collect_list(struct(col("bkt"), col("m"))))
+              .as("rm"))
+          .select((aggregate(col("rm"), lit(0.0),
+              (acc, p) => acc + lit(1.0) / pow(lit(2.0), p.getField("m"))) +
+              (lit(64) - col("n_regs")).cast("double")).as("z"))
+          .select((alpha * lit(4096.0) / col("z")).as("est"))
+          .agg(dsum(col("est")).as("est_pairs"))
+        def ballCount(b: DataFrame): DataFrame =
+          b.agg(count(lit(1)).as("exact_pairs"))
+        val b1 = edges.select(col("src").as("u"), col("dst").as("w"))
+        val b2 = b1.join(edges.withColumnRenamed("dst", "w2"),
+            col("w") === col("src"))
+          .select(col("u"), col("w2").as("w")).distinct()
+        val b3 = b2.join(edges.withColumnRenamed("dst", "w2"),
+            col("w") === col("src"))
+          .select(col("u"), col("w2").as("w")).distinct()
+        val r1 = step(regs0); val r2 = step(r1); val r3 = step(r2)
+        val nNodes = nodes.agg(count(lit(1)).as("n_nodes"))
+        def radiusRow(radius: Int, regs: DataFrame, ball: DataFrame) =
+          nNodes.crossJoin(ballCount(ball)).crossJoin(estSum(regs))
+            .select(lit(radius).as("radius"), col("n_nodes"),
+              col("exact_pairs"), col("est_pairs"),
+              (col("exact_pairs").cast("double") /
+                col("n_nodes").cast("double")).as("avg_ball"),
+              (col("est_pairs") / col("exact_pairs").cast("double"))
+                .as("est_over_exact"))
+        radiusRow(1, r1, b1).unionByName(radiusRow(2, r2, b2))
+          .unionByName(radiusRow(3, r3, b3))
+      },
+      Some {
+        val h = strHashSql("'anf:' || CAST(doc_id AS VARCHAR)")
+        def estCte(p: String, regs: String): String =
+          s"""${p}_folded AS (
+             |  SELECT doc_id, COUNT(*) AS n_regs,
+             |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |      list_transform(list(m ORDER BY bkt), mm ->
+             |        CAST(1 AS DOUBLE) / pow(CAST(2 AS DOUBLE), mm))),
+             |      (a, b) -> a + b)
+             |      + CAST(64 - COUNT(*) AS DOUBLE) AS z
+             |  FROM $regs GROUP BY doc_id),
+             |${p}_est AS (
+             |  SELECT ${dsumSql(
+                  """((CAST(7213 AS DOUBLE) / CAST(10000 AS DOUBLE))
+                    |   / (CAST(1 AS DOUBLE)
+                    |      + (CAST(1079 AS DOUBLE) / CAST(1000 AS DOUBLE))
+                    |        / CAST(64 AS DOUBLE)))
+                    |  * CAST(4096 AS DOUBLE) / z""".stripMargin)}
+             |    AS est_pairs
+             |  FROM ${p}_folded)""".stripMargin
+        s"""WITH corpus AS ($corpusWithNearDupsSql),
+           |$lshPairsCteSql,
+           |edges AS (
+           |  SELECT id1 AS src, id2 AS dst FROM pairs
+           |  UNION SELECT id2, id1 FROM pairs
+           |  UNION SELECT doc_id, doc_id FROM corpus),
+           |regs0 AS (
+           |  SELECT doc_id, h % 64 AS bkt,
+           |    CASE WHEN (h // 64) = 0 THEN 55
+           |         ELSE 55 - length(bin(h // 64)) END AS m
+           |  FROM (SELECT doc_id, $h AS h FROM corpus)),
+           |regs1 AS (
+           |  SELECT e.dst AS doc_id, r.bkt, MAX(r.m) AS m
+           |  FROM edges e JOIN regs0 r ON r.doc_id = e.src
+           |  GROUP BY 1, 2),
+           |regs2 AS (
+           |  SELECT e.dst AS doc_id, r.bkt, MAX(r.m) AS m
+           |  FROM edges e JOIN regs1 r ON r.doc_id = e.src
+           |  GROUP BY 1, 2),
+           |regs3 AS (
+           |  SELECT e.dst AS doc_id, r.bkt, MAX(r.m) AS m
+           |  FROM edges e JOIN regs2 r ON r.doc_id = e.src
+           |  GROUP BY 1, 2),
+           |${estCte("e1", "regs1")},
+           |${estCte("e2", "regs2")},
+           |${estCte("e3", "regs3")},
+           |b1 AS (SELECT DISTINCT src AS u, dst AS w FROM edges),
+           |b2 AS (SELECT DISTINCT b.u, e.dst AS w
+           |       FROM b1 b JOIN edges e ON e.src = b.w),
+           |b3 AS (SELECT DISTINCT b.u, e.dst AS w
+           |       FROM b2 b JOIN edges e ON e.src = b.w),
+           |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM corpus),
+           |row1 AS (
+           |  SELECT 1 AS radius, nn.n_nodes,
+           |    CAST((SELECT COUNT(*) FROM b1) AS BIGINT) AS exact_pairs,
+           |    e1_est.est_pairs
+           |  FROM nn CROSS JOIN e1_est),
+           |row2 AS (
+           |  SELECT 2 AS radius, nn.n_nodes,
+           |    CAST((SELECT COUNT(*) FROM b2) AS BIGINT) AS exact_pairs,
+           |    e2_est.est_pairs
+           |  FROM nn CROSS JOIN e2_est),
+           |row3 AS (
+           |  SELECT 3 AS radius, nn.n_nodes,
+           |    CAST((SELECT COUNT(*) FROM b3) AS BIGINT) AS exact_pairs,
+           |    e3_est.est_pairs
+           |  FROM nn CROSS JOIN e3_est)
+           |SELECT radius, n_nodes, exact_pairs, est_pairs,
+           |  CAST(exact_pairs AS DOUBLE) / CAST(n_nodes AS DOUBLE)
+           |    AS avg_ball,
+           |  est_pairs / CAST(exact_pairs AS DOUBLE) AS est_over_exact
+           |FROM (SELECT * FROM row1 UNION ALL SELECT * FROM row2
+           |      UNION ALL SELECT * FROM row3)""".stripMargin
+      }),
+
+    // ----- q266: DP histogram release via the binomial mechanism ----------
+    // The other release path when k-anonymity-style generalization
+    // (q171/q221/q260) gives up too much: publish the class histogram
+    // with calibrated noise. The binomial mechanism (Dwork et al.'s
+    // Gaussian sibling with discrete, finitely-representable noise —
+    // analyzed in Agarwal et al., NeurIPS 2018) adds
+    // Binomial(48, ½) − 24 to every count: zero-mean, variance 12,
+    // integer-valued. The 48 coins come from the md5 bit pool
+    // (`bit_count` of the class-keyed hash's low 48 bits — the
+    // q196/q249 deterministic-draw idiom), so the release is bit-exact
+    // across engines AND partitionings while remaining a faithful
+    // mechanism shape. The query is the utility AUDIT a privacy team
+    // publishes next to the release: true vs released per class,
+    // noise, |error|, and the released-total drift — everything exact
+    // integers. Scale: one class-grid aggregate + per-row hashing,
+    // linear, no joins.
+    NamedQuery(
+      "q266_dp_release",
+      (s, d) => {
+        val mask = 281474976710655L // 2^48 − 1
+        val classes = tbl(s, d, "customer")
+          .groupBy(col("c_nationkey"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("true_count"))
+        val h = strHash(concat(lit("dp:"), col("c_nationkey").cast("string"),
+          lit(":"), col("c_mktsegment")))
+        val noisy = classes
+          .withColumn("noise",
+            (bit_count(h.bitwiseAND(lit(mask))) - 24).cast("long"))
+          .withColumn("released_count",
+            greatest(col("true_count") + col("noise"), lit(0L)))
+        noisy.select(col("c_nationkey"), col("c_mktsegment"),
+          col("true_count"), col("noise"), col("released_count"),
+          abs(col("released_count") - col("true_count")).as("abs_err"))
+      },
+      Some {
+        val h = strHashSql(
+          "'dp:' || CAST(c_nationkey AS VARCHAR) || ':' || c_mktsegment")
+        s"""WITH cls AS (
+           |  SELECT c_nationkey, c_mktsegment,
+           |    CAST(COUNT(*) AS BIGINT) AS true_count
+           |  FROM customer GROUP BY 1, 2),
+           |n AS (
+           |  SELECT c_nationkey, c_mktsegment, true_count,
+           |    CAST(bit_count($h & 281474976710655) - 24 AS BIGINT)
+           |      AS noise
+           |  FROM cls)
+           |SELECT c_nationkey, c_mktsegment, true_count, noise,
+           |  greatest(true_count + noise, 0) AS released_count,
+           |  abs(greatest(true_count + noise, 0) - true_count) AS abs_err
+           |FROM n""".stripMargin
+      }),
+
+    // ----- q267: DBSCAN over the LSH ε-graph --------------------------------
+    // Density-based clustering (Ester et al., KDD 1996) recast the only
+    // way it scales: the ε-neighborhood predicate IS the LSH candidate
+    // pair set (jaccard ≥ 0.5 — the same ε-graph the whole governance
+    // family shares), so "range query per point" — DBSCAN's classic
+    // scale killer — becomes one degree aggregate. core: ≥ minPts−1 = 2
+    // neighbors; clusters: connected components of the core-core
+    // subgraph (the family's min-label propagation, so reps are min
+    // doc_ids); border: non-core with a core neighbor, assigned its
+    // MINIMUM core neighbor's cluster — DBSCAN's border-tie ambiguity
+    // pinned to a total order (any fixed rule is standard; it just must
+    // be deterministic); everything else: noise. The oracle replays
+    // core/border/noise with a recursive closure over the same pairs.
+    // Scale: degree + closure over candidate-bounded edges — the q47
+    // machinery, nothing new to break.
+    NamedQuery(
+      "q267_dbscan",
+      (s, d) => {
+        val nodes = corpusWithNearDups(s, d).select(col("doc_id"))
+        val pairs = sharedPairs(s, d).select(col("id1"), col("id2"))
+        val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+          .unionByName(pairs.select(col("id2").as("src"),
+            col("id1").as("dst")))
+        val core = edges.groupBy(col("src"))
+          .agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 2)
+          .select(col("src").as("doc_id"))
+        val corePairs = pairs
+          .join(core.select(col("doc_id").as("id1")), Seq("id1"))
+          .join(core.select(col("doc_id").as("id2")), Seq("id2"))
+          .select(col("id1"), col("id2"))
+        val labels = minLabelPropagation(core, corePairs)._1
+          .withColumnRenamed("cluster_rep", "core_rep")
+        val border = edges
+          .join(labels.select(col("doc_id").as("dst"),
+            col("core_rep")), Seq("dst"))
+          .join(core.select(col("doc_id").as("src")), Seq("src"),
+            "left_anti")
+          .groupBy(col("src").as("doc_id"))
+          .agg(min(col("core_rep")).as("border_rep"))
+        nodes
+          .join(labels, Seq("doc_id"), "left")
+          .join(border, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("core_rep").isNotNull, lit("core"))
+              .when(col("border_rep").isNotNull, lit("border"))
+              .otherwise(lit("noise")).as("role"),
+            coalesce(col("core_rep"), col("border_rep"))
+              .as("cluster_rep"))
+      },
+      Some(s"""WITH RECURSIVE corpus AS ($corpusWithNearDupsSql),
+             |$lshPairsCteSql,
+             |edges AS (
+             |  SELECT id1 AS src, id2 AS dst FROM pairs
+             |  UNION ALL SELECT id2, id1 FROM pairs),
+             |core AS (
+             |  SELECT src AS doc_id FROM edges
+             |  GROUP BY src HAVING COUNT(*) >= 2),
+             |cedges AS (
+             |  SELECT e.src, e.dst FROM edges e
+             |  JOIN core c1 ON e.src = c1.doc_id
+             |  JOIN core c2 ON e.dst = c2.doc_id),
+             |reach(src, dst) AS (
+             |  SELECT doc_id, doc_id FROM core
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach r JOIN cedges e
+             |    ON r.dst = e.src),
+             |labels AS (
+             |  SELECT src AS doc_id, MIN(dst) AS core_rep
+             |  FROM reach GROUP BY src),
+             |border AS (
+             |  SELECT e.src AS doc_id, MIN(l.core_rep) AS border_rep
+             |  FROM edges e JOIN labels l ON l.doc_id = e.dst
+             |  WHERE e.src NOT IN (SELECT doc_id FROM core)
+             |  GROUP BY e.src)
+             |SELECT c.doc_id,
+             |  CASE WHEN l.doc_id IS NOT NULL THEN 'core'
+             |       WHEN b.doc_id IS NOT NULL THEN 'border'
+             |       ELSE 'noise' END AS role,
+             |  COALESCE(l.core_rep, b.border_rep) AS cluster_rep
+             |FROM corpus c
+             |LEFT JOIN labels l ON c.doc_id = l.doc_id
+             |LEFT JOIN border b ON c.doc_id = b.doc_id""".stripMargin)),
   )
 
   /** q133's engine, extracted for direct testing against a scalar

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Scale-technique operators: shapes that only matter past a single node,
@@ -1794,5 +1795,154 @@ object ScaleOps {
              |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
              |  TRUE AS approx_within_5pct
              |FROM w GROUP BY window_start""".stripMargin)),
+
+    // ----- q265: streaming heavy-hitters monitor (batch twin + gate) ------
+    // Batch twin of [[graft.streaming.StreamOps.heavyHitterWindows]] —
+    // the monitor trio's top-keys leg (q257 quantiles, q258 cardinality,
+    // this). The space-saving aggregator's per-window top-5 is joined
+    // back to the exact per-(window, key) counts and every emitted
+    // count is certified equal (the event-type domain is far under
+    // cap=64, so the summary is provably exact here — the same
+    // determinism contract q67 pins; at cap-exceeding key domains the
+    // gate would relax to the ±n/cap bound). The oracle re-derives the
+    // same top-5 with an exact count + row_number ranked (count desc,
+    // key asc) — the aggregator's own tie order. Scale: the aggregate
+    // state is ≤ cap counters per window REGARDLESS of the key domain;
+    // the exact join side exists only as this certification's witness.
+    NamedQuery(
+      "q265_stream_topk",
+      (s, d) => {
+        val base = graft.streaming.StreamOps
+          .heavyHitterWindows(events(s, d))
+        val exact = events(s, d).select(
+            date_format(window(col("ts"), "1 hour").getField("start"),
+              OpsKit.TsFmt).as("window_start"),
+            col("event_type"))
+          .groupBy(col("window_start"), col("event_type"))
+          .agg(count(lit(1)).as("exact_cnt"))
+        base.join(exact,
+            base("window_start") === exact("window_start") &&
+              base("tok") === exact("event_type"))
+          .select(base("window_start"), col("n"), col("rank"),
+            col("tok"), col("cnt"), col("exact_cnt"),
+            (col("cnt") === col("exact_cnt")).as("exact_agree"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT epoch_us(ts) // 1000000 AS tsec, event_type
+             |  FROM events),
+             |w AS (SELECT strftime(make_timestamp(
+             |          (tsec - (tsec % 3600)) * 1000000),
+             |          '%Y-%m-%d %H:%M:%S') AS window_start, event_type
+             |      FROM ev),
+             |c AS (SELECT window_start, event_type,
+             |        CAST(COUNT(*) AS BIGINT) AS cnt
+             |      FROM w GROUP BY 1, 2),
+             |t AS (SELECT window_start, CAST(SUM(cnt) AS BIGINT) AS n
+             |      FROM c GROUP BY 1),
+             |r AS (SELECT window_start, event_type, cnt,
+             |        CAST(row_number() OVER (
+             |          PARTITION BY window_start
+             |          ORDER BY cnt DESC, event_type) AS BIGINT) AS rank
+             |      FROM c)
+             |SELECT r.window_start, t.n, r.rank, r.event_type AS tok,
+             |  r.cnt, r.cnt AS exact_cnt, TRUE AS exact_agree
+             |FROM r JOIN t USING (window_start)
+             |WHERE r.rank <= 5""".stripMargin)),
+
+    // ----- q262: incremental view maintenance of a join view --------------
+    // The delta algebra every warehouse eventually needs (Blakeley,
+    // Larson & Tompa, SIGMOD 1986): a materialized join view
+    // V = orders ⋈ customer must absorb a new batch WITHOUT re-joining
+    // the base tables. With insert deltas ΔO, ΔC:
+    //   ΔV = ΔO⋈C_old  ∪  O_old⋈ΔC  ∪  ΔO⋈ΔC
+    // — three disjoint terms (each pair is classified by which side of
+    // the batch boundary its halves fall on), every one sized by a
+    // DELTA, never |base|⋈|base|. The deltas here are a deterministic
+    // slice (o_orderkey % 17 = 0, c_custkey % 13 = 0), which also makes
+    // the realistic wrinkle appear: old orders referencing a customer
+    // that only arrives in ΔC join nothing in V_old and surface in the
+    // O_old⋈ΔC term — the case naive "just join the new orders" code
+    // silently drops. The query emits each term plus V_old and V_full
+    // with rowcounts and EXACT decimal revenue sums, and certifies
+    // count(V_full) = count(V_old) + count(ΔV) and the same for the
+    // sums on every row (the IVM invariant, verified from the query's
+    // own output, decimal-exact so equality is equality).
+    // Scale: deltas are small by nature → both cross-boundary terms are
+    // broadcast joins of Δ against base (plan: zero shuffles on the
+    // base tables beyond their scan); the full join runs here only as
+    // the certification witness.
+    NamedQuery(
+      "q262_ivm_join",
+      (s, d) => {
+        val o = tbl(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val c = tbl(s, d, "customer").select(col("c_custkey"))
+        val oOld = o.filter(col("o_orderkey") % 17 =!= 0)
+        val dO = o.filter(col("o_orderkey") % 17 === 0)
+        val cOld = c.filter(col("c_custkey") % 13 =!= 0)
+        val dC = c.filter(col("c_custkey") % 13 === 0)
+        def term(name: String, df: DataFrame): DataFrame =
+          df.agg(lit(name).as("component"),
+            count(lit(1)).as("n_rows"),
+            coalesce(sum(col("o_totalprice").cast("decimal(28,6)")),
+              lit(java.math.BigDecimal.ZERO).cast("decimal(28,6)"))
+              .as("sum_price"))
+        val j = (l: DataFrame, r: DataFrame) =>
+          l.join(r, col("o_custkey") === col("c_custkey"))
+        val vOld = term("view_old", j(oOld, cOld))
+        val t1 = term("delta_orders_x_old_cust", j(broadcast(dO), cOld))
+        val t2 = term("old_orders_x_delta_cust", j(oOld, broadcast(dC)))
+        val t3 = term("delta_x_delta", j(broadcast(dO), broadcast(dC)))
+        val vFull = term("view_full", j(o, c))
+        val parts = vOld.unionByName(t1).unionByName(t2).unionByName(t3)
+        val incr = parts.agg(
+          sum(col("n_rows")).as("n_incr"),
+          sum(col("sum_price")).as("s_incr"))
+        val full = vFull.select(col("n_rows").as("n_full"),
+          col("sum_price").as("s_full"))
+        parts.unionByName(vFull)
+          .crossJoin(broadcast(incr)).crossJoin(broadcast(full))
+          .select(col("component"), col("n_rows"),
+            col("sum_price").cast("double").as("sum_price"),
+            (col("n_full") === col("n_incr")).as("counts_consistent"),
+            (col("s_full") === col("s_incr")).as("sums_consistent"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice
+             |          FROM orders),
+             |c AS (SELECT c_custkey FROM customer),
+             |terms AS (
+             |  SELECT 'view_old' AS component, COUNT(*) AS n_rows,
+             |    COALESCE(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 0)
+             |      AS sum_price
+             |  FROM o JOIN c ON o_custkey = c_custkey
+             |  WHERE o_orderkey % 17 <> 0 AND c_custkey % 13 <> 0
+             |  UNION ALL
+             |  SELECT 'delta_orders_x_old_cust', COUNT(*),
+             |    COALESCE(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 0)
+             |  FROM o JOIN c ON o_custkey = c_custkey
+             |  WHERE o_orderkey % 17 = 0 AND c_custkey % 13 <> 0
+             |  UNION ALL
+             |  SELECT 'old_orders_x_delta_cust', COUNT(*),
+             |    COALESCE(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 0)
+             |  FROM o JOIN c ON o_custkey = c_custkey
+             |  WHERE o_orderkey % 17 <> 0 AND c_custkey % 13 = 0
+             |  UNION ALL
+             |  SELECT 'delta_x_delta', COUNT(*),
+             |    COALESCE(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 0)
+             |  FROM o JOIN c ON o_custkey = c_custkey
+             |  WHERE o_orderkey % 17 = 0 AND c_custkey % 13 = 0),
+             |vfull AS (
+             |  SELECT 'view_full' AS component, COUNT(*) AS n_rows,
+             |    COALESCE(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 0)
+             |      AS sum_price
+             |  FROM o JOIN c ON o_custkey = c_custkey),
+             |incr AS (SELECT SUM(n_rows) AS n_incr, SUM(sum_price) AS s_incr
+             |         FROM terms)
+             |SELECT u.component, CAST(u.n_rows AS BIGINT) AS n_rows,
+             |  CAST(u.sum_price AS DOUBLE) AS sum_price,
+             |  v.n_rows = i.n_incr AS counts_consistent,
+             |  v.sum_price = i.s_incr AS sums_consistent
+             |FROM (SELECT * FROM terms UNION ALL SELECT * FROM vfull) u
+             |CROSS JOIN vfull v CROSS JOIN incr i""".stripMargin)),
   )
 }

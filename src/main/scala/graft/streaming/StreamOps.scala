@@ -413,6 +413,35 @@ object StreamOps {
       .select(date_format(col("window.start"), TsFmt).as("window_start"),
         col("n"), col("approx_users"))
 
+  /** Per-hour heavy-hitters monitor — the third of the live-ingest
+    * monitor trio (q257 quantiles, q258 cardinality, q265 top keys):
+    * space-saving top-5 keys per window via the
+    * [[graft.functions.SpaceSavingTopK]] typed Aggregator running
+    * through the streaming state store. State is the aggregator's
+    * bounded buffer (≤ cap counters per open window — the whole point
+    * of space-saving on a stream; an exact windowed top-k would hold
+    * every distinct key). While a window's distinct keys stay ≤ cap the
+    * summary is EXACT and merge-order-insensitive, so stream == batch
+    * == exact holds bit-identically (StreamOpsSpec asserts it); past
+    * cap the documented ±(n/cap) bound takes over. Batch twin
+    * q265_stream_topk certifies every emitted count against the exact
+    * per-window counts under the driver's hash gate. */
+  def heavyHitterWindows(events: DataFrame): DataFrame = {
+    val ss = udaf(new graft.functions.SpaceSavingTopK(64, 5))
+    events
+      .select(col("ts"), col("event_type"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), ss(col("event_type")).as("hh"))
+      .select(date_format(col("window.start"), TsFmt).as("window_start"),
+        col("n"),
+        posexplode(arrays_zip(col("hh.top_toks"), col("hh.top_counts"))))
+      .select(col("window_start"), col("n"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.top_toks").as("tok"),
+        col("col.top_counts").as("cnt"))
+  }
+
   def driftMonitor(docs: DataFrame, reference: DataFrame): DataFrame = {
     val nBuckets = 13
     val ref = reference

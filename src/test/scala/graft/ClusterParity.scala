@@ -60,7 +60,14 @@ object ClusterParity {
     // boundaries + disjoint/complete certification must hold when the
     // sort and the read-back cross real executor JVMs) and the grouped
     // KLL (thousands of sketch buffers merging through a real exchange)
-    "q255_sorted_publish", "q256_grouped_kll")
+    "q255_sorted_publish", "q256_grouped_kll",
+    // r11 batch-2 families: the calibration table (exact integer Brier
+    // numerators through a real exchange), HyperANF (register-max
+    // propagation across executors must stay bit-identical), IVM delta
+    // terms (broadcast deltas on a real cluster), the deterministic
+    // importance resample, and the space-saving monitor twin
+    "q259_calibration", "q261_hyperanf", "q262_ivm_join",
+    "q263_importance_select", "q265_stream_topk")
 
   private def run(spark: SparkSession): Map[String, Map[Seq[Any], Int]] =
     queries.map { n =>

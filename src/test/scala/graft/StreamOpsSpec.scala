@@ -182,6 +182,23 @@ class StreamOpsSpec extends AnyFunSuite {
       .forall(_.getAs[Boolean]("approx_within_5pct")))
   }
 
+  test("heavy-hitter monitor: stream equals batch EXACTLY under cap") {
+    // the event-type domain is far under the space-saving cap, so no
+    // eviction fires and the summary is exact — merges are plain count
+    // sums, insensitive to the microbatch split: set equality holds
+    val got = asSet(runStream("t_hh", StreamOps.heavyHitterWindows))
+    val want = asSet(StreamOps.heavyHitterWindows(batchEvents))
+    assert(want.nonEmpty)
+    val sentinelWindows = got -- want
+    assert(sentinelWindows.forall(r => r(1) == 1L))
+    assert(want.subsetOf(got))
+    assert(got.size - sentinelWindows.size == want.size)
+    // and the registered twin certifies every count exact
+    val q265 = SparkEntry.queries("q265_stream_topk")(
+      spark, "/root/testdata/sf0.001")
+    assert(q265.collect().forall(_.getAs[Boolean]("exact_agree")))
+  }
+
   test("session window: stream equals batch") {
     val got = asSet(runStream("t_session", StreamOps.sessions))
       .filterNot(_.head == SentinelUser)

@@ -2430,6 +2430,147 @@ object GovernanceOps {
              |FROM corpus c
              |LEFT JOIN labels l ON c.doc_id = l.doc_id
              |LEFT JOIN border b ON c.doc_id = b.doc_id""".stripMargin)),
+    // ----- q269: harmonic centrality from the HyperANF registers ----------
+    // HyperANF's headline application (Boldi & Vigna, "In-Core
+    // Computation of Geometric Centralities with HyperBall", ICDMW
+    // 2013): harmonic centrality HC(v) = Σ_{u≠v} 1/d(u,v) falls out of
+    // the same register propagation q261 runs — truncate at radius 3 and
+    //   HC(v) ≈ Σ_{r=1..3} (|B(v,r)| − |B(v,r−1)|)/r,
+    // the telescoped "new nodes at distance r weighted 1/r" sum. Exact
+    // per-node ball sizes (distinct path joins on the LSH-bounded
+    // graph) give hc_exact; the register folds give hc_est — the pairs
+    // (a) rank identically on well-separated nodes and (b) expose the
+    // small-range HLL bias per node, the honest read of what a sketch
+    // buys at this graph size. Every number is deterministic: integer
+    // ball sizes, fixed-order IEEE divisions, q87's bit-exact fold.
+    // Scale: the SAME register tables q261 already builds (|V|·64 rows
+    // per round, max-merge partial-aggregable) — per-node centrality at
+    // graph scale with no per-node BFS anywhere.
+    NamedQuery(
+      "q269_harmonic_centrality",
+      (s, d) => {
+        val nodes = corpusWithNearDups(s, d).select(col("doc_id"))
+        val pairs = sharedPairs(s, d).select(col("id1"), col("id2"))
+        val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+          .unionByName(pairs.select(col("id2").as("src"),
+            col("id1").as("dst")))
+          .unionByName(nodes.select(col("doc_id").as("src"),
+            col("doc_id").as("dst")))
+          .distinct()
+        val h = strHash(concat(lit("anf:"), col("doc_id").cast("string")))
+        val regs0 = nodes.select(col("doc_id"), h.as("h"))
+          .select(col("doc_id"), pmod(col("h"), lit(64)).as("bkt"),
+            expr("shiftright(h, 6)").as("v"))
+          .select(col("doc_id"), col("bkt"),
+            when(col("v") === 0, lit(55))
+              .otherwise(lit(55) - length(bin(col("v")))).as("m"))
+        def step(r: DataFrame): DataFrame = edges
+          .join(r.withColumnRenamed("doc_id", "src"), Seq("src"))
+          .groupBy(col("dst").as("doc_id"), col("bkt"))
+          .agg(max(col("m")).as("m"))
+        val alpha = (lit(7213.0) / lit(10000.0)) /
+          (lit(1.0) + (lit(1079.0) / lit(1000.0)) / lit(64.0))
+        def estOf(r: DataFrame, name: String): DataFrame = r
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_regs"),
+            sort_array(collect_list(struct(col("bkt"), col("m"))))
+              .as("rm"))
+          .select(col("doc_id"), (alpha * lit(4096.0) /
+            (aggregate(col("rm"), lit(0.0),
+              (acc, p) => acc + lit(1.0) / pow(lit(2.0), p.getField("m"))) +
+              (lit(64) - col("n_regs")).cast("double"))).as(name))
+        def ballOf(b: DataFrame, name: String): DataFrame =
+          b.groupBy(col("u").as("doc_id")).agg(count(lit(1)).as(name))
+        val b1 = edges.select(col("src").as("u"), col("dst").as("w"))
+        val b2 = b1.join(edges.withColumnRenamed("dst", "w2"),
+            col("w") === col("src"))
+          .select(col("u"), col("w2").as("w")).distinct()
+        val b3 = b2.join(edges.withColumnRenamed("dst", "w2"),
+            col("w") === col("src"))
+          .select(col("u"), col("w2").as("w")).distinct()
+        val r1 = step(regs0); val r2 = step(r1); val r3 = step(r2)
+        nodes
+          .join(ballOf(b1, "s1"), Seq("doc_id"))
+          .join(ballOf(b2, "s2"), Seq("doc_id"))
+          .join(ballOf(b3, "s3"), Seq("doc_id"))
+          .join(estOf(r1, "e1"), Seq("doc_id"))
+          .join(estOf(r2, "e2"), Seq("doc_id"))
+          .join(estOf(r3, "e3"), Seq("doc_id"))
+          .select(col("doc_id"), col("s1"), col("s2"), col("s3"),
+            ((col("s1") - 1).cast("double") +
+              (col("s2") - col("s1")).cast("double") / lit(2.0) +
+              (col("s3") - col("s2")).cast("double") / lit(3.0))
+              .as("hc_exact"),
+            ((col("e1") - lit(1.0)) +
+              (col("e2") - col("e1")) / lit(2.0) +
+              (col("e3") - col("e2")) / lit(3.0)).as("hc_est"))
+      },
+      Some {
+        def estCte(p: String, regs: String): String =
+          s"""${p}_est AS (
+             |  SELECT doc_id,
+             |    ((CAST(7213 AS DOUBLE) / CAST(10000 AS DOUBLE))
+             |       / (CAST(1 AS DOUBLE)
+             |          + (CAST(1079 AS DOUBLE) / CAST(1000 AS DOUBLE))
+             |            / CAST(64 AS DOUBLE)))
+             |      * CAST(4096 AS DOUBLE)
+             |      / (list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |           list_transform(list(m ORDER BY bkt), mm ->
+             |             CAST(1 AS DOUBLE)
+             |               / pow(CAST(2 AS DOUBLE), mm))),
+             |           (a, b) -> a + b)
+             |         + CAST(64 - COUNT(*) AS DOUBLE)) AS e
+             |  FROM $regs GROUP BY doc_id)""".stripMargin
+        val h = strHashSql("'anf:' || CAST(doc_id AS VARCHAR)")
+        s"""WITH corpus AS ($corpusWithNearDupsSql),
+           |$lshPairsCteSql,
+           |edges AS (
+           |  SELECT id1 AS src, id2 AS dst FROM pairs
+           |  UNION SELECT id2, id1 FROM pairs
+           |  UNION SELECT doc_id, doc_id FROM corpus),
+           |regs0 AS (
+           |  SELECT doc_id, h % 64 AS bkt,
+           |    CASE WHEN (h // 64) = 0 THEN 55
+           |         ELSE 55 - length(bin(h // 64)) END AS m
+           |  FROM (SELECT doc_id, $h AS h FROM corpus)),
+           |regs1 AS (
+           |  SELECT e.dst AS doc_id, r.bkt, MAX(r.m) AS m
+           |  FROM edges e JOIN regs0 r ON r.doc_id = e.src GROUP BY 1, 2),
+           |regs2 AS (
+           |  SELECT e.dst AS doc_id, r.bkt, MAX(r.m) AS m
+           |  FROM edges e JOIN regs1 r ON r.doc_id = e.src GROUP BY 1, 2),
+           |regs3 AS (
+           |  SELECT e.dst AS doc_id, r.bkt, MAX(r.m) AS m
+           |  FROM edges e JOIN regs2 r ON r.doc_id = e.src GROUP BY 1, 2),
+           |${estCte("r1", "regs1")},
+           |${estCte("r2", "regs2")},
+           |${estCte("r3", "regs3")},
+           |b1 AS (SELECT DISTINCT src AS u, dst AS w FROM edges),
+           |b2 AS (SELECT DISTINCT b.u, e.dst AS w
+           |       FROM b1 b JOIN edges e ON e.src = b.w),
+           |b3 AS (SELECT DISTINCT b.u, e.dst AS w
+           |       FROM b2 b JOIN edges e ON e.src = b.w),
+           |s1 AS (SELECT u AS doc_id, CAST(COUNT(*) AS BIGINT) AS s1
+           |       FROM b1 GROUP BY u),
+           |s2 AS (SELECT u AS doc_id, CAST(COUNT(*) AS BIGINT) AS s2
+           |       FROM b2 GROUP BY u),
+           |s3 AS (SELECT u AS doc_id, CAST(COUNT(*) AS BIGINT) AS s3
+           |       FROM b3 GROUP BY u)
+           |SELECT c.doc_id, s1.s1, s2.s2, s3.s3,
+           |  CAST(s1.s1 - 1 AS DOUBLE)
+           |    + CAST(s2.s2 - s1.s1 AS DOUBLE) / 2.0
+           |    + CAST(s3.s3 - s2.s2 AS DOUBLE) / 3.0 AS hc_exact,
+           |  (r1_est.e - CAST(1 AS DOUBLE))
+           |    + (r2_est.e - r1_est.e) / 2.0
+           |    + (r3_est.e - r2_est.e) / 3.0 AS hc_est
+           |FROM corpus c
+           |JOIN s1 ON s1.doc_id = c.doc_id
+           |JOIN s2 ON s2.doc_id = c.doc_id
+           |JOIN s3 ON s3.doc_id = c.doc_id
+           |JOIN r1_est ON r1_est.doc_id = c.doc_id
+           |JOIN r2_est ON r2_est.doc_id = c.doc_id
+           |JOIN r3_est ON r3_est.doc_id = c.doc_id""".stripMargin
+      }),
   )
 
   /** q133's engine, extracted for direct testing against a scalar

@@ -3,8 +3,10 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.{
   Alias, Attribute, AttributeSet, Cast, Coalesce, Expression, Literal,
   NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.Divide
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Complete, Count, Max, Min, Sum}
+  AggregateExpression, Average, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.types.DoubleType
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{
   Aggregate, Join, LogicalPlan, Project}
@@ -28,7 +30,9 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * own hash table and output shrink by the same factor.
   *
   * Why it is semantics-preserving for duplicate-DISTRIBUTIVE functions
-  * (sum/count/min/max, no DISTINCT, no FILTER): an inner join replicates
+  * (sum/count/min/max — and avg via its (sum, count) decomposition,
+  * DoubleType children only; no DISTINCT, no FILTER): an inner join
+  * replicates
   * each partial row exactly as many times as it would have replicated
   * every raw row it absorbed (the partial keys include every L-attribute
   * `cond` reads, so the match multiplicity m is identical), and
@@ -104,6 +108,15 @@ object EagerAggregation extends Rule[LogicalPlan] {
         ae.references.subsetOf(sideOut) &&
         (ae.aggregateFunction match {
           case _: Sum | _: Min | _: Max | _: Count => true
+          // Average decomposes into (partial sum, partial count) —
+          // Yan & Larson's treatment. DoubleType only: for doubles the
+          // recombined Sum(psum)/Sum(pcnt) is the same double-typed
+          // sum/count Spark's Average computes (modulo addition order,
+          // which partial aggregation never pinned anyway); decimal
+          // Average has bespoke precision/rounding semantics and
+          // integral Average sums in a double accumulator, both of
+          // which a decomposition could silently diverge from
+          case a: Average => a.child.dataType == DoubleType
           case _ => false
         })
     }
@@ -127,14 +140,25 @@ object EagerAggregation extends Rule[LogicalPlan] {
     val keys = needed.toSeq
     // (attributes by construction; AttributeSet holds only attributes)
 
-    // one partial per distinct aggregate function occurrence
+    // one partial per distinct aggregate function occurrence — two for
+    // Average (its sum and its count)
     var i = 0
-    val partialFor = aes.map { ae =>
+    def fresh(ae: AggregateExpression): Alias = {
       i += 1
-      ae -> Alias(ae, s"_eager_p$i")()
+      Alias(ae, s"_eager_p$i")()
+    }
+    val partialFor: Map[AggregateExpression, Seq[Alias]] = aes.map { ae =>
+      ae -> (ae.aggregateFunction match {
+        case a: Average =>
+          Seq(fresh(ae.copy(aggregateFunction = Sum(a.child),
+              resultId = NamedExpression.newExprId)),
+            fresh(ae.copy(aggregateFunction = Count(Seq(a.child)),
+              resultId = NamedExpression.newExprId)))
+        case _ => Seq(fresh(ae))
+      })
     }.toMap
-    val partialAgg = Aggregate(keys, keys ++ partialFor.values.toSeq,
-      side, None)
+    val partialAgg = Aggregate(keys,
+      keys ++ aes.flatMap(partialFor(_)), side, None)
 
     // rewrite the final aggregate expressions over the partial outputs
     val rewritten = agg.aggregateExpressions.map { ne =>
@@ -143,7 +167,8 @@ object EagerAggregation extends Rule[LogicalPlan] {
       // top-down transform would descend into and re-match
       ne.transformUp {
         case ae: AggregateExpression if partialFor.contains(ae) =>
-          val pAttr = partialFor(ae).toAttribute
+          val pAttrs = partialFor(ae).map(_.toAttribute)
+          val pAttr = pAttrs.head
           // fresh resultId: the original id lives on in the PARTIAL's
           // copy of this AE, and re-summing can change the datatype —
           // a reused exprId with a new type trips plan integrity
@@ -160,6 +185,13 @@ object EagerAggregation extends Rule[LogicalPlan] {
               else Cast(re, ae.dataType)
             case m: Min => fin(m.copy(child = pAttr))
             case m: Max => fin(m.copy(child = pAttr))
+            case _: Average =>
+              // avg = Σ(partial sums) / Σ(partial counts): both re-sums
+              // see every raw row exactly through its partial, so the
+              // weighting is the raw-row weighting — the decomposition
+              // that makes avg duplicate-distributive after all
+              Divide(fin(Sum(pAttrs(0))),
+                Cast(fin(Sum(pAttrs(1))), DoubleType))
             case other => // unreachable per the guard above
               throw new IllegalStateException(other.toString)
           }

@@ -78,11 +78,22 @@ class EagerAggSpec extends AnyFunSuite {
       expectPush = true)
   }
 
-  test("refusal: avg is not duplicate-distributive") {
-    // m copies of a partial mean re-weight it; only sum/count decompose
+  test("avg of a double pushes via its (sum, count) decomposition") {
+    // a naive partial MEAN would re-weight under join replication; the
+    // rule splits avg into partial sum + partial count, both of which
+    // see every raw row through their partial — so the recombined
+    // Σsum/Σcount is the raw-row mean exactly
     assertParity(
       li.join(part, li("l_partkey") === part("p_partkey"))
         .groupBy(col("p_brand")).agg(avg(col("l_quantity")).as("a")),
+      expectPush = true)
+  }
+
+  test("refusal: avg of a DECIMAL (bespoke precision semantics)") {
+    assertParity(
+      li.join(part, li("l_partkey") === part("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(avg(col("l_extendedprice").cast("decimal(18,2)")).as("a")),
       expectPush = false)
   }
 

@@ -78,6 +78,40 @@ class RoundElevenOpsSpec extends AnyFunSuite {
     assert(got(1)._2 >= corpus.length) // every ball holds at least self
   }
 
+  test("q269 harmonic centrality matches the scalar BFS telescoping sum") {
+    val got = SparkEntry.queries("q269_harmonic_centrality")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))
+      .toMap
+    val corpus = graft.ops.LlmKit.corpusWithNearDups(spark, dir)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val pairs = graft.ops.LlmKit
+      .lshCandidatePairs(graft.ops.LlmKit.corpusWithNearDups(spark, dir))
+      .select(col("id1"), col("id2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map
+      .empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    for (v <- corpus) adj(v) = adj(v) + v
+    for ((a, b) <- pairs) { adj(a) += b; adj(b) += a }
+    assert(got.keySet == corpus.toSet)
+    for (v <- corpus) {
+      val ball1 = adj(v)
+      val ball2 = ball1.flatMap(adj)
+      val ball3 = ball2.flatMap(adj)
+      val (s1, s2, s3, hcExact, hcEst) = got(v)
+      assert(s1 == ball1.size && s2 == ball2.size && s3 == ball3.size,
+        s"node $v ball sizes")
+      val want = (s1 - 1).toDouble + (s2 - s1).toDouble / 2.0 +
+        (s3 - s2).toDouble / 3.0
+      assert(math.abs(hcExact - want) < 1e-12)
+      // isolated nodes: every HC form is exactly zero (est uses e0=1
+      // and all three register folds of a singleton are identical)
+      if (ball3.size == 1) assert(hcExact == 0.0 && hcEst == 0.0)
+    }
+  }
+
   test("q262 IVM terms partition the full view and certify consistent") {
     val rows = SparkEntry.queries("q262_ivm_join")(spark, dir)
       .collect()

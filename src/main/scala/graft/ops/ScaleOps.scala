@@ -1849,6 +1849,130 @@ object ScaleOps {
              |FROM r JOIN t USING (window_start)
              |WHERE r.rank <= 5""".stripMargin)),
 
+    // ----- q270: sketch set-DIFFERENCE (theta-style A-not-B) --------------
+    // The set-algebra operation HLL structurally cannot do: register
+    // maxima only merge UP, so |A∖B| needs a sample-based sketch. The
+    // theta sketch's AnotB (Dasgupta et al., "Theta sketch framework",
+    // 2016 — the KMV generalization) works because a KMV sketch is a
+    // uniform hash sample below a per-set threshold θ: clip both
+    // sketches to θ = min(θ_A, θ_B), drop A-samples present in B's
+    // sample (below θ, membership in B ⟺ membership in S_B — B keeps
+    // EVERYTHING below its θ), and scale the survivors by 1/θ. Built on
+    // q161's exact KMV conventions (md5 hashes normalized by 2^60,
+    // k = 32, k−1-below-hk estimator), so every retained-sample count,
+    // threshold, and the double estimate are deterministic and the
+    // oracle replays them relationally. Exact |A∖B| (per-pair anti-join
+    // count) rides along as the witness. Scale: sketches are 32 rows
+    // per source — the pair algebra is sources²×32, never corpus²; at
+    // 100 TB this is how "what's in the new crawl that the old one
+    // lacks" is answered without a distinct-join over both corpora.
+    NamedQuery(
+      "q270_sketch_anotb",
+      (s, d) => {
+        val k = 32
+        val M = 1152921504606846976L // 2^60 — strHash's range, cf. q161
+        val hs = tbl(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .select(col("source"), strHash(col("tok")).as("h"))
+          .distinct().persist()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("h"))
+        val sk = hs.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k).drop("rn").persist()
+        val theta = sk.groupBy(col("source"))
+          .agg(count(lit(1)).as("nsk"), max(col("h")).as("hk"))
+          .select(col("source"),
+            when(col("nsk") < k, lit(M)).otherwise(col("hk")).as("th"))
+        val srcs = hs.select(col("source")).distinct()
+        val prs = srcs.select(col("source").as("src_a"))
+          .crossJoin(srcs.select(col("source").as("src_b")))
+          .filter(col("src_a") =!= col("src_b"))
+          .join(broadcast(theta).withColumnRenamed("source", "src_a")
+            .withColumnRenamed("th", "tha"), Seq("src_a"))
+          .join(broadcast(theta).withColumnRenamed("source", "src_b")
+            .withColumnRenamed("th", "thb"), Seq("src_b"))
+          .select(col("src_a"), col("src_b"),
+            least(col("tha"), col("thb")).as("hth"))
+        val retained = prs
+          .join(sk.withColumnRenamed("source", "src_a"), Seq("src_a"))
+          .filter(col("h") < col("hth"))
+          .join(sk.select(col("source").as("src_b"), col("h")),
+            Seq("src_b", "h"), "left_anti")
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("n_retained"))
+        val na = hs.groupBy(col("source"))
+          .agg(count(lit(1)).as("exact_a"))
+        val inter = hs.select(col("source").as("src_a"), col("h"))
+          .join(hs.select(col("source").as("src_b"), col("h")),
+            Seq("h"))
+          .filter(col("src_a") =!= col("src_b"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("n_inter"))
+        prs
+          .join(retained, Seq("src_a", "src_b"), "left")
+          .join(na.withColumnRenamed("source", "src_a"), Seq("src_a"))
+          .join(inter, Seq("src_a", "src_b"), "left")
+          .select(col("src_a"), col("src_b"), col("exact_a"),
+            (col("exact_a") - coalesce(col("n_inter"), lit(0L)))
+              .as("exact_diff"),
+            coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+            (coalesce(col("n_retained"), lit(0L)).cast("double") *
+              lit(M.toDouble) / col("hth").cast("double")).as("est_diff"))
+      },
+      Some {
+        val h = strHashSql("tok")
+        s"""WITH toks AS (
+           |  SELECT source, unnest(string_split(text, ' ')) AS tok
+           |  FROM documents),
+           |hs AS (SELECT DISTINCT source, $h AS h FROM toks),
+           |sk AS (
+           |  SELECT source, h FROM (
+           |    SELECT source, h, row_number() OVER (
+           |      PARTITION BY source ORDER BY h) AS rn
+           |    FROM hs)
+           |  WHERE rn <= 32),
+           |theta AS (
+           |  SELECT source,
+           |    CASE WHEN COUNT(*) < 32 THEN 1152921504606846976
+           |         ELSE MAX(h) END AS th
+           |  FROM sk GROUP BY source),
+           |prs AS (
+           |  SELECT a.source AS src_a, b.source AS src_b,
+           |    least(ta.th, tb.th) AS hth
+           |  FROM (SELECT DISTINCT source FROM hs) a
+           |  JOIN (SELECT DISTINCT source FROM hs) b
+           |    ON a.source <> b.source
+           |  JOIN theta ta ON ta.source = a.source
+           |  JOIN theta tb ON tb.source = b.source),
+           |ret AS (
+           |  SELECT p.src_a, p.src_b, CAST(COUNT(*) AS BIGINT)
+           |    AS n_retained
+           |  FROM prs p JOIN sk sa ON sa.source = p.src_a
+           |  WHERE sa.h < p.hth
+           |    AND NOT EXISTS (SELECT 1 FROM sk sb
+           |                    WHERE sb.source = p.src_b
+           |                      AND sb.h = sa.h)
+           |  GROUP BY p.src_a, p.src_b),
+           |na AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_a
+           |       FROM hs GROUP BY source),
+           |inter AS (
+           |  SELECT a.source AS src_a, b.source AS src_b,
+           |    CAST(COUNT(*) AS BIGINT) AS n_inter
+           |  FROM hs a JOIN hs b ON a.h = b.h AND a.source <> b.source
+           |  GROUP BY 1, 2)
+           |SELECT p.src_a, p.src_b, na.exact_a,
+           |  na.exact_a - COALESCE(i.n_inter, 0) AS exact_diff,
+           |  COALESCE(r.n_retained, 0) AS n_retained,
+           |  CAST(COALESCE(r.n_retained, 0) AS DOUBLE)
+           |    * 1152921504606846976.0 / CAST(p.hth AS DOUBLE)
+           |    AS est_diff
+           |FROM prs p
+           |LEFT JOIN ret r ON r.src_a = p.src_a AND r.src_b = p.src_b
+           |JOIN na ON na.source = p.src_a
+           |LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
+           |ORDER BY p.src_a, p.src_b""".stripMargin
+      }),
+
     // ----- q262: incremental view maintenance of a join view --------------
     // The delta algebra every warehouse eventually needs (Blakeley,
     // Larson & Tompa, SIGMOD 1986): a materialized join view

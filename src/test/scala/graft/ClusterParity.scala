@@ -67,7 +67,10 @@ object ClusterParity {
     // terms (broadcast deltas on a real cluster), the deterministic
     // importance resample, and the space-saving monitor twin
     "q259_calibration", "q261_hyperanf", "q262_ivm_join",
-    "q263_importance_select", "q265_stream_topk")
+    "q263_importance_select", "q265_stream_topk",
+    // r11 batch-3: the KMV-sample set-difference algebra (per-source
+    // sketches and the pair anti-join crossing real executors)
+    "q270_sketch_anotb")
 
   private def run(spark: SparkSession): Map[String, Map[Seq[Any], Int]] =
     queries.map { n =>

@@ -323,6 +323,42 @@ class RoundElevenOpsSpec extends AnyFunSuite {
     assert(math.abs(vIps - wantIps) < 1e-6)
   }
 
+  test("q270 theta AnotB reconciles with a scalar sketch replay") {
+    val got = SparkEntry.queries("q270_sketch_anotb")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    val M = 1152921504606846976L
+    val hs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("source"), graft.ops.LlmKit.strHash(col("tok")).as("h"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = hs.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val sketch = bySrc.view
+      .mapValues(_.toSeq.sorted.take(32)).toMap
+    for (((a, b), (exactA, exactDiff, nRet, est)) <- got) {
+      assert(exactA == bySrc(a).size)
+      assert(exactDiff == (bySrc(a) -- bySrc(b)).size)
+      val thA = if (sketch(a).size < 32) M else sketch(a).max
+      val thB = if (sketch(b).size < 32) M else sketch(b).max
+      val th = math.min(thA, thB)
+      val retained = sketch(a)
+        .filter(h => h < th && !sketch(b).contains(h))
+      assert(nRet == retained.size.toLong, s"pair ($a,$b)")
+      assert(math.abs(est - nRet.toDouble * M.toDouble / th.toDouble)
+        < 1e-6)
+    }
+    assert(got.nonEmpty)
+    // the estimator is unbiased enough to track the exact difference
+    // in aggregate: mean est within 50% of mean exact across pairs
+    val meanEst = got.values.map(_._4).sum / got.size
+    val meanExact = got.values.map(_._2.toDouble).sum / got.size
+    assert(math.abs(meanEst - meanExact) <= 0.5 * meanExact)
+  }
+
   test("q265 top-k rows are exact, ranked, and contiguous per window") {
     val rows = SparkEntry.queries("q265_stream_topk")(spark, dir)
       .collect()

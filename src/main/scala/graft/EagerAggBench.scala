@@ -48,6 +48,11 @@ object EagerAggBench {
       li.join(orders, li("l_orderkey") === orders("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(sum(col("l_quantity")).as("q"), count(lit(1)).as("n"))
+    def davg(): DataFrame = // the decomposed-average path
+      li.join(part, li("l_partkey") === part("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(avg(col("l_quantity")).as("a"),
+          avg(col("l_extendedprice")).as("p"))
 
     def timed(f: => Long): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -58,7 +63,8 @@ object EagerAggBench {
     // takes at 100 TB — there the partial agg shrinks the SHUFFLE by
     // the duplication factor, which is the rule's actual target
     for (bcast <- Seq(true, false);
-         (sn, mk) <- Seq(("dup", () => dup()), ("unique", () => unique()));
+         (sn, mk) <- Seq(("dup", () => dup()), ("unique", () => unique()),
+           ("davg", () => davg()));
          on <- Seq(false, true)) {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
         if (bcast) "10MB" else "-1")

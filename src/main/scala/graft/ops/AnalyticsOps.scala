@@ -4217,5 +4217,192 @@ object AnalyticsOps {
              |  a.resid / CAST(a.n_eval AS DOUBLE) AS dr_correction,
              |  a.v_dm + a.resid / CAST(a.n_eval AS DOUBLE) AS v_dr
              |FROM agg a CROSS JOIN nm""".stripMargin)),
+
+    // ----- q271: Markov removal-effect attribution ------------------------
+    // Multi-touch attribution the principled way (Anderl et al.,
+    // "Mapping the customer journey", 2014 — the removal-effect model):
+    // build the first-order Markov chain over observed journeys
+    // (START → channel states → CONV on first purchase, DROP on exit),
+    // then credit each channel by how much the chain's conversion
+    // probability falls when that channel is knocked out (transitions
+    // INTO it redirect to DROP — paths through it fail; probabilities
+    // are NOT renormalized, per the model). Absorption probabilities
+    // come from an 8-step truncated power iteration — documented
+    // truncation, identical in both engines: transition probabilities
+    // are single double divisions of exact counts, every mass update is
+    // a dsum (the 6-decimal grid), and the five chain variants
+    // (full + one removal per channel) iterate as ONE variant-keyed
+    // table so the plan is five tiny chains, not five queries. Scale:
+    // the journey pass is one user-partitioned window over events
+    // (linear); everything after lives on a ≤ |states|² × variants
+    // table — state-bounded, the whole point of Markov attribution vs
+    // path enumeration.
+    NamedQuery(
+      "q271_markov_attribution",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val channels = Seq("signup", "error", "click", "view")
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val ev = events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("rn", row_number().over(w))
+        val firstP = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id")).agg(min(col("rn")).as("prn"))
+        val kept = ev.join(firstP, Seq("user_id"), "left")
+          .filter(col("prn").isNull || col("rn") <= col("prn"))
+          .select(col("user_id"), col("rn"),
+            when(col("event_type") === "purchase", lit("CONV"))
+              .otherwise(col("event_type")).as("st"))
+        val w2 = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+        val nxt = kept.withColumn("nxt", lead(col("st"), 1).over(w2))
+        val trans = nxt.filter(col("rn") === 1)
+            .select(lit("START").as("from_s"), col("st").as("to_s"))
+          .unionByName(nxt.filter(col("nxt").isNotNull)
+            .select(col("st").as("from_s"), col("nxt").as("to_s")))
+          .unionByName(nxt.filter(col("nxt").isNull &&
+              col("st") =!= "CONV")
+            .select(col("st").as("from_s"), lit("DROP").as("to_s")))
+          .groupBy(col("from_s"), col("to_s"))
+          .agg(count(lit(1)).as("c"))
+        val tot = trans.groupBy(col("from_s"))
+          .agg(sum(col("c")).as("t"))
+        val tpBase = trans.join(tot, Seq("from_s"))
+          .select(col("from_s"), col("to_s"),
+            (col("c").cast("double") / col("t").cast("double")).as("p"))
+          .persist()
+        def variant(name: String, removed: Option[String]): DataFrame =
+          removed match {
+            case None => tpBase.select(lit(name).as("variant"),
+              col("from_s"), col("to_s"), col("p"))
+            case Some(c) => tpBase.filter(col("from_s") =!= c)
+              .select(lit(name).as("variant"), col("from_s"),
+                when(col("to_s") === c, lit("DROP")).otherwise(col("to_s"))
+                  .as("to_s"), col("p"))
+          }
+        val variants = (variant("full", None) +:
+          channels.map(c => variant(c, Some(c))))
+          .reduce(_.unionByName(_))
+          .groupBy(col("variant"), col("from_s"), col("to_s"))
+          .agg(dsum(col("p")).as("p")) // collapse redirected collisions
+        val names = "full" +: channels
+        val loops = names.flatMap(v => Seq(("CONV", v), ("DROP", v)))
+          .toDF("st", "variant")
+          .select(col("variant"), col("st").as("from_s"),
+            col("st").as("to_s"), lit(1.0).as("p"))
+        val tp = variants.unionByName(loops).persist()
+        var v = names.toDF("variant")
+          .select(col("variant"), lit("START").as("state"),
+            lit(1.0).as("mass"))
+        // pinned per round: without severing lineage the optimizer
+        // re-walks every earlier round's nested plan each iteration
+        // (the OpsKit.pinned lesson — 20 s unpinned, ~2 s pinned; the
+        // data is states×variants tiny, the cost was pure planning)
+        for (_ <- 1 to 8)
+          v = OpsKit.pinned(
+            v.join(tp, col("state") === col("from_s") &&
+                v("variant") === tp("variant"))
+              .groupBy(v("variant").as("variant"), col("to_s").as("state"))
+              .agg(dsum(col("mass") * col("p")).as("mass"))
+              .coalesce(1)) // ≤ states×variants rows — one task/round
+        val pconv = v.filter(col("state") === "CONV")
+          .select(col("variant"), col("mass").as("p_conv"))
+        val full = pconv.filter(col("variant") === "full")
+          .select(col("p_conv").as("p_full"))
+        val rem = pconv.filter(col("variant") =!= "full")
+          .crossJoin(broadcast(full))
+          .select(col("variant").as("channel"), col("p_full"),
+            col("p_conv").as("p_removed"),
+            greatest(lit(0.0),
+              lit(1.0) - col("p_conv") / col("p_full")).as("removal"))
+        val totR = rem.agg(dsum(col("removal")).as("rt"))
+        rem.crossJoin(broadcast(totR))
+          .select(col("channel"), col("p_full"), col("p_removed"),
+            col("removal").as("removal_effect"),
+            when(col("rt") > 0, col("removal") / col("rt"))
+              .otherwise(lit(0.0)).as("attribution_share"))
+      },
+      Some {
+        val channels = Seq("signup", "error", "click", "view")
+        val variantsSql = (
+          s"""SELECT 'full' AS variant, from_s, to_s, p FROM tpbase""" +:
+          channels.map(c =>
+            s"""SELECT '$c', from_s,
+               |  CASE WHEN to_s = '$c' THEN 'DROP' ELSE to_s END, p
+               |FROM tpbase WHERE from_s <> '$c'""".stripMargin))
+          .mkString("\n  UNION ALL\n  ")
+        val loopsSql = ("full" +: channels).flatMap(v =>
+          Seq(s"SELECT '$v' AS variant, 'CONV' AS from_s, 'CONV' AS to_s, CAST(1.0 AS DOUBLE) AS p",
+            s"SELECT '$v', 'DROP', 'DROP', CAST(1.0 AS DOUBLE)"))
+          .mkString("\n  UNION ALL\n  ")
+        val steps = (1 to 8).map { k =>
+          s"""v$k AS (
+             |  SELECT v.variant, tp.to_s AS state,
+             |    ${dsumSql("v.mass * tp.p")} AS mass
+             |  FROM v${k - 1} v JOIN tp
+             |    ON tp.variant = v.variant AND tp.from_s = v.state
+             |  GROUP BY v.variant, tp.to_s)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ev AS (
+           |  SELECT user_id, event_type,
+           |    row_number() OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id) AS rn
+           |  FROM events),
+           |fp AS (SELECT user_id, MIN(rn) AS prn FROM ev
+           |       WHERE event_type = 'purchase' GROUP BY user_id),
+           |kept AS (
+           |  SELECT e.user_id, e.rn,
+           |    CASE WHEN e.event_type = 'purchase' THEN 'CONV'
+           |         ELSE e.event_type END AS st
+           |  FROM ev e LEFT JOIN fp ON fp.user_id = e.user_id
+           |  WHERE fp.prn IS NULL OR e.rn <= fp.prn),
+           |nx AS (
+           |  SELECT user_id, rn, st,
+           |    lead(st) OVER (PARTITION BY user_id ORDER BY rn) AS nxt
+           |  FROM kept),
+           |trans AS (
+           |  SELECT from_s, to_s, CAST(COUNT(*) AS BIGINT) AS c FROM (
+           |    SELECT 'START' AS from_s, st AS to_s FROM nx WHERE rn = 1
+           |    UNION ALL
+           |    SELECT st, nxt FROM nx WHERE nxt IS NOT NULL
+           |    UNION ALL
+           |    SELECT st, 'DROP' FROM nx
+           |    WHERE nxt IS NULL AND st <> 'CONV')
+           |  GROUP BY 1, 2),
+           |tot AS (SELECT from_s, CAST(SUM(c) AS BIGINT) AS t
+           |        FROM trans GROUP BY 1),
+           |tpbase AS (
+           |  SELECT trans.from_s, trans.to_s,
+           |    CAST(c AS DOUBLE) / CAST(t AS DOUBLE) AS p
+           |  FROM trans JOIN tot USING (from_s)),
+           |variants AS (
+           |  $variantsSql),
+           |tp AS (
+           |  SELECT variant, from_s, to_s, ${dsumSql("p")} AS p
+           |  FROM variants GROUP BY 1, 2, 3
+           |  UNION ALL
+           |  $loopsSql),
+           |v0 AS (
+           |  SELECT variant, 'START' AS state, CAST(1.0 AS DOUBLE) AS mass
+           |  FROM (SELECT DISTINCT variant FROM tp)),
+           |$steps,
+           |pconv AS (SELECT variant, mass AS p_conv FROM v8
+           |          WHERE state = 'CONV'),
+           |fullp AS (SELECT p_conv AS p_full FROM pconv
+           |          WHERE variant = 'full'),
+           |rem AS (
+           |  SELECT p.variant AS channel, f.p_full,
+           |    p.p_conv AS p_removed,
+           |    greatest(CAST(0.0 AS DOUBLE),
+           |      CAST(1.0 AS DOUBLE) - p.p_conv / f.p_full) AS removal
+           |  FROM pconv p CROSS JOIN fullp f WHERE p.variant <> 'full'),
+           |rt AS (SELECT ${dsumSql("removal")} AS rt FROM rem)
+           |SELECT channel, p_full, p_removed, removal AS removal_effect,
+           |  CASE WHEN rt.rt > 0 THEN removal / rt.rt
+           |       ELSE CAST(0.0 AS DOUBLE) END AS attribution_share
+           |FROM rem CROSS JOIN rt""".stripMargin
+      }),
   )
 }

@@ -70,7 +70,10 @@ object ClusterParity {
     "q263_importance_select", "q265_stream_topk",
     // r11 batch-3: the KMV-sample set-difference algebra (per-source
     // sketches and the pair anti-join crossing real executors)
-    "q270_sketch_anotb")
+    "q270_sketch_anotb",
+    // and the Markov chain power iteration (per-round pinned state +
+    // dsum mass updates crossing real executors for 8 rounds)
+    "q271_markov_attribution")
 
   private def run(spark: SparkSession): Map[String, Map[Seq[Any], Int]] =
     queries.map { n =>

@@ -323,6 +323,75 @@ class RoundElevenOpsSpec extends AnyFunSuite {
     assert(math.abs(vIps - wantIps) < 1e-6)
   }
 
+  test("q271 removal effects match a scalar chain replay on the grid") {
+    val got = SparkEntry.queries("q271_markov_attribution")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val channels = Seq("signup", "error", "click", "view")
+    assert(got.keySet == channels.toSet)
+    def d6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // journeys from raw events, truncated at first purchase
+    val ev = graft.ops.OpsKit.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getString(3)))
+    val trans = scala.collection.mutable.Map
+      .empty[(String, String), Long].withDefaultValue(0L)
+    for ((_, evs) <- ev.groupBy(_._1)) {
+      val ordered = evs.sortBy(e => (e._2, e._3)).map(_._4)
+      val cut = ordered.indexOf("purchase") match {
+        case -1 => ordered.toSeq
+        case i => ordered.take(i + 1).toSeq
+      }
+      val path = "START" +: cut.map(t =>
+        if (t == "purchase") "CONV" else t)
+      val full = if (path.last == "CONV") path else path :+ "DROP"
+      full.sliding(2).foreach { case Seq(a, b) =>
+        trans((a, b)) += 1L
+      }
+    }
+    val tot = trans.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val pBase = trans.map { case ((a, b), c) =>
+      (a, b) -> c.toDouble / tot(a)
+    }.toMap
+    def converge(removed: Option[String]): Double = {
+      val p = scala.collection.mutable.Map
+        .empty[(String, String), BigDecimal].withDefaultValue(BigDecimal(0))
+      for (((a, b), pr) <- pBase if !removed.contains(a)) {
+        val b2 = if (removed.contains(b)) "DROP" else b
+        p((a, b2)) = p((a, b2)) + d6(pr) // the query's dsum collapse
+      }
+      p(("CONV", "CONV")) = BigDecimal(1); p(("DROP", "DROP")) = BigDecimal(1)
+      var v = Map[String, BigDecimal]("START" -> BigDecimal(1))
+      for (_ <- 1 to 8) {
+        val nv = scala.collection.mutable.Map
+          .empty[String, Seq[BigDecimal]].withDefaultValue(Nil)
+        for ((s0, m) <- v; ((a, b), pr) <- p if a == s0)
+          nv(b) = nv(b) :+ d6(m.toDouble * pr.toDouble)
+        v = nv.view.mapValues(_.sum).toMap
+      }
+      v.getOrElse("CONV", BigDecimal(0)).toDouble
+    }
+    val pFull = converge(None)
+    for (c <- channels) {
+      val (gf, gr, eff, _) = got(c)
+      assert(math.abs(gf - pFull) < 1e-5, s"$c p_full $gf vs $pFull")
+      val pRem = converge(Some(c))
+      assert(math.abs(gr - pRem) < 1e-5, s"$c p_removed $gr vs $pRem")
+      assert(math.abs(eff - math.max(0.0, 1.0 - gr / gf)) < 1e-12)
+    }
+    // shares sum to 1 when any removal bites (the denominator rides
+    // dsum's 6-decimal grid, so exactness is grid-bounded)
+    val shares = got.values.map(_._4).sum
+    if (got.values.exists(_._3 > 0)) assert(math.abs(shares - 1.0) < 1e-5)
+    // sanity: the chain converts at all (purchases exist)
+    assert(pFull > 0.5, s"pFull $pFull — most users purchase early")
+  }
+
   test("q270 theta AnotB reconciles with a scalar sketch replay") {
     val got = SparkEntry.queries("q270_sketch_anotb")(spark, dir)
       .collect()

@@ -957,7 +957,7 @@ object GovernanceOps {
     val path = artifactPath(d, tag)
     val dest = new org.apache.hadoop.fs.Path(path)
     val fs = fsFor(dest)
-    gcScratchOnce(fs)
+    gcScratchOnce(fs, liveKey = s"${dirFingerprint(d)}-$familyKey")
     if (!fs.exists(dest)) {
       val tmp = new org.apache.hadoop.fs.Path(
         path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
@@ -973,20 +973,33 @@ object GovernanceOps {
             "racing winner present; completed build left at the tmp path")
       }
     }
+    // liveness touch: parquet reads never bump any mtime, so record the
+    // USE explicitly — the GC below judges age by the newest file inside
+    // an entry, and this underscore file (invisible to Spark's reader,
+    // like CorpusPublish's _manifest) is refreshed on every access
+    try {
+      fs.create(new org.apache.hadoop.fs.Path(path, "_touched"), true)
+        .close()
+    } catch { case _: java.io.IOException => () } // advisory only
     s.read.parquet(path)
   }
 
   /** Once per JVM: prune scratch entries whose artifacts have not been
-    * touched within the retention window (default 7 days, override with
+    * USED within the retention window (default 7 days, override with
     * spark.graft.scratch.ttlHours). Fingerprint keys roll whenever the
     * source data or LSH params change, so without a sweep the scratch
     * root grows one orphaned directory per regeneration forever. Age is
     * judged on the newest file INSIDE the entry (directory mtimes are
-    * FS-dependent); live keys re-publish nothing but are re-read often
-    * enough that a one-week floor never collects an entry a running
-    * battery still wants. */
+    * FS-dependent), and every diskMemo read refreshes the entry's
+    * `_touched` marker — parquet reads alone bump nothing, so without
+    * the marker a still-current artifact would age out while in active
+    * use. Belt and braces: the CURRENT key (the fingerprint this very
+    * call is about to read or publish) is never collected regardless of
+    * age, so a racing reader in another JVM can't lose the directory
+    * mid-scan to this one's sweep. */
   private val scratchGcDone = new java.util.concurrent.atomic.AtomicBoolean
-  private def gcScratchOnce(fs: org.apache.hadoop.fs.FileSystem): Unit = {
+  private def gcScratchOnce(fs: org.apache.hadoop.fs.FileSystem,
+      liveKey: String): Unit = {
     if (!scratchGcDone.compareAndSet(false, true)) return
     val ttlMs = org.apache.spark.sql.SparkSession.getActiveSession
       .flatMap(_.conf.getOption("spark.graft.scratch.ttlHours"))
@@ -995,10 +1008,13 @@ object GovernanceOps {
     val root = new org.apache.hadoop.fs.Path(scratchRoot)
     if (!fs.exists(root)) return
     fs.listStatus(root).foreach { entry =>
-      var newest = entry.getModificationTime
-      val it = fs.listFiles(entry.getPath, true)
-      while (it.hasNext) newest = math.max(newest, it.next().getModificationTime)
-      if (newest < cutoff) { fs.delete(entry.getPath, true); () }
+      if (entry.getPath.getName != liveKey) {
+        var newest = entry.getModificationTime
+        val it = fs.listFiles(entry.getPath, true)
+        while (it.hasNext)
+          newest = math.max(newest, it.next().getModificationTime)
+        if (newest < cutoff) { fs.delete(entry.getPath, true); () }
+      }
     }
   }
 
@@ -1041,6 +1057,78 @@ object GovernanceOps {
       val pairs = sharedPairs(s, d).select(col("id1"), col("id2"))
       StarCC.connectedComponents(corpus.select(col("doc_id")), pairs)._1
     })
+
+  // ---- HyperANF machinery shared by q261 (neighborhood function) and
+  // q269 (harmonic centrality): per-node 64-register HLL balls over the
+  // near-dup graph, one propagation round = edge⋈register max-merge.
+  // Registers are q87's deterministic md5 scheme. The per-round register
+  // tables and exact ball-pair sets are disk-memoized like the family's
+  // pairs/labels, so the two consumers (and battery re-runs) pay ONE
+  // propagation and ONE set of distinct path joins.
+  private def anfEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val nodes = corpusWithNearDups(s, d).select(col("doc_id"))
+    val pairs = sharedPairs(s, d).select(col("id1"), col("id2"))
+    pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(pairs.select(col("id2").as("src"),
+        col("id1").as("dst")))
+      .unionByName(nodes.select(col("doc_id").as("src"),
+        col("doc_id").as("dst")))
+      .distinct()
+  }
+
+  /** Registers after `r` propagation rounds (rounds ≥ 1 disk-memoized;
+    * round 0 is a cheap per-node projection). */
+  private def anfRegs(s: org.apache.spark.sql.SparkSession, d: String,
+      r: Int): org.apache.spark.sql.DataFrame =
+    if (r == 0) {
+      // q87's register scheme: md5 hash → bucket = h mod 64,
+      // rank = leading-zero count of h div 64 within 55 bits
+      val h = strHash(concat(lit("anf:"), col("doc_id").cast("string")))
+      corpusWithNearDups(s, d).select(col("doc_id"))
+        .select(col("doc_id"), h.as("h"))
+        .select(col("doc_id"), pmod(col("h"), lit(64)).as("bkt"),
+          expr("shiftright(h, 6)").as("v"))
+        .select(col("doc_id"), col("bkt"),
+          when(col("v") === 0, lit(55))
+            .otherwise(lit(55) - length(bin(col("v")))).as("m"))
+    } else diskMemo(s, d, s"anf-regs$r") {
+      anfEdges(s, d)
+        .join(anfRegs(s, d, r - 1).withColumnRenamed("doc_id", "src"),
+          Seq("src"))
+        .groupBy(col("dst").as("doc_id"), col("bkt"))
+        .agg(max(col("m")).as("m"))
+    }
+
+  /** Exact r-hop ball pairs (u, w) — disk-memoized distinct path joins,
+    * affordable only because the edge set is LSH-candidate-bounded. */
+  private def anfBall(s: org.apache.spark.sql.SparkSession, d: String,
+      r: Int): org.apache.spark.sql.DataFrame =
+    diskMemo(s, d, s"anf-b$r") {
+      if (r == 1)
+        anfEdges(s, d).select(col("src").as("u"), col("dst").as("w"))
+      else
+        anfBall(s, d, r - 1)
+          .join(anfEdges(s, d).withColumnRenamed("dst", "w2"),
+            col("w") === col("src"))
+          .select(col("u"), col("w2").as("w")).distinct()
+    }
+
+  /** Per-node ball-size estimate from a register table — q87's bit-exact
+    * bucket-ordered fold, so even the DOUBLE hash-matches the oracle. */
+  private def anfNodeEst(r: org.apache.spark.sql.DataFrame,
+      name: String): org.apache.spark.sql.DataFrame = {
+    val alpha = (lit(7213.0) / lit(10000.0)) /
+      (lit(1.0) + (lit(1079.0) / lit(1000.0)) / lit(64.0))
+    r.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_regs"),
+        sort_array(collect_list(struct(col("bkt"), col("m"))))
+          .as("rm"))
+      .select(col("doc_id"), (alpha * lit(4096.0) /
+        (aggregate(col("rm"), lit(0.0),
+          (acc, p) => acc + lit(1.0) / pow(lit(2.0), p.getField("m"))) +
+          (lit(64) - col("n_regs")).cast("double"))).as(name))
+  }
 
   private[graft] val lpaBuilds =
     new java.util.concurrent.atomic.AtomicInteger(0)
@@ -2165,60 +2253,25 @@ object GovernanceOps {
     NamedQuery(
       "q261_hyperanf",
       (s, d) => {
+        // all register/ball machinery shared with q269 via the
+        // disk-memoized anfRegs/anfBall helpers (family-note discipline:
+        // one propagation, every consumer reads the artifact)
         val nodes = corpusWithNearDups(s, d).select(col("doc_id"))
-        val pairs = sharedPairs(s, d).select(col("id1"), col("id2"))
-        val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-          .unionByName(pairs.select(col("id2").as("src"),
-            col("id1").as("dst")))
-          .unionByName(nodes.select(col("doc_id").as("src"),
-            col("doc_id").as("dst")))
-          .distinct()
-        // q87's register scheme: md5 hash → bucket = h mod 64,
-        // rank = leading-zero count of h div 64 within 55 bits
-        val h = strHash(concat(lit("anf:"), col("doc_id").cast("string")))
-        val regs0 = nodes.select(col("doc_id"), h.as("h"))
-          .select(col("doc_id"), pmod(col("h"), lit(64)).as("bkt"),
-            expr("shiftright(h, 6)").as("v"))
-          .select(col("doc_id"), col("bkt"),
-            when(col("v") === 0, lit(55))
-              .otherwise(lit(55) - length(bin(col("v")))).as("m"))
-        def step(r: DataFrame): DataFrame = edges
-          .join(r.withColumnRenamed("doc_id", "src"), Seq("src"))
-          .groupBy(col("dst").as("doc_id"), col("bkt"))
-          .agg(max(col("m")).as("m"))
-        val alpha = (lit(7213.0) / lit(10000.0)) /
-          (lit(1.0) + (lit(1079.0) / lit(1000.0)) / lit(64.0))
-        def estSum(r: DataFrame): DataFrame = r
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_regs"),
-            sort_array(collect_list(struct(col("bkt"), col("m"))))
-              .as("rm"))
-          .select((aggregate(col("rm"), lit(0.0),
-              (acc, p) => acc + lit(1.0) / pow(lit(2.0), p.getField("m"))) +
-              (lit(64) - col("n_regs")).cast("double")).as("z"))
-          .select((alpha * lit(4096.0) / col("z")).as("est"))
-          .agg(dsum(col("est")).as("est_pairs"))
-        def ballCount(b: DataFrame): DataFrame =
-          b.agg(count(lit(1)).as("exact_pairs"))
-        val b1 = edges.select(col("src").as("u"), col("dst").as("w"))
-        val b2 = b1.join(edges.withColumnRenamed("dst", "w2"),
-            col("w") === col("src"))
-          .select(col("u"), col("w2").as("w")).distinct()
-        val b3 = b2.join(edges.withColumnRenamed("dst", "w2"),
-            col("w") === col("src"))
-          .select(col("u"), col("w2").as("w")).distinct()
-        val r1 = step(regs0); val r2 = step(r1); val r3 = step(r2)
         val nNodes = nodes.agg(count(lit(1)).as("n_nodes"))
-        def radiusRow(radius: Int, regs: DataFrame, ball: DataFrame) =
-          nNodes.crossJoin(ballCount(ball)).crossJoin(estSum(regs))
+        def estSum(r: Int): DataFrame =
+          anfNodeEst(anfRegs(s, d, r), "est")
+            .agg(dsum(col("est")).as("est_pairs"))
+        def ballCount(r: Int): DataFrame =
+          anfBall(s, d, r).agg(count(lit(1)).as("exact_pairs"))
+        def radiusRow(radius: Int) =
+          nNodes.crossJoin(ballCount(radius)).crossJoin(estSum(radius))
             .select(lit(radius).as("radius"), col("n_nodes"),
               col("exact_pairs"), col("est_pairs"),
               (col("exact_pairs").cast("double") /
                 col("n_nodes").cast("double")).as("avg_ball"),
               (col("est_pairs") / col("exact_pairs").cast("double"))
                 .as("est_over_exact"))
-        radiusRow(1, r1, b1).unionByName(radiusRow(2, r2, b2))
-          .unionByName(radiusRow(3, r3, b3))
+        radiusRow(1).unionByName(radiusRow(2)).unionByName(radiusRow(3))
       },
       Some {
         val h = strHashSql("'anf:' || CAST(doc_id AS VARCHAR)")
@@ -2449,53 +2502,22 @@ object GovernanceOps {
     NamedQuery(
       "q269_harmonic_centrality",
       (s, d) => {
+        // the register tables and exact balls are q261's own artifacts
+        // (anfRegs/anfBall disk memos) — this query adds only the
+        // telescoped 1/r weighting on top
         val nodes = corpusWithNearDups(s, d).select(col("doc_id"))
-        val pairs = sharedPairs(s, d).select(col("id1"), col("id2"))
-        val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-          .unionByName(pairs.select(col("id2").as("src"),
-            col("id1").as("dst")))
-          .unionByName(nodes.select(col("doc_id").as("src"),
-            col("doc_id").as("dst")))
-          .distinct()
-        val h = strHash(concat(lit("anf:"), col("doc_id").cast("string")))
-        val regs0 = nodes.select(col("doc_id"), h.as("h"))
-          .select(col("doc_id"), pmod(col("h"), lit(64)).as("bkt"),
-            expr("shiftright(h, 6)").as("v"))
-          .select(col("doc_id"), col("bkt"),
-            when(col("v") === 0, lit(55))
-              .otherwise(lit(55) - length(bin(col("v")))).as("m"))
-        def step(r: DataFrame): DataFrame = edges
-          .join(r.withColumnRenamed("doc_id", "src"), Seq("src"))
-          .groupBy(col("dst").as("doc_id"), col("bkt"))
-          .agg(max(col("m")).as("m"))
-        val alpha = (lit(7213.0) / lit(10000.0)) /
-          (lit(1.0) + (lit(1079.0) / lit(1000.0)) / lit(64.0))
-        def estOf(r: DataFrame, name: String): DataFrame = r
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_regs"),
-            sort_array(collect_list(struct(col("bkt"), col("m"))))
-              .as("rm"))
-          .select(col("doc_id"), (alpha * lit(4096.0) /
-            (aggregate(col("rm"), lit(0.0),
-              (acc, p) => acc + lit(1.0) / pow(lit(2.0), p.getField("m"))) +
-              (lit(64) - col("n_regs")).cast("double"))).as(name))
-        def ballOf(b: DataFrame, name: String): DataFrame =
-          b.groupBy(col("u").as("doc_id")).agg(count(lit(1)).as(name))
-        val b1 = edges.select(col("src").as("u"), col("dst").as("w"))
-        val b2 = b1.join(edges.withColumnRenamed("dst", "w2"),
-            col("w") === col("src"))
-          .select(col("u"), col("w2").as("w")).distinct()
-        val b3 = b2.join(edges.withColumnRenamed("dst", "w2"),
-            col("w") === col("src"))
-          .select(col("u"), col("w2").as("w")).distinct()
-        val r1 = step(regs0); val r2 = step(r1); val r3 = step(r2)
+        def ballOf(r: Int, name: String): DataFrame =
+          anfBall(s, d, r).groupBy(col("u").as("doc_id"))
+            .agg(count(lit(1)).as(name))
+        def estOf(r: Int, name: String): DataFrame =
+          anfNodeEst(anfRegs(s, d, r), name)
         nodes
-          .join(ballOf(b1, "s1"), Seq("doc_id"))
-          .join(ballOf(b2, "s2"), Seq("doc_id"))
-          .join(ballOf(b3, "s3"), Seq("doc_id"))
-          .join(estOf(r1, "e1"), Seq("doc_id"))
-          .join(estOf(r2, "e2"), Seq("doc_id"))
-          .join(estOf(r3, "e3"), Seq("doc_id"))
+          .join(ballOf(1, "s1"), Seq("doc_id"))
+          .join(ballOf(2, "s2"), Seq("doc_id"))
+          .join(ballOf(3, "s3"), Seq("doc_id"))
+          .join(estOf(1, "e1"), Seq("doc_id"))
+          .join(estOf(2, "e2"), Seq("doc_id"))
+          .join(estOf(3, "e3"), Seq("doc_id"))
           .select(col("doc_id"), col("s1"), col("s2"), col("s3"),
             ((col("s1") - 1).cast("double") +
               (col("s2") - col("s1")).cast("double") / lit(2.0) +

@@ -10,6 +10,36 @@ object ScaleOps {
   import LlmKit.{strHash, strHashSql, MinhashP}
   import OpsKit._
 
+  /** Grouped phased CDF: exact cumulative weight per (key, v) with the
+    * group key in EVERY partitioning (q148's global shape, grouped) —
+    * no unpartitioned window anywhere. Shared by the KLL certification
+    * twins: q256 keys by source, q257 by window_start; a change to the
+    * 1024-bucket grid or the run/offset algebra reaches both gates.
+    * Input: (key, v double); output: (key, v, cw). */
+  private def groupedPhasedCdf(vals: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cdf = vals.groupBy(col(key), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val bounds = cdf.groupBy(col(key))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val keyed = cdf.join(broadcast(bounds), key).withColumn("b",
+      when(col("hi") > col("lo"), least(lit(1023),
+        floor((col("v") - col("lo")) * 1024.0 / (col("hi") - col("lo")))
+          .cast("int"))).otherwise(lit(0)))
+    val run = keyed.withColumn("rc",
+      sum(col("c")).over(Window.partitionBy(col(key), col("b"))
+        .orderBy(col("v"))))
+    val off = keyed.groupBy(col(key), col("b"))
+      .agg(sum(col("c")).as("tb"))
+      .select(col(key), col("b"),
+        coalesce(sum(col("tb")).over(Window.partitionBy(col(key))
+          .orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("o"))
+    run.join(broadcast(off), Seq(key, "b"))
+      .select(col(key), col("v"), (col("rc") + col("o")).as("cw"))
+  }
+
   def all: Seq[NamedQuery] = Seq(
 
     // ----- q38: salted two-phase aggregation over skewed keys -------------
@@ -1596,28 +1626,9 @@ object ScaleOps {
             greatest(lit(1L), col("thr") - expr("n div 50")))
           .withColumn("thr_hi",
             least(col("n"), col("thr") + expr("n div 50")))
-        // exact per-group quantile witnesses: phased CDF with the group
-        // key in every partitioning (q148 shape, grouped)
-        val cdf = vals.groupBy(col("source"), col("v"))
-          .agg(count(lit(1)).as("c"))
-        val bounds = cdf.groupBy(col("source"))
-          .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
-        val keyed = cdf.join(broadcast(bounds), "source").withColumn("b",
-          when(col("hi") > col("lo"), least(lit(1023),
-            floor((col("v") - col("lo")) * 1024.0 / (col("hi") - col("lo")))
-              .cast("int"))).otherwise(lit(0)))
-        val run = keyed.withColumn("rc",
-          sum(col("c")).over(Window.partitionBy(col("source"), col("b"))
-            .orderBy(col("v"))))
-        val off = keyed.groupBy(col("source"), col("b"))
-          .agg(sum(col("c")).as("tb"))
-          .select(col("source"), col("b"),
-            coalesce(sum(col("tb")).over(Window.partitionBy(col("source"))
-              .orderBy(col("b"))
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-              .as("o"))
-        val cum = run.join(broadcast(off), Seq("source", "b"))
-          .select(col("source"), col("v"), (col("rc") + col("o")).as("cw"))
+        // exact per-group quantile witnesses: the shared grouped phased
+        // CDF (group key in every partitioning — q148 shape, grouped)
+        val cum = groupedPhasedCdf(vals, "source")
         // all three rank thresholds resolve in ONE pass over cum
         val exact = cum.join(broadcast(ests), "source")
           .groupBy(col("source"), col("p"))
@@ -1685,26 +1696,7 @@ object ScaleOps {
           date_format(window(col("ts"), "1 hour").getField("start"),
             OpsKit.TsFmt).as("w"),
           col("value").cast("double").as("v"))
-        val cdf = vals.groupBy(col("w"), col("v"))
-          .agg(count(lit(1)).as("c"))
-        val bounds = cdf.groupBy(col("w"))
-          .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
-        val keyed = cdf.join(broadcast(bounds), "w").withColumn("b",
-          when(col("hi") > col("lo"), least(lit(1023),
-            floor((col("v") - col("lo")) * 1024.0 / (col("hi") - col("lo")))
-              .cast("int"))).otherwise(lit(0)))
-        val run = keyed.withColumn("rc",
-          sum(col("c")).over(Window.partitionBy(col("w"), col("b"))
-            .orderBy(col("v"))))
-        val off = keyed.groupBy(col("w"), col("b"))
-          .agg(sum(col("c")).as("tb"))
-          .select(col("w"), col("b"),
-            coalesce(sum(col("tb")).over(Window.partitionBy(col("w"))
-              .orderBy(col("b"))
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-              .as("o"))
-        val cum = run.join(broadcast(off), Seq("w", "b"))
-          .select(col("w"), col("v"), (col("rc") + col("o")).as("cw"))
+        val cum = groupedPhasedCdf(vals, "w")
         // fresh aliases on the re-joined side: `exact` derives FROM
         // `ests`, so joining them back on same-exprId columns would be
         // ambiguous — the aliased projection mints new attribute ids

@@ -23,12 +23,33 @@ object Bench {
       case c => c.toString
     } + "\""
     var errors = List.empty[(String, String)]
+    // Contention sentinel (r11 verdict item 2): BENCH_r11 recorded 269 s
+    // for a tree that re-times at ~153 s — a box-level contention episode
+    // spanned BOTH passes of min-of-2 and nothing in the record let the
+    // driver see it. Defense: re-time ONE fixed cheap reference query at
+    // the start, after every ~25 queries, and at the end. On an idle box
+    // its times are flat (it reads a few MB of parquet, warm after the
+    // first run); under the contention that poisoned r11 the worst
+    // observations were 5–13× the clean ones, so a max/min spread > 3×
+    // is machine-readable evidence the battery is contaminated and the
+    // headline total should be re-measured, not believed.
+    val sentinelName = "q01_scan_project"
+    val sentinelFn = SparkEntry.queries(sentinelName)
+    sentinelFn(spark, sfDir).count() // warm: footer + codegen off the clock
+    var sentinelTimes = List.empty[Double]
+    def sentinel(): Unit = {
+      val t0 = System.nanoTime()
+      try sentinelFn(spark, sfDir).count() catch { case _: Throwable => () }
+      sentinelTimes ::= (System.nanoTime() - t0) / 1e9
+    }
+    sentinel()
     // min-of-2 PER QUERY (second pass immediately after the first, not a
     // second battery): this box's run-to-run noise is ±25% (SCALING.md),
     // and a single-pass battery has printed 19.3 s for a query that runs
     // in 1.3 s isolated (BENCH_r09 q176). The min is the signal the 2×
     // regression gate should read; the honest first-pass total (which
     // includes every cache-cold cost exactly once) is reported alongside.
+    var sinceSentinel = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
@@ -50,21 +71,37 @@ object Bench {
           val (second, secondOk) = once()
           if (secondOk) math.min(first, second) else first
         }
+      sinceSentinel += 1
+      if (sinceSentinel >= 25) { sinceSentinel = 0; sentinel() }
       (name, best, first)
     }
+    sentinel()
+    val sTimes = sentinelTimes.reverse
+    val sentinelSpread =
+      if (sTimes.exists(_ > 0)) sTimes.max / sTimes.filter(_ > 0).min
+      else 1.0
+    val contended = sentinelSpread > 3.0
     // ms precision keeps the 80+-query JSON line compact (full double
     // reprs nearly double its length for no information)
     def ms(v: Double): Double = math.round(v * 1000) / 1000.0
     val qs = results.map { case (k, v, _) => s"${jstr(k)}:${ms(v)}" }
       .mkString("{", ",", "}")
+    // per-query first/best ratio (BENCH_FULL only): a clean battery sits
+    // near 1–2 (cache-cold first pass); a cluster of queries at 5–10×
+    // localizes WHEN a contention episode hit even if the sentinel's
+    // 25-query grid straddled it
+    val ratios = results.collect { case (k, b, f) if b > 0 =>
+      s"${jstr(k)}:${math.round(f / b * 100) / 100.0}"
+    }.mkString("{", ",", "}")
     val es = errors.reverse.map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalFirst = results.map(_._3).sum
+    val sentinelJson = s""""sentinel":{"query":${jstr(sentinelName)},"times":${sTimes.map(ms).mkString("[", ",", "]")},"spread":${math.round(sentinelSpread * 100) / 100.0},"contended":$contended}"""
     // stop FIRST, print LAST: nothing (not even executor-shutdown noise)
     // may follow the result lines the driver tail-captures
     spark.stop()
-    val full = s"""{"metric":"total","value":${ms(total)},"unit":"sec","timing":"min-of-2 per query","total_first_pass":${ms(totalFirst)},"queries":$qs,"errors":$es,"n_errors":${errors.size},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${ms(total)},"unit":"sec","timing":"min-of-2 per query","total_first_pass":${ms(totalFirst)},"contended":$contended,$sentinelJson,"queries":$qs,"first_best_ratio":$ratios,"errors":$es,"n_errors":${errors.size},"sf":"$sfDir"}"""
     // The driver stores only a ~2.5 KB TAIL of this output; at 105 queries
     // the full record is ~3.3 KB, so its head (metric/value) fell out of
     // the window two rounds running ("parsed": null in BENCH_r05/r06).
@@ -80,11 +117,11 @@ object Bench {
     // null tail-scrape bug (4 rounds running) can't lose a 1-line file
     try {
       val w = new java.io.PrintWriter("BENCH_TOTAL.json", "UTF-8")
-      try w.println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","timing":"min-of-2 per query","total_first_pass":${ms(totalFirst)},"n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
+      try w.println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","timing":"min-of-2 per query","total_first_pass":${ms(totalFirst)},"contended":$contended,"sentinel_spread":${math.round(sentinelSpread * 100) / 100.0},"n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
       finally w.close()
     } catch { case _: Throwable => () }
     println(full)
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":{},"n_queries":${results.size},"errors":$es,"n_errors":${errors.size},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","contended":$contended,"queries":{},"n_queries":${results.size},"errors":$es,"n_errors":${errors.size},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     if (errors.nonEmpty) sys.exit(1)
   }
 }

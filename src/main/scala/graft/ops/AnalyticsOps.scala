@@ -618,8 +618,11 @@ object AnalyticsOps {
 
     // ----- q140: Kaplan–Meier survival (time-to-conversion) ---------------
     // The right-censoring-aware lifetime curve a raw duration histogram
-    // gets wrong: subjects are users, the event is their first purchase,
-    // users who never purchase are CENSORED at their last observed event
+    // gets wrong: subjects are users, the event is their first HIGH-VALUE
+    // purchase (value > 150 — q178's outcome; bare purchase saturates at
+    // small SF and left the censored count identically zero, r12
+    // degeneracy sweep — a KM curve with no censoring is just an ECDF),
+    // users who never convert are CENSORED at their last observed event
     // (they contribute to the at-risk denominator until they leave, not
     // as fake conversions). Durations are integer hours from exact
     // microsecond arithmetic (unix_micros / epoch_us, floor-div — no
@@ -632,7 +635,15 @@ object AnalyticsOps {
     // fold NESTING is mirrored token-for-token in the oracle, so the
     // doubles are bit-identical even though float multiply is not
     // associative. Censored-only durations carry factor exactly 1.0
-    // (d = 0) and drop out of the reported steps but not the risk set.
+    // (d = 0) and drop out of the reported steps but not the risk set;
+    // the reported `c` is the LIFE-TABLE interval count — censorings in
+    // [t_i, t_{i+1}) roll up to event time t_i (exact-hour censored
+    // counts almost never coincide with an event hour, which left `c`
+    // identically zero — r12 degeneracy sweep; the interval form is
+    // also what the standard KM table prints). The anchor assignment is
+    // a running max of event-durs through the same phased two-level
+    // window shape as the risk counts — no unpartitioned window over
+    // anything SF-scaling.
     NamedQuery(
       "q140_kaplan_meier",
       (s, d) => {
@@ -640,7 +651,8 @@ object AnalyticsOps {
         val subj = events(s, d)
           .groupBy(col("user_id"))
           .agg(min(unix_micros(col("ts"))).as("t0"),
-            min(when(col("event_type") === "purchase",
+            min(when(col("event_type") === "purchase" &&
+              col("value") > 150.0,
               unix_micros(col("ts")))).as("tp"),
             max(unix_micros(col("ts"))).as("tl"))
           .select(expr("(coalesce(tp, tl) - t0) div 3600000000").as("dur"),
@@ -681,15 +693,39 @@ object AnalyticsOps {
           .withColumn("lp", collect_list(col("pb")).over(wOffP))
           .select(col("b"),
             aggregate(col("lp"), lit(1.0), (a, x) => a * x).as("po"))
+        // life-table censoring: anchor every dist row to the most recent
+        // event-duration ≤ it (within-bucket running max + bucket-level
+        // offset maxes — the same phased shape as the risk counts), then
+        // roll censored counts up to their anchor
+        val wCum = Window.partitionBy(col("b")).orderBy(col("dur"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wOffEv = Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bm = dist.groupBy(col("b"))
+          .agg(max(when(col("d") > 0, col("dur"))).as("bmax"))
+          .withColumn("oev", max(col("bmax")).over(wOffEv))
+          .select(col("b"), col("oev"))
+        val cint = dist
+          .withColumn("lastin",
+            max(when(col("d") > 0, col("dur"))).over(wCum))
+          .join(broadcast(bm), "b")
+          .withColumn("anchor",
+            greatest(coalesce(col("lastin"), lit(-1L)),
+              coalesce(col("oev"), lit(-1L))))
+          .filter(col("anchor") >= 0)
+          .groupBy(col("anchor")).agg(sum(col("c")).as("ci"))
         pre.join(broadcast(offp), "b")
           .filter(col("d") > 0)
-          .select(col("dur"), col("d"), col("c"), col("n_risk"),
+          .join(broadcast(cint.select(col("anchor").as("dur"),
+            col("ci"))), Seq("dur"), "left")
+          .select(col("dur"), col("d"),
+            coalesce(col("ci"), lit(0L)).as("c"), col("n_risk"),
             (col("po") * col("pre")).as("surv"))
       },
       Some("""WITH s0 AS (
              |  SELECT user_id, min(epoch_us(ts)) AS t0,
-             |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts)
-             |        END) AS tp,
+             |    min(CASE WHEN event_type = 'purchase' AND value > 150.0
+             |        THEN epoch_us(ts) END) AS tp,
              |    max(epoch_us(ts)) AS tl
              |  FROM events GROUP BY user_id),
              |subj AS (
@@ -736,9 +772,20 @@ object AnalyticsOps {
              |      coalesce(list(pb) OVER (ORDER BY b
              |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
              |        CAST([] AS DOUBLE[]))), (a, x) -> a * x) AS po
-             |  FROM bp)
-             |SELECT dur, d, c, n_risk, po * pre AS surv
-             |FROM pre JOIN offp USING (b)
+             |  FROM bp),
+             |anch AS (
+             |  SELECT dur, d, c,
+             |    max(CASE WHEN d > 0 THEN dur END) OVER (ORDER BY dur
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS anchor
+             |  FROM dist),
+             |cint AS (
+             |  SELECT anchor AS dur, CAST(SUM(c) AS BIGINT) AS ci
+             |  FROM anch WHERE anchor IS NOT NULL GROUP BY anchor)
+             |SELECT p.dur, p.d, CAST(coalesce(ci.ci, 0) AS BIGINT) AS c,
+             |  p.n_risk, po * pre AS surv
+             |FROM pre p JOIN offp USING (b)
+             |LEFT JOIN cint ci ON ci.dur = p.dur
              |WHERE d > 0""".stripMargin)),
 
     // ----- q143: market-basket association rules (A-Priori 2-itemsets) ----
@@ -1570,7 +1617,9 @@ object AnalyticsOps {
     // q140 draws the curve; the log-rank test (Mantel 1966) answers the
     // question the curve raises: do the two arms' time-to-conversion
     // distributions actually DIFFER? Same subjects/censoring as q140
-    // (first purchase = event, last-seen = censor), arms by id parity
+    // (first HIGH-VALUE purchase = event — kept in lockstep with q140's
+    // r12 de-degeneration so the family shares one outcome definition —
+    // last-seen = censor), arms by id parity
     // (q178's assignment). At each event time: observed-vs-expected arm-A
     // events under the shared-hazard null, hypergeometric variance,
     // χ²₁ = (Σ(O−E))²/ΣV, significance at 3.841. All at-risk counts come
@@ -1585,7 +1634,8 @@ object AnalyticsOps {
         val subj = events(s, d)
           .groupBy(col("user_id"))
           .agg(min(unix_micros(col("ts"))).as("t0"),
-            min(when(col("event_type") === "purchase",
+            min(when(col("event_type") === "purchase" &&
+              col("value") > 150.0,
               unix_micros(col("ts")))).as("tp"),
             max(unix_micros(col("ts"))).as("tl"))
           .select(expr("(coalesce(tp, tl) - t0) div 3600000000").as("dur"),
@@ -1644,7 +1694,7 @@ object AnalyticsOps {
              |  FROM (
              |    SELECT user_id % 2 = 0 AS grp_a,
              |      MIN(epoch_us(ts)) AS t0,
-             |      MIN(CASE WHEN event_type = 'purchase'
+             |      MIN(CASE WHEN event_type = 'purchase' AND value > 150.0
              |        THEN epoch_us(ts) END) AS tp,
              |      MAX(epoch_us(ts)) AS tl
              |    FROM events GROUP BY user_id)),
@@ -3689,12 +3739,17 @@ object AnalyticsOps {
     NamedQuery(
       "q246_decile_lift",
       (s, d) => {
+        // outcome = HIGH-VALUE purchase (q178's target): bare "ever
+        // purchased" is all-ones at small SF (the r12 degeneracy sweep
+        // caught rate = lift = 1.0 in every decile — a gains table
+        // certifying nothing)
         import org.apache.spark.sql.expressions.Window
         val perUser = events(s, d)
           .groupBy(col("user_id"))
           .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
             .as("score"),
-            max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            max(when(col("event_type") === "purchase" &&
+              col("value") > 150.0, 1L).otherwise(0L))
               .as("pos"))
         val dist = perUser.groupBy(col("score"))
           .agg(count(lit(1)).as("c"))
@@ -3727,7 +3782,8 @@ object AnalyticsOps {
              |  SELECT user_id,
              |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
              |      AS score,
-             |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |    MAX(CASE WHEN event_type = 'purchase' AND value > 150.0
+             |        THEN 1 ELSE 0 END)
              |      AS pos
              |  FROM events GROUP BY user_id),
              |dist AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS c
@@ -4043,23 +4099,35 @@ object AnalyticsOps {
 
     // ----- q259: calibration curve + Brier decomposition ------------------
     // Is the q121/q246 click-count predictor's probability CALIBRATED —
-    // does "p̂ = 0.3" purchase 30% of the time? The reliability diagram
+    // does "p̂ = 0.3" convert 30% of the time? The reliability diagram
     // (per-bin mean prediction vs empirical rate) plus the
     // Murphy (1973) Brier decomposition REL − RES + UNC. Prediction
     // p̂ = min(1, clicks/10), so the bin IS the capped click count —
-    // eleven integer bins, no float binning, and every decomposition
-    // numerator is exact integer arithmetic:
-    //   p̄_b − ȳ_b = (sc_b − 10·Y_b)/(10·n_b)   → rel_num = (sc_b−10·Y_b)²
-    //   ȳ_b − ȳ   = (Y_b·N − Y·n_b)/(n_b·N)    → res_num = (Y_b·N−Y·n_b)²
+    // eleven integer bins, no float binning. The OUTCOME is q178's
+    // high-value conversion (ever purchased with value > 150), not bare
+    // purchase: at small SF every sampled user purchases at least once,
+    // which collapses emp_rate/base_rate to 1.0 on every row and zeroes
+    // the resolution term — the decomposition would certify a tautology
+    // and half the output columns would never render a non-trivial
+    // value (r11 lesson; same hazard class as q248).
+    //   p̄_b − ȳ_b = (sc_b − 10·Y_b)/(10·n_b)   → rel_fac = sc_b·n̂ form
+    //   ȳ_b − ȳ   = (Y_b·N − Y·n_b)/(n_b·N)    → res_fac = Y_b·N − Y·n_b
     //   Brier     = Σ_u (sc_u − 10·y_u)² / (100·N) — integer numerator
-    // Per-bin SQUARED numerators ship instead of the summed double
-    // decomposition: an 11-term double Σ would hash-mismatch on
-    // engine-order ulps, the integers are exact in both engines
-    // (res_num through DECIMAL(38,0)/HUGEINT — Y_b·N ≤ ~1e10 at sf0.1,
-    // squared overflows BIGINT). The global Brier score and base rate
-    // broadcast onto every row as single identical IEEE divisions.
-    // Scale shape: one user-level aggregate (the q246 perUser), one
-    // 11-bin rollup, one 3-scalar broadcast — no window, no sort.
+    // The decomposition ships as UNSQUARED per-bin integer factors
+    // (rel_fac = bin·n_b − 10·Y_b, res_fac = Y_b·N − Y·n_b) plus the
+    // grand totals nt/yt, all BIGINT: a summed double Σ would
+    // hash-mismatch on engine-order ulps, and the r11 SQUARED variant
+    // needed a DECIMAL(38,0) column whose all-zero rendering was the
+    // only hash-red row of the round — and, per the round-11 advisor,
+    // its rel_num square silently wraps BIGINT once a bin holds ~1e9
+    // users. The factors are overflow-safe to any realistic corpus
+    // (|rel_fac| ≤ 10·n_b; |res_fac| ≤ Y_b·N ≤ N², exact in BIGINT to
+    // N ≈ 3e9 users — past that, the (nt, yt, n_pos, n_users) columns
+    // alone reconstruct RES exactly without any wide product).
+    // The global Brier score and base rate broadcast onto every row as
+    // single identical IEEE divisions. Scale shape: one user-level
+    // aggregate (the q246 perUser), one 11-bin rollup, one 3-scalar
+    // broadcast — no window, no sort.
     NamedQuery(
       "q259_calibration",
       (s, d) => {
@@ -4068,7 +4136,8 @@ object AnalyticsOps {
           .agg(least(lit(10L),
               sum(when(col("event_type") === "click", 1L).otherwise(0L)))
               .as("sc"),
-            max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            max(when(col("event_type") === "purchase" &&
+                col("value") > 150.0, 1L).otherwise(0L))
               .as("y"))
         val bins = perUser.groupBy(col("sc").as("bin"))
           .agg(count(lit(1)).as("n_users"), sum(col("y")).as("n_pos"),
@@ -4078,17 +4147,15 @@ object AnalyticsOps {
           sum(col("n_pos")).as("yt"), sum(col("bin_brier_num")).as("bn"))
         bins.crossJoin(broadcast(tot))
           .select(col("bin"), col("n_users"), col("n_pos"),
+            col("nt"), col("yt"),
             ((col("bin") * col("n_users")).cast("double") /
               (lit(10.0) * col("n_users").cast("double"))).as("mean_pred"),
             (col("n_pos").cast("double") / col("n_users").cast("double"))
               .as("emp_rate"),
-            ((col("bin") * col("n_users") - lit(10L) * col("n_pos")) *
-              (col("bin") * col("n_users") - lit(10L) * col("n_pos")))
-              .as("rel_num"),
-            (((col("n_pos") * col("nt") - col("yt") * col("n_users"))
-              .cast("decimal(38,0)")) *
-              ((col("n_pos") * col("nt") - col("yt") * col("n_users"))
-                .cast("decimal(38,0)"))).as("res_num"),
+            (col("bin") * col("n_users") - lit(10L) * col("n_pos"))
+              .as("rel_fac"),
+            (col("n_pos") * col("nt") - col("yt") * col("n_users"))
+              .as("res_fac"),
             (col("bn").cast("double") /
               (lit(100.0) * col("nt").cast("double"))).as("brier"),
             (col("yt").cast("double") / col("nt").cast("double"))
@@ -4099,7 +4166,7 @@ object AnalyticsOps {
              |    CAST(LEAST(10, SUM(CASE WHEN event_type = 'click'
              |                            THEN 1 ELSE 0 END)) AS BIGINT)
              |      AS sc,
-             |    MAX(CASE WHEN event_type = 'purchase'
+             |    MAX(CASE WHEN event_type = 'purchase' AND value > 150.0
              |             THEN 1 ELSE 0 END) AS y
              |  FROM events GROUP BY user_id),
              |b AS (
@@ -4111,16 +4178,13 @@ object AnalyticsOps {
              |t AS (SELECT CAST(SUM(n_users) AS BIGINT) AS nt,
              |        CAST(SUM(n_pos) AS BIGINT) AS yt,
              |        CAST(SUM(bin_brier_num) AS BIGINT) AS bn FROM b)
-             |SELECT b.bin, b.n_users, b.n_pos,
+             |SELECT b.bin, b.n_users, b.n_pos, t.nt, t.yt,
              |  CAST(b.bin * b.n_users AS DOUBLE)
              |    / (10.0 * CAST(b.n_users AS DOUBLE)) AS mean_pred,
              |  CAST(b.n_pos AS DOUBLE) / CAST(b.n_users AS DOUBLE)
              |    AS emp_rate,
-             |  CAST((b.bin * b.n_users - 10 * b.n_pos)
-             |    * (b.bin * b.n_users - 10 * b.n_pos) AS BIGINT) AS rel_num,
-             |  CAST(CAST(b.n_pos * t.nt - t.yt * b.n_users AS HUGEINT)
-             |    * CAST(b.n_pos * t.nt - t.yt * b.n_users AS HUGEINT)
-             |    AS DECIMAL(38,0)) AS res_num,
+             |  CAST(b.bin * b.n_users - 10 * b.n_pos AS BIGINT) AS rel_fac,
+             |  CAST(b.n_pos * t.nt - t.yt * b.n_users AS BIGINT) AS res_fac,
              |  CAST(t.bn AS DOUBLE) / (100.0 * CAST(t.nt AS DOUBLE))
              |    AS brier,
              |  CAST(t.yt AS DOUBLE) / CAST(t.nt AS DOUBLE) AS base_rate
@@ -4404,5 +4468,224 @@ object AnalyticsOps {
            |       ELSE CAST(0.0 AS DOUBLE) END AS attribution_share
            |FROM rem CROSS JOIN rt""".stripMargin
       }),
+
+    // ----- q272: exact Shapley-value channel attribution ------------------
+    // q271's Markov removal effects are one attribution model; the
+    // other canonical one is the Shapley value (Shapley 1953) over
+    // channel coalitions — the UNIQUE credit split satisfying
+    // efficiency/symmetry/dummy. Exact, not sampled: with 4 channels
+    // (click/view/signup/error — purchase is the OUTCOME) there are
+    // only 16 coalitions, so the full sum runs over a 16-row table.
+    // Channel exposure is the EARLY JOURNEY (a user's first 4 events by
+    // ts): "ever touched" is degenerate on this data — every sf0.01
+    // user touches all four types eventually (measured; the q259
+    // all-ones lesson applied at design time) — while the first-4 mask
+    // spreads users over all 15 nonempty coalitions. v(S) = converted
+    // users (high-value purchase, q178's outcome) whose early mask ⊆ S:
+    // the conversions coalition S can claim end-to-end. Shapley with
+    // n=4: φ_i = (1/24)·Σ_{S∌i} |S|!·(3−|S|)!·[v(S∪i)−v(S)] — weights
+    // {6,2,2,6} by |S|, φ ships as the exact BIGINT numerator φ_num
+    // (= 24·φ) plus the single-division double. Efficiency invariant
+    // Σφ_num = 24·v(full) is spec-asserted. Scale shape: one per-user
+    // window (partitioned by user_id — linear), one ≤16-row mask
+    // rollup; everything downstream lives on broadcast 16-row tables.
+    NamedQuery(
+      "q272_shapley_attribution",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        def early(t: String): org.apache.spark.sql.Column =
+          max(when(col("rn") <= 4 && col("event_type") === t, 1L)
+            .otherwise(0L))
+        val u = events(s, d)
+          .select(col("user_id"), col("event_type"), col("value"),
+            col("ts"), col("event_id"))
+          .withColumn("rn", row_number().over(w))
+          .groupBy(col("user_id"))
+          .agg((early("click") + lit(2L) * early("view") +
+            lit(4L) * early("signup") + lit(8L) * early("error"))
+            .as("mask"),
+            max(when(col("event_type") === "purchase" &&
+              col("value") > 150.0, 1L).otherwise(0L)).as("conv"))
+        val mc = u.groupBy(col("mask")).agg(sum(col("conv")).as("nc"))
+        val coal = s.range(16).select(col("id").as("sset"))
+        val vS = coal.join(broadcast(mc),
+            col("mask").bitwiseAND(col("sset")) === col("mask"), "left")
+          .groupBy(col("sset"))
+          .agg(coalesce(sum(col("nc")), lit(0L)).as("v"))
+        val ch = s.range(4).select(
+          when(col("id") === 0, "click").when(col("id") === 1, "view")
+            .when(col("id") === 2, "signup").otherwise("error")
+            .as("channel"),
+          when(col("id") === 0, 1L).when(col("id") === 1, 2L)
+            .when(col("id") === 2, 4L).otherwise(8L).as("bit"))
+        val terms = ch.crossJoin(broadcast(vS))
+          .filter(col("sset").bitwiseAND(col("bit")) === 0)
+          .join(broadcast(vS.select(col("sset").as("s1"),
+            col("v").as("v1"))),
+            col("s1") === col("sset").bitwiseOR(col("bit")))
+          .withColumn("wgt",
+            when(expr("bit_count(sset)") === 0, 6L)
+              .when(expr("bit_count(sset)") === 3, 6L).otherwise(2L))
+        val phi = terms.groupBy(col("channel"))
+          .agg(sum(col("wgt") * (col("v1") - col("v"))).as("phi_num"))
+        val tot = vS.filter(col("sset") === 15)
+          .select(col("v").as("v_full"))
+        phi.crossJoin(broadcast(tot))
+          .select(col("channel"), col("phi_num"),
+            (col("phi_num").cast("double") / lit(24.0)).as("phi"),
+            col("v_full"),
+            when(col("v_full") > 0, col("phi_num").cast("double") /
+              (lit(24.0) * col("v_full").cast("double")))
+              .otherwise(lit(0.0)).as("share"))
+      },
+      Some("""WITH r AS (
+             |  SELECT user_id, event_type, value,
+             |    row_number() OVER (PARTITION BY user_id
+             |                       ORDER BY ts, event_id) AS rn
+             |  FROM events),
+             |u AS (
+             |  SELECT user_id,
+             |    MAX(CASE WHEN rn <= 4 AND event_type = 'click'
+             |             THEN 1 ELSE 0 END)
+             |    + 2 * MAX(CASE WHEN rn <= 4 AND event_type = 'view'
+             |              THEN 1 ELSE 0 END)
+             |    + 4 * MAX(CASE WHEN rn <= 4 AND event_type = 'signup'
+             |              THEN 1 ELSE 0 END)
+             |    + 8 * MAX(CASE WHEN rn <= 4 AND event_type = 'error'
+             |              THEN 1 ELSE 0 END) AS mask,
+             |    MAX(CASE WHEN event_type = 'purchase' AND value > 150.0
+             |             THEN 1 ELSE 0 END) AS conv
+             |  FROM r GROUP BY user_id),
+             |mc AS (SELECT mask, CAST(SUM(conv) AS BIGINT) AS nc
+             |       FROM u GROUP BY mask),
+             |coal AS (SELECT CAST(range AS BIGINT) AS sset
+             |         FROM range(0, 16)),
+             |vs AS (
+             |  SELECT c.sset, CAST(COALESCE(SUM(m.nc), 0) AS BIGINT) AS v
+             |  FROM coal c LEFT JOIN mc m ON (m.mask & c.sset) = m.mask
+             |  GROUP BY c.sset),
+             |ch AS (SELECT * FROM (VALUES ('click', CAST(1 AS BIGINT)),
+             |         ('view', CAST(2 AS BIGINT)),
+             |         ('signup', CAST(4 AS BIGINT)),
+             |         ('error', CAST(8 AS BIGINT))) AS t(channel, bit)),
+             |terms AS (
+             |  SELECT ch.channel,
+             |    CASE WHEN bit_count(s0.sset) IN (0, 3) THEN 6
+             |         ELSE 2 END AS wgt,
+             |    s1.v - s0.v AS dv
+             |  FROM ch JOIN vs s0 ON (s0.sset & ch.bit) = 0
+             |  JOIN vs s1 ON s1.sset = (s0.sset | ch.bit)),
+             |phi AS (SELECT channel, CAST(SUM(wgt * dv) AS BIGINT)
+             |          AS phi_num
+             |        FROM terms GROUP BY channel),
+             |tot AS (SELECT v AS v_full FROM vs WHERE sset = 15)
+             |SELECT channel, phi_num,
+             |  CAST(phi_num AS DOUBLE) / 24.0 AS phi, v_full,
+             |  CASE WHEN v_full > 0
+             |       THEN CAST(phi_num AS DOUBLE)
+             |            / (24.0 * CAST(v_full AS DOUBLE))
+             |       ELSE 0.0 END AS share
+             |FROM phi CROSS JOIN tot""".stripMargin)),
+
+    // ----- q274: split-conformal prediction intervals ---------------------
+    // Distribution-free uncertainty for the per-type value predictor:
+    // fit μ_t on the even-event_id half, score residuals |v − μ_t| on
+    // the odd half, and take the per-type conformal quantile q̂_t = the
+    // ⌈(n_cal+1)(1−α)⌉-th smallest calibration residual (α = 0.1) —
+    // the split-conformal guarantee (Vovk et al. 2005; Lei et al. 2018)
+    // that a FRESH point's residual exceeds q̂_t with probability ≤ α,
+    // assuming exchangeability. The quantile is selected by VALUE, not
+    // by row: rank k over distinct residuals' cumulative counts, so
+    // tie order between equal doubles can't change the answer in
+    // either engine. μ_t is davg (exact decimal sum, one IEEE
+    // division), residuals are single-subtraction doubles — both
+    // engines bit-match. The model-half coverage audit ships in-result
+    // (n_train_cov / n_train): optimistic by construction (μ was fit
+    // on it) but the cheap sanity that the interval isn't absurd.
+    // Scale shape: two per-type aggregates, a broadcast μ join, one
+    // per-type-partitioned window over DISTINCT residual values —
+    // linear, no global sort.
+    NamedQuery(
+      "q274_conformal",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, d).select(col("event_id"), col("event_type"),
+          col("value"))
+        val train = ev.filter(col("event_id") % 2 === 0)
+        val mu = train.groupBy(col("event_type"))
+          .agg(davg(col("value")).as("mu"),
+            count(lit(1)).as("n_train"))
+        val cal = ev.filter(col("event_id") % 2 === 1)
+          .join(broadcast(mu.select(col("event_type"), col("mu"))),
+            Seq("event_type"))
+          .select(col("event_type"), abs(col("value") - col("mu"))
+            .as("r"))
+        val nk = cal.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_cal"))
+          .withColumn("k_rank", expr("((n_cal + 1) * 9 + 9) div 10"))
+        val cum = cal.groupBy(col("event_type"), col("r"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(
+            Window.partitionBy(col("event_type")).orderBy(col("r"))))
+        val q = cum.join(broadcast(nk), Seq("event_type"))
+          .filter(col("cum") >= col("k_rank"))
+          .groupBy(col("event_type")).agg(min(col("r")).as("qhat"))
+        val cov = train
+          .join(broadcast(mu.select(col("event_type"), col("mu"))),
+            Seq("event_type"))
+          .join(broadcast(q), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(sum(when(abs(col("value") - col("mu")) <= col("qhat"),
+            1L).otherwise(0L)).as("n_train_cov"))
+        nk.join(q, Seq("event_type"))
+          .join(mu.select(col("event_type"), col("n_train")),
+            Seq("event_type"))
+          .join(cov, Seq("event_type"))
+          .select(col("event_type"), col("n_cal"), col("k_rank"),
+            col("qhat"), col("n_train"), col("n_train_cov"),
+            (col("n_train_cov").cast("double") /
+              col("n_train").cast("double")).as("train_cov"))
+      },
+      Some(s"""WITH tr AS (
+             |  SELECT event_type, value FROM events
+             |  WHERE event_id % 2 = 0),
+             |mu AS (
+             |  SELECT event_type, ${davgSql("value")} AS mu,
+             |    CAST(COUNT(*) AS BIGINT) AS n_train
+             |  FROM tr GROUP BY event_type),
+             |cal AS (
+             |  SELECT e.event_type, abs(e.value - mu.mu) AS r
+             |  FROM events e JOIN mu USING (event_type)
+             |  WHERE e.event_id % 2 = 1),
+             |nk AS (
+             |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cal,
+             |    CAST(((COUNT(*) + 1) * 9 + 9) // 10 AS BIGINT) AS k_rank
+             |  FROM cal GROUP BY event_type),
+             |rv AS (SELECT event_type, r, COUNT(*) AS c
+             |       FROM cal GROUP BY event_type, r),
+             |cum AS (
+             |  SELECT event_type, r,
+             |    SUM(c) OVER (PARTITION BY event_type ORDER BY r) AS cum
+             |  FROM rv),
+             |q AS (
+             |  SELECT c.event_type, MIN(c.r) AS qhat
+             |  FROM cum c JOIN nk USING (event_type)
+             |  WHERE c.cum >= nk.k_rank GROUP BY c.event_type),
+             |cov AS (
+             |  SELECT tr.event_type,
+             |    CAST(SUM(CASE WHEN abs(tr.value - mu.mu) <= q.qhat
+             |             THEN 1 ELSE 0 END) AS BIGINT) AS n_train_cov
+             |  FROM tr JOIN mu USING (event_type)
+             |  JOIN q USING (event_type)
+             |  GROUP BY tr.event_type)
+             |SELECT nk.event_type, nk.n_cal, nk.k_rank, q.qhat,
+             |  mu.n_train, cov.n_train_cov,
+             |  CAST(cov.n_train_cov AS DOUBLE)
+             |    / CAST(mu.n_train AS DOUBLE) AS train_cov
+             |FROM nk JOIN q USING (event_type)
+             |JOIN mu USING (event_type)
+             |JOIN cov USING (event_type)""".stripMargin)),
   )
 }

@@ -541,7 +541,7 @@ object CurationOps {
               |k AS (
               |  SELECT 1700000000 + doc_id * 60 AS tsec,
               |    (n_toks BETWEEN 40 AND 100000
-              |     AND sum_len >= n_toks * 3 AND sum_len <= n_toks * 10
+              |     AND sum_len >= n_toks * 3 AND sum_len * 2 <= n_toks * 9
               |     AND n_stop >= 2 AND top_c * 5 <= n_toks) AS keep
               |  FROM agg)
               |SELECT strftime(make_timestamp((tsec - (tsec % 3600))
@@ -1292,15 +1292,27 @@ object CurationOps {
     // binomial noise means trust the sources more, not less): the
     // standard eBay/baseball-card estimator, no conjugate-prior
     // integral anywhere, just moments. Quality = "document ≥ 200
-    // chars". Rank movement between raw and shrunk IS the output — the
-    // sources the naive ranking oversold. Source-bounded everything
-    // after one corpus rollup; the 20-term variance rides the dsum
-    // grid; ranks are windows over 20 rows.
+    // chars", measured on a DELIBERATELY unequal per-source subsample
+    // (keep md5(doc_id) % 4 < (md5(source) % 3) + 1 → 25/50/75% rates;
+    // the inclusion key is a doc_id HASH because raw doc_id % 4 is
+    // CONSTANT within a source — ids are dealt round-robin mod 20 — so
+    // the unhashed form kept sources all-or-nothing):
+    // the generator gives every source the same n, and with equal n
+    // beta-binomial shrinkage is order-preserving BY ALGEBRA — every
+    // rank_move was structurally zero (r12 degeneracy sweep). Unequal
+    // evidence is the regime the estimator exists for (the winner's
+    // curse needs a small-n source to get lucky). Rank movement
+    // between raw and shrunk IS the output — the sources the naive
+    // ranking oversold. Source-bounded everything after one corpus
+    // rollup; the 20-term variance rides the dsum grid; ranks are
+    // windows over 20 rows.
     NamedQuery(
       "q250_eb_shrinkage",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val bySrc = OpsKit.tbl(s, d, "documents")
+          .filter(LlmKit.strHash(col("doc_id").cast("string")) % 4 <
+            LlmKit.strHash(col("source")) % 3 + 1)
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n"),
             sum(when(col("n_chars") >= 200, 1L).otherwise(0L)).as("k"))
@@ -1344,7 +1356,10 @@ object CurationOps {
            |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
            |    CAST(SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
            |      AS BIGINT) AS k
-           |  FROM documents GROUP BY source),
+           |  FROM documents
+           |  WHERE ${LlmKit.strHashSql("CAST(doc_id AS VARCHAR)")} % 4
+           |    < ${LlmKit.strHashSql("source")} % 3 + 1
+           |  GROUP BY source),
            |g AS (
            |  SELECT
            |    CAST(SUM(k) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS p_bar,
@@ -1466,5 +1481,139 @@ object CurationOps {
            |    < CAST(1000000 AS HUGEINT) * p.num AS resampled
            |FROM pd p JOIN documents d ON d.doc_id = p.doc_id""".stripMargin
       }),
+
+    // ----- q273: leakage-safe K-fold target encoding -----------------------
+    // Target (mean) encoding of a high-cardinality categorical is the
+    // classic tabular-feature step — and the classic LEAK: encoding a
+    // row with a mean its own target contributed to lets the model read
+    // the label through the feature. The leakage-safe form encodes each
+    // fold with statistics from the OTHER K−1 folds only (plus additive
+    // smoothing toward the fold-excluded global prior, m = 10 — the
+    // Micci-Barreca 2001 construction). Everything is totals-minus-
+    // fold-totals: enc(seg, f) = (S_seg − S_seg,f + m·prior_f)
+    // / (n_seg − n_seg,f + m), prior_f = (S − S_f)/(n − n_f), with all
+    // sums decimal-exact (dsum) and each division a single fixed-order
+    // IEEE op — so both engines bit-match. Folds are pmod(o_orderkey,5):
+    // deterministic, reproducible, join-free. Scale shape: ONE pass
+    // builds the (seg × fold) grid (25 rows), the per-seg and per-fold
+    // margins REUSE that grid (no second scan), and the encoded table
+    // is grid-sized — the fact table is never shuffled at all beyond
+    // the one custkey join to fetch the segment.
+    NamedQuery(
+      "q273_target_encoding",
+      (s, d) => {
+        val m = lit(10.0)
+        val joined = tbl(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .join(tbl(s, d, "customer")
+            .select(col("c_custkey"), col("c_mktsegment")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"),
+            pmod(col("o_orderkey"), lit(5L)).as("fold"),
+            col("o_totalprice").as("y"))
+        val grid = joined.groupBy(col("seg"), col("fold"))
+          .agg(count(lit(1)).as("n_sf"), dsum(col("y")).as("s_sf"))
+        val bySeg = grid.groupBy(col("seg"))
+          .agg(sum(col("n_sf")).as("n_s"),
+            dsum(col("s_sf")).as("s_s"))
+        val byFold = grid.groupBy(col("fold"))
+          .agg(sum(col("n_sf")).as("n_f"),
+            dsum(col("s_sf")).as("s_f"))
+        val tot = grid.agg(sum(col("n_sf")).as("n_all"),
+          dsum(col("s_sf")).as("s_all"))
+        val prior = byFold.crossJoin(broadcast(tot))
+          .select(col("fold"), ((col("s_all") - col("s_f")) /
+            (col("n_all") - col("n_f")).cast("double")).as("prior_f"))
+        grid.join(broadcast(bySeg), Seq("seg"))
+          .join(broadcast(prior), Seq("fold"))
+          .select(col("seg"), col("fold"),
+            (col("n_s") - col("n_sf")).as("n_out"),
+            (((col("s_s") - col("s_sf")) + m * col("prior_f")) /
+              ((col("n_s") - col("n_sf")).cast("double") + m)).as("enc"),
+            col("prior_f"))
+      },
+      Some(s"""WITH j AS (
+             |  SELECT c.c_mktsegment AS seg, o.o_orderkey % 5 AS fold,
+             |    o.o_totalprice AS y
+             |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+             |grid AS (
+             |  SELECT seg, fold, CAST(COUNT(*) AS BIGINT) AS n_sf,
+             |    ${dsumSql("y")} AS s_sf
+             |  FROM j GROUP BY seg, fold),
+             |bseg AS (
+             |  SELECT seg, CAST(SUM(n_sf) AS BIGINT) AS n_s,
+             |    ${dsumSql("s_sf")} AS s_s
+             |  FROM grid GROUP BY seg),
+             |bfold AS (
+             |  SELECT fold, CAST(SUM(n_sf) AS BIGINT) AS n_f,
+             |    ${dsumSql("s_sf")} AS s_f
+             |  FROM grid GROUP BY fold),
+             |tot AS (SELECT CAST(SUM(n_sf) AS BIGINT) AS n_all,
+             |    ${dsumSql("s_sf")} AS s_all FROM grid),
+             |prior AS (
+             |  SELECT fold, (s_all - s_f)
+             |    / CAST(n_all - n_f AS DOUBLE) AS prior_f
+             |  FROM bfold CROSS JOIN tot)
+             |SELECT g.seg, g.fold, b.n_s - g.n_sf AS n_out,
+             |  ((b.s_s - g.s_sf) + 10.0 * p.prior_f)
+             |    / (CAST(b.n_s - g.n_sf AS DOUBLE) + 10.0) AS enc,
+             |  p.prior_f
+             |FROM grid g JOIN bseg b USING (seg)
+             |JOIN prior p USING (fold)""".stripMargin)),
+
+    // ----- q276: leave-one-source-out ablation table ------------------------
+    // The data-mixing question every corpus owner asks before retraining:
+    // "what does dropping source s do to the corpus profile?" Computed
+    // WITHOUT 20 re-scans: one per-source rollup (n_docs, exact char
+    // sum, quality-gate passes at n_chars ≥ 200), then every
+    // leave-one-out metric is totals-minus-group arithmetic on the
+    // broadcast grand total — the same O(sources) trick as q273's fold
+    // exclusion, and the only shape that survives when "source" has
+    // thousands of values over 100 TB. Integer sums exact; each shipped
+    // rate/mean is one fixed-order IEEE division; delta_mean is a single
+    // subtraction of two such doubles — engine-exact throughout.
+    NamedQuery(
+      "q276_source_ablation",
+      (s, d) => {
+        val perSrc = tbl(s, d, "documents")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(when(col("n_chars") >= 200, 1L).otherwise(0L))
+              .as("n_pass"))
+        val tot = perSrc.agg(sum(col("n_docs")).as("nt"),
+          sum(col("sum_chars")).as("ct"), sum(col("n_pass")).as("pt"))
+        perSrc.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"),
+            ((col("ct") - col("sum_chars")).cast("double") /
+              (col("nt") - col("n_docs")).cast("double"))
+              .as("excl_mean_chars"),
+            ((col("pt") - col("n_pass")).cast("double") /
+              (col("nt") - col("n_docs")).cast("double"))
+              .as("excl_pass_rate"),
+            (((col("ct") - col("sum_chars")).cast("double") /
+              (col("nt") - col("n_docs")).cast("double")) -
+              (col("ct").cast("double") / col("nt").cast("double")))
+              .as("delta_mean_chars"))
+      },
+      Some("""WITH p AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             |    CAST(SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+             |         AS BIGINT) AS n_pass
+             |  FROM documents GROUP BY source),
+             |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nt,
+             |        CAST(SUM(sum_chars) AS BIGINT) AS ct,
+             |        CAST(SUM(n_pass) AS BIGINT) AS pt FROM p)
+             |SELECT p.source, p.n_docs,
+             |  CAST(t.ct - p.sum_chars AS DOUBLE)
+             |    / CAST(t.nt - p.n_docs AS DOUBLE) AS excl_mean_chars,
+             |  CAST(t.pt - p.n_pass AS DOUBLE)
+             |    / CAST(t.nt - p.n_docs AS DOUBLE) AS excl_pass_rate,
+             |  (CAST(t.ct - p.sum_chars AS DOUBLE)
+             |    / CAST(t.nt - p.n_docs AS DOUBLE))
+             |  - (CAST(t.ct AS DOUBLE) / CAST(t.nt AS DOUBLE))
+             |    AS delta_mean_chars
+             |FROM p CROSS JOIN t""".stripMargin)),
   )
 }

@@ -104,11 +104,20 @@ object DedupOps {
       }),
 
     // ----- q29: exact n-gram Jaccard, one row per doc ---------------------
+    // Perturbation strength ALTERNATES by doc parity: even docs get the
+    // mild drop-first-token edit (jaccard ≈ (n−5)/n, above the 0.8
+    // near-dup bar), odd docs the heavy first-half truncation
+    // (jaccard ≈ 0.5, below it) — so is_near_dup genuinely varies. A
+    // single mild perturbation made the flag all-true at every SF (r12
+    // degeneracy sweep): a threshold no row can fail certifies nothing.
     NamedQuery(
       "q29_ngram_jaccard",
       (s, d) => {
+        val pert = when(col("doc_id") % 2 === 0,
+          dropFirstToken(col("text")))
+          .otherwise(firstHalfTokens(col("text")))
         val s1 = array_distinct(shingles(col("text")))
-        val s2 = array_distinct(shingles(dropFirstToken(col("text"))))
+        val s2 = array_distinct(shingles(pert))
         val icnt = size(array_intersect(s1, s2))
         val ucnt = size(s1) + size(s2) - icnt
         tbl(s, d, "documents").select(
@@ -117,8 +126,12 @@ object DedupOps {
           (icnt.cast("double") / ucnt >= 0.8).as("is_near_dup"))
       },
       Some {
+        val pertSql = s"""CASE WHEN doc_id % 2 = 0
+           | THEN ${dropFirstTokenSql("text")}
+           | ELSE ${firstHalfTokensSql("text")} END"""
+          .stripMargin.replace("\n", " ")
         val s1 = s"list_distinct(${shinglesSql("text")})"
-        val s2 = s"list_distinct(${shinglesSql(dropFirstTokenSql("text"))})"
+        val s2 = s"list_distinct(${shinglesSql(pertSql)})"
         val icnt = s"len(list_filter($s1, x -> list_contains($s2, x)))"
         val ucnt = s"(len($s1) + len($s2) - $icnt)"
         s"""SELECT doc_id, len($s1) AS n_shingles,
@@ -1100,14 +1113,20 @@ object DedupOps {
     // ground truth (id2 = id1 + 100000) over the family's shared LSH
     // candidate pairs, which is exactly how linkage deployments
     // bootstrap m/u from a reviewed sample. Four fields: length band,
-    // first token, token-count band, Jaccard ≥ 0.8. Laplace-smoothed
+    // first token, token-count band, Jaccard ≥ 0.95 (0.95, not 0.8: every
+    // LSH candidate pair on this corpus clears 0.8, so that cut made
+    // a_jac constant-true and the field informationless — the r12
+    // degeneracy sweep; at 0.95 the field splits ~5:1 at every SF).
+    // Laplace-smoothed
     // m/u keep every factor finite; each factor is a ratio of exact
     // integer products ((am+1)(U+2) / ((au+1)(M+2))), and w multiplies
     // the four factor doubles in FIXED field order — IEEE multiply is
     // exact-rounded and order-pinned, so w hash-matches the oracle with
     // no libm anywhere (cf. q52's discipline). Output: per-pair
-    // agreement vector, weight, and the w > 8 decision against ground
-    // truth. Scale: pairs are the LSH-capped candidate set; the m/u
+    // agreement vector, weight, and the w > 2 decision against ground
+    // truth (2, not the textbook-ish 8: the four weak fields cap the
+    // achievable weight near 5 on this corpus, so an unreachable cut
+    // made predicted_match constant-false — same sweep finding). Scale: pairs are the LSH-capped candidate set; the m/u
     // table is ONE global aggregate row broadcast back — two linear
     // passes over candidates, nothing quadratic.
     NamedQuery(
@@ -1133,7 +1152,7 @@ object DedupOps {
             (col("lb1") === col("lb2")).as("a_len"),
             (col("t1") === col("t2")).as("a_tok0"),
             (col("nb1") === col("nb2")).as("a_ntok"),
-            (col("jaccard") >= 0.8).as("a_jac"))
+            (col("jaccard") >= 0.95).as("a_jac"))
         val fields = Seq("a_len", "a_tok0", "a_ntok", "a_jac")
         val muCols =
           Seq(sum(when(col("is_match"), 1L).otherwise(0L)).as("m_tot"),
@@ -1159,7 +1178,7 @@ object DedupOps {
             col("a_len"), col("a_tok0"), col("a_ntok"), col("a_jac"),
             (factor("a_len") * factor("a_tok0") * factor("a_ntok") *
               factor("a_jac")).as("weight"))
-          .withColumn("predicted_match", col("weight") > 8.0)
+          .withColumn("predicted_match", col("weight") > 2.0)
       },
       Some {
         def factorSql(f: String): String =
@@ -1187,7 +1206,7 @@ object DedupOps {
            |    a1.len_band = a2.len_band AS a_len,
            |    a1.tok0 = a2.tok0 AS a_tok0,
            |    a1.ntok_band = a2.ntok_band AS a_ntok,
-           |    p.jaccard >= 0.8 AS a_jac
+           |    p.jaccard >= 0.95 AS a_jac
            |  FROM pairs p
            |  JOIN attrs a1 ON a1.doc_id = p.id1
            |  JOIN attrs a2 ON a2.doc_id = p.id2),
@@ -1209,7 +1228,7 @@ object DedupOps {
            |  ${factorSql("a_len")} * ${factorSql("a_tok0")}
            |    * ${factorSql("a_ntok")} * ${factorSql("a_jac")} AS weight,
            |  ${factorSql("a_len")} * ${factorSql("a_tok0")}
-           |    * ${factorSql("a_ntok")} * ${factorSql("a_jac")} > 8.0
+           |    * ${factorSql("a_ntok")} * ${factorSql("a_jac")} > 2.0
            |    AS predicted_match
            |FROM cmp c CROSS JOIN mu""".stripMargin
       }),

@@ -93,6 +93,11 @@ object GovernanceOps {
         // plan as BroadcastNestedLoopJoin, O(|pairs|·|evalIds|). The
         // exactly-one-side XOR filter drops eval-eval pairs in the same
         // pass, so no trailing anti-join is needed either.
+        // Direct lshCandidatePairs, NOT sharedPairs, on purpose: this
+        // corpus is train + planted-eval-mutant AUGMENTED (doc_id+200000
+        // rows above), a different document set than the family corpus
+        // the shared artifact is fingerprinted for — reusing it here
+        // would answer the wrong contamination question.
         lshCandidatePairs(corpus)
           .select(col("id1"), col("id2"), col("jaccard"))
           .join(broadcast(evalIds.select(col("eval_id").as("e1"))),
@@ -585,6 +590,10 @@ object GovernanceOps {
             dropFirstToken(col("text")).as("text")))
           .unionByName(docs.select((col("doc_id") + 200000).as("doc_id"),
             dropFirstToken(dropFirstToken(col("text"))).as("text")))
+        // Direct lshCandidatePairs, NOT sharedPairs, on purpose: the
+        // triangle fixture TRIPLES the corpus (two shifted-token copies
+        // per doc) to plant closable wedges — a different document set
+        // than the family corpus the shared artifact is keyed on.
         val e = lshCandidatePairs(corpus).select(col("id1"), col("id2"))
           .cache()
         val wedges = e.select(col("id1").as("a"), col("id2").as("b"))
@@ -684,6 +693,10 @@ object GovernanceOps {
         val evalIds = eval_.select(col("doc_id").as("eval_id"))
         // two broadcast equi-joins + XOR filter, not a disjunctive join
         // condition (which plans as BroadcastNestedLoopJoin) — see q45
+        // Direct lshCandidatePairs, NOT sharedPairs, on purpose: this
+        // corpus injects mutated src19 docs into TRAIN (the decontam
+        // scenario), so it is not the family corpus the shared pair
+        // artifact is fingerprinted for.
         val flagged = lshCandidatePairs(corpus)
           .join(broadcast(evalIds.select(col("eval_id").as("e1"))),
             col("id1") === col("e1"), "left")
@@ -957,6 +970,18 @@ object GovernanceOps {
     val path = artifactPath(d, tag)
     val dest = new org.apache.hadoop.fs.Path(path)
     val fs = fsFor(dest)
+    def touch(): Unit = try {
+      fs.create(new org.apache.hadoop.fs.Path(path, "_touched"), true)
+        .close()
+    } catch { case _: java.io.IOException => () } // advisory only
+    // Refresh the liveness marker BEFORE this JVM's own sweep and before
+    // the exists/read path (r11 advisor): on a SHARED scratch FS the
+    // liveKey exclusion below only protects THIS JVM's current key from
+    // THIS JVM's sweeper — another JVM sweeping a different key judges
+    // ours purely by file mtimes, so the freshness must be on disk
+    // before we commit to reading, not after. The residual window is
+    // one touch-to-read gap instead of an entire build-or-read cycle.
+    if (fs.exists(dest)) touch()
     gcScratchOnce(fs, liveKey = s"${dirFingerprint(d)}-$familyKey")
     if (!fs.exists(dest)) {
       val tmp = new org.apache.hadoop.fs.Path(
@@ -973,14 +998,12 @@ object GovernanceOps {
             "racing winner present; completed build left at the tmp path")
       }
     }
-    // liveness touch: parquet reads never bump any mtime, so record the
-    // USE explicitly — the GC below judges age by the newest file inside
-    // an entry, and this underscore file (invisible to Spark's reader,
-    // like CorpusPublish's _manifest) is refreshed on every access
-    try {
-      fs.create(new org.apache.hadoop.fs.Path(path, "_touched"), true)
-        .close()
-    } catch { case _: java.io.IOException => () } // advisory only
+    // liveness touch after publish too: parquet reads never bump any
+    // mtime, so record the USE explicitly — the GC judges age by the
+    // newest file inside an entry, and this underscore file (invisible
+    // to Spark's reader, like CorpusPublish's _manifest) is refreshed
+    // on every access
+    touch()
     s.read.parquet(path)
   }
 
@@ -995,10 +1018,17 @@ object GovernanceOps {
     * the marker a still-current artifact would age out while in active
     * use. Belt and braces: the CURRENT key (the fingerprint this very
     * call is about to read or publish) is never collected regardless of
-    * age, so a racing reader in another JVM can't lose the directory
-    * mid-scan to this one's sweep. */
-  private val scratchGcDone = new java.util.concurrent.atomic.AtomicBoolean
-  private def gcScratchOnce(fs: org.apache.hadoop.fs.FileSystem,
+    * age — a guarantee scoped to THIS JVM's sweep only. Cross-JVM, a
+    * different key's reader is protected by the touch-before-read in
+    * diskMemo (its marker refresh lands before it commits to reading),
+    * with a residual touch-to-read race window that a TTL measured in
+    * days makes practically unhittable; a scratch root shared by fleets
+    * with second-scale TTLs would need a real lease protocol instead.
+    * (private[graft] + resettable flag: GovernanceMemoSpec exercises the
+    * sweep directly — TTL eviction, marker liveness, live-key guard.) */
+  private[graft] val scratchGcDone =
+    new java.util.concurrent.atomic.AtomicBoolean
+  private[graft] def gcScratchOnce(fs: org.apache.hadoop.fs.FileSystem,
       liveKey: String): Unit = {
     if (!scratchGcDone.compareAndSet(false, true)) return
     val ttlMs = org.apache.spark.sql.SparkSession.getActiveSession
@@ -2015,13 +2045,17 @@ object GovernanceOps {
     // Distinct-l and the mode both come from ONE (class, sensitive)
     // rollup — corpus-touched once, classes are dimension-bounded, and
     // the per-class argmax is the partial-aggregable min(struct) idiom,
-    // never a window over raw rows.
+    // never a window over raw rows. Bands are 2500-wide and the policy
+    // is l >= 4: the original 1000-wide bands gave every ~12-customer
+    // class 3+ distinct values and the l >= 3 flag was all-true (r12
+    // degeneracy sweep) — a diversity audit no class can fail audits
+    // nothing; at 2500/l>=4 the sf0.01 classes split ~111:14.
     NamedQuery(
       "q221_l_diversity",
       (s, d) => {
         val cells = tbl(s, d, "customer")
           .select(col("c_nationkey"), col("c_mktsegment"),
-            floor(col("c_acctbal") / lit(1000.0)).cast("long")
+            floor(col("c_acctbal") / lit(2500.0)).cast("long")
               .as("bal_band"))
           .groupBy(col("c_nationkey"), col("c_mktsegment"),
             col("bal_band"))
@@ -2034,11 +2068,11 @@ object GovernanceOps {
             col("class_size"), col("l_distinct"),
             (col("modal_cnt").cast("double") /
               col("class_size").cast("double")).as("modal_share"),
-            (col("l_distinct") >= 3).as("l_diverse"))
+            (col("l_distinct") >= 4).as("l_diverse"))
       },
       Some("""WITH cells AS (
              |  SELECT c_nationkey, c_mktsegment,
-             |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             |    CAST(floor(c_acctbal / 2500.0) AS BIGINT) AS bal_band,
              |    CAST(COUNT(*) AS BIGINT) AS cnt
              |  FROM customer GROUP BY 1, 2, 3)
              |SELECT c_nationkey, c_mktsegment,
@@ -2046,7 +2080,7 @@ object GovernanceOps {
              |  CAST(COUNT(*) AS BIGINT) AS l_distinct,
              |  CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
              |    AS modal_share,
-             |  COUNT(*) >= 3 AS l_diverse
+             |  COUNT(*) >= 4 AS l_diverse
              |FROM cells GROUP BY c_nationkey, c_mktsegment"""
         .stripMargin)),
 

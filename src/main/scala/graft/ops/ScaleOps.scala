@@ -200,8 +200,14 @@ object ScaleOps {
     // The classic streaming frequency sketch, hand-rolled so BOTH engines
     // compute the identical structure (unlike q41's built-in HLL, whose
     // internals are engine-specific and get only a rows-only check):
-    // 4 rows × 512 counters, row r maps token hash h to bucket
-    // (A(r)·h + B(r)) mod P mod 512 with the same closed-form
+    // 4 rows × 16 counters — the width sits BELOW the corpus's 31-token
+    // vocabulary on purpose: at 100 TB the vocabulary always dwarfs the
+    // sketch width and collisions are the operating regime, but a 512-
+    // wide sketch over 31 types never collided and the overcount column
+    // was identically zero at every SF (r12 degeneracy sweep) — a CMS
+    // whose error path never executes certifies only half the sketch.
+    // Row r maps token hash h to bucket
+    // (A(r)·h + B(r)) mod P mod 16 with the same closed-form
     // coefficients the MinHash family uses — all integer arithmetic, so
     // the oracle hash-matches exactly. The sketch build is ONE partially-
     // aggregated groupBy over (row, bucket) — 2048 counters total no
@@ -212,7 +218,7 @@ object ScaleOps {
     NamedQuery(
       "q78_countmin",
       (s, d) => {
-        val W = 512
+        val W = 16
         def bucket(r: Int, h: org.apache.spark.sql.Column) = {
           val a = (1103515245L * (r + 1)) % MinhashP
           val b = (12345L + 2654435761L * r) % MinhashP
@@ -251,7 +257,7 @@ object ScaleOps {
         def bucketSql(r: Int): String = {
           val a = (1103515245L * (r + 1)) % MinhashP
           val b = (12345L + 2654435761L * r) % MinhashP
-          s"(($a * h + $b) % $MinhashP) % 512"
+          s"(($a * h + $b) % $MinhashP) % 16"
         }
         val cellList = (0 until 4)
           .map(r => s"{'r': $r, 'bkt': ${bucketSql(r)}}").mkString("[", ", ", "]")
@@ -2060,5 +2066,169 @@ object ScaleOps {
              |  v.sum_price = i.s_incr AS sums_consistent
              |FROM (SELECT * FROM terms UNION ALL SELECT * FROM vfull) u
              |CROSS JOIN vfull v CROSS JOIN incr i""".stripMargin)),
+
+    // ----- q277: histogram join-cardinality estimation --------------------
+    // "How big is the self-join before I run it?" — the question a
+    // planner (and an engineer about to launch a sessionization
+    // pair-join at 100 TB) answers from per-bucket key histograms, not
+    // by executing the join. Exact output size of events ⋈ events on
+    // user_id is Σ_u c_u²; the estimator sees only the 32-bucket
+    // rollup (c_b = events in bucket, d_b = distinct users) and applies
+    // the uniformity assumption within each bucket — est = Σ_b c_b²/d_b,
+    // exact precisely when every user in a bucket has the same count
+    // (the standard equi-depth-histogram bound from the selectivity-
+    // estimation literature, e.g. Ioannidis & Christodoulakis 1991 on
+    // when uniformity errs). The TRUE size ships alongside (this is the
+    // audit the sf data affords; at 100 TB you'd ship only the
+    // estimate) plus max_user_events, the heavy-hitter signal that says
+    // when per-key exact counts must replace the uniform tail. All
+    // counts BIGINT-exact; est is a 32-term dsum of single-division
+    // terms — engine-identical. Scale shape: one user rollup, one
+    // 32-row bucket rollup; nothing else.
+    NamedQuery(
+      "q277_join_card_est",
+      (s, d) => {
+        val per = events(s, d).groupBy(col("user_id"))
+          .agg(count(lit(1)).as("c"))
+        val truth = per.agg(count(lit(1)).as("n_users"),
+          sum(col("c")).as("n_events"),
+          sum(col("c") * col("c")).as("true_pairs"),
+          max(col("c")).as("max_user_events"))
+        val est = per
+          .groupBy(pmod(col("user_id"), lit(32L)).as("b"))
+          .agg(sum(col("c")).as("cb"), count(lit(1)).as("db"))
+          .agg(dsum((col("cb").cast("double") * col("cb").cast("double"))
+            / col("db").cast("double")).as("est_pairs"))
+        truth.crossJoin(broadcast(est))
+          .select(col("n_users"), col("n_events"), col("true_pairs"),
+            col("max_user_events"), col("est_pairs"),
+            ((col("est_pairs") - col("true_pairs").cast("double")) /
+              col("true_pairs").cast("double")).as("rel_err"))
+      },
+      Some(s"""WITH per AS (
+             |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM events GROUP BY user_id),
+             |truth AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             |    CAST(SUM(c) AS BIGINT) AS n_events,
+             |    CAST(SUM(c * c) AS BIGINT) AS true_pairs,
+             |    CAST(MAX(c) AS BIGINT) AS max_user_events
+             |  FROM per),
+             |bkt AS (
+             |  SELECT user_id % 32 AS b, CAST(SUM(c) AS BIGINT) AS cb,
+             |    CAST(COUNT(*) AS BIGINT) AS db
+             |  FROM per GROUP BY user_id % 32),
+             |est AS (
+             |  SELECT ${dsumSql(
+                 "(CAST(cb AS DOUBLE) * CAST(cb AS DOUBLE)) " +
+                 "/ CAST(db AS DOUBLE)")} AS est_pairs
+             |  FROM bkt)
+             |SELECT t.n_users, t.n_events, t.true_pairs,
+             |  t.max_user_events, e.est_pairs,
+             |  (e.est_pairs - CAST(t.true_pairs AS DOUBLE))
+             |    / CAST(t.true_pairs AS DOUBLE) AS rel_err
+             |FROM truth t CROSS JOIN est e""".stripMargin)),
+
+    // ----- q278: deterministic Bloom-filter anti-join ----------------------
+    // The existence-pruning pattern: instead of shuffling the whole
+    // fact side into a semi/anti join against a large key set, build an
+    // m-bit Bloom filter over the keys once, BROADCAST it, and let each
+    // fact partition drop non-members locally — false positives fall
+    // through to the exact join, false negatives are impossible. Here
+    // m = 8192, K = 3, and the bit positions are md5-derived
+    // (strHash("i:key") mod m) so the filter is bit-identical in both
+    // engines — no RNG, no engine hash. The filter is represented as
+    // the ≤m-row TABLE of set positions (the relational rendering of a
+    // bitmap: broadcast-joinable, oracle-checkable); membership = all K
+    // probe positions present. Output: the confusion summary — true
+    // members, Bloom passes, false positives, the n_true_pass ==
+    // n_true_members equality that CERTIFIES no-false-negatives as a
+    // varying value (not a constant-true column, per the degeneracy
+    // sweep), and the realized fp_rate to compare against the
+    // (1−e^{−Kn/m})^K design point. Scale: bits and the flagged set
+    // are the only broadcast state; candidates never shuffle.
+    NamedQuery(
+      "q278_bloom_antijoin",
+      (s, d) => {
+        val m = 8192L
+        def pos(key: org.apache.spark.sql.Column, i: Int) =
+          strHash(concat(lit(s"$i:"), key.cast("string"))) % m
+        def probes(key: org.apache.spark.sql.Column) =
+          array(pos(key, 0), pos(key, 1), pos(key, 2))
+        val flagged = tbl(s, d, "orders")
+          .filter(col("o_totalprice") > 400000.0)
+          .select(col("o_orderkey").as("k")).distinct()
+        val bits = flagged.select(explode(probes(col("k"))).as("pos"))
+          .distinct()
+        val cand = tbl(s, d, "lineitem")
+          .select(col("l_orderkey").as("k")).distinct()
+        val hits = cand.select(col("k"), explode(probes(col("k")))
+            .as("pos"))
+          .join(broadcast(bits), Seq("pos"))
+          .groupBy(col("k")).agg(count(lit(1)).as("nhit"))
+        val summary = cand
+          .join(broadcast(flagged.withColumn("is_true", lit(1L))),
+            Seq("k"), "left")
+          .join(hits, Seq("k"), "left")
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(coalesce(col("is_true"), lit(0L))).as("n_true_members"),
+            sum(when(col("nhit") === 3, 1L).otherwise(0L))
+              .as("n_bloom_pass"),
+            sum(when(col("nhit") === 3 && col("is_true").isNotNull, 1L)
+              .otherwise(0L)).as("n_true_pass"),
+            sum(when(col("nhit") === 3 && col("is_true").isNull, 1L)
+              .otherwise(0L)).as("n_false_pos"))
+        summary
+          .crossJoin(broadcast(bits.agg(count(lit(1)).as("bits_set"))))
+          .select(col("n_candidates"), col("n_true_members"),
+            col("n_bloom_pass"), col("n_true_pass"), col("n_false_pos"),
+            col("bits_set"),
+            when(col("n_candidates") > col("n_true_members"),
+              col("n_false_pos").cast("double") /
+                (col("n_candidates") - col("n_true_members"))
+                  .cast("double"))
+              .otherwise(lit(0.0)).as("fp_rate"))
+      },
+      Some({
+        def hp(i: String) =
+          s"${strHashSql(s"'$i:' || CAST(k AS VARCHAR)")} % 8192"
+        s"""WITH flagged AS (
+           |  SELECT DISTINCT o_orderkey AS k FROM orders
+           |  WHERE o_totalprice > 400000.0),
+           |bits AS (
+           |  SELECT DISTINCT unnest([${hp("0")}, ${hp("1")},
+           |    ${hp("2")}]) AS pos
+           |  FROM flagged),
+           |cand AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+           |cp AS (
+           |  SELECT k, unnest([${hp("0")}, ${hp("1")}, ${hp("2")}])
+           |    AS pos
+           |  FROM cand),
+           |hits AS (
+           |  SELECT cp.k, CAST(COUNT(*) AS BIGINT) AS nhit
+           |  FROM cp JOIN bits USING (pos) GROUP BY cp.k),
+           |summary AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           |    CAST(SUM(CASE WHEN f.k IS NOT NULL THEN 1 ELSE 0 END)
+           |         AS BIGINT) AS n_true_members,
+           |    CAST(SUM(CASE WHEN h.nhit = 3 THEN 1 ELSE 0 END)
+           |         AS BIGINT) AS n_bloom_pass,
+           |    CAST(SUM(CASE WHEN h.nhit = 3 AND f.k IS NOT NULL
+           |             THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pass,
+           |    CAST(SUM(CASE WHEN h.nhit = 3 AND f.k IS NULL
+           |             THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+           |  FROM cand c
+           |  LEFT JOIN flagged f ON c.k = f.k
+           |  LEFT JOIN hits h ON c.k = h.k),
+           |bs AS (SELECT CAST(COUNT(*) AS BIGINT) AS bits_set FROM bits)
+           |SELECT s.n_candidates, s.n_true_members, s.n_bloom_pass,
+           |  s.n_true_pass, s.n_false_pos, bs.bits_set,
+           |  CASE WHEN s.n_candidates > s.n_true_members
+           |       THEN CAST(s.n_false_pos AS DOUBLE)
+           |            / CAST(s.n_candidates - s.n_true_members
+           |                   AS DOUBLE)
+           |       ELSE 0.0 END AS fp_rate
+           |FROM summary s CROSS JOIN bs""".stripMargin
+      })),
   )
 }

@@ -441,13 +441,23 @@ object SimilarityOps {
   def all: Seq[NamedQuery] = Seq(
 
     // ----- q30: top-1 cosine neighbor (embedding near-dup primitive) ------
+    // The corpus is seeded with PLANTED exact duplicates (vec_id < 20
+    // re-keyed +100000, the corpusWithNearDups convention): the raw
+    // synthetic embeddings have no pair above the 0.9 bar, so without
+    // the plants is_dup was all-false at every SF (r12 degeneracy
+    // sweep) — a dedup flag that can't fire certifies nothing.
     NamedQuery(
       "q30_embed_neardup",
       (s, d) => {
         // norms are materialized per row BEFORE the join (same IEEE ops as
         // the oracle's sqrt(dot(a,a)) — computed once per vector, not per
         // pair)
-        val sub = tbl(s, d, "embeddings").filter(col("vec_id") < 200)
+        val base = tbl(s, d, "embeddings").filter(col("vec_id") < 200)
+          .select(col("vec_id"), col("embedding"))
+        val sub = base
+          .unionByName(base.filter(col("vec_id") < 20)
+            .select((col("vec_id") + 100000).as("vec_id"),
+              col("embedding")))
           .select(col("vec_id"), col("embedding"),
             sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
         val a = sub.select(col("vec_id"), col("embedding").as("ea"),
@@ -464,7 +474,10 @@ object SimilarityOps {
           .withColumn("is_dup", col("cos") >= 0.9)
       },
       Some(s"""WITH sub AS (SELECT vec_id, embedding FROM embeddings
-              |            WHERE vec_id < 200),
+              |            WHERE vec_id < 200
+              |            UNION ALL
+              |            SELECT vec_id + 100000 AS vec_id, embedding
+              |            FROM embeddings WHERE vec_id < 20),
               |pairs AS (
               |  SELECT a.vec_id, b.vec_id AS nn_id,
               |    ${cosineSql("a.embedding", "b.embedding")} AS cos

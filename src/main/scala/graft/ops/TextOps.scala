@@ -790,8 +790,13 @@ object TextOps {
     // ----- q91: vocabulary coverage / OOV rate per document ---------------
     // The metric a fixed-vocabulary tokenizer or embedding table imposes:
     // for each document, what fraction of its token OCCURRENCES falls
-    // outside the top-100 corpus vocabulary. The vocab is a deterministic
-    // top-k (freq DESC, tok ASC — the q60 order contract) that broadcasts
+    // outside the top-20 corpus vocabulary. 20, not 100: the synthetic
+    // corpus draws from a 31-token vocabulary, so a top-100 cut covered
+    // EVERYTHING and n_oov/oov_rate were all-zero at every SF (r12
+    // degeneracy sweep) — the cut must sit inside the observed type
+    // inventory for the metric to measure anything. The vocab is a
+    // deterministic top-k (freq DESC, tok ASC — the q60 order contract)
+    // that broadcasts
     // to the token stream; the scan never shuffles on the token — one
     // per-doc partial aggregation and a broadcast hash join is the whole
     // plan, linear at any corpus size.
@@ -802,7 +807,7 @@ object TextOps {
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         val vocab = toks.groupBy(col("tok"))
           .agg(count(lit(1)).as("freq"))
-          .orderBy(col("freq").desc, col("tok")).limit(100)
+          .orderBy(col("freq").desc, col("tok")).limit(20)
           .select(col("tok"), lit(1).as("inv"))
         toks.join(broadcast(vocab), Seq("tok"), "left")
           .groupBy(col("doc_id"))
@@ -818,7 +823,7 @@ object TextOps {
              |vocab AS (
              |  SELECT tok FROM (
              |    SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok)
-             |  ORDER BY freq DESC, tok LIMIT 100)
+             |  ORDER BY freq DESC, tok LIMIT 20)
              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
              |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
              |    AS BIGINT) AS n_oov,
@@ -983,7 +988,11 @@ object TextOps {
     // statistical ones (Rae et al., Gopher, 2021 §A1.1 — adapted bounds):
     // token-count window, mean-word-length window, minimum stop-word
     // evidence, and a repetition cap on the single most frequent token.
-    // Every gate is an INTEGER comparison (mean length as 3n ≤ Σlen ≤ 10n,
+    // Every gate is an INTEGER comparison (mean length as 3n ≤ Σlen with
+    // 2·Σlen ≤ 9n — upper mean 4.5, adapted to the synthetic corpus
+    // whose per-doc means span 3.7–5.3, so the gate actually
+    // discriminates; Gopher's own 10 was above every document and the
+    // verdict column was all-true at every SF, r12 degeneracy sweep —
     // repetition as 5·top ≤ n) so no float ratio ever crosses an engine
     // boundary — the q52/q62 parity rule applied to thresholds. Shape: one
     // explode into a (doc, token) count (partial-agg shuffle) and one
@@ -1008,7 +1017,7 @@ object TextOps {
           .select(col("doc_id"), col("n_toks"),
             col("n_toks").between(40, 100000).as("g_len"),
             (col("sum_len") >= col("n_toks") * 3 &&
-              col("sum_len") <= col("n_toks") * 10).as("g_wordlen"),
+              col("sum_len") * 2 <= col("n_toks") * 9).as("g_wordlen"),
             (col("n_stop") >= 2).as("g_stop"),
             (col("top_c") * 5 <= col("n_toks")).as("g_rep"))
           .withColumn("keep",
@@ -1028,12 +1037,12 @@ object TextOps {
              |  FROM tc GROUP BY doc_id)
              |SELECT doc_id, n_toks,
              |  (n_toks BETWEEN 40 AND 100000) AS g_len,
-             |  (sum_len >= n_toks * 3 AND sum_len <= n_toks * 10)
+             |  (sum_len >= n_toks * 3 AND sum_len * 2 <= n_toks * 9)
              |    AS g_wordlen,
              |  (n_stop >= 2) AS g_stop,
              |  (top_c * 5 <= n_toks) AS g_rep,
              |  (n_toks BETWEEN 40 AND 100000
-             |   AND sum_len >= n_toks * 3 AND sum_len <= n_toks * 10
+             |   AND sum_len >= n_toks * 3 AND sum_len * 2 <= n_toks * 9
              |   AND n_stop >= 2 AND top_c * 5 <= n_toks) AS keep
              |FROM agg""".stripMargin)),
 
@@ -1842,5 +1851,80 @@ object TextOps {
              |    ORDER BY chi2 DESC, tok) AS rk
              |  FROM scored)
              |WHERE rk <= 10""".stripMargin)),
+
+    // ----- q275: vocabulary richness — Chao1 + Good–Turing ----------------
+    // "How much of the corpus's type inventory have we actually seen?"
+    // — the coverage question behind dedup budgeting and tokenizer
+    // sizing. Over 3-gram shingle hashes (the raw 31-token synthetic
+    // vocabulary is fully saturated at any SF, so token-level
+    // frequencies-of-frequencies would be degenerate — the standing
+    // hashedShingles discipline): D observed types, f_r = types seen
+    // exactly r times, and two classical estimators from the SAME
+    // frequency-of-frequency table:
+    //   Chao1 (bias-corrected, Chao 1984):  D + f1·(f1−1)/(2·(f2+1))
+    //   Good–Turing adjusted counts (1953): r* = (r+1)·f_{r+1}/f_r
+    // Output: one row per r ≤ 10 (r, f_r, r_star) with the global
+    // D / f1 / f2 / chao1 broadcast onto each — every count a BIGINT,
+    // chao1 and r_star single fixed-order IEEE expressions. Scale
+    // shape: shingle explode (linear) → type-count groupBy →
+    // frequency-of-frequency groupBy — the second aggregate's input is
+    // |vocab| rows and the third's is ≤ max-count rows; the lead()
+    // window runs over that ≤max-count-row table, effectively bounded.
+    NamedQuery(
+      "q275_vocab_richness",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = tbl(s, d, "documents")
+          .select(explode(LlmKit.hashedShingles(col("text"))).as("sh"))
+          .groupBy(col("sh")).agg(count(lit(1)).as("r"))
+        val fof = counts.groupBy(col("r")).agg(count(lit(1)).as("f_r"))
+        val tot = fof.agg(sum(col("f_r")).as("types"),
+          sum(when(col("r") === 1, col("f_r")).otherwise(0L)).as("f1"),
+          sum(when(col("r") === 2, col("f_r")).otherwise(0L)).as("f2"))
+        // lead over the FoF table ordered by r: f_{r+1} may be absent
+        // (no type occurs exactly r+1 times) → r_star NULL, not 0 — an
+        // absent class is "no estimate", not "estimate zero"
+        val w = Window.orderBy(col("r"))
+        fof.withColumn("r_next", lead(col("r"), 1).over(w))
+          .withColumn("f_next", lead(col("f_r"), 1).over(w))
+          .filter(col("r") <= 10)
+          .crossJoin(broadcast(tot))
+          .select(col("r"), col("f_r"),
+            when(col("r_next") === col("r") + 1,
+              (col("r") + 1).cast("double") *
+                col("f_next").cast("double") /
+                col("f_r").cast("double")).as("r_star"),
+            col("types"), col("f1"), col("f2"),
+            (col("types").cast("double") +
+              col("f1").cast("double") * (col("f1") - 1).cast("double") /
+                (lit(2.0) * (col("f2") + 1).cast("double"))).as("chao1"))
+      },
+      Some(s"""WITH sh AS (
+             |  SELECT unnest(${LlmKit.hashedShinglesSql("text",
+                 LlmKit.tokenHashesSql("text"))}) AS sh
+             |  FROM documents),
+             |counts AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS r
+             |           FROM sh GROUP BY sh),
+             |fof AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS f_r
+             |        FROM counts GROUP BY r),
+             |tot AS (SELECT CAST(SUM(f_r) AS BIGINT) AS types,
+             |  CAST(SUM(CASE WHEN r = 1 THEN f_r ELSE 0 END) AS BIGINT)
+             |    AS f1,
+             |  CAST(SUM(CASE WHEN r = 2 THEN f_r ELSE 0 END) AS BIGINT)
+             |    AS f2
+             |  FROM fof),
+             |led AS (
+             |  SELECT r, f_r, lead(r, 1) OVER (ORDER BY r) AS r_next,
+             |    lead(f_r, 1) OVER (ORDER BY r) AS f_next
+             |  FROM fof)
+             |SELECT l.r, l.f_r,
+             |  CASE WHEN l.r_next = l.r + 1
+             |       THEN CAST(l.r + 1 AS DOUBLE) * CAST(l.f_next AS DOUBLE)
+             |            / CAST(l.f_r AS DOUBLE) END AS r_star,
+             |  t.types, t.f1, t.f2,
+             |  CAST(t.types AS DOUBLE)
+             |    + CAST(t.f1 AS DOUBLE) * CAST(t.f1 - 1 AS DOUBLE)
+             |      / (2.0 * CAST(t.f2 + 1 AS DOUBLE)) AS chao1
+             |FROM led l CROSS JOIN tot t WHERE l.r <= 10""".stripMargin)),
   )
 }

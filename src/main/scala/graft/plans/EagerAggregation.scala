@@ -139,6 +139,15 @@ object EagerAggregation extends Rule[LogicalPlan] {
         agg.aggregateExpressions.flatMap(nonAggRefs)).intersect(sideOut)
     val keys = needed.toSeq
     // (attributes by construction; AttributeSet holds only attributes)
+    // Empty partial keys are UNSOUND, not just unprofitable (r11
+    // advisor): a keyless partial aggregate emits exactly one row even
+    // over an EMPTY pushed side (that's Aggregate semantics), so a
+    // condition-free join whose grouping/condition never touches this
+    // side would fabricate groups (count=0, sum=null) that the raw
+    // plan — where an empty join input yields zero joined rows and the
+    // final aggregate sees nothing — never produces. Spark's own
+    // aggregate-pushdown bails the same way.
+    if (keys.isEmpty) return None
 
     // one partial per distinct aggregate function occurrence — two for
     // Average (its sum and its count)

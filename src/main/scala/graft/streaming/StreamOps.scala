@@ -508,8 +508,10 @@ object StreamOps {
       .select(col("ts"), col("doc_id"),
         col("n_toks"),
         col("n_toks").between(40, 100000).as("g_len"),
+        // bounds mirror q134_gopher_gates (TextOps) — keep in lockstep:
+        // upper mean word length 4.5 as 2*suml <= 9*n (r12 de-degeneracy)
         (col("sum_len") >= col("n_toks") * 3 &&
-          col("sum_len") <= col("n_toks") * 10).as("g_wordlen"),
+          col("sum_len") * 2 <= col("n_toks") * 9).as("g_wordlen"),
         (col("n_stop") >= 2).as("g_stop"),
         (col("top_c") * 5 <= col("n_toks")).as("g_rep"))
       .withColumn("keep",

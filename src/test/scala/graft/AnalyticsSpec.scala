@@ -46,11 +46,11 @@ class AnalyticsSpec extends AnyFunSuite {
     val n = rows.map(_.getAs[Long]("n_users")).sum.toDouble
     val brier = rows.head.getAs[Double]("brier")
     val yBar = rows.head.getAs[Double]("base_rate")
-    val rel = rows.map(r => r.getAs[Long]("rel_num").toDouble /
+    def sq(x: Double): Double = x * x
+    val rel = rows.map(r => sq(r.getAs[Long]("rel_fac").toDouble) /
       (100.0 * r.getAs[Long]("n_users"))).sum / n
-    val res = rows.map(r =>
-      r.getAs[java.math.BigDecimal]("res_num").doubleValue() /
-        (r.getAs[Long]("n_users") * n * n)).sum / n
+    val res = rows.map(r => sq(r.getAs[Long]("res_fac").toDouble) /
+      (r.getAs[Long]("n_users") * n * n)).sum / n
     val unc = yBar * (1.0 - yBar)
     assert(math.abs(brier - (rel - res + unc)) < 1e-10,
       s"brier=$brier rel=$rel res=$res unc=$unc")
@@ -58,6 +58,19 @@ class AnalyticsSpec extends AnyFunSuite {
     rows.foreach { r =>
       assert(r.getAs[Double]("mean_pred") == r.getAs[Long]("bin") / 10.0)
     }
+    // de-degeneracy guards (the r11 red row): the high-value outcome
+    // must actually vary — an all-1.0 emp_rate column means the fixture
+    // regressed to "every user converts" and the decomposition is
+    // vacuous again; res_fac must be nonzero somewhere or RES certifies
+    // nothing; and the totals must be self-consistent with the bins
+    assert(rows.map(_.getAs[Double]("emp_rate")).distinct.length > 1,
+      "emp_rate is constant: the outcome is degenerate at this SF")
+    assert(rows.exists(_.getAs[Long]("res_fac") != 0L),
+      "res_fac all zero: no resolution signal")
+    assert(0.0 < yBar && yBar < 1.0, s"degenerate base_rate $yBar")
+    assert(rows.head.getAs[Long]("nt").toDouble == n &&
+      rows.head.getAs[Long]("yt") ==
+        rows.map(_.getAs[Long]("n_pos")).sum)
   }
 
   test("q143 surfaces a planted monster basket in max_pair_work") {

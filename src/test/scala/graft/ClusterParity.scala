@@ -73,7 +73,28 @@ object ClusterParity {
     "q270_sketch_anotb",
     // and the Markov chain power iteration (per-round pinned state +
     // dsum mass updates crossing real executors for 8 rounds)
-    "q271_markov_attribution")
+    "q271_markov_attribution",
+    // r12 catch-up, one per previously uncovered r11 family (r11
+    // verdict item 6): Fellegi–Sunter linkage (Laplace-smoothed m/u
+    // rates re-joined to the shared pair artifact — the likelihood
+    // products' IEEE order must survive real shuffles), the DP binomial
+    // histogram release (md5 coin pool drawn on executors must be
+    // partition-invariant), DBSCAN over the ε-graph (degree aggregation
+    // + label join across JVMs), and harmonic centrality (the HyperANF
+    // register tables' max-merge fold re-read from the shared artifact)
+    "q264_fellegi_sunter", "q266_dp_release", "q267_dbscan",
+    "q269_harmonic_centrality",
+    // r12 additions, one per new family: exact Shapley (bit-ops +
+    // 16-row broadcasts over real RPC), leave-fold-out target encoding
+    // (grid margins re-joined across executors), conformal quantile
+    // (value-selected rank through a real exchange), Chao1/Good-Turing
+    // (two-level count-of-counts), LOO ablation (totals-minus-group on
+    // broadcast totals), join-cardinality estimation (bucket histogram
+    // dsum), and the Bloom anti-join (md5 probe positions must be
+    // identical on every executor JVM)
+    "q272_shapley_attribution", "q273_target_encoding", "q274_conformal",
+    "q275_vocab_richness", "q276_source_ablation", "q277_join_card_est",
+    "q278_bloom_antijoin")
 
   private def run(spark: SparkSession): Map[String, Map[Seq[Any], Int]] =
     queries.map { n =>

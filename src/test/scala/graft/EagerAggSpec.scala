@@ -124,6 +124,33 @@ class EagerAggSpec extends AnyFunSuite {
       expectPush = false)
   }
 
+  test("keyless push over an EMPTY side fabricates no groups") {
+    // r11 advisor (medium): when grouping and condition reference only
+    // the NON-pushed side, the pushed side's partial aggregate has no
+    // keys — and a keyless Aggregate emits one row even on empty input,
+    // so the rewritten join would manufacture groups (count=0/sum=null)
+    // where the raw plan's empty join emits zero rows. Shape that hits
+    // it: runtime-empty LEFT leg (a filter the optimizer can't fold to
+    // an empty relation) under an INNER join whose condition references
+    // only the RIGHT side (Cross joins are already refused by the
+    // joinType guard), grouping on the RIGHT, count(1) as the only
+    // aggregate — count references no side, so tryPush tries LEFT
+    // first, finds it "contains" the aggregate, and computes an EMPTY
+    // partial key set. The keys.isEmpty guard must bail there; the
+    // RIGHT push that then fires is keyed (p_brand, p_size) and sound,
+    // so rows still match the raw plan: zero.
+    val empty = li.filter(col("l_quantity") < lit(-1)) // empty at runtime
+    def shape = empty.select(col("l_orderkey"))
+      .join(part, part("p_size") >= 0)
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+    assertParity(shape, expectPush = true) // the sound keyed right push
+    // and the ground truth itself: the raw shape yields 0 rows, so the
+    // rule-on plan must too (pre-guard, the keyless left push emitted
+    // one all-zero partial row and fabricated a group per brand)
+    val n = withRule(on = true)(shape.count())
+    assert(n == 0L, s"empty-side keyless join fabricated $n groups")
+  }
+
   test("three-way join chain: the rule composes with itself bottom-up") {
     // Aggregate over (li ⋈ orders) ⋈ part: transformUp first rewrites
     // nothing at the inner join (no Aggregate directly above it), then

@@ -69,6 +69,61 @@ class GovernanceMemoSpec extends AnyFunSuite {
       .exists(), "labels-lpa artifact not published")
   }
 
+  test("scratch GC: TTL sweep evicts stale, spares touched and the live key") {
+    // r11 verdict item 4: the sweep had zero spec coverage. Three dirs
+    // under a private scratch root: STALE (every file mtime aged past
+    // the TTL — must be deleted), FRESH (old parquet but a recently
+    // refreshed _touched marker, the active-use shape — must survive,
+    // because age is judged on the NEWEST file inside an entry), and
+    // the CURRENT key's artifact (published by the diskMemo call that
+    // triggers the sweep — must exist after it).
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-gc-spec").toString
+    spark.conf.set("spark.graft.scratch.dir", root)
+    spark.conf.set("spark.graft.scratch.ttlHours", "1")
+    def mkEntry(key: String, ageMs: Long): java.io.File = {
+      val d = new java.io.File(s"$root/$key/pairs")
+      assert(d.mkdirs())
+      val f = new java.io.File(d, "part-00000.parquet")
+      assert(f.createNewFile())
+      val t = System.currentTimeMillis() - ageMs
+      assert(f.setLastModified(t) && d.setLastModified(t) &&
+        d.getParentFile.setLastModified(t))
+      d.getParentFile
+    }
+    val twoHours = 2L * 3600L * 1000L
+    val stale = mkEntry("deadbeef-stale-key", twoHours)
+    val fresh = mkEntry("cafebabe-fresh-key", twoHours)
+    // the active-use shape: the entry's parquet is old but some OTHER
+    // JVM touched its marker recently (what diskMemo's pre-read refresh
+    // writes) — the newest-file rule must keep the whole entry
+    val marker = new java.io.File(new java.io.File(fresh, "pairs"),
+      "_touched")
+    assert(marker.createNewFile())
+    try {
+      // arm the sweep: it runs once per JVM and earlier tests (or the
+      // warm family queries) may already have consumed the shot
+      GovernanceOps.scratchGcDone.set(false)
+      var builds = 0
+      def build() = { builds += 1; spark.range(3).toDF("v") }
+      assert(GovernanceOps.diskMemo(spark, dir, "gcproto")(build())
+        .count() == 3 && builds == 1)
+      assert(!stale.exists(),
+        s"stale entry survived the TTL sweep: $stale")
+      assert(fresh.exists() && marker.exists(),
+        "recently-touched entry was evicted — the liveness marker " +
+          "did not protect active use")
+      assert(new java.io.File(
+        GovernanceOps.artifactPath(dir, "gcproto")).exists(),
+        "current key's artifact missing after its own sweep")
+    } finally {
+      spark.conf.unset("spark.graft.scratch.dir")
+      spark.conf.unset("spark.graft.scratch.ttlHours")
+      GovernanceOps.scratchGcDone.set(false) // don't starve later suites
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
   test("memo protocol works end-to-end through a file:// Hadoop FS URI") {
     // the cluster-real path: scratch root addressed by URI, every probe/
     // publish/rename below goes through org.apache.hadoop.fs.FileSystem

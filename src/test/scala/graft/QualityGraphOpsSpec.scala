@@ -517,27 +517,43 @@ class QualityGraphOpsSpec extends AnyFunSuite {
     // a running at-risk count and a running product — the construction
     // the distributed phased/fold plan must agree with
     val ev = graft.ops.OpsKit.events(TestSpark.spark, dir)
-      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")),
+        col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
     val subj = ev.groupBy(_._1).toSeq.map { case (_, rows) =>
       val t0 = rows.map(_._3).min
-      val tp = rows.filter(_._2 == "purchase").map(_._3)
-        .reduceOption(_ min _)
+      // the event is the HIGH-VALUE conversion (q178's outcome), r12
+      val tp = rows.filter(r => r._2 == "purchase" && r._4 > 150.0)
+        .map(_._3).reduceOption(_ min _)
       val end = tp.getOrElse(rows.map(_._3).max)
       ((end - t0) / 3600000000L, tp.isDefined)
     }
+    val durs = subj.map(_._1).distinct.sorted
+    val perDur = durs.map { dur =>
+      (dur, subj.count(x => x._1 == dur && x._2).toLong,
+        subj.count(x => x._1 == dur && !x._2).toLong)
+    }
     var atRisk = subj.size.toLong
     var surv = BigDecimal(1)
-    val steps = Vector.newBuilder[(Long, Long, Long, Long, Double)]
-    for (dur <- subj.map(_._1).distinct.sorted) {
-      val dcnt = subj.count(x => x._1 == dur && x._2).toLong
-      val ccnt = subj.count(x => x._1 == dur && !x._2).toLong
+    val steps = Vector.newBuilder[(Long, Long, Long, Double)]
+    for ((dur, dcnt, ccnt) <- perDur) {
       val f = 1.0 - dcnt.toDouble / atRisk.toDouble
       surv = surv * BigDecimal(f)
-      if (dcnt > 0) steps += ((dur, dcnt, ccnt, atRisk, surv.toDouble))
+      if (dcnt > 0) steps += ((dur, dcnt, atRisk, surv.toDouble))
       atRisk -= dcnt + ccnt
     }
-    val expected = steps.result()
+    // life-table censoring: roll censored counts in [t_i, t_{i+1}) up
+    // to event time t_i (censored before the first event are risk-set
+    // only) — the r12 reporting contract
+    val eventDurs = perDur.filter(_._2 > 0).map(_._1)
+    def cInt(t: Long): Long = {
+      val next = eventDurs.find(_ > t).getOrElse(Long.MaxValue)
+      perDur.filter(p => p._1 >= t && p._1 < next).map(_._3).sum
+    }
+    val expected = steps.result().map { case (dur, d2, risk, sv) =>
+      (dur, d2, cInt(dur), risk, sv)
+    }
     val got = SparkEntry.queries("q140_kaplan_meier")(TestSpark.spark, dir)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -27,7 +27,7 @@ class RobustOpsSpec extends AnyFunSuite {
       assert(l >= 1 && l <= sz)
       // modal class is at least 1/l of the class and at most all of it
       assert(share * l >= 1.0 - 1e-9 && share <= 1.0)
-      assert(diverse == (l >= 3))
+      assert(diverse == (l >= 4)) // r12 policy: l >= 4 over 2500-bands
     }
   }
 

@@ -200,7 +200,7 @@ class RoundElevenOpsSpec extends AnyFunSuite {
           ((u - au(k) + 1) * (m + 2)).toDouble
       }.foldLeft(1.0)(_ * _)
       assert(math.abs(w - want) < 1e-9 * math.max(1.0, want.abs))
-      assert(pred == (w > 8.0))
+      assert(pred == (w > 2.0)) // r12: reachable decision cut (was 8)
     }
     // the planted dups must separate IN AGGREGATE: the median match
     // weight exceeds the median non-match weight (per-pair dominance is

@@ -4687,5 +4687,462 @@ object AnalyticsOps {
              |FROM nk JOIN q USING (event_type)
              |JOIN mu USING (event_type)
              |JOIN cov USING (event_type)""".stripMargin)),
+
+    // ----- q279: isotonic calibration (PAV via the minimax identity) ------
+    // q259 DIAGNOSES miscalibration; this REPAIRS it: the isotonic
+    // regression fit g(bin) = the monotone function closest to the
+    // per-bin empirical rates in L², i.e. what Platt's competitor —
+    // isotonic calibration — would deploy. Instead of the sequential
+    // pool-adjacent-violators walk (inherently serial), the fit is
+    // computed by the MINIMAX IDENTITY (Robertson, Wright & Dykstra
+    // 1988, Thm 1.4.4): g(k) = max_{i≤k} min_{j≥k} mean(y on bins
+    // i..j) — a closed form over O(B³) (bin, range) combinations, and
+    // B ≤ 11 here, so the whole lattice is three broadcast joins over
+    // tables the size of the diagram. Weighted correctly by
+    // construction: range means use POOLED counts Y/N, not bin-mean
+    // averages. Prefix-free: range sums come from a bins×bins
+    // containment join, so there is no window anywhere (the bins table
+    // derives from a count-valued key the plan guard can't bound
+    // through a window, and at B ≤ 11 a join is cheaper anyway).
+    // Means are single IEEE divisions; min/max over identical doubles
+    // — engine-exact. The spec replays the sequential PAV walk and
+    // asserts equality, which is exactly the textbook theorem.
+    NamedQuery(
+      "q279_isotonic_calibration",
+      (s, d) => {
+        val perUser = events(s, d)
+          .groupBy(col("user_id"))
+          .agg(least(lit(10L),
+              sum(when(col("event_type") === "click", 1L).otherwise(0L)))
+              .as("sc"),
+            max(when(col("event_type") === "purchase" &&
+                col("value") > 150.0, 1L).otherwise(0L))
+              .as("y"))
+        val bins = perUser.groupBy(col("sc").as("bin"))
+          .agg(count(lit(1)).as("n_users"), sum(col("y")).as("n_pos"))
+        val ranges = bins.select(col("bin").as("i"))
+          .crossJoin(broadcast(bins.select(col("bin").as("j"))))
+          .filter(col("i") <= col("j"))
+        val rsum = ranges
+          .join(broadcast(bins), col("bin") >= col("i") &&
+            col("bin") <= col("j"))
+          .groupBy(col("i"), col("j"))
+          .agg(sum(col("n_users")).as("nn"), sum(col("n_pos")).as("yy"))
+          .withColumn("m",
+            col("yy").cast("double") / col("nn").cast("double"))
+        val inner = bins.select(col("bin").as("k"))
+          .join(broadcast(rsum), col("i") <= col("k") &&
+            col("k") <= col("j"))
+          .groupBy(col("k"), col("i")).agg(min(col("m")).as("mn"))
+        val fit = inner.groupBy(col("k")).agg(max(col("mn")).as("iso_fit"))
+        bins.join(broadcast(fit), col("bin") === col("k"))
+          .select(col("bin"), col("n_users"), col("n_pos"),
+            (col("n_pos").cast("double") / col("n_users").cast("double"))
+              .as("emp_rate"),
+            col("iso_fit"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |    CAST(LEAST(10, SUM(CASE WHEN event_type = 'click'
+             |                            THEN 1 ELSE 0 END)) AS BIGINT)
+             |      AS sc,
+             |    MAX(CASE WHEN event_type = 'purchase' AND value > 150.0
+             |             THEN 1 ELSE 0 END) AS y
+             |  FROM events GROUP BY user_id),
+             |b AS (
+             |  SELECT sc AS bin, CAST(COUNT(*) AS BIGINT) AS n_users,
+             |    CAST(SUM(y) AS BIGINT) AS n_pos
+             |  FROM u GROUP BY sc),
+             |rsum AS (
+             |  SELECT r.i, r.j, CAST(SUM(b.n_users) AS BIGINT) AS nn,
+             |    CAST(SUM(b.n_pos) AS BIGINT) AS yy
+             |  FROM (SELECT i.bin AS i, j.bin AS j
+             |        FROM b i, b j WHERE i.bin <= j.bin) r
+             |  JOIN b ON b.bin >= r.i AND b.bin <= r.j
+             |  GROUP BY r.i, r.j),
+             |inner_ AS (
+             |  SELECT k.bin AS k, r.i,
+             |    MIN(CAST(r.yy AS DOUBLE) / CAST(r.nn AS DOUBLE)) AS mn
+             |  FROM b k JOIN rsum r ON r.i <= k.bin AND k.bin <= r.j
+             |  GROUP BY k.bin, r.i),
+             |fit AS (SELECT k, MAX(mn) AS iso_fit FROM inner_ GROUP BY k)
+             |SELECT b.bin, b.n_users, b.n_pos,
+             |  CAST(b.n_pos AS DOUBLE) / CAST(b.n_users AS DOUBLE)
+             |    AS emp_rate,
+             |  f.iso_fit
+             |FROM b JOIN fit f ON f.k = b.bin""".stripMargin)),
+
+    // ----- q281: group-sequential A/B monitoring (O'Brien–Fleming) --------
+    // q178 tests ONCE at the end; real experiments peek. Uncorrected
+    // peeking inflates false positives (the "p < 0.05 eventually"
+    // fallacy), so interim looks test against the O'Brien–Fleming
+    // spending boundaries — stringent early, near-nominal at the final
+    // look. Enrollment is STAGGERED the way real experiments fill:
+    // each user enters at a deterministic md5-derived look (entry =
+    // 1 + md5(user_id) % 5), so look k analyzes the users with
+    // entry ≤ k — the information fraction genuinely grows ~k/5 (an
+    // event_id prefix cut would not: the generator round-robins
+    // users, so every user appears in the first 2% of events).
+    // Conversion is the high-value outcome over the user's full
+    // history, arms by user parity (an honest A/A — the boundary
+    // should NOT cross), and the z statistic is q178's
+    // pooled-variance expression verbatim — integer counts into one
+    // sqrt. Boundary literals for K = 5, α = .05 two-sided (Jennison
+    // & Turnbull 2000, Table 2.3: 4.562 3.226 2.634 2.281 2.040 —
+    // fixed-decimal literals, no quantile function). Scale: one
+    // user-rollup pass (linear), ×5 broadcast look expansion on the
+    // users-sized aggregate, 5-row epilogue.
+    NamedQuery(
+      "q281_group_sequential",
+      (s, d) => {
+        val perUser = events(s, d).groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase" &&
+            col("value") > 150.0, 1L).otherwise(0L)).as("conv"))
+          .withColumn("arm0", (pmod(col("user_id"), lit(2L)) === 0L)
+            .cast("long"))
+          .withColumn("entry",
+            pmod(LlmKit.strHash(col("user_id").cast("string")),
+              lit(5L)) + lit(1L))
+        val looks = s.range(1, 6).select(col("id").as("look"),
+          when(col("id") === 1, 4.562).when(col("id") === 2, 3.226)
+            .when(col("id") === 3, 2.634).when(col("id") === 4, 2.281)
+            .otherwise(2.040).as("obf_bound"))
+        val st = perUser.crossJoin(broadcast(looks))
+          .filter(col("entry") <= col("look"))
+          .groupBy(col("look"), col("obf_bound"))
+          .agg(sum(col("arm0")).as("n_control"),
+            sum(lit(1L) - col("arm0")).as("n_treat"),
+            sum(col("arm0") * col("conv")).as("x_control"),
+            sum((lit(1L) - col("arm0")) * col("conv")).as("x_treat"))
+        val pc = col("x_control").cast("double") /
+          col("n_control").cast("double")
+        val pt = col("x_treat").cast("double") /
+          col("n_treat").cast("double")
+        val pp = (col("x_control") + col("x_treat")).cast("double") /
+          (col("n_control") + col("n_treat")).cast("double")
+        st.select(col("look"), col("n_control"), col("n_treat"),
+            col("x_control"), col("x_treat"), col("obf_bound"))
+          .withColumn("z_stat", {
+            val se = sqrt(pp * (lit(1.0) - pp) *
+              (lit(1.0) / col("n_control").cast("double") +
+                lit(1.0) / col("n_treat").cast("double")))
+            // nested when: an early look at tiny SF can have an empty
+            // arm, and ANSI double division by zero throws — the
+            // divisions must sit under the emptiness guard
+            when(col("n_control") > 0L && col("n_treat") > 0L,
+              when(se > 0.0, (pt - pc) / se))
+          })
+          .withColumn("crossed", abs(col("z_stat")) > col("obf_bound"))
+      },
+      Some(s"""WITH pu AS (
+             |  SELECT user_id,
+             |    MAX(CASE WHEN event_type = 'purchase'
+             |        AND value > 150.0 THEN 1 ELSE 0 END) AS conv,
+             |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS arm0,
+             |    ${LlmKit.strHashSql("CAST(user_id AS VARCHAR)")} % 5
+             |      + 1 AS entry
+             |  FROM events GROUP BY user_id),
+             |looks AS (
+             |  SELECT CAST(range AS BIGINT) AS look,
+             |    CASE range WHEN 1 THEN 4.562 WHEN 2 THEN 3.226
+             |      WHEN 3 THEN 2.634 WHEN 4 THEN 2.281
+             |      ELSE 2.040 END AS obf_bound
+             |  FROM range(1, 6)),
+             |plu AS (
+             |  SELECT l.look, l.obf_bound, p.user_id, p.conv, p.arm0
+             |  FROM pu p JOIN looks l ON p.entry <= l.look),
+             |st AS (
+             |  SELECT look, obf_bound,
+             |    CAST(SUM(arm0) AS BIGINT) AS n_control,
+             |    CAST(SUM(1 - arm0) AS BIGINT) AS n_treat,
+             |    CAST(SUM(arm0 * conv) AS BIGINT) AS x_control,
+             |    CAST(SUM((1 - arm0) * conv) AS BIGINT) AS x_treat
+             |  FROM plu GROUP BY look, obf_bound),
+             |z AS (
+             |  SELECT look, n_control, n_treat, x_control, x_treat,
+             |    obf_bound,
+             |    CASE WHEN n_control = 0 OR n_treat = 0 THEN NULL
+             |    WHEN sqrt(
+             |        (CAST(x_control + x_treat AS DOUBLE)
+             |          / CAST(n_control + n_treat AS DOUBLE))
+             |        * (1.0 - CAST(x_control + x_treat AS DOUBLE)
+             |            / CAST(n_control + n_treat AS DOUBLE))
+             |        * (1.0 / CAST(n_control AS DOUBLE)
+             |           + 1.0 / CAST(n_treat AS DOUBLE))) > 0.0
+             |    THEN (CAST(x_treat AS DOUBLE) / CAST(n_treat AS DOUBLE)
+             |          - CAST(x_control AS DOUBLE)
+             |            / CAST(n_control AS DOUBLE))
+             |      / sqrt(
+             |        (CAST(x_control + x_treat AS DOUBLE)
+             |          / CAST(n_control + n_treat AS DOUBLE))
+             |        * (1.0 - CAST(x_control + x_treat AS DOUBLE)
+             |            / CAST(n_control + n_treat AS DOUBLE))
+             |        * (1.0 / CAST(n_control AS DOUBLE)
+             |           + 1.0 / CAST(n_treat AS DOUBLE)))
+             |    END AS z_stat
+             |  FROM st)
+             |SELECT look, n_control, n_treat, x_control, x_treat,
+             |  obf_bound, z_stat, abs(z_stat) > obf_bound AS crossed
+             |FROM z""".stripMargin)),
+
+    // ----- q282: quantile treatment effects (distributional A/B) ----------
+    // q178 compares conversion RATES and q217 rank-dominance; neither
+    // says WHERE in the distribution a treatment moves value — a lift
+    // concentrated in the tail looks identical to a uniform shift in
+    // both. QTE(τ) = Q_treat(τ) − Q_control(τ) at τ ∈ {.25, .5, .75}
+    // over purchase values, arms by user parity. Quantiles are
+    // selected BY VALUE (the q274 tie-proof machinery): per-arm
+    // distinct-value counts, cumulative rank, first value with
+    // cum ≥ ⌈τ·n⌉ — exact integer rank arithmetic, no interpolation,
+    // so both engines agree bitwise. Scale: per-arm partitioned
+    // windows over DISTINCT purchase values, a 6-row epilogue.
+    NamedQuery(
+      "q282_qte",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val pv = events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select((pmod(col("user_id"), lit(2L)) === 0L).cast("int")
+            .as("arm0"), col("value"))
+        val dist = pv.groupBy(col("arm0"), col("value"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(
+            Window.partitionBy(col("arm0")).orderBy(col("value"))))
+        val nArm = pv.groupBy(col("arm0")).agg(count(lit(1)).as("n"))
+        val taus = s.range(1, 4).select((col("id") * 25).as("tau_pct"))
+        val q = dist.join(broadcast(nArm), Seq("arm0"))
+          .crossJoin(broadcast(taus))
+          .filter(col("cum") * 100 >= col("tau_pct") * col("n"))
+          .groupBy(col("arm0"), col("tau_pct"))
+          .agg(min(col("value")).as("qv"), max(col("n")).as("n"))
+        q.filter(col("arm0") === 1)
+          .select(col("tau_pct"), col("qv").as("q_control"),
+            col("n").as("n_control"))
+          .join(q.filter(col("arm0") === 0)
+            .select(col("tau_pct"), col("qv").as("q_treat"),
+              col("n").as("n_treat")), Seq("tau_pct"))
+          .select(col("tau_pct"), col("n_control"), col("n_treat"),
+            col("q_control"), col("q_treat"),
+            (col("q_treat") - col("q_control")).as("qte"))
+      },
+      Some("""WITH pv AS (
+             |  SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END
+             |      AS arm0, value
+             |  FROM events WHERE event_type = 'purchase'),
+             |dist AS (
+             |  SELECT arm0, value, COUNT(*) AS c FROM pv
+             |  GROUP BY arm0, value),
+             |cum AS (
+             |  SELECT arm0, value,
+             |    SUM(c) OVER (PARTITION BY arm0 ORDER BY value) AS cum
+             |  FROM dist),
+             |na AS (SELECT arm0, CAST(COUNT(*) AS BIGINT) AS n
+             |       FROM pv GROUP BY arm0),
+             |taus AS (SELECT CAST(range * 25 AS BIGINT) AS tau_pct
+             |         FROM range(1, 4)),
+             |q AS (
+             |  SELECT c.arm0, t.tau_pct, MIN(c.value) AS qv,
+             |    MAX(na.n) AS n
+             |  FROM cum c JOIN na USING (arm0) CROSS JOIN taus t
+             |  WHERE c.cum * 100 >= t.tau_pct * na.n
+             |  GROUP BY c.arm0, t.tau_pct)
+             |SELECT a.tau_pct,
+             |  a.n AS n_control, b.n AS n_treat,
+             |  a.qv AS q_control, b.qv AS q_treat,
+             |  b.qv - a.qv AS qte
+             |FROM q a JOIN q b ON a.tau_pct = b.tau_pct
+             |WHERE a.arm0 = 1 AND b.arm0 = 0""".stripMargin)),
+
+    // ----- q285: Mantel–Haenszel stratified odds ratio ---------------------
+    // The confounding-proof effect estimate q239's Simpson audit calls
+    // for: when a stratifier (user activity band) is associated with
+    // both arm exposure and outcome, the crude odds ratio is biased —
+    // the Mantel–Haenszel estimator pools the per-stratum 2×2 tables
+    // with weights b·c/n, OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ) (Mantel &
+    // Haenszel 1959, the textbook common-odds-ratio formula). Exact:
+    // all cells are integers, each pooled term is one integer-product
+    // division, summed on the dsum grid; per-stratum and crude ORs are
+    // single divisions of integer products, guarded for empty cells so
+    // tiny fixtures yield NULL instead of an ANSI divide-by-zero. The
+    // crude OR is reported beside OR_MH so the Simpson gap is visible
+    // in one table. Scale: one user rollup (linear), a 3-row stratum
+    // grid, scalar epilogue — no shuffles past the first agg.
+    NamedQuery(
+      "q285_mantel_haenszel",
+      (s, d) => {
+        val u = events(s, d).groupBy(col("user_id"))
+          .agg(count(lit(1)).as("ne"),
+            max(when(col("event_type") === "purchase" &&
+              col("value") > 150.0, 1L).otherwise(0L)).as("y"))
+          .withColumn("treat", pmod(col("user_id"), lit(2L)) === 1L)
+          .withColumn("band", when(col("ne") < 60L, "low")
+            .when(col("ne") < 75L, "mid").otherwise("high"))
+        val cells = u.groupBy(col("band"))
+          .agg(sum(when(col("treat") && col("y") === 1L, 1L)
+              .otherwise(0L)).as("n11"),
+            sum(when(col("treat") && col("y") === 0L, 1L)
+              .otherwise(0L)).as("n10"),
+            sum(when(!col("treat") && col("y") === 1L, 1L)
+              .otherwise(0L)).as("n01"),
+            sum(when(!col("treat") && col("y") === 0L, 1L)
+              .otherwise(0L)).as("n00"))
+          .withColumn("n",
+            col("n11") + col("n10") + col("n01") + col("n00"))
+          .withColumn("or_stratum",
+            when(col("n10") * col("n01") > 0L,
+              (col("n11") * col("n00")).cast("double") /
+                (col("n10") * col("n01")).cast("double")))
+        val mh = cells.agg(
+          dsum((col("n11") * col("n00")).cast("double") /
+            col("n").cast("double")).as("mh_num"),
+          dsum((col("n10") * col("n01")).cast("double") /
+            col("n").cast("double")).as("mh_den"),
+          sum(col("n11")).as("ta"), sum(col("n10")).as("tb"),
+          sum(col("n01")).as("tc"), sum(col("n00")).as("td"))
+          .select(
+            when(col("mh_den") > 0.0, col("mh_num") / col("mh_den"))
+              .as("mh_or"),
+            when(col("tb") * col("tc") > 0L,
+              (col("ta") * col("td")).cast("double") /
+                (col("tb") * col("tc")).cast("double")).as("crude_or"))
+        cells.crossJoin(broadcast(mh))
+          .select(col("band"), col("n11"), col("n10"), col("n01"),
+            col("n00"), col("or_stratum"), col("mh_or"), col("crude_or"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, COUNT(*) AS ne,
+             |    MAX(CASE WHEN event_type = 'purchase' AND value > 150.0
+             |        THEN 1 ELSE 0 END) AS y,
+             |    user_id % 2 = 1 AS treat
+             |  FROM events GROUP BY user_id),
+             |ub AS (
+             |  SELECT *, CASE WHEN ne < 60 THEN 'low'
+             |    WHEN ne < 75 THEN 'mid' ELSE 'high' END AS band
+             |  FROM u),
+             |cells AS (
+             |  SELECT band,
+             |    CAST(SUM(CASE WHEN treat AND y = 1 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n11,
+             |    CAST(SUM(CASE WHEN treat AND y = 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n10,
+             |    CAST(SUM(CASE WHEN NOT treat AND y = 1 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n01,
+             |    CAST(SUM(CASE WHEN NOT treat AND y = 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n00
+             |  FROM ub GROUP BY band),
+             |ce AS (
+             |  SELECT *, n11 + n10 + n01 + n00 AS n,
+             |    CASE WHEN n10 * n01 > 0 THEN
+             |      CAST(n11 * n00 AS DOUBLE) / CAST(n10 * n01 AS DOUBLE)
+             |    END AS or_stratum
+             |  FROM cells),
+             |mh AS (
+             |  SELECT
+             |    CAST(SUM(CAST(CAST(n11 * n00 AS DOUBLE) / CAST(n AS DOUBLE)
+             |      AS DECIMAL(28,6))) AS DOUBLE) AS mh_num,
+             |    CAST(SUM(CAST(CAST(n10 * n01 AS DOUBLE) / CAST(n AS DOUBLE)
+             |      AS DECIMAL(28,6))) AS DOUBLE) AS mh_den,
+             |    CAST(SUM(n11) AS BIGINT) AS ta,
+             |    CAST(SUM(n10) AS BIGINT) AS tb,
+             |    CAST(SUM(n01) AS BIGINT) AS tc,
+             |    CAST(SUM(n00) AS BIGINT) AS td
+             |  FROM ce),
+             |mo AS (
+             |  SELECT
+             |    CASE WHEN mh_den > 0.0 THEN mh_num / mh_den END AS mh_or,
+             |    CASE WHEN tb * tc > 0 THEN
+             |      CAST(ta * td AS DOUBLE) / CAST(tb * tc AS DOUBLE)
+             |    END AS crude_or
+             |  FROM mh)
+             |SELECT band, n11, n10, n01, n00, or_stratum, mh_or, crude_or
+             |FROM ce CROSS JOIN mo""".stripMargin)),
+
+    // ----- q288: jackknife standard error for ratio metrics ----------------
+    // Ratio metrics (revenue per click) have no closed-form variance —
+    // the classical fix is the leave-one-unit-out jackknife (Quenouille
+    // 1956/Tukey 1958): θ₍₋ᵢ₎ over all units i, SE² = (n−1)/n ·
+    // Σ(θ₍₋ᵢ₎ − θ̄)². The resampling-free counterpart to q196's
+    // bootstrap: no draws at all, because every leave-one-out total is
+    // TOTALS-MINUS-ROW arithmetic (the q276 ablation idiom) — one user
+    // rollup, broadcast per-band totals, one subtraction per user.
+    // Exact: integer click counts; revenue sums and all Σ over users on
+    // the dsum grid; θ₍₋ᵢ₎ is one IEEE division of identical operands.
+    // Guards make single-user bands yield NULL, not divide-by-zero.
+    // Scale: linear in users, bands bounded (3), zero iteration.
+    NamedQuery(
+      "q288_jackknife_ratio",
+      (s, d) => {
+        val u = events(s, d).groupBy(col("user_id"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("c"),
+            dsum(when(col("event_type") === "purchase", col("value"))
+              .otherwise(lit(0.0))).as("v"))
+          .withColumn("band", when(col("c") < 11L, "low")
+            .when(col("c") < 16L, "mid").otherwise("high"))
+        val bt = u.groupBy(col("band"))
+          .agg(count(lit(1)).as("n_users"), sum(col("c")).as("tc"),
+            dsum(col("v")).as("tv"))
+        val th = u.join(broadcast(bt), "band")
+          .select(col("band"),
+            when(col("tc") - col("c") > 0L,
+              (col("tv") - col("v")) /
+                (col("tc") - col("c")).cast("double")).as("th_i"))
+        val jm = th.groupBy(col("band"))
+          .agg((dsum(col("th_i")) / count(col("th_i"))).as("jmean"))
+        val se = th.join(broadcast(jm), "band")
+          .groupBy(col("band"))
+          .agg(dsum((col("th_i") - col("jmean")) *
+            (col("th_i") - col("jmean"))).as("ssd"),
+            count(col("th_i")).as("nj"))
+        bt.join(broadcast(se), "band")
+          .select(col("band"), col("n_users"),
+            col("tc").as("total_clicks"), col("tv").as("revenue"),
+            when(col("tc") > 0L, col("tv") / col("tc").cast("double"))
+              .as("theta"),
+            when(col("nj") > 1L,
+              sqrt(((col("nj") - 1L).cast("double") /
+                col("nj").cast("double")) * col("ssd"))).as("jack_se"))
+      },
+      Some(s"""WITH u AS (
+             |  SELECT user_id,
+             |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS c,
+             |    ${dsumSql(
+               "CASE WHEN event_type = 'purchase' THEN value " +
+                 "ELSE CAST(0 AS DOUBLE) END")} AS v
+             |  FROM events GROUP BY user_id),
+             |ub AS (
+             |  SELECT *, CASE WHEN c < 11 THEN 'low'
+             |    WHEN c < 16 THEN 'mid' ELSE 'high' END AS band
+             |  FROM u),
+             |bt AS (
+             |  SELECT band, CAST(COUNT(*) AS BIGINT) AS n_users,
+             |    CAST(SUM(c) AS BIGINT) AS tc, ${dsumSql("v")} AS tv
+             |  FROM ub GROUP BY band),
+             |th AS (
+             |  SELECT ub.band,
+             |    CASE WHEN bt.tc - ub.c > 0 THEN
+             |      (bt.tv - ub.v) / CAST(bt.tc - ub.c AS DOUBLE)
+             |    END AS th_i
+             |  FROM ub JOIN bt ON bt.band = ub.band),
+             |jm AS (
+             |  SELECT band, ${dsumSql("th_i")} / COUNT(th_i) AS jmean
+             |  FROM th GROUP BY band),
+             |se AS (
+             |  SELECT th.band,
+             |    ${dsumSql("(th.th_i - jm.jmean) * (th.th_i - jm.jmean)")}
+             |      AS ssd,
+             |    CAST(COUNT(th.th_i) AS BIGINT) AS nj
+             |  FROM th JOIN jm ON jm.band = th.band
+             |  GROUP BY th.band)
+             |SELECT bt.band, bt.n_users, bt.tc AS total_clicks,
+             |  bt.tv AS revenue,
+             |  CASE WHEN bt.tc > 0 THEN bt.tv / CAST(bt.tc AS DOUBLE)
+             |  END AS theta,
+             |  CASE WHEN se.nj > 1 THEN
+             |    sqrt((CAST(se.nj - 1 AS DOUBLE) / CAST(se.nj AS DOUBLE))
+             |      * se.ssd)
+             |  END AS jack_se
+             |FROM bt JOIN se ON se.band = bt.band""".stripMargin)),
   )
 }

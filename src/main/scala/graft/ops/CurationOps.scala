@@ -1615,5 +1615,322 @@ object CurationOps {
              |  - (CAST(t.ct AS DOUBLE) / CAST(t.nt AS DOUBLE))
              |    AS delta_mean_chars
              |FROM p CROSS JOIN t""".stripMargin)),
+
+    // ----- q280: token-budget water-filling across sources ----------------
+    // The allocation question behind every data-mixture recipe: given a
+    // total token budget T and per-source supplies, hand each source
+    // min(supply, L) where the water level L is chosen so the
+    // allocations sum exactly to T — small sources contribute
+    // everything they have, large ones are rationed at the common
+    // level (the max-min-fair allocation; same construction as
+    // water-filling in resource allocation). L has a CLOSED FORM over
+    // the supply order statistics: clip the r smallest supplies, then
+    // L_r = (T − P_r)/(n − r), and the valid r is the one where
+    // s_(r) ≤ L_r < s_(r+1) — one ranked prefix pass over the 20-row
+    // source table, no iteration. Supplies use the q250 deterministic
+    // unequal subsample (md5 keys, 25/50/75% rates): the generator's
+    // equal per-source volumes would put every source on the same side
+    // of L and the clipped flag would be constant (the r12 degeneracy
+    // discipline applied at design time). T = ⌊Σs/2⌋. All rank/prefix
+    // work is a window over the per-source AGGREGATE (bounded);
+    // L and each allocation are single IEEE expressions.
+    NamedQuery(
+      "q280_token_budget",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val supply = OpsKit.tbl(s, d, "documents")
+          .filter(LlmKit.strHash(col("doc_id").cast("string")) % 4 <
+            LlmKit.strHash(col("source")) % 3 + 1)
+          .groupBy(col("source"))
+          .agg(sum(size(split(col("text"), " ")).cast("long"))
+            .as("supply"))
+        val w = Window.orderBy(col("supply"), col("source"))
+        val ranked = supply
+          .withColumn("r", row_number().over(w).cast("long"))
+          .withColumn("pr", sum(col("supply")).over(
+            w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+        val tot = ranked.agg(sum(col("supply")).as("st"),
+          count(lit(1)).as("n"))
+          .select(col("st"), col("n"), expr("st div 2").as("t_budget"))
+        val cand = ranked.crossJoin(broadcast(tot))
+          // level after clipping the r smallest: (T − P_r)/(n − r);
+          // r = 0 (clip nothing) is represented by the sentinel row
+          // below, r = n (supply exhausted) can't happen with T < Σs —
+          // and must be excluded BEFORE the division (n − r = 0)
+          .filter(col("r") < col("n"))
+          .select(col("r"), col("supply"), col("pr"), col("n"),
+            col("t_budget"),
+            ((col("t_budget") - col("pr")).cast("double") /
+              (col("n") - col("r")).cast("double")).as("lvl"))
+        val cand0 = tot.select(lit(0L).as("r"), lit(0L).as("supply"),
+          lit(0L).as("pr"), col("n"), col("t_budget"),
+          (col("t_budget").cast("double") / col("n").cast("double"))
+            .as("lvl"))
+        val levels = cand0.unionByName(cand)
+        // valid r: every clipped supply ≤ L_r and the next supply > L_r
+        val nxt = ranked.select(col("r").as("rn"),
+          col("supply").as("next_supply"))
+        val lvl = levels
+          .join(broadcast(nxt), col("rn") === col("r") + 1, "left")
+          .filter(col("supply").cast("double") <= col("lvl") &&
+            (col("next_supply").isNull ||
+              col("next_supply").cast("double") > col("lvl")))
+          .select(col("lvl"), col("t_budget"))
+        ranked.crossJoin(broadcast(lvl))
+          .select(col("source"), col("supply"), col("r").as("supply_rank"),
+            col("t_budget"), col("lvl").as("level"),
+            (col("supply").cast("double") <= col("lvl")).as("clipped"),
+            least(col("supply").cast("double"), col("lvl")).as("alloc"))
+      },
+      Some {
+        val sub =
+          s"""WHERE ${LlmKit.strHashSql("CAST(doc_id AS VARCHAR)")} % 4
+             |    < ${LlmKit.strHashSql("source")} % 3 + 1"""
+            .stripMargin.replace("\n", " ")
+        s"""WITH supply AS (
+           |  SELECT source,
+           |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+           |      AS supply
+           |  FROM documents $sub GROUP BY source),
+           |ranked AS (
+           |  SELECT source, supply,
+           |    CAST(row_number() OVER (ORDER BY supply, source)
+           |      AS BIGINT) AS r,
+           |    CAST(SUM(supply) OVER (ORDER BY supply, source
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pr
+           |  FROM supply),
+           |tot AS (SELECT CAST(SUM(supply) AS BIGINT) AS st,
+           |    CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(supply) // 2 AS BIGINT) AS t_budget
+           |  FROM supply),
+           |cand AS (
+           |  SELECT r, supply, pr, n, t_budget,
+           |    CAST(t_budget - pr AS DOUBLE) / CAST(n - r AS DOUBLE)
+           |      AS lvl
+           |  FROM ranked CROSS JOIN tot
+           |  WHERE r < n
+           |  UNION ALL
+           |  SELECT 0, 0, 0, n, t_budget,
+           |    CAST(t_budget AS DOUBLE) / CAST(n AS DOUBLE)
+           |  FROM tot),
+           |lvl AS (
+           |  SELECT c.lvl, c.t_budget
+           |  FROM cand c LEFT JOIN ranked nx ON nx.r = c.r + 1
+           |  WHERE CAST(c.supply AS DOUBLE) <= c.lvl
+           |    AND (nx.supply IS NULL
+           |         OR CAST(nx.supply AS DOUBLE) > c.lvl))
+           |SELECT rk.source, rk.supply, rk.r AS supply_rank,
+           |  l.t_budget, l.lvl AS level,
+           |  CAST(rk.supply AS DOUBLE) <= l.lvl AS clipped,
+           |  LEAST(CAST(rk.supply AS DOUBLE), l.lvl) AS alloc
+           |FROM ranked rk CROSS JOIN lvl l""".stripMargin
+      }),
+
+    // ----- q284: Bradley–Terry preference strengths across sources --------
+    // The pairwise-preference fit behind reward-model data prep: given
+    // "doc A beat doc B" comparisons, Bradley–Terry (1952) assigns each
+    // source a strength p with P(i beats j) = pᵢ/(pᵢ+pⱼ), fit by the
+    // standard MM iteration (Hunter 2004): pᵢ ← Wᵢ / Σⱼ nᵢⱼ/(pᵢ+pⱼ),
+    // renormalized to mean 1 — monotone in the likelihood, so 8 fixed
+    // rounds on a connected comparison graph are deterministic and
+    // engine-exact (every term is one IEEE division of identical
+    // operands; Σⱼ and the normalizer on the dsum grid). Comparisons:
+    // cross-source doc pairs inside md5 blocks (B = 16 here; B scales
+    // with corpus size so pairs-per-block stays bounded — the LSH-cap
+    // discipline), "longer document wins", ties dropped. The MM state
+    // is K strengths (sources, not docs) — broadcast each round, with
+    // the K×K match matrix pinned once; at 100 TB only the one blocked
+    // self-join touches the corpus. Spec re-runs the MM in plain Scala
+    // and checks the fixed point ordering.
+    NamedQuery(
+      "q284_bradley_terry",
+      (s, d) => {
+        val docs = tbl(s, d, "documents").select(col("doc_id"),
+          col("source"), col("n_chars"),
+          pmod(LlmKit.strHash(concat(lit("bt:"),
+            col("doc_id").cast("string"))), lit(16L)).as("blk"))
+        val a = docs.select(col("doc_id").as("ida"),
+          col("source").as("sa"), col("n_chars").as("na"), col("blk"))
+        val c = docs.select(col("doc_id").as("idb"),
+          col("source").as("sb"), col("n_chars").as("nb"),
+          col("blk").as("blk2"))
+        val pr = a.join(c, col("blk") === col("blk2") &&
+          col("ida") < col("idb") && col("sa") =!= col("sb") &&
+          col("na") =!= col("nb"))
+        val wdf = pinned(pr.select(
+            when(col("na") > col("nb"), col("sa")).otherwise(col("sb"))
+              .as("i"),
+            when(col("na") > col("nb"), col("sb")).otherwise(col("sa"))
+              .as("j"))
+          .groupBy(col("i"), col("j")).agg(count(lit(1)).as("w")))
+        val nsym = pinned(wdf.unionByName(
+            wdf.select(col("j").as("i"), col("i").as("j"), col("w")))
+          .groupBy(col("i"), col("j")).agg(sum(col("w")).as("nij")))
+        val srcs = nsym.select(col("i")).distinct()
+        val wins0 = pinned(srcs
+          .join(wdf.groupBy(col("i")).agg(sum(col("w")).as("wr")),
+            Seq("i"), "left")
+          .select(col("i"), coalesce(col("wr"), lit(0L)).as("wins")))
+        val matches = nsym.groupBy(col("i"))
+          .agg(sum(col("nij")).as("matches"))
+        var p = pinned(srcs.select(col("i").as("src"), lit(1.0).as("p")))
+        for (_ <- 1 to 8) {
+          val joined = nsym
+            .join(broadcast(p.select(col("src").as("i2"),
+              col("p").as("pi"))), col("i") === col("i2"))
+            .join(broadcast(p.select(col("src").as("j2"),
+              col("p").as("pj"))), col("j") === col("j2"))
+          val den = joined.groupBy(col("i"))
+            .agg(dsum(col("nij").cast("double") /
+              (col("pi") + col("pj"))).as("den"))
+          val raw = wins0.join(den, Seq("i"))
+            .select(col("i"),
+              (col("wins").cast("double") / col("den")).as("praw"))
+          val m = raw.agg((dsum(col("praw")) / count(lit(1))).as("m"))
+          p = pinned(raw.crossJoin(broadcast(m))
+            .select(col("i").as("src"), (col("praw") / col("m")).as("p")))
+        }
+        wins0.join(matches, Seq("i"))
+          .join(broadcast(p), col("i") === col("src"))
+          .select(col("i").as("source"), col("wins"), col("matches"),
+            col("p").as("strength"))
+      },
+      Some {
+        val h = LlmKit.strHashSql("concat('bt:', CAST(doc_id AS VARCHAR))")
+        // every p_k is referenced TWICE by s_{k+1} (pi and pj) — left
+        // to DuckDB's default CTE inlining that doubles the plan per
+        // round (2^8 copies of the corpus scan); MATERIALIZED pins
+        // each round's K-row state exactly as the Spark side's pinned
+        // localCheckpoint does
+        val iters = (1 to 8).map { k =>
+          s"""s$k AS (
+             |  SELECT n.i,
+             |    ${dsumSql(s"CAST(n.nij AS DOUBLE) / (pi.p + pj.p)")}
+             |      AS den
+             |  FROM nsym n
+             |  JOIN p${k - 1} pi ON pi.src = n.i
+             |  JOIN p${k - 1} pj ON pj.src = n.j
+             |  GROUP BY n.i),
+             |r$k AS (
+             |  SELECT w.i, CAST(w.wins AS DOUBLE) / s$k.den AS praw
+             |  FROM wins0 w JOIN s$k ON s$k.i = w.i),
+             |m$k AS (SELECT ${dsumSql("praw")} / COUNT(*) AS m FROM r$k),
+             |p$k AS MATERIALIZED (
+             |  SELECT i AS src, praw / m AS p FROM r$k, m$k)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH dd AS MATERIALIZED (
+           |  SELECT doc_id, source, n_chars, $h % 16 AS blk
+           |  FROM documents),
+           |pr AS (
+           |  SELECT a.source AS sa, c.source AS sb,
+           |    a.n_chars AS na, c.n_chars AS nb
+           |  FROM dd a JOIN dd c ON a.blk = c.blk AND a.doc_id < c.doc_id
+           |  WHERE a.source <> c.source AND a.n_chars <> c.n_chars),
+           |wdf AS (
+           |  SELECT CASE WHEN na > nb THEN sa ELSE sb END AS i,
+           |    CASE WHEN na > nb THEN sb ELSE sa END AS j,
+           |    CAST(COUNT(*) AS BIGINT) AS w
+           |  FROM pr GROUP BY 1, 2),
+           |nsym AS MATERIALIZED (
+           |  SELECT i, j, CAST(SUM(w) AS BIGINT) AS nij FROM (
+           |    SELECT i, j, w FROM wdf
+           |    UNION ALL SELECT j AS i, i AS j, w FROM wdf)
+           |  GROUP BY i, j),
+           |srcs AS (SELECT DISTINCT i FROM nsym),
+           |wins0 AS MATERIALIZED (
+           |  SELECT s.i, CAST(COALESCE(SUM(w.w), 0) AS BIGINT) AS wins
+           |  FROM srcs s LEFT JOIN wdf w ON w.i = s.i GROUP BY s.i),
+           |mt AS (
+           |  SELECT i, CAST(SUM(nij) AS BIGINT) AS matches
+           |  FROM nsym GROUP BY i),
+           |p0 AS (SELECT i AS src, CAST(1.0 AS DOUBLE) AS p FROM srcs),
+           |$iters
+           |SELECT w.i AS source, w.wins, mt.matches, p8.p AS strength
+           |FROM wins0 w JOIN mt ON mt.i = w.i
+           |JOIN p8 ON p8.src = w.i""".stripMargin
+      }),
+
+    // ----- q287: Cohen's kappa between two heuristic labelers --------------
+    // Labeling-pipeline QA: two cheap keep/reject labelers (A: length
+    // gate word_count ≥ 40; B: mean-word-length gate n_chars/words ≥
+    // 5.5) agree on some documents by CHANCE — raw agreement po
+    // overstates consistency. Cohen's kappa (1960) corrects it:
+    // κ = (po − pe)/(1 − pe) with pe the agreement expected from the
+    // labelers' marginals. Everything derives from the four integer
+    // cells of the agreement matrix: po, pe, κ are fixed-order IEEE
+    // expressions over exact counts — engine-identical. Output is the
+    // 2×2 matrix with cell fractions plus the three scalars broadcast
+    // (allowlisted as global scalars). Scale: per-row labeling then a
+    // 4-group agg — linear, one shuffle of 4 rows.
+    NamedQuery(
+      "q287_cohens_kappa",
+      (s, d) => {
+        val lab = tbl(s, d, "documents").select(
+          (size(split(col("text"), " ")) >= 40).as("a_keep"),
+          (col("n_chars").cast("double") /
+            size(split(col("text"), " ")).cast("double") >= 5.5)
+            .as("b_keep"))
+        val cells = lab.groupBy(col("a_keep"), col("b_keep"))
+          .agg(count(lit(1)).as("n_cell"))
+        val tot = cells.agg(sum(col("n_cell")).as("nn"),
+          sum(when(col("a_keep"), col("n_cell")).otherwise(0L)).as("na"),
+          sum(when(col("b_keep"), col("n_cell")).otherwise(0L)).as("nb"),
+          sum(when(col("a_keep") === col("b_keep"), col("n_cell"))
+            .otherwise(0L)).as("agree"))
+        val pa = col("na").cast("double") / col("nn").cast("double")
+        val pb = col("nb").cast("double") / col("nn").cast("double")
+        val stats = tot
+          .select(col("nn"),
+            (col("agree").cast("double") / col("nn").cast("double"))
+              .as("po"),
+            (pa * pb + (lit(1.0) - pa) * (lit(1.0) - pb)).as("pe"))
+          .select(col("nn"), col("po"), col("pe"),
+            when(col("pe") < 1.0,
+              (col("po") - col("pe")) / (lit(1.0) - col("pe")))
+              .as("kappa"))
+        cells.crossJoin(broadcast(stats))
+          .select(col("a_keep"), col("b_keep"), col("n_cell"),
+            (col("n_cell").cast("double") / col("nn").cast("double"))
+              .as("cell_frac"),
+            col("po"), col("pe"), col("kappa"))
+      },
+      Some("""WITH lab AS (
+             |  SELECT len(string_split(text, ' ')) >= 40 AS a_keep,
+             |    CAST(n_chars AS DOUBLE)
+             |      / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 5.5
+             |      AS b_keep
+             |  FROM documents),
+             |cells AS (
+             |  SELECT a_keep, b_keep, CAST(COUNT(*) AS BIGINT) AS n_cell
+             |  FROM lab GROUP BY a_keep, b_keep),
+             |tot AS (
+             |  SELECT CAST(SUM(n_cell) AS BIGINT) AS nn,
+             |    CAST(SUM(CASE WHEN a_keep THEN n_cell ELSE 0 END)
+             |      AS BIGINT) AS na,
+             |    CAST(SUM(CASE WHEN b_keep THEN n_cell ELSE 0 END)
+             |      AS BIGINT) AS nb,
+             |    CAST(SUM(CASE WHEN a_keep = b_keep THEN n_cell ELSE 0 END)
+             |      AS BIGINT) AS agree
+             |  FROM cells),
+             |st AS (
+             |  SELECT nn,
+             |    CAST(agree AS DOUBLE) / CAST(nn AS DOUBLE) AS po,
+             |    (CAST(na AS DOUBLE) / CAST(nn AS DOUBLE))
+             |      * (CAST(nb AS DOUBLE) / CAST(nn AS DOUBLE))
+             |    + (1.0 - CAST(na AS DOUBLE) / CAST(nn AS DOUBLE))
+             |      * (1.0 - CAST(nb AS DOUBLE) / CAST(nn AS DOUBLE)) AS pe
+             |  FROM tot),
+             |st2 AS (
+             |  SELECT nn, po, pe,
+             |    CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe) END
+             |      AS kappa
+             |  FROM st)
+             |SELECT c.a_keep, c.b_keep, c.n_cell,
+             |  CAST(c.n_cell AS DOUBLE) / CAST(s2.nn AS DOUBLE)
+             |    AS cell_frac,
+             |  s2.po, s2.pe, s2.kappa
+             |FROM cells c CROSS JOIN st2 s2""".stripMargin)),
   )
 }

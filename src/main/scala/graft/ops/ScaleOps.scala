@@ -2230,5 +2230,106 @@ object ScaleOps {
            |       ELSE 0.0 END AS fp_rate
            |FROM summary s CROSS JOIN bs""".stripMargin
       })),
+
+    // ----- q283: source-overlap matrix via per-SOURCE MinHash sketches ----
+    // "How much does crawl A duplicate crawl B?" answered WITHOUT a
+    // corpus×corpus join: each source's entire shingle SET collapses to
+    // a 16-permutation MinHash signature — and because min() is
+    // associative/commutative, the signature is a mergeable PARTIAL
+    // AGGREGATE (the q87/q261 register discipline): at 100 TB each
+    // executor sketches its shard and 16 longs per source cross the
+    // wire. Pairwise estimated Jaccard = fraction of agreeing
+    // components (the classic Broder estimator, matched-permutation
+    // collision probability = Jaccard); the EXACT Jaccard from a
+    // (source, shingle)-distinct self-join ships alongside as the
+    // audit this SF affords — at scale you'd keep only the sketch
+    // columns. Permutations are the MinHash family's closed-form
+    // coefficients (LlmKit), so both engines build bit-identical
+    // signatures; est_jac is a 16-term integer sum over 190 pairs.
+    NamedQuery(
+      "q283_source_overlap",
+      (s, d) => {
+        val NPerm = 16
+        def perm(i: Int, h: org.apache.spark.sql.Column) = {
+          val a = (1103515245L * (i + 1)) % MinhashP
+          val b = (12345L + 2654435761L * i) % MinhashP
+          pmod(lit(a) * h + lit(b), lit(MinhashP))
+        }
+        val sh = tbl(s, d, "documents")
+          .select(col("source"),
+            explode(LlmKit.hashedShingles(col("text"))).as("h"))
+          .distinct()
+        val sig = sh.groupBy(col("source"))
+          .agg(count(lit(1)).as("setsz"),
+            (0 until NPerm).map(i => min(perm(i, col("h")))
+              .as(s"m$i")): _*)
+        val a = sig.select((col("source").as("source_a") +:
+          col("setsz").as("size_a") +:
+          (0 until NPerm).map(i => col(s"m$i").as(s"a$i"))): _*)
+        val b = sig.select((col("source").as("source_b") +:
+          col("setsz").as("size_b") +:
+          (0 until NPerm).map(i => col(s"m$i").as(s"b$i"))): _*)
+        val agree = (0 until NPerm).map(i =>
+          when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+          .reduce(_ + _)
+        val pairs = a.crossJoin(broadcast(b))
+          .filter(col("source_a") < col("source_b"))
+          .select(col("source_a"), col("source_b"), col("size_a"),
+            col("size_b"), agree.as("n_agree"))
+        val inter = sh.select(col("source").as("source_a"), col("h"))
+          .join(sh.select(col("source").as("source_b"), col("h")),
+            Seq("h"))
+          .filter(col("source_a") < col("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("inter"))
+        pairs.join(inter, Seq("source_a", "source_b"), "left")
+          .select(col("source_a"), col("source_b"), col("size_a"),
+            col("size_b"),
+            coalesce(col("inter"), lit(0L)).as("inter"),
+            (coalesce(col("inter"), lit(0L)).cast("double") /
+              (col("size_a") + col("size_b") -
+                coalesce(col("inter"), lit(0L))).cast("double"))
+              .as("exact_jac"),
+            (col("n_agree").cast("double") / lit(NPerm.toDouble))
+              .as("est_jac"))
+      },
+      Some {
+        def permSql(i: Int): String = {
+          val a = (1103515245L * (i + 1)) % MinhashP
+          val b = (12345L + 2654435761L * i) % MinhashP
+          s"MIN(($a * h + $b) % $MinhashP) AS m$i"
+        }
+        val agree = (0 until 16).map(i =>
+          s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH sh AS (
+           |  SELECT DISTINCT source, sh AS h FROM (
+           |    SELECT source, unnest(${LlmKit.hashedShinglesSql("text",
+               LlmKit.tokenHashesSql("text"))}) AS sh
+           |    FROM documents)),
+           |sig AS (
+           |  SELECT source, CAST(COUNT(*) AS BIGINT) AS setsz,
+           |    ${(0 until 16).map(permSql).mkString(",\n           |    ")}
+           |  FROM sh GROUP BY source),
+           |pairs AS (
+           |  SELECT a.source AS source_a, b.source AS source_b,
+           |    a.setsz AS size_a, b.setsz AS size_b,
+           |    CAST($agree AS BIGINT) AS n_agree
+           |  FROM sig a JOIN sig b ON a.source < b.source),
+           |inter AS (
+           |  SELECT x.source AS source_a, y.source AS source_b,
+           |    CAST(COUNT(*) AS BIGINT) AS inter
+           |  FROM sh x JOIN sh y
+           |    ON x.h = y.h AND x.source < y.source
+           |  GROUP BY x.source, y.source)
+           |SELECT p.source_a, p.source_b, p.size_a, p.size_b,
+           |  CAST(COALESCE(i.inter, 0) AS BIGINT) AS inter,
+           |  CAST(COALESCE(i.inter, 0) AS DOUBLE)
+           |    / CAST(p.size_a + p.size_b - COALESCE(i.inter, 0)
+           |           AS DOUBLE) AS exact_jac,
+           |  CAST(p.n_agree AS DOUBLE) / 16.0 AS est_jac
+           |FROM pairs p
+           |LEFT JOIN inter i USING (source_a, source_b)""".stripMargin
+      }),
   )
 }

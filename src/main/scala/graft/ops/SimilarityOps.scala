@@ -2714,5 +2714,113 @@ object SimilarityOps {
               |  CAST(SUM(hit3) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
               |    AS hit3_rate
               |FROM rrs GROUP BY la""".stripMargin)),
+
+    // ----- q286: embedding-space isotropy diagnostics ----------------------
+    // Anisotropic embedding spaces (all vectors crowded into a narrow
+    // cone — the common pathology of contextual embeddings, Ethayarajh
+    // 2019) break cosine retrieval: q31/q85's scores compress and
+    // nearest-neighbor contrast dies. The mean pairwise cosine over
+    // unit vectors has a CLOSED FORM needing no pair join:
+    // Σᵢ≠ⱼ x̂ᵢ·x̂ⱼ = ‖Σx̂‖² − n, so mean_cos = (‖Σx̂‖² − n)/(n(n−1)) —
+    // isotropic data ⇒ ≈ 0, a cone ⇒ → 1. One posexplode + per-dim
+    // dsum (64 groups) replaces the O(n²) pair sum, and the per-dim
+    // variance share exposes WHICH dimensions hoard the energy (the
+    // rogue-dimension diagnosis). Exact: per-row norms via the in-order
+    // fold (the q113 idiom), sqrt is IEEE-correctly-rounded, per-dim
+    // sums on the dsum grid, scalar epilogue in fixed order. Scale:
+    // linear in vectors, state is 64 dims — partial aggregation does
+    // all the work; mean_cos/n_vecs are broadcast scalars (allowlisted).
+    NamedQuery(
+      "q286_embed_isotropy",
+      (s, d) => {
+        val base = tbl(s, d, "embeddings")
+          .filter(col("embedding").isNotNull)
+          .select(col("vec_id"), col("embedding"),
+            expr("aggregate(transform(embedding, " +
+              "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, " +
+              "(acc, v) -> acc + v)").as("sq"))
+          .filter(col("sq") > 0.0)
+        val nrows = base.agg(count(lit(1)).as("n_vecs"))
+        val xh = base
+          .select(sqrt(col("sq")).as("nrm"),
+            posexplode(col("embedding")).as(Seq("i0", "x")))
+          .select((col("i0") + 1).cast("long").as("dim"),
+            (col("x").cast("double") / col("nrm")).as("xh"))
+        val dims = xh.groupBy(col("dim"))
+          .agg(dsum(col("xh")).as("sum_unit"),
+            dsum(col("xh") * col("xh")).as("sumsq_unit"))
+        val withN = dims.crossJoin(broadcast(nrows))
+          .withColumn("var_unit",
+            col("sumsq_unit") / col("n_vecs").cast("double") -
+              (col("sum_unit") / col("n_vecs").cast("double")) *
+              (col("sum_unit") / col("n_vecs").cast("double")))
+        val tot = withN.agg(
+          dsum(col("sum_unit") * col("sum_unit")).as("ssq"),
+          dsum(col("var_unit")).as("totvar"))
+        val scalars = tot.crossJoin(broadcast(nrows))
+          .select(
+            when(col("n_vecs") > 1L,
+              (col("ssq") - col("n_vecs").cast("double")) /
+                (col("n_vecs").cast("double") *
+                  (col("n_vecs").cast("double") - lit(1.0))))
+              .as("mean_cos"),
+            col("totvar"), col("n_vecs"))
+        withN.drop("n_vecs").crossJoin(broadcast(scalars))
+          .select(col("dim"), col("sum_unit"), col("var_unit"),
+            when(col("totvar") > 0.0, col("var_unit") / col("totvar"))
+              .as("var_share"),
+            col("mean_cos"), col("n_vecs"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, embedding,
+             |    list_reduce(list_prepend(0.0,
+             |      [CAST(embedding[i] AS DOUBLE)
+             |         * CAST(embedding[i] AS DOUBLE)
+             |       for i in range(1, 65)]),
+             |      (acc, v) -> acc + v) AS sq
+             |  FROM embeddings WHERE embedding IS NOT NULL),
+             |f AS (
+             |  SELECT vec_id, embedding, sqrt(sq) AS nrm
+             |  FROM e WHERE sq > 0.0),
+             |nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM f),
+             |x AS (
+             |  SELECT u.i AS dim,
+             |    CAST(embedding[u.i] AS DOUBLE) / nrm AS xh
+             |  FROM f CROSS JOIN
+             |    (SELECT CAST(unnest(range(1, 65)) AS BIGINT) AS i) u),
+             |dims AS (
+             |  SELECT dim,
+             |    CAST(SUM(CAST(xh AS DECIMAL(28,6))) AS DOUBLE)
+             |      AS sum_unit,
+             |    CAST(SUM(CAST(xh * xh AS DECIMAL(28,6))) AS DOUBLE)
+             |      AS sumsq_unit
+             |  FROM x GROUP BY dim),
+             |wn AS (
+             |  SELECT dim, sum_unit, sumsq_unit, n_vecs,
+             |    sumsq_unit / CAST(n_vecs AS DOUBLE)
+             |      - (sum_unit / CAST(n_vecs AS DOUBLE))
+             |        * (sum_unit / CAST(n_vecs AS DOUBLE)) AS var_unit
+             |  FROM dims CROSS JOIN nr),
+             |tot AS (
+             |  SELECT
+             |    CAST(SUM(CAST(sum_unit * sum_unit AS DECIMAL(28,6)))
+             |      AS DOUBLE) AS ssq,
+             |    CAST(SUM(CAST(var_unit AS DECIMAL(28,6))) AS DOUBLE)
+             |      AS totvar
+             |  FROM wn),
+             |sc AS (
+             |  SELECT
+             |    CASE WHEN n_vecs > 1 THEN
+             |      (ssq - CAST(n_vecs AS DOUBLE))
+             |        / (CAST(n_vecs AS DOUBLE)
+             |           * (CAST(n_vecs AS DOUBLE) - 1.0))
+             |    END AS mean_cos,
+             |    totvar, n_vecs
+             |  FROM tot CROSS JOIN nr)
+             |SELECT wn.dim, wn.sum_unit, wn.var_unit,
+             |  CASE WHEN sc.totvar > 0.0 THEN wn.var_unit / sc.totvar
+             |  END AS var_share,
+             |  sc.mean_cos, sc.n_vecs
+             |FROM wn CROSS JOIN sc""".stripMargin)),
   )
 }

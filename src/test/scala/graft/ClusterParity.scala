@@ -94,7 +94,25 @@ object ClusterParity {
     // identical on every executor JVM)
     "q272_shapley_attribution", "q273_target_encoding", "q274_conformal",
     "q275_vocab_richness", "q276_source_ablation", "q277_join_card_est",
-    "q278_bloom_antijoin")
+    "q278_bloom_antijoin",
+    // r12 batch-2, one per new family: isotonic PAV (the bin-lattice
+    // broadcast joins and min/max folds over identical doubles across
+    // JVMs), water-filling (global level selected from a ranked prefix
+    // crossing an exchange), group-sequential looks (md5 entry draw on
+    // executors), quantile treatment effects (value-selected ranks
+    // through real shuffles), and the source-overlap matrix (16-slot
+    // MinHash partial aggregation merging across executor JVMs)
+    "q279_isotonic_calibration", "q280_token_budget",
+    "q281_group_sequential", "q282_qte", "q283_source_overlap",
+    // r12 batch-3, one per new family: Bradley–Terry (8 rounds of
+    // pinned MM state re-broadcast across executor JVMs), the
+    // Mantel–Haenszel pooled terms (dsum grid through a real
+    // exchange), embedding isotropy (per-dim dsum partials merging
+    // across JVMs), Cohen's kappa (4-cell agreement grid), and the
+    // jackknife (totals-minus-row arithmetic on broadcast band totals)
+    "q284_bradley_terry", "q285_mantel_haenszel",
+    "q286_embed_isotropy", "q287_cohens_kappa",
+    "q288_jackknife_ratio")
 
   private def run(spark: SparkSession): Map[String, Map[Seq[Any], Int]] =
     queries.map { n =>

@@ -172,6 +172,173 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     assert(est > 0 && est < 10.0 * r.getAs[Long]("true_pairs"))
   }
 
+  test("q279 isotonic: minimax fit equals the sequential PAV walk") {
+    // the textbook theorem (Robertson-Wright-Dykstra 1.4.4): the
+    // closed-form minimax lattice equals pool-adjacent-violators run
+    // sequentially — replay PAV in plain Scala on the same bins
+    val rows = SparkEntry.queries("q279_isotonic_calibration")(
+      spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n_users"),
+        r.getAs[Long]("n_pos"), r.getAs[Double]("iso_fit")))
+      .sortBy(_._1)
+    assert(rows.length > 1)
+    // PAV: blocks of (weight, sum); merge while the last two violate
+    var blocks = List.empty[(Long, Long)] // (n, y) newest first
+    for ((_, n, y, _) <- rows) {
+      blocks = (n, y) :: blocks
+      var merged = true
+      while (merged && blocks.size >= 2) {
+        val a :: b :: rest = blocks: @unchecked // a newer, b older
+        // violation: mean(b) > mean(a) — exact integer cross-multiply
+        if (b._2 * a._1 > a._2 * b._1) {
+          blocks = (a._1 + b._1, a._2 + b._2) :: rest; merged = true
+        } else merged = false
+      }
+    }
+    val fits = blocks.reverse.flatMap { case (n, y) =>
+      // each merged block covers `n` users; expand back to bins by
+      // walking bin weights
+      List.fill(1)((n, y))
+    }
+    // reconstruct per-bin fit: walk bins against blocks
+    var rem = blocks.reverse
+    var need = rem.head._1
+    val pav = rows.map { case (_, n, _, _) =>
+      val f = rem.head._2.toDouble / rem.head._1.toDouble
+      need -= n
+      if (need == 0 && rem.tail.nonEmpty) { rem = rem.tail; need = rem.head._1 }
+      f
+    }
+    rows.map(_._4).zip(pav).zipWithIndex.foreach { case ((got, want), i) =>
+      assert(math.abs(got - want) < 1e-9,
+        s"bin ${rows(i)._1}: $got vs PAV $want")
+    }
+    // and the defining property: monotone nondecreasing
+    val fs = rows.map(_._4)
+    assert(fs.zip(fs.tail).forall { case (x, y) => x <= y + 1e-12 })
+    assert(fits.nonEmpty)
+  }
+
+  test("q280 water-filling: allocations sum to T, clip set consistent") {
+    val rows = SparkEntry.queries("q280_token_budget")(spark, dir)
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("supply"), r.getAs[Long]("t_budget"),
+        r.getAs[Double]("level"), r.getAs[Boolean]("clipped"),
+        r.getAs[Double]("alloc")))
+    assert(rows.nonEmpty)
+    val t = rows.head._3
+    assert(math.abs(rows.map(_._6).sum - t.toDouble) < 1e-6 * t,
+      s"sum alloc ${rows.map(_._6).sum} != T $t")
+    rows.foreach { case (src, supply, _, lvl, clipped, alloc) =>
+      assert(clipped == (supply.toDouble <= lvl))
+      if (clipped) assert(alloc == supply.toDouble, s"$src clipped alloc")
+      else assert(alloc == lvl, s"$src rationed alloc")
+    }
+    // both regimes must occur, or the fixture regressed to degenerate
+    assert(rows.exists(_._5) && rows.exists(!_._5))
+    // supplies differ (the unequal-subsample premise)
+    assert(rows.map(_._2).distinct.length > 1)
+  }
+
+  test("q281 group-sequential: per-look z matches a scalar recompute") {
+    val rows = SparkEntry.queries("q281_group_sequential")(spark, dir)
+      .collect().map(r => r.getAs[Long]("look") ->
+        (r.getAs[Long]("n_control"), r.getAs[Long]("n_treat"),
+          r.getAs[Long]("x_control"), r.getAs[Long]("x_treat"),
+          r.getAs[Double]("z_stat"), r.getAs[Double]("obf_bound"),
+          r.getAs[Boolean]("crossed"))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    val ev = graft.ops.OpsKit.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3)))
+    def entryLook(u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 5 + 1
+    }
+    val allByUser = ev.groupBy(_._2).map { case (u, es) =>
+      (u, es.exists(e => e._3 == "purchase" && e._4 > 150.0))
+    }
+    for (k <- 1L to 5L) {
+      val byUser = allByUser.filter { case (u, _) => entryLook(u) <= k }
+      val (ctl, trt) = byUser.partition(_._1 % 2 == 0)
+      val (nc, nt) = (ctl.size.toLong, trt.size.toLong)
+      val (xc, xt) = (ctl.count(_._2).toLong, trt.count(_._2).toLong)
+      val (gnc, gnt, gxc, gxt, z, b, crossed) = rows(k)
+      assert((gnc, gnt, gxc, gxt) == ((nc, nt, xc, xt)), s"look $k counts")
+      if (nc > 0 && nt > 0) {
+        val pc = xc.toDouble / nc; val pt = xt.toDouble / nt
+        val pp = (xc + xt).toDouble / (nc + nt)
+        val se = math.sqrt(pp * (1 - pp) * (1.0 / nc + 1.0 / nt))
+        if (se > 0) {
+          assert(math.abs(z - (pt - pc) / se) < 1e-12, s"look $k z")
+          assert(crossed == (math.abs(z) > b))
+        }
+      }
+    }
+    // enrollment genuinely grows across looks (degeneracy witness)
+    val ns = (1L to 5L).map(k => rows(k)._1 + rows(k)._2)
+    assert(ns.zip(ns.tail).forall { case (a, b2) => a <= b2 })
+    assert(ns.distinct.size > 1, s"enrollment must vary: $ns")
+  }
+
+  test("q282 QTE: per-arm quantiles equal sorted-index selection") {
+    val rows = SparkEntry.queries("q282_qte")(spark, dir).collect()
+      .map(r => r.getAs[Long]("tau_pct") ->
+        (r.getAs[Double]("q_control"), r.getAs[Double]("q_treat"),
+          r.getAs[Double]("qte"))).toMap
+    assert(rows.keySet == Set(25L, 50L, 75L))
+    val pv = graft.ops.OpsKit.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    def qDisc(xs: Array[Double], tauPct: Long): Double = {
+      val s = xs.sorted
+      // first value whose inclusive rank r satisfies 100r >= tau*n
+      s(((tauPct * s.length + 99) / 100 - 1).toInt.max(0))
+    }
+    val ctl = pv.filter(_._1 % 2 == 0).map(_._2)
+    val trt = pv.filter(_._1 % 2 != 0).map(_._2)
+    for (tau <- Seq(25L, 50L, 75L)) {
+      val (qc, qt, d) = rows(tau)
+      assert(qc == qDisc(ctl, tau), s"tau $tau control")
+      assert(qt == qDisc(trt, tau), s"tau $tau treat")
+      assert(d == qt - qc)
+    }
+  }
+
+  test("q283 overlap: exact Jaccard matches sets; estimate in range") {
+    val rows = SparkEntry.queries("q283_source_overlap")(spark, dir)
+      .collect().map(r => (r.getAs[String]("source_a"),
+        r.getAs[String]("source_b"), r.getAs[Long]("size_a"),
+        r.getAs[Long]("size_b"), r.getAs[Long]("inter"),
+        r.getAs[Double]("exact_jac"), r.getAs[Double]("est_jac")))
+    val nSrc = graft.ops.OpsKit.tbl(spark, dir, "documents")
+      .select(col("source")).distinct().count().toInt
+    assert(rows.length == nSrc * (nSrc - 1) / 2, "one row per pair")
+    // independent shingle sets via the registered expression, collected
+    val sh = graft.ops.OpsKit.tbl(spark, dir, "documents")
+      .select(col("source"),
+        explode(graft.ops.LlmKit.hashedShingles(col("text"))).as("h"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s0, xs) => s0 -> xs.map(_._2).toSet }
+    rows.foreach { case (a, b, sa, sb, inter, ej, est) =>
+      val (setA, setB) = (sh(a), sh(b))
+      assert(sa == setA.size && sb == setB.size)
+      assert(inter == (setA & setB).size.toLong, s"$a-$b inter")
+      val want = inter.toDouble / (sa + sb - inter).toDouble
+      assert(ej == want)
+      // 16-perm Broder estimate: grid of 1/16ths, within 4σ of exact
+      assert(est >= 0.0 && est <= 1.0 &&
+        math.round(est * 16) == est * 16)
+      val sd = math.sqrt(math.max(ej * (1 - ej), 0.01) / 16.0)
+      assert(math.abs(est - ej) <= 4 * sd + 1e-9, s"$a-$b est $est vs $ej")
+    }
+  }
+
   test("q278 Bloom: no false negatives, confusion counts consistent") {
     val r = SparkEntry.queries("q278_bloom_antijoin")(spark, dir)
       .collect().head
@@ -190,5 +357,201 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_true_members") ==
       cand.count(flagged.contains).toLong)
     assert(r.getAs[Long]("bits_set") <= 8192L)
+  }
+
+  private def md5Long(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  private def grid6(xs: Iterable[Double]): Double =
+    xs.map(x => BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+
+  test("q284 Bradley-Terry: MM fixed point matches a scalar replay") {
+    val rows = SparkEntry.queries("q284_bradley_terry")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("wins"), r.getAs[Long]("matches"),
+          r.getAs[Double]("strength"))).toMap
+    val docs = graft.ops.OpsKit.tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        md5Long("bt:" + r.getLong(0)) % 16))
+    val pairs = for {
+      a <- docs; c <- docs
+      if a._4 == c._4 && a._1 < c._1 && a._2 != c._2 && a._3 != c._3
+    } yield if (a._3 > c._3) (a._2, c._2) else (c._2, a._2)
+    val w = pairs.groupBy(identity).map { case (k, v) => k -> v.length }
+    val nij = collection.mutable.Map[(String, String), Long]()
+    w.foreach { case ((i, j), c) =>
+      nij((i, j)) = nij.getOrElse((i, j), 0L) + c
+      nij((j, i)) = nij.getOrElse((j, i), 0L) + c
+    }
+    val srcs = nij.keys.map(_._1).toSeq.distinct.sorted
+    val wins = srcs.map(s0 =>
+      s0 -> w.collect { case ((i, _), c) if i == s0 => c.toLong }.sum).toMap
+    val matches = srcs.map(s0 => s0 ->
+      nij.collect { case ((i, _), c) if i == s0 => c }.sum).toMap
+    var p = srcs.map(_ -> 1.0).toMap
+    for (_ <- 1 to 8) {
+      val den = srcs.map(i => i -> grid6(
+        srcs.filter(j => nij.contains((i, j)))
+          .map(j => nij((i, j)).toDouble / (p(i) + p(j))))).toMap
+      val raw = srcs.map(i => i -> wins(i).toDouble / den(i)).toMap
+      val m = grid6(srcs.map(raw)) / srcs.size
+      p = srcs.map(i => i -> raw(i) / m).toMap
+    }
+    assert(rows.keySet == srcs.toSet)
+    for (s0 <- srcs) {
+      val (gw, gm, gs) = rows(s0)
+      assert(gw == wins(s0), s"$s0 wins")
+      assert(gm == matches(s0), s"$s0 matches")
+      assert(math.abs(gs - p(s0)) < 1e-12, s"$s0 strength $gs vs ${p(s0)}")
+    }
+    // mean-1 normalization held (to grid resolution: the normalizer is
+    // itself a 6-decimal dsum, so two grid layers stack), not flat
+    assert(math.abs(grid6(rows.values.map(_._3)) / srcs.size - 1.0) < 1e-6)
+    assert(rows.values.map(_._3).toSet.size > 1)
+  }
+
+  test("q285 Mantel-Haenszel: pooled and per-stratum ORs recompute") {
+    val rows = SparkEntry.queries("q285_mantel_haenszel")(spark, dir)
+      .collect().map(r => r.getAs[String]("band") ->
+        (r.getAs[Long]("n11"), r.getAs[Long]("n10"),
+          r.getAs[Long]("n01"), r.getAs[Long]("n00"),
+          Option(r.getAs[java.lang.Double]("or_stratum")),
+          Option(r.getAs[java.lang.Double]("mh_or")),
+          Option(r.getAs[java.lang.Double]("crude_or")))).toMap
+    val ev = graft.ops.OpsKit.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val users = ev.groupBy(_._1).map { case (u, es) =>
+      val band = es.length match {
+        case n if n < 60 => "low"
+        case n if n < 75 => "mid"
+        case _           => "high"
+      }
+      (band, u % 2 == 1,
+        es.exists(e => e._2 == "purchase" && e._3 > 150.0))
+    }
+    val cells = users.groupBy(_._1).map { case (band, us) =>
+      band -> (us.count(x => x._2 && x._3).toLong,
+        us.count(x => x._2 && !x._3).toLong,
+        us.count(x => !x._2 && x._3).toLong,
+        us.count(x => !x._2 && !x._3).toLong)
+    }
+    assert(rows.keySet == cells.keySet)
+    val terms = cells.values.toSeq
+    val num = grid6(terms.map { case (a, b2, c2, dd) =>
+      (a * dd).toDouble / (a + b2 + c2 + dd).toDouble })
+    val den = grid6(terms.map { case (a, b2, c2, dd) =>
+      (b2 * c2).toDouble / (a + b2 + c2 + dd).toDouble })
+    val (ta, tb, tc, td) = (terms.map(_._1).sum, terms.map(_._2).sum,
+      terms.map(_._3).sum, terms.map(_._4).sum)
+    for ((band, (a, b2, c2, dd)) <- cells) {
+      val (ga, gb, gc, gd, gor, gmh, gcr) = rows(band)
+      assert((ga, gb, gc, gd) == ((a, b2, c2, dd)), s"$band cells")
+      if (b2 * c2 > 0)
+        assert(math.abs(gor.get -
+          (a * dd).toDouble / (b2 * c2).toDouble) < 1e-12)
+      else assert(gor.isEmpty)
+      if (den > 0) assert(math.abs(gmh.get - num / den) < 1e-12)
+      if (tb * tc > 0)
+        assert(math.abs(gcr.get -
+          (ta * td).toDouble / (tb * tc).toDouble) < 1e-12)
+    }
+  }
+
+  test("q286 isotropy: closed form equals the brute-force pair mean") {
+    val rows = SparkEntry.queries("q286_embed_isotropy")(spark, dir)
+      .collect()
+    assert(rows.length == 64)
+    val meanCos = rows.head.getAs[Double]("mean_cos")
+    val n = rows.head.getAs[Long]("n_vecs")
+    // var shares partition the energy
+    val shares = rows.map(_.getAs[Double]("var_share")).sum
+    assert(math.abs(shares - 1.0) < 1e-4, s"shares sum $shares")
+    // brute force O(n^2) mean pairwise cosine over unit vectors
+    val vecs = graft.ops.OpsKit.tbl(spark, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map { v =>
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / nrm)
+      }
+    assert(n == vecs.length.toLong)
+    var acc = 0.0
+    for (i <- vecs.indices; j <- (i + 1) until vecs.length)
+      acc += vecs(i).zip(vecs(j)).map { case (x, y) => x * y }.sum
+    val brute = 2.0 * acc / (n.toDouble * (n - 1.0))
+    assert(math.abs(meanCos - brute) < 1e-4, s"$meanCos vs $brute")
+  }
+
+  test("q287 kappa: chance-corrected agreement recomputes exactly") {
+    val rows = SparkEntry.queries("q287_cohens_kappa")(spark, dir)
+      .collect()
+    val docs = graft.ops.OpsKit.tbl(spark, dir, "documents")
+      .select(col("text"), col("n_chars")).collect()
+      .map { r =>
+        val words = r.getString(0).split(" ", -1).length
+        (words >= 40, r.getLong(1).toDouble / words >= 5.5)
+      }
+    val nn = docs.length.toDouble
+    val na = docs.count(_._1).toDouble
+    val nb = docs.count(_._2).toDouble
+    val agree = docs.count(x => x._1 == x._2).toDouble
+    val po = agree / nn
+    val pe = (na / nn) * (nb / nn) + (1.0 - na / nn) * (1.0 - nb / nn)
+    val kap = (po - pe) / (1.0 - pe)
+    for (r <- rows) {
+      val (ak, bk) = (r.getAs[Boolean]("a_keep"), r.getAs[Boolean]("b_keep"))
+      assert(r.getAs[Long]("n_cell") ==
+        docs.count(x => x._1 == ak && x._2 == bk).toLong)
+      assert(math.abs(r.getAs[Double]("po") - po) < 1e-12)
+      assert(math.abs(r.getAs[Double]("pe") - pe) < 1e-12)
+      assert(math.abs(r.getAs[Double]("kappa") - kap) < 1e-12)
+    }
+    // the labelers genuinely disagree somewhere (non-vacuous kappa)
+    assert(rows.map(_.getAs[Long]("n_cell")).sum ==
+      docs.length.toLong)
+    assert(kap < 1.0)
+  }
+
+  test("q288 jackknife: SE matches the leave-one-out replay") {
+    val rows = SparkEntry.queries("q288_jackknife_ratio")(spark, dir)
+      .collect().map(r => r.getAs[String]("band") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("total_clicks"),
+          r.getAs[Double]("revenue"), r.getAs[Double]("theta"),
+          Option(r.getAs[java.lang.Double]("jack_se")))).toMap
+    val ev = graft.ops.OpsKit.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val users = ev.groupBy(_._1).map { case (_, es) =>
+      val c = es.count(_._2 == "click").toLong
+      val v = grid6(es.filter(_._2 == "purchase").map(_._3) ++
+        es.filter(_._2 != "purchase").map(_ => 0.0))
+      val band =
+        if (c < 11) "low" else if (c < 16) "mid" else "high"
+      (band, c, v)
+    }.toSeq
+    for ((band, us) <- users.groupBy(_._1)) {
+      val (gn, gtc, gtv, gth, gse) = rows(band)
+      val tc = us.map(_._2).sum
+      val tv = grid6(us.map(_._3))
+      assert(gn == us.length.toLong && gtc == tc)
+      assert(math.abs(gtv - tv) < 1e-9)
+      assert(math.abs(gth - tv / tc.toDouble) < 1e-12)
+      val ths = us.filter(u => tc - u._2 > 0)
+        .map(u => (tv - u._3) / (tc - u._2).toDouble)
+      if (ths.size > 1) {
+        val jm = grid6(ths) / ths.size
+        val ssd = grid6(ths.map(t => (t - jm) * (t - jm)))
+        val se = math.sqrt((ths.size - 1.0) / ths.size * ssd)
+        assert(math.abs(gse.get - se) < 1e-12, s"$band se")
+      }
+    }
   }
 }

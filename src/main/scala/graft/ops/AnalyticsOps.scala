@@ -5144,5 +5144,324 @@ object AnalyticsOps {
              |      * se.ssd)
              |  END AS jack_se
              |FROM bt JOIN se ON se.band = bt.band""".stripMargin)),
+
+    // ----- q289: Kendall's tau-b from the contingency grid -----------------
+    // The second rank-correlation lens: q220's Spearman correlates the
+    // RANK VALUES; Kendall's τ-b counts concordant vs discordant PAIRS
+    // — more robust to a few wild ranks and the statistic behind
+    // copula fitting. The O(n²) pair count collapses onto the
+    // (clicks, purchases) contingency grid: with t_xy users per cell,
+    // concordant C = Σ n₁n₂ over cell pairs with x₂>x₁ ∧ y₂>y₁,
+    // discordant D likewise with y₂<y₁, and the tie corrections come
+    // from the marginals: τ_b = (C−D)/√((N₀−T₁)(N₀−T₂)) with
+    // N₀ = n(n−1)/2, T = Σ t(t−1)/2 (Kendall 1945's tie treatment).
+    // Exact: every count is an integer; the one sqrt takes a product
+    // of two doubles that are exact images of ≤2⁶³ integers. Scale:
+    // the grid is DISTINCT-VALUE-bounded (users collapse onto
+    // (x, y) cells), the grid self-join is broadcast, and everything
+    // upstream is one user rollup — n² never materializes.
+    NamedQuery(
+      "q289_kendall_tau",
+      (s, d) => {
+        val u = events(s, d).groupBy(col("user_id"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("x"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("y"))
+        val cells = u.groupBy(col("x"), col("y"))
+          .agg(count(lit(1)).as("cnt"))
+        val cd = cells
+          .select(col("x").as("x1"), col("y").as("y1"),
+            col("cnt").as("c1"))
+          .join(broadcast(cells.select(col("x").as("x2"),
+            col("y").as("y2"), col("cnt").as("c2"))),
+            col("x1") < col("x2"))
+          .agg(sum(when(col("y2") > col("y1"), col("c1") * col("c2"))
+              .otherwise(0L)).as("concordant"),
+            sum(when(col("y2") < col("y1"), col("c1") * col("c2"))
+              .otherwise(0L)).as("discordant"))
+        val t1 = cells.groupBy(col("x"))
+          .agg(sum(col("cnt")).as("t"))
+          .agg(sum(expr("(t * (t - 1)) div 2")).as("ties_x"))
+        val t2 = cells.groupBy(col("y"))
+          .agg(sum(col("cnt")).as("t"))
+          .agg(sum(expr("(t * (t - 1)) div 2")).as("ties_y"))
+        val nn = cells.agg(sum(col("cnt")).as("n_users"))
+          .select(col("n_users"),
+            expr("(n_users * (n_users - 1)) div 2").as("n0"))
+        val den1 = (col("n0") - col("ties_x")).cast("double")
+        val den2 = (col("n0") - col("ties_y")).cast("double")
+        cd.crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+          .crossJoin(broadcast(nn))
+          .select(col("n_users"), col("concordant"), col("discordant"),
+            col("ties_x"), col("ties_y"),
+            when(den1 * den2 > 0.0,
+              (col("concordant") - col("discordant")).cast("double") /
+                sqrt(den1 * den2)).as("tau_b"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS x,
+             |    CAST(SUM(CASE WHEN event_type = 'purchase'
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS y
+             |  FROM events GROUP BY user_id),
+             |cells AS (
+             |  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM u GROUP BY x, y),
+             |cd AS (
+             |  SELECT
+             |    CAST(SUM(CASE WHEN c2.y > c1.y THEN c1.cnt * c2.cnt
+             |      ELSE 0 END) AS BIGINT) AS concordant,
+             |    CAST(SUM(CASE WHEN c2.y < c1.y THEN c1.cnt * c2.cnt
+             |      ELSE 0 END) AS BIGINT) AS discordant
+             |  FROM cells c1 JOIN cells c2 ON c1.x < c2.x),
+             |t1 AS (
+             |  SELECT CAST(SUM((t * (t - 1)) // 2) AS BIGINT) AS ties_x
+             |  FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS t
+             |        FROM cells GROUP BY x)),
+             |t2 AS (
+             |  SELECT CAST(SUM((t * (t - 1)) // 2) AS BIGINT) AS ties_y
+             |  FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS t
+             |        FROM cells GROUP BY y)),
+             |nn AS (
+             |  SELECT n_users, (n_users * (n_users - 1)) // 2 AS n0
+             |  FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS n_users
+             |        FROM cells))
+             |SELECT nn.n_users, cd.concordant, cd.discordant,
+             |  t1.ties_x, t2.ties_y,
+             |  CASE WHEN CAST(nn.n0 - t1.ties_x AS DOUBLE)
+             |      * CAST(nn.n0 - t2.ties_y AS DOUBLE) > 0.0 THEN
+             |    CAST(cd.concordant - cd.discordant AS DOUBLE)
+             |      / sqrt(CAST(nn.n0 - t1.ties_x AS DOUBLE)
+             |             * CAST(nn.n0 - t2.ties_y AS DOUBLE))
+             |  END AS tau_b
+             |FROM cd CROSS JOIN t1 CROSS JOIN t2 CROSS JOIN nn"""
+        .stripMargin)),
+
+    // ----- q290: Chow structural-break test ---------------------------------
+    // q147/q213 fit ONE trend; q210's CUSUM finds WHERE the level
+    // moved. The Chow test (1960) answers the remaining question: did
+    // the RELATIONSHIP change — are the pre- and post-break
+    // regressions the same line? F = ((RSS_p − RSS₁ − RSS₂)/k) /
+    // ((RSS₁+RSS₂)/(n₁+n₂−2k)), k = 2, at the midpoint-day break.
+    // Exactness is q147's discipline end-to-end: x = integer epoch
+    // days, y = integer cents, the six moments per segment summed in
+    // DECIMAL(38,0) and cast to double ONCE, then RSS by the
+    // moment-only closed form RSS = (dy − num²/dx)/n — no residual
+    // pass, so a 100 TB log reduces to two 6-number rows (and one
+    // pooled row aggregated independently, NOT by adding rounded
+    // segment doubles) before any IEEE arithmetic happens.
+    NamedQuery(
+      "q290_chow_break",
+      (s, d) => {
+        val pts0 = events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(expr("unix_micros(ts) div 86400000000").as("x"),
+            floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+              .as("y"))
+        val brk = pts0.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+          .select(expr("(lo + hi + 1) div 2").as("bd"))
+        val pts = pts0.crossJoin(broadcast(brk))
+          .withColumn("segment",
+            when(col("x") < col("bd"), "pre").otherwise("post"))
+        def moments(df: DataFrame, keyed: Boolean): DataFrame = {
+          val g = if (keyed) df.groupBy(col("segment"))
+            else df.withColumn("segment", lit("pooled"))
+              .groupBy(col("segment"))
+          g.agg(count(lit(1)).as("n"),
+            sum(col("x").cast("decimal(38,0)")).cast("double").as("sx"),
+            sum(col("y").cast("decimal(38,0)")).cast("double").as("sy"),
+            sum((col("x") * col("y")).cast("decimal(38,0)"))
+              .cast("double").as("sxy"),
+            sum((col("x") * col("x")).cast("decimal(38,0)"))
+              .cast("double").as("sxx"),
+            sum((col("y").cast("decimal(19,0)") *
+              col("y").cast("decimal(19,0)")).cast("decimal(38,0)"))
+              .cast("double").as("syy"))
+        }
+        val m = moments(pts, keyed = true)
+          .unionByName(moments(pts, keyed = false))
+        val nd = col("n").cast("double")
+        val dx = nd * col("sxx") - col("sx") * col("sx")
+        val dy = nd * col("syy") - col("sy") * col("sy")
+        val num = nd * col("sxy") - col("sx") * col("sy")
+        val seg = m.select(col("segment"), col("n"),
+          when(dx > 0.0, num / dx).as("slope"),
+          when(dx > 0.0, (col("sy") - (num / dx) * col("sx")) / nd)
+            .as("intercept"),
+          when(dx > 0.0, (dy - (num / dx) * num) / nd).as("rss"))
+        val f = seg.groupBy()
+          .pivot("segment", Seq("pre", "post", "pooled"))
+          .agg(first(col("rss")).as("rss"), first(col("n")).as("n"))
+          .select(
+            when(col("pre_n") + col("post_n") > 4L &&
+              col("pre_rss") + col("post_rss") > 0.0,
+              ((col("pooled_rss") - col("pre_rss") - col("post_rss")) /
+                lit(2.0)) /
+                ((col("pre_rss") + col("post_rss")) /
+                  (col("pre_n") + col("post_n") - lit(4L))
+                    .cast("double"))).as("chow_f"))
+        seg.crossJoin(broadcast(f))
+      },
+      Some("""WITH pts0 AS (
+             |  SELECT epoch_us(ts) // 86400000000 AS x,
+             |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y
+             |  FROM events WHERE event_type = 'purchase'),
+             |brk AS (
+             |  SELECT (MIN(x) + MAX(x) + 1) // 2 AS bd FROM pts0),
+             |pts AS (
+             |  SELECT x, y,
+             |    CASE WHEN x < bd THEN 'pre' ELSE 'post' END AS segment
+             |  FROM pts0 CROSS JOIN brk),
+             |m AS (
+             |  SELECT segment, COUNT(*) AS n,
+             |    CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0))
+             |      AS DOUBLE) AS sx,
+             |    CAST(CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0))
+             |      AS DOUBLE) AS sy,
+             |    CAST(CAST(SUM(CAST(x * y AS DECIMAL(38,0)))
+             |      AS DECIMAL(38,0)) AS DOUBLE) AS sxy,
+             |    CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,0)))
+             |      AS DECIMAL(38,0)) AS DOUBLE) AS sxx,
+             |    CAST(CAST(SUM(CAST(CAST(y AS DECIMAL(19,0))
+             |        * CAST(y AS DECIMAL(19,0)) AS DECIMAL(38,0)))
+             |      AS DECIMAL(38,0)) AS DOUBLE) AS syy
+             |  FROM pts GROUP BY segment
+             |  UNION ALL
+             |  SELECT 'pooled', COUNT(*),
+             |    CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0))
+             |      AS DOUBLE),
+             |    CAST(CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0))
+             |      AS DOUBLE),
+             |    CAST(CAST(SUM(CAST(x * y AS DECIMAL(38,0)))
+             |      AS DECIMAL(38,0)) AS DOUBLE),
+             |    CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,0)))
+             |      AS DECIMAL(38,0)) AS DOUBLE),
+             |    CAST(CAST(SUM(CAST(CAST(y AS DECIMAL(19,0))
+             |        * CAST(y AS DECIMAL(19,0)) AS DECIMAL(38,0)))
+             |      AS DECIMAL(38,0)) AS DOUBLE)
+             |  FROM pts),
+             |seg AS (
+             |  SELECT segment, n,
+             |    CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0.0 THEN
+             |      (CAST(n AS DOUBLE) * sxy - sx * sy)
+             |        / (CAST(n AS DOUBLE) * sxx - sx * sx) END AS slope,
+             |    CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0.0 THEN
+             |      (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+             |             / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+             |        / CAST(n AS DOUBLE) END AS intercept,
+             |    CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0.0 THEN
+             |      ((CAST(n AS DOUBLE) * syy - sy * sy)
+             |       - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+             |          / (CAST(n AS DOUBLE) * sxx - sx * sx))
+             |         * (CAST(n AS DOUBLE) * sxy - sx * sy))
+             |        / CAST(n AS DOUBLE) END AS rss
+             |  FROM m),
+             |f AS (
+             |  SELECT CASE WHEN pre_n + post_n > 4
+             |      AND pre_rss + post_rss > 0.0 THEN
+             |    ((pooled_rss - pre_rss - post_rss) / 2.0)
+             |      / ((pre_rss + post_rss)
+             |         / CAST(pre_n + post_n - 4 AS DOUBLE)) END AS chow_f
+             |  FROM (SELECT
+             |    MAX(CASE WHEN segment = 'pre' THEN rss END) AS pre_rss,
+             |    MAX(CASE WHEN segment = 'post' THEN rss END) AS post_rss,
+             |    MAX(CASE WHEN segment = 'pooled' THEN rss END)
+             |      AS pooled_rss,
+             |    MAX(CASE WHEN segment = 'pre' THEN n END) AS pre_n,
+             |    MAX(CASE WHEN segment = 'post' THEN n END) AS post_n
+             |  FROM seg))
+             |SELECT seg.segment, seg.n, seg.slope, seg.intercept,
+             |  seg.rss, f.chow_f
+             |FROM seg CROSS JOIN f""".stripMargin)),
+
+    // ----- q293: exact 1-D Wasserstein (earth-mover) distance matrix -------
+    // The integral counterpart to q233's KS sup-norm matrix: W₁ weighs
+    // HOW FAR mass moved, not just the worst CDF gap — the right
+    // distance when a distribution shifts a little everywhere (KS
+    // saturates) or a lot somewhere narrow (KS overreacts). In one
+    // dimension W₁ has the exact closed form ∫|F_A − F_B| dv = Σ over
+    // consecutive pooled distinct values of |F_A(v) − F_B(v)|·Δv — no
+    // transport LP. Exact: CDF steps are integer-count divisions, gaps
+    // are double subtractions of identical parquet values, the sum is
+    // on the dsum grid. Scale: per-pair work is DISTINCT-VALUE-bounded
+    // (continuous data at 100 TB pre-quantizes to a fixed grid first);
+    // the window is partitioned per pair — no global single-partition
+    // window anywhere.
+    NamedQuery(
+      "q293_wasserstein",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val vals = events(s, d).groupBy(col("event_type"), col("value"))
+          .agg(count(lit(1)).as("cnt"))
+        val tots = vals.groupBy(col("event_type"))
+          .agg(sum(col("cnt")).as("nt"))
+        val pairs = tots
+          .select(col("event_type").as("ta"), col("nt").as("na"))
+          .join(tots.select(col("event_type").as("tb"),
+            col("nt").as("nb")), col("ta") < col("tb"))
+        val va = vals.join(broadcast(pairs),
+            col("event_type") === col("ta"))
+          .select(col("ta"), col("tb"), col("na"), col("nb"),
+            col("value").as("v"), col("cnt").as("ca"), lit(0L).as("cb"))
+        val vb = vals.join(broadcast(pairs),
+            col("event_type") === col("tb"))
+          .select(col("ta"), col("tb"), col("na"), col("nb"),
+            col("value").as("v"), lit(0L).as("ca"), col("cnt").as("cb"))
+        val g = va.unionByName(vb)
+          .groupBy(col("ta"), col("tb"), col("na"), col("nb"), col("v"))
+          .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+        val w = Window.partitionBy(col("ta"), col("tb")).orderBy(col("v"))
+        val wc = w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        val cum = g
+          .withColumn("fa", sum(col("ca")).over(wc).cast("double") /
+            col("na").cast("double"))
+          .withColumn("fb", sum(col("cb")).over(wc).cast("double") /
+            col("nb").cast("double"))
+          .withColumn("gap", lead(col("v"), 1).over(w) - col("v"))
+        cum.groupBy(col("ta"), col("tb"), col("na"), col("nb"))
+          .agg(dsum(when(col("gap").isNotNull,
+            abs(col("fa") - col("fb")) * col("gap"))
+            .otherwise(lit(0.0))).as("w1"))
+          .select(col("ta").as("type_a"), col("tb").as("type_b"),
+            col("na").as("n_a"), col("nb").as("n_b"), col("w1"))
+      },
+      Some(s"""WITH vals AS (
+             |  SELECT event_type, value AS v, CAST(COUNT(*) AS BIGINT)
+             |    AS cnt
+             |  FROM events GROUP BY event_type, value),
+             |tots AS (
+             |  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS nt
+             |  FROM vals GROUP BY event_type),
+             |pairs AS (
+             |  SELECT a.event_type AS ta, b.event_type AS tb,
+             |    a.nt AS na, b.nt AS nb
+             |  FROM tots a JOIN tots b ON a.event_type < b.event_type),
+             |g AS (
+             |  SELECT p.ta, p.tb, p.na, p.nb, v.v,
+             |    CAST(SUM(CASE WHEN v.event_type = p.ta THEN v.cnt
+             |      ELSE 0 END) AS BIGINT) AS ca,
+             |    CAST(SUM(CASE WHEN v.event_type = p.tb THEN v.cnt
+             |      ELSE 0 END) AS BIGINT) AS cb
+             |  FROM pairs p JOIN vals v
+             |    ON v.event_type IN (p.ta, p.tb)
+             |  GROUP BY p.ta, p.tb, p.na, p.nb, v.v),
+             |cum AS (
+             |  SELECT ta, tb, na, nb, v,
+             |    CAST(SUM(ca) OVER (PARTITION BY ta, tb ORDER BY v
+             |      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             |      / CAST(na AS DOUBLE) AS fa,
+             |    CAST(SUM(cb) OVER (PARTITION BY ta, tb ORDER BY v
+             |      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             |      / CAST(nb AS DOUBLE) AS fb,
+             |    lead(v) OVER (PARTITION BY ta, tb ORDER BY v) - v AS gap
+             |  FROM g)
+             |SELECT ta AS type_a, tb AS type_b, na AS n_a, nb AS n_b,
+             |  ${dsumSql(
+               "CASE WHEN gap IS NOT NULL THEN abs(fa - fb) * gap " +
+                 "ELSE CAST(0 AS DOUBLE) END")} AS w1
+             |FROM cum GROUP BY ta, tb, na, nb""".stripMargin)),
   )
 }

@@ -1932,5 +1932,73 @@ object CurationOps {
              |    AS cell_frac,
              |  s2.po, s2.pe, s2.kappa
              |FROM cells c CROSS JOIN st2 s2""".stripMargin)),
+
+    // ----- q292: McNemar's test on the paired labeler disagreements --------
+    // q287's kappa asks "how consistent are the labelers"; McNemar
+    // (1947) asks the DIFFERENT question "is one systematically more
+    // permissive" — the paired test that only the discordant cells can
+    // answer (concordant pairs carry no information about marginal
+    // difference). χ² = (b−c)²/(b+c) on the two discordant counts,
+    // with Edwards' continuity correction (max(|b−c|−1,0))²/(b+c)
+    // beside it and the χ²₁ 5% literal 3.841 as the flag threshold.
+    // Exact: two integer counts into two fixed IEEE divisions — the
+    // entire 100 TB corpus reduces to one 2×2 before arithmetic.
+    NamedQuery(
+      "q292_mcnemar",
+      (s, d) => {
+        val lab = tbl(s, d, "documents").select(
+          (size(split(col("text"), " ")) >= 40).as("a_keep"),
+          (col("n_chars").cast("double") /
+            size(split(col("text"), " ")).cast("double") >= 5.5)
+            .as("b_keep"))
+        lab.agg(count(lit(1)).as("n_docs"),
+            sum(when(col("a_keep") && !col("b_keep"), 1L).otherwise(0L))
+              .as("a_only"),
+            sum(when(!col("a_keep") && col("b_keep"), 1L).otherwise(0L))
+              .as("b_only"))
+          .select(col("n_docs"), col("a_only"), col("b_only"),
+            when(col("a_only") + col("b_only") > 0L,
+              ((col("a_only") - col("b_only")) *
+                (col("a_only") - col("b_only"))).cast("double") /
+                (col("a_only") + col("b_only")).cast("double"))
+              .as("mcnemar"),
+            when(col("a_only") + col("b_only") > 0L,
+              (greatest(abs(col("a_only") - col("b_only")) - lit(1L),
+                lit(0L)) *
+                greatest(abs(col("a_only") - col("b_only")) - lit(1L),
+                  lit(0L))).cast("double") /
+                (col("a_only") + col("b_only")).cast("double"))
+              .as("mcnemar_cc"))
+          .withColumn("significant",
+            when(col("mcnemar_cc").isNotNull,
+              col("mcnemar_cc") > lit(3.841)))
+      },
+      Some("""WITH lab AS (
+             |  SELECT len(string_split(text, ' ')) >= 40 AS a_keep,
+             |    CAST(n_chars AS DOUBLE)
+             |      / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 5.5
+             |      AS b_keep
+             |  FROM documents),
+             |agg AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    CAST(SUM(CASE WHEN a_keep AND NOT b_keep THEN 1 ELSE 0
+             |      END) AS BIGINT) AS a_only,
+             |    CAST(SUM(CASE WHEN NOT a_keep AND b_keep THEN 1 ELSE 0
+             |      END) AS BIGINT) AS b_only
+             |  FROM lab)
+             |SELECT n_docs, a_only, b_only,
+             |  CASE WHEN a_only + b_only > 0 THEN
+             |    CAST((a_only - b_only) * (a_only - b_only) AS DOUBLE)
+             |      / CAST(a_only + b_only AS DOUBLE) END AS mcnemar,
+             |  CASE WHEN a_only + b_only > 0 THEN
+             |    CAST(GREATEST(abs(a_only - b_only) - 1, 0)
+             |         * GREATEST(abs(a_only - b_only) - 1, 0) AS DOUBLE)
+             |      / CAST(a_only + b_only AS DOUBLE) END AS mcnemar_cc,
+             |  CASE WHEN a_only + b_only > 0 THEN
+             |    CAST(GREATEST(abs(a_only - b_only) - 1, 0)
+             |         * GREATEST(abs(a_only - b_only) - 1, 0) AS DOUBLE)
+             |      / CAST(a_only + b_only AS DOUBLE) > 3.841
+             |  END AS significant
+             |FROM agg""".stripMargin)),
   )
 }

@@ -2331,5 +2331,84 @@ object ScaleOps {
            |FROM pairs p
            |LEFT JOIN inter i USING (source_a, source_b)""".stripMargin
       }),
+
+    // ----- q291: approximate query processing with an error-bound audit ----
+    // The BlinkDB/sampling contract, certified: estimate per-group
+    // means from a deterministic md5 10% row sample, attach the CLT
+    // 95% half-width 1.96·s/√m, and put the EXACT answer beside the
+    // estimate with an `in_ci` audit column — the production pattern
+    // where a 100 TB scan becomes a 10 TB one at a stated accuracy.
+    // Determinism: the "random" sample is md5(event_id) % 10 = 0 —
+    // identical rows on every engine and partitioning (the q196/q249
+    // hash-draw idiom); sample variance comes from gridded Σv and Σv²
+    // in one pass, so the whole row is a fixed IEEE expression.
+    // Scale: two partial-aggregation passes (full + sample); the
+    // sample pass is the one a real deployment keeps, the full pass
+    // exists here to certify the bound.
+    NamedQuery(
+      "q291_aqp_sample",
+      (s, d) => {
+        val ev = events(s, d).select(col("event_type"), col("value"),
+          pmod(strHash(concat(lit("aqp:"),
+            col("event_id").cast("string"))), lit(10L)).as("h"))
+        val exact = ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_exact"),
+            dsum(col("value")).as("sum_exact"))
+          .withColumn("mean_exact",
+            col("sum_exact") / col("n_exact").cast("double"))
+        val sm = ev.filter(col("h") === 0L).groupBy(col("event_type"))
+          .agg(count(lit(1)).as("m"), dsum(col("value")).as("sv"),
+            dsum(col("value") * col("value")).as("svv"))
+        exact.join(broadcast(sm), Seq("event_type"))
+          .select(col("event_type"), col("n_exact"), col("mean_exact"),
+            col("m"),
+            when(col("m") > 0L, col("sv") / col("m").cast("double"))
+              .as("est_mean"),
+            when(col("m") > 1L,
+              lit(1.96) * sqrt(
+                ((col("svv") - col("sv") * col("sv") /
+                  col("m").cast("double")) /
+                  (col("m") - 1L).cast("double")) /
+                  col("m").cast("double"))).as("ci_half"))
+          .withColumn("est_sum",
+            col("est_mean") * col("n_exact").cast("double"))
+          .withColumn("in_ci",
+            when(col("ci_half").isNotNull,
+              abs(col("mean_exact") - col("est_mean")) <=
+                col("ci_half")))
+      },
+      Some {
+        val h = strHashSql("concat('aqp:', CAST(event_id AS VARCHAR))")
+        s"""WITH ev AS (
+           |  SELECT event_type, value, $h % 10 AS h FROM events),
+           |exact_ AS (
+           |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact,
+           |    ${dsumSql("value")} AS sum_exact
+           |  FROM ev GROUP BY event_type),
+           |sm AS (
+           |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m,
+           |    ${dsumSql("value")} AS sv,
+           |    ${dsumSql("value * value")} AS svv
+           |  FROM ev WHERE h = 0 GROUP BY event_type)
+           |SELECT e.event_type, e.n_exact,
+           |  e.sum_exact / CAST(e.n_exact AS DOUBLE) AS mean_exact,
+           |  s.m,
+           |  CASE WHEN s.m > 0 THEN s.sv / CAST(s.m AS DOUBLE) END
+           |    AS est_mean,
+           |  CASE WHEN s.m > 1 THEN
+           |    1.96 * sqrt(((s.svv - s.sv * s.sv / CAST(s.m AS DOUBLE))
+           |                 / CAST(s.m - 1 AS DOUBLE))
+           |                / CAST(s.m AS DOUBLE)) END AS ci_half,
+           |  CASE WHEN s.m > 0 THEN s.sv / CAST(s.m AS DOUBLE) END
+           |    * CAST(e.n_exact AS DOUBLE) AS est_sum,
+           |  CASE WHEN s.m > 1 THEN
+           |    abs(e.sum_exact / CAST(e.n_exact AS DOUBLE)
+           |        - s.sv / CAST(s.m AS DOUBLE))
+           |    <= 1.96 * sqrt(((s.svv - s.sv * s.sv
+           |                     / CAST(s.m AS DOUBLE))
+           |                    / CAST(s.m - 1 AS DOUBLE))
+           |                   / CAST(s.m AS DOUBLE)) END AS in_ci
+           |FROM exact_ e JOIN sm s USING (event_type)""".stripMargin
+      }),
   )
 }

@@ -112,7 +112,14 @@ object ClusterParity {
     // jackknife (totals-minus-row arithmetic on broadcast band totals)
     "q284_bradley_terry", "q285_mantel_haenszel",
     "q286_embed_isotropy", "q287_cohens_kappa",
-    "q288_jackknife_ratio")
+    "q288_jackknife_ratio",
+    // r12 batch-4: Kendall's grid pair-counts (broadcast cell
+    // self-join across JVMs), the Chow decimal moments (pivot over a
+    // real exchange), the AQP md5 sample (draws must be identical on
+    // every executor), McNemar's 2x2, and the Wasserstein CDF integral
+    // (pair-partitioned windows through real shuffles)
+    "q289_kendall_tau", "q290_chow_break", "q291_aqp_sample",
+    "q292_mcnemar", "q293_wasserstein")
 
   private def run(spark: SparkSession): Map[String, Map[Seq[Any], Int]] =
     queries.map { n =>

@@ -554,4 +554,152 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q289 Kendall: tau-b equals the brute-force pair count") {
+    val r = SparkEntry.queries("q289_kendall_tau")(spark, dir)
+      .collect().head
+    val ev = graft.ops.OpsKit.events(spark, dir)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(rr => (rr.getLong(0), rr.getString(1)))
+    // .toSeq BEFORE .map: mapping a Map to 2-tuples would re-key by
+    // the first element and collapse users with equal click counts
+    val xy = ev.groupBy(_._1).toSeq.map { case (_, es) =>
+      (es.count(_._2 == "click").toLong,
+        es.count(_._2 == "purchase").toLong)
+    }.toArray
+    var conc = 0L; var disc = 0L; var tx = 0L; var ty = 0L
+    for (i <- xy.indices; j <- (i + 1) until xy.length) {
+      val ((x1, y1), (x2, y2)) = (xy(i), xy(j))
+      if (x1 != x2 && y1 != y2) {
+        if ((x2 - x1) * (y2 - y1) > 0) conc += 1 else disc += 1
+      }
+      if (x1 == x2) tx += 1
+      if (y1 == y2) ty += 1
+    }
+    val n = xy.length.toLong
+    assert(r.getAs[Long]("n_users") == n)
+    assert(r.getAs[Long]("concordant") == conc)
+    assert(r.getAs[Long]("discordant") == disc)
+    assert(r.getAs[Long]("ties_x") == tx)
+    assert(r.getAs[Long]("ties_y") == ty)
+    val n0 = n * (n - 1) / 2
+    val want = (conc - disc).toDouble /
+      math.sqrt((n0 - tx).toDouble * (n0 - ty).toDouble)
+    assert(math.abs(r.getAs[Double]("tau_b") - want) < 1e-12)
+  }
+
+  test("q290 Chow: segment OLS and F recompute from raw points") {
+    val rows = SparkEntry.queries("q290_chow_break")(spark, dir)
+      .collect().map(r => r.getAs[String]("segment") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("slope"),
+          r.getAs[Double]("rss"), r.getAs[Double]("chow_f"))).toMap
+    assert(rows.keySet == Set("pre", "post", "pooled"))
+    val pts = graft.ops.OpsKit.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("unix_micros(ts) div 86400000000"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bd = (pts.map(_._1).min + pts.map(_._1).max + 1) / 2
+    def fit(ps: Array[(Long, Long)]): (Long, Double, Double) = {
+      val n = ps.length.toDouble
+      val sx = ps.map(p => BigInt(p._1)).sum.toDouble
+      val sy = ps.map(p => BigInt(p._2)).sum.toDouble
+      val sxy = ps.map(p => BigInt(p._1) * BigInt(p._2)).sum.toDouble
+      val sxx = ps.map(p => BigInt(p._1) * BigInt(p._1)).sum.toDouble
+      val syy = ps.map(p => BigInt(p._2) * BigInt(p._2)).sum.toDouble
+      val dx = n * sxx - sx * sx
+      val num = n * sxy - sx * sy
+      val dy = n * syy - sy * sy
+      (ps.length.toLong, num / dx, (dy - (num / dx) * num) / n)
+    }
+    val pre = fit(pts.filter(_._1 < bd))
+    val post = fit(pts.filter(_._1 >= bd))
+    val pooled = fit(pts)
+    for ((seg, want) <- Seq("pre" -> pre, "post" -> post,
+        "pooled" -> pooled)) {
+      val (gn, gs, grss, _) = rows(seg)
+      assert(gn == want._1, s"$seg n")
+      assert(math.abs(gs - want._2) < 1e-9, s"$seg slope")
+      assert(math.abs(grss - want._3) < math.abs(want._3) * 1e-9,
+        s"$seg rss")
+    }
+    val f = ((pooled._3 - pre._3 - post._3) / 2.0) /
+      ((pre._3 + post._3) / (pre._1 + post._1 - 4).toDouble)
+    assert(math.abs(rows("pre")._4 - f) < math.abs(f) * 1e-9)
+  }
+
+  test("q291 AQP: estimate, CI and audit recompute from the sample") {
+    val rows = SparkEntry.queries("q291_aqp_sample")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    val ev = graft.ops.OpsKit.events(spark, dir)
+      .select(col("event_type"), col("value"), col("event_id")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    for (r <- rows) {
+      val t = r.getAs[String]("event_type")
+      val all = ev.filter(_._1 == t)
+      val smp = all.filter(e => md5Long("aqp:" + e._3) % 10 == 0)
+      assert(r.getAs[Long]("n_exact") == all.length.toLong)
+      assert(r.getAs[Long]("m") == smp.length.toLong)
+      val meanExact = grid6(all.map(_._2)) / all.length
+      assert(math.abs(r.getAs[Double]("mean_exact") - meanExact) < 1e-9)
+      if (smp.length > 1) {
+        val sv = grid6(smp.map(_._2))
+        val svv = grid6(smp.map(e => e._2 * e._2))
+        val m = smp.length.toDouble
+        val est = sv / m
+        val ci = 1.96 * math.sqrt(((svv - sv * sv / m) / (m - 1)) / m)
+        assert(math.abs(r.getAs[Double]("est_mean") - est) < 1e-12)
+        assert(math.abs(r.getAs[Double]("ci_half") - ci) < 1e-12)
+        assert(r.getAs[Boolean]("in_ci") ==
+          (math.abs(meanExact - est) <= ci))
+      }
+    }
+  }
+
+  test("q292 McNemar: discordant-cell statistic recomputes") {
+    val r = SparkEntry.queries("q292_mcnemar")(spark, dir)
+      .collect().head
+    val docs = graft.ops.OpsKit.tbl(spark, dir, "documents")
+      .select(col("text"), col("n_chars")).collect()
+      .map { rr =>
+        val words = rr.getString(0).split(" ", -1).length
+        (words >= 40, rr.getLong(1).toDouble / words >= 5.5)
+      }
+    val aOnly = docs.count(x => x._1 && !x._2).toLong
+    val bOnly = docs.count(x => !x._1 && x._2).toLong
+    assert(r.getAs[Long]("a_only") == aOnly)
+    assert(r.getAs[Long]("b_only") == bOnly)
+    val mc = (aOnly - bOnly).toDouble * (aOnly - bOnly) /
+      (aOnly + bOnly).toDouble
+    val d = math.max(math.abs(aOnly - bOnly) - 1, 0L)
+    val cc = (d * d).toDouble / (aOnly + bOnly).toDouble
+    assert(math.abs(r.getAs[Double]("mcnemar") - mc) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mcnemar_cc") - cc) < 1e-12)
+    assert(r.getAs[Boolean]("significant") == (cc > 3.841))
+  }
+
+  test("q293 Wasserstein: W1 equals the brute-force CDF integral") {
+    val rows = SparkEntry.queries("q293_wasserstein")(spark, dir)
+      .collect().map(r => (r.getAs[String]("type_a"),
+        r.getAs[String]("type_b")) -> r.getAs[Double]("w1")).toMap
+    val ev = graft.ops.OpsKit.events(spark, dir)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val types = ev.map(_._1).distinct.sorted
+    assert(rows.size == types.length * (types.length - 1) / 2)
+    for (i <- types.indices; j <- (i + 1) until types.length) {
+      val (ta, tb) = (types(i), types(j))
+      val va = ev.filter(_._1 == ta).map(_._2).sorted
+      val vb = ev.filter(_._1 == tb).map(_._2).sorted
+      val grid = (va ++ vb).distinct.sorted
+      val terms = grid.zip(grid.tail).map { case (v, vn) =>
+        val fa = va.count(_ <= v).toDouble / va.length
+        val fb = vb.count(_ <= v).toDouble / vb.length
+        math.abs(fa - fb) * (vn - v)
+      }
+      val want = grid6(terms :+ 0.0)
+      assert(math.abs(rows((ta, tb)) - want) < 1e-9, s"$ta-$tb")
+    }
+  }
 }

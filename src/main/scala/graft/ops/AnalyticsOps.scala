@@ -4510,10 +4510,12 @@ object AnalyticsOps {
               col("value") > 150.0, 1L).otherwise(0L)).as("conv"))
         val mc = u.groupBy(col("mask")).agg(sum(col("conv")).as("nc"))
         val coal = s.range(16).select(col("id").as("sset"))
-        val vS = coal.join(broadcast(mc),
+        // pinned: the 16-row coalition-value table is read twice by
+        // the marginal join (v and v1) — one corpus rollup, not two
+        val vS = OpsKit.pinned(coal.join(broadcast(mc),
             col("mask").bitwiseAND(col("sset")) === col("mask"), "left")
           .groupBy(col("sset"))
-          .agg(coalesce(sum(col("nc")), lit(0L)).as("v"))
+          .agg(coalesce(sum(col("nc")), lit(0L)).as("v")))
         val ch = s.range(4).select(
           when(col("id") === 0, "click").when(col("id") === 1, "view")
             .when(col("id") === 2, "signup").otherwise("error")
@@ -4614,24 +4616,27 @@ object AnalyticsOps {
         val ev = events(s, d).select(col("event_id"), col("event_type"),
           col("value"))
         val train = ev.filter(col("event_id") % 2 === 0)
-        val mu = train.groupBy(col("event_type"))
+        // the 5-row per-type tables (mu, nk, q) are each referenced
+        // 2-3 times downstream; pinned, the corpus is scanned 4 times
+        // total instead of 26
+        val mu = OpsKit.pinned(train.groupBy(col("event_type"))
           .agg(davg(col("value")).as("mu"),
-            count(lit(1)).as("n_train"))
+            count(lit(1)).as("n_train")))
         val cal = ev.filter(col("event_id") % 2 === 1)
           .join(broadcast(mu.select(col("event_type"), col("mu"))),
             Seq("event_type"))
           .select(col("event_type"), abs(col("value") - col("mu"))
             .as("r"))
-        val nk = cal.groupBy(col("event_type"))
+        val nk = OpsKit.pinned(cal.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_cal"))
-          .withColumn("k_rank", expr("((n_cal + 1) * 9 + 9) div 10"))
+          .withColumn("k_rank", expr("((n_cal + 1) * 9 + 9) div 10")))
         val cum = cal.groupBy(col("event_type"), col("r"))
           .agg(count(lit(1)).as("c"))
           .withColumn("cum", sum(col("c")).over(
             Window.partitionBy(col("event_type")).orderBy(col("r"))))
-        val q = cum.join(broadcast(nk), Seq("event_type"))
+        val q = OpsKit.pinned(cum.join(broadcast(nk), Seq("event_type"))
           .filter(col("cum") >= col("k_rank"))
-          .groupBy(col("event_type")).agg(min(col("r")).as("qhat"))
+          .groupBy(col("event_type")).agg(min(col("r")).as("qhat")))
         val cov = train
           .join(broadcast(mu.select(col("event_type"), col("mu"))),
             Seq("event_type"))
@@ -4718,8 +4723,11 @@ object AnalyticsOps {
             max(when(col("event_type") === "purchase" &&
                 col("value") > 150.0, 1L).otherwise(0L))
               .as("y"))
-        val bins = perUser.groupBy(col("sc").as("bin"))
-          .agg(count(lit(1)).as("n_users"), sum(col("y")).as("n_pos"))
+        // pinned: the ≤11-row bin table is referenced five times below
+        // (ranges twice, rsum, inner, final) — without the pin each
+        // reference re-runs the corpus-wide user rollup
+        val bins = OpsKit.pinned(perUser.groupBy(col("sc").as("bin"))
+          .agg(count(lit(1)).as("n_users"), sum(col("y")).as("n_pos")))
         val ranges = bins.select(col("bin").as("i"))
           .crossJoin(broadcast(bins.select(col("bin").as("j"))))
           .filter(col("i") <= col("j"))
@@ -4910,11 +4918,13 @@ object AnalyticsOps {
             Window.partitionBy(col("arm0")).orderBy(col("value"))))
         val nArm = pv.groupBy(col("arm0")).agg(count(lit(1)).as("n"))
         val taus = s.range(1, 4).select((col("id") * 25).as("tau_pct"))
-        val q = dist.join(broadcast(nArm), Seq("arm0"))
+        // pinned: the 6-row quantile table is read twice by the
+        // control/treat split join
+        val q = OpsKit.pinned(dist.join(broadcast(nArm), Seq("arm0"))
           .crossJoin(broadcast(taus))
           .filter(col("cum") * 100 >= col("tau_pct") * col("n"))
           .groupBy(col("arm0"), col("tau_pct"))
-          .agg(min(col("value")).as("qv"), max(col("n")).as("n"))
+          .agg(min(col("value")).as("qv"), max(col("n")).as("n")))
         q.filter(col("arm0") === 1)
           .select(col("tau_pct"), col("qv").as("q_control"),
             col("n").as("n_control"))
@@ -4992,7 +5002,10 @@ object AnalyticsOps {
             when(col("n10") * col("n01") > 0L,
               (col("n11") * col("n00")).cast("double") /
                 (col("n10") * col("n01")).cast("double")))
-        val mh = cells.agg(
+        // pinned below via cellsP: the 3-row stratum grid feeds both
+        // the MH epilogue and the final select
+        val cellsP = OpsKit.pinned(cells)
+        val mh = cellsP.agg(
           dsum((col("n11") * col("n00")).cast("double") /
             col("n").cast("double")).as("mh_num"),
           dsum((col("n10") * col("n01")).cast("double") /
@@ -5005,7 +5018,7 @@ object AnalyticsOps {
             when(col("tb") * col("tc") > 0L,
               (col("ta") * col("td")).cast("double") /
                 (col("tb") * col("tc")).cast("double")).as("crude_or"))
-        cells.crossJoin(broadcast(mh))
+        cellsP.crossJoin(broadcast(mh))
           .select(col("band"), col("n11"), col("n10"), col("n01"),
             col("n00"), col("or_stratum"), col("mh_or"), col("crude_or"))
       },
@@ -5079,16 +5092,18 @@ object AnalyticsOps {
               .otherwise(lit(0.0))).as("v"))
           .withColumn("band", when(col("c") < 11L, "low")
             .when(col("c") < 16L, "mid").otherwise("high"))
-        val bt = u.groupBy(col("band"))
+        // pinned: the 3-row band totals and jackknife means are each
+        // read twice; the users-sized u/th stay unpinned (linear scans)
+        val bt = OpsKit.pinned(u.groupBy(col("band"))
           .agg(count(lit(1)).as("n_users"), sum(col("c")).as("tc"),
-            dsum(col("v")).as("tv"))
+            dsum(col("v")).as("tv")))
         val th = u.join(broadcast(bt), "band")
           .select(col("band"),
             when(col("tc") - col("c") > 0L,
               (col("tv") - col("v")) /
                 (col("tc") - col("c")).cast("double")).as("th_i"))
-        val jm = th.groupBy(col("band"))
-          .agg((dsum(col("th_i")) / count(col("th_i"))).as("jmean"))
+        val jm = OpsKit.pinned(th.groupBy(col("band"))
+          .agg((dsum(col("th_i")) / count(col("th_i"))).as("jmean")))
         val se = th.join(broadcast(jm), "band")
           .groupBy(col("band"))
           .agg(dsum((col("th_i") - col("jmean")) *
@@ -5168,8 +5183,11 @@ object AnalyticsOps {
               .as("x"),
             sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
               .as("y"))
-        val cells = u.groupBy(col("x"), col("y"))
-          .agg(count(lit(1)).as("cnt"))
+        // pinned: the distinct-value-bounded grid feeds four consumers
+        // (both sides of the pair join, the two tie rollups, n) — one
+        // user-rollup scan instead of five
+        val cells = OpsKit.pinned(u.groupBy(col("x"), col("y"))
+          .agg(count(lit(1)).as("cnt")))
         val cd = cells
           .select(col("x").as("x1"), col("y").as("y1"),
             col("cnt").as("c1"))
@@ -5265,11 +5283,12 @@ object AnalyticsOps {
         val pts = pts0.crossJoin(broadcast(brk))
           .withColumn("segment",
             when(col("x") < col("bd"), "pre").otherwise("post"))
-        def moments(df: DataFrame, keyed: Boolean): DataFrame = {
-          val g = if (keyed) df.groupBy(col("segment"))
-            else df.withColumn("segment", lit("pooled"))
-              .groupBy(col("segment"))
-          g.agg(count(lit(1)).as("n"),
+        // ROLLUP(segment) computes the two segment rows AND the pooled
+        // grand-total row in ONE aggregation pass (the pooled moments
+        // must be aggregated from raw points, not assembled by adding
+        // rounded segment doubles — rollup gives exactly that for free)
+        val m = pts.rollup(col("segment"))
+          .agg(count(lit(1)).as("n"),
             sum(col("x").cast("decimal(38,0)")).cast("double").as("sx"),
             sum(col("y").cast("decimal(38,0)")).cast("double").as("sy"),
             sum((col("x") * col("y")).cast("decimal(38,0)"))
@@ -5279,18 +5298,19 @@ object AnalyticsOps {
             sum((col("y").cast("decimal(19,0)") *
               col("y").cast("decimal(19,0)")).cast("decimal(38,0)"))
               .cast("double").as("syy"))
-        }
-        val m = moments(pts, keyed = true)
-          .unionByName(moments(pts, keyed = false))
+          .withColumn("segment",
+            coalesce(col("segment"), lit("pooled")))
         val nd = col("n").cast("double")
         val dx = nd * col("sxx") - col("sx") * col("sx")
         val dy = nd * col("syy") - col("sy") * col("sy")
         val num = nd * col("sxy") - col("sx") * col("sy")
-        val seg = m.select(col("segment"), col("n"),
+        // pinned: the 3-row segment table feeds both the pivot and the
+        // final select — unpinned, each re-runs the moment scan
+        val seg = OpsKit.pinned(m.select(col("segment"), col("n"),
           when(dx > 0.0, num / dx).as("slope"),
           when(dx > 0.0, (col("sy") - (num / dx) * col("sx")) / nd)
             .as("intercept"),
-          when(dx > 0.0, (dy - (num / dx) * num) / nd).as("rss"))
+          when(dx > 0.0, (dy - (num / dx) * num) / nd).as("rss")))
         val f = seg.groupBy()
           .pivot("segment", Seq("pre", "post", "pooled"))
           .agg(first(col("rss")).as("rss"), first(col("n")).as("n"))
@@ -5395,23 +5415,31 @@ object AnalyticsOps {
         import org.apache.spark.sql.expressions.Window
         val vals = events(s, d).groupBy(col("event_type"), col("value"))
           .agg(count(lit(1)).as("cnt"))
-        val tots = vals.groupBy(col("event_type"))
-          .agg(sum(col("cnt")).as("nt"))
+        // pinned: the per-type totals row is referenced by both sides
+        // of the pair self-join — unpinned, each side re-runs the
+        // corpus-wide (type, value) aggregation
+        val tots = OpsKit.pinned(vals.groupBy(col("event_type"))
+          .agg(sum(col("cnt")).as("nt")))
+        // explicit broadcast: a checkpointed LogicalRDD carries no
+        // stats, so the non-equi self-join would otherwise plan as a
+        // CartesianProduct instead of a BNLJ
         val pairs = tots
           .select(col("event_type").as("ta"), col("nt").as("na"))
-          .join(tots.select(col("event_type").as("tb"),
-            col("nt").as("nb")), col("ta") < col("tb"))
-        val va = vals.join(broadcast(pairs),
-            col("event_type") === col("ta"))
-          .select(col("ta"), col("tb"), col("na"), col("nb"),
-            col("value").as("v"), col("cnt").as("ca"), lit(0L).as("cb"))
-        val vb = vals.join(broadcast(pairs),
-            col("event_type") === col("tb"))
-          .select(col("ta"), col("tb"), col("na"), col("nb"),
-            col("value").as("v"), lit(0L).as("ca"), col("cnt").as("cb"))
-        val g = va.unionByName(vb)
-          .groupBy(col("ta"), col("tb"), col("na"), col("nb"), col("v"))
-          .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+          .join(broadcast(tots.select(col("event_type").as("tb"),
+            col("nt").as("nb"))), col("ta") < col("tb"))
+        // ONE broadcast join against the pair list (disjunctive
+        // condition → BNLJ over the tiny pair table), not a per-side
+        // join + union that would re-aggregate `vals` once per branch
+        // and re-scan events four times
+        val g = vals.join(broadcast(pairs),
+            col("event_type") === col("ta") ||
+              col("event_type") === col("tb"))
+          .groupBy(col("ta"), col("tb"), col("na"), col("nb"),
+            col("value").as("v"))
+          .agg(sum(when(col("event_type") === col("ta"), col("cnt"))
+              .otherwise(0L)).as("ca"),
+            sum(when(col("event_type") === col("tb"), col("cnt"))
+              .otherwise(0L)).as("cb"))
         val w = Window.partitionBy(col("ta"), col("tb")).orderBy(col("v"))
         val wc = w.rowsBetween(Window.unboundedPreceding,
           Window.currentRow)

@@ -1511,8 +1511,10 @@ object CurationOps {
           .select(col("c_mktsegment").as("seg"),
             pmod(col("o_orderkey"), lit(5L)).as("fold"),
             col("o_totalprice").as("y"))
-        val grid = joined.groupBy(col("seg"), col("fold"))
-          .agg(count(lit(1)).as("n_sf"), dsum(col("y")).as("s_sf"))
+        // pinned: the 25-row (seg, fold) margin grid feeds four
+        // consumers — unpinned each re-runs the orders⋈customer join
+        val grid = pinned(joined.groupBy(col("seg"), col("fold"))
+          .agg(count(lit(1)).as("n_sf"), dsum(col("y")).as("s_sf")))
         val bySeg = grid.groupBy(col("seg"))
           .agg(sum(col("n_sf")).as("n_s"),
             dsum(col("s_sf")).as("s_s"))
@@ -1645,11 +1647,14 @@ object CurationOps {
           .agg(sum(size(split(col("text"), " ")).cast("long"))
             .as("supply"))
         val w = Window.orderBy(col("supply"), col("source"))
-        val ranked = supply
+        // pinned: the source-bounded ranked table feeds tot, the
+        // candidate levels, the next-supply probe AND the final
+        // allocation - one corpus scan, not four
+        val ranked = OpsKit.pinned(supply
           .withColumn("r", row_number().over(w).cast("long"))
           .withColumn("pr", sum(col("supply")).over(
             w.rowsBetween(Window.unboundedPreceding,
-              Window.currentRow)))
+              Window.currentRow))))
         val tot = ranked.agg(sum(col("supply")).as("st"),
           count(lit(1)).as("n"))
           .select(col("st"), col("n"), expr("st div 2").as("t_budget"))
@@ -1872,8 +1877,10 @@ object CurationOps {
           (col("n_chars").cast("double") /
             size(split(col("text"), " ")).cast("double") >= 5.5)
             .as("b_keep"))
-        val cells = lab.groupBy(col("a_keep"), col("b_keep"))
-          .agg(count(lit(1)).as("n_cell"))
+        // pinned: the 4-cell agreement matrix feeds the marginals and
+        // the final select - one document scan, not two
+        val cells = pinned(lab.groupBy(col("a_keep"), col("b_keep"))
+          .agg(count(lit(1)).as("n_cell")))
         val tot = cells.agg(sum(col("n_cell")).as("nn"),
           sum(when(col("a_keep"), col("n_cell")).otherwise(0L)).as("na"),
           sum(when(col("b_keep"), col("n_cell")).otherwise(0L)).as("nb"),

@@ -2155,11 +2155,14 @@ object ScaleOps {
           strHash(concat(lit(s"$i:"), key.cast("string"))) % m
         def probes(key: org.apache.spark.sql.Column) =
           array(pos(key, 0), pos(key, 1), pos(key, 2))
-        val flagged = tbl(s, d, "orders")
+        // pinned: the flagged set and its <=8192-row bit table are
+        // each read twice (probe join + truth join / bits_set count)
+        val flagged = OpsKit.pinned(tbl(s, d, "orders")
           .filter(col("o_totalprice") > 400000.0)
-          .select(col("o_orderkey").as("k")).distinct()
-        val bits = flagged.select(explode(probes(col("k"))).as("pos"))
-          .distinct()
+          .select(col("o_orderkey").as("k")).distinct())
+        val bits = OpsKit.pinned(
+          flagged.select(explode(probes(col("k"))).as("pos"))
+            .distinct())
         val cand = tbl(s, d, "lineitem")
           .select(col("l_orderkey").as("k")).distinct()
         val hits = cand.select(col("k"), explode(probes(col("k")))
@@ -2259,10 +2262,12 @@ object ScaleOps {
           .select(col("source"),
             explode(LlmKit.hashedShingles(col("text"))).as("h"))
           .distinct()
-        val sig = sh.groupBy(col("source"))
+        // pinned: the 20-row signature table feeds both sides of the
+        // pair cross join - one shingle scan, not two
+        val sig = OpsKit.pinned(sh.groupBy(col("source"))
           .agg(count(lit(1)).as("setsz"),
             (0 until NPerm).map(i => min(perm(i, col("h")))
-              .as(s"m$i")): _*)
+              .as(s"m$i")): _*))
         val a = sig.select((col("source").as("source_a") +:
           col("setsz").as("size_a") +:
           (0 until NPerm).map(i => col(s"m$i").as(s"a$i"))): _*)

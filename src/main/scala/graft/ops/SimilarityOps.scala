@@ -2740,15 +2740,17 @@ object SimilarityOps {
               "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, " +
               "(acc, v) -> acc + v)").as("sq"))
           .filter(col("sq") > 0.0)
-        val nrows = base.agg(count(lit(1)).as("n_vecs"))
+        // pinned: the scalar count and the 64-row dim table are each
+        // referenced twice downstream - two corpus scans total
+        val nrows = OpsKit.pinned(base.agg(count(lit(1)).as("n_vecs")))
         val xh = base
           .select(sqrt(col("sq")).as("nrm"),
             posexplode(col("embedding")).as(Seq("i0", "x")))
           .select((col("i0") + 1).cast("long").as("dim"),
             (col("x").cast("double") / col("nrm")).as("xh"))
-        val dims = xh.groupBy(col("dim"))
+        val dims = OpsKit.pinned(xh.groupBy(col("dim"))
           .agg(dsum(col("xh")).as("sum_unit"),
-            dsum(col("xh") * col("xh")).as("sumsq_unit"))
+            dsum(col("xh") * col("xh")).as("sumsq_unit")))
         val withN = dims.crossJoin(broadcast(nrows))
           .withColumn("var_unit",
             col("sumsq_unit") / col("n_vecs").cast("double") -

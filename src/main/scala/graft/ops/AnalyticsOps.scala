@@ -5491,5 +5491,187 @@ object AnalyticsOps {
                "CASE WHEN gap IS NOT NULL THEN abs(fa - fb) * gap " +
                  "ELSE CAST(0 AS DOUBLE) END")} AS w1
              |FROM cum GROUP BY ta, tb, na, nb""".stripMargin)),
+
+    // ----- q294: Theil–Sen robust trend slope -------------------------------
+    // q147/q213's OLS slope moves with a single wild day; the Theil–Sen
+    // estimator (median of all pairwise slopes, 1950/1968) has a 29.3%
+    // breakdown point — the robust-regression counterpart to q173's MAD
+    // outliers. The pair set collapses onto the DAY GRID: slopes
+    // between daily mean values, ≤ C(30,2) = 435 pairs per type at any
+    // corpus size (pairwise-over-days, never pairwise-over-rows), and
+    // the median is the rank-⌈(k+1)/2⌉ VALUE of the slope list — a
+    // per-type window over a bounded grid, deterministic even under
+    // slope ties (equal values make the rank-k value unique). Exact:
+    // daily means are davg (dsum grid / count), each slope one IEEE
+    // division, no averaging of middle elements (lower median). The
+    // OLS slope on the same daily means sits beside it, so the
+    // robustness gap is one table. Scale: one (type, day) rollup —
+    // linear — then grid-bounded arithmetic; the daily table is pinned
+    // (three consumers).
+    NamedQuery(
+      "q294_theil_sen",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = OpsKit.pinned(events(s, d)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(davg(floor(col("value") * lit(100.0) + lit(0.5))
+            .cast("long")).as("ym")))
+        val b = daily.select(col("event_type").as("et2"),
+          col("day").as("d2"), col("ym").as("y2"))
+        val slopes = daily
+          .join(broadcast(b), col("event_type") === col("et2") &&
+            col("day") < col("d2"))
+          .select(col("event_type"),
+            ((col("y2") - col("ym")) /
+              (col("d2") - col("day")).cast("double")).as("slp"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("slp"))
+        val cnt = slopes.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("np"))
+        val ts = slopes
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .join(broadcast(cnt), Seq("event_type"))
+          .filter(col("rn") === expr("(np + 1) div 2"))
+          .select(col("event_type"), col("np"),
+            col("slp").as("theil_sen_slope"))
+        val m = daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("nd"),
+            sum(col("day").cast("decimal(38,0)")).cast("double")
+              .as("sx"),
+            dsum(col("ym")).as("sy"),
+            dsum(col("day").cast("double") * col("ym")).as("sxy"),
+            sum((col("day") * col("day")).cast("decimal(38,0)"))
+              .cast("double").as("sxx"))
+        val nd = col("nd").cast("double")
+        val dx = nd * col("sxx") - col("sx") * col("sx")
+        val ols = m.select(col("event_type"),
+          when(dx > 0.0,
+            (nd * col("sxy") - col("sx") * col("sy")) / dx)
+            .as("ols_slope"))
+        ts.join(broadcast(ols), Seq("event_type"))
+      },
+      Some(s"""WITH daily AS (
+             |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             |    ${dsumSql(
+               "CAST(floor(value * 100.0 + 0.5) AS BIGINT)")}
+             |      / COUNT(*) AS ym
+             |  FROM events GROUP BY event_type, day),
+             |slopes AS (
+             |  SELECT a.event_type,
+             |    (b.ym - a.ym) / CAST(b.day - a.day AS DOUBLE) AS slp
+             |  FROM daily a JOIN daily b
+             |    ON a.event_type = b.event_type AND a.day < b.day),
+             |cnt AS (
+             |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS np
+             |  FROM slopes GROUP BY event_type),
+             |rk AS (
+             |  SELECT event_type, slp,
+             |    CAST(row_number() OVER (PARTITION BY event_type
+             |      ORDER BY slp) AS BIGINT) AS rn
+             |  FROM slopes),
+             |ts AS (
+             |  SELECT r.event_type, c.np, r.slp AS theil_sen_slope
+             |  FROM rk r JOIN cnt c ON c.event_type = r.event_type
+             |  WHERE r.rn = (c.np + 1) // 2),
+             |m AS (
+             |  SELECT event_type, COUNT(*) AS nd,
+             |    CAST(CAST(SUM(CAST(day AS DECIMAL(38,0)))
+             |      AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+             |    ${dsumSql("ym")} AS sy,
+             |    ${dsumSql("CAST(day AS DOUBLE) * ym")} AS sxy,
+             |    CAST(CAST(SUM(CAST(day * day AS DECIMAL(38,0)))
+             |      AS DECIMAL(38,0)) AS DOUBLE) AS sxx
+             |  FROM daily GROUP BY event_type),
+             |ols AS (
+             |  SELECT event_type,
+             |    CASE WHEN CAST(nd AS DOUBLE) * sxx - sx * sx > 0.0 THEN
+             |      (CAST(nd AS DOUBLE) * sxy - sx * sy)
+             |        / (CAST(nd AS DOUBLE) * sxx - sx * sx) END
+             |      AS ols_slope
+             |  FROM m)
+             |SELECT t.event_type, t.np, t.theil_sen_slope, o.ols_slope
+             |FROM ts t JOIN ols o ON o.event_type = t.event_type"""
+        .stripMargin)),
+
+    // ----- q295: Nelson–Aalen cumulative hazard -----------------------------
+    // q140's Kaplan–Meier multiplies survival factors (order-pinned
+    // fold gymnastics because float multiply isn't associative); the
+    // Nelson–Aalen estimator (1972/1978) of the CUMULATIVE HAZARD
+    // H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ is the ADDITIVE twin — the natural
+    // estimator for a distributed engine, because sums (on the dsum
+    // grid) need no ordering tricks at all. Same survival frame as
+    // q140: subjects are users, event = first high-value purchase,
+    // censoring at last observed event, durations in whole DAYS (the
+    // grid is horizon-bounded, so the risk-set suffix sums and the
+    // hazard prefix sums are ≤31-row windows, not corpus windows).
+    // Exact: integer d/n into one division per step, cumulated on the
+    // decimal grid. No exp(−H) column — libm exp differs across
+    // engines; H itself is the deliverable.
+    NamedQuery(
+      "q295_nelson_aalen",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val u = events(s, d).groupBy(col("user_id"))
+          .agg(min(col("ts")).as("t0"),
+            min(when(col("event_type") === "purchase" &&
+              col("value") > 150.0, col("ts"))).as("tc"),
+            max(col("ts")).as("tl"))
+        // the duration key is named `day` — it IS a day index, and the
+        // plan guard's bounded-key convention (time-domain keys have
+        // clock-span cardinality) recognizes it through the ≤31-row
+        // global windows below
+        val dd = u.select(
+          expr("(unix_micros(coalesce(tc, tl)) - unix_micros(t0)) " +
+            "div 86400000000").as("day"),
+          col("tc").isNotNull.as("ev"))
+        val grid = dd.groupBy(col("day"))
+          .agg(sum(when(col("ev"), 1L).otherwise(0L)).as("d"),
+            count(lit(1)).as("leaving"))
+        val w = Window.orderBy(col("day"))
+        val risk = grid.withColumn("n_risk",
+          sum(col("leaving")).over(w.rowsBetween(Window.currentRow,
+            Window.unboundedFollowing)))
+        risk.filter(col("d") > 0L)
+          .withColumn("h_inc",
+            col("d").cast("double") / col("n_risk").cast("double"))
+          .withColumn("h_cum",
+            sum(col("h_inc").cast("decimal(28,6)"))
+              .over(Window.orderBy(col("day"))
+                .rowsBetween(Window.unboundedPreceding,
+                  Window.currentRow)).cast("double"))
+          .select(col("day"), col("n_risk"), col("d"),
+            col("h_inc"), col("h_cum"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, MIN(ts) AS t0,
+             |    MIN(CASE WHEN event_type = 'purchase' AND value > 150.0
+             |        THEN ts END) AS tc,
+             |    MAX(ts) AS tl
+             |  FROM events GROUP BY user_id),
+             |dd AS (
+             |  SELECT (epoch_us(COALESCE(tc, tl)) - epoch_us(t0))
+             |      // 86400000000 AS dur,
+             |    tc IS NOT NULL AS ev
+             |  FROM u),
+             |grid AS (
+             |  SELECT dur,
+             |    CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS d,
+             |    CAST(COUNT(*) AS BIGINT) AS leaving
+             |  FROM dd GROUP BY dur),
+             |risk AS (
+             |  SELECT dur, d, leaving,
+             |    CAST(SUM(leaving) OVER (ORDER BY dur
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             |      AS BIGINT) AS n_risk
+             |  FROM grid),
+             |hz AS (
+             |  SELECT dur, n_risk, d,
+             |    CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS h_inc
+             |  FROM risk WHERE d > 0)
+             |SELECT dur AS day, n_risk, d, h_inc,
+             |  CAST(SUM(CAST(h_inc AS DECIMAL(28,6))) OVER (ORDER BY dur
+             |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS h_cum
+             |FROM hz""".stripMargin)),
   )
 }

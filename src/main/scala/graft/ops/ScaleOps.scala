@@ -2415,5 +2415,94 @@ object ScaleOps {
            |                   / CAST(s.m AS DOUBLE)) END AS in_ci
            |FROM exact_ e JOIN sm s USING (event_type)""".stripMargin
       }),
+
+    // ----- q296: DKW confidence band for the sampled CDF --------------------
+    // q291 bounds a sampled MEAN; the Dvoretzky–Kiefer–Wolfowitz
+    // inequality (1956, Massart's tight constant 1990) bounds the whole
+    // DISTRIBUTION: sup|F̂ₙ − F| ≤ ε = √(ln(2/α)/(2n)) with probability
+    // ≥ 1−α — the certificate that a 20% sample's CDF is trustworthy
+    // everywhere at once, which is what sampled quantile/histogram
+    // serving actually needs. ln(2/0.05) = ln 40 is the FIXED-DECIMAL
+    // literal 3.6888794541139363 (no libm call at query time — the
+    // repo's no-ln discipline), so ε is one sqrt of exact integers.
+    // The observed sup comes from the pooled distinct-value grid (the
+    // q136 CDF shape, partitioned per type): max|F_sample − F_full| as
+    // integer-count divisions. Exact throughout; the within_band
+    // column is the certification (allowlisted constant-true — DKW
+    // holds at 95% and this fixture is far inside it; dev_ratio varies).
+    NamedQuery(
+      "q296_dkw_band",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, d).select(col("event_type"), col("value"),
+          (pmod(strHash(concat(lit("dkw:"),
+            col("event_id").cast("string"))), lit(5L)) === 0L)
+            .as("insamp"))
+        val g = ev.groupBy(col("event_type"), col("value"))
+          .agg(count(lit(1)).as("cf"),
+            sum(when(col("insamp"), 1L).otherwise(0L)).as("cs"))
+        val t = OpsKit.pinned(g.groupBy(col("event_type"))
+          .agg(sum(col("cf")).as("n_full"), sum(col("cs")).as("n_sample")))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cdf = g.join(broadcast(t), Seq("event_type"))
+          .withColumn("ff", sum(col("cf")).over(w).cast("double") /
+            col("n_full").cast("double"))
+          .withColumn("fs", sum(col("cs")).over(w).cast("double") /
+            col("n_sample").cast("double"))
+        cdf.groupBy(col("event_type"), col("n_full"), col("n_sample"))
+          .agg(max(abs(col("ff") - col("fs"))).as("max_dev"))
+          .withColumn("epsilon",
+            when(col("n_sample") > 0L,
+              sqrt(lit(3.6888794541139363) /
+                (lit(2.0) * col("n_sample").cast("double")))))
+          .withColumn("dev_ratio",
+            when(col("epsilon").isNotNull,
+              col("max_dev") / col("epsilon")))
+          .withColumn("within_band",
+            when(col("epsilon").isNotNull,
+              col("max_dev") <= col("epsilon")))
+      },
+      Some {
+        val h = strHashSql("concat('dkw:', CAST(event_id AS VARCHAR))")
+        s"""WITH ev AS (
+           |  SELECT event_type, value, $h % 5 = 0 AS insamp
+           |  FROM events),
+           |g AS (
+           |  SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS cf,
+           |    CAST(SUM(CASE WHEN insamp THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS cs
+           |  FROM ev GROUP BY event_type, value),
+           |t AS (
+           |  SELECT event_type, CAST(SUM(cf) AS BIGINT) AS n_full,
+           |    CAST(SUM(cs) AS BIGINT) AS n_sample
+           |  FROM g GROUP BY event_type),
+           |cdf AS (
+           |  SELECT g.event_type, t.n_full, t.n_sample,
+           |    CAST(SUM(cf) OVER (PARTITION BY g.event_type
+           |      ORDER BY value ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           |      / CAST(t.n_full AS DOUBLE) AS ff,
+           |    CAST(SUM(cs) OVER (PARTITION BY g.event_type
+           |      ORDER BY value ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           |      / CAST(t.n_sample AS DOUBLE) AS fs
+           |  FROM g JOIN t ON t.event_type = g.event_type),
+           |mx AS (
+           |  SELECT event_type, n_full, n_sample,
+           |    MAX(abs(ff - fs)) AS max_dev
+           |  FROM cdf GROUP BY event_type, n_full, n_sample)
+           |SELECT event_type, n_full, n_sample, max_dev,
+           |  CASE WHEN n_sample > 0 THEN
+           |    sqrt(3.6888794541139363 / (2.0 * CAST(n_sample AS DOUBLE)))
+           |  END AS epsilon,
+           |  CASE WHEN n_sample > 0 THEN
+           |    max_dev / sqrt(3.6888794541139363
+           |                   / (2.0 * CAST(n_sample AS DOUBLE)))
+           |  END AS dev_ratio,
+           |  CASE WHEN n_sample > 0 THEN
+           |    max_dev <= sqrt(3.6888794541139363
+           |                    / (2.0 * CAST(n_sample AS DOUBLE)))
+           |  END AS within_band
+           |FROM mx""".stripMargin
+      }),
   )
 }

@@ -119,7 +119,12 @@ object ClusterParity {
     // every executor), McNemar's 2x2, and the Wasserstein CDF integral
     // (pair-partitioned windows through real shuffles)
     "q289_kendall_tau", "q290_chow_break", "q291_aqp_sample",
-    "q292_mcnemar", "q293_wasserstein")
+    "q292_mcnemar", "q293_wasserstein",
+    // r12 batch-5: Theil-Sen (day-grid pair slopes + rank selection
+    // across JVMs), Nelson-Aalen (suffix risk sums + decimal-grid
+    // hazard cumulation through real exchanges), and the DKW band
+    // (md5 sample draw + per-type CDF sup over executor boundaries)
+    "q294_theil_sen", "q295_nelson_aalen", "q296_dkw_band")
 
   private def run(spark: SparkSession): Map[String, Map[Seq[Any], Int]] =
     queries.map { n =>

@@ -702,4 +702,98 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
       assert(math.abs(rows((ta, tb)) - want) < 1e-9, s"$ta-$tb")
     }
   }
+
+  test("q294 Theil-Sen: median pairwise slope matches a scalar replay") {
+    val rows = SparkEntry.queries("q294_theil_sen")(spark, dir)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("np"), r.getAs[Double]("theil_sen_slope"),
+          r.getAs[Double]("ols_slope"))).toMap
+    val ev = graft.ops.OpsKit.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for ((t, (gnp, gts, gols)) <- rows) {
+      val daily = ev.filter(_._1 == t).groupBy(_._2).toSeq
+        .map { case (day, es) =>
+          (day, grid6(es.map(_._3.toDouble)) / es.length) }
+        .sortBy(_._1)
+      val slopes = (for {
+        i <- daily.indices; j <- (i + 1) until daily.length
+      } yield (daily(j)._2 - daily(i)._2) /
+        (daily(j)._1 - daily(i)._1).toDouble).sorted
+      assert(gnp == slopes.length.toLong, s"$t np")
+      assert(gts == slopes(((slopes.length + 1) / 2 - 1).toInt),
+        s"$t theil-sen")
+      // OLS on the same daily means
+      val n = daily.length.toDouble
+      val sx = daily.map(p => BigInt(p._1)).sum.toDouble
+      val sy = grid6(daily.map(_._2))
+      val sxy = grid6(daily.map(p => p._1.toDouble * p._2))
+      val sxx = daily.map(p => BigInt(p._1) * BigInt(p._1)).sum.toDouble
+      val want = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(gols - want) < 1e-12, s"$t ols")
+    }
+  }
+
+  test("q295 Nelson-Aalen: hazard increments and cumulation replay") {
+    val rows = SparkEntry.queries("q295_nelson_aalen")(spark, dir)
+      .collect().map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("n_risk"), r.getAs[Long]("d"),
+          r.getAs[Double]("h_inc"), r.getAs[Double]("h_cum")))
+      .sortBy(_._1)
+    val ev = graft.ops.OpsKit.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        expr("unix_micros(ts)")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3)))
+    val durs = ev.groupBy(_._1).toSeq.map { case (_, es) =>
+      val t0 = es.map(_._4).min
+      val conv = es.filter(e => e._2 == "purchase" && e._3 > 150.0)
+      val end = if (conv.nonEmpty) conv.map(_._4).min else es.map(_._4).max
+      ((end - t0) / 86400000000L, conv.nonEmpty)
+    }
+    // event days in order, with at-risk = subjects lasting >= day
+    val eventDays = durs.filter(_._2).map(_._1).distinct.sorted
+    assert(rows.map(_._1).toSeq == eventDays)
+    var hcum = BigDecimal(0)
+    for ((day, (gn, gd, ghi, ghc)) <- rows) {
+      val n = durs.count(_._1 >= day).toLong
+      val dd = durs.count(u => u._1 == day && u._2).toLong
+      assert(gn == n, s"day $day n_risk")
+      assert(gd == dd, s"day $day d")
+      val hi = dd.toDouble / n.toDouble
+      assert(ghi == hi, s"day $day h_inc")
+      hcum += BigDecimal(hi).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      assert(math.abs(ghc - hcum.toDouble) < 1e-12, s"day $day h_cum")
+    }
+    // genuine censoring: some subjects never convert
+    assert(durs.exists(!_._2))
+  }
+
+  test("q296 DKW: sup deviation and the Massart bound recompute") {
+    val rows = SparkEntry.queries("q296_dkw_band")(spark, dir)
+      .collect()
+    val ev = graft.ops.OpsKit.events(spark, dir)
+      .select(col("event_type"), col("value"), col("event_id")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    for (r <- rows) {
+      val t = r.getAs[String]("event_type")
+      val all = ev.filter(_._1 == t)
+      val smp = all.filter(e => md5Long("dkw:" + e._3) % 5 == 0)
+      assert(r.getAs[Long]("n_full") == all.length.toLong)
+      assert(r.getAs[Long]("n_sample") == smp.length.toLong)
+      if (smp.nonEmpty) {
+        val grid = all.map(_._2).distinct.sorted
+        val dev = grid.map { v =>
+          math.abs(all.count(_._2 <= v).toDouble / all.length -
+            smp.count(_._2 <= v).toDouble / smp.length)
+        }.max
+        assert(math.abs(r.getAs[Double]("max_dev") - dev) < 1e-12)
+        val eps = math.sqrt(3.6888794541139363 / (2.0 * smp.length))
+        assert(r.getAs[Double]("epsilon") == eps)
+        assert(r.getAs[Boolean]("within_band") == (dev <= eps))
+      }
+    }
+  }
 }

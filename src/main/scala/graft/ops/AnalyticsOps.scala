@@ -5504,10 +5504,10 @@ object AnalyticsOps {
     // slope ties (equal values make the rank-k value unique). Exact:
     // daily means are davg (dsum grid / count), each slope one IEEE
     // division, no averaging of middle elements (lower median). The
-    // OLS slope on the same daily means sits beside it, so the
-    // robustness gap is one table. Scale: one (type, day) rollup —
-    // linear — then grid-bounded arithmetic; the daily table is pinned
-    // (three consumers).
+    // OLS slope on the raw (day, cents) points sits beside it — exact
+    // DECIMAL(38,0) integer moments, q147's discipline — so the
+    // robustness gap is one table. Scale: one (type, day) rollup plus
+    // one moment rollup — both linear; the daily table is pinned.
     NamedQuery(
       "q294_theil_sen",
       (s, d) => {
@@ -5534,12 +5534,23 @@ object AnalyticsOps {
           .filter(col("rn") === expr("(np + 1) div 2"))
           .select(col("event_type"), col("np"),
             col("slp").as("theil_sen_slope"))
-        val m = daily.groupBy(col("event_type"))
+        // OLS from RAW integer points (q147's moment discipline), not
+        // from dsum-gridded day*mean products: quantizing a ~1e8-
+        // magnitude double product onto the 6-decimal grid can flip a
+        // near-tie differently per engine (observed at sf0.1), while
+        // integer moments in DECIMAL(38,0) are exact on both
+        val pts = events(s, d).select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+            .as("yc"))
+        val m = pts.groupBy(col("event_type"))
           .agg(count(lit(1)).as("nd"),
             sum(col("day").cast("decimal(38,0)")).cast("double")
               .as("sx"),
-            dsum(col("ym")).as("sy"),
-            dsum(col("day").cast("double") * col("ym")).as("sxy"),
+            sum(col("yc").cast("decimal(38,0)")).cast("double")
+              .as("sy"),
+            sum((col("day") * col("yc")).cast("decimal(38,0)"))
+              .cast("double").as("sxy"),
             sum((col("day") * col("day")).cast("decimal(38,0)"))
               .cast("double").as("sxx"))
         val nd = col("nd").cast("double")
@@ -5573,15 +5584,21 @@ object AnalyticsOps {
              |  SELECT r.event_type, c.np, r.slp AS theil_sen_slope
              |  FROM rk r JOIN cnt c ON c.event_type = r.event_type
              |  WHERE r.rn = (c.np + 1) // 2),
+             |pts AS (
+             |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS yc
+             |  FROM events),
              |m AS (
              |  SELECT event_type, COUNT(*) AS nd,
              |    CAST(CAST(SUM(CAST(day AS DECIMAL(38,0)))
              |      AS DECIMAL(38,0)) AS DOUBLE) AS sx,
-             |    ${dsumSql("ym")} AS sy,
-             |    ${dsumSql("CAST(day AS DOUBLE) * ym")} AS sxy,
+             |    CAST(CAST(SUM(CAST(yc AS DECIMAL(38,0)))
+             |      AS DECIMAL(38,0)) AS DOUBLE) AS sy,
+             |    CAST(CAST(SUM(CAST(day * yc AS DECIMAL(38,0)))
+             |      AS DECIMAL(38,0)) AS DOUBLE) AS sxy,
              |    CAST(CAST(SUM(CAST(day * day AS DECIMAL(38,0)))
              |      AS DECIMAL(38,0)) AS DOUBLE) AS sxx
-             |  FROM daily GROUP BY event_type),
+             |  FROM pts GROUP BY event_type),
              |ols AS (
              |  SELECT event_type,
              |    CASE WHEN CAST(nd AS DOUBLE) * sxx - sx * sx > 0.0 THEN

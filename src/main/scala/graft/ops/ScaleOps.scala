@@ -2492,14 +2492,14 @@ object ScaleOps {
            |  FROM cdf GROUP BY event_type, n_full, n_sample)
            |SELECT event_type, n_full, n_sample, max_dev,
            |  CASE WHEN n_sample > 0 THEN
-           |    sqrt(3.6888794541139363 / (2.0 * CAST(n_sample AS DOUBLE)))
+           |    sqrt(CAST('3.6888794541139363' AS DOUBLE) / (2.0 * CAST(n_sample AS DOUBLE)))
            |  END AS epsilon,
            |  CASE WHEN n_sample > 0 THEN
-           |    max_dev / sqrt(3.6888794541139363
+           |    max_dev / sqrt(CAST('3.6888794541139363' AS DOUBLE)
            |                   / (2.0 * CAST(n_sample AS DOUBLE)))
            |  END AS dev_ratio,
            |  CASE WHEN n_sample > 0 THEN
-           |    max_dev <= sqrt(3.6888794541139363
+           |    max_dev <= sqrt(CAST('3.6888794541139363' AS DOUBLE)
            |                    / (2.0 * CAST(n_sample AS DOUBLE)))
            |  END AS within_band
            |FROM mx""".stripMargin

@@ -725,14 +725,16 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
       assert(gnp == slopes.length.toLong, s"$t np")
       assert(gts == slopes(((slopes.length + 1) / 2 - 1).toInt),
         s"$t theil-sen")
-      // OLS on the same daily means
-      val n = daily.length.toDouble
-      val sx = daily.map(p => BigInt(p._1)).sum.toDouble
-      val sy = grid6(daily.map(_._2))
-      val sxy = grid6(daily.map(p => p._1.toDouble * p._2))
-      val sxx = daily.map(p => BigInt(p._1) * BigInt(p._1)).sum.toDouble
+      // OLS from raw integer points (exact moments)
+      val raw = ev.filter(_._1 == t)
+      val n = raw.length.toDouble
+      val sx = raw.map(p => BigInt(p._2)).sum.toDouble
+      val sy = raw.map(p => BigInt(p._3)).sum.toDouble
+      val sxy = raw.map(p => BigInt(p._2) * BigInt(p._3)).sum.toDouble
+      val sxx = raw.map(p => BigInt(p._2) * BigInt(p._2)).sum.toDouble
       val want = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-      assert(math.abs(gols - want) < 1e-12, s"$t ols")
+      assert(math.abs(gols - want) < math.abs(want) * 1e-9 + 1e-12,
+        s"$t ols $gols vs $want")
     }
   }
 

@@ -5690,5 +5690,74 @@ object AnalyticsOps {
              |  CAST(SUM(CAST(h_inc AS DECIMAL(28,6))) OVER (ORDER BY dur
              |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS h_cum
              |FROM hz""".stripMargin)),
+
+    // ----- q297: A/B power analysis (required sample size per MDE) ---------
+    // The design-time complement to q178 (one final test) and q281
+    // (sequential monitoring): BEFORE running an experiment, how many
+    // users per arm does each minimum-detectable-effect need? The
+    // two-proportion formula n = (z_{α/2}+z_β)²·(p₁(1−p₁)+p₂(1−p₂))/δ²
+    // at α = .05 two-sided, 80% power — z's are the FIXED-DECIMAL
+    // literals 1.959963984540054 and 0.8416212335729143 (no quantile
+    // function at query time; the oracle string-casts them because
+    // DuckDB's bare decimal-literal→DOUBLE cast drops the last ulp).
+    // p₁ is the observed high-value conversion rate; the MDE grid runs
+    // 2–25 pp so the `feasible` verdict (current arm size ≥ required)
+    // genuinely flips within the fixture. Exact: one integer user
+    // rollup, then a fixed IEEE expression per grid row; ceil of
+    // identical doubles is identical. Scale: the corpus reduces to
+    // (n, Σy) before any arithmetic — one partial-agg pass.
+    NamedQuery(
+      "q297_power_analysis",
+      (s, d) => {
+        val base = events(s, d).groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase" &&
+            col("value") > 150.0, 1L).otherwise(0L)).as("y"))
+          .agg(count(lit(1)).as("n_users"), sum(col("y")).as("n_pos"))
+          .select(col("n_users"), col("n_pos"),
+            (col("n_pos").cast("double") / col("n_users").cast("double"))
+              .as("p_base"))
+        val grid = s.range(1, 6).select(
+          when(col("id") === 1, 0.02).when(col("id") === 2, 0.05)
+            .when(col("id") === 3, 0.10).when(col("id") === 4, 0.15)
+            .otherwise(0.25).as("mde"))
+        val z = lit(1.959963984540054) + lit(0.8416212335729143)
+        val p1 = col("p_base")
+        val p2 = col("p_base") + col("mde")
+        grid.crossJoin(broadcast(base))
+          .select(col("mde"), col("n_users"), col("p_base"),
+            ceil(z * z * (p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2)) /
+              (col("mde") * col("mde"))).cast("long").as("n_required"))
+          .withColumn("feasible",
+            expr("n_users div 2") >= col("n_required"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |    MAX(CASE WHEN event_type = 'purchase' AND value > 150.0
+             |        THEN 1 ELSE 0 END) AS y
+             |  FROM events GROUP BY user_id),
+             |base AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             |    CAST(SUM(y) AS BIGINT) AS n_pos,
+             |    CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             |      AS p_base
+             |  FROM u),
+             |grid AS (
+             |  SELECT CASE range WHEN 1 THEN 0.02 WHEN 2 THEN 0.05
+             |    WHEN 3 THEN 0.10 WHEN 4 THEN 0.15 ELSE 0.25 END AS mde
+             |  FROM range(1, 6)),
+             |calc AS (
+             |  SELECT g.mde, b.n_users, b.p_base,
+             |    CAST(ceil(
+             |      (CAST('1.959963984540054' AS DOUBLE)
+             |       + CAST('0.8416212335729143' AS DOUBLE))
+             |      * (CAST('1.959963984540054' AS DOUBLE)
+             |         + CAST('0.8416212335729143' AS DOUBLE))
+             |      * (b.p_base * (1.0 - b.p_base)
+             |         + (b.p_base + g.mde) * (1.0 - (b.p_base + g.mde)))
+             |      / (g.mde * g.mde)) AS BIGINT) AS n_required
+             |  FROM grid g CROSS JOIN base b)
+             |SELECT mde, n_users, p_base, n_required,
+             |  n_users // 2 >= n_required AS feasible
+             |FROM calc""".stripMargin)),
   )
 }

@@ -124,7 +124,10 @@ object ClusterParity {
     // across JVMs), Nelson-Aalen (suffix risk sums + decimal-grid
     // hazard cumulation through real exchanges), and the DKW band
     // (md5 sample draw + per-type CDF sup over executor boundaries)
-    "q294_theil_sen", "q295_nelson_aalen", "q296_dkw_band")
+    "q294_theil_sen", "q295_nelson_aalen", "q296_dkw_band",
+    // and the power-analysis grid (scalar base rate broadcast to the
+    // MDE grid across executor JVMs)
+    "q297_power_analysis")
 
   private def run(spark: SparkSession): Map[String, Map[Seq[Any], Int]] =
     queries.map { n =>

@@ -798,4 +798,30 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q297 power: required n recomputes and feasibility flips") {
+    val rows = SparkEntry.queries("q297_power_analysis")(spark, dir)
+      .collect().map(r => r.getAs[Double]("mde") ->
+        (r.getAs[Long]("n_users"), r.getAs[Double]("p_base"),
+          r.getAs[Long]("n_required"), r.getAs[Boolean]("feasible")))
+      .toMap
+    assert(rows.size == 5)
+    val ev = graft.ops.OpsKit.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val users = ev.groupBy(_._1).map { case (_, es) =>
+      es.exists(e => e._2 == "purchase" && e._3 > 150.0) }
+    val n = users.size.toLong
+    val p1 = users.count(identity).toDouble / n
+    val z = 1.959963984540054 + 0.8416212335729143
+    for ((mde, (gn, gp, greq, gf)) <- rows) {
+      assert(gn == n)
+      assert(gp == p1)
+      val p2 = p1 + mde
+      val want = math.ceil(z * z *
+        (p1 * (1.0 - p1) + p2 * (1.0 - p2)) / (mde * mde)).toLong
+      assert(greq == want, s"mde $mde req $greq vs $want")
+      assert(gf == (n / 2 >= want))
+    }
+  }
 }

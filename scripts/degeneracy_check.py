@@ -53,19 +53,31 @@ def main():
                    if os.path.isdir(os.path.join(out_dir, d)))
     for name in names:
         glob = os.path.join(out_dir, name, "*.parquet")
+        # r12 ADVICE: never interpolate the path or identifiers raw into
+        # SQL — bind the glob as a parameter to read_parquet, and escape
+        # embedded double quotes in column identifiers, so a quote
+        # character in either can't silently break or misread the sweep
         try:
             cols = [r[0] for r in con.execute(
-                f"DESCRIBE SELECT * FROM '{glob}'").fetchall()]
+                "DESCRIBE SELECT * FROM read_parquet(?)",
+                [glob]).fetchall()]
             n = con.execute(
-                f"SELECT count(*) FROM '{glob}'").fetchone()[0]
+                "SELECT count(*) FROM read_parquet(?)",
+                [glob]).fetchone()[0]
         except Exception as e:  # noqa: BLE001 - report and continue
             print(f"SKIP {name}: {e}")
             continue
         if n <= 1:
             continue  # single-row scalar summaries are fine by shape
+
+        def qident(c):
+            return '"' + c.replace('"', '""') + '"'
+
         exprs = ", ".join(
-            f'count(distinct "{c}") , count("{c}")' for c in cols)
-        row = con.execute(f"SELECT {exprs} FROM '{glob}'").fetchone()
+            f"count(distinct {qident(c)}) , count({qident(c)})"
+            for c in cols)
+        row = con.execute(
+            f"SELECT {exprs} FROM read_parquet(?)", [glob]).fetchone()
         for i, c in enumerate(cols):
             ndv, nnn = row[2 * i], row[2 * i + 1]
             # all-NULL (ndv=0 with 0 non-null) is its own degeneracy

@@ -5,6 +5,36 @@ package graft
   * regression can never masquerade as a speedup.
   */
 object Bench {
+  /** max/min spread of the sentinel's observed times. Pure so the spec can
+    * feed synthetic sequences (the flag is load-bearing for adjudication:
+    * the r12 judge read `contended` to decide which capture to believe).
+    * Non-positive samples are excluded from the min — a crashed sentinel
+    * must not fabricate a near-zero floor that inflates the spread.
+    */
+  def sentinelSpread(times: Seq[Double]): Double = {
+    val pos = times.filter(_ > 0)
+    if (pos.isEmpty) 1.0 else pos.max / pos.min
+  }
+
+  /** Contention bar: on an idle box the sentinel (a few MB of warm parquet)
+    * re-times flat (spread < 2); the episodes that poisoned BENCH_r11/r12
+    * showed 4.8–13×. 3× splits those populations with margin both ways.
+    */
+  val ContendedBar = 3.0
+  def isContended(times: Seq[Double]): Boolean = sentinelSpread(times) > ContendedBar
+
+  /** Pick the queries to re-time in the self-repair pass: the worst n by
+    * first/best ratio (first pass hit by an episode) UNION the worst n by
+    * best time (both passes hit — ratio looks clean but the min is still
+    * poisoned). Input tuples are (name, best, first); only successful
+    * queries should be offered. Pure for the spec.
+    */
+  def repassCandidates(results: Seq[(String, Double, Double)], n: Int): Seq[String] = {
+    val byRatio = results.filter(_._2 > 0).sortBy { case (_, b, f) => -(f / b) }.take(n).map(_._1)
+    val byBest = results.sortBy(-_._2).take(n).map(_._1)
+    (byRatio ++ byBest).distinct
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -39,8 +69,11 @@ object Bench {
     var sentinelTimes = List.empty[Double]
     def sentinel(): Unit = {
       val t0 = System.nanoTime()
-      try sentinelFn(spark, sfDir).count() catch { case _: Throwable => () }
-      sentinelTimes ::= (System.nanoTime() - t0) / 1e9
+      // record the timing ONLY when the count succeeds (r12 ADVICE): a fast
+      // failure would log a near-zero sample, inflating max/min spread and
+      // potentially flipping contended=true on a clean battery
+      val ok = try { sentinelFn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      if (ok) sentinelTimes ::= (System.nanoTime() - t0) / 1e9
     }
     sentinel()
     // min-of-2 PER QUERY (second pass immediately after the first, not a
@@ -77,31 +110,58 @@ object Bench {
     }
     sentinel()
     val sTimes = sentinelTimes.reverse
-    val sentinelSpread =
-      if (sTimes.exists(_ > 0)) sTimes.max / sTimes.filter(_ > 0).min
-      else 1.0
-    val contended = sentinelSpread > 3.0
+    val spreadObserved = sentinelSpread(sTimes)
+    val contended = isContended(sTimes)
     // ms precision keeps the 80+-query JSON line compact (full double
     // reprs nearly double its length for no information)
     def ms(v: Double): Double = math.round(v * 1000) / 1000.0
-    val qs = results.map { case (k, v, _) => s"${jstr(k)}:${ms(v)}" }
+    // Self-repair (r12 verdict item 3): detection alone still let two
+    // rounds' official numbers inherit box noise (r11 AND r12 driver
+    // captures were contended; the sentinel proved it but the headline
+    // total stayed wrong). When the battery is flagged, re-time the most
+    // suspect queries — worst by first/best ratio (episode hit the first
+    // pass) plus worst by best time (episode hit both passes, so the
+    // ratio looks clean but the min is still poisoned) — in a bounded
+    // third pass and keep the per-query min. The `contended` flag keeps
+    // describing the battery as observed; `repass` records the repair.
+    val failedNames = errors.map(_._1).toSet
+    var repassJson = ""
+    val finalResults =
+      if (!contended) results
+      else {
+        val cand = repassCandidates(results.filterNot(r => failedNames(r._1)), 16).toSet
+        val re = results.map { case r @ (name, best, first) =>
+          if (!cand(name)) r
+          else {
+            val t0 = System.nanoTime()
+            val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+              catch { case _: Throwable => false }
+            val t = (System.nanoTime() - t0) / 1e9
+            if (ok) (name, math.min(best, t), first) else r
+          }
+        }
+        val saved = results.map(_._2).sum - re.map(_._2).sum
+        repassJson = s""""repass":{"n":${cand.size},"saved_sec":${ms(saved)}},"""
+        re
+      }
+    val qs = finalResults.map { case (k, v, _) => s"${jstr(k)}:${ms(v)}" }
       .mkString("{", ",", "}")
     // per-query first/best ratio (BENCH_FULL only): a clean battery sits
     // near 1–2 (cache-cold first pass); a cluster of queries at 5–10×
     // localizes WHEN a contention episode hit even if the sentinel's
     // 25-query grid straddled it
-    val ratios = results.collect { case (k, b, f) if b > 0 =>
+    val ratios = finalResults.collect { case (k, b, f) if b > 0 =>
       s"${jstr(k)}:${math.round(f / b * 100) / 100.0}"
     }.mkString("{", ",", "}")
     val es = errors.reverse.map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val totalFirst = results.map(_._3).sum
-    val sentinelJson = s""""sentinel":{"query":${jstr(sentinelName)},"times":${sTimes.map(ms).mkString("[", ",", "]")},"spread":${math.round(sentinelSpread * 100) / 100.0},"contended":$contended}"""
+    val total = finalResults.map(_._2).sum
+    val totalFirst = finalResults.map(_._3).sum
+    val sentinelJson = s""""sentinel":{"query":${jstr(sentinelName)},"times":${sTimes.map(ms).mkString("[", ",", "]")},"spread":${math.round(spreadObserved * 100) / 100.0},"contended":$contended}"""
     // stop FIRST, print LAST: nothing (not even executor-shutdown noise)
     // may follow the result lines the driver tail-captures
     spark.stop()
-    val full = s"""{"metric":"total","value":${ms(total)},"unit":"sec","timing":"min-of-2 per query","total_first_pass":${ms(totalFirst)},"contended":$contended,$sentinelJson,"queries":$qs,"first_best_ratio":$ratios,"errors":$es,"n_errors":${errors.size},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${ms(total)},"unit":"sec","timing":"min-of-2 per query","total_first_pass":${ms(totalFirst)},"contended":$contended,$repassJson$sentinelJson,"queries":$qs,"first_best_ratio":$ratios,"errors":$es,"n_errors":${errors.size},"sf":"$sfDir"}"""
     // The driver stores only a ~2.5 KB TAIL of this output; at 105 queries
     // the full record is ~3.3 KB, so its head (metric/value) fell out of
     // the window two rounds running ("parsed": null in BENCH_r05/r06).
@@ -117,11 +177,11 @@ object Bench {
     // null tail-scrape bug (4 rounds running) can't lose a 1-line file
     try {
       val w = new java.io.PrintWriter("BENCH_TOTAL.json", "UTF-8")
-      try w.println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","timing":"min-of-2 per query","total_first_pass":${ms(totalFirst)},"contended":$contended,"sentinel_spread":${math.round(sentinelSpread * 100) / 100.0},"n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
+      try w.println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","timing":"min-of-2 per query","total_first_pass":${ms(totalFirst)},"contended":$contended,$repassJson"sentinel_spread":${math.round(spreadObserved * 100) / 100.0},"n_queries":${finalResults.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
       finally w.close()
     } catch { case _: Throwable => () }
     println(full)
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","contended":$contended,"queries":{},"n_queries":${results.size},"errors":$es,"n_errors":${errors.size},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","contended":$contended,"queries":{},"n_queries":${finalResults.size},"errors":$es,"n_errors":${errors.size},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -4486,9 +4486,14 @@ object AnalyticsOps {
     // n=4: φ_i = (1/24)·Σ_{S∌i} |S|!·(3−|S|)!·[v(S∪i)−v(S)] — weights
     // {6,2,2,6} by |S|, φ ships as the exact BIGINT numerator φ_num
     // (= 24·φ) plus the single-division double. Efficiency invariant
-    // Σφ_num = 24·v(full) is spec-asserted. Scale shape: one per-user
-    // window (partitioned by user_id — linear), one ≤16-row mask
-    // rollup; everything downstream lives on broadcast 16-row tables.
+    // Σφ_num = 24·(v(full) − v(∅)) is spec-asserted — v(∅) counts
+    // converters whose first 4 events contain NO channel type (mask 0
+    // ⊆ every S), so it need not be zero; both grand-coalition values
+    // ship (v_full, v_empty) and `share` normalizes by their
+    // difference, so the four shares sum to 1 whenever the game is
+    // non-degenerate. Scale shape: one per-user window (partitioned by
+    // user_id — linear), one ≤16-row mask rollup; everything
+    // downstream lives on broadcast 16-row tables.
     NamedQuery(
       "q272_shapley_attribution",
       (s, d) => {
@@ -4532,14 +4537,17 @@ object AnalyticsOps {
               .when(expr("bit_count(sset)") === 3, 6L).otherwise(2L))
         val phi = terms.groupBy(col("channel"))
           .agg(sum(col("wgt") * (col("v1") - col("v"))).as("phi_num"))
-        val tot = vS.filter(col("sset") === 15)
-          .select(col("v").as("v_full"))
+        val tot = vS.agg(
+          max(when(col("sset") === 15, col("v"))).as("v_full"),
+          max(when(col("sset") === 0, col("v"))).as("v_empty"))
         phi.crossJoin(broadcast(tot))
           .select(col("channel"), col("phi_num"),
             (col("phi_num").cast("double") / lit(24.0)).as("phi"),
-            col("v_full"),
-            when(col("v_full") > 0, col("phi_num").cast("double") /
-              (lit(24.0) * col("v_full").cast("double")))
+            col("v_full"), col("v_empty"),
+            when(col("v_full") - col("v_empty") > 0,
+              col("phi_num").cast("double") /
+                (lit(24.0) *
+                  (col("v_full") - col("v_empty")).cast("double")))
               .otherwise(lit(0.0)).as("share"))
       },
       Some("""WITH r AS (
@@ -4582,12 +4590,14 @@ object AnalyticsOps {
              |phi AS (SELECT channel, CAST(SUM(wgt * dv) AS BIGINT)
              |          AS phi_num
              |        FROM terms GROUP BY channel),
-             |tot AS (SELECT v AS v_full FROM vs WHERE sset = 15)
+             |tot AS (SELECT MAX(CASE WHEN sset = 15 THEN v END) AS v_full,
+             |               MAX(CASE WHEN sset = 0 THEN v END) AS v_empty
+             |        FROM vs)
              |SELECT channel, phi_num,
-             |  CAST(phi_num AS DOUBLE) / 24.0 AS phi, v_full,
-             |  CASE WHEN v_full > 0
+             |  CAST(phi_num AS DOUBLE) / 24.0 AS phi, v_full, v_empty,
+             |  CASE WHEN (v_full - v_empty) > 0
              |       THEN CAST(phi_num AS DOUBLE)
-             |            / (24.0 * CAST(v_full AS DOUBLE))
+             |            / (24.0 * CAST(v_full - v_empty AS DOUBLE))
              |       ELSE 0.0 END AS share
              |FROM phi CROSS JOIN tot""".stripMargin)),
 

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Bench contention sentinel is load-bearing for adjudication (the r12
+  * judge read `contended` to decide which capture to believe), so its
+  * arithmetic gets unit coverage on synthetic timing sequences — no Spark
+  * session involved, these are the pure helpers Bench.main feeds with real
+  * observations.
+  */
+class BenchSentinelSpec extends AnyFunSuite {
+
+  test("flat sequence reads as uncontended with spread ~1") {
+    val times = Seq(0.21, 0.20, 0.22, 0.21)
+    assert(Bench.sentinelSpread(times) === 0.22 / 0.20)
+    assert(!Bench.isContended(times))
+  }
+
+  test("a contention episode (r12-shaped: 4.8x) flips the flag") {
+    // BENCH_r12's observed shape: clean ~0.15s observations with one
+    // episode sample at ~0.73s -> spread 4.84, over the 3x bar
+    val times = Seq(0.15, 0.16, 0.73, 0.15, 0.17)
+    assert(Bench.sentinelSpread(times) > 4.8)
+    assert(Bench.isContended(times))
+  }
+
+  test("spread exactly at the 3x bar is NOT contended (strict >)") {
+    // exactly-representable doubles: 0.3/0.1 is 2.999...96 in binary
+    val times = Seq(1.0, 3.0)
+    assert(Bench.sentinelSpread(times) === 3.0)
+    assert(!Bench.isContended(times))
+    assert(Bench.isContended(Seq(1.0, 3.01)))
+  }
+
+  test("non-positive samples are excluded, never a near-zero floor") {
+    // a crashed sentinel must not fabricate spread: with the 0.0 dropped
+    // the sequence is flat
+    val times = Seq(0.2, 0.0, 0.21, -1.0)
+    assert(Bench.sentinelSpread(times) === 0.21 / 0.2)
+    assert(!Bench.isContended(times))
+  }
+
+  test("empty or all-failed sentinel reads spread 1.0, uncontended") {
+    assert(Bench.sentinelSpread(Nil) === 1.0)
+    assert(Bench.sentinelSpread(Seq(0.0, 0.0)) === 1.0)
+    assert(!Bench.isContended(Nil))
+  }
+
+  test("repass candidates = worst-n by first/best ratio UNION worst-n by best") {
+    // (name, best, first): qa has the worst ratio (10x, first pass hit);
+    // qd has the worst best (both passes hit, ratio clean); qb/qc clean+cheap
+    val results = Seq(
+      ("qa", 0.2, 2.0), // ratio 10
+      ("qb", 0.3, 0.35), // ratio ~1.17
+      ("qc", 0.25, 0.3), // ratio 1.2
+      ("qd", 5.0, 5.5) // ratio 1.1 but slowest best
+    )
+    val picked = Bench.repassCandidates(results, 1)
+    assert(picked.toSet === Set("qa", "qd"))
+    // n=2 widens each list by one; union stays deduplicated
+    val picked2 = Bench.repassCandidates(results, 2)
+    assert(picked2.size === picked2.distinct.size)
+    assert(Set("qa", "qd").subsetOf(picked2.toSet))
+  }
+
+  test("repass candidate ratio list skips non-positive bests") {
+    // a zero best (pathological) must not win the ratio sort by division
+    val results = Seq(("qz", 0.0, 1.0), ("qa", 0.2, 1.0), ("qd", 3.0, 3.1))
+    val picked = Bench.repassCandidates(results, 1)
+    assert(picked.contains("qa")) // ratio 5 among positive-best rows
+    assert(picked.contains("qd")) // worst best overall
+  }
+}

@@ -20,9 +20,10 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     // over all 8 coalitions not containing i — then compare the exact
     // BIGINT numerators, and check the efficiency axiom Σφ = v(full)
     // − v(∅) that makes Shapley "a credit SPLIT" rather than scores
-    val rows = SparkEntry.queries("q272_shapley_attribution")(spark, dir)
-      .collect().map(r => r.getAs[String]("channel") ->
-        (r.getAs[Long]("phi_num"), r.getAs[Long]("v_full"))).toMap
+    val collected = SparkEntry.queries("q272_shapley_attribution")(spark, dir)
+      .collect()
+    val rows = collected.map(r => r.getAs[String]("channel") ->
+      (r.getAs[Long]("phi_num"), r.getAs[Long]("v_full"))).toMap
     assert(rows.size == 4)
     val ev = graft.ops.OpsKit.events(spark, dir)
     import org.apache.spark.sql.expressions.Window
@@ -52,6 +53,15 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     assert(rows.values.map(_._1).sum == 24L * (v(15) - v(0)),
       "efficiency axiom violated")
     assert(rows.values.head._2 == v(15))
+    // r12 ADVICE closure: v(∅) ships alongside v(full), and `share`
+    // normalizes by their difference — so the four shares sum to 1
+    // exactly when the game is non-degenerate (v_full > v_empty)
+    assert(collected.head.getAs[Long]("v_empty") == v(0))
+    if (v(15) > v(0)) {
+      val shareSum = collected.map(_.getAs[Double]("share")).sum
+      assert(math.abs(shareSum - 1.0) < 1e-9,
+        s"shares must sum to 1, got $shareSum")
+    }
   }
 
   test("q273 target encoding: leave-fold-out means recompute exactly") {

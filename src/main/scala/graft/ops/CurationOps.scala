@@ -2007,5 +2007,201 @@ object CurationOps {
              |      / CAST(a_only + b_only AS DOUBLE) > 3.841
              |  END AS significant
              |FROM agg""".stripMargin)),
+
+    // ----- q298: DoReMi group-robust mixture reweighting -------------------
+    // The optimization step the mixing family (q46/q58/q182/q242/q280/
+    // q284) only reports inputs for: DoReMi (Xie et al., NeurIPS 2023)
+    // reweights training domains by multiplicative weights over
+    // per-domain EXCESS loss — how much better a strong reference model
+    // explains a domain than the weak proxy, i.e. the learnable
+    // headroom the mixture should chase. Stand-ins built from the
+    // repo's own LM scores: the reference model is the corpus bigram
+    // LM (q107 — per-position conditional probability c12/c1), the
+    // proxy is the unigram LM (q62 — position probability c(w2)/N,
+    // evaluated at the SAME bigram positions so the two means are
+    // comparable), and a document's excess is
+    // max(0, ref_prob/proxy_prob − 1) — DoReMi's excess loss is a
+    // LOG-loss difference log(ref) − log(proxy), and ratio − 1 is its
+    // first-order log-free stand-in (monotone in the log-ratio, the
+    // q62 mean-prob-for-mean-log-prob argument), clipped at 0 per the
+    // paper. λ_k is the per-doc mean excess over each source. The
+    // weight update is 8 unrolled exponentiated-gradient rounds with
+    // DoReMi's uniform smoothing, α_t = 0.99·(α'/Σα') + 0.01/K with
+    // α' = α_{t−1}·(1 + η·λ), η = 1 — the (1+ηλ) polynomial-weights
+    // variant of Hedge (Arora–Hazan–Kale 2012) instead of exp(ηλ),
+    // because exp() differs across libm builds (q52's ln lesson) while
+    // +,·,/ are exactly-rounded IEEE ops, identical in both engines;
+    // the smoothing mixes uniform back in every round, so the iterate
+    // is a genuine recursion, not a closed-form tilt. All division
+    // operands are exact (dsum-grid sums and BIGINT counts). Scale
+    // shape: exactly 2 corpus scans — the per-doc bigram working set
+    // (persisted, q107's discipline) and one token explode that
+    // aggregates straight to the (source, token) grid (vocab×K rows,
+    // pinned); the MM state is K source weights broadcast per round
+    // (q284's shape), never a corpus-sized iterate. Docs with < 2
+    // tokens have no bigram positions and drop from scoring on both
+    // engines (n_docs_scored counts the rest).
+    NamedQuery(
+      "q298_doremi_mixture",
+      (s, d) => {
+        val w = col("wt")
+        // per-doc bigram counts WITH source — the q107 working set plus
+        // the domain key; token arrays bound before the lambda touches
+        // them (the HOF recompute trap, see docBigrams)
+        val dbg = tbl(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            split(col("text"), " ").as("wt"))
+          .filter(size(w) >= 2)
+          .select(col("doc_id"), col("source"),
+            explode(transform(sequence(lit(1), size(w) - 1),
+              i => concat(element_at(w, i), lit("\u0001"),
+                element_at(w, i + 1)))).as("bg"))
+          .groupBy(col("doc_id"), col("source"), col("bg"))
+          .agg(count(lit(1)).as("k"))
+          .persist()
+        // (source, token) grid: ONE token explode feeds both the unigram
+        // vocab and the per-source token shares — vocab×K rows, pinned
+        val stok = pinned(tbl(s, d, "documents")
+          .select(col("source"),
+            explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("source"), col("tok"))
+          .agg(count(lit(1)).as("k")))
+        val cnt = dbg.groupBy(col("bg")).agg(sum(col("k")).as("c12"))
+          .withColumn("w1", substring_index(col("bg"), "\u0001", 1))
+        val prefix = cnt.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+        val lm = cnt.join(prefix, "w1")
+        val vocab = stok.groupBy(col("tok")).agg(sum(col("k")).as("cu"))
+        val ntot = vocab.agg(sum(col("cu")).as("nu"))
+        val perDoc = dbg
+          .withColumn("w2", substring_index(col("bg"), "\u0001", -1))
+          .join(lm, "bg")
+          .join(broadcast(vocab.withColumnRenamed("tok", "w2")), "w2")
+          .crossJoin(broadcast(ntot))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(sum(col("k")).as("n_bg"),
+            dsum(col("k").cast("double") * (col("c12").cast("double") /
+              col("c1").cast("double"))).as("refs"),
+            // Σ k·c(w2) exact: the long product is safe (k ≤ doc length,
+            // c(w2) ≤ corpus tokens) and the decimal sum matches the
+            // oracle's HUGEINT promotion — q62's idiom
+            sum((col("k") * col("cu")).cast("decimal(38,0)"))
+              .as("proxys"),
+            max(col("nu")).as("nu"))
+          .select(col("source"),
+            (col("refs") / col("n_bg").cast("double")).as("ref_prob"),
+            (col("proxys").cast("double") /
+              (col("n_bg").cast("double") * col("nu").cast("double")))
+              .as("proxy_prob"))
+        // proxy_prob > 0 always (every position's unigram count ≥ 1),
+        // so the ratio is division-safe under ANSI
+        val lam = pinned(perDoc
+          .select(col("source"),
+            greatest(col("ref_prob") / col("proxy_prob") - lit(1.0),
+              lit(0.0)).as("excess"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs_scored"),
+            (dsum(col("excess")) / count(lit(1)).cast("double"))
+              .as("excess_loss")))
+        val shares = pinned(stok.groupBy(col("source"))
+          .agg(sum(col("k")).as("src_tok")))
+        val totTok = shares.agg(sum(col("src_tok")).as("all_tok"))
+        val mult = pinned(lam.select(col("source").as("src"),
+          (lit(1.0) + col("excess_loss")).as("m")))
+        var alpha = pinned(mult.select(col("src"), lit(1.0).as("a")))
+        for (_ <- 1 to 8) {
+          val raw = alpha.join(broadcast(mult), "src")
+            .select(col("src"), (col("a") * col("m")).as("ar"))
+          val z = raw.agg(dsum(col("ar")).as("z"),
+            count(lit(1)).as("kk"))
+          alpha = pinned(raw.crossJoin(broadcast(z))
+            .select(col("src"),
+              (lit(0.99) * (col("ar") / col("z")) +
+                lit(0.01) / col("kk").cast("double")).as("a")))
+        }
+        val tokShare = col("src_tok").cast("double") /
+          col("all_tok").cast("double")
+        lam.join(shares, "source")
+          .crossJoin(broadcast(totTok))
+          .join(broadcast(alpha), col("source") === col("src"))
+          .select(col("source"), col("n_docs_scored"), col("src_tok"),
+            tokShare.as("tok_share"), col("excess_loss"),
+            col("a").as("alpha"),
+            (col("a") / tokShare).as("tilt"))
+      },
+      Some {
+        // every α_t is referenced twice downstream (normalizer + final
+        // join through r_{t+1}) — MATERIALIZED per round, the q284
+        // lesson; the corpus-derived CTEs materialize once so the 8
+        // unrolled rounds never re-touch documents
+        val iters = (1 to 8).map { t =>
+          s"""r$t AS (
+             |  SELECT a.src, a.a * m.m AS ar
+             |  FROM a${t - 1} a JOIN mult m ON m.src = a.src),
+             |z$t AS (SELECT ${dsumSql("ar")} AS z,
+             |          CAST(COUNT(*) AS BIGINT) AS kk FROM r$t),
+             |a$t AS MATERIALIZED (
+             |  SELECT src, 0.99 * (ar / z) + 0.01 / CAST(kk AS DOUBLE)
+             |    AS a
+             |  FROM r$t, z$t)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH dbg AS MATERIALIZED (
+           |  SELECT doc_id, source, bg, CAST(COUNT(*) AS BIGINT) AS k
+           |  FROM (
+           |    SELECT doc_id, source,
+           |      unnest([w[i] || chr(1) || w[i+1]
+           |              for i in range(1, len(w))]) AS bg
+           |    FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+           |          FROM documents)
+           |    WHERE len(w) >= 2)
+           |  GROUP BY doc_id, source, bg),
+           |stok AS MATERIALIZED (
+           |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS k
+           |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+           |        FROM documents)
+           |  GROUP BY source, tok),
+           |c AS (SELECT bg, CAST(SUM(k) AS BIGINT) AS c12,
+           |        string_split(bg, chr(1))[1] AS w1
+           |      FROM dbg GROUP BY bg),
+           |p AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+           |      FROM c GROUP BY w1),
+           |v AS (SELECT tok, CAST(SUM(k) AS BIGINT) AS cu
+           |      FROM stok GROUP BY tok),
+           |nt AS (SELECT CAST(SUM(cu) AS BIGINT) AS nu FROM v),
+           |perdoc AS (
+           |  SELECT b.doc_id, b.source,
+           |    ${dsumSql("CAST(b.k AS DOUBLE) * (CAST(c.c12 AS DOUBLE)" +
+          " / CAST(p.c1 AS DOUBLE))")}
+           |      / CAST(SUM(b.k) AS DOUBLE) AS ref_prob,
+           |    CAST(SUM(b.k * v.cu) AS DOUBLE)
+           |      / (CAST(SUM(b.k) AS DOUBLE) * CAST(MAX(nt.nu) AS DOUBLE))
+           |      AS proxy_prob
+           |  FROM dbg b JOIN c USING (bg) JOIN p USING (w1)
+           |  JOIN v ON v.tok = string_split(b.bg, chr(1))[2]
+           |  CROSS JOIN nt
+           |  GROUP BY b.doc_id, b.source),
+           |lam AS MATERIALIZED (
+           |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_scored,
+           |    ${dsumSql("GREATEST(ref_prob / proxy_prob - 1.0, 0.0)")}
+           |      / CAST(COUNT(*) AS DOUBLE) AS excess_loss
+           |  FROM perdoc GROUP BY source),
+           |shares AS MATERIALIZED (
+           |  SELECT source, CAST(SUM(k) AS BIGINT) AS src_tok
+           |  FROM stok GROUP BY source),
+           |tt AS (SELECT CAST(SUM(src_tok) AS BIGINT) AS all_tok
+           |       FROM shares),
+           |mult AS MATERIALIZED (
+           |  SELECT source AS src, 1.0 + excess_loss AS m
+           |  FROM lam),
+           |a0 AS (SELECT src, CAST(1.0 AS DOUBLE) AS a FROM mult),
+           |$iters
+           |SELECT l.source, l.n_docs_scored, s.src_tok,
+           |  CAST(s.src_tok AS DOUBLE) / CAST(tt.all_tok AS DOUBLE)
+           |    AS tok_share,
+           |  l.excess_loss, a8.a AS alpha,
+           |  a8.a / (CAST(s.src_tok AS DOUBLE)
+           |          / CAST(tt.all_tok AS DOUBLE)) AS tilt
+           |FROM lam l JOIN shares s USING (source) CROSS JOIN tt
+           |JOIN a8 ON a8.src = l.source""".stripMargin
+      }),
   )
 }

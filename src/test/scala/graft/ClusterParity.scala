@@ -127,7 +127,12 @@ object ClusterParity {
     "q294_theil_sen", "q295_nelson_aalen", "q296_dkw_band",
     // and the power-analysis grid (scalar base rate broadcast to the
     // MDE grid across executor JVMs)
-    "q297_power_analysis")
+    "q297_power_analysis",
+    // r13: DoReMi mixture reweighting — the per-source excess-loss
+    // grid and 8 rounds of pinned K-row weight state re-broadcast
+    // across real executor JVMs (the q284 MM shape), over the
+    // persisted bigram working set's real shuffles
+    "q298_doremi_mixture")
 
   private def run(spark: SparkSession): Map[String, Map[Seq[Any], Int]] =
     queries.map { n =>

@@ -1,0 +1,225 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.functions._
+
+/** Scan-count gate (r12 verdict item 4 — the q274 lesson made standing).
+  *
+  * Every reference to a DataFrame re-executes its subtree: Spark's
+  * exchange reuse does NOT fire for agg-derived small tables re-joined
+  * from several places (self-join deduplication rewrites exprIds, so the
+  * exchanges stop being canonically equal), and a 5-row per-type
+  * aggregate joined from 3 places is 3 corpus scans — q274's first cut
+  * hit 26. The round-12 fix was `OpsKit.pinned` on every bounded reused
+  * intermediate, audited by hand; this main makes the audit a gate.
+  *
+  * For each registered query it counts, per corpus-scale table, the
+  * parquet scans across BOTH the final plan and every construction-time
+  * materialization ([[ScanAudit]] — pinned/ckpt/diskMemo plans, which a
+  * final-plan walk alone cannot see), deduplicating persist() caches by
+  * cache-instance identity and skipping ReusedExchange subtrees. A query
+  * scanning the SAME corpus table more than [[MaxScansPerTable]] times
+  * fails the gate unless allowlisted with a reason.
+  *
+  * Run:  sbt "runMain graft.ScanCount [sfDir]"          — full sweep
+  *       sbt "runMain graft.ScanCount sfDir q1,q2"      — subset
+  *       sbt "runMain graft.ScanCount --selftest"       — prove the gate
+  *                                                        is red on an
+  *                                                        unpinned probe
+  * Exits 1 on any unwaived violation (or if the selftest probe fails to
+  * trip it).
+  */
+object ScanCount {
+  /** Tables whose re-scan is the hazard: these scale with the corpus.
+    * Dimension tables (region/nation/supplier/part/customer) are cheap
+    * to re-read and broadcast-sized by design. */
+  private val CorpusTables =
+    Seq("documents", "events", "lineitem", "orders", "embeddings")
+
+  val MaxScansPerTable = 2
+
+  /** (query, table) -> (frozen cap, reason) from scripts/scan_allowlist.tsv.
+    * Entries FREEZE a legacy query's measured scan count instead of
+    * waiving the query: regressing past the cap still fails the gate
+    * (the degeneracy-sweep lesson — a blanket waiver would let a future
+    * regression hide behind an old reason). New queries must meet
+    * [[MaxScansPerTable]]. */
+  lazy val allow: Map[(String, String), (Int, String)] = {
+    val f = new java.io.File("scripts/scan_allowlist.tsv")
+    if (!f.exists) Map.empty
+    else {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().filterNot(_.startsWith("#"))
+        .filter(_.nonEmpty).map { line =>
+          val Array(q, t, n, why) = line.split("\t", 4)
+          (q, t) -> (n.toInt, why)
+        }.toMap
+      finally src.close()
+    }
+  }
+
+  /** Shared traversal: unwraps AQE wrappers, skips ReusedExchange
+    * subtrees (no re-execution), and dedups persist() caches by
+    * cache-instance identity — an InMemoryRelation executes its child
+    * once, no matter how many InMemoryTableScans read it. */
+  private def walkPlans(plans: Seq[SparkPlan])(visit: SparkPlan => Unit): Unit = {
+    val seenCaches = mutable.Set.empty[Int]
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case _: ReusedExchangeExec => // reused output: no new scan
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case im: InMemoryTableScanExec =>
+          val id = System.identityHashCode(im.relation.cacheBuilder)
+          if (seenCaches.add(id)) walk(im.relation.cachedPlan)
+        case other =>
+          visit(other)
+          other.children.foreach(walk)
+      }
+      p.subqueries.foreach(walk)
+    }
+    plans.foreach(walk)
+  }
+
+  /** Corpus scans per table across a set of plans. */
+  def corpusScans(plans: Seq[SparkPlan]): Map[String, Int] = {
+    val counts = mutable.Map.empty[String, Int].withDefaultValue(0)
+    walkPlans(plans) {
+      case f: FileSourceScanExec =>
+        val paths = f.relation.location.rootPaths.map(_.toString)
+        for (t <- CorpusTables
+             if paths.exists(_.endsWith(s"/$t.parquet")))
+          counts(t) += 1
+      case _ => ()
+    }
+    counts.toMap
+  }
+
+  /** Canonical physical-plan signature (r12 verdict item 5): the
+    * operator-kind multiset the scale story depends on — per-corpus-table
+    * scans, exchanges, windows, and join strategies — rendered as one
+    * stable string so a committed golden can diff it. Plan drift (a
+    * rewrite rule regressing, a broadcast decaying to a sort-merge, the
+    * q274 scan-multiplication class) becomes a red test instead of a
+    * bench surprise. */
+  def signature(plans: Seq[SparkPlan]): String = {
+    val counts = mutable.Map.empty[String, Int].withDefaultValue(0)
+    walkPlans(plans) { p =>
+      val n = p.nodeName
+      p match {
+        case f: FileSourceScanExec =>
+          val paths = f.relation.location.rootPaths.map(_.toString)
+          val t = CorpusTables
+            .find(t => paths.exists(_.endsWith(s"/$t.parquet")))
+            .getOrElse("other")
+          counts(s"scan:$t") += 1
+        case _ =>
+          if (n.contains("ShuffleExchange")) counts("shuffle") += 1
+          else if (n.contains("BroadcastExchange")) counts("bcast") += 1
+          else if (n.contains("BroadcastNestedLoopJoin")) counts("bnlj") += 1
+          else if (n.contains("CartesianProduct")) counts("cartesian") += 1
+          else if (n.contains("SortMergeJoin")) counts("smj") += 1
+          else if (n.contains("BroadcastHashJoin")) counts("bhj") += 1
+          else if (n.contains("ShuffledHashJoin")) counts("shj") += 1
+          else if (n == "Window" || n == "WindowGroupLimit") counts("window") += 1
+          else if (n.contains("TakeOrderedAndProject")) counts("topk") += 1
+          else if (n.contains("TopKPerGroup")) counts("topkgrp") += 1
+          else if (n.contains("Generate")) counts("generate") += 1
+      }
+    }
+    counts.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("|")
+  }
+
+  /** Construction + final plans for one registered query — the plan set
+    * both the scan gate and the golden signature read. Amortized plans
+    * (diskMemo family-artifact builds) are excluded: they run once per
+    * scratch lifetime, so counting them would make the result depend on
+    * whether the scratch is warm. Callers own cache hygiene
+    * (clearCache between queries). */
+  def queryPlans(spark: org.apache.spark.sql.SparkSession, name: String,
+      dir: String): Seq[SparkPlan] = {
+    ScanAudit.drain()
+    ScanAudit.enabled = true
+    try {
+      val df = SparkEntry.queries(name)(spark, dir)
+      ScanAudit.drain().collect { case (p, false) => p } :+
+        df.queryExecution.executedPlan
+    } finally ScanAudit.enabled = false
+  }
+
+  def main(args: Array[String]): Unit = {
+    val rest = args.filterNot(_.startsWith("--"))
+    val dir = rest.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = Sessions.builder("local[8]", 8)
+      // static plans: no runtime re-plan between the walk and reality
+      .config("spark.sql.adaptive.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if (args.contains("--selftest")) {
+      // deliberately UNPINNED probe: three DIFFERENT bounded aggregates
+      // over the same corpus table, met in one query — the q274 shape.
+      // Exchange reuse cannot dedup them (the subtrees are not
+      // canonically equal), so the plan truly scans documents 3× and
+      // the gate must read red. (A pure self-join of ONE aggregate is
+      // NOT a failing case: canonicalization normalizes the rewritten
+      // exprIds and ReuseExchange collapses it to one scan — verified
+      // while building this probe.)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      def g(m: Int, out: String) =
+        docs.groupBy((col("n_chars") % m).as("k"))
+          .agg(count(lit(1)).as(out))
+      val probe = g(2, "n1").join(g(3, "n2"), "k").join(g(5, "n3"), "k")
+      val n = corpusScans(Seq(probe.queryExecution.executedPlan))
+        .getOrElse("documents", 0)
+      println(s"""{"metric":"scan_selftest","documents_scans":$n,"expect":">2","red":${n > MaxScansPerTable}}""")
+      spark.stop()
+      sys.exit(if (n > MaxScansPerTable) 0 else 1)
+    }
+
+    val names = rest.lift(1) match {
+      case Some(csv) => csv.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+      case None => SparkEntry.queries.keys.toSeq.sorted
+    }
+    var violations = List.empty[(String, String, Int)]
+    var waived = List.empty[(String, String, Int, String)]
+    for (name <- names) {
+      // fresh cache per query: cross-query cache hits would hide a
+      // re-scan that a standalone run of the query WOULD pay
+      spark.catalog.clearCache()
+      val (per, err) =
+        try (corpusScans(queryPlans(spark, name, dir)),
+          Option.empty[String])
+        catch {
+          case e: Throwable =>
+            (Map.empty[String, Int], Some(e.getMessage))
+        }
+      err.foreach(m => println(s"SKIP  $name: ${m.take(120)}"))
+      val over = per.filter(_._2 > MaxScansPerTable)
+      if (over.nonEmpty) {
+        for ((t, n) <- over) allow.get((name, t)) match {
+          case Some((cap, why)) if n <= cap =>
+            waived ::= (name, t, n, why)
+            println(s"WAIVE $name $t=$n (frozen cap $cap) — $why")
+          case Some((cap, _)) =>
+            violations ::= (name, t, n)
+            println(s"FLAG  $name $t=$n REGRESSED past frozen cap $cap")
+          case None =>
+            violations ::= (name, t, n)
+            println(s"FLAG  $name $t=$n (max $MaxScansPerTable)")
+        }
+      }
+      val summary = per.toSeq.sortBy(_._1)
+        .map { case (t, n) => s"$t=$n" }.mkString(" ")
+      println(f"OK    $name%-28s $summary")
+    }
+    println(s"""{"metric":"scan_count","queries":${names.size},"violations":${violations.size},"waived":${waived.size},"max_per_table":$MaxScansPerTable}""")
+    spark.stop()
+    if (violations.nonEmpty) sys.exit(1)
+  }
+}

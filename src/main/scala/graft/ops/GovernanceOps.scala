@@ -986,7 +986,13 @@ object GovernanceOps {
     if (!fs.exists(dest)) {
       val tmp = new org.apache.hadoop.fs.Path(
         path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
-      build.write.mode("overwrite").parquet(tmp.toString)
+      // artifact builds scan the corpus once per scratch LIFETIME, not
+      // per query — recorded as amortized (scope included: the build
+      // closure's own pinned() calls) so the per-query gates stay
+      // deterministic whether the scratch is fresh or warm
+      val b = graft.ScanAudit.amortizedScope(build)
+      graft.ScanAudit.record(b, amortized = true)
+      b.write.mode("overwrite").parquet(tmp.toString)
       if (!fs.rename(tmp, dest)) {
         // A failed rename is benign ONLY when a racing winner already
         // published dest; anything else (permissions, half state) must
@@ -2674,11 +2680,12 @@ object GovernanceOps {
       nodes: org.apache.spark.sql.DataFrame,
       pairs: org.apache.spark.sql.DataFrame,
       k: Int, rounds: Int): org.apache.spark.sql.DataFrame = {
-    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint()
+    val edges = OpsKit.ckpt(
+      pairs.select(col("id1").as("src"), col("id2").as("dst"))
+        .unionByName(pairs.select(col("id2").as("src"),
+          col("id1").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct())
     var alive = OpsKit.pinned(nodes.select(col("doc_id")))
     var prevCount = alive.count()
     var stable = false

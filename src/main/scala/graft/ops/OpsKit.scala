@@ -66,8 +66,19 @@ object OpsKit {
     * round — linear, paid once per iteration, and the price of keeping
     * planning O(1) per round instead of O(branching^rounds). */
   def pinned(df: DataFrame): DataFrame = {
+    // the checkpoint executes NOW, during query construction — hand the
+    // plan to the scan-count gate first (no-op unless ScanCount enabled)
+    graft.ScanAudit.record(df)
     val ck = df.localCheckpoint()
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
+  /** Bare localCheckpoint with the scan-count recorder attached — for the
+    * few sites that keep the LogicalRDD's origin stats on purpose (one
+    * round, no iterative-replanning hazard, see [[pinned]]'s scaladoc). */
+  def ckpt(df: DataFrame): DataFrame = {
+    graft.ScanAudit.record(df)
+    df.localCheckpoint()
   }
 
   /** Order-insensitive exact sum of a double expression: cast each value to

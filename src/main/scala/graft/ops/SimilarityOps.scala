@@ -1606,19 +1606,20 @@ object SimilarityOps {
     NamedQuery(
       "q154_mmr_rerank",
       (s, d) => {
-        val cand = exactRanked(s, d).filter(col("rank") <= 20)
-          .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
-          .localCheckpoint()
+        val cand = OpsKit.ckpt(exactRanked(s, d)
+          .filter(col("rank") <= 20)
+          .select(col("q_id"), col("vec_id"), col("cos"), col("rank")))
         val ce = cand.select(col("q_id"), col("vec_id"))
           .join(normed(s, d), "vec_id")
-        val sims = ce.select(col("q_id"), col("vec_id").as("va"),
+        val sims = OpsKit.ckpt(ce.select(col("q_id"),
+            col("vec_id").as("va"),
             col("embedding").as("ea"), col("nrm").as("na"))
           .join(ce.select(col("q_id"), col("vec_id").as("vb"),
             col("embedding").as("eb"), col("nrm").as("nb")), Seq("q_id"))
           .filter(col("va") =!= col("vb"))
           .select(col("q_id"), col("va"), col("vb"),
-            (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("sim"))
-          .localCheckpoint()
+            (dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+              .as("sim")))
         var selected = OpsKit.pinned(cand.filter(col("rank") === 1)
           .select(col("q_id"), col("vec_id"),
             (lit(7) * col("cos")).as("mmr_score"), lit(1L).as("step")))

@@ -5,20 +5,32 @@ package graft
   * regression can never masquerade as a speedup.
   */
 object Bench {
-  /** max/min spread of the sentinel's observed times. Pure so the spec can
-    * feed synthetic sequences (the flag is load-bearing for adjudication:
-    * the r12 judge read `contended` to decide which capture to believe).
-    * Non-positive samples are excluded from the min — a crashed sentinel
-    * must not fabricate a near-zero floor that inflates the spread.
+  /** max/MEDIAN spread of the sentinel's observed times. Pure so the spec
+    * can feed synthetic sequences (the flag is load-bearing for
+    * adjudication: the r12 judge read `contended` to decide which capture
+    * to believe). The floor is the lower median, not the min: max/min is
+    * fragile in both directions — a crashed sentinel fabricates a
+    * near-zero floor (r12 ADVICE), and ONE slow startup sample over a
+    * fast floor trips the bar on a clean battery (observed on the r13
+    * scaling captures: first post-warmup sample 0.387 s over a 0.124 s
+    * floor read 3.11× on an idle box, while the real r12 episode reads
+    * 4.6× under max/median and the clean captures read 1.6–2.6×). A
+    * battery where MOST samples are contended inflates the median and
+    * can evade the flag — but such uniform slowdown also inflates both
+    * min-of-2 passes consistently, which is the comparable-total case,
+    * not the episodic misadjudication the sentinel exists to catch.
+    * Non-positive samples are excluded entirely.
     */
   def sentinelSpread(times: Seq[Double]): Double = {
-    val pos = times.filter(_ > 0)
-    if (pos.isEmpty) 1.0 else pos.max / pos.min
+    val pos = times.filter(_ > 0).sorted
+    if (pos.isEmpty) 1.0
+    else pos.max / pos((pos.size - 1) / 2)
   }
 
   /** Contention bar: on an idle box the sentinel (a few MB of warm parquet)
-    * re-times flat (spread < 2); the episodes that poisoned BENCH_r11/r12
-    * showed 4.8–13×. 3× splits those populations with margin both ways.
+    * re-times at max/median 1.6–2.6× (six r13 captures); the episodes
+    * that poisoned BENCH_r11/r12 read 4.6×+ under the same metric.
+    * 3× splits those populations with margin both ways.
     */
   val ContendedBar = 3.0
   def isContended(times: Seq[Double]): Boolean = sentinelSpread(times) > ContendedBar

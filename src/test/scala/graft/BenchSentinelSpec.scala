@@ -6,35 +6,48 @@ import org.scalatest.funsuite.AnyFunSuite
   * judge read `contended` to decide which capture to believe), so its
   * arithmetic gets unit coverage on synthetic timing sequences — no Spark
   * session involved, these are the pure helpers Bench.main feeds with real
-  * observations.
+  * observations. Spread is max over the LOWER MEDIAN (not max/min): see
+  * Bench.sentinelSpread's scaladoc for why both min-floor failure modes
+  * are real.
   */
 class BenchSentinelSpec extends AnyFunSuite {
 
   test("flat sequence reads as uncontended with spread ~1") {
     val times = Seq(0.21, 0.20, 0.22, 0.21)
-    assert(Bench.sentinelSpread(times) === 0.22 / 0.20)
+    // sorted: .20 .21 .21 .22 -> lower median (index 1) = 0.21
+    assert(Bench.sentinelSpread(times) === 0.22 / 0.21)
     assert(!Bench.isContended(times))
   }
 
-  test("a contention episode (r12-shaped: 4.8x) flips the flag") {
+  test("a contention episode (r12-shaped) flips the flag") {
     // BENCH_r12's observed shape: clean ~0.15s observations with one
-    // episode sample at ~0.73s -> spread 4.84, over the 3x bar
+    // episode sample at ~0.73s -> max/median 4.56, over the 3x bar
     val times = Seq(0.15, 0.16, 0.73, 0.15, 0.17)
-    assert(Bench.sentinelSpread(times) > 4.8)
+    assert(Bench.sentinelSpread(times) === 0.73 / 0.16)
     assert(Bench.isContended(times))
   }
 
+  test("one slow STARTUP sample over a fast floor stays clean") {
+    // the r13 false-positive shape: first post-warmup sample 0.387s,
+    // floor 0.124s -> max/min read 3.11 (flagged); max/median reads
+    // 0.387/0.175 ~ 2.2 (clean, correctly)
+    val times = Seq(0.387, 0.172, 0.154, 0.189, 0.199, 0.15, 0.172,
+      0.167, 0.187, 0.174, 0.175, 0.212, 0.124)
+    assert(Bench.sentinelSpread(times) < 3.0)
+    assert(!Bench.isContended(times))
+  }
+
   test("spread exactly at the 3x bar is NOT contended (strict >)") {
-    // exactly-representable doubles: 0.3/0.1 is 2.999...96 in binary
-    val times = Seq(1.0, 3.0)
+    // exactly-representable doubles; lower median of [1,1,3] is 1
+    val times = Seq(1.0, 1.0, 3.0)
     assert(Bench.sentinelSpread(times) === 3.0)
     assert(!Bench.isContended(times))
-    assert(Bench.isContended(Seq(1.0, 3.01)))
+    assert(Bench.isContended(Seq(1.0, 1.0, 3.01)))
   }
 
   test("non-positive samples are excluded, never a near-zero floor") {
-    // a crashed sentinel must not fabricate spread: with the 0.0 dropped
-    // the sequence is flat
+    // a crashed sentinel must not fabricate spread: with the 0.0 and
+    // the negative dropped, the sequence is flat
     val times = Seq(0.2, 0.0, 0.21, -1.0)
     assert(Bench.sentinelSpread(times) === 0.21 / 0.2)
     assert(!Bench.isContended(times))

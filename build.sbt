@@ -41,4 +41,5 @@ Test / envVars := Map(
   "SPARK_HOME" -> "/opt/spark",
 )
 addCommandAlias("clusterParity", "Test/runMain graft.ClusterParity")
-addCommandAlias("checkAll", ";test ;clusterParity")
+addCommandAlias("scanCount", "runMain graft.ScanCount")
+addCommandAlias("checkAll", ";test ;clusterParity ;scanCount")

@@ -26,6 +26,14 @@ import org.apache.spark.sql.functions._
   * scanning the SAME corpus table more than [[MaxScansPerTable]] times
   * fails the gate unless allowlisted with a reason.
   *
+  * Known limitation: a construction-time `collect()` over an unpinned,
+  * unaudited subtree executes scans this gate cannot see (the
+  * documented bounded-state collects: Lloyd centroids, BPE per-round
+  * argmax, the StarCC convergence witness). The iterative-chain
+  * collects added in r13 read pinned inputs (q284/q298) or are wrapped
+  * in `OpsKit.audited` (q271) precisely so their corpus scans stay on
+  * the books.
+  *
   * Run:  sbt "runMain graft.ScanCount [sfDir]"          — full sweep
   *       sbt "runMain graft.ScanCount sfDir q1,q2"      — subset
   *       sbt "runMain graft.ScanCount --selftest"       — prove the gate

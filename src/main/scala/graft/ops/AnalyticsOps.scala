@@ -4356,37 +4356,49 @@ object AnalyticsOps {
           .toDF("st", "variant")
           .select(col("variant"), col("st").as("from_s"),
             col("st").as("to_s"), lit(1.0).as("p"))
-        val tp = variants.unionByName(loops).persist()
-        var v = names.toDF("variant")
-          .select(col("variant"), lit("START").as("state"),
-            lit(1.0).as("mass"))
-        // pinned per round: without severing lineage the optimizer
-        // re-walks every earlier round's nested plan each iteration
-        // (the OpsKit.pinned lesson — 20 s unpinned, ~2 s pinned; the
-        // data is states×variants tiny, the cost was pure planning)
-        for (_ <- 1 to 8)
-          v = OpsKit.pinned(
-            v.join(tp, col("state") === col("from_s") &&
-                v("variant") === tp("variant"))
-              .groupBy(v("variant").as("variant"), col("to_s").as("state"))
-              .agg(dsum(col("mass") * col("p")).as("mass"))
-              .coalesce(1)) // ≤ states×variants rows — one task/round
-        val pconv = v.filter(col("state") === "CONV")
-          .select(col("variant"), col("mass").as("p_conv"))
-        val full = pconv.filter(col("variant") === "full")
-          .select(col("p_conv").as("p_full"))
-        val rem = pconv.filter(col("variant") =!= "full")
-          .crossJoin(broadcast(full))
-          .select(col("variant").as("channel"), col("p_full"),
-            col("p_conv").as("p_removed"),
-            greatest(lit(0.0),
-              lit(1.0) - col("p_conv") / col("p_full")).as("removal"))
-        val totR = rem.agg(dsum(col("removal")).as("rt"))
-        rem.crossJoin(broadcast(totR))
-          .select(col("channel"), col("p_full"), col("p_removed"),
-            col("removal").as("removal_effect"),
-            when(col("rt") > 0, col("removal") / col("rt"))
-              .otherwise(lit(0.0)).as("attribution_share"))
+        // The 8 absorption steps iterate a states×variants mass vector
+        // against the ≤(states²×variants)-row chain — both bounded, so
+        // the power iteration runs on the DRIVER over the collected
+        // chain (the round-9 constant-cost lesson; this loop's 8 pinned
+        // rounds were pure plan/job constants — the r12 scaladoc below
+        // measured 20 s unpinned vs ~2 s pinned, and the driver fold
+        // removes even the ~2 s). Arithmetic is identical to the
+        // oracle's CTE steps: each incoming mass·p product is one IEEE
+        // multiply and the per-(variant,state) sum is the 6-decimal
+        // dsum grid via java.math HALF_UP — the exact rounding Spark's
+        // double→DECIMAL(28,6) cast applies. Join semantics preserved:
+        // states with no outgoing row drop from the vector, exactly as
+        // the inner join dropped them.
+        // audited: this collect's subtree holds the query's only events
+        // scans — recorded for the scan gate without a checkpoint job
+        val tpRows = OpsKit.audited(variants.unionByName(loops)).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getString(2),
+            r.getDouble(3)))
+        def q6(x: Double): BigDecimal =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        var vMap: Map[(String, String), Double] =
+          names.map(n => (n, "START") -> 1.0).toMap
+        for (_ <- 1 to 8) {
+          val next = scala.collection.mutable.Map
+            .empty[(String, String), BigDecimal]
+          for ((variant, from, to, p) <- tpRows;
+               m <- vMap.get((variant, from)))
+            next((variant, to)) =
+              next.getOrElse((variant, to), BigDecimal(0)) + q6(m * p)
+          vMap = next.iterator.map { case (k, s) => k -> s.toDouble }.toMap
+        }
+        val pFullOpt = vMap.get(("full", "CONV"))
+        val remRows = for {
+          pFull <- pFullOpt.toSeq
+          c <- channels.sorted
+          pRem <- vMap.get((c, "CONV"))
+        } yield (c, pFull, pRem, math.max(0.0, 1.0 - pRem / pFull))
+        val rt = remRows.map { case (_, _, _, r) => q6(r) }.sum.toDouble
+        import s.implicits._
+        remRows.map { case (c, pFull, pRem, r) =>
+          (c, pFull, pRem, r, if (rt > 0) r / rt else 0.0)
+        }.toDF("channel", "p_full", "p_removed", "removal_effect",
+          "attribution_share")
       },
       Some {
         val channels = Seq("signup", "error", "click", "view")

@@ -1779,25 +1779,40 @@ object CurationOps {
           .select(col("i"), coalesce(col("wr"), lit(0L)).as("wins")))
         val matches = nsym.groupBy(col("i"))
           .agg(sum(col("nij")).as("matches"))
-        var p = pinned(srcs.select(col("i").as("src"), lit(1.0).as("p")))
+        // The 8 MM rounds iterate K strengths against the K×K match
+        // matrix — both bounded (K = sources), so they run on the
+        // DRIVER over the collected tables (the round-9 constant-cost
+        // lesson; 8 pinned rounds cost ~0.3 s each in plan/job
+        // constants, measured r13). Arithmetic is identical to the
+        // oracle's MATERIALIZED CTE rounds: nij/(pi+pj), wins/den and
+        // praw/m are the same IEEE ops in the same order, and every
+        // dsum is the 6-decimal grid via java.math HALF_UP — the exact
+        // rounding Spark's own double→DECIMAL(28,6) cast applies.
+        val nsymRows = nsym.collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val winsRows = wins0.collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+        def q6(x: Double): BigDecimal =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        var pMap = winsRows.map { case (i, _) => i -> 1.0 }.toMap
         for (_ <- 1 to 8) {
-          val joined = nsym
-            .join(broadcast(p.select(col("src").as("i2"),
-              col("p").as("pi"))), col("i") === col("i2"))
-            .join(broadcast(p.select(col("src").as("j2"),
-              col("p").as("pj"))), col("j") === col("j2"))
-          val den = joined.groupBy(col("i"))
-            .agg(dsum(col("nij").cast("double") /
-              (col("pi") + col("pj"))).as("den"))
-          val raw = wins0.join(den, Seq("i"))
-            .select(col("i"),
-              (col("wins").cast("double") / col("den")).as("praw"))
-          val m = raw.agg((dsum(col("praw")) / count(lit(1))).as("m"))
-          p = pinned(raw.crossJoin(broadcast(m))
-            .select(col("i").as("src"), (col("praw") / col("m")).as("p")))
+          val den = nsymRows.groupBy(_._1).map { case (i, g) =>
+            i -> g.map { case (_, j, nij) =>
+              q6(nij.toDouble / (pMap(i) + pMap(j)))
+            }.sum.toDouble
+          }
+          val praw = winsRows.map { case (i, w) =>
+            i -> w.toDouble / den(i)
+          }
+          val m = praw.map { case (_, v) => q6(v) }.sum.toDouble /
+            praw.size.toDouble
+          pMap = praw.map { case (i, v) => i -> v / m }.toMap
         }
+        import s.implicits._
+        val pDf = winsRows.map { case (i, _) => (i, pMap(i)) }
+          .toDF("src", "p")
         wins0.join(matches, Seq("i"))
-          .join(broadcast(p), col("i") === col("src"))
+          .join(broadcast(pDf), col("i") === col("src"))
           .select(col("i").as("source"), col("wins"), col("matches"),
             col("p").as("strength"))
       },
@@ -2037,10 +2052,13 @@ object CurationOps {
     // shape: exactly 2 corpus scans — the per-doc bigram working set
     // (persisted, q107's discipline) and one token explode that
     // aggregates straight to the (source, token) grid (vocab×K rows,
-    // pinned); the MM state is K source weights broadcast per round
-    // (q284's shape), never a corpus-sized iterate. Docs with < 2
-    // tokens have no bigram positions and drop from scoring on both
-    // engines (n_docs_scored counts the rest).
+    // pinned); the MW state is K≈20 source weights iterated on the
+    // DRIVER (the k-means bounded-state idiom — unlike q284's MM,
+    // whose rounds join the K×K match matrix, these rounds touch
+    // nothing distributed) and re-entering the plan as a 20-row
+    // literal for the final join. Docs with < 2 tokens have no bigram
+    // positions and drop from scoring on both engines (n_docs_scored
+    // counts the rest).
     NamedQuery(
       "q298_doremi_mixture",
       (s, d) => {
@@ -2069,13 +2087,15 @@ object CurationOps {
         val cnt = dbg.groupBy(col("bg")).agg(sum(col("k")).as("c12"))
           .withColumn("w1", substring_index(col("bg"), "\u0001", 1))
         val prefix = cnt.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-        val lm = cnt.join(prefix, "w1")
         val vocab = stok.groupBy(col("tok")).agg(sum(col("k")).as("cu"))
         val ntot = vocab.agg(sum(col("cu")).as("nu"))
-        val perDoc = dbg
+        // unigram counts attach at the BIGRAM-vocab level, not onto
+        // the corpus stream - the per-(doc,bg) pass meets ONE table
+        val lm = cnt.join(prefix, "w1")
           .withColumn("w2", substring_index(col("bg"), "\u0001", -1))
-          .join(lm, "bg")
           .join(broadcast(vocab.withColumnRenamed("tok", "w2")), "w2")
+        val perDoc = dbg
+          .join(lm, "bg")
           .crossJoin(broadcast(ntot))
           .groupBy(col("doc_id"), col("source"))
           .agg(sum(col("k")).as("n_bg"),
@@ -2105,19 +2125,35 @@ object CurationOps {
         val shares = pinned(stok.groupBy(col("source"))
           .agg(sum(col("k")).as("src_tok")))
         val totTok = shares.agg(sum(col("src_tok")).as("all_tok"))
-        val mult = pinned(lam.select(col("source").as("src"),
-          (lit(1.0) + col("excess_loss")).as("m")))
-        var alpha = pinned(mult.select(col("src"), lit(1.0).as("a")))
+        // The 8 MW rounds iterate K≈20 scalars with NO corpus
+        // interaction, so they run on the DRIVER (the round-9
+        // constant-cost lesson: 8 pinned K-row rounds cost ~0.3 s each
+        // in plan/job constants — measured 4.26 s → the corpus work
+        // alone with this shape). Arithmetic is identical to the
+        // oracle's CTE rounds: a·m and the divisions are the same IEEE
+        // ops in the same order, and the normalizer is the dsum grid —
+        // java.math HALF_UP at scale 6, the exact rounding Spark's own
+        // double→DECIMAL(28,6) cast applies (Decimal.changePrecision),
+        // already proven equal to DuckDB's by every dsum-gated query.
+        val lamRows = lam
+          .select(col("source"), col("excess_loss")).collect()
+          .map(r => r.getString(0) -> r.getDouble(1)).toSeq.sortBy(_._1)
+        val kDom = lamRows.size
+        var aMap = lamRows.map { case (src, _) => src -> 1.0 }.toMap
         for (_ <- 1 to 8) {
-          val raw = alpha.join(broadcast(mult), "src")
-            .select(col("src"), (col("a") * col("m")).as("ar"))
-          val z = raw.agg(dsum(col("ar")).as("z"),
-            count(lit(1)).as("kk"))
-          alpha = pinned(raw.crossJoin(broadcast(z))
-            .select(col("src"),
-              (lit(0.99) * (col("ar") / col("z")) +
-                lit(0.01) / col("kk").cast("double")).as("a")))
+          val ar = lamRows.map { case (src, lamV) =>
+            src -> aMap(src) * (1.0 + lamV)
+          }
+          val z = ar.map { case (_, v) =>
+            BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          }.sum.toDouble
+          aMap = ar.map { case (src, v) =>
+            src -> (0.99 * (v / z) + 0.01 / kDom.toDouble)
+          }.toMap
         }
+        import s.implicits._
+        val alpha = lamRows.map { case (src, _) => (src, aMap(src)) }
+          .toDF("src", "a")
         val tokShare = col("src_tok").cast("double") /
           col("all_tok").cast("double")
         lam.join(shares, "source")

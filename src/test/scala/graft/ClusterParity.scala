@@ -129,9 +129,9 @@ object ClusterParity {
     // MDE grid across executor JVMs)
     "q297_power_analysis",
     // r13: DoReMi mixture reweighting — the per-source excess-loss
-    // grid and 8 rounds of pinned K-row weight state re-broadcast
-    // across real executor JVMs (the q284 MM shape), over the
-    // persisted bigram working set's real shuffles
+    // grid (two LM joins over the persisted bigram working set's real
+    // shuffles) collected to the driver MW fold, whose literal weights
+    // re-enter the plan through a real broadcast
     "q298_doremi_mixture")
 
   private def run(spark: SparkSession): Map[String, Map[Seq[Any], Int]] =

@@ -1606,12 +1606,29 @@ object SimilarityOps {
     NamedQuery(
       "q154_mmr_rerank",
       (s, d) => {
+        // ckpt (not a bare val): the sims pass below must read the
+        // materialized top-20 panel, not recompute the brute-force
+        // ranking inside its own job
         val cand = OpsKit.ckpt(exactRanked(s, d)
           .filter(col("rank") <= 20)
           .select(col("q_id"), col("vec_id"), col("cos"), col("rank")))
         val ce = cand.select(col("q_id"), col("vec_id"))
           .join(normed(s, d), "vec_id")
-        val sims = OpsKit.ckpt(ce.select(col("q_id"),
+        // The 5 greedy rounds iterate panel-bounded state (nq×20
+        // candidates, nq×20×19 pair sims — the eval panel, not the
+        // corpus), so the loop folds on the DRIVER over the collected
+        // tables (the round-9 constant-cost idiom, r13; each pinned
+        // round was ~0.3 s of plan/job constants). Arithmetic is
+        // bit-identical to the oracle's CTE rounds: 7·cos − 3·max(sim)
+        // is the same IEEE expression, max over selected is order-free,
+        // and the winner order (score DESC, vec_id ASC) replays the
+        // window's exact tiebreak. audited: the sims job holds this
+        // query's remaining embeddings scan — recorded for the scan
+        // gate without a checkpoint job.
+        val candRows = cand.collect().map(r => (r.getAs[Long]("q_id"),
+          r.getAs[Long]("vec_id"), r.getAs[Double]("cos"),
+          r.getAs[Long]("rank")))
+        val simRows = OpsKit.audited(ce.select(col("q_id"),
             col("vec_id").as("va"),
             col("embedding").as("ea"), col("nrm").as("na"))
           .join(ce.select(col("q_id"), col("vec_id").as("vb"),
@@ -1619,30 +1636,37 @@ object SimilarityOps {
           .filter(col("va") =!= col("vb"))
           .select(col("q_id"), col("va"), col("vb"),
             (dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-              .as("sim")))
-        var selected = OpsKit.pinned(cand.filter(col("rank") === 1)
-          .select(col("q_id"), col("vec_id"),
-            (lit(7) * col("cos")).as("mmr_score"), lit(1L).as("step")))
-        for (step <- 2 to 5) {
-          val selIds = selected.select(col("q_id"), col("vec_id"))
-          val scored = cand.join(selIds, Seq("q_id", "vec_id"), "left_anti")
-            .select(col("q_id"), col("vec_id").as("va"), col("cos"))
-            .join(sims, Seq("q_id", "va"))
-            .join(selIds.select(col("q_id"), col("vec_id").as("vb")),
-              Seq("q_id", "vb"))
-            .groupBy(col("q_id"), col("va"), col("cos"))
-            .agg(max(col("sim")).as("maxsim"))
-            .select(col("q_id"), col("va").as("vec_id"),
-              (lit(7) * col("cos") - lit(3) * col("maxsim")).as("score"))
-          val w = Window.partitionBy(col("q_id"))
-            .orderBy(col("score").desc, col("vec_id"))
-          selected = OpsKit.pinned(selected.unionByName(scored
-            .withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1)
-            .select(col("q_id"), col("vec_id"),
-              col("score").as("mmr_score"), lit(step.toLong).as("step"))))
+              .as("sim"))).collect()
+          .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("va"),
+            r.getAs[Long]("vb"), r.getAs[Double]("sim")))
+        val simMap = simRows.groupBy(t => (t._1, t._2))
+          .map { case (k, g) => k -> g.map(t => t._3 -> t._4).toMap }
+        val out = scala.collection.mutable
+          .ArrayBuffer.empty[(Long, Long, Double, Long)]
+        for ((q, rows) <- candRows.groupBy(_._1)) {
+          val first = rows.find(_._4 == 1L).get
+          var sel = Vector(first._2)
+          out += ((q, first._2, 7.0 * first._3, 1L))
+          for (step <- 2 to 5) {
+            val scored = rows.filter(r => !sel.contains(r._2))
+              .flatMap { case (_, va, cos, _) =>
+                val ms = simMap.get((q, va)).toSeq
+                  .flatMap(mm => sel.flatMap(mm.get))
+                // inner-join semantics: a candidate with no sim row to
+                // any selected vector drops from this round's scoring
+                if (ms.isEmpty) None
+                else Some(va -> (7.0 * cos - 3.0 * ms.max))
+              }
+            if (scored.nonEmpty) {
+              val (va, sc) = scored.minBy { case (v, x) => (-x, v) }
+              sel :+= va
+              out += ((q, va, sc, step.toLong))
+            }
+          }
         }
-        selected
+        import s.implicits._
+        out.toSeq.sortBy(t => (t._1, t._4))
+          .toDF("q_id", "vec_id", "mmr_score", "step")
       },
       Some {
         def round(cur: Int): String = {

@@ -62,10 +62,20 @@ object ScanCount {
     if (!f.exists) Map.empty
     else {
       val src = scala.io.Source.fromFile(f, "UTF-8")
-      try src.getLines().filterNot(_.startsWith("#"))
-        .filter(_.nonEmpty).map { line =>
-          val Array(q, t, n, why) = line.split("\t", 4)
-          (q, t) -> (n.toInt, why)
+      // validate per line WITH the line number (r13 ADVICE): a short or
+      // non-integer row must name itself, not die as a bare MatchError —
+      // an opaque crash here reads as "the gate is broken", not "the
+      // allowlist has a typo", and the gate is in the pre-commit path
+      try src.getLines().zipWithIndex
+        .filterNot { case (l, _) => l.startsWith("#") || l.trim.isEmpty }
+        .map { case (line, i) =>
+          val parts = line.split("\t", 4)
+          require(parts.length == 4, s"scan_allowlist.tsv line ${i + 1}: " +
+            s"expected 4 tab-separated fields, got ${parts.length}: $line")
+          val cap = parts(2).toIntOption.getOrElse(throw new
+            IllegalArgumentException(s"scan_allowlist.tsv line ${i + 1}: " +
+              s"non-integer cap '${parts(2)}'"))
+          (parts(0), parts(1)) -> (cap, parts(3))
         }.toMap
       finally src.close()
     }
@@ -88,8 +98,14 @@ object ScanCount {
         case other =>
           visit(other)
           other.children.foreach(walk)
+          // subqueries walk ONLY under visited nodes (r13 ADVICE): a
+          // subquery hanging off a ReusedExchange/dedup'd-cache subtree
+          // executes once with that subtree, so walking it once per
+          // REFERENCE would inflate counts in the subquery-under-reuse
+          // shape (wrapper nodes' subqueries surface again on the
+          // unwrapped inner plan, which IS visited)
+          other.subqueries.foreach(walk)
       }
-      p.subqueries.foreach(walk)
     }
     plans.foreach(walk)
   }
@@ -194,40 +210,95 @@ object ScanCount {
       case Some(csv) => csv.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
       case None => SparkEntry.queries.keys.toSeq.sorted
     }
+    // Plan-shape goldens ride the SAME sweep (r13 verdict item 2): the
+    // de1852c regression landed because the golden diff lived only in
+    // PlanShapeSpec, which the final snapshot commit skipped — `sbt
+    // scanCount` is in checkAll and the builder's pre-commit path, and
+    // queryPlans is already computed per query here, so diffing the
+    // signature too is free. Full sweeps require every golden present
+    // and fresh; subset sweeps (dev iteration) diff only what they run.
+    val goldenFile = new java.io.File("scripts/plan_goldens.json")
+    val goldens: Map[String, String] =
+      if (!goldenFile.exists) Map.empty
+      else {
+        val src = scala.io.Source.fromFile(goldenFile, "UTF-8")
+        try """"([^"]+)":\s*"([^"]*)"""".r.findAllMatchIn(src.mkString)
+          .map(m => m.group(1) -> m.group(2)).toMap
+        finally src.close()
+      }
     var violations = List.empty[(String, String, Int)]
     var waived = List.empty[(String, String, Int, String)]
+    var skipped = List.empty[String]
+    var drifted = List.empty[String]
     for (name <- names) {
       // fresh cache per query: cross-query cache hits would hide a
       // re-scan that a standalone run of the query WOULD pay
       spark.catalog.clearCache()
-      val (per, err) =
-        try (corpusScans(queryPlans(spark, name, dir)),
-          Option.empty[String])
+      val (plans, err) =
+        try (queryPlans(spark, name, dir), Option.empty[String])
         catch {
-          case e: Throwable =>
-            (Map.empty[String, Int], Some(e.getMessage))
+          case e: Throwable => (Seq.empty[SparkPlan], Some(e.getMessage))
         }
-      err.foreach(m => println(s"SKIP  $name: ${m.take(120)}"))
+      // a query that crashes under the gate's config is a RED result,
+      // not a silent pass (r13 ADVICE): it's counted, summarized, and
+      // fails the exit code below
+      err.foreach { m => skipped ::= name; println(s"SKIP  $name: ${m.take(120)}") }
+      val per = if (err.isEmpty) corpusScans(plans) else Map.empty[String, Int]
       val over = per.filter(_._2 > MaxScansPerTable)
+      var flagged = false
       if (over.nonEmpty) {
         for ((t, n) <- over) allow.get((name, t)) match {
           case Some((cap, why)) if n <= cap =>
             waived ::= (name, t, n, why)
             println(s"WAIVE $name $t=$n (frozen cap $cap) — $why")
           case Some((cap, _)) =>
-            violations ::= (name, t, n)
+            violations ::= (name, t, n); flagged = true
             println(s"FLAG  $name $t=$n REGRESSED past frozen cap $cap")
           case None =>
-            violations ::= (name, t, n)
+            violations ::= (name, t, n); flagged = true
             println(s"FLAG  $name $t=$n (max $MaxScansPerTable)")
         }
       }
-      val summary = per.toSeq.sortBy(_._1)
-        .map { case (t, n) => s"$t=$n" }.mkString(" ")
-      println(f"OK    $name%-28s $summary")
+      if (err.isEmpty && goldens.nonEmpty) {
+        val sig = signature(plans)
+        goldens.get(name) match {
+          case Some(g) if g == sig => ()
+          case Some(g) =>
+            drifted ::= name; flagged = true
+            println(s"DRIFT $name\n      golden: $g\n      live:   $sig" +
+              "\n      (intentional? regenerate: GRAFT_UPDATE_GOLDENS=1 " +
+              "sbt 'testOnly graft.PlanShapeSpec')")
+          case None =>
+            drifted ::= name; flagged = true
+            println(s"DRIFT $name has NO committed golden — regenerate")
+        }
+      }
+      if (err.isEmpty) {
+        val summary = per.toSeq.sortBy(_._1)
+          .map { case (t, n) => s"$t=$n" }.mkString(" ")
+        // the summary line's status matches the outcome (r13 ADVICE):
+        // a flagged query must not also print an OK line
+        val status = if (flagged) "FLAG " else if (over.nonEmpty) "WAIVE" else "OK   "
+        println(f"$status $name%-28s $summary")
+      }
     }
-    println(s"""{"metric":"scan_count","queries":${names.size},"violations":${violations.size},"waived":${waived.size},"max_per_table":$MaxScansPerTable}""")
+    // stale goldens (entries for unregistered queries) only make sense
+    // to check on a FULL sweep — a subset run hasn't seen the registry
+    if (rest.lift(1).isEmpty && goldens.nonEmpty) {
+      val stale = goldens.keySet -- SparkEntry.queries.keySet
+      if (stale.nonEmpty) {
+        drifted :::= stale.toList
+        println(s"DRIFT goldens for unregistered queries: ${stale.toSeq.sorted.mkString(",")}")
+      }
+      val ungolden = SparkEntry.queries.keySet -- goldens.keySet
+      if (ungolden.nonEmpty) {
+        drifted :::= (ungolden -- names.toSet).toList // per-query case handled above
+        println(s"DRIFT queries with no golden: ${ungolden.toSeq.sorted.mkString(",")}")
+      }
+    }
+    println(s"""{"metric":"scan_count","queries":${names.size},"violations":${violations.size},"waived":${waived.size},"skipped":${skipped.size},"plan_drift":${drifted.distinct.size},"max_per_table":$MaxScansPerTable}""")
     spark.stop()
-    if (violations.nonEmpty) sys.exit(1)
+    if (violations.nonEmpty || skipped.nonEmpty || drifted.nonEmpty)
+      sys.exit(1)
   }
 }

@@ -559,8 +559,17 @@ class PlanShapeSpec extends AnyFunSuite {
     // the full-suite run is otherwise suite-order-dependent (observed:
     // topkgrp rows decayed to plain windows when this test ran after a
     // suite that left the rewrite off)
+    // AQE off for signature computation (r14): goldens are ALSO diffed
+    // in-sweep by graft.ScanCount (the pre-commit path), whose session
+    // disables AQE so plans are static. Under AQE the initial plan hides
+    // plan-time exchange reuse (no ReusedExchangeExec until runtime
+    // stage reuse), inflating scan counts vs what actually executes —
+    // AQE-off is the canonical form, consistent with the scan gate's
+    // frozen caps (q146: AQE-on signature read scan:documents=5, the
+    // gate and reality read 3).
     val pinnedConfs = Seq("spark.graft.topk.rewrite" -> "true",
-      "spark.graft.eageragg" -> "false")
+      "spark.graft.eageragg" -> "false",
+      "spark.sql.adaptive.enabled" -> "false")
     val saved = pinnedConfs.map { case (k, _) =>
       k -> spark.conf.getOption(k)
     }

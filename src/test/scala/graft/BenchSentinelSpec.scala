@@ -76,6 +76,39 @@ class BenchSentinelSpec extends AnyFunSuite {
     assert(Set("qa", "qd").subsetOf(picked2.toSet))
   }
 
+  test("always-on repass: episodic first-pass query is picked by ratio") {
+    // r14: the repass runs on EVERY battery (the r13 blind spot — a
+    // sentinel-clean battery carried q146 at 4.60 s vs 0.82 s clean
+    // because the 25-query sentinel grid straddled the episode). The
+    // episodic-first-pass shape: first ≫ best on one query, everything
+    // else flat — that query must be in the candidate set even though
+    // nothing about the battery is globally contended.
+    val results = ("q146", 0.9, 4.6) +: (1 to 20).map(i =>
+      (f"q$i%03d", 0.5 + i * 0.001, 0.55 + i * 0.001))
+    assert(Bench.repassCandidates(results, 8).contains("q146"))
+  }
+
+  test("always-on repass: episodic both-pass query is picked by best") {
+    // both min-of-2 passes hit: the ratio looks clean (~1.1) but the
+    // best is poisoned — only the worst-by-best list can catch it
+    val results = ("q184", 4.2, 4.6) +: (1 to 20).map(i =>
+      (f"q$i%03d", 0.5 + i * 0.001, 0.55 + i * 0.001))
+    assert(Bench.repassCandidates(results, 8).contains("q184"))
+  }
+
+  test("always-on repass: clean battery still yields a BOUNDED set") {
+    // on a clean battery the repass is ~n wasted-but-cheap re-runs, and
+    // must never exceed 2n (ratio list ∪ best list, deduplicated)
+    val results = (1 to 100).map(i =>
+      (f"q$i%03d", 0.5 + i * 0.001, 0.55 + i * 0.001))
+    val picked = Bench.repassCandidates(results, 8)
+    assert(picked.size <= 16)
+    assert(picked.distinct.size === picked.size)
+    // deterministic: same inputs, same candidate set (the record the
+    // judge diffs against committed captures must be reproducible)
+    assert(picked === Bench.repassCandidates(results, 8))
+  }
+
   test("repass candidate ratio list skips non-positive bests") {
     // a zero best (pathological) must not win the ratio sort by division
     val results = Seq(("qz", 0.0, 1.0), ("qa", 0.2, 1.0), ("qd", 3.0, 3.1))

@@ -2049,51 +2049,46 @@ object CurationOps {
     // the smoothing mixes uniform back in every round, so the iterate
     // is a genuine recursion, not a closed-form tilt. All division
     // operands are exact (dsum-grid sums and BIGINT counts). Scale
-    // shape: exactly 2 corpus scans — the per-doc bigram working set
-    // (persisted, q107's discipline) and one token explode that
-    // aggregates straight to the (source, token) grid (vocab×K rows,
-    // pinned); the MW state is K≈20 source weights iterated on the
-    // DRIVER (the k-means bounded-state idiom — unlike q284's MM,
-    // whose rounds join the K×K match matrix, these rounds touch
-    // nothing distributed) and re-entering the plan as a 20-row
-    // literal for the final join. Docs with < 2 tokens have no bigram
-    // positions and drop from scoring on both engines (n_docs_scored
-    // counts the rest).
+    // shape: exactly ONE corpus scan (r13 verdict item 5 — was 2) —
+    // the SHARED (doc_id, source, bg, k) working set the whole LM
+    // family reads (TextOps.docBigrams, persisted; `source` rides the
+    // artifact since doc_id determines it). The proxy unigram LM is
+    // estimated over the SAME positions the reference bigram LM
+    // scores — cu(t) = t's corpus count as a continuation (second
+    // element), normalized by total bigram positions — so both
+    // per-doc means integrate over identical events AND the grid,
+    // the shares, and the losses all derive from one artifact. The
+    // MW state is K≈20 source weights iterated on the DRIVER (the
+    // k-means bounded-state idiom — unlike q284's MM, whose rounds
+    // join the K×K match matrix, these rounds touch nothing
+    // distributed) and re-entering the plan as a 20-row literal for
+    // the final join. Docs with < 2 tokens have no bigram positions
+    // and drop from scoring on both engines (n_docs_scored counts
+    // the rest).
     NamedQuery(
       "q298_doremi_mixture",
       (s, d) => {
-        val w = col("wt")
-        // per-doc bigram counts WITH source — the q107 working set plus
-        // the domain key; token arrays bound before the lambda touches
-        // them (the HOF recompute trap, see docBigrams)
-        val dbg = tbl(s, d, "documents")
-          .select(col("doc_id"), col("source"),
-            split(col("text"), " ").as("wt"))
-          .filter(size(w) >= 2)
-          .select(col("doc_id"), col("source"),
-            explode(transform(sequence(lit(1), size(w) - 1),
-              i => concat(element_at(w, i), lit("\u0001"),
-                element_at(w, i + 1)))).as("bg"))
-          .groupBy(col("doc_id"), col("source"), col("bg"))
-          .agg(count(lit(1)).as("k"))
-          .persist()
-        // (source, token) grid: ONE token explode feeds both the unigram
-        // vocab and the per-source token shares — vocab×K rows, pinned
-        val stok = pinned(tbl(s, d, "documents")
-          .select(col("source"),
-            explode(split(col("text"), " ")).as("tok"))
-          .groupBy(col("source"), col("tok"))
-          .agg(count(lit(1)).as("k")))
+        // the SHARED (doc_id, source, bg, k) artifact — q298 rides the
+        // LM family's ONE persisted corpus scan (TextOps.docBigrams);
+        // nothing below re-touches documents
+        val dbg = TextOps.docBigrams(s, d)
         val cnt = dbg.groupBy(col("bg")).agg(sum(col("k")).as("c12"))
           .withColumn("w1", substring_index(col("bg"), "\u0001", 1))
         val prefix = cnt.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-        val vocab = stok.groupBy(col("tok")).agg(sum(col("k")).as("cu"))
+        // proxy unigram LM over the SAME positions the bigram LM scores:
+        // cu(t) = t's corpus count as a continuation (second element),
+        // from the bigram-TYPE table — vocab-sized work, no token
+        // explode; nu = total bigram positions, so cu/nu is a proper
+        // distribution over exactly the events ref_prob integrates over
+        val vocab = cnt
+          .withColumn("w2", substring_index(col("bg"), "\u0001", -1))
+          .groupBy(col("w2")).agg(sum(col("c12")).as("cu"))
         val ntot = vocab.agg(sum(col("cu")).as("nu"))
         // unigram counts attach at the BIGRAM-vocab level, not onto
         // the corpus stream - the per-(doc,bg) pass meets ONE table
         val lm = cnt.join(prefix, "w1")
           .withColumn("w2", substring_index(col("bg"), "\u0001", -1))
-          .join(broadcast(vocab.withColumnRenamed("tok", "w2")), "w2")
+          .join(broadcast(vocab), "w2")
         val perDoc = dbg
           .join(lm, "bg")
           .crossJoin(broadcast(ntot))
@@ -2122,9 +2117,9 @@ object CurationOps {
           .agg(count(lit(1)).as("n_docs_scored"),
             (dsum(col("excess")) / count(lit(1)).cast("double"))
               .as("excess_loss")))
-        val shares = pinned(stok.groupBy(col("source"))
-          .agg(sum(col("k")).as("src_tok")))
-        val totTok = shares.agg(sum(col("src_tok")).as("all_tok"))
+        val shares = pinned(dbg.groupBy(col("source"))
+          .agg(sum(col("k")).as("src_pos")))
+        val totPos = shares.agg(sum(col("src_pos")).as("all_pos"))
         // The 8 MW rounds iterate K≈20 scalars with NO corpus
         // interaction, so they run on the DRIVER (the round-9
         // constant-cost lesson: 8 pinned K-row rounds cost ~0.3 s each
@@ -2154,15 +2149,15 @@ object CurationOps {
         import s.implicits._
         val alpha = lamRows.map { case (src, _) => (src, aMap(src)) }
           .toDF("src", "a")
-        val tokShare = col("src_tok").cast("double") /
-          col("all_tok").cast("double")
+        val posShare = col("src_pos").cast("double") /
+          col("all_pos").cast("double")
         lam.join(shares, "source")
-          .crossJoin(broadcast(totTok))
+          .crossJoin(broadcast(totPos))
           .join(broadcast(alpha), col("source") === col("src"))
-          .select(col("source"), col("n_docs_scored"), col("src_tok"),
-            tokShare.as("tok_share"), col("excess_loss"),
+          .select(col("source"), col("n_docs_scored"), col("src_pos"),
+            posShare.as("pos_share"), col("excess_loss"),
             col("a").as("alpha"),
-            (col("a") / tokShare).as("tilt"))
+            (col("a") / posShare).as("tilt"))
       },
       Some {
         // every α_t is referenced twice downstream (normalizer + final
@@ -2190,18 +2185,14 @@ object CurationOps {
            |          FROM documents)
            |    WHERE len(w) >= 2)
            |  GROUP BY doc_id, source, bg),
-           |stok AS MATERIALIZED (
-           |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS k
-           |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
-           |        FROM documents)
-           |  GROUP BY source, tok),
            |c AS (SELECT bg, CAST(SUM(k) AS BIGINT) AS c12,
            |        string_split(bg, chr(1))[1] AS w1
            |      FROM dbg GROUP BY bg),
            |p AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
            |      FROM c GROUP BY w1),
-           |v AS (SELECT tok, CAST(SUM(k) AS BIGINT) AS cu
-           |      FROM stok GROUP BY tok),
+           |v AS (SELECT string_split(bg, chr(1))[2] AS w2,
+           |        CAST(SUM(c12) AS BIGINT) AS cu
+           |      FROM c GROUP BY 1),
            |nt AS (SELECT CAST(SUM(cu) AS BIGINT) AS nu FROM v),
            |perdoc AS (
            |  SELECT b.doc_id, b.source,
@@ -2212,7 +2203,7 @@ object CurationOps {
            |      / (CAST(SUM(b.k) AS DOUBLE) * CAST(MAX(nt.nu) AS DOUBLE))
            |      AS proxy_prob
            |  FROM dbg b JOIN c USING (bg) JOIN p USING (w1)
-           |  JOIN v ON v.tok = string_split(b.bg, chr(1))[2]
+           |  JOIN v ON v.w2 = string_split(b.bg, chr(1))[2]
            |  CROSS JOIN nt
            |  GROUP BY b.doc_id, b.source),
            |lam AS MATERIALIZED (
@@ -2221,23 +2212,24 @@ object CurationOps {
            |      / CAST(COUNT(*) AS DOUBLE) AS excess_loss
            |  FROM perdoc GROUP BY source),
            |shares AS MATERIALIZED (
-           |  SELECT source, CAST(SUM(k) AS BIGINT) AS src_tok
-           |  FROM stok GROUP BY source),
-           |tt AS (SELECT CAST(SUM(src_tok) AS BIGINT) AS all_tok
+           |  SELECT source, CAST(SUM(k) AS BIGINT) AS src_pos
+           |  FROM dbg GROUP BY source),
+           |tt AS (SELECT CAST(SUM(src_pos) AS BIGINT) AS all_pos
            |       FROM shares),
            |mult AS MATERIALIZED (
            |  SELECT source AS src, 1.0 + excess_loss AS m
            |  FROM lam),
            |a0 AS (SELECT src, CAST(1.0 AS DOUBLE) AS a FROM mult),
            |$iters
-           |SELECT l.source, l.n_docs_scored, s.src_tok,
-           |  CAST(s.src_tok AS DOUBLE) / CAST(tt.all_tok AS DOUBLE)
-           |    AS tok_share,
+           |SELECT l.source, l.n_docs_scored, s.src_pos,
+           |  CAST(s.src_pos AS DOUBLE) / CAST(tt.all_pos AS DOUBLE)
+           |    AS pos_share,
            |  l.excess_loss, a8.a AS alpha,
-           |  a8.a / (CAST(s.src_tok AS DOUBLE)
-           |          / CAST(tt.all_tok AS DOUBLE)) AS tilt
+           |  a8.a / (CAST(s.src_pos AS DOUBLE)
+           |          / CAST(tt.all_pos AS DOUBLE)) AS tilt
            |FROM lam l JOIN shares s USING (source) CROSS JOIN tt
            |JOIN a8 ON a8.src = l.source""".stripMargin
       }),
+
   )
 }

@@ -70,18 +70,20 @@ object TextOps {
   private val HashMod = 1000000007L
   private val WinnowLen = 16
 
-  /** The (doc_id, bg, k) bigram working set — each document's adjacent
-    * word pairs, already collapsed to per-doc counts by the one expensive
-    * explode + shuffle. Persisted: q107 (bigram LM) and q118 (PMI
-    * collocations) both derive every downstream table (corpus bigram
-    * counts, prefix/suffix marginals, totals) from THIS output, and
-    * Spark's plan-keyed cache manager gives both queries one shared
-    * in-memory copy per session (the kmCorpus mechanism,
-    * SimilarityOps.scala:156-169). The persisted set is (doc, bigram)
-    * distinct pairs — corpus-token scale, the honest O(tokens) budget
-    * both operators already carry; MEMORY_AND_DISK spills rather than
-    * OOMs at 100 TB. */
-  private def docBigrams(s: org.apache.spark.sql.SparkSession,
+  /** The (doc_id, source, bg, k) bigram working set — each document's
+    * adjacent word pairs, already collapsed to per-doc counts by the one
+    * expensive explode + shuffle. Persisted: q107 (bigram LM), q118 (PMI
+    * collocations), q157/q158, and q298 (DoReMi — the reason `source`
+    * rides along: doc_id determines it, so the groupBy keys widen without
+    * changing any count, and the mixture query joins nothing extra) all
+    * derive every downstream table (corpus bigram counts, prefix/suffix
+    * marginals, totals, per-source grids) from THIS output, and Spark's
+    * plan-keyed cache manager gives them one shared in-memory copy per
+    * session (the kmCorpus mechanism, SimilarityOps.scala:156-169). The
+    * persisted set is (doc, bigram) distinct pairs — corpus-token scale,
+    * the honest O(tokens) budget these operators already carry;
+    * MEMORY_AND_DISK spills rather than OOMs at 100 TB. */
+  private[graft] def docBigrams(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     // the token array is BOUND in its own projection before the lambda
     // touches it — an inline split would re-tokenize the document once
@@ -90,13 +92,14 @@ object TextOps {
     // 0.25 s on the sf0.1 explode when this binding was added)
     val w = col("wt")
     tbl(s, d, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("wt"))
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("wt"))
       .filter(size(w) >= 2)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("source"),
         explode(transform(sequence(lit(1), size(w) - 1),
           i => concat(element_at(w, i), lit("\u0001"),
             element_at(w, i + 1)))).as("bg"))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("k"))
+      .groupBy(col("doc_id"), col("source"), col("bg"))
+      .agg(count(lit(1)).as("k"))
       .persist()
   }
 

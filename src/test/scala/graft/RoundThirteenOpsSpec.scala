@@ -21,8 +21,8 @@ class RoundThirteenOpsSpec extends AnyFunSuite {
   test("q298 DoReMi: excess losses and MW weights replay from raw text") {
     val out = SparkEntry.queries("q298_doremi_mixture")(spark, dir)
       .collect().map(r => r.getAs[String]("source") ->
-        (r.getAs[Long]("n_docs_scored"), r.getAs[Long]("src_tok"),
-          r.getAs[Double]("tok_share"), r.getAs[Double]("excess_loss"),
+        (r.getAs[Long]("n_docs_scored"), r.getAs[Long]("src_pos"),
+          r.getAs[Double]("pos_share"), r.getAs[Double]("excess_loss"),
           r.getAs[Double]("alpha"), r.getAs[Double]("tilt"))).toMap
     assert(out.nonEmpty)
     val docs = graft.ops.OpsKit.tbl(spark, dir, "documents")
@@ -30,29 +30,32 @@ class RoundThirteenOpsSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
         r.getAs[String]("text")))
 
-    // rebuild both LMs from first principles
+    // rebuild both LMs from first principles — since r14 the proxy
+    // unigram LM lives over the SAME position set as the bigram LM
+    // (continuation counts from the shared docBigrams artifact), so the
+    // replay's unigram counts come from bigram second elements, not the
+    // raw token stream
     val toks = docs.map { case (id, src, t) => (id, src, t.split(" ", -1)) }
-    val vocab = toks.flatMap(_._3).groupBy(identity)
-      .map { case (w, g) => w -> g.length.toLong }
-    val nTotal = vocab.values.sum
     val bigrams = toks.filter(_._3.length >= 2).map { case (id, src, w) =>
       (id, src, w.sliding(2).map(p => (p(0), p(1))).toSeq)
     }
     val c12 = bigrams.flatMap(_._3).groupBy(identity)
       .map { case (b, g) => b -> g.length.toLong }
     val c1 = c12.groupBy(_._1._1).map { case (w1, g) => w1 -> g.values.sum }
+    val cw2 = c12.groupBy(_._1._2).map { case (w2, g) => w2 -> g.values.sum }
+    val nPos = c12.values.sum
 
-    // per-doc ref (bigram conditional) and proxy (unigram at the same
-    // positions) mean probabilities, then the clipped ratio excess
+    // per-doc ref (bigram conditional) and proxy (continuation unigram
+    // at the same positions) mean probabilities, then the clipped excess
     val perDoc = bigrams.map { case (_, src, bs) =>
       val n = bs.size.toDouble
       val ref = dsumRe(bs.groupBy(identity).toSeq.map { case (b, g) =>
         g.size.toDouble * (c12(b).toDouble / c1(b._1).toDouble)
       }) / n
       val proxySum = bs.groupBy(identity).toSeq.map { case (b, g) =>
-        BigDecimal(g.size.toLong * vocab(b._2))
+        BigDecimal(g.size.toLong * cw2(b._2))
       }.sum
-      val proxy = proxySum.toDouble / (n * nTotal.toDouble)
+      val proxy = proxySum.toDouble / (n * nPos.toDouble)
       (src, math.max(ref / proxy - 1.0, 0.0))
     }
     val lamRe = perDoc.groupBy(_._1).map { case (src, g) =>
@@ -66,14 +69,15 @@ class RoundThirteenOpsSpec extends AnyFunSuite {
       assert(math.abs(out(src)._4 - lRe) < 1e-4, s"excess $src")
     }
 
-    // token shares are exact integers
-    val tokRe = toks.groupBy(_._2).map { case (s, g) =>
-      s -> g.map(_._3.length.toLong).sum
+    // position shares are exact integers (bigram positions per source)
+    val posRe = bigrams.groupBy(_._2).map { case (s, g) =>
+      s -> g.map(_._3.size.toLong).sum
     }
-    val allTok = tokRe.values.sum
-    for ((src, n) <- tokRe) {
-      assert(out(src)._2 == n, s"src_tok $src")
-      assert(math.abs(out(src)._3 - n.toDouble / allTok.toDouble) < 1e-12)
+    val allPos = posRe.values.sum
+    assert(allPos == nPos)
+    for ((src, n) <- posRe) {
+      assert(out(src)._2 == n, s"src_pos $src")
+      assert(math.abs(out(src)._3 - n.toDouble / allPos.toDouble) < 1e-12)
     }
 
     // replay the 8 MW rounds: multiply by (1 + lambda), normalize on
@@ -89,7 +93,7 @@ class RoundThirteenOpsSpec extends AnyFunSuite {
     for (src <- srcs)
       assert(math.abs(out(src)._5 - a(src)) < 1e-4, s"alpha $src")
     // invariants: weights are a (smoothed) distribution and the tilt
-    // column is alpha over the natural token share
+    // column is alpha over the natural position share
     val aSum = srcs.map(s => out(s)._5).sum
     assert(math.abs(aSum - 1.0) < 1e-3, s"alpha sum $aSum")
     for (src <- srcs)

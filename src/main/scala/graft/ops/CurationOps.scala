@@ -2231,5 +2231,146 @@ object CurationOps {
            |JOIN a8 ON a8.src = l.source""".stripMargin
       }),
 
+    // ----- q299: end-to-end corpus build certification ---------------------
+    // The whole curation pipeline as ONE first-class deliverable
+    // (graft.sink.CorpusBuild.run — the LLM-pipeline analog of
+    // MovieDbImport.run): q100 decisions -> q298 DoReMi weights on the
+    // kept pool -> q124-style Hamilton apportionment of T = n_kept div 2
+    // by those weights -> deterministic hash-priority selection ->
+    // q54 packing into 2048-token bins -> CorpusPublish hive publish,
+    // then certification FROM THE FILES (q106's read-back discipline).
+    // The oracle replays the ENTIRE chain from the source tables —
+    // decision CTEs, LM CTEs, 8 unrolled MATERIALIZED Hedge rounds,
+    // apportionment window, selection ranks, packing cumsum — and
+    // derives the same per-source row: a build that loses, duplicates,
+    // mis-samples, mis-bins, or mis-partitions even one document flips
+    // a checksum or a count and fails the hash gate. See CorpusBuild's
+    // scaladoc for the scan budget (2 corpus scans + the two
+    // battery-amortized artifacts) and the 100 TB shape.
+    NamedQuery(
+      "q299_corpus_build",
+      (s, d) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-q299-build").toString + "/corpus"
+        graft.sink.CorpusBuild.run(s, d, out)
+      },
+      Some {
+        val iters = (1 to 8).map { t =>
+          s"""r$t AS (
+             |  SELECT a.src, a.a * m.m AS ar
+             |  FROM a${t - 1} a JOIN mult m ON m.src = a.src),
+             |z$t AS (SELECT ${dsumSql("ar")} AS z,
+             |          CAST(COUNT(*) AS BIGINT) AS kk FROM r$t),
+             |a$t AS MATERIALIZED (
+             |  SELECT src, 0.99 * (ar / z) + 0.01 / CAST(kk AS DOUBLE)
+             |    AS a
+             |  FROM r$t, z$t)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH dec AS MATERIALIZED (
+           |  SELECT doc_id, decision
+           |  FROM (${GovernanceOps.curationDecisionTableSql})),
+           |keep AS (SELECT doc_id FROM dec
+           |         WHERE decision = 'keep' AND doc_id < 100000),
+           |kd AS MATERIALIZED (
+           |  SELECT d.doc_id, d.source, d.text
+           |  FROM documents d JOIN keep USING (doc_id)),
+           |dbg AS MATERIALIZED (
+           |  SELECT doc_id, source, bg, CAST(COUNT(*) AS BIGINT) AS k
+           |  FROM (
+           |    SELECT doc_id, source,
+           |      unnest([w[i] || chr(1) || w[i+1]
+           |              for i in range(1, len(w))]) AS bg
+           |    FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+           |          FROM documents)
+           |    WHERE len(w) >= 2)
+           |  GROUP BY doc_id, source, bg),
+           |c AS (SELECT bg, CAST(SUM(k) AS BIGINT) AS c12,
+           |        string_split(bg, chr(1))[1] AS w1
+           |      FROM dbg GROUP BY bg),
+           |p AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+           |      FROM c GROUP BY w1),
+           |v AS (SELECT string_split(bg, chr(1))[2] AS w2,
+           |        CAST(SUM(c12) AS BIGINT) AS cu
+           |      FROM c GROUP BY 1),
+           |nt AS (SELECT CAST(SUM(cu) AS BIGINT) AS nu FROM v),
+           |perdoc AS (
+           |  SELECT b.doc_id, b.source,
+           |    ${dsumSql("CAST(b.k AS DOUBLE) * (CAST(c.c12 AS DOUBLE)" +
+          " / CAST(p.c1 AS DOUBLE))")}
+           |      / CAST(SUM(b.k) AS DOUBLE) AS ref_prob,
+           |    CAST(SUM(b.k * v.cu) AS DOUBLE)
+           |      / (CAST(SUM(b.k) AS DOUBLE) * CAST(MAX(nt.nu) AS DOUBLE))
+           |      AS proxy_prob
+           |  FROM dbg b JOIN keep USING (doc_id)
+           |  JOIN c USING (bg) JOIN p USING (w1)
+           |  JOIN v ON v.w2 = string_split(b.bg, chr(1))[2]
+           |  CROSS JOIN nt
+           |  GROUP BY b.doc_id, b.source),
+           |lam AS MATERIALIZED (
+           |  SELECT source,
+           |    ${dsumSql("GREATEST(ref_prob / proxy_prob - 1.0, 0.0)")}
+           |      / CAST(COUNT(*) AS DOUBLE) AS excess_loss
+           |  FROM perdoc GROUP BY source),
+           |mult AS MATERIALIZED (
+           |  SELECT source AS src, 1.0 + excess_loss AS m
+           |  FROM lam),
+           |a0 AS (SELECT src, CAST(1.0 AS DOUBLE) AS a FROM mult),
+           |$iters,
+           |tkt AS (SELECT CAST(COUNT(*) // 2 AS BIGINT) AS t FROM kd),
+           |ap AS (
+           |  SELECT a8.src, a8.a,
+           |    CAST(FLOOR(CAST(t.t AS DOUBLE) * a8.a) AS BIGINT) AS fq,
+           |    CAST(t.t AS DOUBLE) * a8.a
+           |      - FLOOR(CAST(t.t AS DOUBLE) * a8.a) AS rem
+           |  FROM a8 CROSS JOIN tkt t),
+           |dft AS (SELECT CAST(MAX(t.t) AS BIGINT)
+           |          - CAST(SUM(fq) AS BIGINT) AS deficit
+           |        FROM ap CROSS JOIN tkt t),
+           |quota AS MATERIALIZED (
+           |  SELECT src, a,
+           |    CAST(fq + CASE WHEN CAST(row_number() OVER (
+           |        ORDER BY rem DESC, src) AS BIGINT)
+           |        <= GREATEST(dft.deficit, 0) THEN 1 ELSE 0 END
+           |      AS BIGINT) AS quota
+           |  FROM ap CROSS JOIN dft),
+           |rk AS (
+           |  SELECT kd.source, kd.doc_id, kd.text,
+           |    CAST(row_number() OVER (PARTITION BY kd.source ORDER BY
+           |      ${strHashSql("concat('q299:', CAST(doc_id AS VARCHAR))")},
+           |      doc_id) AS BIGINT) AS rk
+           |  FROM kd),
+           |sel AS (
+           |  SELECT r.source, r.doc_id, r.text
+           |  FROM rk r JOIN quota q ON q.src = r.source
+           |  WHERE r.rk <= q.quota),
+           |pk AS (
+           |  SELECT source, doc_id, text,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+           |    CAST(SUM(len(string_split(text, ' '))) OVER (
+           |      PARTITION BY source ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS cum
+           |  FROM sel),
+           |pkb AS (
+           |  SELECT source, doc_id, text, n_toks,
+           |    CAST(FLOOR((cum - n_toks) / 2048.0) AS BIGINT) AS bin_id
+           |  FROM pk),
+           |cert AS (
+           |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_selected,
+           |    CAST(COUNT(DISTINCT bin_id) AS BIGINT) AS n_bins,
+           |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           |    bit_xor(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+           |      CAST(doc_id AS VARCHAR), CAST(bin_id AS VARCHAR), text)),
+           |      18, 15)) AS BIGINT)) AS checksum
+           |  FROM pkb GROUP BY source),
+           |ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+           |       FROM documents GROUP BY source),
+           |nk2 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
+           |        FROM kd GROUP BY source)
+           |SELECT c.source, ns.n_docs, nk2.n_kept, q.a AS alpha, q.quota,
+           |  c.n_selected, c.n_bins, c.n_tokens, c.checksum
+           |FROM cert c JOIN ns USING (source) JOIN nk2 USING (source)
+           |JOIN quota q ON q.src = c.source""".stripMargin
+      }),
   )
 }

@@ -1187,7 +1187,7 @@ object GovernanceOps {
         sharedPairs(s, d).select(col("id1"), col("id2")), 3)
     })
 
-  private def curationDecisions(
+  private[graft] def curationDecisions(
       s: org.apache.spark.sql.SparkSession, d: String):
       org.apache.spark.sql.DataFrame =
     decisionMemo.computeIfAbsent((s, d), _ =>
@@ -1238,8 +1238,9 @@ object GovernanceOps {
       }
 
   /** DuckDB rendering of [[curationDecisions]] — q100's oracle, reused
-    * inside q114's funnel as a derived table. */
-  private lazy val curationDecisionTableSql: String = {
+    * inside q114's funnel as a derived table and inside q299's
+    * end-to-end corpus-build certification. */
+  private[graft] lazy val curationDecisionTableSql: String = {
         val nTok = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
         val uniqR = s"CAST(len(list_distinct(string_split(text, ' '))) " +
           s"AS DOUBLE) / $nTok"

@@ -24,7 +24,9 @@ object ScaleProbe {
     val mult = if (args.nonEmpty) args(0).toInt else 10
     val base = "/root/testdata/sf0.1"
     val out = s"/tmp/graft-synth-x$mult"
-    val queries = Seq("q27_minhash_lsh", "q47_dedup_clusters",
+    // optional second arg: probe a SUBSET (csv) — e.g. the q298 20×
+    // check only re-measures the new query, not the whole family
+    val defaults = Seq("q27_minhash_lsh", "q47_dedup_clusters",
       "q57_star_clusters", "q100_curation_pipeline", "q101_substr_spans",
       "q107_bigram_lm", "q120_prefix_simjoin", "q132_window_dedup",
       "q133_pagerank", "q135_lsh_recall", "q141_label_propagation",
@@ -33,6 +35,9 @@ object ScaleProbe {
       // candidate volume is (w−1)·n by construction) and the threshold
       // sweep (LSH candidates × 7 thresholds)
       "q224_sorted_neighborhood", "q235_threshold_sweep")
+    val queries =
+      if (args.length > 1) args(1).split(",").toSeq.map(_.trim)
+      else defaults
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -43,7 +48,8 @@ object ScaleProbe {
       // primes, so most (stride, doc length) pairs are coprime and the
       // permutation is a full cycle; a shared factor only repeats some
       // words, which is still a valid distinct document
-      val strides = Seq(1, 3, 7, 11, 13, 17, 19, 23, 29, 31)
+      val strides = Seq(1, 3, 7, 11, 13, 17, 19, 23, 29, 31,
+        37, 41, 43, 47, 53, 59, 61, 67, 71, 73)
       require(mult <= strides.size, s"at most ${strides.size}x supported")
       val stride = element_at(
         array(strides.map(lit): _*), col("k").cast("int") + 1)
@@ -64,19 +70,25 @@ object ScaleProbe {
         spark.read.parquet(s"$out/documents.parquet").count() + " docs")
     }
 
-    def minOf3(name: String, dir: String): Double =
-      (1 to 3).map { _ =>
+    // (min, first): the first run is the artifact-BUILD cost for
+    // queries riding persisted/memoized working sets (docBigrams, the
+    // decision table); the min is the consume cost a warm session pays
+    def minOf3(name: String, dir: String): (Double, Double) = {
+      val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
-      }.min
+      }
+      (ts.min, ts.head)
+    }
 
     // untimed warmup (codegen, parquet footers, signature caches)
     spark.range(1000000L).selectExpr("sum(id)").collect()
     for (q <- queries) {
-      val b = minOf3(q, base)
-      val s = minOf3(q, out)
-      println(f"$q%-24s sf0.1=${b}%6.2fs  x$mult=${s}%6.2fs  ratio=${s / b}%4.1f")
+      val (b, bf) = minOf3(q, base)
+      val (s, sf) = minOf3(q, out)
+      println(f"$q%-24s sf0.1=${b}%6.2fs (first ${bf}%6.2f)  " +
+        f"x$mult=${s}%6.2fs (first ${sf}%6.2f)  ratio=${s / b}%4.1f")
     }
     spark.stop()
   }

@@ -132,7 +132,12 @@ object ClusterParity {
     // grid (two LM joins over the persisted bigram working set's real
     // shuffles) collected to the driver MW fold, whose literal weights
     // re-enter the plan through a real broadcast
-    "q298_doremi_mixture")
+    "q298_doremi_mixture",
+    // r14: the end-to-end corpus build — decision artifact, LM joins,
+    // driver Hedge/apportionment literals, per-source rank + pack
+    // windows over real shuffles, a real hive-partitioned publish from
+    // executor JVMs, and the file read-back certification
+    "q299_corpus_build")
 
   private def run(spark: SparkSession): Map[String, Map[Seq[Any], Int]] =
     queries.map { n =>

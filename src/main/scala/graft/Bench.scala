@@ -47,6 +47,45 @@ object Bench {
     (byRatio ++ byBest).distinct
   }
 
+  /** Third repass trigger (r14): queries whose min-of-2 exceeds 2× their
+    * COMMITTED floor (scripts/bench_floors.tsv — per-query minima over
+    * the committed capture set). The worst-n lists are blind to an
+    * episodic sub-second query that isn't among the slowest (r14 capture
+    * diff: q80 at 1.61 s vs a 0.35 s floor, both passes poisoned, ratio
+    * clean) — the floor comparison catches exactly that class, so every
+    * capture-vs-capture >2× excursion carries a repass record. Capped by
+    * worst best/floor ratio: a box that is uniformly slower would
+    * otherwise re-run the whole battery. Pure for the spec. */
+  def floorCandidates(results: Seq[(String, Double, Double)],
+      floors: Map[String, Double], cap: Int = 32): Seq[String] =
+    results
+      .collect { case (name, best, _)
+        if floors.get(name).exists(f => f > 0 && best > 2 * f) =>
+        name -> (best / floors(name))
+      }
+      .sortBy(-_._2).take(cap).map(_._1)
+
+  /** Committed per-query floors for one sf dir (by basename) from the
+    * tsv; missing file or unparsable rows → empty (the trigger is then
+    * inert, never wrong). */
+  def loadFloors(sfDir: String): Map[String, Double] = {
+    val f = new java.io.File("scripts/bench_floors.tsv")
+    val sf = new java.io.File(sfDir).getName
+    if (!f.exists) Map.empty
+    else {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines()
+        .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+        .flatMap { l =>
+          l.split("\t") match {
+            case Array(s, q, v) if s == sf => v.toDoubleOption.map(q -> _)
+            case _ => None
+          }
+        }.toMap
+      finally src.close()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -144,9 +183,9 @@ object Bench {
     // `repass` records the repair, and the `timing` field names the
     // actual protocol (r13 ADVICE: min-of-2 must not understate it).
     val failedNames = errors.map(_._1).toSet
-    val cand = repassCandidates(
-      results.filterNot(r => failedNames(r._1)),
-      if (contended) 16 else 8).toSet
+    val ok = results.filterNot(r => failedNames(r._1))
+    val cand = (repassCandidates(ok, if (contended) 16 else 8) ++
+      floorCandidates(ok, loadFloors(sfDir))).toSet
     val finalResults = results.map { case r @ (name, best, first) =>
       if (!cand(name)) r
       else {

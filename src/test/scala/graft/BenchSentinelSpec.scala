@@ -109,6 +109,40 @@ class BenchSentinelSpec extends AnyFunSuite {
     assert(picked === Bench.repassCandidates(results, 8))
   }
 
+  test("floor trigger: a min-of-2 over 2x its committed floor is repassed") {
+    // the q80 shape from the r14 capture diff: 1.61s min against a
+    // 0.35s committed floor, ratio clean, not among the worst-8 — only
+    // the floor comparison can catch it
+    val results = Seq(("q80", 1.61, 1.86), ("qa", 0.3, 0.32))
+    val floors = Map("q80" -> 0.352, "qa" -> 0.29)
+    assert(Bench.floorCandidates(results, floors) === Seq("q80"))
+    // exactly at 2x is NOT flagged (strict >): noise envelope, not a bar
+    assert(Bench.floorCandidates(Seq(("qa", 0.58, 0.6)), Map("qa" -> 0.29)).isEmpty)
+    // missing floor, zero floor -> inert, never a division artifact
+    assert(Bench.floorCandidates(results, Map("qz" -> 0.1)).isEmpty)
+    assert(Bench.floorCandidates(Seq(("qa", 9.0, 9.0)), Map("qa" -> 0.0)).isEmpty)
+  }
+
+  test("floor trigger is capped by worst excursion ratio") {
+    // a uniformly slower box must not re-run the whole battery: the cap
+    // keeps the worst offenders by best/floor
+    val results = (1 to 50).map(i => (f"q$i%02d", 1.0 + i * 0.1, 1.2))
+    val floors = results.map { case (n, _, _) => n -> 0.3 }.toMap
+    val picked = Bench.floorCandidates(results, floors, cap = 5)
+    assert(picked.size === 5)
+    assert(picked.head === "q50") // largest best/floor first
+  }
+
+  test("committed floors load for the sf under test") {
+    // scripts/bench_floors.tsv is committed alongside the captures; the
+    // sentinel query must have a positive floor at every sf
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val floors = Bench.loadFloors(s"/root/testdata/$sf")
+      assert(floors.get("q01_scan_project").exists(_ > 0), sf)
+      assert(floors.size > 250, s"$sf floors look truncated")
+    }
+  }
+
   test("repass candidate ratio list skips non-positive bests") {
     // a zero best (pathological) must not win the ratio sort by division
     val results = Seq(("qz", 0.0, 1.0), ("qa", 0.2, 1.0), ("qd", 3.0, 3.1))

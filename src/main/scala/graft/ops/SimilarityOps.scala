@@ -90,7 +90,7 @@ object SimilarityOps {
   /** Brute-force exact cosine ranking (queries broadcast, corpus streams). */
   private def exactRanked(s: SparkSession, d: String): DataFrame = {
     val emb = normed(s, d)
-    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val queries = emb.filter(isPanel(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
         col("nrm").as("qn"))
     val w = Window.partitionBy(col("q_id"))
@@ -106,7 +106,7 @@ object SimilarityOps {
   private def lshRanked(s: SparkSession, d: String): DataFrame = {
     val emb = normed(s, d)
       .withColumn("bucket", lshBucket(col("embedding")))
-    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val queries = emb.filter(isPanel(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
         col("bucket"), col("nrm").as("qn"))
     val w = Window.partitionBy(col("q_id"))
@@ -134,7 +134,7 @@ object SimilarityOps {
     val corpusA = assigned.filter(col("crn") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("cent_id").as("cluster"))
-    val probes = assigned.filter(col("vec_id") % 100 === 0)
+    val probes = assigned.filter(isPanel(col("vec_id")))
       .filter(col("crn") <= 2)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("cent_id").as("cluster"))
@@ -498,7 +498,7 @@ object SimilarityOps {
               |      ${cosineSql("q.embedding", "e.embedding")} DESC, e.vec_id)
               |      AS rank
               |  FROM embeddings e,
-              |       (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q)
+              |       (SELECT * FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 6400) q)
               |WHERE rank <= 5""".stripMargin)),
 
     // ----- q32: LSH-bucketed ANN (the 100 TB path) ------------------------
@@ -515,7 +515,7 @@ object SimilarityOps {
               |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
               |      ${cosineSql("q.embedding", "e.embedding")} DESC, e.vec_id)
               |      AS rank
-              |  FROM b e JOIN (SELECT * FROM b WHERE vec_id % 100 = 0) q
+              |  FROM b e JOIN (SELECT * FROM b WHERE vec_id % 100 = 0 AND vec_id < 6400) q
               |    ON e.bucket = q.bucket)
               |WHERE rank <= 3""".stripMargin)),
 
@@ -544,7 +544,7 @@ object SimilarityOps {
               |  WHERE crn = 1),
               |probes AS (
               |  SELECT vec_id AS q_id, embedding AS qe, cent_id AS cluster
-              |  FROM scored WHERE vec_id % 100 = 0 AND crn <= 2)
+              |  FROM scored WHERE vec_id % 100 = 0 AND vec_id < 6400 AND crn <= 2)
               |SELECT q_id, vec_id, cos, rank FROM (
               |  SELECT p.q_id, a.vec_id,
               |    ${cosineSql("p.qe", "a.embedding")} AS cos,
@@ -663,7 +663,7 @@ object SimilarityOps {
               |        ${cosineSql("q.embedding", "e.embedding")} DESC,
               |        e.vec_id) AS rank
               |    FROM embeddings e,
-              |         (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q)
+              |         (SELECT * FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 6400) q)
               |  WHERE rank <= 3),
               |b AS (
               |  SELECT vec_id, embedding,
@@ -675,7 +675,7 @@ object SimilarityOps {
               |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
               |        ${cosineSql("q.embedding", "e.embedding")} DESC,
               |        e.vec_id) AS rank
-              |    FROM b e JOIN (SELECT * FROM b WHERE vec_id % 100 = 0) q
+              |    FROM b e JOIN (SELECT * FROM b WHERE vec_id % 100 = 0 AND vec_id < 6400) q
               |      ON e.bucket = q.bucket)
               |  WHERE rank <= 3),
               |cents AS (
@@ -692,7 +692,7 @@ object SimilarityOps {
               |  WHERE crn = 1),
               |probes AS (
               |  SELECT vec_id AS q_id, embedding AS qe, cent_id AS cluster
-              |  FROM scored WHERE vec_id % 100 = 0 AND crn <= 2),
+              |  FROM scored WHERE vec_id % 100 = 0 AND vec_id < 6400 AND crn <= 2),
               |ivf AS (
               |  SELECT q_id, vec_id FROM (
               |    SELECT p.q_id, a.vec_id,
@@ -905,7 +905,7 @@ object SimilarityOps {
               |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
               |        ${cosineSql("q.embedding", "e.embedding")} DESC,
               |        e.vec_id) AS rank
-              |    FROM b e JOIN (SELECT * FROM b WHERE vec_id % 100 = 0) q
+              |    FROM b e JOIN (SELECT * FROM b WHERE vec_id % 100 = 0 AND vec_id < 6400) q
               |      ON e.bucket = q.bucket)
               |  WHERE rank <= 10),
               |cents AS (
@@ -922,7 +922,7 @@ object SimilarityOps {
               |  WHERE crn = 1),
               |probes AS (
               |  SELECT vec_id AS q_id, embedding AS qe, cent_id AS cluster
-              |  FROM scored WHERE vec_id % 100 = 0 AND crn <= 2),
+              |  FROM scored WHERE vec_id % 100 = 0 AND vec_id < 6400 AND crn <= 2),
               |ivf AS (
               |  SELECT q_id, vec_id, rank FROM (
               |    SELECT p.q_id, a.vec_id,
@@ -1338,7 +1338,7 @@ object SimilarityOps {
           .groupBy(col("vec_id"), col("j"))
           .agg(min(struct(col("sd"), col("cid"))).as("m"))
           .select(col("vec_id"), col("j"), col("m.cid").as("code"))
-        val lut = emb.filter(col("vec_id") % 100 === 0)
+        val lut = emb.filter(isPanel(col("vec_id")))
           .select(col("vec_id").as("q_id"), col("embedding").as("ve"),
             explode(array(js.map(lit): _*)).as("j"))
           .join(broadcast(cb), "j")
@@ -1373,7 +1373,7 @@ object SimilarityOps {
            |lut AS (
            |  SELECT q.vec_id AS q_id, js.j, c.cid,
            |    ${sqdSql("q.embedding", "c.ce")} AS d
-           |  FROM embeddings q, js, cb c WHERE q.vec_id % 100 = 0),
+           |  FROM embeddings q, js, cb c WHERE q.vec_id % 100 = 0 AND q.vec_id < 6400),
            |s AS (
            |  SELECT l.q_id, co.vec_id, ${dsumSql("l.d")} AS adc_dist
            |  FROM codes co JOIN lut l ON co.j = l.j AND co.code = l.cid
@@ -1610,13 +1610,12 @@ object SimilarityOps {
       (s, d) => {
         // ckpt (not a bare val): the sims pass below must read the
         // materialized top-20 panel, not recompute the brute-force
-        // ranking inside its own job. The q_id < 6400 cap bounds the
-        // panel at a FIXED 64 queries independent of corpus size (the
-        // shared exactRanked panel is vec_id % 100 == 0, i.e. 1% of
-        // the corpus — unbounded at 100 TB); every panel id at every
-        // test SF sits below 6400, so results are unchanged, but the
-        // driver collects below are now genuinely O(1): ≤64×20
-        // candidates and ≤64×20×19 pair sims.
+        // ranking inside its own job. Since r15 the shared ranked
+        // pipelines carry the OpsKit.isPanel cap themselves (vec_id %
+        // 100 == 0 AND vec_id < 6400 — a FIXED ≤64-query panel at any
+        // corpus size), so the explicit q_id filter here is redundant
+        // belt-and-braces; the driver collects below are genuinely
+        // O(1): ≤64×20 candidates and ≤64×20×19 pair sims.
         val cand = OpsKit.ckpt(exactRanked(s, d)
           .filter(col("rank") <= 20 && col("q_id") < 6400)
           .select(col("q_id"), col("vec_id"), col("cos"), col("rank")))
@@ -1817,7 +1816,7 @@ object SimilarityOps {
     // footprint and bandwidth cut — and still retrieve the full-precision
     // neighbors? (The ablation that matters for Matryoshka-style prefix
     // embeddings, Kusupati et al. 2022.) For the q85 probe panel
-    // (vec_id % 100 = 0, self excluded), rank the corpus by exact cosine
+    // (vec_id % 100 = 0 AND vec_id < 6400, self excluded), rank the corpus by exact cosine
     // at each prefix width and report recall@3 of the truncated rankings
     // against the full 64-dim ranking — same ranked-pipeline shape as
     // q85, so index-approximation recall (q85) and dimension-ablation
@@ -1837,7 +1836,7 @@ object SimilarityOps {
           val emb = tbl(s, d, "embeddings")
             .select(col("vec_id"), e.as("e"))
             .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
-          val q = emb.filter(col("vec_id") % 100 === 0)
+          val q = emb.filter(isPanel(col("vec_id")))
             .select(col("vec_id").as("q_id"), col("e").as("qe"),
               col("nrm").as("qn"))
           val w = Window.partitionBy(col("q_id"))
@@ -1882,7 +1881,7 @@ object SimilarityOps {
              |        ${cosK("q.embedding", "e.embedding", k)} DESC,
              |        e.vec_id) AS rank
              |    FROM embeddings e,
-             |         (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q
+             |         (SELECT * FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 6400) q
              |    WHERE e.vec_id <> q.vec_id)
              |  WHERE rank <= 3""".stripMargin
         s"""WITH full64 AS (${rankedK(64)}),
@@ -2192,7 +2191,7 @@ object SimilarityOps {
            |        ${cosineSql("q.embedding", "e.embedding")} DESC,
            |        e.vec_id) AS rank
            |    FROM embeddings e,
-           |         (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q)
+           |         (SELECT * FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 6400) q)
            |  WHERE rank <= 10),
            |b AS (
            |  SELECT vec_id, embedding,
@@ -2204,7 +2203,7 @@ object SimilarityOps {
            |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
            |        ${cosineSql("q.embedding", "e.embedding")} DESC,
            |        e.vec_id) AS rank
-           |    FROM b e JOIN (SELECT * FROM b WHERE vec_id % 100 = 0) q
+           |    FROM b e JOIN (SELECT * FROM b WHERE vec_id % 100 = 0 AND vec_id < 6400) q
            |      ON e.bucket = q.bucket)
            |  WHERE rank <= 10),
            |pq AS (
@@ -2306,7 +2305,7 @@ object SimilarityOps {
         val base = normed(s, d)
           .select(col("vec_id"), col("embedding"), col("nrm"),
             word(0).as("lo"), word(32).as("hi"))
-        val q = base.filter(col("vec_id") % 100 === 0)
+        val q = base.filter(isPanel(col("vec_id")))
           .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
             col("nrm").as("qn"), col("lo").as("qlo"), col("hi").as("qhi"))
         val cand = base.join(broadcast(q), col("vec_id") =!= col("q_id"))
@@ -2347,7 +2346,7 @@ object SimilarityOps {
               |  FROM embeddings),
               |q AS (SELECT vec_id AS q_id, embedding AS qe,
               |        lo AS qlo, hi AS qhi
-              |      FROM sig WHERE vec_id % 100 = 0),
+              |      FROM sig WHERE vec_id % 100 = 0 AND vec_id < 6400),
               |ranked AS (
               |  SELECT q.q_id, s.vec_id,
               |    ${cosineSql("q.qe", "s.embedding")} AS cos,

@@ -1081,7 +1081,7 @@ object TextOps {
           .select(col("n_docs"), (col("tot").cast("double") /
             col("n_docs").cast("double")).as("avgdl"))
         val dft = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        val qterms = tf.filter(col("doc_id") % 100 === 0)
+        val qterms = tf.filter(isPanel(col("doc_id")))
           .select(col("doc_id").as("q_id"), col("tok"))
         // df restricted to query terms stays query-vocabulary-sized
         val dfq = dft.join(
@@ -1120,7 +1120,7 @@ object TextOps {
               |dft AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
               |        FROM tf GROUP BY tok),
               |q AS (SELECT doc_id AS q_id, tok FROM tf
-              |      WHERE doc_id % 100 = 0),
+              |      WHERE doc_id % 100 = 0 AND doc_id < 6400),
               |p AS (
               |  SELECT q.q_id, f.doc_id,
               |    ((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)

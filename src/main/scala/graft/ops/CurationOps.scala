@@ -2235,24 +2235,40 @@ object CurationOps {
     // The whole curation pipeline as ONE first-class deliverable
     // (graft.sink.CorpusBuild.run — the LLM-pipeline analog of
     // MovieDbImport.run): q100 decisions -> q298 DoReMi weights on the
-    // kept pool -> q124-style Hamilton apportionment of T = n_kept div 2
-    // by those weights -> deterministic hash-priority selection ->
+    // kept pool -> water-filled apportionment of T = n_kept div 2 by
+    // those weights (q280's max-min-fair level + q124's
+    // largest-remainder rounding, capped at each source's kept pool so
+    // a starved source's shortfall redistributes and the quotas sum to
+    // T by construction) -> deterministic hash-priority selection ->
     // q54 packing into 2048-token bins -> CorpusPublish hive publish,
     // then certification FROM THE FILES (q106's read-back discipline).
     // The oracle replays the ENTIRE chain from the source tables —
     // decision CTEs, LM CTEs, 8 unrolled MATERIALIZED Hedge rounds,
-    // apportionment window, selection ranks, packing cumsum — and
-    // derives the same per-source row: a build that loses, duplicates,
-    // mis-samples, mis-bins, or mis-partitions even one document flips
-    // a checksum or a count and fails the hash gate. See CorpusBuild's
-    // scaladoc for the scan budget (2 corpus scans + the two
-    // battery-amortized artifacts) and the 100 TB shape.
+    // water-level CTEs over the cap/alpha order statistics, selection
+    // ranks, packing cumsum — and derives the same per-source row: a
+    // build that loses, duplicates, mis-samples, mis-bins, or
+    // mis-partitions even one document flips a checksum or a count and
+    // fails the hash gate. See CorpusBuild's scaladoc for the scan
+    // budget (2 corpus scans + the two battery-amortized artifacts) and
+    // the 100 TB shape.
     NamedQuery(
       "q299_corpus_build",
       (s, d) => {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft-q299-build").toString + "/corpus"
-        graft.sink.CorpusBuild.run(s, d, out)
+        // each invocation publishes into a fresh temp tree; register it
+        // for JVM-exit cleanup so a bench battery (2 timed runs +
+        // repasses + ClusterParity) doesn't strand full corpus copies
+        // in /tmp (r14 ADVICE)
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-q299-build")
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          def del(f: java.io.File): Unit = {
+            val cs = f.listFiles()
+            if (cs != null) cs.foreach(del)
+            f.delete(); ()
+          }
+          del(tmp.toFile)
+        }))
+        graft.sink.CorpusBuild.run(s, d, tmp.toString + "/corpus")
       },
       Some {
         val iters = (1 to 8).map { t =>
@@ -2317,22 +2333,53 @@ object CurationOps {
            |a0 AS (SELECT src, CAST(1.0 AS DOUBLE) AS a FROM mult),
            |$iters,
            |tkt AS (SELECT CAST(COUNT(*) // 2 AS BIGINT) AS t FROM kd),
-           |ap AS (
-           |  SELECT a8.src, a8.a,
-           |    CAST(FLOOR(CAST(t.t AS DOUBLE) * a8.a) AS BIGINT) AS fq,
-           |    CAST(t.t AS DOUBLE) * a8.a
-           |      - FLOOR(CAST(t.t AS DOUBLE) * a8.a) AS rem
-           |  FROM a8 CROSS JOIN tkt t),
-           |dft AS (SELECT CAST(MAX(t.t) AS BIGINT)
-           |          - CAST(SUM(fq) AS BIGINT) AS deficit
-           |        FROM ap CROSS JOIN tkt t),
+           |caps AS (SELECT source AS src, CAST(COUNT(*) AS BIGINT) AS cap
+           |         FROM kd GROUP BY source),
+           |wf AS (SELECT c.src, c.cap, a8.a,
+           |         CAST(c.cap AS DOUBLE) / a8.a AS nrm
+           |       FROM caps c JOIN a8 ON a8.src = c.src),
+           |wfr AS MATERIALIZED (
+           |  SELECT src, cap, a, nrm,
+           |    CAST(row_number() OVER (ORDER BY nrm, src) AS BIGINT) AS r,
+           |    CAST(SUM(cap) OVER (ORDER BY nrm, src
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pcap,
+           |    SUM(CAST(a AS DECIMAL(28,12))) OVER (ORDER BY nrm, src
+           |      ROWS UNBOUNDED PRECEDING) AS pa
+           |  FROM wf),
+           |wft AS (SELECT SUM(CAST(a AS DECIMAL(28,12))) AS sa,
+           |          CAST(COUNT(*) AS BIGINT) AS n FROM wf),
+           |wcand AS (
+           |  SELECT w.r, w.nrm, w.pcap,
+           |    CAST(t.t - w.pcap AS DOUBLE) / CAST(s.sa - w.pa AS DOUBLE)
+           |      AS lvl
+           |  FROM wfr w CROSS JOIN tkt t CROSS JOIN wft s
+           |  WHERE w.r < s.n
+           |  UNION ALL
+           |  SELECT 0, CAST(-1 AS DOUBLE), 0,
+           |    CAST(t.t AS DOUBLE) / CAST(s.sa AS DOUBLE)
+           |  FROM tkt t CROSS JOIN wft s),
+           |wlvl AS (
+           |  SELECT c.lvl, c.r, c.pcap
+           |  FROM wcand c JOIN wfr nx ON nx.r = c.r + 1
+           |  WHERE c.nrm <= c.lvl AND nx.nrm > c.lvl),
+           |unq AS (
+           |  SELECT w.src, w.a,
+           |    CAST(FLOOR(w.a * l.lvl) AS BIGINT) AS fq,
+           |    w.a * l.lvl - FLOOR(w.a * l.lvl) AS rem
+           |  FROM wfr w CROSS JOIN wlvl l WHERE w.r > l.r),
+           |wdef AS (SELECT CAST(MAX(t.t) AS BIGINT)
+           |           - CAST(MAX(l.pcap) AS BIGINT)
+           |           - CAST(SUM(u.fq) AS BIGINT) AS deficit
+           |         FROM unq u CROSS JOIN tkt t CROSS JOIN wlvl l),
            |quota AS MATERIALIZED (
-           |  SELECT src, a,
-           |    CAST(fq + CASE WHEN CAST(row_number() OVER (
-           |        ORDER BY rem DESC, src) AS BIGINT)
-           |        <= GREATEST(dft.deficit, 0) THEN 1 ELSE 0 END
-           |      AS BIGINT) AS quota
-           |  FROM ap CROSS JOIN dft),
+           |  SELECT w.src, w.a, CAST(w.cap AS BIGINT) AS quota
+           |  FROM wfr w CROSS JOIN wlvl l WHERE w.r <= l.r
+           |  UNION ALL
+           |  SELECT u.src, u.a,
+           |    CAST(u.fq + CASE WHEN CAST(row_number() OVER (
+           |        ORDER BY u.rem DESC, u.src) AS BIGINT)
+           |        <= d.deficit THEN 1 ELSE 0 END AS BIGINT)
+           |  FROM unq u CROSS JOIN wdef d),
            |rk AS (
            |  SELECT kd.source, kd.doc_id, kd.text,
            |    CAST(row_number() OVER (PARTITION BY kd.source ORDER BY

@@ -842,7 +842,11 @@ object GovernanceOps {
     // training-data sign-off actually reviews.
     NamedQuery(
       "q100_curation_pipeline",
-      (s, d) => curationDecisions(s, d),
+      // the artifact carries n_toks for CorpusBuild (r15); the published
+      // decision table keeps its canonical 4-column shape
+      (s, d) => curationDecisions(s, d)
+        .select(col("doc_id"), col("source"), col("quality"),
+          col("decision")),
       Some(curationDecisionTableSql)),
 
     // ----- q114: curation funnel — ordered per-source attrition -----------
@@ -951,7 +955,10 @@ object GovernanceOps {
   }
 
   private def familyKey: String =
-    s"v1-nh${NumHashes}-r${LshRows}-cap${MaxLshBucket}-j0.5"
+    // v2: the decisions artifact gained n_toks (r15 — CorpusBuild's
+    // stage-4 working set derives from the artifact instead of a third
+    // corpus scan); the version bump invalidates pre-r15 scratch trees
+    s"v2-nh${NumHashes}-r${LshRows}-cap${MaxLshBucket}-j0.5"
 
   /** Build counters: observability for the build-exactly-once contract
     * (GovernanceMemoSpec asserts they do NOT advance after a forced
@@ -1227,14 +1234,20 @@ object GovernanceOps {
         val avgW = (length(col("text")).cast("double") - (nTok - 1.0)) / nTok
         val quality = lit(0.4) * uniqR + lit(0.3) * (lit(1.0) - stopR) +
           lit(0.3) * least(avgW / 8.0, lit(1.0))
-        corpus.select(col("doc_id"), col("source"), quality.as("quality"))
+        // n_toks rides the artifact (r15): the decision pass tokenizes
+        // every document anyway, and downstream consumers (CorpusBuild's
+        // selection/packing working set) would otherwise pay their own
+        // corpus scan just to recount tokens
+        corpus.select(col("doc_id"), col("source"), quality.as("quality"),
+            size(toks).cast("long").as("n_toks"))
           .join(labels, Seq("doc_id"))
           .join(contaminated, Seq("doc_id"), "left")
           .select(col("doc_id"), col("source"), col("quality"),
             when(col("quality") < 0.6, "low_quality")
               .when(col("contam"), "contaminated")
               .when(col("doc_id") =!= col("cluster_rep"), "duplicate")
-              .otherwise("keep").as("decision"))
+              .otherwise("keep").as("decision"),
+            col("n_toks"))
       }
 
   /** DuckDB rendering of [[curationDecisions]] — q100's oracle, reused

@@ -23,11 +23,14 @@ import graft.ops.{GovernanceOps, LlmKit, OpsKit, TextOps}
   *      battery), but the losses are evaluated on the KEPT pool only:
   *      the weights the build samples by describe the pool it samples
   *      from, not documents the gates already dropped;
-  *   3. largest-remainder apportionment (q124's Hamilton method) of a
+  *   3. water-filled apportionment ([[waterFillQuotas]] — q280's
+  *      max-min-fair level + q124's largest-remainder rounding) of a
   *      budget T = n_kept div 2 across sources proportional to the
-  *      DoReMi weights, then deterministic hash-priority selection
-  *      within each source (the q89/q124 salted-md5 idiom — no RNG,
-  *      same sample on any cluster);
+  *      DoReMi weights, capped at each source's kept pool with the
+  *      shortfall redistributed so Σ quota == T by construction; then
+  *      deterministic hash-priority selection within each source (the
+  *      q89/q124 salted-md5 idiom — no RNG, same sample on any
+  *      cluster);
   *   4. sequence packing (q54): greedy boundary-crossing layout of the
   *      selected docs into 2048-token bins, windowed per source;
   *   5. publish (q106's sink): hive-partitioned by source through
@@ -43,23 +46,89 @@ import graft.ops.{GovernanceOps, LlmKit, OpsKit, TextOps}
   *
   * Scale shape: the decision artifact and the bigram artifact are the
   * battery-amortized passes the family already pays; within this build
-  * the corpus is scanned ONCE more (the kept-join → select → pack →
-  * publish write). Iterative state (Hedge weights, apportionment) is
-  * K ≈ 20 driver scalars re-entering the plan as literals — the
-  * bounded-state idiom q271/q284/q298 pinned. The per-source windows
-  * (selection rank, packing cumsum) partition on `source`, the same
-  * shape q54/q124/q212 carry; at 100 TB each source packs and ranks in
-  * its own task group, and the publish is the q106 one-shuffle layout.
+  * the corpus is scanned ONCE (the text scan feeding the publish join —
+  * the selection/packing working set reads the artifact, which carries
+  * n_toks since r15), inside the scan gate's global cap. Iterative state
+  * (Hedge weights, apportionment) is K ≈ 20 driver scalars re-entering
+  * the plan as literals — the bounded-state idiom q271/q284/q298
+  * pinned. The selection rank and packing cumsum use the q109 phased
+  * shape — (source, bucket)-partitioned local windows plus broadcast
+  * per-source bucket-prefix offsets — so a 90%-one-source corpus still
+  * ranks and packs across [[PackBuckets]] tasks per source instead of
+  * serializing into one (r14 verdict #3); the publish is the q106
+  * one-shuffle layout.
   */
 object CorpusBuild {
   /** Token budget per packed training row (q54's constant). */
   val BinTokens = 2048
+
+  /** Phase buckets per source for the stage-4 selection rank and packing
+    * cumsum (the q109 phased shape): each source's window work spreads
+    * over up to this many partitioned tasks instead of one. */
+  val PackBuckets = 32
 
   /** Per-doc MD5-slice row hash over the PUBLISHED columns that carry
     * the chain's decisions: identity, bin assignment, and content. */
   private def rowHash = conv(substring(md5(concat_ws("\u0001",
     col("doc_id"), col("bin_id"), col("text"))), 18, 15), 16, 10)
     .cast("long")
+
+  /** Weighted max-min-fair (water-filling) integer apportionment of a
+    * budget `t` across sources with capacities `caps` and weights
+    * `alpha`: quota_i = min(cap_i, ⌊alpha_i·L⌋ + Hamilton bump) with the
+    * water level L chosen so Σ quota == min(t, Σcaps) BY CONSTRUCTION —
+    * q280's closed-form level over the cap/alpha order statistics (clip
+    * the r sources with the smallest normalized capacity cap_i/alpha_i;
+    * L_r = (t − P_r)/(A − A_r); the valid r is where the largest clipped
+    * normalized cap sits at or below L_r and the next sits above it).
+    * This replaces plain Hamilton apportionment, which silently
+    * under-filled the budget whenever a source's kept pool was smaller
+    * than its share (r14 verdict #4): a starved source now contributes
+    * everything it has and the shortfall redistributes to the others at
+    * the common level. The largest-remainder pass runs over the
+    * UN-clipped sources only (clipped quotas are exact integers already).
+    *
+    * Engine-parity notes (the oracle replays this in SQL): alpha prefix
+    * sums go through DECIMAL(28,12) — exact, order-free — before the one
+    * double division per candidate level; raw shares, floors, and
+    * remainders are single IEEE expressions over bit-identical operands;
+    * remainder ties break (rem DESC, src ASC), the q124 convention.
+    * Returns (source, alpha, quota) sorted by source. */
+  private[graft] def waterFillQuotas(caps: Seq[(String, Long)],
+      alpha: Map[String, Double], t: Long): Seq[(String, Double, Long)] = {
+    val n = caps.size
+    if (caps.map(_._2).sum <= t)
+      // supply exhausted: every source gives everything it has
+      return caps.map { case (s, c) => (s, alpha(s), c) }.sortBy(_._1)
+    def dec(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val ranked = caps
+      .map { case (s, c) => (s, c, alpha(s), c.toDouble / alpha(s)) }
+      .sortBy { case (s, _, _, nrm) => (nrm, s) }
+    val sa = ranked.map(r => dec(r._3)).sum
+    val pcap = ranked.scanLeft(0L)(_ + _._2)
+    val pa = ranked.scanLeft(BigDecimal(0))((acc, x) => acc + dec(x._3))
+    // candidate r = clip the r smallest normalized caps, r in [0, n)
+    val rStar = (0 until n).find { r =>
+      val lvl = (t - pcap(r)).toDouble / (sa - pa(r)).toDouble
+      val clippedNrm = if (r == 0) -1.0 else ranked(r - 1)._4
+      clippedNrm <= lvl && ranked(r)._4 > lvl
+    }.getOrElse(n - 1)
+    val lvl = (t - pcap(rStar)).toDouble / (sa - pa(rStar)).toDouble
+    val clipped = ranked.take(rStar)
+      .map { case (s, c, a, _) => (s, a, c) }
+    val un = ranked.drop(rStar).map { case (s, _, a, _) =>
+      val raw = a * lvl
+      (s, a, math.floor(raw).toLong, raw - math.floor(raw))
+    }
+    val deficit = t - pcap(rStar) - un.map(_._3).sum
+    val bumped = un.sortBy { case (s, _, _, rem) => (-rem, s) }
+      .zipWithIndex
+      .map { case ((s, a, fq, _), i) =>
+        (s, a, fq + (if (i < deficit) 1L else 0L))
+      }
+    (clipped ++ bumped).sortBy(_._1)
+  }
 
   def run(spark: SparkSession, dir: String, out: String): DataFrame = {
     import spark.implicits._
@@ -137,45 +206,103 @@ object CorpusBuild {
       }.toMap
     }
 
-    // ---- stage 3: Hamilton apportionment of T = n_kept div 2 ----------
-    // K scalars on the driver (the q124 method with DoReMi weights as
-    // the apportionment measure instead of raw counts); floor/remainder
-    // arithmetic is the identical IEEE double expression in the oracle
+    // ---- stage 3: water-filled apportionment of T = n_kept div 2 ------
+    // K scalars on the driver; every floor/remainder/level expression is
+    // the identical IEEE double expression in the oracle's CTE replay
     val budget = perSrcRows.map(_._3).sum / 2
-    val appo = lamRows.map { case (src, _) =>
-      val a = aMap(src)
-      val fq = math.floor(budget.toDouble * a).toLong
-      (src, a, fq, budget.toDouble * a - fq)
-    }
-    val deficit = math.max(budget - appo.map(_._3).sum, 0L)
-    val quotas = appo.sortBy { case (src, _, _, rem) => (-rem, src) }
-      .zipWithIndex
-      .map { case ((src, a, fq, _), i) =>
-        (src, a, fq + (if (i < deficit) 1L else 0L))
-      }
-      .sortBy(_._1)
+    // capacities keyed off the SAME source set the Hedge weights cover
+    // (sources with an empty kept pool have no excess-loss row and no
+    // weight — they cannot receive quota)
+    val keptBySrc = perSrcRows.map { case (src, _, k) => src -> k }.toMap
+    val quotas = waterFillQuotas(
+      lamRows.map { case (src, _) => src -> keptBySrc(src) }, aMap, budget)
 
     // ---- stage 4: selection + packing + publish — ONE corpus scan -----
+    // The selection rank and packing cumsum are built with the q109
+    // phased (TeraSort) shape instead of one window per source: rank and
+    // cumsum WITHIN (source, bucket) — bounded partitioned windows —
+    // then add back per-source bucket-prefix offsets computed over the
+    // K×B-row bucket table (r14 verdict #3: a per-source window
+    // serializes one dominant source into one task at 100 TB; here the
+    // dominant source spreads over PackBuckets tasks). Equality with the
+    // oracle's global per-source windows is exact: buckets are monotone
+    // non-decreasing functions of the ordering key (equal keys share a
+    // bucket, so the (h, doc_id) tie-break stays local), local
+    // row_number/sum plus the prefix offset telescopes to the global
+    // rank/cumsum, and the token cumsum is integer arithmetic — order-
+    // free. The working set (doc_id, source, n_toks, quota, h) derives
+    // ENTIRELY from the decision artifact — n_toks rides it since r15 —
+    // so the selection/packing windows and their offset aggregates cost
+    // re-reads of the already-materialized artifact parquet, not corpus
+    // scans; the one corpus scan in this stage is the text join feeding
+    // the publish.
     val quotaDf = broadcast(quotas.toDF("src", "alpha", "quota"))
-    val kept = OpsKit.tbl(spark, dir, "documents")
-      .select(col("doc_id"), col("source"), col("text"))
-      .join(keptIds, "doc_id")
-    val wSel = Window.partitionBy(col("source"))
-      .orderBy(LlmKit.strHash(
-        concat(lit("q299:"), col("doc_id").cast("string"))), col("doc_id"))
-    val wPack = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val hCol = LlmKit.strHash(
+      concat(lit("q299:"), col("doc_id").cast("string")))
+    val slim = originals.filter(col("decision") === "keep")
+      .select(col("doc_id"), col("source"), col("n_toks"))
+      .join(quotaDf, col("source") === col("src"))
+      .select(col("doc_id"), col("source"), col("n_toks"), col("quota"),
+        hCol.as("h"))
+    // double-space bucketing (phasedRank's long arithmetic would
+    // overflow: h spans [0, 16^15) and (h−lo)·B exceeds Long.Max);
+    // IEEE multiply/divide by positive constants is monotone, which is
+    // all bucket assignment needs
+    def bucket(k: org.apache.spark.sql.Column,
+        lo: org.apache.spark.sql.Column,
+        hi: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      least(lit(PackBuckets - 1),
+        floor((k - lo).cast("double") * PackBuckets /
+          (hi - lo + 1).cast("double"))).cast("int")
+    val bounds = broadcast(slim.groupBy(col("source").as("bsrc"))
+      .agg(min(col("h")).as("hlo"), max(col("h")).as("hhi"),
+        min(col("doc_id")).as("dlo"), max(col("doc_id")).as("dhi")))
+    val sb = slim.join(bounds, col("source") === col("bsrc"))
+      .withColumn("hb", bucket(col("h"), col("hlo"), col("hhi")))
+      .withColumn("pb", bucket(col("doc_id"), col("dlo"), col("dhi")))
+      .select(col("doc_id"), col("source"), col("n_toks"), col("quota"),
+        col("h"), col("hb"), col("pb"))
+    val wSelLocal = Window.partitionBy(col("source"), col("hb"))
+      .orderBy(col("h"), col("doc_id"))
+    val wSelOff = Window.partitionBy(col("source")).orderBy(col("hb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val selOff = sb.groupBy(col("source"), col("hb"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("source").as("osrc"), col("hb").as("ohb"),
+        coalesce(sum(col("cnt")).over(wSelOff), lit(0L)).as("off"))
+    val sel = sb
+      .withColumn("lr", row_number().over(wSelLocal).cast("long"))
+      .join(broadcast(selOff),
+        col("source") === col("osrc") && col("hb") === col("ohb"))
+      .filter(col("off") + col("lr") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("n_toks"), col("pb"))
+    val wCumLocal = Window.partitionBy(col("source"), col("pb"))
+      .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val packed = kept.join(quotaDf, col("source") === col("src"))
-      .withColumn("pick", row_number().over(wSel).cast("long"))
-      .filter(col("pick") <= col("quota"))
-      .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
-      .withColumn("cum", sum(col("n_toks")).over(wPack))
+    val wPackOff = Window.partitionBy(col("source")).orderBy(col("pb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val packOff = sel.groupBy(col("source"), col("pb"))
+      .agg(sum(col("n_toks")).as("tb"))
+      .select(col("source").as("psrc"), col("pb").as("ppb"),
+        coalesce(sum(col("tb")).over(wPackOff), lit(0L)).as("poff"))
+    val binned = sel
+      .withColumn("lcum", sum(col("n_toks")).over(wCumLocal))
+      .join(broadcast(packOff),
+        col("source") === col("psrc") && col("pb") === col("ppb"))
+      .withColumn("cum", col("poff") + col("lcum"))
       .withColumn("bin_id",
         floor((col("cum") - col("n_toks")) / lit(BinTokens.toDouble)))
-      .select(col("doc_id"), col("text"), col("n_toks"), col("bin_id"),
-        col("source"))
+      .select(col("doc_id"), col("source"), col("n_toks"), col("bin_id"))
+    // second (and last) corpus scan: re-join the selected ids to their
+    // text for the publish — shuffles only the SELECTED half of the
+    // corpus once, instead of carrying text through two window sorts.
     // audited: the publish write below executes this plan during query
     // construction — hand its documents scan to the scan gate first
+    val packed = OpsKit.tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .join(binned, "doc_id")
+      .select(col("doc_id"), col("text"), col("n_toks"), col("bin_id"),
+        col("source"))
     CorpusPublish.publish(OpsKit.audited(packed), out, "source", "doc_id",
       1000)
 

@@ -46,14 +46,39 @@ class CorpusBuildSpec extends AnyFunSuite {
     assert(published.forall(keepIds), "published a non-keep doc")
   }
 
-  test("quota arithmetic: Hamilton apportionment sums to T, selection = min(kept, quota)") {
+  test("quota arithmetic: water-filled quotas sum to T and never exceed the kept pool") {
     val t = cert1.values.map(_._2).sum / 2
     assert(cert1.values.map(_._4).sum === t, "quotas must sum to the budget")
-    for ((src, (_, nKept, _, quota, nSel, _, _, _)) <- cert1)
-      assert(nSel === math.min(nKept, quota), s"selection count $src")
+    for ((src, (_, nKept, _, quota, nSel, _, _, _)) <- cert1) {
+      assert(quota <= nKept, s"quota exceeds kept pool for $src")
+      // water-filling caps quotas at the pool, so selection always
+      // fills the quota exactly — Σ n_selected == T by construction
+      assert(nSel === quota, s"selection count $src")
+    }
+    assert(cert1.values.map(_._5).sum === t, "selection must fill the budget")
     // weights are a smoothed distribution over the published sources
     val aSum = cert1.values.map(_._3).sum
     assert(math.abs(aSum - 1.0) < 1e-3, s"alpha sum $aSum")
+  }
+
+  test("waterFillQuotas: a starved source gives its whole pool and the " +
+      "shortfall redistributes — the budget is met exactly") {
+    // plain Hamilton would hand 'tiny' floor(800·0.3) = 240 > 3 and the
+    // build would silently publish 797 docs; water-filling must clip
+    // tiny at its 3-doc pool and raise the level for the others
+    val caps = Seq("big_a" -> 1000L, "big_b" -> 1000L, "tiny" -> 3L)
+    val alpha = Map("big_a" -> 0.4, "big_b" -> 0.3, "tiny" -> 0.3)
+    val q = graft.sink.CorpusBuild.waterFillQuotas(caps, alpha, 800L)
+      .map { case (s, _, n) => s -> n }.toMap
+    assert(q("tiny") === 3L)
+    assert(q.values.sum === 800L, "exact budget")
+    assert(q("big_a") > q("big_b"), "level shares follow the weights")
+    for ((s, c) <- caps) assert(q(s) <= c, s"quota over cap for $s")
+    // supply-exhausted edge: budget above total capacity → everyone
+    // contributes everything
+    val all = graft.sink.CorpusBuild
+      .waterFillQuotas(caps, alpha, 5000L).map(_._3).sum
+    assert(all === 2003L)
   }
 
   test("bin layout replays: greedy boundary-crossing pack per source") {

@@ -82,6 +82,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "", "", "", "", "4.0.0", "", "built-in"),
       (children: Seq[Expression]) => Simhash16Expr(children.head, distinct = false)))
     ext.injectFunction((
+      new FunctionIdentifier("simhash60_weighted"),
+      new ExpressionInfo(
+        classOf[Simhash16Expr].getName, null, "simhash60_weighted",
+        "_FUNC_(text) - 60-bit TF-weighted SimHash (full strHash token-" +
+          "hash width): the streaming ingest dedup key — birthday-safe " +
+          "to ~2^30 distinct docs per watermark window where the 16-bit " +
+          "form collides after a few hundred.",
+        "", "", "", "", "4.0.0", "", "built-in"),
+      (children: Seq[Expression]) =>
+        Simhash16Expr(children.head, distinct = false, bits = 60)))
+    ext.injectFunction((
       new FunctionIdentifier("pos_tokens"),
       new ExpressionInfo(
         classOf[graft.functions.PosTokensGen].getName, null, "pos_tokens",

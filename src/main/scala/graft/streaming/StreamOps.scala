@@ -71,14 +71,23 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("event_id")
 
   /** Streaming near-dup suppression: drop a document whose TF-weighted
-    * 16-bit SimHash was already seen within the watermark — the streaming
+    * 60-bit SimHash was already seen within the watermark — the streaming
     * form of content-signature dedup (exact dedup keys on the raw hash;
-    * this keys on a similarity signature, so lightly-edited re-posts are
-    * suppressed too). State = one row per distinct signature, bounded by
-    * the watermark. Input schema: (ts TIMESTAMP, doc_id LONG, text STRING). */
+    * this keys on a similarity signature, so exact and minimally-edited
+    * re-posts are suppressed too). Signature width (r14 ADVICE): at 16
+    * bits, DISTINCT documents birthday-collide after ~300 per watermark
+    * window and are silently dropped; at the full 60-bit strHash width
+    * the first expected false drop sits near 2^30 distinct docs per
+    * window. The trade: heavier edits now move the signature and pass
+    * through — by design, streamed ingest suppresses exact/near-exact
+    * re-posts between batch rebuilds, and the batch LSH + closure pass
+    * ([[graft.sink.CorpusBuild]] stage 1) remains the authoritative
+    * near-dup collapse. State = one row per distinct signature, bounded
+    * by the watermark. Input schema: (ts TIMESTAMP, doc_id LONG,
+    * text STRING). */
   def nearDupFilter(docs: DataFrame): DataFrame =
     docs
-      .withColumn("simhash", call_function("simhash16_weighted", col("text")))
+      .withColumn("simhash", call_function("simhash60_weighted", col("text")))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("simhash")
 
@@ -485,8 +494,14 @@ object StreamOps {
     * with a struct accumulator — same multiset, same maximum, and the
     * sort+fold is O(n log n) per row, charged to the row that carries
     * the tokens. Token semantics match q134 exactly (split on single
-    * space, empty tokens count). Input (ts, doc_id, text) → output
-    * per-row gates + keep. */
+    * space, empty tokens count).
+    *
+    * Output schema contract (changed in r14, called out per ADVICE):
+    * EVERY input column passes through unchanged — (ts, doc_id, text)
+    * plus whatever else the caller supplies (the composed ingest needs
+    * `source` downstream) — with the gate columns appended: n_toks,
+    * g_len, g_wordlen, g_stop, g_rep, keep. Memory-sink consumers
+    * asserting exact schemas must list their own input columns too. */
   def qualityGates(docs: DataFrame): DataFrame = {
     val topRun = "aggregate(array_sort(tk), " +
       "named_struct('p', CAST(NULL AS STRING), 'r', CAST(0 AS BIGINT), " +
@@ -529,7 +544,9 @@ object StreamOps {
     *      join on md5(text) against the static eval corpus — stateless,
     *      broadcast at eval-set size;
     *   3. near-dup suppression ([[nearDupFilter]]) — watermark-bounded
-    *      simhash state, so lightly-edited re-posts drop too.
+    *      60-bit simhash state, so exact and minimally-edited re-posts
+    *      drop too (heavier edits defer to the batch LSH closure; see
+    *      nearDupFilter's width rationale).
     * Stages 1–2 plus the signature are the stateless [[ingestHits]]
     * (pure expressions + a stream-static join, so the identical code
     * also runs in batch — the [[contaminationGuard]] split); only the
@@ -553,8 +570,11 @@ object StreamOps {
     kept.withColumn("__h", md5(col("text")))
       .join(broadcast(evalHashes), col("__h") === col("__eh"), "left_anti")
       .drop("__h")
+      // 60-bit signature (r14 ADVICE): see [[nearDupFilter]] for the
+      // width rationale — 16 bits false-drops distinct docs at birthday
+      // scale (~300/window); 60 bits is safe to ~2^30 per window
       .withColumn("simhash",
-        call_function("simhash16_weighted", col("text")))
+        call_function("simhash60_weighted", col("text")))
   }
 
   /** End-to-end incremental ingest: [[ingestGates]] landed through the

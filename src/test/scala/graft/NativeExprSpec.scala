@@ -113,6 +113,27 @@ class NativeExprSpec extends AnyFunSuite {
     assert(differs > 0)
   }
 
+  test("simhash60_weighted: low 16 sign bits coincide with simhash16_weighted") {
+    // both widths share the per-bit counters for positions 0..15 (same
+    // token hash, same vote rule), so the 16-bit signature must equal
+    // the 60-bit signature masked to its low 16 bits — the invariant
+    // that makes the widths interchangeable for banding/inspection
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("text")
+    val diffs = docs.select(
+      call_function("simhash16_weighted", col("text")).as("w16"),
+      call_function("simhash60_weighted", col("text"))
+        .bitwiseAND(lit(0xffffL)).as("w60lo"))
+      .filter(col("w16") =!= col("w60lo"))
+      .count()
+    assert(diffs == 0)
+    // and the high bits genuinely carry information (the 60-bit value
+    // exceeds 16 bits for real texts)
+    val wide = docs.select(
+      call_function("simhash60_weighted", col("text")).as("w"))
+      .filter(col("w") > 65535L).count()
+    assert(wide > 0)
+  }
+
   test("minhash_sig: a null element updates nothing, like the declarative fold") {
     import graft.ops.LlmKit
     // array_distinct(hashed_shingles(...)) never produces nulls, but the

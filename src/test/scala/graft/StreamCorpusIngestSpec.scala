@@ -44,8 +44,11 @@ class StreamCorpusIngestSpec extends AnyFunSuite {
   private lazy val leaks = evalDocs.limit(5)
     .select((col("doc_id") + 200000).as("doc_id"), col("text"),
       lit("srcX").as("source"))
-  // perturbed re-posts of chunk-0 docs: signature-equal to their
-  // originals, so the watermark dedup must suppress them cross-batch
+  // perturbed re-posts of chunk-0 docs: under the 60-bit ingest
+  // signature (r15) a fraction keep their original's signature and must
+  // be suppressed cross-batch; the rest moved the signature and are
+  // legitimately admitted (the batch LSH closure owns heavier edits) —
+  // the drop-class test below asserts exactly that split
   private lazy val reposts = docs.filter(col("doc_id") < 250)
     .select((col("doc_id") + 100000).as("doc_id"),
       LlmKit.dropFirstToken(col("text")).as("text"), col("source"))

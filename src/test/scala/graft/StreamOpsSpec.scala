@@ -291,12 +291,18 @@ class StreamOpsSpec extends AnyFunSuite {
     q.awaitTermination()
 
     val survivors = spark.table("t_neardup").count()
-    // survivor count == number of distinct signatures across the stream
-    // (which row wins inside one batch is arbitrary; the count is not)
+    // survivor count == number of distinct 60-bit signatures across the
+    // stream (which row wins inside one batch is arbitrary; the count is
+    // not). The filter keys on simhash60_weighted since r15 — see
+    // nearDupFilter's width rationale
     val distinctSigs = originals.unionByName(reposts)
-      .select(LlmKit.simhashWeighted(col("text"))).distinct().count()
+      .select(call_function("simhash60_weighted", col("text")))
+      .distinct().count()
     assert(survivors == distinctSigs)
-    // and the filter genuinely suppressed signature-equal re-posts
+    // and the filter genuinely suppressed signature-equal re-posts: a
+    // one-token deletion leaves all 60 sign counters uncrossed for a
+    // measurable fraction of docs (~8% at ~100 tokens), so on 500
+    // planted twins some collide with their originals
     assert(survivors < originals.count() + reposts.count())
   }
 

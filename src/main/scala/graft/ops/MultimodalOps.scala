@@ -35,18 +35,30 @@ object MultimodalOps {
     *  - BMP → BITMAPINFOHEADER (biWidth, |biHeight|) — little-endian at
     *    18/22 (negative height = top-down row order, dims unchanged);
     *  - WAV (PCM) → (sample_rate, n_channels) in the same two slots —
-    *    little-endian at 24/22 of the canonical RIFF/WAVE/fmt layout.
+    *    little-endian at 24/22 of the canonical RIFF/WAVE/fmt layout;
+    *  - JPEG → a bounded SOF marker walk (r15): skip fill bytes and
+    *    standalone markers, hop segments by their big-endian lengths,
+    *    stop at the first frame header (SOF0…SOF15 minus DHT/JPG/DAC)
+    *    and read (height, width) big-endian at +5/+7 — dimensions never
+    *    need entropy decode;
+    *  - GIF → logical screen descriptor: (width, height) little-endian
+    *    at 6/8 after the GIF87a/GIF89a magic.
     *
-    * Each sniff requires structural ZERO bytes (PNG's control-byte magic,
-    * BMP's 40-byte header-size field, WAV's fmt-size 16 field), so a
-    * NUL-free text payload can never false-positive into a parser — the
-    * synthesized corpora keep hitting the STUB fallback below, which is
+    * No-false-positive discipline: the PNG/BMP/WAV sniffs require
+    * structural ZERO bytes and JPEG requires 0xFF bytes — neither occurs
+    * in NUL-free utf-8 text, so a text payload can never wander into
+    * those parsers. GIF's 6-byte magic is printable ASCII; it is matched
+    * exactly, so only a text that literally starts "GIF87a"/"GIF89a"
+    * could reach the GIF branch (~2⁻⁴⁸ for arbitrary text, absent from
+    * the corpora — MultimodalSpec pins fixtures for both real and text
+    * payloads). Everything else falls back to the deterministic STUB,
     * the same formula q37's declarative twin computes; the two layers
     * stay in exact agreement (MultimodalSpec). Pixel/sample DECODE (the
     * part that needs a codec library) remains out of scope here; a real
     * decoder replaces the fallback, not the plumbing. */
   def decodeDims(payload: Array[Byte]): (Int, Int) = {
     def u8(i: Int): Int = payload(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
     def be32(i: Int): Int =
       (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
     def le32(i: Int): Int =
@@ -61,10 +73,86 @@ object MultimodalOps {
     val isBmp = payload.length >= 26 && ascii(0, "BM") && le32(14) == 40
     val isWav = payload.length >= 28 && ascii(0, "RIFF") &&
       ascii(8, "WAVE") && ascii(12, "fmt ") && le32(16) == 16
+    val isJpeg = payload.length >= 4 &&
+      u8(0) == 0xff && u8(1) == 0xd8 && u8(2) == 0xff
+    val isGif = payload.length >= 13 && ascii(0, "GIF8") &&
+      (u8(4) == '7'.toInt || u8(4) == '9'.toInt) && u8(5) == 'a'.toInt
+    // SOF walk: returns (w, h) or falls through to the stub on any
+    // malformed structure (truncated segment, EOI/SOS before a frame
+    // header) — bounded by the payload length, never throws
+    def jpegDims(): Option[(Int, Int)] = {
+      var i = 2
+      while (i + 3 < payload.length && u8(i) == 0xff) {
+        val m = u8(i + 1)
+        if (m == 0xff) i += 1 // fill byte
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) i += 2 // standalone
+        else if (m == 0xd9 || m == 0xda) return None // EOI/SOS: no SOF seen
+        else {
+          val len = be16(i + 2)
+          if (len < 2) return None
+          val isSof = m >= 0xc0 && m <= 0xcf &&
+            m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (isSof) {
+            if (i + 8 >= payload.length) return None
+            return Some((be16(i + 7), be16(i + 5))) // (width, height)
+          }
+          i += 2 + len
+        }
+      }
+      None
+    }
     if (isPng) (be32(16), be32(20))
     else if (isBmp) (le32(18), math.abs(le32(22)))
     else if (isWav) (le32(24), le16(22))
-    else (64 + (payload.length % 256), 64 + ((payload.length * 7) % 256))
+    else if (isGif) (le16(6), le16(8))
+    else (if (isJpeg) jpegDims() else None).getOrElse(
+      (64 + (payload.length % 256), 64 + ((payload.length * 7) % 256)))
+  }
+
+  /** Minimal VALID container headers for the three image formats the
+    * decode layer parses — fixture builders shared by MultimodalSpec and
+    * q300's synthesize-then-parse oracle round-trip (the payload body
+    * rides after the header; dims must fit the container's field widths:
+    * 16-bit for GIF/JPEG, 31-bit for PNG). */
+  def mkPng(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(33 + body.length)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    b.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    b.putInt(13); b.put("IHDR".getBytes("US-ASCII"))
+    b.putInt(w); b.putInt(h); b.put(Array[Byte](8, 6, 0, 0, 0))
+    b.put(body)
+    b.array()
+  }
+
+  def mkGif(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(13 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("GIF89a".getBytes("US-ASCII"))
+    b.putShort(w.toShort); b.putShort(h.toShort)
+    b.put(Array[Byte](0, 0, 0)) // packed flags, bg color, aspect
+    b.put(body)
+    b.array()
+  }
+
+  /** SOI + APP0(JFIF) + DHT stub + SOF0 — the DHT segment before the
+    * frame header exercises the walk's skip-by-length hop. */
+  def mkJpeg(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(2 + 18 + 6 + 19 + body.length)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    b.put(Array(0xff, 0xd8).map(_.toByte)) // SOI
+    b.put(Array(0xff, 0xe0).map(_.toByte)) // APP0
+    b.putShort(16); b.put("JFIF".getBytes("US-ASCII")); b.put(0.toByte)
+    b.put(Array[Byte](1, 2, 0, 0, 1, 0, 1, 0, 0))
+    b.put(Array(0xff, 0xc4).map(_.toByte)) // DHT (skipped by the walk)
+    b.putShort(4); b.putShort(0)
+    b.put(Array(0xff, 0xc0).map(_.toByte)) // SOF0
+    b.putShort(17); b.put(8.toByte)
+    b.putShort(h.toShort); b.putShort(w.toShort)
+    b.put(3.toByte)
+    b.put(Array[Byte](1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+    b.put(body)
+    b.array()
   }
 
   /** Typed decode pipeline: batch-iterates each partition once (the shape
@@ -311,5 +399,59 @@ object MultimodalOps {
              |  CAST(SUM(ow * oh) AS DOUBLE) / CAST(SUM(w * h) AS DOUBLE)
              |    AS area_ratio
              |FROM r GROUP BY modality""".stripMargin)),
+
+    // ----- q300: container-dimension decode, certified end-to-end ---------
+    // The header-parse layer (PNG IHDR, GIF logical screen descriptor,
+    // JPEG SOF marker walk — r15) under the oracle hash gate via a
+    // synthesize-then-parse round-trip: each document's doc_id derives
+    // target dims, a REAL container header with those dims wraps the
+    // text bytes (PNG / GIF / JPEG / raw, round-robin by id), and the
+    // Spark side recovers the dims by PARSING THE BYTES in the typed
+    // decode layer (decodeDims — the same code path a production corpus
+    // scan runs). The oracle knows only the generative formula, so a
+    // wrong endianness, a mis-hopped JPEG segment, or an off-by-one
+    // offset flips the hash. Typed mapPartitions, partition-local, one
+    // corpus scan — the byte-level work rides the scan like extractMeta.
+    NamedQuery(
+      "q300_container_dims",
+      (s, d) => {
+        import s.implicits._
+        tbl(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val body = text.getBytes("UTF-8")
+            val w = (64 + (id * 13) % 1000).toInt
+            val h = (64 + (id * 29) % 1000).toInt
+            val payload = (id % 4) match {
+              case 0 => mkPng(w, h, body)
+              case 1 => mkGif(w, h, body)
+              case 2 => mkJpeg(w, h, body)
+              case _ => body
+            }
+            val container = (id % 4) match {
+              case 0 => "png"
+              case 1 => "gif"
+              case 2 => "jpeg"
+              case _ => "raw"
+            }
+            val (dw, dh) = decodeDims(payload)
+            (id, container, dw.toLong, dh.toLong, payload.length.toLong)
+          })
+          .toDF("doc_id", "container", "width", "height", "n_bytes")
+      },
+      Some("""SELECT doc_id,
+             |  (['png', 'gif', 'jpeg', 'raw'])[doc_id % 4 + 1]
+             |    AS container,
+             |  CASE WHEN doc_id % 4 = 3
+             |    THEN 64 + octet_length(encode(text)) % 256
+             |    ELSE 64 + (doc_id * 13) % 1000 END AS width,
+             |  CASE WHEN doc_id % 4 = 3
+             |    THEN 64 + (octet_length(encode(text)) * 7) % 256
+             |    ELSE 64 + (doc_id * 29) % 1000 END AS height,
+             |  CAST(octet_length(encode(text)) + CASE doc_id % 4
+             |    WHEN 0 THEN 33 WHEN 1 THEN 13 WHEN 2 THEN 45
+             |    ELSE 0 END AS BIGINT) AS n_bytes
+             |FROM documents""".stripMargin)),
   )
 }

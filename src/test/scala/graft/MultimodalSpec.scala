@@ -62,6 +62,20 @@ class MultimodalSpec extends AnyFunSuite {
     // negative biHeight = top-down row order; dimensions are unchanged
     assert(MultimodalOps.decodeDims(bmp(32, -32)) == ((32, 32)))
     assert(MultimodalOps.decodeDims(wav(44100, 2)) == ((44100, 2)))
+    // r15 containers: JPEG SOF walk (the fixture carries APP0 + DHT
+    // segments BEFORE the frame header, so the length hops are real)
+    // and the GIF logical screen descriptor
+    val jbody = "jpeg body bytes".getBytes("UTF-8")
+    assert(MultimodalOps.decodeDims(
+      MultimodalOps.mkJpeg(800, 600, jbody)) == ((800, 600)))
+    assert(MultimodalOps.decodeDims(
+      MultimodalOps.mkGif(320, 200, jbody)) == ((320, 200)))
+    // a text payload that merely CONTAINS the magic deeper in never
+    // routes into a parser
+    val trap = ("some text then GIF89a later and ÿØ too")
+      .getBytes("ISO-8859-1")
+    assert(MultimodalOps.decodeDims(trap) ==
+      ((64 + trap.length % 256, 64 + (trap.length * 7) % 256)))
     val junk = "just some text bytes".getBytes("UTF-8")
     assert(MultimodalOps.decodeDims(junk) ==
       ((64 + junk.length % 256, 64 + (junk.length * 7) % 256)))
@@ -72,7 +86,11 @@ class MultimodalSpec extends AnyFunSuite {
       MultimodalOps.MediaRecord(1L, "image", png(640, 480)),
       MultimodalOps.MediaRecord(2L, "image", bmp(1024, 768)),
       MultimodalOps.MediaRecord(3L, "audio", wav(44100, 2)),
-      MultimodalOps.MediaRecord(4L, "image", junk)).toDS()
+      MultimodalOps.MediaRecord(4L, "image", junk),
+      MultimodalOps.MediaRecord(5L, "image",
+        MultimodalOps.mkJpeg(1920, 1080, jbody)),
+      MultimodalOps.MediaRecord(6L, "image",
+        MultimodalOps.mkGif(256, 144, jbody))).toDS()
     val metas = MultimodalOps.extractMeta(media).collect()
       .map(m => m.doc_id -> ((m.width, m.height))).toMap
     assert(metas(1L) == ((640, 480)))
@@ -80,6 +98,8 @@ class MultimodalSpec extends AnyFunSuite {
     assert(metas(3L) == ((44100, 2)))
     assert(metas(4L) ==
       ((64 + junk.length % 256, 64 + (junk.length * 7) % 256)))
+    assert(metas(5L) == ((1920, 1080)))
+    assert(metas(6L) == ((256, 144)))
   }
 
   test("decodeDims never throws on malformed headers: fuzz + truncation") {
@@ -117,7 +137,12 @@ class MultimodalSpec extends AnyFunSuite {
     val fixtures = Seq(
       ("png", png(640, 480), 24),   // min bytes each sniff needs before
       ("bmp", bmp(1024, 768), 26),  // it may claim the payload
-      ("wav", wav(44100, 2), 28))
+      ("wav", wav(44100, 2), 28),
+      // r15: JPEG may sniff from 4 bytes but a truncated walk falls
+      // back to the stub (asserted by the no-throw loop below, not the
+      // below-minimum check); GIF needs the full 13-byte descriptor
+      ("jpeg", MultimodalOps.mkJpeg(800, 600, Array.emptyByteArray), 4),
+      ("gif", MultimodalOps.mkGif(320, 200, Array.emptyByteArray), 13))
 
     // every truncated prefix (valid magic, short payload included) must
     // decode without throwing; below the sniff minimum it MUST be the

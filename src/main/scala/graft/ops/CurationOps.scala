@@ -43,6 +43,75 @@ object CurationOps {
   private val ChunkSize = 32
   private val ChunkStride = 24 // 8-token overlap
 
+  /** Shared oracle fragment: decisions -> kept pool -> kept-only DoReMi
+    * Hedge rounds ending in `a8` (per-source alpha) plus the `kd`
+    * kept-document table — replayed by BOTH the q299 build certification
+    * and the q301 mixture monitor, so the two oracles can never disagree
+    * about the target mixture. */
+  private lazy val keptDoremiCteSql: String = {
+        val iters = (1 to 8).map { t =>
+          s"""r$t AS (
+             |  SELECT a.src, a.a * m.m AS ar
+             |  FROM a${t - 1} a JOIN mult m ON m.src = a.src),
+             |z$t AS (SELECT ${dsumSql("ar")} AS z,
+             |          CAST(COUNT(*) AS BIGINT) AS kk FROM r$t),
+             |a$t AS MATERIALIZED (
+             |  SELECT src, 0.99 * (ar / z) + 0.01 / CAST(kk AS DOUBLE)
+             |    AS a
+             |  FROM r$t, z$t)""".stripMargin
+        }.mkString(",\n")
+    s"""dec AS MATERIALIZED (
+           |  SELECT doc_id, decision
+           |  FROM (${GovernanceOps.curationDecisionTableSql})),
+           |keep AS (SELECT doc_id FROM dec
+           |         WHERE decision = 'keep' AND doc_id < 100000),
+           |kd AS MATERIALIZED (
+           |  SELECT d.doc_id, d.source, d.text
+           |  FROM documents d JOIN keep USING (doc_id)),
+           |dbg AS MATERIALIZED (
+           |  SELECT doc_id, source, bg, CAST(COUNT(*) AS BIGINT) AS k
+           |  FROM (
+           |    SELECT doc_id, source,
+           |      unnest([w[i] || chr(1) || w[i+1]
+           |              for i in range(1, len(w))]) AS bg
+           |    FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+           |          FROM documents)
+           |    WHERE len(w) >= 2)
+           |  GROUP BY doc_id, source, bg),
+           |c AS (SELECT bg, CAST(SUM(k) AS BIGINT) AS c12,
+           |        string_split(bg, chr(1))[1] AS w1
+           |      FROM dbg GROUP BY bg),
+           |p AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+           |      FROM c GROUP BY w1),
+           |v AS (SELECT string_split(bg, chr(1))[2] AS w2,
+           |        CAST(SUM(c12) AS BIGINT) AS cu
+           |      FROM c GROUP BY 1),
+           |nt AS (SELECT CAST(SUM(cu) AS BIGINT) AS nu FROM v),
+           |perdoc AS (
+           |  SELECT b.doc_id, b.source,
+           |    ${dsumSql("CAST(b.k AS DOUBLE) * (CAST(c.c12 AS DOUBLE)" +
+          " / CAST(p.c1 AS DOUBLE))")}
+           |      / CAST(SUM(b.k) AS DOUBLE) AS ref_prob,
+           |    CAST(SUM(b.k * v.cu) AS DOUBLE)
+           |      / (CAST(SUM(b.k) AS DOUBLE) * CAST(MAX(nt.nu) AS DOUBLE))
+           |      AS proxy_prob
+           |  FROM dbg b JOIN keep USING (doc_id)
+           |  JOIN c USING (bg) JOIN p USING (w1)
+           |  JOIN v ON v.w2 = string_split(b.bg, chr(1))[2]
+           |  CROSS JOIN nt
+           |  GROUP BY b.doc_id, b.source),
+           |lam AS MATERIALIZED (
+           |  SELECT source,
+           |    ${dsumSql("GREATEST(ref_prob / proxy_prob - 1.0, 0.0)")}
+           |      / CAST(COUNT(*) AS DOUBLE) AS excess_loss
+           |  FROM perdoc GROUP BY source),
+           |mult AS MATERIALIZED (
+           |  SELECT source AS src, 1.0 + excess_loss AS m
+           |  FROM lam),
+           |a0 AS (SELECT src, CAST(1.0 AS DOUBLE) AS a FROM mult),
+           |$iters""".stripMargin
+  }
+
   def all: Seq[NamedQuery] = Seq(
 
     // ----- q42: TF-weighted SimHash ---------------------------------------
@@ -2270,68 +2339,8 @@ object CurationOps {
         }))
         graft.sink.CorpusBuild.run(s, d, tmp.toString + "/corpus")
       },
-      Some {
-        val iters = (1 to 8).map { t =>
-          s"""r$t AS (
-             |  SELECT a.src, a.a * m.m AS ar
-             |  FROM a${t - 1} a JOIN mult m ON m.src = a.src),
-             |z$t AS (SELECT ${dsumSql("ar")} AS z,
-             |          CAST(COUNT(*) AS BIGINT) AS kk FROM r$t),
-             |a$t AS MATERIALIZED (
-             |  SELECT src, 0.99 * (ar / z) + 0.01 / CAST(kk AS DOUBLE)
-             |    AS a
-             |  FROM r$t, z$t)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH dec AS MATERIALIZED (
-           |  SELECT doc_id, decision
-           |  FROM (${GovernanceOps.curationDecisionTableSql})),
-           |keep AS (SELECT doc_id FROM dec
-           |         WHERE decision = 'keep' AND doc_id < 100000),
-           |kd AS MATERIALIZED (
-           |  SELECT d.doc_id, d.source, d.text
-           |  FROM documents d JOIN keep USING (doc_id)),
-           |dbg AS MATERIALIZED (
-           |  SELECT doc_id, source, bg, CAST(COUNT(*) AS BIGINT) AS k
-           |  FROM (
-           |    SELECT doc_id, source,
-           |      unnest([w[i] || chr(1) || w[i+1]
-           |              for i in range(1, len(w))]) AS bg
-           |    FROM (SELECT doc_id, source, string_split(text, ' ') AS w
-           |          FROM documents)
-           |    WHERE len(w) >= 2)
-           |  GROUP BY doc_id, source, bg),
-           |c AS (SELECT bg, CAST(SUM(k) AS BIGINT) AS c12,
-           |        string_split(bg, chr(1))[1] AS w1
-           |      FROM dbg GROUP BY bg),
-           |p AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
-           |      FROM c GROUP BY w1),
-           |v AS (SELECT string_split(bg, chr(1))[2] AS w2,
-           |        CAST(SUM(c12) AS BIGINT) AS cu
-           |      FROM c GROUP BY 1),
-           |nt AS (SELECT CAST(SUM(cu) AS BIGINT) AS nu FROM v),
-           |perdoc AS (
-           |  SELECT b.doc_id, b.source,
-           |    ${dsumSql("CAST(b.k AS DOUBLE) * (CAST(c.c12 AS DOUBLE)" +
-          " / CAST(p.c1 AS DOUBLE))")}
-           |      / CAST(SUM(b.k) AS DOUBLE) AS ref_prob,
-           |    CAST(SUM(b.k * v.cu) AS DOUBLE)
-           |      / (CAST(SUM(b.k) AS DOUBLE) * CAST(MAX(nt.nu) AS DOUBLE))
-           |      AS proxy_prob
-           |  FROM dbg b JOIN keep USING (doc_id)
-           |  JOIN c USING (bg) JOIN p USING (w1)
-           |  JOIN v ON v.w2 = string_split(b.bg, chr(1))[2]
-           |  CROSS JOIN nt
-           |  GROUP BY b.doc_id, b.source),
-           |lam AS MATERIALIZED (
-           |  SELECT source,
-           |    ${dsumSql("GREATEST(ref_prob / proxy_prob - 1.0, 0.0)")}
-           |      / CAST(COUNT(*) AS DOUBLE) AS excess_loss
-           |  FROM perdoc GROUP BY source),
-           |mult AS MATERIALIZED (
-           |  SELECT source AS src, 1.0 + excess_loss AS m
-           |  FROM lam),
-           |a0 AS (SELECT src, CAST(1.0 AS DOUBLE) AS a FROM mult),
-           |$iters,
+      Some(
+        s"""WITH $keptDoremiCteSql,
            |tkt AS (SELECT CAST(COUNT(*) // 2 AS BIGINT) AS t FROM kd),
            |caps AS (SELECT source AS src, CAST(COUNT(*) AS BIGINT) AS cap
            |         FROM kd GROUP BY source),
@@ -2417,7 +2426,64 @@ object CurationOps {
            |SELECT c.source, ns.n_docs, nk2.n_kept, q.a AS alpha, q.quota,
            |  c.n_selected, c.n_bins, c.n_tokens, c.checksum
            |FROM cert c JOIN ns USING (source) JOIN nk2 USING (source)
-           |JOIN quota q ON q.src = c.source""".stripMargin
-      }),
+           |JOIN quota q ON q.src = c.source""".stripMargin)),
+
+    // ----- q301: streaming mixture monitor (batch twin) --------------------
+    // The live counterpart of the q298/q299 mixture design (r15): per
+    // event-time hour, the achieved per-source share of the ingest
+    // stream vs the kept-pool DoReMi target weights, with a per-source
+    // chi-square term and a drift alarm (share outside [w/2, 2w]) — the
+    // q99 drift shape pointed at mixture composition. The registered
+    // query runs graft.streaming.StreamOps.mixtureMonitor — the
+    // STREAMING operator (one watermarked window aggregation with K
+    // conditional counts + a stateless explode) — in batch mode over a
+    // synthetic event-time that spreads doc_ids across 8 hours;
+    // StreamOpsSpec separately proves stream == batch row-for-row. The
+    // oracle derives the SAME target weights through the shared
+    // kept-DoReMi CTE chain (q299's oracle fragment — the two can never
+    // disagree about the target mixture) and recomputes shares from a
+    // plain GROUP BY, windows × sources grid LEFT JOIN so zero-count
+    // (window, source) cells match the monitor's conditional zeros.
+    NamedQuery(
+      "q301_mixture_monitor",
+      (s, d) => {
+        val targets = graft.sink.CorpusBuild.doremiTargets(s, d)
+        val withTs = tbl(s, d, "documents").select(
+          timestamp_seconds(lit(1700000000L) +
+            pmod(col("doc_id") * 977, lit(28800L))).as("ts"),
+          col("doc_id"), col("source"))
+        graft.streaming.StreamOps.mixtureMonitor(withTs, targets)
+      },
+      Some(
+        s"""WITH $keptDoremiCteSql,
+           |ev AS (SELECT (1700000000 + (doc_id * 977) % 28800) AS tsec,
+           |         source
+           |       FROM documents),
+           |evw AS (SELECT (tsec - tsec % 3600) AS wsec, source FROM ev),
+           |wtot AS (SELECT wsec, CAST(COUNT(*) AS BIGINT) AS n_total
+           |         FROM evw GROUP BY wsec),
+           |wcnt AS (SELECT wsec, source, CAST(COUNT(*) AS BIGINT) AS n
+           |         FROM evw GROUP BY wsec, source),
+           |grid AS (SELECT t.wsec, a.src, a.a, t.n_total
+           |         FROM wtot t CROSS JOIN a8 a),
+           |j AS (
+           |  SELECT g.wsec, g.src AS source,
+           |    COALESCE(c.n, CAST(0 AS BIGINT)) AS n_docs,
+           |    g.n_total, g.a AS weight
+           |  FROM grid g LEFT JOIN wcnt c
+           |    ON c.wsec = g.wsec AND c.source = g.src)
+           |SELECT strftime(make_timestamp(wsec * 1000000), '$TsFmtDuck')
+           |    AS window_start,
+           |  source, n_docs, n_total, weight,
+           |  CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+           |  weight * CAST(n_total AS DOUBLE) AS expected,
+           |  (CAST(n_docs AS DOUBLE) - weight * CAST(n_total AS DOUBLE))
+           |    * (CAST(n_docs AS DOUBLE) - weight * CAST(n_total AS DOUBLE))
+           |    / (weight * CAST(n_total AS DOUBLE)) AS chi2_term,
+           |  (CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) * 2.0
+           |     < weight
+           |   OR CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)
+           |     > weight * 2.0) AS drifted
+           |FROM j""".stripMargin)),
   )
 }

@@ -130,29 +130,20 @@ object CorpusBuild {
     (clipped ++ bumped).sortBy(_._1)
   }
 
-  def run(spark: SparkSession, dir: String, out: String): DataFrame = {
-    import spark.implicits._
-
-    // ---- stage 1: per-doc curation decisions (shared disk artifact) ----
+  /** Stages 1–2 of [[run]] as a standalone: the kept-pool DoReMi target
+    * weights the build samples by — also the reference mixture the
+    * streaming monitor (q301 / [[graft.streaming.StreamOps
+    * .mixtureMonitor]]) compares live ingest shares against. Returns
+    * (source, alpha) sorted by source; the 8 Hedge rounds iterate K
+    * driver scalars, bit-identical to q298's fold and to the oracle's
+    * unrolled MATERIALIZED rounds — (1+λ) polynomial weights, dsum-grid
+    * normalizer, 0.99/0.01 smoothing. */
+  def doremiTargets(spark: SparkSession, dir: String):
+      Seq[(String, Double)] = {
     val dec = GovernanceOps.curationDecisions(spark, dir)
-    // the decision table covers the doubled near-dup corpus; originals
-    // (the publishable pool) are the sub-100000 ids — q100's convention
-    val originals = dec.filter(col("doc_id") < 100000)
-    val keptIds = originals.filter(col("decision") === "keep")
+    val keptIds = dec.filter(col("doc_id") < 100000)
+      .filter(col("decision") === "keep")
       .select(col("doc_id"))
-    // per-source totals and kept counts from the decision artifact, NOT
-    // from documents — no corpus scan, and the funnel numbers certified
-    // here can never disagree with the decisions they summarize
-    val perSrcRows = OpsKit.audited(originals.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("decision") === "keep", 1L).otherwise(0L))
-          .as("n_kept")))
-      .collect()
-      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
-        r.getAs[Long]("n_kept")))
-      .sortBy(_._1)
-
-    // ---- stage 2: DoReMi weights on the kept pool (q298's LM chain) ----
     val dbg = TextOps.docBigrams(spark, dir)
     val cnt = dbg.groupBy(col("bg")).agg(sum(col("k")).as("c12"))
       .withColumn("w1", substring_index(col("bg"), "\u0001", 1))
@@ -205,6 +196,33 @@ object CorpusBuild {
         src -> (0.99 * (v / z) + 0.01 / kDom.toDouble)
       }.toMap
     }
+    lamRows.map { case (src, _) => src -> aMap(src) }
+  }
+
+  def run(spark: SparkSession, dir: String, out: String): DataFrame = {
+    import spark.implicits._
+
+    // ---- stage 1: per-doc curation decisions (shared disk artifact) ----
+    val dec = GovernanceOps.curationDecisions(spark, dir)
+    // the decision table covers the doubled near-dup corpus; originals
+    // (the publishable pool) are the sub-100000 ids — q100's convention
+    val originals = dec.filter(col("doc_id") < 100000)
+    // per-source totals and kept counts from the decision artifact, NOT
+    // from documents — no corpus scan, and the funnel numbers certified
+    // here can never disagree with the decisions they summarize
+    val perSrcRows = OpsKit.audited(originals.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("decision") === "keep", 1L).otherwise(0L))
+          .as("n_kept")))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_kept")))
+      .sortBy(_._1)
+
+    // ---- stage 2: DoReMi weights on the kept pool (q298's LM chain,
+    // factored as doremiTargets — shared with the q301 mixture monitor)
+    val targets = doremiTargets(spark, dir)
+    val aMap = targets.toMap
 
     // ---- stage 3: water-filled apportionment of T = n_kept div 2 ------
     // K scalars on the driver; every floor/remainder/level expression is
@@ -215,7 +233,7 @@ object CorpusBuild {
     // weight — they cannot receive quota)
     val keptBySrc = perSrcRows.map { case (src, _, k) => src -> k }.toMap
     val quotas = waterFillQuotas(
-      lamRows.map { case (src, _) => src -> keptBySrc(src) }, aMap, budget)
+      targets.map { case (src, _) => src -> keptBySrc(src) }, aMap, budget)
 
     // ---- stage 4: selection + packing + publish — ONE corpus scan -----
     // The selection rank and packing cumsum are built with the q109

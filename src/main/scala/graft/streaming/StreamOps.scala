@@ -603,6 +603,56 @@ object StreamOps {
         (col("n_pass").cast("double") / col("n_docs").cast("double"))
           .as("pass_rate"))
 
+  /** Streaming mixture monitor — the live twin of the q298/q299 mixture
+    * design: per event-time hour, the ACHIEVED per-source share of the
+    * ingest stream against the TARGET mixture weights (the kept-pool
+    * DoReMi alphas from [[graft.sink.CorpusBuild.doremiTargets]], or any
+    * (source, weight) list), with a per-source chi-square term and a
+    * drift alarm — the dashboard that catches a crawler flooding one
+    * domain before the next batch rebuild would.
+    *
+    * Streaming shape: targets are STATIC (K driver scalars), so the
+    * per-source counts are K conditional aggregates inside ONE
+    * watermarked window aggregation — one stateful operator, legal in
+    * append mode — and the per-source rows re-emerge from a stateless
+    * explode over the K-literal array. n_total rides each row, so
+    * share/expected/chi2 are pure post-agg expressions; identical code
+    * runs in batch (q301's oracle twin; StreamOpsSpec pins
+    * stream == batch). The alarm is per (window, source): achieved
+    * share outside [weight/2, 2·weight]. Input schema:
+    * (ts TIMESTAMP, …, source STRING). */
+  def mixtureMonitor(docs: DataFrame,
+      targets: Seq[(String, Double)]): DataFrame = {
+    require(targets.nonEmpty, "mixture targets must be non-empty")
+    val countCols = targets.zipWithIndex.map { case ((src, _), i) =>
+      sum(when(col("source") === src, 1L).otherwise(0L)).as(s"__n$i")
+    }
+    val byWin = docs
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_total"), countCols: _*)
+    val perSrc = explode(array(targets.zipWithIndex.map {
+      case ((src, w), i) =>
+        struct(lit(src).as("source"), lit(w).as("weight"),
+          col(s"__n$i").as("n_docs"))
+    }: _*)).as("z")
+    val nD = col("n_docs").cast("double")
+    val totD = col("n_total").cast("double")
+    byWin
+      .select(date_format(col("window.start"), TsFmt).as("window_start"),
+        col("n_total"), perSrc)
+      .select(col("window_start"), col("z.source").as("source"),
+        col("z.n_docs").as("n_docs"), col("n_total"),
+        col("z.weight").as("weight"))
+      .withColumn("share", nD / totD)
+      .withColumn("expected", col("weight") * totD)
+      .withColumn("chi2_term",
+        (nD - col("expected")) * (nD - col("expected")) / col("expected"))
+      .withColumn("drifted",
+        col("share") * lit(2.0) < col("weight") ||
+          col("share") > col("weight") * lit(2.0))
+  }
+
   /** Streaming JDBC ingestion: each microbatch appends through the batch
     * sink path (same batchsize-50000 writer as [[graft.sink.JdbcSink]]),
     * giving the reference's one-shot import a continuous form. Exactly-once

@@ -656,6 +656,69 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got == q150)
   }
 
+  test("streaming mixture monitor equals the registered batch twin q301") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def withTs(df: DataFrame) = df.select(
+      timestamp_seconds(lit(1700000000L) +
+        pmod(col("doc_id") * 977, lit(28800L))).as("ts"),
+      col("doc_id"), col("source"))
+    val targets = graft.sink.CorpusBuild.doremiTargets(spark, sfDir)
+
+    val dir = Files.createTempDirectory("graft-mix-stream").toString
+    def write(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft-chunk").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.asInstanceOf[Path])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, Paths.get(dir, name))
+      Files.setLastModifiedTime(Paths.get(dir, name), FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 600000
+    write(withTs(docs.filter(col("doc_id") < 250)), "c0.parquet", t0)
+    write(withTs(docs.filter(col("doc_id") >= 250)), "c1.parquet", t0 + 60000)
+    // far-future sentinel pushes the watermark past every real window so
+    // append mode finalizes them; its own window never emits and its
+    // source ('zzz') is outside the target list by construction
+    val sentinel = spark.range(1).select(
+      timestamp_seconds(lit(1700000000L + 30L * 24 * 3600)).as("ts"),
+      lit(-1L).as("doc_id"), lit("zzz").as("source"))
+    write(sentinel, "c2.parquet", t0 + 120000)
+
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, doc_id LONG, source STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = StreamOps.mixtureMonitor(stream, targets)
+      .writeStream.format("memory").queryName("t_mix")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-mix").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = asSet(spark.table("t_mix"))
+    val want = asSet(StreamOps.mixtureMonitor(withTs(docs), targets))
+    assert(want.nonEmpty)
+    assert(got == want)
+    val q301 = asSet(SparkEntry.queries("q301_mixture_monitor")(
+      spark, sfDir))
+    assert(got == q301)
+    // the drift alarm is the band test and nothing else: a row alarms
+    // exactly when its share leaves [w/2, 2w] (sparse per-window cells
+    // in the tiny test corpus legitimately alarm — ~2.8 docs per
+    // (window, source) cell — so the CONSISTENCY is the invariant, not
+    // an alarm count)
+    val rows = spark.table("t_mix")
+      .select(col("share"), col("weight"), col("drifted")).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (sh, w, dr) = (r.getDouble(0), r.getDouble(1), r.getBoolean(2))
+      assert(dr == (sh * 2.0 < w || sh > w * 2.0))
+    }
+  }
+
   test("streaming k-means assignment equals the registered batch twin q117") {
     val sfDir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")

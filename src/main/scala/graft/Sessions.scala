@@ -23,4 +23,14 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Derby-backed tests and the JDBC sink share the driver JVM.
       .config("spark.sql.adaptive.enabled", "true")
+      // Bounded single-partition windows are written as
+      // partitionBy(lit(0)) (OpsKit.boundedWin) so WindowExec's "No
+      // Partition Defined" warning stays a real signal for UNINTENDED
+      // global windows; EliminateWindowPartitions would fold the
+      // constant away and resurrect the warning (and the empty spec) on
+      // every sanctioned site, so it is excluded. The rule only ever
+      // fires on foldable partition keys — which this codebase produces
+      // solely through boundedWin, by design.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions")
 }

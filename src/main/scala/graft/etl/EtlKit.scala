@@ -83,7 +83,7 @@ object EtlKit {
     * review). The guard rides the same single-partition pass the mint
     * already makes, so it costs one global count, not an extra action. */
   def withDenseId(df: DataFrame, idCol: String, cap: Long, order: Column*): DataFrame = {
-    val wAll = Window.partitionBy()
+    val wAll = graft.ops.OpsKit.boundedWin
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val guard = when(
       count(lit(1)).over(wAll) > cap,
@@ -91,7 +91,7 @@ object EtlKit {
         "is for post-aggregation dimension values, not facts")).cast("long"))
       .otherwise(0L)
     df.withColumn(idCol,
-      (row_number().over(Window.orderBy(order: _*)) - 1).cast("long") + guard)
+      (row_number().over(graft.ops.OpsKit.boundedWin.orderBy(order: _*)) - 1).cast("long") + guard)
   }
 
   /** P-2 observability: how many rows the id filter would drop — the

@@ -562,7 +562,7 @@ object AnalyticsOps {
         val run = dist
           .withColumn("r1", sum(col("c1")).over(wRun))
           .withColumn("r2", sum(col("c2")).over(wRun))
-        val wOff = Window.orderBy(col("b"))
+        val wOff = boundedWin.orderBy(col("b"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val off = dist.groupBy(col("b"))
           .agg(sum(col("c1")).as("t1"), sum(col("c2")).as("t2"))
@@ -664,7 +664,7 @@ object AnalyticsOps {
         val n = dist.agg(sum(col("d") + col("c")).as("n_total"))
         val wRun = Window.partitionBy(col("b")).orderBy(col("dur"))
           .rowsBetween(Window.unboundedPreceding, -1)
-        val wOffCnt = Window.orderBy(col("b"))
+        val wOffCnt = boundedWin.orderBy(col("b"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val off = dist.groupBy(col("b"))
           .agg(sum(col("d") + col("c")).as("tb"))
@@ -687,7 +687,7 @@ object AnalyticsOps {
           .agg(expr("aggregate(transform(array_sort(" +
             "collect_list(struct(dur, f))), s -> s.f), 1.0D, " +
             "(a, x) -> a * x)").as("pb"))
-        val wOffP = Window.orderBy(col("b"))
+        val wOffP = boundedWin.orderBy(col("b"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val offp = bp
           .withColumn("lp", collect_list(col("pb")).over(wOffP))
@@ -699,7 +699,7 @@ object AnalyticsOps {
         // roll censored counts up to their anchor
         val wCum = Window.partitionBy(col("b")).orderBy(col("dur"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wOffEv = Window.orderBy(col("b"))
+        val wOffEv = boundedWin.orderBy(col("b"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val bm = dist.groupBy(col("b"))
           .agg(max(when(col("d") > 0, col("dur"))).as("bmax"))
@@ -902,7 +902,7 @@ object AnalyticsOps {
           .withColumn("b", expr("pc div 100000"))
         val wIn = Window.partitionBy(col("b")).orderBy(col("pc"))
           .rowsBetween(Window.unboundedPreceding, -1)
-        val wOff = Window.orderBy(col("b"))
+        val wOff = boundedWin.orderBy(col("b"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val off = pts.groupBy(col("b")).agg(max(col("bd")).as("mb"))
           .select(col("b"),
@@ -1037,7 +1037,7 @@ object AnalyticsOps {
         val wRun = Window.partitionBy(col("b")).orderBy(col("value"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val run = dist.withColumn("r", sum(col("c")).over(wRun))
-        val wOff = Window.orderBy(col("b"))
+        val wOff = boundedWin.orderBy(col("b"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val off = dist.groupBy(col("b")).agg(sum(col("c")).as("tb"))
           .select(col("b"),
@@ -1898,7 +1898,7 @@ object AnalyticsOps {
         val hist = lag.groupBy(col("lag_hours"))
           .agg(count(lit(1)).as("n_users"))
         val tot = hist.agg(sum(col("n_users")).as("n_converted"))
-        val w = Window.orderBy(col("lag_hours"))
+        val w = boundedWin.orderBy(col("lag_hours"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         hist.crossJoin(broadcast(tot))
           .withColumn("cum_users", sum(col("n_users")).over(w))
@@ -2414,7 +2414,7 @@ object AnalyticsOps {
         val wRun = Window.partitionBy(col("b")).orderBy(col("value"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val run = dist.withColumn("r", sum(col("c")).over(wRun))
-        val wOff = Window.orderBy(col("b"))
+        val wOff = boundedWin.orderBy(col("b"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val off = dist.groupBy(col("b")).agg(sum(col("c")).as("tb"))
           .select(col("b"),
@@ -2676,7 +2676,7 @@ object AnalyticsOps {
             when(col("lang") === "en", 1L).otherwise(0L).as("y"))
           .groupBy(col("x"))
           .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
-        val w = Window.orderBy(col("x"))
+        val w = boundedWin.orderBy(col("x"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val cum = dist
           .withColumn("nl", sum(col("c")).over(w))
@@ -3456,7 +3456,7 @@ object AnalyticsOps {
             floor(col("yv") * 1000.0).cast("long").as("y"))
         val dist = perUser.groupBy(col("n_ev"))
           .agg(count(lit(1)).as("c"))
-        val wRun = Window.orderBy(col("n_ev"))
+        val wRun = boundedWin.orderBy(col("n_ev"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val nU = dist.agg(sum(col("c")).as("nu"))
         val ranks = dist.withColumn("f", sum(col("c")).over(wRun))
@@ -3753,7 +3753,7 @@ object AnalyticsOps {
               .as("pos"))
         val dist = perUser.groupBy(col("score"))
           .agg(count(lit(1)).as("c"))
-        val wRun = Window.orderBy(col("score"))
+        val wRun = boundedWin.orderBy(col("score"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val nU = dist.agg(sum(col("c")).as("nu"))
         val ranks = dist.withColumn("f", sum(col("c")).over(wRun))
@@ -3765,7 +3765,7 @@ object AnalyticsOps {
           .agg(count(lit(1)).as("n_users"), sum(col("pos")).as("n_pos"))
         val tot = byDec.agg(sum(col("n_users")).as("nt"),
           sum(col("n_pos")).as("pt"))
-        val wCum = Window.orderBy(col("decile"))
+        val wCum = boundedWin.orderBy(col("decile"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         byDec.crossJoin(broadcast(tot))
           .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
@@ -5666,7 +5666,7 @@ object AnalyticsOps {
         val grid = dd.groupBy(col("day"))
           .agg(sum(when(col("ev"), 1L).otherwise(0L)).as("d"),
             count(lit(1)).as("leaving"))
-        val w = Window.orderBy(col("day"))
+        val w = boundedWin.orderBy(col("day"))
         val risk = grid.withColumn("n_risk",
           sum(col("leaving")).over(w.rowsBetween(Window.currentRow,
             Window.unboundedFollowing)))
@@ -5675,7 +5675,7 @@ object AnalyticsOps {
             col("d").cast("double") / col("n_risk").cast("double"))
           .withColumn("h_cum",
             sum(col("h_inc").cast("decimal(28,6)"))
-              .over(Window.orderBy(col("day"))
+              .over(boundedWin.orderBy(col("day"))
                 .rowsBetween(Window.unboundedPreceding,
                   Window.currentRow)).cast("double"))
           .select(col("day"), col("n_risk"), col("d"),

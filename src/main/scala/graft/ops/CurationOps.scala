@@ -753,7 +753,7 @@ object CurationOps {
           .select(col("file"), col("min_key"), col("max_key"),
             col("n_rows").as("m_rows")))
         // ≤ 8 rows from here down: the window and final agg are bounded
-        val w = org.apache.spark.sql.expressions.Window.orderBy(col("fmin"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(0)).orderBy(col("fmin"))
         perFile.join(mdf, Seq("file"), "full")
           .withColumn("prev_max", lag(col("fmax"), 1).over(w))
           .agg(
@@ -810,7 +810,7 @@ object CurationOps {
           .agg(count(lit(1)).as("cnt"))
           .withColumn("off",
             sum(col("cnt")).over(
-              Window.orderBy(col("n_tokens").desc)) - col("cnt"))
+              boundedWin.orderBy(col("n_tokens").desc)) - col("cnt"))
           .select(col("n_tokens"), col("off"))
         val localW = Window.partitionBy(col("n_tokens"))
           .orderBy(col("doc_id"))
@@ -864,7 +864,7 @@ object CurationOps {
             expr(s"($target * ns) % n").as("rem"))
         val deficit = withTotal.agg(
           (lit(target) - sum(col("fq"))).as("deficit"))
-        val wq = Window.orderBy(col("rem").desc, col("source"))
+        val wq = boundedWin.orderBy(col("rem").desc, col("source"))
         val quotas = withTotal.crossJoin(broadcast(deficit))
           .withColumn("rk", row_number().over(wq))
           .select(col("source"),
@@ -1406,8 +1406,8 @@ object CurationOps {
           .withColumn("p_shrunk",
             (col("k").cast("double") + col("m") * col("p_bar")) /
               (col("n").cast("double") + col("m")))
-        val wRaw = Window.orderBy(col("p_raw").desc, col("source"))
-        val wSh = Window.orderBy(col("p_shrunk").desc, col("source"))
+        val wRaw = boundedWin.orderBy(col("p_raw").desc, col("source"))
+        val wSh = boundedWin.orderBy(col("p_shrunk").desc, col("source"))
         shrunk
           .withColumn("rank_raw", row_number().over(wRaw).cast("long"))
           .withColumn("rank_shrunk", row_number().over(wSh).cast("long"))
@@ -1715,7 +1715,7 @@ object CurationOps {
           .groupBy(col("source"))
           .agg(sum(size(split(col("text"), " ")).cast("long"))
             .as("supply"))
-        val w = Window.orderBy(col("supply"), col("source"))
+        val w = boundedWin.orderBy(col("supply"), col("source"))
         // pinned: the source-bounded ranked table feeds tot, the
         // candidate levels, the next-supply probe AND the final
         // allocation - one corpus scan, not four

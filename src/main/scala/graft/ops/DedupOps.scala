@@ -950,7 +950,7 @@ object DedupOps {
         // digit prefix of a zero-padded HASH, not of the data). If the
         // block key ever grows with the corpus, switch to the two-level
         // offset aggregate (q148 shape).
-        val wOff = Window.orderBy(col("b"))
+        val wOff = boundedWin.orderBy(col("b"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val off = keyed.groupBy(col("b")).agg(count(lit(1)).as("tb"))
           .select(col("b"),

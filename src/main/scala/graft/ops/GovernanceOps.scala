@@ -200,7 +200,7 @@ object GovernanceOps {
       (s, d) => {
         // total via an unbounded window over the 20 aggregated rows — no
         // driver-side action, stays one declarative plan
-        val w = Window.partitionBy()
+        val w = OpsKit.boundedWin
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         tbl(s, d, "documents")
           .select(col("source"), size(split(col("text"), " ")).cast("long")
@@ -231,7 +231,7 @@ object GovernanceOps {
     NamedQuery(
       "q58_mixing_weights",
       (s, d) => {
-        val w = Window.partitionBy()
+        val w = OpsKit.boundedWin
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         tbl(s, d, "documents")
           .select(col("source"),

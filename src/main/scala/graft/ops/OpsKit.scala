@@ -102,6 +102,18 @@ object OpsKit {
   def dsumSql(e: String): String =
     s"CAST(SUM(CAST(($e) AS DECIMAL(28,6))) AS DOUBLE)"
 
+  /** WindowSpec base for windows over BOUNDED tables (K-row aggregates,
+    * bucket-offset tables, driver-sized panels): single partition BY
+    * DESIGN, expressed as partitionBy(constant) rather than an empty
+    * partition spec so WindowExec's "No Partition Defined" warning stays
+    * a real signal (r14 ADVICE/verdict #8) — any surviving warning in CI
+    * now indicates an UNINTENDED unpartitioned window over data that
+    * scales with the corpus. Semantics are identical: every row lands in
+    * the one non-empty hash partition, and the full orderBy (callers
+    * always pass a total order) fixes ranks exactly as before. */
+  def boundedWin: org.apache.spark.sql.expressions.WindowSpec =
+    org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+
   /** Eval-panel membership for recall/quality-audit queries: 1-in-100 ids,
     * capped at a FIXED 6400 so the panel — and every `broadcast()` built
     * from it — is O(1) in the corpus (≤64 panel members at any scale). An
@@ -144,7 +156,7 @@ object OpsKit {
         (col("__hi") - col("__lo") + 1))).cast("int"))
     val run = keyed.withColumn("__r",
       row_number().over(Window.partitionBy(col("__b")).orderBy(key)).cast("long"))
-    val wOff = Window.orderBy(col("__b"))
+    val wOff = boundedWin.orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val off = keyed.groupBy(col("__b")).agg(count(lit(1)).as("__tb"))
       .select(col("__b"), coalesce(sum(col("__tb")).over(wOff), lit(0L)).as("__o"))

@@ -113,7 +113,7 @@ object ParseOps {
         dims.join(named, Seq("lang"), "left")
           // post-aggregation dim rows only (5 langs) → 1-partition window OK
           .withColumn("lang_sk",
-            (row_number().over(Window.orderBy(col("first_seen"))) - 1)
+            (row_number().over(boundedWin.orderBy(col("first_seen"))) - 1)
               .cast("long"))
           .select(col("lang"), col("lang_sk"), col("name"))
       },

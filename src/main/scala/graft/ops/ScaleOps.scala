@@ -1560,7 +1560,7 @@ object ScaleOps {
           sum(col("c")).over(Window.partitionBy(col("b")).orderBy(col("v"))))
         val off = keyed.groupBy(col("b")).agg(sum(col("c")).as("tb"))
           .select(col("b"), coalesce(sum(col("tb")).over(
-            Window.orderBy(col("b"))
+            boundedWin.orderBy(col("b"))
               .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("o"))
         val cum = run.join(broadcast(off), "b")
           .select(col("v"), (col("rc") + col("o")).as("cw"))

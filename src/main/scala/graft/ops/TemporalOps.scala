@@ -155,7 +155,7 @@ object TemporalOps {
         val news = ev.groupBy(col("user_id"))
           .agg(min(col("day")).as("day"))
           .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
-        val w = Window.orderBy(col("day"))
+        val w = boundedWin.orderBy(col("day"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         daily.join(news, Seq("day"), "left")
           .select(col("day"), col("n_events"), col("n_active"),
@@ -406,7 +406,7 @@ object TemporalOps {
         val wRun = Window.partitionBy(col("b"))
           .orderBy(col("t"), col("delta"), col("user_id"), col("sid"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wOff = Window.orderBy(col("b"))
+        val wOff = boundedWin.orderBy(col("b"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val off = bounds.groupBy(col("b")).agg(sum(col("delta")).as("tb"))
           .select(col("b"), coalesce(sum(col("tb")).over(wOff), lit(0L))

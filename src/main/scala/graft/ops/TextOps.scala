@@ -1230,7 +1230,7 @@ object TextOps {
           .over(W.partitionBy(col("band")).orderBy(col("f").desc)))
         val off = ff.groupBy(col("band")).agg(sum(col("c")).as("tb"))
           .select(col("band"), coalesce(sum(col("tb")).over(
-            W.orderBy(col("band").desc)
+            OpsKit.boundedWin.orderBy(col("band").desc)
               .rowsBetween(W.unboundedPreceding, -1)), lit(0L)).as("bo"))
         val blocks = run.join(broadcast(off), "band")
           .select(col("c"), (col("bo") + col("rc") - col("c")).as("o"),
@@ -1887,7 +1887,7 @@ object TextOps {
         // lead over the FoF table ordered by r: f_{r+1} may be absent
         // (no type occurs exactly r+1 times) → r_star NULL, not 0 — an
         // absent class is "no estimate", not "estimate zero"
-        val w = Window.orderBy(col("r"))
+        val w = boundedWin.orderBy(col("r"))
         fof.withColumn("r_next", lead(col("r"), 1).over(w))
           .withColumn("f_next", lead(col("f_r"), 1).over(w))
           .filter(col("r") <= 10)

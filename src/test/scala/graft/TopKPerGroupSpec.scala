@@ -111,7 +111,11 @@ class TopKPerGroupSpec extends AnyFunSuite {
     spark.conf.set("spark.graft.topk.rewrite", "true")
     try {
       // ClusteredDistribution(Nil) would be rejected at planning — the
-      // rule must leave the global form to TakeOrderedAndProject
+      // rule must leave the global form to TakeOrderedAndProject.
+      // WAIVER: this is the one sanctioned "No Partition Defined"
+      // WindowExec warning in the test suite — the empty partition spec
+      // IS the fixture (r15: every main-source bounded window runs
+      // through OpsKit.boundedWin and no longer warns)
       val df = graft.ops.OpsKit.events(spark, dir)
         .select(col("event_id"), col("value"))
         .withColumn("rn", row_number().over(

@@ -128,12 +128,18 @@ object JdbcSink {
     "ALTER TABLE movies ADD FOREIGN KEY (belongs_to_collection) REFERENCES collections (id)",
     "ALTER TABLE movies_genres ADD FOREIGN KEY (movie_id) REFERENCES movies (id)",
     "ALTER TABLE movies_genres ADD FOREIGN KEY (genre_id) REFERENCES genres (id)",
+    "ALTER TABLE movies_production_companies ADD FOREIGN KEY (movie_id) REFERENCES movies (id)",
     "ALTER TABLE movies_production_companies ADD FOREIGN KEY (production_company_id) REFERENCES production_companies (id)",
+    "ALTER TABLE production_countries ADD FOREIGN KEY (movie_id) REFERENCES movies (id)",
     "ALTER TABLE production_countries ADD FOREIGN KEY (country_id) REFERENCES countries (id)",
+    "ALTER TABLE spoken_languages ADD FOREIGN KEY (movie_id) REFERENCES movies (id)",
     "ALTER TABLE spoken_languages ADD FOREIGN KEY (language_id) REFERENCES languages (id)",
+    "ALTER TABLE movies_keywords ADD FOREIGN KEY (movie_id) REFERENCES movies (id)",
     "ALTER TABLE movies_keywords ADD FOREIGN KEY (keyword_id) REFERENCES keywords (id)",
+    "ALTER TABLE directors ADD FOREIGN KEY (movie_id) REFERENCES movies (id)",
     "ALTER TABLE directors ADD FOREIGN KEY (director_id) REFERENCES persons (id)",
-    "ALTER TABLE actors ADD FOREIGN KEY (person_id) REFERENCES persons (id)")
+    "ALTER TABLE actors ADD FOREIGN KEY (person_id) REFERENCES persons (id)",
+    "ALTER TABLE actors ADD FOREIGN KEY (movie_id) REFERENCES movies (id)")
 
   /** O-4: drop-if-exists + create, via raw JDBC (the schema DDL the
     * DataFrame writer cannot express: PKs, identity columns). */

@@ -184,20 +184,47 @@ object Bench {
     // actual protocol (r13 ADVICE: min-of-2 must not understate it).
     val failedNames = errors.map(_._1).toSet
     val ok = results.filterNot(r => failedNames(r._1))
+    val floors = loadFloors(sfDir)
     val cand = (repassCandidates(ok, if (contended) 16 else 8) ++
-      floorCandidates(ok, loadFloors(sfDir))).toSet
-    val finalResults = results.map { case r @ (name, best, first) =>
-      if (!cand(name)) r
-      else {
-        val t0 = System.nanoTime()
-        val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
-          catch { case _: Throwable => false }
-        val t = (System.nanoTime() - t0) / 1e9
-        if (ok) (name, math.min(best, t), first) else r
+      floorCandidates(ok, floors)).toSet
+    def retime(rs: Seq[(String, Double, Double)],
+        which: Set[String]): Seq[(String, Double, Double)] =
+      rs.map { case r @ (name, best, first) =>
+        if (!which(name)) r
+        else {
+          val t0 = System.nanoTime()
+          val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+            catch { case _: Throwable => false }
+          val t = (System.nanoTime() - t0) / 1e9
+          if (ok) (name, math.min(best, t), first) else r
+        }
       }
+    var finalResults = retime(results, cand)
+    // r15 floor gate (r14 verdict #1): the COMMITTED battery must not
+    // carry any query above 2× its committed floor — r14's official
+    // record landed with 27 such rows (q20 at 11.8×) because one repass
+    // re-timed inside the same contention episode and nothing refused
+    // the result. Loop bounded floor repasses until the battery is
+    // floor-clean or the retry budget is spent, then RECORD the verdict
+    // (`floor_gate`) so a still-dirty battery is machine-readably
+    // disqualified from being the official headline instead of silently
+    // overstating the tree by 40%.
+    var floorRounds = 0
+    var overFloor = floorCandidates(
+      finalResults.filterNot(r => failedNames(r._1)), floors)
+    while (overFloor.nonEmpty && floorRounds < 3) {
+      floorRounds += 1
+      finalResults = retime(finalResults, overFloor.toSet)
+      overFloor = floorCandidates(
+        finalResults.filterNot(r => failedNames(r._1)), floors)
     }
+    val maxVsFloor = finalResults
+      .collect { case (n, b, _) if floors.get(n).exists(_ > 0) =>
+        b / floors(n) }
+      .foldLeft(0.0)(math.max)
     val saved = results.map(_._2).sum - finalResults.map(_._2).sum
-    val timing = s"min-of-2 per query (+1 repass on ${cand.size} queries)"
+    val timing = s"min-of-2 per query (+1 repass on ${cand.size} queries" +
+      s", +$floorRounds floor-gate rounds)"
     val qs = finalResults.map { case (k, v, _) => s"${jstr(k)}:${ms(v)}" }
       .mkString("{", ",", "}")
     // per-query first/best ratio (BENCH_FULL only): a clean battery sits
@@ -216,7 +243,8 @@ object Bench {
     // may follow the result lines the driver tail-captures
     spark.stop()
     val repassJson = s""""repass":{"n":${cand.size},"saved_sec":${ms(saved)},"queries":${cand.toSeq.sorted.map(jstr).mkString("[", ",", "]")}},"""
-    val full = s"""{"metric":"total","value":${ms(total)},"unit":"sec","timing":${jstr(timing)},"total_first_pass":${ms(totalFirst)},"contended":$contended,$repassJson$sentinelJson,"queries":$qs,"first_best_ratio":$ratios,"errors":$es,"n_errors":${errors.size},"sf":"$sfDir"}"""
+    val floorJson = s""""floor_gate":{"ok":${overFloor.isEmpty},"rounds":$floorRounds,"max_vs_floor":${math.round(maxVsFloor * 100) / 100.0},"over":${overFloor.sorted.map(jstr).mkString("[", ",", "]")}},"""
+    val full = s"""{"metric":"total","value":${ms(total)},"unit":"sec","timing":${jstr(timing)},"total_first_pass":${ms(totalFirst)},"contended":$contended,$repassJson$floorJson$sentinelJson,"queries":$qs,"first_best_ratio":$ratios,"errors":$es,"n_errors":${errors.size},"sf":"$sfDir"}"""
     // The driver stores only a ~2.5 KB TAIL of this output; at 105 queries
     // the full record is ~3.3 KB, so its head (metric/value) fell out of
     // the window two rounds running ("parsed": null in BENCH_r05/r06).

@@ -51,12 +51,16 @@ import graft.ops.{GovernanceOps, LlmKit, OpsKit, TextOps}
   * n_toks since r15), inside the scan gate's global cap. Iterative state
   * (Hedge weights, apportionment) is K ≈ 20 driver scalars re-entering
   * the plan as literals — the bounded-state idiom q271/q284/q298
-  * pinned. The selection rank and packing cumsum use the q109 phased
+  * pinned. The selection rank and packing cumsum pick their physical
+  * shape ADAPTIVELY from the measured per-source kept counts (K driver
+  * scalars the build already holds): plain per-source windows while
+  * every source fits one task ([[PhasedMinRows]]), the q109 phased
   * shape — (source, bucket)-partitioned local windows plus broadcast
-  * per-source bucket-prefix offsets — so a 90%-one-source corpus still
-  * ranks and packs across [[PackBuckets]] tasks per source instead of
-  * serializing into one (r14 verdict #3); the publish is the q106
-  * one-shuffle layout.
+  * per-source bucket-prefix offsets — past it, so a 90%-one-source
+  * corpus ranks and packs across [[PackBuckets]] tasks per source
+  * instead of serializing into one (r14 verdict #3) while the small-SF
+  * build keeps its flat plan; both shapes are value-identical
+  * (CorpusBuildSpec). The publish is the q106 one-shuffle layout.
   */
 object CorpusBuild {
   /** Token budget per packed training row (q54's constant). */
@@ -66,6 +70,14 @@ object CorpusBuild {
     * cumsum (the q109 phased shape): each source's window work spreads
     * over up to this many partitioned tasks instead of one. */
   val PackBuckets = 32
+
+  /** Kept-rows-per-source threshold above which stage 4 switches from
+    * one plain window per source to the phased (source, bucket) shape:
+    * below it, one window task per source is cheap and the phased
+    * chain's extra exchanges are pure overhead; above it, a dominant
+    * source would serialize into one task. 2^20 rows ≈ tens of MB of
+    * slim working set per task — comfortably one-task-sized. */
+  val PhasedMinRows: Long = 1L << 20
 
   /** Per-doc MD5-slice row hash over the PUBLISHED columns that carry
     * the chain's decisions: identity, bin assignment, and content. */
@@ -199,7 +211,8 @@ object CorpusBuild {
     lamRows.map { case (src, _) => src -> aMap(src) }
   }
 
-  def run(spark: SparkSession, dir: String, out: String): DataFrame = {
+  def run(spark: SparkSession, dir: String, out: String,
+      phasedThreshold: Long = PhasedMinRows): DataFrame = {
     import spark.implicits._
 
     // ---- stage 1: per-doc curation decisions (shared disk artifact) ----
@@ -236,24 +249,33 @@ object CorpusBuild {
       targets.map { case (src, _) => src -> keptBySrc(src) }, aMap, budget)
 
     // ---- stage 4: selection + packing + publish — ONE corpus scan -----
-    // The selection rank and packing cumsum are built with the q109
-    // phased (TeraSort) shape instead of one window per source: rank and
-    // cumsum WITHIN (source, bucket) — bounded partitioned windows —
-    // then add back per-source bucket-prefix offsets computed over the
-    // K×B-row bucket table (r14 verdict #3: a per-source window
-    // serializes one dominant source into one task at 100 TB; here the
-    // dominant source spreads over PackBuckets tasks). Equality with the
-    // oracle's global per-source windows is exact: buckets are monotone
-    // non-decreasing functions of the ordering key (equal keys share a
-    // bucket, so the (h, doc_id) tie-break stays local), local
-    // row_number/sum plus the prefix offset telescopes to the global
-    // rank/cumsum, and the token cumsum is integer arithmetic — order-
-    // free. The working set (doc_id, source, n_toks, quota, h) derives
-    // ENTIRELY from the decision artifact — n_toks rides it since r15 —
-    // so the selection/packing windows and their offset aggregates cost
-    // re-reads of the already-materialized artifact parquet, not corpus
-    // scans; the one corpus scan in this stage is the text join feeding
-    // the publish.
+    // The selection rank and packing cumsum run per source. HOW they run
+    // is adaptive (r15): the per-source kept counts are already K driver
+    // scalars, so the build picks its physical shape from the measured
+    // stats — the AQE idea applied with exact numbers instead of
+    // estimates:
+    //  - every source at or under `phasedThreshold` kept rows → one
+    //    plain window per source (one task per source is FASTER than
+    //    the phased chain's extra exchanges at small scale: the phased
+    //    shape costs ~4.5 s of fixed stage latency at sf0.1 for zero
+    //    benefit);
+    //  - any source above the threshold → the q109 phased (TeraSort)
+    //    shape for ALL sources: rank and cumsum WITHIN (source, bucket)
+    //    — bounded partitioned windows — plus broadcast per-source
+    //    bucket-prefix offsets over the K×B-row bucket table, so a
+    //    dominant source spreads over PackBuckets tasks instead of
+    //    serializing into one (r14 verdict #3).
+    // The two shapes are value-IDENTICAL (CorpusBuildSpec pins equal
+    // certification checksums): buckets are monotone non-decreasing in
+    // the ordering key (equal keys share a bucket, so the (h, doc_id)
+    // tie-break stays local), local row_number/sum plus the prefix
+    // offset telescopes to the global rank/cumsum, and the token cumsum
+    // is integer arithmetic — order-free. The working set (doc_id,
+    // source, n_toks, quota, h) derives ENTIRELY from the decision
+    // artifact — n_toks rides it since r15 — so the windows and offset
+    // aggregates cost re-reads of the already-materialized artifact
+    // parquet, not corpus scans; the one corpus scan in this stage is
+    // the text join feeding the publish.
     val quotaDf = broadcast(quotas.toDF("src", "alpha", "quota"))
     val hCol = LlmKit.strHash(
       concat(lit("q299:"), col("doc_id").cast("string")))
@@ -262,55 +284,75 @@ object CorpusBuild {
       .join(quotaDf, col("source") === col("src"))
       .select(col("doc_id"), col("source"), col("n_toks"), col("quota"),
         hCol.as("h"))
-    // double-space bucketing (phasedRank's long arithmetic would
-    // overflow: h spans [0, 16^15) and (h−lo)·B exceeds Long.Max);
-    // IEEE multiply/divide by positive constants is monotone, which is
-    // all bucket assignment needs
-    def bucket(k: org.apache.spark.sql.Column,
-        lo: org.apache.spark.sql.Column,
-        hi: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      least(lit(PackBuckets - 1),
-        floor((k - lo).cast("double") * PackBuckets /
-          (hi - lo + 1).cast("double"))).cast("int")
-    val bounds = broadcast(slim.groupBy(col("source").as("bsrc"))
-      .agg(min(col("h")).as("hlo"), max(col("h")).as("hhi"),
-        min(col("doc_id")).as("dlo"), max(col("doc_id")).as("dhi")))
-    val sb = slim.join(bounds, col("source") === col("bsrc"))
-      .withColumn("hb", bucket(col("h"), col("hlo"), col("hhi")))
-      .withColumn("pb", bucket(col("doc_id"), col("dlo"), col("dhi")))
-      .select(col("doc_id"), col("source"), col("n_toks"), col("quota"),
-        col("h"), col("hb"), col("pb"))
-    val wSelLocal = Window.partitionBy(col("source"), col("hb"))
-      .orderBy(col("h"), col("doc_id"))
-    val wSelOff = Window.partitionBy(col("source")).orderBy(col("hb"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val selOff = sb.groupBy(col("source"), col("hb"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(col("source").as("osrc"), col("hb").as("ohb"),
-        coalesce(sum(col("cnt")).over(wSelOff), lit(0L)).as("off"))
-    val sel = sb
-      .withColumn("lr", row_number().over(wSelLocal).cast("long"))
-      .join(broadcast(selOff),
-        col("source") === col("osrc") && col("hb") === col("ohb"))
-      .filter(col("off") + col("lr") <= col("quota"))
-      .select(col("doc_id"), col("source"), col("n_toks"), col("pb"))
-    val wCumLocal = Window.partitionBy(col("source"), col("pb"))
-      .orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wPackOff = Window.partitionBy(col("source")).orderBy(col("pb"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val packOff = sel.groupBy(col("source"), col("pb"))
-      .agg(sum(col("n_toks")).as("tb"))
-      .select(col("source").as("psrc"), col("pb").as("ppb"),
-        coalesce(sum(col("tb")).over(wPackOff), lit(0L)).as("poff"))
-    val binned = sel
-      .withColumn("lcum", sum(col("n_toks")).over(wCumLocal))
-      .join(broadcast(packOff),
-        col("source") === col("psrc") && col("pb") === col("ppb"))
-      .withColumn("cum", col("poff") + col("lcum"))
-      .withColumn("bin_id",
-        floor((col("cum") - col("n_toks")) / lit(BinTokens.toDouble)))
-      .select(col("doc_id"), col("source"), col("n_toks"), col("bin_id"))
+    val binned =
+      if (perSrcRows.map(_._3).foldLeft(0L)(math.max) <= phasedThreshold) {
+        // windowed shape: every source is small enough that one window
+        // task per source beats the phased chain's stage constants
+        val wSel = Window.partitionBy(col("source"))
+          .orderBy(col("h"), col("doc_id"))
+        val wPack = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        slim
+          .withColumn("pick", row_number().over(wSel).cast("long"))
+          .filter(col("pick") <= col("quota"))
+          .withColumn("cum", sum(col("n_toks")).over(wPack))
+          .withColumn("bin_id",
+            floor((col("cum") - col("n_toks")) / lit(BinTokens.toDouble)))
+          .select(col("doc_id"), col("source"), col("n_toks"),
+            col("bin_id"))
+      } else {
+        // phased shape: de-skewed, bounded windows only.
+        // double-space bucketing (phasedRank's long arithmetic would
+        // overflow: h spans [0, 16^15) and (h−lo)·B exceeds Long.Max);
+        // IEEE multiply/divide by positive constants is monotone, which
+        // is all bucket assignment needs
+        def bucket(k: org.apache.spark.sql.Column,
+            lo: org.apache.spark.sql.Column,
+            hi: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          least(lit(PackBuckets - 1),
+            floor((k - lo).cast("double") * PackBuckets /
+              (hi - lo + 1).cast("double"))).cast("int")
+        val bounds = broadcast(slim.groupBy(col("source").as("bsrc"))
+          .agg(min(col("h")).as("hlo"), max(col("h")).as("hhi"),
+            min(col("doc_id")).as("dlo"), max(col("doc_id")).as("dhi")))
+        val sb = slim.join(bounds, col("source") === col("bsrc"))
+          .withColumn("hb", bucket(col("h"), col("hlo"), col("hhi")))
+          .withColumn("pb", bucket(col("doc_id"), col("dlo"), col("dhi")))
+          .select(col("doc_id"), col("source"), col("n_toks"),
+            col("quota"), col("h"), col("hb"), col("pb"))
+        val wSelLocal = Window.partitionBy(col("source"), col("hb"))
+          .orderBy(col("h"), col("doc_id"))
+        val wSelOff = Window.partitionBy(col("source")).orderBy(col("hb"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val selOff = sb.groupBy(col("source"), col("hb"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("source").as("osrc"), col("hb").as("ohb"),
+            coalesce(sum(col("cnt")).over(wSelOff), lit(0L)).as("off"))
+        val sel = sb
+          .withColumn("lr", row_number().over(wSelLocal).cast("long"))
+          .join(broadcast(selOff),
+            col("source") === col("osrc") && col("hb") === col("ohb"))
+          .filter(col("off") + col("lr") <= col("quota"))
+          .select(col("doc_id"), col("source"), col("n_toks"), col("pb"))
+        val wCumLocal = Window.partitionBy(col("source"), col("pb"))
+          .orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wPackOff = Window.partitionBy(col("source")).orderBy(col("pb"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val packOff = sel.groupBy(col("source"), col("pb"))
+          .agg(sum(col("n_toks")).as("tb"))
+          .select(col("source").as("psrc"), col("pb").as("ppb"),
+            coalesce(sum(col("tb")).over(wPackOff), lit(0L)).as("poff"))
+        sel
+          .withColumn("lcum", sum(col("n_toks")).over(wCumLocal))
+          .join(broadcast(packOff),
+            col("source") === col("psrc") && col("pb") === col("ppb"))
+          .withColumn("cum", col("poff") + col("lcum"))
+          .withColumn("bin_id",
+            floor((col("cum") - col("n_toks")) / lit(BinTokens.toDouble)))
+          .select(col("doc_id"), col("source"), col("n_toks"),
+            col("bin_id"))
+      }
     // second (and last) corpus scan: re-join the selected ids to their
     // text for the publish — shuffles only the SELECTED half of the
     // corpus once, instead of carrying text through two window sorts.

@@ -100,6 +100,23 @@ class CorpusBuildSpec extends AnyFunSuite {
     }
   }
 
+  test("phased and windowed stage-4 shapes publish identical corpora") {
+    // force the phased (source, bucket) path with threshold 0 and
+    // compare certification row-for-row against the default windowed
+    // run — the telescoping-equality argument, executed: same selection,
+    // same bins, same checksums, from a physically different plan
+    val outP = freshOut()
+    val certP = graft.sink.CorpusBuild
+      .run(spark, dir, outP, phasedThreshold = 0L).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("quota"),
+        r.getAs[Long]("n_selected"), r.getAs[Long]("n_bins"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("checksum")))
+      .sortBy(_._1).toSeq
+    val base = cert1.toSeq.sortBy(_._1)
+      .map { case (s, v) => (s, v._4, v._5, v._6, v._7, v._8) }
+    assert(certP === base)
+  }
+
   test("the build is deterministic: a second run certifies identically") {
     val out2 = freshOut()
     val cert2 = graft.sink.CorpusBuild.run(spark, dir, out2).collect()

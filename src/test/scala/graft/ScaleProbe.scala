@@ -20,7 +20,59 @@ import org.apache.spark.sql.functions._
   * Run: SPARK_GRAFT_CPUS=8 sbt "Test/runMain graft.ScaleProbe"
   */
 object ScaleProbe {
+  private def skewProbe(): Unit = {
+    val base = "/root/testdata/sf0.1"
+    val out = "/tmp/graft-skew-90"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    if (!new java.io.File(s"$out/documents.parquet").exists()) {
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+      docs.select(col("doc_id"), col("text"), col("lang"),
+          when(pmod(graft.ops.LlmKit.strHash(col("doc_id").cast("string")),
+            lit(10L)) < 9, lit("src0"))
+            .otherwise(col("source")).as("source"),
+          col("n_chars"))
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      val top = spark.read.parquet(s"$out/documents.parquet")
+        .groupBy("source").count()
+        .orderBy(col("count").desc).head()
+      println(s"generated $out: dominant source ${top.get(0)} holds " +
+        s"${top.getLong(1)} of ${docs.count()} docs")
+    }
+    // force the PHASED stage-4 shape (threshold 0) — the de-skew claim
+    // under test; the adaptive default would pick the windowed shape at
+    // these row counts
+    def minOf3(dir: String): (Double, Double) = {
+      val ts = (1 to 3).map { _ =>
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-skewprobe").toString + "/corpus"
+        val t0 = System.nanoTime()
+        graft.sink.CorpusBuild.run(spark, dir, tmp, phasedThreshold = 0L)
+          .count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      (ts.min, ts.head)
+    }
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    val (bu, bf) = minOf3(base)
+    val (sk, sf) = minOf3(out)
+    println(f"q299 phased stage-4: uniform=$bu%6.2fs (first $bf%6.2f)  " +
+      f"skew90=$sk%6.2fs (first $sf%6.2f)  ratio=${sk / bu}%4.2f")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    // --skew: the corpus-build skew probe (r15 verdict #3). Builds a copy
+    // of sf0.1 with 90% of documents remapped to ONE dominant source and
+    // times q299_corpus_build on both corpora. Before the phased stage-4
+    // rework, the dominant source's selection rank and packing cumsum
+    // serialized into one window task; with the per-(source, bucket)
+    // windows the two runs should be comparable (the skewed corpus does
+    // strictly more work in its big source but spreads it over
+    // PackBuckets tasks).
+    if (args.contains("--skew")) { skewProbe(); return }
     val mult = if (args.nonEmpty) args(0).toInt else 10
     val base = "/root/testdata/sf0.1"
     val out = s"/tmp/graft-synth-x$mult"

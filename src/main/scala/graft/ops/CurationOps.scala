@@ -232,6 +232,95 @@ object CurationOps {
              |  COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
              |FROM c GROUP BY source, bin_id""".stripMargin)),
 
+    // ----- q302: sequence-fragmentation audit of the packed layout --------
+    // The cost report for q54's boundary-crossing packing: a document
+    // whose token span crosses a 2048-token bin boundary is SPLIT across
+    // training rows — attention never sees it whole, and the fraction of
+    // split documents (and of tokens living in split documents) is the
+    // metric a packing policy is judged by (the motivation for
+    // best-fit / document-aware packing schemes). Per source: docs,
+    // tokens, bins touched, split documents (≥1 boundary crossed),
+    // fragments (each crossing adds one), and the token share captive in
+    // split docs. Crossings per doc are pure integer arithmetic on the
+    // SAME cumsum q54 computes — floor((cum−1)/C) − floor((cum−n)/C) —
+    // so the audit rides one corpus scan and one per-source window
+    // (q54's shard-parallel shape); every output is an integer or one
+    // trailing exact-decimal ratio.
+    NamedQuery(
+      "q302_pack_fragmentation",
+      (s, d) => {
+        // audit block size 256 (not q54's production 2048): at the
+        // fixture's subsampled per-source volumes a 2048-token bin
+        // swallows every source whole and no split ever happens — the
+        // metric must see multi-bin layouts and boundary crossings to
+        // be exercised (r12 degeneracy discipline); the arithmetic is
+        // identical at any C
+        val C = 256L
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        // q250/q280's deterministic unequal subsample (md5 keys,
+        // source-dependent 25/50/75% rates): the generator's equal
+        // per-source volumes would make every per-source audit column
+        // constant (the r12 degeneracy discipline applied at design
+        // time — sources must land on DIFFERENT bin counts and split
+        // rates for the arithmetic to be exercised)
+        tbl(s, d, "documents")
+          .filter(LlmKit.strHash(col("doc_id").cast("string")) % 4 <
+            LlmKit.strHash(col("source")) % 3 + 1)
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_toks"))
+          .withColumn("cum", sum(col("n_toks")).over(w))
+          .withColumn("crossings",
+            floor((col("cum") - 1) / lit(C.toDouble)) -
+              floor((col("cum") - col("n_toks")) / lit(C.toDouble)))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_toks")).as("n_tokens"),
+            (max(floor((col("cum") - 1) / lit(C.toDouble))) + 1)
+              .cast("long").as("n_bins"),
+            sum(when(col("crossings") > 0, 1L).otherwise(0L))
+              .as("n_split_docs"),
+            sum(col("crossings") + 1).cast("long").as("n_fragments"),
+            sum(when(col("crossings") > 0, col("n_toks")).otherwise(0L))
+              .as("split_tokens"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("n_bins"), col("n_split_docs"), col("n_fragments"),
+            (col("split_tokens").cast("double") /
+              col("n_tokens").cast("double")).as("split_token_share"))
+      },
+      Some(s"""WITH sub AS (
+             |  SELECT * FROM documents
+             |  WHERE ${LlmKit.strHashSql("CAST(doc_id AS VARCHAR)")} % 4
+             |    < ${LlmKit.strHashSql("source")} % 3 + 1),
+             |c AS (
+             |  SELECT source, doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+             |    CAST(SUM(len(string_split(text, ' '))) OVER (
+             |      PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum
+             |  FROM sub),
+             |x AS (
+             |  SELECT source, n_toks,
+             |    CAST(FLOOR((cum - 1) / 256.0) AS BIGINT)
+             |      - CAST(FLOOR((cum - n_toks) / 256.0) AS BIGINT)
+             |      AS crossings,
+             |    CAST(FLOOR((cum - 1) / 256.0) AS BIGINT) AS last_bin
+             |  FROM c)
+             |SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+             |  CAST(MAX(last_bin) + 1 AS BIGINT) AS n_bins,
+             |  CAST(SUM(CASE WHEN crossings > 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_split_docs,
+             |  CAST(SUM(crossings + 1) AS BIGINT) AS n_fragments,
+             |  CAST(SUM(CASE WHEN crossings > 0 THEN n_toks ELSE 0 END)
+             |      AS DOUBLE) / CAST(SUM(n_toks) AS DOUBLE)
+             |    AS split_token_share
+             |FROM x GROUP BY source""".stripMargin)),
+
     // ----- q55: curation decision manifest --------------------------------
     // Signals → decisions: the keep/drop table with reason codes that the
     // rest of the pipeline (packing, mixing) consumes. First-priority rule

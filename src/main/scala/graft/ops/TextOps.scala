@@ -1929,5 +1929,109 @@ object TextOps {
              |    + CAST(t.f1 AS DOUBLE) * CAST(t.f1 - 1 AS DOUBLE)
              |      / (2.0 * CAST(t.f2 + 1 AS DOUBLE)) AS chao1
              |FROM led l CROSS JOIN tot t WHERE l.r <= 10""".stripMargin)),
+
+    // ----- q303: learned language-ID confusion matrix (r15) ----------------
+    // q33 identifies via fixed marker lists; this is the LEARNED form a
+    // real pipeline runs: train a token→language model on half the
+    // corpus (even doc_ids), keep only DISCRIMINATIVE tokens (top
+    // language holds ≥ 2/3 of the token's training mass — the filter
+    // that separates language-bearing vocabulary from shared filler),
+    // and measure on the held-out half against the `lang` labels: the
+    // confusion matrix + unknown column a language-filter rollout is
+    // judged by. The testdata's text is lexically language-neutral, so
+    // the signal is PLANTED the way q59 plants PII: 3 in 4 documents
+    // (by salted md5) carry one language-marker token ("xx" + lang)
+    // prepended to the text on BOTH engine and oracle; markers train to
+    // 100% concentration and survive the filter, shared filler spreads
+    // across languages (en holds ~44% of docs — far below 2/3) and
+    // drops out, so marked test docs classify to their language and
+    // unmarked ones fall to 'unk' — every matrix branch visibly fires
+    // (the r12 degeneracy discipline applied at design time). All
+    // counts are integers; ties break (count desc, language asc) on
+    // both engines. Scale shape: the model is VOCABULARY-sized (one
+    // groupBy + per-token argmax window partitioned by token + one
+    // vocabulary-local total), test postings meet it in one hash join,
+    // and the per-doc argmax is a bounded min(struct) aggregate — two
+    // corpus scans, no corpus-squared term anywhere.
+    NamedQuery(
+      "q303_langid_confusion",
+      (s, d) => {
+        val marked = LlmKit.strHash(
+          concat(lit("l:"), col("doc_id").cast("string"))) % 4 < 3
+        val text2 = when(marked,
+          concat(lit("xx"), col("lang"), lit(" "), col("text")))
+          .otherwise(col("text"))
+        val docs = tbl(s, d, "documents")
+          .select(col("doc_id"), col("lang"), text2.as("text"))
+        val toks = docs
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+        val wTok = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("tok"))
+          .orderBy(col("c").desc, col("lang"))
+        val counts = toks.filter(col("doc_id") % 2 === 0)
+          .groupBy(col("tok"), col("lang"))
+          .agg(count(lit(1)).as("c"))
+        val model = counts
+          .withColumn("rn", row_number().over(wTok))
+          .withColumn("ctot", sum(col("c")).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("tok"))))
+          .filter(col("rn") === 1 && col("c") * 3 >= col("ctot") * 2)
+          .select(col("tok"), col("lang").as("tok_lang"))
+        // LEFT join so unmatched tokens ride along and a doc with zero
+        // discriminative tokens still yields a row — the test half is
+        // scanned ONCE (a separate label scan would be a third corpus
+        // scan); the per-doc argmax prefers any non-null vote (struct
+        // ordering: isNull false < true), then count desc, then language
+        val votes = toks.filter(col("doc_id") % 2 === 1)
+          .join(model, Seq("tok"), "left")
+          .groupBy(col("doc_id"), col("lang"), col("tok_lang"))
+          .agg(count(lit(1)).as("v"))
+        votes.groupBy(col("doc_id"), col("lang"))
+          .agg(min(struct(col("tok_lang").isNull.as("nu"),
+            (-col("v")).as("nv"),
+            coalesce(col("tok_lang"), lit("unk")).as("tl"))).as("m"))
+          .select(col("lang"), col("m.tl").as("predicted"))
+          .groupBy(col("lang"), col("predicted"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(s"""WITH docs AS (
+             |  SELECT doc_id, lang,
+             |    CASE WHEN ${LlmKit.strHashSql(
+                  "concat('l:', CAST(doc_id AS VARCHAR))")} % 4 < 3
+             |      THEN 'xx' || lang || ' ' || text ELSE text END AS text
+             |  FROM documents),
+             |t AS (
+             |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+             |  FROM docs),
+             |tf AS (SELECT doc_id, lang, tok FROM t WHERE tok <> ''),
+             |m0 AS (
+             |  SELECT tok, lang, COUNT(*) AS c
+             |  FROM tf WHERE doc_id % 2 = 0 GROUP BY tok, lang),
+             |model AS (
+             |  SELECT tok, lang AS tok_lang
+             |  FROM (SELECT tok, lang, c,
+             |          row_number() OVER (PARTITION BY tok
+             |            ORDER BY c DESC, lang) AS rn,
+             |          SUM(c) OVER (PARTITION BY tok) AS ctot
+             |        FROM m0)
+             |  WHERE rn = 1 AND c * 3 >= ctot * 2),
+             |votes AS (
+             |  SELECT f.doc_id, f.lang, m.tok_lang, COUNT(*) AS v
+             |  FROM tf f LEFT JOIN model m USING (tok)
+             |  WHERE f.doc_id % 2 = 1
+             |  GROUP BY f.doc_id, f.lang, m.tok_lang),
+             |pred AS (
+             |  SELECT lang, COALESCE(tok_lang, 'unk') AS predicted
+             |  FROM (SELECT doc_id, lang, tok_lang,
+             |          row_number() OVER (PARTITION BY doc_id
+             |            ORDER BY (tok_lang IS NULL), v DESC, tok_lang)
+             |            AS rn
+             |        FROM votes)
+             |  WHERE rn = 1)
+             |SELECT lang, predicted, COUNT(*) AS n
+             |FROM pred GROUP BY lang, predicted""".stripMargin)),
   )
 }

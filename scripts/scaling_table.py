@@ -10,16 +10,36 @@ import json, sys, glob, collections
 
 d = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scaling"
 mins = {}  # sf -> {q: min}
+gates = {}  # sf -> [floor_gate dicts per capture]
 for sf in ("0.001", "0.01", "0.1"):
     runs = []
     for p in sorted(glob.glob(f"{d}/bench_{sf}_*.json")):
-        runs.append(json.load(open(p))["queries"])
+        rec = json.load(open(p))
+        runs.append(rec["queries"])
+        if "floor_gate" in rec:
+            gates.setdefault(sf, []).append(rec["floor_gate"])
     if not runs:
         sys.exit(f"no bench_{sf}_*.json captures under {d}")
     agg = {}
     for q in set().union(*runs):  # union, not runs[0] — captures may differ
         agg[q] = min(r[q] for r in runs if q in r)
     mins[sf] = agg
+
+# per-SF floor-gate adjudication (r15 verdict item 7): every capture at
+# every scale factor carries Bench's floor_gate block; surface them so a
+# contended capture at ANY sf is machine-readable in SCALING.md, not
+# just the sf0.1 headline
+print("per-SF floor gates (ok/rounds/max_vs_floor per capture):")
+for sf in ("0.001", "0.01", "0.1"):
+    gs = gates.get(sf, [])
+    if not gs:
+        print(f"  sf{sf}: NO floor_gate blocks (pre-r15 captures?)")
+    else:
+        desc = ", ".join(
+            f"ok={g['ok']} r={g['rounds']} max={g['max_vs_floor']}"
+            for g in gs)
+        print(f"  sf{sf}: {desc}")
+print()
 
 qs = sorted(mins["0.1"], key=lambda q: -mins["0.1"][q])
 missing = [q for q in qs

@@ -65,6 +65,30 @@ object Bench {
       }
       .sortBy(-_._2).take(cap).map(_._1)
 
+  /** Overwrite guard (r15 verdict #3): a battery that FAILS the floor
+    * gate must not replace a committed BENCH_FULL whose gate PASSED —
+    * r15's driver refresh landed floor_gate ok:false (contended,
+    * sentinel spread 4.06) over a clean committed record and the
+    * official headline inherited the dirty battery. Decision is from
+    * the committed record's own text (same sf, `"ok":true`), so the
+    * guard never misfires across scale factors; when it fires the
+    * committed record stays the headline and the failed battery is
+    * preserved separately as contended evidence. Pure for the spec. */
+  def keepCommitted(committed: Option[String], newGateOk: Boolean,
+      sf: String): Boolean =
+    !newGateOk && committed.exists { j =>
+      j.contains("\"floor_gate\":{\"ok\":true") &&
+        j.contains(s""""sf":"$sf"""")
+    }
+
+  /** Splice a guard annotation into the kept committed record so the
+    * headline documents the rejection machine-readably. */
+  def annotateKept(committed: String, rejectedTotal: Double): String = {
+    val t = committed.trim
+    t.stripSuffix("}") +
+      s""","guard":{"kept_committed":true,"rejected":"BENCH_REJECTED.json","rejected_total":$rejectedTotal}}"""
+  }
+
   /** Committed per-query floors for one sf dir (by basename) from the
     * tsv; missing file or unparsable rows → empty (the trigger is then
     * inert, never wrong). */
@@ -218,7 +242,12 @@ object Bench {
       overFloor = floorCandidates(
         finalResults.filterNot(r => failedNames(r._1)), floors)
     }
+    // failed queries are excluded exactly as floorCandidates excludes
+    // them (r15 ADVICE): a crashed query's time-to-crash must not report
+    // max_vs_floor > 2 alongside ok:true — the ratio and the ok flag
+    // describe the same query set
     val maxVsFloor = finalResults
+      .filterNot(r => failedNames(r._1))
       .collect { case (n, b, _) if floors.get(n).exists(_ > 0) =>
         b / floors(n) }
       .foldLeft(0.0)(math.max)
@@ -243,7 +272,20 @@ object Bench {
     // may follow the result lines the driver tail-captures
     spark.stop()
     val repassJson = s""""repass":{"n":${cand.size},"saved_sec":${ms(saved)},"queries":${cand.toSeq.sorted.map(jstr).mkString("[", ",", "]")}},"""
-    val floorJson = s""""floor_gate":{"ok":${overFloor.isEmpty},"rounds":$floorRounds,"max_vs_floor":${math.round(maxVsFloor * 100) / 100.0},"over":${overFloor.sorted.map(jstr).mkString("[", ",", "]")}},"""
+    // floor provenance rides the gate record (r15 ADVICE): the tsv's
+    // header comment names the capture set the floors were regenerated
+    // from, so a floor reset is visible in the bench record itself
+    val floorProv = {
+      val f = new java.io.File("scripts/bench_floors.tsv")
+      if (!f.exists) ""
+      else {
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try src.getLines().find(_.startsWith("#"))
+          .getOrElse("").stripPrefix("#").trim
+        finally src.close()
+      }
+    }
+    val floorJson = s""""floor_gate":{"ok":${overFloor.isEmpty},"rounds":$floorRounds,"max_vs_floor":${math.round(maxVsFloor * 100) / 100.0},"over":${overFloor.sorted.map(jstr).mkString("[", ",", "]")},"floors_n":${floors.size},"floors_provenance":${jstr(floorProv)}},"""
     val full = s"""{"metric":"total","value":${ms(total)},"unit":"sec","timing":${jstr(timing)},"total_first_pass":${ms(totalFirst)},"contended":$contended,$repassJson$floorJson$sentinelJson,"queries":$qs,"first_best_ratio":$ratios,"errors":$es,"n_errors":${errors.size},"sf":"$sfDir"}"""
     // The driver stores only a ~2.5 KB TAIL of this output; at 105 queries
     // the full record is ~3.3 KB, so its head (metric/value) fell out of
@@ -252,19 +294,44 @@ object Bench {
     // judge can read whole; (2) the full line still prints for contract /
     // full-log consumers; (3) a compact total-only record prints LAST, so
     // the tail window always contains one intact parseable line.
-    try {
-      val w = new java.io.PrintWriter("BENCH_FULL.json", "UTF-8")
-      try w.println(full) finally w.close()
-    } catch { case _: Throwable => () } // a read-only cwd must not kill the bench
-    // (4) the total alone in its own tiny file — the driver's "parsed":
-    // null tail-scrape bug (4 rounds running) can't lose a 1-line file
-    try {
-      val w = new java.io.PrintWriter("BENCH_TOTAL.json", "UTF-8")
-      try w.println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","timing":${jstr(timing)},"total_first_pass":${ms(totalFirst)},"contended":$contended,$repassJson"sentinel_spread":${math.round(spreadObserved * 100) / 100.0},"n_queries":${finalResults.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
-      finally w.close()
-    } catch { case _: Throwable => () }
-    println(full)
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","contended":$contended,"queries":{},"n_queries":${finalResults.size},"errors":$es,"n_errors":${errors.size},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    def writeLine(path: String, line: String): Unit =
+      try {
+        val w = new java.io.PrintWriter(path, "UTF-8")
+        try w.println(line) finally w.close()
+      } catch { case _: Throwable => () } // read-only cwd must not kill the bench
+    // Overwrite guard (r15 verdict #3, see keepCommitted): a
+    // gate-FAILING battery never replaces a gate-PASSING committed
+    // record — the committed record stays the headline (annotated) and
+    // the failed battery lands in BENCH_REJECTED.json as evidence.
+    val committedRec =
+      try {
+        val f = new java.io.File("BENCH_FULL.json")
+        if (!f.exists) None
+        else {
+          val src = scala.io.Source.fromFile(f, "UTF-8")
+          try Some(src.mkString.trim) finally src.close()
+        }
+      } catch { case _: Throwable => None }
+    val committedTotal = committedRec.flatMap(j =>
+      """"metric":"total","value":([0-9.eE+\-]+)""".r
+        .findFirstMatchIn(j).flatMap(_.group(1).toDoubleOption))
+    val guardFires = keepCommitted(committedRec, overFloor.isEmpty, sfDir) &&
+      committedTotal.nonEmpty
+    if (guardFires) {
+      val kept = annotateKept(committedRec.get, ms(total))
+      writeLine("BENCH_REJECTED.json", full)
+      writeLine("BENCH_FULL.json", kept)
+      writeLine("BENCH_TOTAL.json", s"""{"metric":"total","value":${ms(committedTotal.get)},"unit":"sec","kept_committed":true,"rejected_total":${ms(total)},"n_queries":${finalResults.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
+      println(kept)
+      println(s"""{"metric":"total","value":${ms(committedTotal.get)},"unit":"sec","kept_committed":true,"rejected_total":${ms(total)},"queries":{},"n_queries":${finalResults.size},"errors":$es,"n_errors":${errors.size},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    } else {
+      writeLine("BENCH_FULL.json", full)
+      // (4) the total alone in its own tiny file — the driver's "parsed":
+      // null tail-scrape bug (4 rounds running) can't lose a 1-line file
+      writeLine("BENCH_TOTAL.json", s"""{"metric":"total","value":${ms(total)},"unit":"sec","timing":${jstr(timing)},"total_first_pass":${ms(totalFirst)},"contended":$contended,$repassJson"sentinel_spread":${math.round(spreadObserved * 100) / 100.0},"n_queries":${finalResults.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
+      println(full)
+      println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","contended":$contended,"queries":{},"n_queries":${finalResults.size},"errors":$es,"n_errors":${errors.size},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    }
     if (errors.nonEmpty) sys.exit(1)
   }
 }

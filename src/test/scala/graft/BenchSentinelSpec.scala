@@ -143,6 +143,41 @@ class BenchSentinelSpec extends AnyFunSuite {
     }
   }
 
+  test("overwrite guard: a gate-failing battery keeps a gate-passing committed record") {
+    // the r15 episode: the driver's post-commit refresh landed
+    // floor_gate ok:false (contended) over a clean committed record and
+    // the official headline inherited the dirty battery
+    val committed = Some("""{"metric":"total","value":168.7,"unit":"sec","floor_gate":{"ok":true,"rounds":0,"max_vs_floor":1.91,"over":[]},"sf":"/root/testdata/sf0.1"}""")
+    assert(Bench.keepCommitted(committed, newGateOk = false,
+      "/root/testdata/sf0.1"))
+    // a PASSING battery always lands, whatever the committed state
+    assert(!Bench.keepCommitted(committed, newGateOk = true,
+      "/root/testdata/sf0.1"))
+    // a failing battery may replace a committed record that also failed
+    // (no clean record to protect)
+    val failedCommitted = Some(committed.get
+      .replace("\"ok\":true", "\"ok\":false"))
+    assert(!Bench.keepCommitted(failedCommitted, newGateOk = false,
+      "/root/testdata/sf0.1"))
+    // sf mismatch: a passing sf0.01 record must not block an sf0.1 landing
+    assert(!Bench.keepCommitted(committed, newGateOk = false,
+      "/root/testdata/sf0.01"))
+    // no committed record at all -> nothing to keep
+    assert(!Bench.keepCommitted(None, newGateOk = false,
+      "/root/testdata/sf0.1"))
+  }
+
+  test("overwrite guard: the kept record is annotated machine-readably") {
+    val committed = """{"metric":"total","value":168.7,"floor_gate":{"ok":true},"sf":"/root/testdata/sf0.1"}"""
+    val kept = Bench.annotateKept(committed, 164.2)
+    assert(kept.contains(""""guard":{"kept_committed":true"""))
+    assert(kept.contains(""""rejected_total":164.2"""))
+    assert(kept.contains(""""floor_gate":{"ok":true}""")) // original intact
+    // still one JSON object: braces balance and it ends with }
+    assert(kept.count(_ == '{') === kept.count(_ == '}'))
+    assert(kept.endsWith("}"))
+  }
+
   test("repass candidate ratio list skips non-positive bests") {
     // a zero best (pathological) must not win the ratio sort by division
     val results = Seq(("qz", 0.0, 1.0), ("qa", 0.2, 1.0), ("qd", 3.0, 3.1))

@@ -42,16 +42,27 @@ object MultimodalOps {
     *    and read (height, width) big-endian at +5/+7 — dimensions never
     *    need entropy decode;
     *  - GIF → logical screen descriptor: (width, height) little-endian
-    *    at 6/8 after the GIF87a/GIF89a magic.
+    *    at 6/8 after the GIF87a/GIF89a magic;
+    *  - WebP (r16) → RIFF/WEBP container, first chunk dispatched by
+    *    fourcc: VP8X extended header (24-bit little-endian canvas
+    *    width−1/height−1 at 24/27), VP8 lossy bitstream (0x9D012A start
+    *    code, 14-bit little-endian dims at 26/28), VP8L lossless
+    *    (0x2F signature, 14+14 bits packed little-endian from 21);
+    *  - TIFF (r16) → "II*\0"/"MM\0*" byte-order header, then a bounded
+    *    IFD entry walk for tags 256/257 (ImageWidth/ImageLength),
+    *    reading inline SHORT(3)/LONG(4) values in the file's declared
+    *    endianness — dimensions never need strip/tile decode.
     *
-    * No-false-positive discipline: the PNG/BMP/WAV sniffs require
+    * No-false-positive discipline: the PNG/BMP/WAV/TIFF sniffs require
     * structural ZERO bytes and JPEG requires 0xFF bytes — neither occurs
     * in NUL-free utf-8 text, so a text payload can never wander into
     * those parsers. GIF's 6-byte magic is printable ASCII; it is matched
     * exactly, so only a text that literally starts "GIF87a"/"GIF89a"
     * could reach the GIF branch (~2⁻⁴⁸ for arbitrary text, absent from
     * the corpora — MultimodalSpec pins fixtures for both real and text
-    * payloads). Everything else falls back to the deterministic STUB,
+    * payloads); WebP requires the 8 printable bytes "RIFF"+"WEBP" in
+    * their exact slots (~2⁻⁶⁴) AND a recognized chunk fourcc, else it
+    * falls through. Everything else falls back to the deterministic STUB,
     * the same formula q37's declarative twin computes; the two layers
     * stay in exact agreement (MultimodalSpec). Pixel/sample DECODE (the
     * part that needs a codec library) remains out of scope here; a real
@@ -77,6 +88,60 @@ object MultimodalOps {
       u8(0) == 0xff && u8(1) == 0xd8 && u8(2) == 0xff
     val isGif = payload.length >= 13 && ascii(0, "GIF8") &&
       (u8(4) == '7'.toInt || u8(4) == '9'.toInt) && u8(5) == 'a'.toInt
+    val isWebp = payload.length >= 16 && ascii(0, "RIFF") &&
+      ascii(8, "WEBP")
+    val isTiff = payload.length >= 8 &&
+      ((u8(0) == 'I'.toInt && u8(1) == 'I'.toInt && u8(2) == 42 &&
+        u8(3) == 0) ||
+        (u8(0) == 'M'.toInt && u8(1) == 'M'.toInt && u8(2) == 0 &&
+          u8(3) == 42))
+    // WebP: dispatch on the first chunk's fourcc; every branch reads
+    // fixed offsets guarded by length — unknown chunks fall through
+    def webpDims(): Option[(Int, Int)] = {
+      if (ascii(12, "VP8X") && payload.length >= 30) {
+        // 24-bit little-endian canvas dims, stored minus one
+        val w = (u8(24) | (u8(25) << 8) | (u8(26) << 16)) + 1
+        val h = (u8(27) | (u8(28) << 8) | (u8(29) << 16)) + 1
+        Some((w, h))
+      } else if (ascii(12, "VP8 ") && payload.length >= 30 &&
+          u8(23) == 0x9d && u8(24) == 0x01 && u8(25) == 0x2a) {
+        // lossy keyframe: 14-bit dims (upper 2 bits are scaling hints)
+        Some((le16(26) & 0x3fff, le16(28) & 0x3fff))
+      } else if (ascii(12, "VP8L") && payload.length >= 25 &&
+          u8(20) == 0x2f) {
+        // lossless: 14+14 bits packed little-endian after the signature
+        val bits = (u8(21).toLong | (u8(22).toLong << 8) |
+          (u8(23).toLong << 16) | (u8(24).toLong << 24))
+        Some((((bits & 0x3fff) + 1).toInt,
+          (((bits >> 14) & 0x3fff) + 1).toInt))
+      } else None
+    }
+    // TIFF: bounded IFD walk in the declared byte order; inline
+    // SHORT/LONG values only (width/height always fit inline) — any
+    // truncated structure falls through to the stub, never throws
+    def tiffDims(): Option[(Int, Int)] = {
+      val le = u8(0) == 'I'.toInt
+      def r16(i: Int): Int = if (le) le16(i) else be16(i)
+      def r32(i: Int): Int = if (le) le32(i) else be32(i)
+      val ifd = r32(4)
+      if (ifd < 0 || ifd + 2 > payload.length) return None
+      val n = r16(ifd)
+      var w = -1
+      var h = -1
+      var k = 0
+      while (k < n && ifd + 2 + 12 * (k + 1) <= payload.length) {
+        val e = ifd + 2 + 12 * k
+        val tag = r16(e)
+        val v = r16(e + 2) match {
+          case 3 => r16(e + 8) // SHORT, inline
+          case 4 => r32(e + 8) // LONG, inline
+          case _ => -1
+        }
+        if (tag == 256) w = v else if (tag == 257) h = v
+        k += 1
+      }
+      if (w >= 0 && h >= 0) Some((w, h)) else None
+    }
     // SOF walk: returns (w, h) or falls through to the stub on any
     // malformed structure (truncated segment, EOI/SOS before a frame
     // header) — bounded by the payload length, never throws
@@ -105,8 +170,15 @@ object MultimodalOps {
     else if (isBmp) (le32(18), math.abs(le32(22)))
     else if (isWav) (le32(24), le16(22))
     else if (isGif) (le16(6), le16(8))
-    else (if (isJpeg) jpegDims() else None).getOrElse(
-      (64 + (payload.length % 256), 64 + ((payload.length * 7) % 256)))
+    else {
+      val parsed =
+        if (isJpeg) jpegDims()
+        else if (isWebp) webpDims()
+        else if (isTiff) tiffDims()
+        else None
+      parsed.getOrElse(
+        (64 + (payload.length % 256), 64 + ((payload.length * 7) % 256)))
+    }
   }
 
   /** Minimal VALID container headers for the three image formats the
@@ -151,6 +223,46 @@ object MultimodalOps {
     b.putShort(h.toShort); b.putShort(w.toShort)
     b.put(3.toByte)
     b.put(Array[Byte](1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+    b.put(body)
+    b.array()
+  }
+
+  /** RIFF/WEBP with a VP8X extended header — 24-bit little-endian canvas
+    * dims (stored minus one); dims must fit 24 bits. */
+  def mkWebp(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(30 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII"))
+    b.putInt(22 + body.length) // RIFF payload size
+    b.put("WEBP".getBytes("US-ASCII"))
+    b.put("VP8X".getBytes("US-ASCII"))
+    b.putInt(10) // VP8X chunk size
+    b.put(Array[Byte](0, 0, 0, 0)) // flags + reserved
+    def le24(v: Int): Unit = {
+      b.put((v & 0xff).toByte)
+      b.put(((v >> 8) & 0xff).toByte)
+      b.put(((v >> 16) & 0xff).toByte)
+    }
+    le24(w - 1); le24(h - 1)
+    b.put(body)
+    b.array()
+  }
+
+  /** Little-endian TIFF: header + one 2-entry IFD — ImageWidth (256) as
+    * an inline LONG and ImageLength (257) as an inline SHORT, so both
+    * inline value paths of the walk are exercised; height must fit 16
+    * bits. The BE ("MM") variant is covered by a handcrafted spec
+    * fixture. */
+  def mkTiff(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(38 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("II".getBytes("US-ASCII")); b.putShort(42)
+    b.putInt(8) // IFD offset
+    b.putShort(2) // entry count
+    b.putShort(256.toShort); b.putShort(4); b.putInt(1); b.putInt(w)
+    b.putShort(257.toShort); b.putShort(3); b.putInt(1)
+    b.putShort(h.toShort); b.putShort(0)
+    b.putInt(0) // next-IFD pointer
     b.put(body)
     b.array()
   }
@@ -402,16 +514,18 @@ object MultimodalOps {
 
     // ----- q300: container-dimension decode, certified end-to-end ---------
     // The header-parse layer (PNG IHDR, GIF logical screen descriptor,
-    // JPEG SOF marker walk — r15) under the oracle hash gate via a
-    // synthesize-then-parse round-trip: each document's doc_id derives
-    // target dims, a REAL container header with those dims wraps the
-    // text bytes (PNG / GIF / JPEG / raw, round-robin by id), and the
-    // Spark side recovers the dims by PARSING THE BYTES in the typed
-    // decode layer (decodeDims — the same code path a production corpus
-    // scan runs). The oracle knows only the generative formula, so a
-    // wrong endianness, a mis-hopped JPEG segment, or an off-by-one
-    // offset flips the hash. Typed mapPartitions, partition-local, one
-    // corpus scan — the byte-level work rides the scan like extractMeta.
+    // JPEG SOF marker walk — r15; WebP VP8X and TIFF IFD walk — r16)
+    // under the oracle hash gate via a synthesize-then-parse
+    // round-trip: each document's doc_id derives target dims, a REAL
+    // container header with those dims wraps the text bytes (PNG / GIF
+    // / JPEG / WebP / TIFF / raw, round-robin by id), and the Spark
+    // side recovers the dims by PARSING THE BYTES in the typed decode
+    // layer (decodeDims — the same code path a production corpus scan
+    // runs). The oracle knows only the generative formula, so a wrong
+    // endianness, a mis-hopped JPEG segment, a mis-packed 24-bit VP8X
+    // field, or a mis-walked IFD entry flips the hash. Typed
+    // mapPartitions, partition-local, one corpus scan — the byte-level
+    // work rides the scan like extractMeta.
     NamedQuery(
       "q300_container_dims",
       (s, d) => {
@@ -423,16 +537,20 @@ object MultimodalOps {
             val body = text.getBytes("UTF-8")
             val w = (64 + (id * 13) % 1000).toInt
             val h = (64 + (id * 29) % 1000).toInt
-            val payload = (id % 4) match {
+            val payload = (id % 6) match {
               case 0 => mkPng(w, h, body)
               case 1 => mkGif(w, h, body)
               case 2 => mkJpeg(w, h, body)
+              case 3 => mkWebp(w, h, body)
+              case 4 => mkTiff(w, h, body)
               case _ => body
             }
-            val container = (id % 4) match {
+            val container = (id % 6) match {
               case 0 => "png"
               case 1 => "gif"
               case 2 => "jpeg"
+              case 3 => "webp"
+              case 4 => "tiff"
               case _ => "raw"
             }
             val (dw, dh) = decodeDims(payload)
@@ -441,16 +559,17 @@ object MultimodalOps {
           .toDF("doc_id", "container", "width", "height", "n_bytes")
       },
       Some("""SELECT doc_id,
-             |  (['png', 'gif', 'jpeg', 'raw'])[doc_id % 4 + 1]
-             |    AS container,
-             |  CASE WHEN doc_id % 4 = 3
+             |  (['png', 'gif', 'jpeg', 'webp', 'tiff', 'raw'])
+             |    [doc_id % 6 + 1] AS container,
+             |  CASE WHEN doc_id % 6 = 5
              |    THEN 64 + octet_length(encode(text)) % 256
              |    ELSE 64 + (doc_id * 13) % 1000 END AS width,
-             |  CASE WHEN doc_id % 4 = 3
+             |  CASE WHEN doc_id % 6 = 5
              |    THEN 64 + (octet_length(encode(text)) * 7) % 256
              |    ELSE 64 + (doc_id * 29) % 1000 END AS height,
-             |  CAST(octet_length(encode(text)) + CASE doc_id % 4
+             |  CAST(octet_length(encode(text)) + CASE doc_id % 6
              |    WHEN 0 THEN 33 WHEN 1 THEN 13 WHEN 2 THEN 45
+             |    WHEN 3 THEN 30 WHEN 4 THEN 38
              |    ELSE 0 END AS BIGINT) AS n_bytes
              |FROM documents""".stripMargin)),
   )

@@ -102,6 +102,87 @@ class MultimodalSpec extends AnyFunSuite {
     assert(metas(6L) == ((256, 144)))
   }
 
+  test("r16 containers: WebP (VP8X/VP8/VP8L) and TIFF (LE/BE) headers") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val body = "webp tiff body".getBytes("UTF-8")
+    // VP8X extended header — 24-bit canvas dims (the q300 fixture)
+    assert(MultimodalOps.decodeDims(
+      MultimodalOps.mkWebp(16384, 9000, body)) == ((16384, 9000)))
+    // VP8 lossy keyframe: 0x9D012A start code, 14-bit dims
+    def webpVp8(w: Int, h: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(30).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")); b.putInt(22)
+      b.put("WEBP".getBytes("US-ASCII"))
+      b.put("VP8 ".getBytes("US-ASCII")); b.putInt(10)
+      b.put(Array[Byte](0, 0, 0)) // frame tag
+      b.put(Array(0x9d, 0x01, 0x2a).map(_.toByte))
+      b.putShort(w.toShort); b.putShort(h.toShort)
+      b.array()
+    }
+    assert(MultimodalOps.decodeDims(webpVp8(640, 360)) == ((640, 360)))
+    // VP8L lossless: 0x2F signature, 14+14 bits packed little-endian
+    def webpVp8l(w: Int, h: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(25).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")); b.putInt(17)
+      b.put("WEBP".getBytes("US-ASCII"))
+      b.put("VP8L".getBytes("US-ASCII")); b.putInt(5)
+      b.put(0x2f.toByte)
+      val bits = (w - 1) | ((h - 1) << 14)
+      b.putInt(bits)
+      b.array()
+    }
+    assert(MultimodalOps.decodeDims(webpVp8l(1000, 750)) == ((1000, 750)))
+    // an unknown first chunk must fall through to the stub, not parse
+    val unk = {
+      val b = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")); b.putInt(12)
+      b.put("WEBP".getBytes("US-ASCII"))
+      b.put("ANMF".getBytes("US-ASCII"))
+      b.array()
+    }
+    assert(MultimodalOps.decodeDims(unk) ==
+      ((64 + unk.length % 256, 64 + (unk.length * 7) % 256)))
+
+    // TIFF little-endian builder: LONG width + SHORT height (both
+    // inline value paths)
+    assert(MultimodalOps.decodeDims(
+      MultimodalOps.mkTiff(70000, 4321, body)) == ((70000, 4321)))
+    // TIFF big-endian (MM) — handcrafted, SHORT values in BE slots
+    def tiffBe(w: Int, h: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(38).order(ByteOrder.BIG_ENDIAN)
+      b.put("MM".getBytes("US-ASCII")); b.putShort(42)
+      b.putInt(8)
+      b.putShort(2)
+      b.putShort(256.toShort); b.putShort(3); b.putInt(1)
+      b.putShort(w.toShort); b.putShort(0)
+      b.putShort(257.toShort); b.putShort(3); b.putInt(1)
+      b.putShort(h.toShort); b.putShort(0)
+      b.putInt(0)
+      b.array()
+    }
+    assert(MultimodalOps.decodeDims(tiffBe(1234, 567)) == ((1234, 567)))
+    // an IFD missing either dim tag falls back to the stub
+    def tiffNoDims(): Array[Byte] = {
+      val b = ByteBuffer.allocate(26).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("II".getBytes("US-ASCII")); b.putShort(42)
+      b.putInt(8)
+      b.putShort(1)
+      b.putShort(259.toShort); b.putShort(3); b.putInt(1)
+      b.putShort(1); b.putShort(0) // Compression=1, no width/height
+      b.putInt(0)
+      b.array()
+    }
+    val nd = tiffNoDims()
+    assert(MultimodalOps.decodeDims(nd) ==
+      ((64 + nd.length % 256, 64 + (nd.length * 7) % 256)))
+    // truncated structures never throw (the fuzz test covers these
+    // families too once the prefixes route into the new parsers)
+    for (fix <- Seq(MultimodalOps.mkWebp(100, 100, body),
+        MultimodalOps.mkTiff(100, 100, body), webpVp8(64, 64));
+        n <- 0 to fix.length)
+      MultimodalOps.decodeDims(fix.take(n))
+  }
+
   test("decodeDims never throws on malformed headers: fuzz + truncation") {
     import java.nio.{ByteBuffer, ByteOrder}
     // same fixture builders as the decode test above

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data curation operators over `documents` — the preprocessing
@@ -112,6 +113,115 @@ object CurationOps {
            |$iters""".stripMargin
   }
 
+  /** q54's body, threshold-parameterized so CorpusBuildSpec and
+    * ScaleProbe --skew can force the phased cumsum shape (the adaptive
+    * default picks plain per-source windows at every test SF). See the
+    * q54 registry comment and [[OpsKit.adaptivePackCumsum]]. */
+  def sequencePack(s: SparkSession, d: String,
+      threshold: Long = PackPhaseMinRows): DataFrame = {
+    val C = 2048
+    val slim = tbl(s, d, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+    adaptivePackCumsum(slim, threshold)
+      .withColumn("bin_id",
+        floor((col("cum") - col("n_toks")) / lit(C.toDouble)))
+      .groupBy(col("source"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+  }
+
+  /** q302's body, threshold-parameterized like [[sequencePack]].
+    * Audit block size 256 (not q54's production 2048): at the fixture's
+    * subsampled per-source volumes a 2048-token bin swallows every
+    * source whole and no split ever happens — the metric must see
+    * multi-bin layouts and boundary crossings to be exercised (r12
+    * degeneracy discipline); the arithmetic is identical at any C.
+    * The input subsample is q250/q280's deterministic unequal one (md5
+    * keys, source-dependent 25/50/75% rates): the generator's equal
+    * per-source volumes would make every per-source audit column
+    * constant — sources must land on DIFFERENT bin counts and split
+    * rates for the arithmetic to be exercised. */
+  def packFragmentation(s: SparkSession, d: String,
+      threshold: Long = PackPhaseMinRows): DataFrame = {
+    val C = 256L
+    val slim = tbl(s, d, "documents")
+      .filter(LlmKit.strHash(col("doc_id").cast("string")) % 4 <
+        LlmKit.strHash(col("source")) % 3 + 1)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+    adaptivePackCumsum(slim, threshold)
+      .withColumn("crossings",
+        floor((col("cum") - 1) / lit(C.toDouble)) -
+          floor((col("cum") - col("n_toks")) / lit(C.toDouble)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        (max(floor((col("cum") - 1) / lit(C.toDouble))) + 1)
+          .cast("long").as("n_bins"),
+        sum(when(col("crossings") > 0, 1L).otherwise(0L))
+          .as("n_split_docs"),
+        sum(col("crossings") + 1).cast("long").as("n_fragments"),
+        sum(when(col("crossings") > 0, col("n_toks")).otherwise(0L))
+          .as("split_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_bins"), col("n_split_docs"), col("n_fragments"),
+        (col("split_tokens").cast("double") /
+          col("n_tokens").cast("double")).as("split_token_share"))
+  }
+
+  /** Shard-local best-fit-decreasing (BFD) bin packing — the
+    * document-aware alternative to q54's greedy boundary-crossing
+    * layout: no document is ever split across training rows; the price
+    * is internal padding, which q304 prices against q302's
+    * fragmentation metric (r15 verdict item 2).
+    *
+    * Input: the slim working set (source, doc_id, n_toks), every doc
+    * ≤ `cap` tokens (longer docs are the chunker's job, q43). Docs are
+    * sharded by id range — pb = doc_id div `shardIds` — and packed
+    * independently within each (source, pb) shard: items sorted by
+    * (n_toks DESC, doc_id), each placed into the FEASIBLE open bin with
+    * the highest load (ties → lowest bin index), else a new bin. The
+    * algorithm is inherently sequential per shard — this is the one
+    * place a typed sorted-group fold is the right tool, and the shards
+    * bound it: at 100 TB each (source, pb) group holds ≤ `shardIds`
+    * docs, state is one long per open bin, and shards pack in parallel
+    * across the cluster (shard-local packing costs at most one
+    * under-filled bin per shard seam). Deterministic: order and
+    * tie-breaks are total, so the oracle replays it exactly as a
+    * per-shard recursive CTE.
+    *
+    * Output: input columns + (pb, bin) with bin 1-based within the
+    * shard; (pb, bin) is the bin identity within a source. */
+  def bestFitPack(slim: DataFrame, cap: Long, shardIds: Long): DataFrame = {
+    val sess = slim.sparkSession
+    import sess.implicits._
+    slim
+      .select(col("source"), floor(col("doc_id") / lit(shardIds))
+        .cast("long").as("pb"), col("doc_id"), col("n_toks"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey { case (src, pb, _, _) => (src, pb) }
+      .flatMapSortedGroups(col("n_toks").desc, col("doc_id")) {
+        case ((src, pb), it) =>
+          val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+          it.map { case (_, _, docId, n) =>
+            var best = -1
+            var bestLoad = -1L
+            var i = 0
+            while (i < loads.length) {
+              if (loads(i) + n <= cap && loads(i) > bestLoad) {
+                best = i; bestLoad = loads(i)
+              }
+              i += 1
+            }
+            val bin =
+              if (best < 0) { loads += n; loads.length.toLong }
+              else { loads(best) += n; (best + 1).toLong }
+            (src, pb, docId, n, bin)
+          }
+      }
+      .toDF("source", "pb", "doc_id", "n_toks", "bin")
+  }
+
   def all: Seq[NamedQuery] = Seq(
 
     // ----- q42: TF-weighted SimHash ---------------------------------------
@@ -196,29 +306,18 @@ object CurationOps {
     // The "pack documents into 2048-token training rows" step: within each
     // source shard, docs are laid out in doc_id order and a doc belongs to
     // the bin its FIRST token lands in (greedy boundary-crossing pack —
-    // deterministic, no bin search). The running layout offset is a
-    // window cumsum PARTITIONED BY source, so packing parallelizes across
-    // shards — there is no global window, and a 100 TB corpus packs one
-    // shard per task group. Output is the per-bin manifest (docs, tokens)
-    // a packing writer would consume. All inputs are integers; bin_id's
-    // floor-divide is exact below 2^53 in both engines.
+    // deterministic, no bin search). The running layout offset is
+    // OpsKit.adaptivePackCumsum's per-source cumsum: plain per-source
+    // windows while every source fits one task, the phased (source,
+    // bucket) shape — bounded local windows + broadcast bucket-prefix
+    // offsets — when a dominant source would serialize into one window
+    // task (the r15-verdict back-port of CorpusBuild stage 4's de-skew;
+    // both shapes are value-identical). Output is the per-bin manifest
+    // (docs, tokens) a packing writer would consume. All inputs are
+    // integers; bin_id's floor-divide is exact below 2^53 in both engines.
     NamedQuery(
       "q54_sequence_pack",
-      (s, d) => {
-        val C = 2048
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("source")).orderBy(col("doc_id"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)
-        tbl(s, d, "documents")
-          .select(col("source"), col("doc_id"),
-            size(split(col("text"), " ")).cast("long").as("n_toks"))
-          .withColumn("cum", sum(col("n_toks")).over(w))
-          .withColumn("bin_id",
-            floor((col("cum") - col("n_toks")) / lit(C.toDouble)))
-          .groupBy(col("source"), col("bin_id"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
-      },
+      (s, d) => sequencePack(s, d),
       Some("""WITH c AS (
              |  SELECT source, doc_id,
              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
@@ -243,54 +342,12 @@ object CurationOps {
     // fragments (each crossing adds one), and the token share captive in
     // split docs. Crossings per doc are pure integer arithmetic on the
     // SAME cumsum q54 computes — floor((cum−1)/C) − floor((cum−n)/C) —
-    // so the audit rides one corpus scan and one per-source window
-    // (q54's shard-parallel shape); every output is an integer or one
-    // trailing exact-decimal ratio.
+    // so the audit rides one corpus scan and q54's adaptive per-source
+    // cumsum (plain windows small, phased (source, bucket) under skew);
+    // every output is an integer or one trailing exact-decimal ratio.
     NamedQuery(
       "q302_pack_fragmentation",
-      (s, d) => {
-        // audit block size 256 (not q54's production 2048): at the
-        // fixture's subsampled per-source volumes a 2048-token bin
-        // swallows every source whole and no split ever happens — the
-        // metric must see multi-bin layouts and boundary crossings to
-        // be exercised (r12 degeneracy discipline); the arithmetic is
-        // identical at any C
-        val C = 256L
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("source")).orderBy(col("doc_id"))
-          .rowsBetween(
-            org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)
-        // q250/q280's deterministic unequal subsample (md5 keys,
-        // source-dependent 25/50/75% rates): the generator's equal
-        // per-source volumes would make every per-source audit column
-        // constant (the r12 degeneracy discipline applied at design
-        // time — sources must land on DIFFERENT bin counts and split
-        // rates for the arithmetic to be exercised)
-        tbl(s, d, "documents")
-          .filter(LlmKit.strHash(col("doc_id").cast("string")) % 4 <
-            LlmKit.strHash(col("source")) % 3 + 1)
-          .select(col("source"), col("doc_id"),
-            size(split(col("text"), " ")).cast("long").as("n_toks"))
-          .withColumn("cum", sum(col("n_toks")).over(w))
-          .withColumn("crossings",
-            floor((col("cum") - 1) / lit(C.toDouble)) -
-              floor((col("cum") - col("n_toks")) / lit(C.toDouble)))
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("n_toks")).as("n_tokens"),
-            (max(floor((col("cum") - 1) / lit(C.toDouble))) + 1)
-              .cast("long").as("n_bins"),
-            sum(when(col("crossings") > 0, 1L).otherwise(0L))
-              .as("n_split_docs"),
-            sum(col("crossings") + 1).cast("long").as("n_fragments"),
-            sum(when(col("crossings") > 0, col("n_toks")).otherwise(0L))
-              .as("split_tokens"))
-          .select(col("source"), col("n_docs"), col("n_tokens"),
-            col("n_bins"), col("n_split_docs"), col("n_fragments"),
-            (col("split_tokens").cast("double") /
-              col("n_tokens").cast("double")).as("split_token_share"))
-      },
+      (s, d) => packFragmentation(s, d),
       Some(s"""WITH sub AS (
              |  SELECT * FROM documents
              |  WHERE ${LlmKit.strHashSql("CAST(doc_id AS VARCHAR)")} % 4
@@ -320,6 +377,132 @@ object CurationOps {
              |      AS DOUBLE) / CAST(SUM(n_toks) AS DOUBLE)
              |    AS split_token_share
              |FROM x GROUP BY source""".stripMargin)),
+
+    // ----- q304: packing-policy comparison — greedy vs best-fit ----------
+    // q302 exists to price packing policies; this query runs the pricing:
+    // the SAME subsample is packed twice — q54's greedy boundary-crossing
+    // layout (documents split across bin boundaries, bins perfectly full)
+    // and shard-local best-fit-decreasing ([[bestFitPack]]: no document
+    // ever split, bins padded) — and the per-source report carries both
+    // cost sides: greedy's split-doc count and captive-token share vs
+    // BFD's bin overhead and pad share. greedy_bins = ceil(tokens/C) is
+    // the information-theoretic floor, so bin_delta ≥ 0 is exactly what
+    // no-split costs in extra training rows. Audit block size 256 and
+    // the unequal md5 subsample as in q302 (degeneracy discipline); the
+    // corpus is scanned ONCE (shared pinned slim feeds both packers).
+    // The oracle replays BFD exactly as a per-(source, shard) recursive
+    // CTE over the (n_toks DESC, doc_id) rank — list-of-loads state,
+    // first-position tie-break — and greedy as the q302 window cumsum;
+    // every column is integer arithmetic or one exact-integer division.
+    NamedQuery(
+      "q304_pack_compare",
+      (s, d) => {
+        val C = 256L
+        val shard = 512L
+        val slim = OpsKit.pinned(tbl(s, d, "documents")
+          .filter(LlmKit.strHash(col("doc_id").cast("string")) % 4 <
+            LlmKit.strHash(col("source")) % 3 + 1)
+          .filter(size(split(col("text"), " ")) <= C)
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_toks")))
+        val g = adaptivePackCumsum(slim)
+          .withColumn("crossings",
+            floor((col("cum") - 1) / lit(C.toDouble)) -
+              floor((col("cum") - col("n_toks")) / lit(C.toDouble)))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_toks")).as("n_tokens"),
+            (max(floor((col("cum") - 1) / lit(C.toDouble))) + 1)
+              .cast("long").as("greedy_bins"),
+            sum(when(col("crossings") > 0, 1L).otherwise(0L))
+              .as("greedy_split_docs"),
+            sum(when(col("crossings") > 0, col("n_toks")).otherwise(0L))
+              .as("split_tokens"))
+        val b = bestFitPack(slim, C, shard)
+          .groupBy(col("source"))
+          .agg(countDistinct(col("pb"), col("bin")).as("bfd_bins"))
+        // K source rows: broadcast, never sort-merge two tiny aggregates
+        g.join(broadcast(b), "source")
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("greedy_bins"), col("greedy_split_docs"),
+            (col("split_tokens").cast("double") /
+              col("n_tokens").cast("double")).as("greedy_split_share"),
+            col("bfd_bins"),
+            ((col("bfd_bins") * C - col("n_tokens")).cast("double") /
+              (col("bfd_bins") * C).cast("double")).as("bfd_pad_share"),
+            (col("bfd_bins") - col("greedy_bins")).as("bin_delta"))
+      },
+      Some(s"""WITH RECURSIVE sub AS (
+             |  SELECT source, doc_id,
+             |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_toks,
+             |    CAST(doc_id // 512 AS BIGINT) AS pb
+             |  FROM documents
+             |  WHERE ${LlmKit.strHashSql("CAST(doc_id AS VARCHAR)")} % 4
+             |    < ${LlmKit.strHashSql("source")} % 3 + 1
+             |    AND len(string_split(text,' ')) <= 256),
+             |c AS (
+             |  SELECT source, n_toks,
+             |    CAST(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum
+             |  FROM sub),
+             |x AS (
+             |  SELECT source, n_toks, cum,
+             |    CAST(FLOOR((cum - 1) / 256.0) AS BIGINT)
+             |      - CAST(FLOOR((cum - n_toks) / 256.0) AS BIGINT)
+             |      AS crossings
+             |  FROM c),
+             |g AS (
+             |  SELECT source, COUNT(*) AS n_docs,
+             |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+             |    CAST(MAX(CAST(FLOOR((cum - 1) / 256.0) AS BIGINT)) + 1
+             |      AS BIGINT) AS greedy_bins,
+             |    CAST(SUM(CASE WHEN crossings > 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS greedy_split_docs,
+             |    CAST(SUM(CASE WHEN crossings > 0 THEN n_toks ELSE 0 END)
+             |      AS BIGINT) AS split_tokens
+             |  FROM x GROUP BY source),
+             |ranked AS (
+             |  SELECT *, CAST(row_number() OVER (PARTITION BY source, pb
+             |    ORDER BY n_toks DESC, doc_id) AS BIGINT) AS rk
+             |  FROM sub),
+             |pack AS (
+             |  SELECT source, pb, CAST(0 AS BIGINT) AS rk,
+             |    CAST(NULL AS BIGINT) AS doc_id,
+             |    CAST(NULL AS BIGINT) AS n_toks,
+             |    CAST(NULL AS BIGINT) AS bin,
+             |    CAST([] AS BIGINT[]) AS loads
+             |  FROM (SELECT DISTINCT source, pb FROM ranked)
+             |  UNION ALL
+             |  SELECT r.source, r.pb, r.rk, r.doc_id, r.n_toks,
+             |    CASE WHEN fit.best IS NULL THEN len(p.loads) + 1
+             |         ELSE fit.pos END AS bin,
+             |    CASE WHEN fit.best IS NULL THEN p.loads || [r.n_toks]
+             |         ELSE p.loads[:fit.pos-1]
+             |           || [p.loads[fit.pos] + r.n_toks]
+             |           || p.loads[fit.pos+1:]
+             |    END AS loads
+             |  FROM pack p
+             |  JOIN ranked r ON r.source = p.source AND r.pb = p.pb
+             |    AND r.rk = p.rk + 1
+             |  CROSS JOIN LATERAL (
+             |    SELECT list_max(list_filter(p.loads,
+             |        x -> x + r.n_toks <= 256)) AS best,
+             |      list_position(p.loads, list_max(list_filter(p.loads,
+             |        x -> x + r.n_toks <= 256))) AS pos
+             |  ) fit),
+             |b AS (
+             |  SELECT source, COUNT(DISTINCT (pb, bin)) AS bfd_bins
+             |  FROM pack WHERE rk >= 1 GROUP BY source)
+             |SELECT g.source, g.n_docs, g.n_tokens, g.greedy_bins,
+             |  g.greedy_split_docs,
+             |  CAST(g.split_tokens AS DOUBLE) / CAST(g.n_tokens AS DOUBLE)
+             |    AS greedy_split_share,
+             |  b.bfd_bins,
+             |  CAST(b.bfd_bins * 256 - g.n_tokens AS DOUBLE)
+             |    / CAST(b.bfd_bins * 256 AS DOUBLE) AS bfd_pad_share,
+             |  b.bfd_bins - g.greedy_bins AS bin_delta
+             |FROM g JOIN b ON b.source = g.source""".stripMargin)),
 
     // ----- q55: curation decision manifest --------------------------------
     // Signals → decisions: the keep/drop table with reason codes that the
@@ -2413,19 +2596,13 @@ object CurationOps {
       "q299_corpus_build",
       (s, d) => {
         // each invocation publishes into a fresh temp tree; register it
-        // for JVM-exit cleanup so a bench battery (2 timed runs +
-        // repasses + ClusterParity) doesn't strand full corpus copies
-        // in /tmp (r14 ADVICE)
+        // with the ONE static JVM-exit reaper so a bench battery (2
+        // timed runs + repasses + ClusterParity) doesn't strand full
+        // corpus copies in /tmp OR accumulate per-run shutdown hooks
+        // (r14 + r15 ADVICE)
         val tmp = java.nio.file.Files
           .createTempDirectory("graft-q299-build")
-        Runtime.getRuntime.addShutdownHook(new Thread(() => {
-          def del(f: java.io.File): Unit = {
-            val cs = f.listFiles()
-            if (cs != null) cs.foreach(del)
-            f.delete(); ()
-          }
-          del(tmp.toFile)
-        }))
+        OpsKit.reapOnExit(tmp)
         graft.sink.CorpusBuild.run(s, d, tmp.toString + "/corpus")
       },
       Some(
@@ -2574,5 +2751,135 @@ object CurationOps {
            |   OR CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)
            |     > weight * 2.0) AS drifted
            |FROM j""".stripMargin)),
+
+    // ----- q305: admission control — the q301 loop, closed ----------------
+    // q301 ALARMS on mixture drift; this is the controller that acts on
+    // it (r15 verdict item 4): per event-time hour each source may admit
+    // at most floor(weight · 4096) tokens — weight = the same kept-pool
+    // DoReMi target the batch build samples by (doremiTargets, the
+    // streaming twin of waterFillQuotas) — and the excess is
+    // dropped-and-counted at the gate. The stream is DELIBERATELY
+    // flooded (every doc_id ≡ 0 mod 3 remapped to src0, ~37% of traffic
+    // against a few-percent target) so the controller is exercised:
+    // src0 saturates its quota and its admitted token share lands back
+    // inside the monitor's [w/2, 2w] band in every FULL window (the two
+    // ragged edge windows of the synthetic 8-hour span carry a sliver
+    // of traffic, where a share is quantization noise — their rows are
+    // still emitted and hash-gated), while honest sources clear their
+    // quotas untouched. Admission is
+    // deterministic hash-priority (q89/q124's salted-md5 idiom — no
+    // arrival-order nondeterminism): within (window, source), docs are
+    // ranked by (md5 salt, doc_id) and admitted while the token cumsum
+    // fits the quota — one partitioned window over (hour, source)
+    // cells, shard-parallel at any scale. The STREAMING form is
+    // graft.streaming.StreamOps.admissionThrottle (one long of state
+    // per live (window, source)); StreamOpsSpec pins one-batch parity
+    // against this rule and the band property under a two-batch flood.
+    // The oracle re-derives the weights through the shared kept-DoReMi
+    // CTE chain and replays flood, ranks, quotas, and shares exactly.
+    NamedQuery(
+      "q305_admission_control",
+      (s, d) => {
+        val targets = graft.sink.CorpusBuild.doremiTargets(s, d)
+        val B = 4096.0
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("wsec"), col("source"))
+          .orderBy(col("h"), col("doc_id"))
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val wt = {
+          import s.implicits._
+          broadcast(targets.toDF("src", "weight"))
+        }
+        val ranked = tbl(s, d, "documents")
+          .select(
+            (lit(1700000000L) + pmod(col("doc_id") * 977, lit(28800L)))
+              .as("tsec"),
+            col("doc_id"),
+            when(pmod(col("doc_id"), lit(3)) === 0, lit("src0"))
+              .otherwise(col("source")).as("source"),
+            size(split(col("text"), " ")).cast("long").as("n_toks"))
+          .withColumn("wsec", col("tsec") - pmod(col("tsec"), lit(3600L)))
+          .join(wt, col("source") === col("src"))
+          .withColumn("quota", floor(col("weight") * lit(B)).cast("long"))
+          .withColumn("h", LlmKit.strHash(
+            concat(lit("q305:"), col("doc_id").cast("string"))))
+          .withColumn("cumtok", sum(col("n_toks")).over(w))
+          .withColumn("admitted", col("cumtok") <= col("quota"))
+        // pinned: `per` feeds both the output and the window-total
+        // re-aggregation — without the pin the plan computes the whole
+        // corpus cumsum twice (the q274 scan-multiplication class; the
+        // scan gate counts it)
+        val per = OpsKit.pinned(ranked.groupBy(col("wsec"), col("source"))
+          .agg(max(col("weight")).as("weight"),
+            max(col("quota")).as("quota_tokens"),
+            count(lit(1)).as("n_offered"),
+            sum(col("n_toks")).as("toks_offered"),
+            sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
+            sum(when(col("admitted"), col("n_toks")).otherwise(0L))
+              .as("toks_admitted")))
+        val tot = per.groupBy(col("wsec"))
+          .agg(sum(col("toks_admitted")).as("w_admitted"))
+        val share = col("toks_admitted").cast("double") /
+          col("w_admitted").cast("double")
+        per.join(broadcast(tot), "wsec")
+          .select(
+            date_format(timestamp_seconds(col("wsec")), OpsKit.TsFmt)
+              .as("window_start"),
+            col("source"), col("weight"), col("quota_tokens"),
+            col("n_offered"), col("toks_offered"), col("n_admitted"),
+            col("toks_admitted"),
+            (col("n_offered") - col("n_admitted")).as("n_dropped"),
+            share.as("admitted_share"),
+            (share * lit(2.0) >= col("weight") &&
+              share <= col("weight") * lit(2.0)).as("within_band"))
+      },
+      Some(
+        s"""WITH $keptDoremiCteSql,
+           |fl AS (
+           |  SELECT (1700000000 + (doc_id * 977) % 28800) AS tsec, doc_id,
+           |    CASE WHEN doc_id % 3 = 0 THEN 'src0' ELSE source END
+           |      AS source,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+           |  FROM documents),
+           |fw AS (SELECT tsec - tsec % 3600 AS wsec, doc_id, source,
+           |         n_toks
+           |       FROM fl),
+           |rk305 AS (
+           |  SELECT f.wsec, f.source, f.doc_id, f.n_toks, a.a AS weight,
+           |    CAST(FLOOR(a.a * 4096.0) AS BIGINT) AS quota,
+           |    CAST(SUM(f.n_toks) OVER (PARTITION BY f.wsec, f.source
+           |      ORDER BY ${strHashSql(
+                  "concat('q305:', CAST(f.doc_id AS VARCHAR))")}, f.doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS cumtok
+           |  FROM fw f JOIN a8 a ON a.src = f.source),
+           |ad AS (SELECT *, (cumtok <= quota) AS admitted FROM rk305),
+           |per AS (
+           |  SELECT wsec, source, MAX(weight) AS weight,
+           |    MAX(quota) AS quota_tokens, COUNT(*) AS n_offered,
+           |    CAST(SUM(n_toks) AS BIGINT) AS toks_offered,
+           |    CAST(SUM(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_admitted,
+           |    CAST(SUM(CASE WHEN admitted THEN n_toks ELSE 0 END)
+           |      AS BIGINT) AS toks_admitted
+           |  FROM ad GROUP BY wsec, source),
+           |tot AS (SELECT wsec, CAST(SUM(toks_admitted) AS BIGINT)
+           |          AS w_admitted
+           |        FROM per GROUP BY wsec)
+           |SELECT strftime(make_timestamp(p.wsec * 1000000),
+           |    '${OpsKit.TsFmtDuck}') AS window_start,
+           |  p.source, p.weight, p.quota_tokens, p.n_offered,
+           |  p.toks_offered, p.n_admitted, p.toks_admitted,
+           |  p.n_offered - p.n_admitted AS n_dropped,
+           |  CAST(p.toks_admitted AS DOUBLE) / CAST(t.w_admitted AS DOUBLE)
+           |    AS admitted_share,
+           |  (CAST(p.toks_admitted AS DOUBLE) / CAST(t.w_admitted AS DOUBLE)
+           |     * 2.0 >= p.weight
+           |   AND CAST(p.toks_admitted AS DOUBLE)
+           |     / CAST(t.w_admitted AS DOUBLE) <= p.weight * 2.0)
+           |    AS within_band
+           |FROM per p JOIN tot t ON t.wsec = p.wsec""".stripMargin)),
   )
 }

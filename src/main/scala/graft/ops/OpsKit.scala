@@ -131,6 +131,114 @@ object OpsKit {
 
   def davgSql(e: String): String = s"${dsumSql(e)} / COUNT($e)"
 
+  /** JVM-exit temp cleanup: ONE static shutdown hook over a concurrent
+    * queue of paths (r15 ADVICE: q299 registered a fresh hook per
+    * invocation, so a bench battery — 2 timed passes + repasses +
+    * floor-gate rounds — accumulated a hook and a retained path per run,
+    * and addShutdownHook throws IllegalStateException when called during
+    * shutdown). Registration during shutdown degrades to a no-op: at
+    * that point the JVM is exiting anyway and /tmp reaping is moot. */
+  private val reapPaths =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  @volatile private var reaperInstalled = false
+  def reapOnExit(path: java.nio.file.Path): Unit = {
+    reapPaths.add(path.toFile)
+    if (!reaperInstalled) synchronized {
+      if (!reaperInstalled) {
+        try {
+          Runtime.getRuntime.addShutdownHook(new Thread(() => {
+            def del(f: java.io.File): Unit = {
+              val cs = f.listFiles()
+              if (cs != null) cs.foreach(del)
+              f.delete(); ()
+            }
+            reapPaths.forEach(f => del(f))
+          }))
+          reaperInstalled = true
+        } catch { case _: IllegalStateException => () }
+      }
+    }
+  }
+
+  /** Phase buckets per source for [[adaptivePackCumsum]]'s de-skewed
+    * shape (and CorpusBuild stage 4's, which aliases it): a dominant
+    * source's window work spreads over up to this many partitioned tasks
+    * instead of serializing into one. */
+  val PackPhaseBuckets = 32
+
+  /** Rows-per-source threshold above which [[adaptivePackCumsum]] switches
+    * from one plain window per source to the phased (source, bucket)
+    * shape: below it one window task per source is cheap and the phased
+    * chain's extra exchanges are pure overhead; above it a dominant
+    * source would serialize into one task. 2^20 rows ≈ tens of MB of slim
+    * working set per task — comfortably one-task-sized. */
+  val PackPhaseMinRows: Long = 1L << 20
+
+  /** Per-source running token cumsum in doc_id order — the sequence-
+    * packing primitive (q54/q302 and CorpusBuild stage 4 share the
+    * arithmetic). Input must carry exactly the slim working-set columns
+    * (source, doc_id, n_toks); output is the input plus `cum`, the
+    * inclusive per-source prefix sum of n_toks ordered by doc_id.
+    *
+    * HOW the cumsum runs is adaptive (the r15 CorpusBuild discipline,
+    * back-ported to the standalone packing queries per the r15 verdict):
+    * the slim set is pinned once (one corpus scan, registered with the
+    * scan gate) and the measured per-source row counts — K driver
+    * scalars — pick the physical shape, the AQE idea with exact numbers
+    * instead of estimates:
+    *  - every source at or under `threshold` rows → one plain window per
+    *    source (one task per source beats the phased chain's fixed
+    *    exchange latency at small scale);
+    *  - any source above it → the q109 phased (TeraSort) shape for ALL
+    *    sources: cumsum WITHIN (source, bucket) — bounded partitioned
+    *    windows over ranges of the ordering key — plus broadcast
+    *    per-source bucket-prefix offsets over the K×B-row bucket table,
+    *    so a 90%-one-source corpus packs across [[PackPhaseBuckets]]
+    *    tasks per source instead of one.
+    * The shapes are value-IDENTICAL (CorpusBuildSpec pins equality):
+    * buckets are monotone non-decreasing in doc_id (a range partition of
+    * the ordering key), local sums plus the prefix offset telescope to
+    * the global cumsum, and integer addition is order-free.
+    */
+  def adaptivePackCumsum(slim: DataFrame,
+      threshold: Long = PackPhaseMinRows): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = pinned(slim)
+    val maxCnt = s.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().foldLeft(0L)((m, r) => math.max(m, r.getAs[Long]("n")))
+    if (maxCnt <= threshold) {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      s.withColumn("cum", sum(col("n_toks")).over(w))
+    } else {
+      val b = PackPhaseBuckets
+      // double-space bucketing (long arithmetic (id−lo)·B can overflow
+      // for 60-bit ids); IEEE multiply/divide by positive constants is
+      // monotone, which is all a range-bucket assignment needs
+      val bounds = broadcast(s.groupBy(col("source").as("bsrc"))
+        .agg(min(col("doc_id")).as("dlo"), max(col("doc_id")).as("dhi")))
+      val sb = s.join(bounds, col("source") === col("bsrc"))
+        .withColumn("pb", least(lit(b - 1),
+          floor((col("doc_id") - col("dlo")).cast("double") * b /
+            (col("dhi") - col("dlo") + 1).cast("double"))).cast("int"))
+        .drop("bsrc", "dlo", "dhi")
+      val wLocal = Window.partitionBy(col("source"), col("pb"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wOff = Window.partitionBy(col("source")).orderBy(col("pb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = sb.groupBy(col("source"), col("pb"))
+        .agg(sum(col("n_toks")).as("tb"))
+        .select(col("source").as("psrc"), col("pb").as("ppb"),
+          coalesce(sum(col("tb")).over(wOff), lit(0L)).as("poff"))
+      sb.withColumn("lcum", sum(col("n_toks")).over(wLocal))
+        .join(broadcast(off),
+          col("source") === col("psrc") && col("pb") === col("ppb"))
+        .withColumn("cum", col("poff") + col("lcum"))
+        .drop("psrc", "ppb", "poff", "lcum", "pb")
+    }
+  }
+
   /** Globally-dense 1-based rank over a UNIQUE integral key, built without
     * ever sorting the input through one partition — the q148/q224 phased
     * (TeraSort) shape, packaged: range-bucket the key into ≤ `buckets`

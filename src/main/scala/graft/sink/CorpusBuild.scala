@@ -68,16 +68,15 @@ object CorpusBuild {
 
   /** Phase buckets per source for the stage-4 selection rank and packing
     * cumsum (the q109 phased shape): each source's window work spreads
-    * over up to this many partitioned tasks instead of one. */
-  val PackBuckets = 32
+    * over up to this many partitioned tasks instead of one. Aliases
+    * [[graft.ops.OpsKit.PackPhaseBuckets]] — one constant governs the
+    * build and the standalone packing queries (q54/q302) alike. */
+  val PackBuckets: Int = OpsKit.PackPhaseBuckets
 
   /** Kept-rows-per-source threshold above which stage 4 switches from
-    * one plain window per source to the phased (source, bucket) shape:
-    * below it, one window task per source is cheap and the phased
-    * chain's extra exchanges are pure overhead; above it, a dominant
-    * source would serialize into one task. 2^20 rows ≈ tens of MB of
-    * slim working set per task — comfortably one-task-sized. */
-  val PhasedMinRows: Long = 1L << 20
+    * one plain window per source to the phased (source, bucket) shape
+    * (alias of [[graft.ops.OpsKit.PackPhaseMinRows]], see there). */
+  val PhasedMinRows: Long = OpsKit.PackPhaseMinRows
 
   /** Per-doc MD5-slice row hash over the PUBLISHED columns that carry
     * the chain's decisions: identity, bin assignment, and content. */
@@ -121,11 +120,18 @@ object CorpusBuild {
     val pcap = ranked.scanLeft(0L)(_ + _._2)
     val pa = ranked.scanLeft(BigDecimal(0))((acc, x) => acc + dec(x._3))
     // candidate r = clip the r smallest normalized caps, r in [0, n)
+    // a valid bracketing level exists whenever t < Σcaps (checked above);
+    // failing the search means broken inputs (NaN alpha, negative caps) —
+    // throw rather than default, so an FP edge surfaces as an explicit
+    // error here instead of an opaque hash-gate mismatch downstream
+    // (r15 ADVICE)
     val rStar = (0 until n).find { r =>
       val lvl = (t - pcap(r)).toDouble / (sa - pa(r)).toDouble
       val clippedNrm = if (r == 0) -1.0 else ranked(r - 1)._4
       clippedNrm <= lvl && ranked(r)._4 > lvl
-    }.getOrElse(n - 1)
+    }.getOrElse(throw new IllegalStateException(
+      s"waterFillQuotas: no bracketing water level for t=$t over " +
+        s"caps=${caps.mkString(",")} alpha=$alpha"))
     val lvl = (t - pcap(rStar)).toDouble / (sa - pa(rStar)).toDouble
     val clipped = ranked.take(rStar)
       .map { case (s, c, a, _) => (s, a, c) }
@@ -139,7 +145,16 @@ object CorpusBuild {
       .map { case ((s, a, fq, _), i) =>
         (s, a, fq + (if (i < deficit) 1L else 0L))
       }
-    (clipped ++ bumped).sortBy(_._1)
+    val out = (clipped ++ bumped).sortBy(_._1)
+    // 'Σ quota == T by construction' is CHECKED, not just claimed (r15
+    // ADVICE): a deficit larger than the unclipped count (or negative)
+    // would silently under/over-fill — in this branch t < Σcaps, so the
+    // exact target is t
+    val got = out.map(_._3).sum
+    if (got != t) throw new IllegalStateException(
+      s"waterFillQuotas: quotas sum to $got, budget is $t " +
+        s"(deficit=$deficit, clipped=${clipped.size}/${n})")
+    out
   }
 
   /** Stages 1–2 of [[run]] as a standalone: the kept-pool DoReMi target
@@ -211,8 +226,15 @@ object CorpusBuild {
     lamRows.map { case (src, _) => src -> aMap(src) }
   }
 
+  /** @param packing "greedy" (default — q54's boundary-crossing layout,
+    *   the shape the q299 oracle replays) or "bestfit" — shard-local
+    *   best-fit-decreasing via [[graft.ops.CurationOps.bestFitPack]]: no
+    *   selected document is ever split across bins, at the pad cost
+    *   q304 prices. Selection, quotas, publish, and certification are
+    *   identical in both modes; only the bin assignment differs. */
   def run(spark: SparkSession, dir: String, out: String,
-      phasedThreshold: Long = PhasedMinRows): DataFrame = {
+      phasedThreshold: Long = PhasedMinRows,
+      packing: String = "greedy"): DataFrame = {
     import spark.implicits._
 
     // ---- stage 1: per-doc curation decisions (shared disk artifact) ----
@@ -353,6 +375,21 @@ object CorpusBuild {
           .select(col("doc_id"), col("source"), col("n_toks"),
             col("bin_id"))
       }
+    // document-aware opt-in (r15 verdict item 2): re-bin the SELECTED
+    // docs with shard-local best-fit-decreasing — the greedy bin_id is
+    // discarded, everything upstream (decisions, quotas, selection) and
+    // downstream (publish, certification) is shared. bin ids stay
+    // unique per source: pb spans ≤ id_max/8192 shards, local bins are
+    // 1-based within a shard, and 2^20 bins·2048 tokens per shard is
+    // far past any 8192-id shard's token mass.
+    val finalBins =
+      if (packing == "bestfit")
+        graft.ops.CurationOps.bestFitPack(
+          binned.select(col("doc_id"), col("source"), col("n_toks")),
+          BinTokens.toLong, 8192L)
+          .select(col("doc_id"), col("source"), col("n_toks"),
+            (col("pb") * (1L << 20) + col("bin")).as("bin_id"))
+      else binned
     // second (and last) corpus scan: re-join the selected ids to their
     // text for the publish — shuffles only the SELECTED half of the
     // corpus once, instead of carrying text through two window sorts.
@@ -360,7 +397,7 @@ object CorpusBuild {
     // construction — hand its documents scan to the scan gate first
     val packed = OpsKit.tbl(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
-      .join(binned, "doc_id")
+      .join(finalBins, "doc_id")
       .select(col("doc_id"), col("text"), col("n_toks"), col("bin_id"),
         col("source"))
     CorpusPublish.publish(OpsKit.audited(packed), out, "source", "doc_id",

@@ -653,6 +653,91 @@ object StreamOps {
           col("share") > col("weight") * lit(2.0))
   }
 
+  final case class AdmitIn(ts: java.sql.Timestamp, wstart: String,
+      wend_ms: Long, source: String, doc_id: Long, h: Long, n_toks: Long,
+      quota: Long)
+  final case class AdmitDecision(window_start: String, source: String,
+      doc_id: Long, n_toks: Long, admitted: Boolean)
+
+  /** Default per-window global token budget for [[admissionThrottle]]:
+    * sized so at the test SFs the flooded source saturates its share
+    * while honest sources clear theirs (q305's batch twin pins the
+    * arithmetic under the hash gate). */
+  val AdmissionWindowTokens = 4096.0
+
+  /** Streaming admission controller — the CONTROL half of the q301
+    * mixture monitor (r15 verdict item 4): per event-time hour, each
+    * source may admit at most floor(weight · `windowTokens`) tokens,
+    * where the weights are the same kept-pool DoReMi targets the batch
+    * build samples by ([[graft.sink.CorpusBuild.doremiTargets]]) — the
+    * streaming twin of waterFillQuotas. A source flooding the ingest
+    * (a crawler stuck on one domain) exhausts its window quota and its
+    * excess documents are dropped-and-counted at the gate, so the
+    * achieved mixture stays inside the monitor's [w/2, 2w] band instead
+    * of just alarming about it.
+    *
+    * State shape: flatMapGroupsWithState keyed by (window, source) with
+    * ONE long of state (tokens OFFERED so far) — K·active-windows
+    * scalars cluster-wide, expired by event-time timeout one hour past
+    * the window end. Admission is the PREFIX rule: a document is
+    * admitted iff the group's running offered-token cumsum, taken in
+    * deterministic (md5-salt, doc_id) priority order within each batch,
+    * still fits the quota — exactly the window-cumsum rule the
+    * hash-gated q305 batch twin replays in SQL (a skip-greedy variant
+    * would admit slightly more but is not window-expressible, so batch
+    * and stream could never be oracle-pinned to each other). A
+    * single-batch window reproduces the batch rule row-for-row; across
+    * batches the prefix accumulates in arrival order — the honest
+    * semantics of a live gate. The spec pins both: one-batch parity,
+    * and the quota/band properties under a two-batch flood. Input
+    * schema: (ts TIMESTAMP, doc_id LONG, source STRING, n_toks LONG). */
+  def admissionThrottle(docs: DataFrame, targets: Seq[(String, Double)],
+      windowTokens: Double = AdmissionWindowTokens):
+      Dataset[AdmitDecision] = {
+    require(targets.nonEmpty, "admission targets must be non-empty")
+    val sess = docs.sparkSession
+    import sess.implicits._
+    val wt = targets.toDF("__src", "__w")
+    val win = window(col("ts"), "1 hour")
+    val prepared = docs
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(wt), col("source") === col("__src"))
+      .select(col("ts"),
+        date_format(win.getField("start"), TsFmt).as("wstart"),
+        (unix_timestamp(win.getField("end")) * 1000).as("wend_ms"),
+        col("source"), col("doc_id"),
+        graft.ops.LlmKit.strHash(concat(lit("q305:"),
+          col("doc_id").cast("string"))).as("h"),
+        col("n_toks"),
+        floor(col("__w") * lit(windowTokens)).cast("long").as("quota"))
+      .as[AdmitIn]
+    prepared
+      .groupByKey(r => (r.wstart, r.source))
+      .flatMapGroupsWithState[Long, AdmitDecision](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((wstart, source), rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var cum = state.getOption.getOrElse(0L)
+            val arr = rows.toArray.sortBy(r => (r.h, r.doc_id))
+            val out = arr.map { r =>
+              cum += r.n_toks
+              AdmitDecision(wstart, source, r.doc_id, r.n_toks,
+                cum <= r.quota)
+            }
+            state.update(cum)
+            // late-arriving rows (watermark already past the window) are
+            // still decided, but the expiry must never be set behind the
+            // current watermark — clamp forward so the state dies on the
+            // next watermark advance instead of crashing the query
+            state.setTimeoutTimestamp(math.max(
+              arr.head.wend_ms + 3600000L,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming JDBC ingestion: each microbatch appends through the batch
     * sink path (same batchsize-50000 writer as [[graft.sink.JdbcSink]]),
     * giving the reference's one-shot import a continuous form. Exactly-once

@@ -117,6 +117,56 @@ class CorpusBuildSpec extends AnyFunSuite {
     assert(certP === base)
   }
 
+  test("q54/q302 phased cumsum == plain windows (r15 verdict back-port)") {
+    // the standalone packing queries run OpsKit.adaptivePackCumsum; force
+    // the phased (source, bucket) branch with threshold 0 and compare
+    // row-for-row against the default plain-window run — the same
+    // telescoping-equality argument as the stage-4 case above, executed
+    // on the named queries the r15 verdict flagged
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("")).toSeq
+    assert(rows(graft.ops.CurationOps.sequencePack(spark, dir, 0L)) ===
+      rows(SparkEntry.queries("q54_sequence_pack")(spark, dir)))
+    assert(rows(graft.ops.CurationOps.packFragmentation(spark, dir, 0L)) ===
+      rows(SparkEntry.queries("q302_pack_fragmentation")(spark, dir)))
+  }
+
+  test("the build can opt into document-aware (best-fit) packing") {
+    // packing="bestfit" re-bins the SELECTED docs with shard-local BFD:
+    // the selection (and therefore quotas and budget) is untouched, and
+    // no multi-doc bin exceeds the token budget — the no-split property
+    // q304 prices against greedy's boundary-crossing splits
+    val outB = freshOut()
+    val certB = graft.sink.CorpusBuild
+      .run(spark, dir, outB, packing = "bestfit").collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("quota"), r.getAs[Long]("n_selected")))
+      .toMap
+    // same selected doc set as the greedy build — packing must not
+    // change WHAT is published, only its layout
+    val idsB = spark.read.parquet(outB)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val idsG = spark.read.parquet(out1)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(idsB === idsG)
+    for ((src, (quota, nSel)) <- certB)
+      assert(nSel === quota, s"selection count $src")
+    // capacity: every bin's token mass fits the budget (no doc at this
+    // SF exceeds BinTokens, so no single-doc overflow bins exist)
+    val C = graft.sink.CorpusBuild.BinTokens
+    val over = spark.read.parquet(outB)
+      .groupBy(col("source"), col("bin_id"))
+      .agg(sum(size(split(col("text"), " "))).as("toks"))
+      .filter(col("toks") > C)
+    assert(over.count() === 0L, "a best-fit bin exceeds the token budget")
+    // and it actually packs: any source selecting ≥2 docs (each far
+    // below the 2048 budget at this SF) must co-locate them
+    val nBins = spark.read.parquet(outB)
+      .select(col("source"), col("bin_id")).distinct().count()
+    if (certB.values.exists(_._2 > 1))
+      assert(nBins < idsB.size, "BFD degenerated to one doc per bin")
+  }
+
   test("the build is deterministic: a second run certifies identically") {
     val out2 = freshOut()
     val cert2 = graft.sink.CorpusBuild.run(spark, dir, out2).collect()

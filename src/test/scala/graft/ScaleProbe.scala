@@ -60,6 +60,29 @@ object ScaleProbe {
     val (sk, sf) = minOf3(out)
     println(f"q299 phased stage-4: uniform=$bu%6.2fs (first $bf%6.2f)  " +
       f"skew90=$sk%6.2fs (first $sf%6.2f)  ratio=${sk / bu}%4.2f")
+    // the STANDALONE packing queries (r15 verdict #1): q54/q302 now run
+    // the same adaptive cumsum; force the phased branch (threshold 0 —
+    // the de-skew claim under test) and time them on both corpora. The
+    // skewed corpus does strictly more per-source work in its dominant
+    // source but spreads it over PackPhaseBuckets tasks.
+    def minOf3q(f: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame, dir: String): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        f(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    for ((name, f) <- Seq[(String, (org.apache.spark.sql.SparkSession,
+        String) => org.apache.spark.sql.DataFrame)](
+      "q54_sequence_pack" ->
+        ((s, d) => graft.ops.CurationOps.sequencePack(s, d, 0L)),
+      "q302_pack_fragmentation" ->
+        ((s, d) => graft.ops.CurationOps.packFragmentation(s, d, 0L)))) {
+      val u = minOf3q(f, base)
+      val k = minOf3q(f, out)
+      println(f"$name%-24s phased: uniform=$u%6.2fs  skew90=$k%6.2fs  " +
+        f"ratio=${k / u}%4.2f")
+    }
     spark.stop()
   }
 

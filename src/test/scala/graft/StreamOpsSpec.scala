@@ -719,6 +719,156 @@ class StreamOpsSpec extends AnyFunSuite {
     }
   }
 
+  private def floodedDocs(df: DataFrame): DataFrame = df.select(
+    timestamp_seconds(lit(1700000000L) +
+      pmod(col("doc_id") * 977, lit(28800L))).as("ts"),
+    col("doc_id"),
+    when(pmod(col("doc_id"), lit(3)) === 0, lit("src0"))
+      .otherwise(col("source")).as("source"),
+    size(split(col("text"), " ")).cast("long").as("n_toks"))
+
+  private def writeChunk(dir: String)(df: DataFrame, name: String,
+      mtime: Long): Unit = {
+    val tmp = Files.createTempDirectory("graft-chunk").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).toArray.map(_.asInstanceOf[Path])
+      .find(_.toString.endsWith(".parquet")).get
+    Files.move(part, Paths.get(dir, name))
+    Files.setLastModifiedTime(Paths.get(dir, name), FileTime.fromMillis(mtime))
+  }
+
+  private def runAdmission(dir: String, targets: Seq[(String, Double)],
+      tableName: String): Unit = {
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, doc_id LONG, source STRING, n_toks LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = StreamOps.admissionThrottle(stream, targets)
+      .toDF().writeStream.format("memory").queryName(tableName)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-admit").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("streaming admission throttle: one-batch parity with the q305 rule") {
+    // a window arriving in ONE microbatch must reproduce the batch rule
+    // exactly: within (window, source), hash-priority token cumsum ≤
+    // floor(weight · 4096) — the deterministic q305 semantics
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val targets = graft.sink.CorpusBuild.doremiTargets(spark, sfDir)
+    val dir = Files.createTempDirectory("graft-admit-stream").toString
+    writeChunk(dir)(floodedDocs(docs), "c0.parquet",
+      System.currentTimeMillis() - 600000)
+    runAdmission(dir, targets, "t_admit1")
+    val got = asSet(spark.table("t_admit1"))
+
+    import org.apache.spark.sql.expressions.Window
+    val wt = {
+      import spark.implicits._
+      broadcast(targets.toDF("src", "weight"))
+    }
+    val w = Window.partitionBy(col("wsec"), col("source"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = floodedDocs(docs)
+      .withColumn("wsec", unix_timestamp(col("ts")) -
+        pmod(unix_timestamp(col("ts")), lit(3600L)))
+      .join(wt, col("source") === col("src"))
+      .withColumn("quota",
+        floor(col("weight") * lit(StreamOps.AdmissionWindowTokens))
+          .cast("long"))
+      .withColumn("h", graft.ops.LlmKit.strHash(
+        concat(lit("q305:"), col("doc_id").cast("string"))))
+      .withColumn("cumtok", sum(col("n_toks")).over(w))
+      .select(
+        date_format(timestamp_seconds(col("wsec")), OpsKit.TsFmt)
+          .as("window_start"),
+        col("source"), col("doc_id"), col("n_toks"),
+        (col("cumtok") <= col("quota")).as("admitted"))
+    assert(got.nonEmpty)
+    assert(got === asSet(expected))
+
+    // and the registered q305 aggregates are exactly the decisions,
+    // rolled up — the stream is gated against an oracle-checked twin
+    val q305 = SparkEntry.queries("q305_admission_control")(spark, sfDir)
+      .select(col("window_start"), col("source"), col("n_admitted"),
+        col("toks_admitted"))
+    val rolled = spark.table("t_admit1")
+      .groupBy(col("window_start"), col("source"))
+      .agg(sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(col("admitted"), col("n_toks")).otherwise(0L))
+          .as("toks_admitted"))
+    assert(asSet(q305) === asSet(rolled))
+  }
+
+  test("admission throttle under a two-batch flood: quotas hold and the " +
+      "flooded source re-enters the band") {
+    // sf0.01 — the flood must actually SATURATE src0's quota (at
+    // sf0.001 the per-window flood is smaller than the quota and
+    // nothing throttles); windows are split across two microbatches so
+    // carried state is exercised
+    val sfDir = "/root/testdata/sf0.01"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val targets = graft.sink.CorpusBuild.doremiTargets(spark, sfDir)
+    val wMap = targets.toMap
+    val dir = Files.createTempDirectory("graft-admit-flood").toString
+    val t0 = System.currentTimeMillis() - 600000
+    writeChunk(dir)(floodedDocs(docs.filter(col("doc_id") % 2 === 0)),
+      "c0.parquet", t0)
+    writeChunk(dir)(floodedDocs(docs.filter(col("doc_id") % 2 =!= 0)),
+      "c1.parquet", t0 + 60000)
+    runAdmission(dir, targets, "t_admit2")
+    val dec = spark.table("t_admit2")
+    // every offered doc from a weighted source got exactly one decision
+    assert(dec.count() === floodedDocs(docs)
+      .filter(col("source").isin(wMap.keys.toSeq: _*)).count())
+
+    // the gate actually fired on the flooded source
+    assert(dec.filter(!col("admitted") && col("source") === "src0")
+      .count() > 0, "flood never throttled")
+    val perCell = dec.groupBy(col("window_start"), col("source"))
+      .agg(sum(when(col("admitted"), col("n_toks")).otherwise(0L))
+        .as("adm"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // hard invariant: NO (window, source) cell ever exceeds its quota,
+    // across batch boundaries (the carried state is the enforcement)
+    for ((ws, src, adm) <- perCell) {
+      val quota = math.floor(wMap(src) *
+        StreamOps.AdmissionWindowTokens).toLong
+      assert(adm <= quota, s"$ws/$src admitted $adm > quota $quota")
+    }
+    // and the achieved mixture: src0's admitted token share re-enters
+    // [w/2, 2w] in every FULL window (the controller delivers what the
+    // q301 monitor could only alarm about). The two ragged edge windows
+    // (the 8-hour synthetic span doesn't start on the hour) carry a
+    // fraction of a window's traffic — with the denominator that small
+    // the share is dominated by quantization, so the claim is asserted
+    // where it's meaningful: windows offered at least half the global
+    // token budget. The quota invariant above still covers EVERY window.
+    val offered = dec.groupBy(col("window_start"))
+      .agg(sum(col("n_toks")).as("off")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byWin = perCell.groupBy(_._1)
+    var fullWindows = 0
+    for ((ws, cells) <- byWin
+        if offered(ws) >= StreamOps.AdmissionWindowTokens / 2) {
+      fullWindows += 1
+      val tot = cells.map(_._3).sum.toDouble
+      val adm0 = cells.collectFirst { case (_, "src0", a) => a }
+        .getOrElse(0L).toDouble
+      val w0 = wMap("src0")
+      val share = adm0 / tot
+      assert(share * 2.0 >= w0 && share <= w0 * 2.0,
+        s"$ws: src0 share $share outside [${w0 / 2}, ${2 * w0}]")
+    }
+    assert(fullWindows >= 6, "band claim must cover the full windows")
+  }
+
   test("streaming k-means assignment equals the registered batch twin q117") {
     val sfDir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -2858,5 +2858,204 @@ object SimilarityOps {
              |  END AS var_share,
              |  sc.mean_cos, sc.n_vecs
              |FROM wn CROSS JOIN sc""".stripMargin)),
+
+    // ----- q306: IVF-PQ — the composed 100 TB ANN architecture ------------
+    // q39 (coarse IVF, nprobe=2) and q137 (PQ-ADC) run side by side;
+    // this composes them the way a production index actually works (r15
+    // verdict item 5, the Jégou et al. 2011 IVFADC layout): assign every
+    // vector to its nearest coarse centroid, PQ-encode the RESIDUAL
+    // (vector − centroid) against a PER-CELL codebook (here the
+    // residuals of each cell's 16 lowest-id members — a trained k-means
+    // codebook drops in unchanged), and answer probes by ADC over the
+    // nprobe=2 probed cells' inverted lists using a per-(query, cell)
+    // LUT on the QUERY residual. Recall@5 is measured in-query against
+    // the exact L2 panel (q85's discipline) — an index that encodes or
+    // probes wrong shows up as recall loss, not just a hash flip.
+    // Scale shape: ONE embeddings scan feeds a pinned working set; the
+    // codebook table is (cells × 16 codewords × 4 subspaces) = 512 rows
+    // and BROADCASTS to the encode pass and the LUT build; the ADC meet
+    // is codes ⋈ broadcast(LUT) grouped by (query, candidate); the only
+    // corpus-wide work is the coarse assignment (corpus × 8 centroids)
+    // and the per-cell window for codeword election — bounded by cell,
+    // phased-shardable like any q54 window if a cell dominates. The
+    // exact panel baseline is ≤64 queries by the isPanel cap, so the
+    // brute-force leg is O(64 · corpus) — the measurement target, panel-
+    // bounded. The oracle replays assignment, residuals, codebooks,
+    // encode argmins, LUTs, ADC sums (exact-decimal), and the recall
+    // join; ties break (distance, id) everywhere on both engines.
+    NamedQuery(
+      "q306_ivfpq_ann",
+      (s, d) => {
+        val js = Seq(0, 1, 2, 3)
+        val emb = pinned(tbl(s, d, "embeddings")
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ed")))
+        val sqdFull = expr(
+          "aggregate(zip_with(ed, ce, (x, y) -> (x - y) * (x - y)), " +
+            "CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
+        val cents = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").cast("int").as("cent_id"),
+            col("ed").as("ce"))
+        val scored = emb.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("ed"), col("cent_id"), col("ce"),
+            sqdFull.as("cd"))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cd"), col("cent_id"))
+        val assigned = scored.withColumn("crn", row_number().over(wAssign))
+        val residual = expr("zip_with(ed, ce, (x, y) -> x - y)")
+        val corpusR = assigned.filter(col("crn") === 1)
+          .select(col("vec_id"), col("cent_id").as("cluster"),
+            residual.as("rv"))
+        val wCw = Window.partitionBy(col("cluster")).orderBy(col("vec_id"))
+        val codebook = corpusR.withColumn("cwid", row_number().over(wCw))
+          .filter(col("cwid") <= 16)
+          .select(col("cluster"), col("cwid"), col("rv").as("cw"),
+            explode(array(js.map(lit): _*)).as("j"))
+        val sqdSub = expr(
+          "aggregate(zip_with(slice(rv, j * 16 + 1, 16), " +
+            "slice(cw, j * 16 + 1, 16), (x, y) -> (x - y) * (x - y)), " +
+            "CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
+        val codes = corpusR
+          .select(col("vec_id"), col("cluster"), col("rv"),
+            explode(array(js.map(lit): _*)).as("j"))
+          .join(broadcast(codebook), Seq("cluster", "j"))
+          .select(col("vec_id"), col("cluster"), col("j"), col("cwid"),
+            sqdSub.as("sd"))
+          .groupBy(col("vec_id"), col("cluster"), col("j"))
+          .agg(min(struct(col("sd"), col("cwid"))).as("m"))
+          .select(col("vec_id"), col("cluster"), col("j"),
+            col("m.cwid").as("code"))
+        val probes = assigned.filter(isPanel(col("vec_id")))
+          .filter(col("crn") <= 2)
+          .select(col("vec_id").as("q_id"), col("cent_id").as("cluster"),
+            residual.as("rv"))
+        val lut = probes
+          .select(col("q_id"), col("cluster"), col("rv"),
+            explode(array(js.map(lit): _*)).as("j"))
+          .join(broadcast(codebook), Seq("cluster", "j"))
+          .select(col("q_id"), col("cluster").as("lcl"), col("j").as("lj"),
+            col("cwid"), sqdSub.as("ld"))
+        val sadc = codes
+          .join(broadcast(lut),
+            col("cluster") === col("lcl") && col("j") === col("lj") &&
+              col("code") === col("cwid"))
+          .groupBy(col("q_id"), col("vec_id"))
+          .agg(dsum(col("ld")).as("adc_dist"))
+        val wTop = Window.partitionBy(col("q_id"))
+          .orderBy(col("adc_dist"), col("vec_id"))
+        val top = sadc
+          .withColumn("rank", row_number().over(wTop).cast("long"))
+        val top5 = top.filter(col("rank") <= 5)
+        val q5 = emb.filter(isPanel(col("vec_id")))
+          .select(col("vec_id").as("eq_id"), col("ed").as("qe"))
+        val sqdQ = expr(
+          "aggregate(zip_with(qe, ed, (x, y) -> (x - y) * (x - y)), " +
+            "CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
+        val wEx = Window.partitionBy(col("eq_id"))
+          .orderBy(col("xd"), col("vec_id"))
+        val ex5 = emb.crossJoin(broadcast(q5))
+          .select(col("eq_id"), col("vec_id"), sqdQ.as("xd"))
+          .withColumn("xrank", row_number().over(wEx))
+          .filter(col("xrank") <= 5)
+          .select(col("eq_id"), col("vec_id").as("xid"))
+        val hits = top5.join(broadcast(ex5),
+            top5("q_id") === ex5("eq_id") && top5("vec_id") === col("xid"),
+            "left_semi")
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+        val cand = sadc.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
+        val t1 = top.filter(col("rank") === 1)
+          .select(col("q_id"), col("vec_id").as("top1_id"))
+        // ≤64 panel rows each (isPanel cap): broadcast, never sort-merge
+        cand.join(broadcast(t1), "q_id")
+          .join(broadcast(hits), Seq("q_id"), "left")
+          .select(col("q_id"), col("n_cand"), col("top1_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(5.0))
+              .as("recall5"))
+      },
+      Some {
+        def fold(body: String): String =
+          s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $body), " +
+            "(acc, x) -> acc + x)"
+        def sqdFullSql(a: String, b: String): String = fold(
+          s"""[(($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i])
+             | for i in range(1, len($a) + 1)]""".stripMargin
+            .replace("\n", " "))
+        def sqdSubSql(a: String, b: String): String = fold(
+          s"""[(($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i])
+             | for i in range(j * 16 + 1, j * 16 + 17)]""".stripMargin
+            .replace("\n", " "))
+        s"""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding,
+           |    x -> CAST(x AS DOUBLE)) AS ed
+           |  FROM embeddings),
+           |cents AS (SELECT CAST(vec_id AS INTEGER) AS cent_id, ed AS ce
+           |          FROM e WHERE vec_id < 8),
+           |sc306 AS (
+           |  SELECT e.vec_id, e.ed, c.cent_id, c.ce,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${sqdFullSql("e.ed", "c.ce")} ASC, c.cent_id)
+           |      AS crn
+           |  FROM e, cents c),
+           |corpusr AS (
+           |  SELECT vec_id, cent_id AS cluster,
+           |    [ed[i] - ce[i] for i in range(1, len(ed) + 1)] AS rv
+           |  FROM sc306 WHERE crn = 1),
+           |cw AS (
+           |  SELECT cluster, cwid, rv AS cw FROM (
+           |    SELECT cluster, vec_id, rv,
+           |      row_number() OVER (PARTITION BY cluster ORDER BY vec_id)
+           |        AS cwid
+           |    FROM corpusr) WHERE cwid <= 16),
+           |js AS (SELECT unnest(range(0, 4)) AS j),
+           |enc AS (
+           |  SELECT r.vec_id, r.cluster, js.j, w.cwid,
+           |    row_number() OVER (PARTITION BY r.vec_id, js.j
+           |      ORDER BY ${sqdSubSql("r.rv", "w.cw")} ASC, w.cwid) AS rn
+           |  FROM corpusr r JOIN cw w ON w.cluster = r.cluster, js),
+           |codes AS (SELECT vec_id, cluster, j, cwid AS code FROM enc
+           |          WHERE rn = 1),
+           |probes AS (
+           |  SELECT vec_id AS q_id, cent_id AS cluster,
+           |    [ed[i] - ce[i] for i in range(1, len(ed) + 1)] AS rv
+           |  FROM sc306
+           |  WHERE vec_id % 100 = 0 AND vec_id < 6400 AND crn <= 2),
+           |lut AS (
+           |  SELECT p.q_id, p.cluster, js.j, w.cwid,
+           |    ${sqdSubSql("p.rv", "w.cw")} AS ld
+           |  FROM probes p JOIN cw w ON w.cluster = p.cluster, js),
+           |sadc AS (
+           |  SELECT l.q_id, co.vec_id, ${dsumSql("l.ld")} AS adc_dist
+           |  FROM codes co JOIN lut l ON l.cluster = co.cluster
+           |    AND l.j = co.j AND l.cwid = co.code
+           |  GROUP BY l.q_id, co.vec_id),
+           |top AS (
+           |  SELECT q_id, vec_id, adc_dist,
+           |    CAST(row_number() OVER (PARTITION BY q_id
+           |      ORDER BY adc_dist, vec_id) AS BIGINT) AS rank
+           |  FROM sadc),
+           |q5 AS (SELECT vec_id AS eq_id, ed AS qe FROM e
+           |       WHERE vec_id % 100 = 0 AND vec_id < 6400),
+           |ex AS (
+           |  SELECT q.eq_id, e.vec_id,
+           |    row_number() OVER (PARTITION BY q.eq_id
+           |      ORDER BY ${sqdFullSql("q.qe", "e.ed")} ASC, e.vec_id)
+           |      AS xrank
+           |  FROM e, q5 q),
+           |ex5 AS (SELECT eq_id, vec_id FROM ex WHERE xrank <= 5),
+           |hits AS (
+           |  SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+           |  FROM top t JOIN ex5 x ON x.eq_id = t.q_id
+           |    AND x.vec_id = t.vec_id
+           |  WHERE t.rank <= 5 GROUP BY t.q_id),
+           |cand AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_cand
+           |         FROM sadc GROUP BY q_id),
+           |t1 AS (SELECT q_id, vec_id AS top1_id FROM top WHERE rank = 1)
+           |SELECT c.q_id, c.n_cand, t1.top1_id,
+           |  COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+           |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall5
+           |FROM cand c JOIN t1 USING (q_id)
+           |LEFT JOIN hits h ON h.q_id = c.q_id""".stripMargin
+      }),
   )
 }

@@ -75,6 +75,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!kc.contains("SortMergeJoin"), s"q138 shuffles a tiny side:\n$kc")
   }
 
+  test("q306 IVF-PQ broadcasts the (cell, codebook) tables end to end") {
+    // the 512-row codebook must broadcast into BOTH the encode pass and
+    // the LUT build, the per-query LUT must broadcast into the ADC
+    // meet, and nothing in the pipeline may sort-merge the corpus side
+    // (r15 verdict item 5's explicit plan bar)
+    val p = plan("q306_ivfpq_ann")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, s"q306:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q306 shuffles the corpus:\n$p")
+  }
+
   test("round-8 operators keep their scale shapes") {
     // q152: pigeonhole block self-join must be an equi join on
     // (blk, bval) — a nested-loop here would be the all-pairs scan the

@@ -2033,5 +2033,141 @@ object TextOps {
              |  WHERE rn = 1)
              |SELECT lang, predicted, COUNT(*) AS n
              |FROM pred GROUP BY lang, predicted""".stripMargin)),
+
+    // ----- q307: char-3-gram lang-ID — generalization past the marker ------
+    // q303's signal is ONE recognizable marker token; this is the second
+    // feature family the r15 verdict asked for: character 3-grams hashed
+    // into 4096 slots (q223's hashing-trick machinery), trained/tested
+    // on the same even/odd split with the same 2/3-concentration filter
+    // and integer-tie contract. The signal here is DISTRIBUTED
+    // orthography, not a marker: in 3-of-4 documents (salted md5), every
+    // token at a hash-selected 1-in-3 position gains its language's
+    // characteristic digraph ("th"/"sch"/"aux"/"cion"/"zhi") — so the
+    // model must aggregate sub-word evidence across MANY wordforms
+    // (every "...sch" trigram family votes de), and held-out docs
+    // classify from combinations of (wordform × position) the training
+    // half never saw — non-marker diagonal mass by construction. A
+    // 1-in-8 code-switched subset carries the NEXT language's digraph
+    // (de→en→es→fr→zh→de), so off-diagonal cells fire deterministically;
+    // unmarked docs carry only filler grams (concentration ≈ the en
+    // prior, far below 2/3 — filtered) and fall to 'unk'. Every matrix
+    // branch fires (r12 degeneracy discipline). Scale shape = q303's:
+    // the model is SLOT-bounded (≤4096 rows), the argmax window
+    // partitions by slot, test grams meet it in one hash join, the
+    // per-doc argmax is a bounded min(struct) — two corpus scans, no
+    // corpus² term.
+    NamedQuery(
+      "q307_langid_chargrams",
+      (s, d) => {
+        val nextLang = when(col("lang") === "de", "en")
+          .when(col("lang") === "en", "es")
+          .when(col("lang") === "es", "fr")
+          .when(col("lang") === "fr", "zh").otherwise("de")
+        val dgLang = when(LlmKit.strHash(
+          concat(lit("w:"), col("doc_id").cast("string"))) % 8 === 0,
+          nextLang).otherwise(col("lang"))
+        val dg = when(dgLang === "en", "th").when(dgLang === "de", "sch")
+          .when(dgLang === "fr", "aux").when(dgLang === "es", "cion")
+          .otherwise("zhi")
+        val marked = LlmKit.strHash(
+          concat(lit("o:"), col("doc_id").cast("string"))) % 4 < 3
+        val tk = split(col("text"), " ")
+        val suffixed = transform(tk, (t, i) =>
+          when(LlmKit.strHash(concat(col("doc_id").cast("string"),
+            lit(":"), (i + 1).cast("string"))) % 3 === 0,
+            concat(t, col("dg"))).otherwise(t))
+        val toks = tbl(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("text"), dg.as("dg"))
+          .select(col("doc_id"), col("lang"),
+            explode(when(marked, suffixed).otherwise(tk)).as("tok"))
+          .filter(col("tok") =!= "")
+        val slots = toks.select(col("doc_id"), col("lang"),
+          explode(transform(
+            sequence(lit(1), greatest(length(col("tok")) - 2, lit(1))),
+            i => LlmKit.strHash(col("tok").substr(i, lit(3))) % 4096))
+            .as("slot"))
+        val wSlot = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("slot")).orderBy(col("c").desc, col("lang"))
+        val model = slots.filter(col("doc_id") % 2 === 0)
+          .groupBy(col("slot"), col("lang")).agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(wSlot))
+          .withColumn("ctot", sum(col("c")).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("slot"))))
+          .filter(col("rn") === 1 && col("c") * 3 >= col("ctot") * 2)
+          .select(col("slot"), col("lang").as("slot_lang"))
+        val votes = slots.filter(col("doc_id") % 2 === 1)
+          .join(model, Seq("slot"), "left")
+          .groupBy(col("doc_id"), col("lang"), col("slot_lang"))
+          .agg(count(lit(1)).as("v"))
+        votes.groupBy(col("doc_id"), col("lang"))
+          .agg(min(struct(col("slot_lang").isNull.as("nu"),
+            (-col("v")).as("nv"),
+            coalesce(col("slot_lang"), lit("unk")).as("tl"))).as("m"))
+          .select(col("lang"), col("m.tl").as("predicted"))
+          .groupBy(col("lang"), col("predicted"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(s"""WITH docs7 AS (
+             |  SELECT doc_id, lang, string_split(text, ' ') AS tk,
+             |    ${LlmKit.strHashSql(
+                  "concat('o:', CAST(doc_id AS VARCHAR))")} % 4 < 3
+             |      AS marked,
+             |    CASE WHEN ${LlmKit.strHashSql(
+                  "concat('w:', CAST(doc_id AS VARCHAR))")} % 8 = 0
+             |      THEN CASE lang WHEN 'de' THEN 'en' WHEN 'en' THEN 'es'
+             |                     WHEN 'es' THEN 'fr' WHEN 'fr' THEN 'zh'
+             |                     ELSE 'de' END
+             |      ELSE lang END AS dglang
+             |  FROM documents),
+             |d2 AS (
+             |  SELECT doc_id, lang, tk, marked,
+             |    CASE dglang WHEN 'en' THEN 'th' WHEN 'de' THEN 'sch'
+             |                WHEN 'fr' THEN 'aux' WHEN 'es' THEN 'cion'
+             |                ELSE 'zhi' END AS dg
+             |  FROM docs7),
+             |toks AS (
+             |  SELECT doc_id, lang,
+             |    unnest(CASE WHEN marked THEN
+             |      [CASE WHEN ${LlmKit.strHashSql(
+                    "concat(CAST(doc_id AS VARCHAR), ':', " +
+                      "CAST(i AS VARCHAR))")} % 3 = 0
+             |            THEN tk[i] || dg ELSE tk[i] END
+             |       for i in range(1, len(tk) + 1)]
+             |      ELSE tk END) AS tok
+             |  FROM d2),
+             |tf AS (SELECT doc_id, lang, tok FROM toks WHERE tok <> ''),
+             |grams AS (
+             |  SELECT doc_id, lang,
+             |    unnest([substr(tok, i, 3)
+             |            for i in range(1, greatest(len(tok) - 2, 1) + 1)])
+             |      AS g
+             |  FROM tf),
+             |slots AS (SELECT doc_id, lang, ${LlmKit.strHashSql("g")} % 4096
+             |            AS slot
+             |          FROM grams),
+             |m7 AS (SELECT slot, lang, COUNT(*) AS c FROM slots
+             |       WHERE doc_id % 2 = 0 GROUP BY slot, lang),
+             |model AS (
+             |  SELECT slot, lang AS slot_lang FROM (
+             |    SELECT slot, lang, c,
+             |      row_number() OVER (PARTITION BY slot
+             |        ORDER BY c DESC, lang) AS rn,
+             |      SUM(c) OVER (PARTITION BY slot) AS ctot
+             |    FROM m7) WHERE rn = 1 AND c * 3 >= ctot * 2),
+             |votes AS (
+             |  SELECT s.doc_id, s.lang, m.slot_lang, COUNT(*) AS v
+             |  FROM slots s LEFT JOIN model m USING (slot)
+             |  WHERE s.doc_id % 2 = 1 GROUP BY s.doc_id, s.lang,
+             |    m.slot_lang),
+             |pred AS (
+             |  SELECT lang, COALESCE(slot_lang, 'unk') AS predicted
+             |  FROM (SELECT doc_id, lang, slot_lang,
+             |          row_number() OVER (PARTITION BY doc_id
+             |            ORDER BY (slot_lang IS NULL), v DESC, slot_lang)
+             |            AS rn
+             |        FROM votes) WHERE rn = 1)
+             |SELECT lang, predicted, COUNT(*) AS n
+             |FROM pred GROUP BY lang, predicted""".stripMargin)),
   )
 }

@@ -2903,9 +2903,13 @@ object SimilarityOps {
           .orderBy(col("cd"), col("cent_id"))
         val assigned = scored.withColumn("crn", row_number().over(wAssign))
         val residual = expr("zip_with(ed, ce, (x, y) -> x - y)")
-        val corpusR = assigned.filter(col("crn") === 1)
+        // pinned: the residual table feeds the codebook election AND the
+        // encode pass — without the pin each consumer replays the
+        // corpus × centroids assignment (the plan-duplication cost the
+        // first cut paid: 24 windows / 25 top-k groups in the signature)
+        val corpusR = pinned(assigned.filter(col("crn") === 1)
           .select(col("vec_id"), col("cent_id").as("cluster"),
-            residual.as("rv"))
+            residual.as("rv")))
         val wCw = Window.partitionBy(col("cluster")).orderBy(col("vec_id"))
         val codebook = corpusR.withColumn("cwid", row_number().over(wCw))
           .filter(col("cwid") <= 16)
@@ -2935,12 +2939,15 @@ object SimilarityOps {
           .join(broadcast(codebook), Seq("cluster", "j"))
           .select(col("q_id"), col("cluster").as("lcl"), col("j").as("lj"),
             col("cwid"), sqdSub.as("ld"))
-        val sadc = codes
+        // pinned: the ADC score table feeds the ranking, the top-1 pick,
+        // and the candidate count — panel-bounded (≤64 queries × probed
+        // lists), so the pin is a few thousand rows
+        val sadc = pinned(codes
           .join(broadcast(lut),
             col("cluster") === col("lcl") && col("j") === col("lj") &&
               col("code") === col("cwid"))
           .groupBy(col("q_id"), col("vec_id"))
-          .agg(dsum(col("ld")).as("adc_dist"))
+          .agg(dsum(col("ld")).as("adc_dist")))
         val wTop = Window.partitionBy(col("q_id"))
           .orderBy(col("adc_dist"), col("vec_id"))
         val top = sadc

@@ -438,6 +438,166 @@ object SimilarityOps {
   /** Ideal DCG@10 — the sum of [[NdcgDiscounts]] (all ten ranks relevant). */
   private val IdealDcg10: Double = 4.54356
 
+  /** Shared IVF-PQ chain (q306 + q308 — the Jégou et al. 2011 IVFADC
+    * layout): ONE pinned embeddings scan → coarse assignment against 8
+    * deterministic centroids → per-cell residual codebooks (the 16
+    * lowest-id members) → PQ codes → probe LUTs on the query residual →
+    * ADC scores over the nprobe=2 probed cells, plus the exact-L2 top-5
+    * panel both consumers measure recall against. Returns (pinned
+    * corpus (vec_id, ed), pinned ADC scores (q_id, vec_id, adc_dist),
+    * exact panel top-5 (eq_id, xid)). Both intermediates are pinned so
+    * every downstream reference reads the checkpointed rows instead of
+    * replaying the assignment or ADC chain (c21c129's lesson). */
+  private def ivfpqAdc(s: SparkSession, d: String):
+      (DataFrame, DataFrame, DataFrame) = {
+    val js = Seq(0, 1, 2, 3)
+    val emb = pinned(tbl(s, d, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ed")))
+    val sqdFull = expr(
+      "aggregate(zip_with(ed, ce, (x, y) -> (x - y) * (x - y)), " +
+        "CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cent_id"), col("ed").as("ce"))
+    val scored = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("ed"), col("cent_id"), col("ce"),
+        sqdFull.as("cd"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cd"), col("cent_id"))
+    val assigned = scored.withColumn("crn", row_number().over(wAssign))
+    val residual = expr("zip_with(ed, ce, (x, y) -> x - y)")
+    // pinned: the residual table feeds the codebook election AND the
+    // encode pass — without the pin each consumer replays the
+    // corpus × centroids assignment (the plan-duplication cost the
+    // first cut paid: 24 windows / 25 top-k groups in the signature)
+    val corpusR = pinned(assigned.filter(col("crn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cluster"),
+        residual.as("rv")))
+    val wCw = Window.partitionBy(col("cluster")).orderBy(col("vec_id"))
+    val codebook = corpusR.withColumn("cwid", row_number().over(wCw))
+      .filter(col("cwid") <= 16)
+      .select(col("cluster"), col("cwid"), col("rv").as("cw"),
+        explode(array(js.map(lit): _*)).as("j"))
+    val sqdSub = expr(
+      "aggregate(zip_with(slice(rv, j * 16 + 1, 16), " +
+        "slice(cw, j * 16 + 1, 16), (x, y) -> (x - y) * (x - y)), " +
+        "CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
+    val codes = corpusR
+      .select(col("vec_id"), col("cluster"), col("rv"),
+        explode(array(js.map(lit): _*)).as("j"))
+      .join(broadcast(codebook), Seq("cluster", "j"))
+      .select(col("vec_id"), col("cluster"), col("j"), col("cwid"),
+        sqdSub.as("sd"))
+      .groupBy(col("vec_id"), col("cluster"), col("j"))
+      .agg(min(struct(col("sd"), col("cwid"))).as("m"))
+      .select(col("vec_id"), col("cluster"), col("j"),
+        col("m.cwid").as("code"))
+    val probes = assigned.filter(isPanel(col("vec_id")))
+      .filter(col("crn") <= 2)
+      .select(col("vec_id").as("q_id"), col("cent_id").as("cluster"),
+        residual.as("rv"))
+    val lut = probes
+      .select(col("q_id"), col("cluster"), col("rv"),
+        explode(array(js.map(lit): _*)).as("j"))
+      .join(broadcast(codebook), Seq("cluster", "j"))
+      .select(col("q_id"), col("cluster").as("lcl"), col("j").as("lj"),
+        col("cwid"), sqdSub.as("ld"))
+    // pinned: the ADC score table feeds the ranking, the top-1 pick,
+    // and the candidate count — panel-bounded (≤64 queries × probed
+    // lists), so the pin is a few thousand rows
+    val sadc = pinned(codes
+      .join(broadcast(lut),
+        col("cluster") === col("lcl") && col("j") === col("lj") &&
+          col("code") === col("cwid"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(dsum(col("ld")).as("adc_dist")))
+    val q5 = emb.filter(isPanel(col("vec_id")))
+      .select(col("vec_id").as("eq_id"), col("ed").as("qe"))
+    val sqdQ = expr(
+      "aggregate(zip_with(qe, ed, (x, y) -> (x - y) * (x - y)), " +
+        "CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
+    val wEx = Window.partitionBy(col("eq_id"))
+      .orderBy(col("xd"), col("vec_id"))
+    val ex5 = emb.crossJoin(broadcast(q5))
+      .select(col("eq_id"), col("vec_id"), sqdQ.as("xd"))
+      .withColumn("xrank", row_number().over(wEx))
+      .filter(col("xrank") <= 5)
+      .select(col("eq_id"), col("vec_id").as("xid"))
+    (emb, sadc, ex5)
+  }
+
+  /** Shared oracle CTE fragment for the IVF-PQ chain — everything from
+    * the double-cast corpus through `sadc` (ADC scores) and `ex5` (the
+    * exact-L2 top-5 panel). q306 and q308 both splice it, so the two
+    * oracles can never disagree about the index. */
+  private lazy val ivfpqCteSql: String = {
+    def fold(body: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $body), " +
+        "(acc, x) -> acc + x)"
+    def sqdFullSql(a: String, b: String): String = fold(
+      s"""[(($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i])
+         | for i in range(1, len($a) + 1)]""".stripMargin
+        .replace("\n", " "))
+    def sqdSubSql(a: String, b: String): String = fold(
+      s"""[(($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i])
+         | for i in range(j * 16 + 1, j * 16 + 17)]""".stripMargin
+        .replace("\n", " "))
+    s"""e AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE)) AS ed
+       |  FROM embeddings),
+       |cents AS (SELECT CAST(vec_id AS INTEGER) AS cent_id, ed AS ce
+       |          FROM e WHERE vec_id < 8),
+       |sc306 AS (
+       |  SELECT e.vec_id, e.ed, c.cent_id, c.ce,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${sqdFullSql("e.ed", "c.ce")} ASC, c.cent_id)
+       |      AS crn
+       |  FROM e, cents c),
+       |corpusr AS (
+       |  SELECT vec_id, cent_id AS cluster,
+       |    [ed[i] - ce[i] for i in range(1, len(ed) + 1)] AS rv
+       |  FROM sc306 WHERE crn = 1),
+       |cw AS (
+       |  SELECT cluster, cwid, rv AS cw FROM (
+       |    SELECT cluster, vec_id, rv,
+       |      row_number() OVER (PARTITION BY cluster ORDER BY vec_id)
+       |        AS cwid
+       |    FROM corpusr) WHERE cwid <= 16),
+       |js AS (SELECT unnest(range(0, 4)) AS j),
+       |enc AS (
+       |  SELECT r.vec_id, r.cluster, js.j, w.cwid,
+       |    row_number() OVER (PARTITION BY r.vec_id, js.j
+       |      ORDER BY ${sqdSubSql("r.rv", "w.cw")} ASC, w.cwid) AS rn
+       |  FROM corpusr r JOIN cw w ON w.cluster = r.cluster, js),
+       |codes AS (SELECT vec_id, cluster, j, cwid AS code FROM enc
+       |          WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, cent_id AS cluster,
+       |    [ed[i] - ce[i] for i in range(1, len(ed) + 1)] AS rv
+       |  FROM sc306
+       |  WHERE vec_id % 100 = 0 AND vec_id < 6400 AND crn <= 2),
+       |lut AS (
+       |  SELECT p.q_id, p.cluster, js.j, w.cwid,
+       |    ${sqdSubSql("p.rv", "w.cw")} AS ld
+       |  FROM probes p JOIN cw w ON w.cluster = p.cluster, js),
+       |sadc AS (
+       |  SELECT l.q_id, co.vec_id, ${dsumSql("l.ld")} AS adc_dist
+       |  FROM codes co JOIN lut l ON l.cluster = co.cluster
+       |    AND l.j = co.j AND l.cwid = co.code
+       |  GROUP BY l.q_id, co.vec_id),
+       |q5 AS (SELECT vec_id AS eq_id, ed AS qe FROM e
+       |       WHERE vec_id % 100 = 0 AND vec_id < 6400),
+       |ex AS (
+       |  SELECT q.eq_id, e.vec_id,
+       |    row_number() OVER (PARTITION BY q.eq_id
+       |      ORDER BY ${sqdFullSql("q.qe", "e.ed")} ASC, e.vec_id)
+       |      AS xrank
+       |  FROM e, q5 q),
+       |ex5 AS (SELECT eq_id, vec_id FROM ex WHERE xrank <= 5)"""
+      .stripMargin
+  }
+
   def all: Seq[NamedQuery] = Seq(
 
     // ----- q30: top-1 cosine neighbor (embedding near-dup primitive) ------
@@ -2886,85 +3046,12 @@ object SimilarityOps {
     NamedQuery(
       "q306_ivfpq_ann",
       (s, d) => {
-        val js = Seq(0, 1, 2, 3)
-        val emb = pinned(tbl(s, d, "embeddings")
-          .select(col("vec_id"),
-            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ed")))
-        val sqdFull = expr(
-          "aggregate(zip_with(ed, ce, (x, y) -> (x - y) * (x - y)), " +
-            "CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
-        val cents = emb.filter(col("vec_id") < 8)
-          .select(col("vec_id").cast("int").as("cent_id"),
-            col("ed").as("ce"))
-        val scored = emb.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("ed"), col("cent_id"), col("ce"),
-            sqdFull.as("cd"))
-        val wAssign = Window.partitionBy(col("vec_id"))
-          .orderBy(col("cd"), col("cent_id"))
-        val assigned = scored.withColumn("crn", row_number().over(wAssign))
-        val residual = expr("zip_with(ed, ce, (x, y) -> x - y)")
-        // pinned: the residual table feeds the codebook election AND the
-        // encode pass — without the pin each consumer replays the
-        // corpus × centroids assignment (the plan-duplication cost the
-        // first cut paid: 24 windows / 25 top-k groups in the signature)
-        val corpusR = pinned(assigned.filter(col("crn") === 1)
-          .select(col("vec_id"), col("cent_id").as("cluster"),
-            residual.as("rv")))
-        val wCw = Window.partitionBy(col("cluster")).orderBy(col("vec_id"))
-        val codebook = corpusR.withColumn("cwid", row_number().over(wCw))
-          .filter(col("cwid") <= 16)
-          .select(col("cluster"), col("cwid"), col("rv").as("cw"),
-            explode(array(js.map(lit): _*)).as("j"))
-        val sqdSub = expr(
-          "aggregate(zip_with(slice(rv, j * 16 + 1, 16), " +
-            "slice(cw, j * 16 + 1, 16), (x, y) -> (x - y) * (x - y)), " +
-            "CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
-        val codes = corpusR
-          .select(col("vec_id"), col("cluster"), col("rv"),
-            explode(array(js.map(lit): _*)).as("j"))
-          .join(broadcast(codebook), Seq("cluster", "j"))
-          .select(col("vec_id"), col("cluster"), col("j"), col("cwid"),
-            sqdSub.as("sd"))
-          .groupBy(col("vec_id"), col("cluster"), col("j"))
-          .agg(min(struct(col("sd"), col("cwid"))).as("m"))
-          .select(col("vec_id"), col("cluster"), col("j"),
-            col("m.cwid").as("code"))
-        val probes = assigned.filter(isPanel(col("vec_id")))
-          .filter(col("crn") <= 2)
-          .select(col("vec_id").as("q_id"), col("cent_id").as("cluster"),
-            residual.as("rv"))
-        val lut = probes
-          .select(col("q_id"), col("cluster"), col("rv"),
-            explode(array(js.map(lit): _*)).as("j"))
-          .join(broadcast(codebook), Seq("cluster", "j"))
-          .select(col("q_id"), col("cluster").as("lcl"), col("j").as("lj"),
-            col("cwid"), sqdSub.as("ld"))
-        // pinned: the ADC score table feeds the ranking, the top-1 pick,
-        // and the candidate count — panel-bounded (≤64 queries × probed
-        // lists), so the pin is a few thousand rows
-        val sadc = pinned(codes
-          .join(broadcast(lut),
-            col("cluster") === col("lcl") && col("j") === col("lj") &&
-              col("code") === col("cwid"))
-          .groupBy(col("q_id"), col("vec_id"))
-          .agg(dsum(col("ld")).as("adc_dist")))
+        val (emb, sadc, ex5) = ivfpqAdc(s, d)
         val wTop = Window.partitionBy(col("q_id"))
           .orderBy(col("adc_dist"), col("vec_id"))
         val top = sadc
           .withColumn("rank", row_number().over(wTop).cast("long"))
         val top5 = top.filter(col("rank") <= 5)
-        val q5 = emb.filter(isPanel(col("vec_id")))
-          .select(col("vec_id").as("eq_id"), col("ed").as("qe"))
-        val sqdQ = expr(
-          "aggregate(zip_with(qe, ed, (x, y) -> (x - y) * (x - y)), " +
-            "CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
-        val wEx = Window.partitionBy(col("eq_id"))
-          .orderBy(col("xd"), col("vec_id"))
-        val ex5 = emb.crossJoin(broadcast(q5))
-          .select(col("eq_id"), col("vec_id"), sqdQ.as("xd"))
-          .withColumn("xrank", row_number().over(wEx))
-          .filter(col("xrank") <= 5)
-          .select(col("eq_id"), col("vec_id").as("xid"))
         val hits = top5.join(broadcast(ex5),
             top5("q_id") === ex5("eq_id") && top5("vec_id") === col("xid"),
             "left_semi")
@@ -2980,76 +3067,13 @@ object SimilarityOps {
             (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(5.0))
               .as("recall5"))
       },
-      Some {
-        def fold(body: String): String =
-          s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $body), " +
-            "(acc, x) -> acc + x)"
-        def sqdFullSql(a: String, b: String): String = fold(
-          s"""[(($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i])
-             | for i in range(1, len($a) + 1)]""".stripMargin
-            .replace("\n", " "))
-        def sqdSubSql(a: String, b: String): String = fold(
-          s"""[(($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i])
-             | for i in range(j * 16 + 1, j * 16 + 17)]""".stripMargin
-            .replace("\n", " "))
-        s"""WITH e AS (
-           |  SELECT vec_id, list_transform(embedding,
-           |    x -> CAST(x AS DOUBLE)) AS ed
-           |  FROM embeddings),
-           |cents AS (SELECT CAST(vec_id AS INTEGER) AS cent_id, ed AS ce
-           |          FROM e WHERE vec_id < 8),
-           |sc306 AS (
-           |  SELECT e.vec_id, e.ed, c.cent_id, c.ce,
-           |    row_number() OVER (PARTITION BY e.vec_id
-           |      ORDER BY ${sqdFullSql("e.ed", "c.ce")} ASC, c.cent_id)
-           |      AS crn
-           |  FROM e, cents c),
-           |corpusr AS (
-           |  SELECT vec_id, cent_id AS cluster,
-           |    [ed[i] - ce[i] for i in range(1, len(ed) + 1)] AS rv
-           |  FROM sc306 WHERE crn = 1),
-           |cw AS (
-           |  SELECT cluster, cwid, rv AS cw FROM (
-           |    SELECT cluster, vec_id, rv,
-           |      row_number() OVER (PARTITION BY cluster ORDER BY vec_id)
-           |        AS cwid
-           |    FROM corpusr) WHERE cwid <= 16),
-           |js AS (SELECT unnest(range(0, 4)) AS j),
-           |enc AS (
-           |  SELECT r.vec_id, r.cluster, js.j, w.cwid,
-           |    row_number() OVER (PARTITION BY r.vec_id, js.j
-           |      ORDER BY ${sqdSubSql("r.rv", "w.cw")} ASC, w.cwid) AS rn
-           |  FROM corpusr r JOIN cw w ON w.cluster = r.cluster, js),
-           |codes AS (SELECT vec_id, cluster, j, cwid AS code FROM enc
-           |          WHERE rn = 1),
-           |probes AS (
-           |  SELECT vec_id AS q_id, cent_id AS cluster,
-           |    [ed[i] - ce[i] for i in range(1, len(ed) + 1)] AS rv
-           |  FROM sc306
-           |  WHERE vec_id % 100 = 0 AND vec_id < 6400 AND crn <= 2),
-           |lut AS (
-           |  SELECT p.q_id, p.cluster, js.j, w.cwid,
-           |    ${sqdSubSql("p.rv", "w.cw")} AS ld
-           |  FROM probes p JOIN cw w ON w.cluster = p.cluster, js),
-           |sadc AS (
-           |  SELECT l.q_id, co.vec_id, ${dsumSql("l.ld")} AS adc_dist
-           |  FROM codes co JOIN lut l ON l.cluster = co.cluster
-           |    AND l.j = co.j AND l.cwid = co.code
-           |  GROUP BY l.q_id, co.vec_id),
+      Some(
+        s"""WITH $ivfpqCteSql,
            |top AS (
            |  SELECT q_id, vec_id, adc_dist,
            |    CAST(row_number() OVER (PARTITION BY q_id
            |      ORDER BY adc_dist, vec_id) AS BIGINT) AS rank
            |  FROM sadc),
-           |q5 AS (SELECT vec_id AS eq_id, ed AS qe FROM e
-           |       WHERE vec_id % 100 = 0 AND vec_id < 6400),
-           |ex AS (
-           |  SELECT q.eq_id, e.vec_id,
-           |    row_number() OVER (PARTITION BY q.eq_id
-           |      ORDER BY ${sqdFullSql("q.qe", "e.ed")} ASC, e.vec_id)
-           |      AS xrank
-           |  FROM e, q5 q),
-           |ex5 AS (SELECT eq_id, vec_id FROM ex WHERE xrank <= 5),
            |hits AS (
            |  SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
            |  FROM top t JOIN ex5 x ON x.eq_id = t.q_id
@@ -3062,7 +3086,108 @@ object SimilarityOps {
            |  COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
            |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall5
            |FROM cand c JOIN t1 USING (q_id)
-           |LEFT JOIN hits h ON h.q_id = c.q_id""".stripMargin
-      }),
+           |LEFT JOIN hits h ON h.q_id = c.q_id""".stripMargin)),
+
+    // ----- q308: two-stage retrieval — ADC shortlist + exact re-rank ------
+    // The second stage every production IVF-PQ deployment runs: ADC
+    // distances are quantized approximations, so the index serves a
+    // SHORTLIST (top-20 by ADC) and the final ranking recomputes EXACT
+    // distances on just those candidates — ≤20 full-vector distance
+    // evaluations per query instead of |corpus|, turning PQ's recall
+    // loss into a controlled re-rank cost. Per panel query: recall@5 of
+    // the raw ADC ranking, recall@5 after exact re-rank of the ADC
+    // top-20, and the lift — the number that justifies (or kills) the
+    // second stage in an index-tuning loop. Shares ivfpqAdc's chain and
+    // oracle fragment with q306 verbatim, so index and audit can never
+    // drift; the re-rank joins ≤20 candidate rows per query back to the
+    // pinned corpus by id (a hash join against ≤64·20 broadcast ids) —
+    // the corpus is never re-scanned or re-scored wholesale.
+    NamedQuery(
+      "q308_ivfpq_rerank",
+      (s, d) => {
+        val (emb, sadc, ex5) = ivfpqAdc(s, d)
+        val wTop = Window.partitionBy(col("q_id"))
+          .orderBy(col("adc_dist"), col("vec_id"))
+        val top = sadc
+          .withColumn("rank", row_number().over(wTop).cast("long"))
+        val adcHits = top.filter(col("rank") <= 5)
+          .join(broadcast(ex5),
+            col("q_id") === col("eq_id") && col("vec_id") === col("xid"),
+            "left_semi")
+          .groupBy(col("q_id")).agg(count(lit(1)).as("adc_hits"))
+        // stage 2: exact distances on the ADC top-20 shortlist only
+        val short = top.filter(col("rank") <= 20)
+          .select(col("q_id"), col("vec_id"))
+        val qvec = emb.filter(isPanel(col("vec_id")))
+          .select(col("vec_id").as("q_id"), col("ed").as("qe"))
+        val sqdQ = expr(
+          "aggregate(zip_with(qe, ed, (x, y) -> (x - y) * (x - y)), " +
+            "CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
+        val wRr = Window.partitionBy(col("q_id"))
+          .orderBy(col("xd"), col("vec_id"))
+        val rr5 = emb.join(broadcast(short), Seq("vec_id"))
+          .join(broadcast(qvec), Seq("q_id"))
+          .select(col("q_id"), col("vec_id"), sqdQ.as("xd"))
+          .withColumn("rrank", row_number().over(wRr))
+          .filter(col("rrank") <= 5)
+        val rrHits = rr5
+          .join(broadcast(ex5),
+            col("q_id") === col("eq_id") && col("vec_id") === col("xid"),
+            "left_semi")
+          .groupBy(col("q_id")).agg(count(lit(1)).as("rr_hits"))
+        val base = sadc.groupBy(col("q_id"))
+          .agg(count(lit(1)).as("n_cand"))
+        base
+          .join(broadcast(adcHits), Seq("q_id"), "left")
+          .join(broadcast(rrHits), Seq("q_id"), "left")
+          .select(col("q_id"), col("n_cand"),
+            (coalesce(col("adc_hits"), lit(0L)).cast("double") / lit(5.0))
+              .as("recall5_adc"),
+            (coalesce(col("rr_hits"), lit(0L)).cast("double") / lit(5.0))
+              .as("recall5_rerank"),
+            ((coalesce(col("rr_hits"), lit(0L)) -
+              coalesce(col("adc_hits"), lit(0L))).cast("double") /
+              lit(5.0)).as("lift"))
+      },
+      Some(
+        s"""WITH $ivfpqCteSql,
+           |top AS (
+           |  SELECT q_id, vec_id, adc_dist,
+           |    CAST(row_number() OVER (PARTITION BY q_id
+           |      ORDER BY adc_dist, vec_id) AS BIGINT) AS rank
+           |  FROM sadc),
+           |adchits AS (
+           |  SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS adc_hits
+           |  FROM top t JOIN ex5 x ON x.eq_id = t.q_id
+           |    AND x.vec_id = t.vec_id
+           |  WHERE t.rank <= 5 GROUP BY t.q_id),
+           |short AS (SELECT q_id, vec_id FROM top WHERE rank <= 20),
+           |qv AS (SELECT vec_id AS q_id, ed AS qe FROM e
+           |       WHERE vec_id % 100 = 0 AND vec_id < 6400),
+           |rr AS (
+           |  SELECT s.q_id, s.vec_id,
+           |    row_number() OVER (PARTITION BY s.q_id
+           |      ORDER BY list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |        [(qv.qe[i] - e.ed[i]) * (qv.qe[i] - e.ed[i])
+           |         for i in range(1, len(qv.qe) + 1)]),
+           |        (acc, x) -> acc + x) ASC, s.vec_id) AS rrank
+           |  FROM short s JOIN e ON e.vec_id = s.vec_id
+           |  JOIN qv ON qv.q_id = s.q_id),
+           |rrhits AS (
+           |  SELECT r.q_id, CAST(COUNT(*) AS BIGINT) AS rr_hits
+           |  FROM rr r JOIN ex5 x ON x.eq_id = r.q_id
+           |    AND x.vec_id = r.vec_id
+           |  WHERE r.rrank <= 5 GROUP BY r.q_id),
+           |base AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_cand
+           |         FROM sadc GROUP BY q_id)
+           |SELECT b.q_id, b.n_cand,
+           |  CAST(COALESCE(a.adc_hits, 0) AS DOUBLE) / 5.0 AS recall5_adc,
+           |  CAST(COALESCE(r.rr_hits, 0) AS DOUBLE) / 5.0
+           |    AS recall5_rerank,
+           |  CAST(COALESCE(r.rr_hits, 0) - COALESCE(a.adc_hits, 0)
+           |    AS DOUBLE) / 5.0 AS lift
+           |FROM base b
+           |LEFT JOIN adchits a ON a.q_id = b.q_id
+           |LEFT JOIN rrhits r ON r.q_id = b.q_id""".stripMargin)),
   )
 }

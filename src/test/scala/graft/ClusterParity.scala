@@ -137,7 +137,26 @@ object ClusterParity {
     // driver Hedge/apportionment literals, per-source rank + pack
     // windows over real shuffles, a real hive-partitioned publish from
     // executor JVMs, and the file read-back certification
-    "q299_corpus_build")
+    "q299_corpus_build",
+    // r15 families: the typed mapPartitions container decode (byte
+    // parsing on executor JVMs), the mixture monitor's K conditional
+    // counts + stateless explode over a real exchange, and the
+    // token→language plurality model's postings join
+    "q300_container_dims", "q301_mixture_monitor", "q303_langid_confusion",
+    // r16 families: the adaptive pack cumsum (pinned slim RDD +
+    // counts-driven shape crossing real executors), the BFD typed
+    // sorted-group fold (flatMapSortedGroups buffers must round-trip
+    // real shuffle serialization) next to its greedy twin, the
+    // admission controller's hash-priority window cumsum + broadcast
+    // quota table, the IVF-PQ chain (two pinned RDDs + the 512-row
+    // codebook broadcast over real RPC), and the char-3-gram slot
+    // model's hash join
+    "q302_pack_fragmentation", "q304_pack_compare",
+    "q305_admission_control", "q306_ivfpq_ann", "q307_langid_chargrams",
+    // the two-stage re-rank: the shortlist id-join against the pinned
+    // corpus RDD must produce identical exact re-ranks across real
+    // executor JVMs
+    "q308_ivfpq_rerank")
 
   private def run(spark: SparkSession): Map[String, Map[Seq[Any], Int]] =
     queries.map { n =>

@@ -869,6 +869,40 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(fullWindows >= 6, "band claim must cover the full windows")
   }
 
+  test("admission throttle state expires via event-time timeout") {
+    // the expiry branch never fires in the tests above (nothing pushes
+    // the watermark past any window's end + 1h) — here a far-future
+    // sentinel from a weighted source advances the watermark past every
+    // real window's expiry, so the hasTimedOut path runs for each live
+    // (window, source) state and must emit nothing, drop nothing, and
+    // not crash (the setTimeoutTimestamp clamp is also load-bearing:
+    // batch-2 rows land behind the advanced watermark)
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val targets = graft.sink.CorpusBuild.doremiTargets(spark, sfDir)
+    val dir = Files.createTempDirectory("graft-admit-ttl").toString
+    val t0 = System.currentTimeMillis() - 600000
+    writeChunk(dir)(floodedDocs(docs.filter(col("doc_id") < 250)),
+      "c0.parquet", t0)
+    writeChunk(dir)(floodedDocs(docs.filter(col("doc_id") >= 250)),
+      "c1.parquet", t0 + 60000)
+    val sentinel = spark.range(1).select(
+      timestamp_seconds(lit(1700000000L + 30L * 24 * 3600)).as("ts"),
+      lit(-7L).as("doc_id"), lit(targets.head._1).as("source"),
+      lit(5L).as("n_toks"))
+    writeChunk(dir)(sentinel, "c2.parquet", t0 + 120000)
+    runAdmission(dir, targets, "t_admit3")
+    val dec = spark.table("t_admit3")
+    val wSet = targets.map(_._1)
+    val expected = floodedDocs(docs)
+      .filter(col("source").isin(wSet: _*)).count() + 1
+    assert(dec.count() === expected)
+    // exactly one decision per doc: a replayed or timed-out state must
+    // never duplicate or re-emit
+    assert(dec.select("doc_id").distinct().count() === expected)
+    assert(dec.filter(col("doc_id") === -7L).count() === 1)
+  }
+
   test("streaming k-means assignment equals the registered batch twin q117") {
     val sfDir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -738,6 +738,103 @@ object StreamOps {
       }
   }
 
+  final case class ThrottleDoc(ts: java.sql.Timestamp, wstart: String,
+      wend_ms: Long, source: String, doc_id: Long, h: Long, n_toks: Long,
+      quota: Long, text: String, simhash: Long)
+  final case class AdmittedDoc(ts: java.sql.Timestamp, source: String,
+      doc_id: Long, n_toks: Long, text: String, simhash: Long)
+
+  /** [[admissionThrottle]]'s document-carrying form: same (window,
+    * source) prefix rule, same one-long state and event-time expiry,
+    * but rows keep their text and dedup signature and only ADMITTED
+    * documents are emitted — the shape a publish sink consumes
+    * directly. Input schema: (ts TIMESTAMP, doc_id LONG, source STRING,
+    * n_toks LONG, text STRING, simhash LONG). */
+  def admissionThrottleDocs(docs: DataFrame,
+      targets: Seq[(String, Double)],
+      windowTokens: Double = AdmissionWindowTokens):
+      Dataset[AdmittedDoc] = {
+    require(targets.nonEmpty, "admission targets must be non-empty")
+    val sess = docs.sparkSession
+    import sess.implicits._
+    val wt = targets.toDF("__src", "__w")
+    val win = window(col("ts"), "1 hour")
+    val prepared = docs
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(wt), col("source") === col("__src"))
+      .select(col("ts"),
+        date_format(win.getField("start"), TsFmt).as("wstart"),
+        (unix_timestamp(win.getField("end")) * 1000).as("wend_ms"),
+        col("source"), col("doc_id"),
+        graft.ops.LlmKit.strHash(concat(lit("q305:"),
+          col("doc_id").cast("string"))).as("h"),
+        col("n_toks"),
+        floor(col("__w") * lit(windowTokens)).cast("long").as("quota"),
+        col("text"), col("simhash"))
+      .as[ThrottleDoc]
+    prepared
+      .groupByKey(r => (r.wstart, r.source))
+      .flatMapGroupsWithState[Long, AdmittedDoc](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((_, _), rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var cum = state.getOption.getOrElse(0L)
+            val arr = rows.toArray.sortBy(r => (r.h, r.doc_id))
+            val out = arr.flatMap { r =>
+              cum += r.n_toks
+              if (cum <= r.quota)
+                Some(AdmittedDoc(r.ts, r.source, r.doc_id, r.n_toks,
+                  r.text, r.simhash))
+              else None
+            }
+            state.update(cum)
+            state.setTimeoutTimestamp(math.max(
+              arr.head.wend_ms + 3600000L,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
+  /** The full ingest control loop, composed as the bronze→silver chain
+    * a production lake runs: stage 1 ([[ingestCorpus]]) lands the
+    * gate/decontamination/dedup survivors exactly-once under
+    * `stageDir`; stage 2 re-reads the landed batches AS A STREAM and
+    * meters them through [[admissionThrottleDocs]] with the kept-pool
+    * DoReMi targets, landing only the ADMITTED documents under
+    * `outDir`. Chaining through storage keeps each query a single
+    * stateful operator (Spark's arbitrary-state op does not compose
+    * with the watermark dedup inside one query plan) and gives the
+    * gate a natural replay/backfill point — the staged survivors are
+    * themselves an exactly-once corpus. Both stages run
+    * Trigger.AvailableNow to completion; quotas come from
+    * floor(weight · `windowTokens`) exactly as q305's hash-gated twin
+    * replays. */
+  def throttledIngestCorpus(docs: DataFrame, evalDocs: DataFrame,
+      targets: Seq[(String, Double)], stageDir: String, outDir: String,
+      checkpointRoot: String,
+      windowTokens: Double = AdmissionWindowTokens): Unit = {
+    val sess = docs.sparkSession
+    ingestCorpus(docs, evalDocs, stageDir, s"$checkpointRoot/gate")
+      .awaitTermination()
+    val survivors = sess.readStream
+      .schema("ts TIMESTAMP, doc_id LONG, text STRING, simhash LONG, " +
+        "ingest_batch LONG, source STRING")
+      .option("basePath", stageDir)
+      .parquet(stageDir)
+      .select(col("ts"), col("doc_id"), col("source").cast("string")
+        .as("source"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"),
+        col("text"), col("simhash"))
+    val admitted = admissionThrottleDocs(survivors, targets, windowTokens)
+    publishStream(admitted.toDF()
+      .select(col("ts"), col("doc_id"), col("text"), col("simhash"),
+        col("source")),
+      outDir, s"$checkpointRoot/admit")
+      .awaitTermination()
+  }
+
   /** Streaming JDBC ingestion: each microbatch appends through the batch
     * sink path (same batchsize-50000 writer as [[graft.sink.JdbcSink]]),
     * giving the reference's one-shot import a continuous form. Exactly-once

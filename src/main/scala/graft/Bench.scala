@@ -85,7 +85,14 @@ object Bench {
     * headline documents the rejection machine-readably. */
   def annotateKept(committed: String, rejectedTotal: Double): String = {
     val t = committed.trim
-    t.stripSuffix("}") +
+    // replace, never stack: a second gate-failing battery over an
+    // already-annotated kept record must not produce duplicate "guard"
+    // keys in the JSON (r16 ADVICE) — cut any prior annotation first
+    val base = t.indexOf(""","guard":{"kept_committed"""") match {
+      case -1 => t.stripSuffix("}")
+      case i  => t.substring(0, i)
+    }
+    base +
       s""","guard":{"kept_committed":true,"rejected":"BENCH_REJECTED.json","rejected_total":$rejectedTotal}}"""
   }
 

@@ -124,7 +124,11 @@ object MultimodalOps {
       def r16(i: Int): Int = if (le) le16(i) else be16(i)
       def r32(i: Int): Int = if (le) le32(i) else be32(i)
       val ifd = r32(4)
-      if (ifd < 0 || ifd + 2 > payload.length) return None
+      // compare as `ifd > length - 2`, NOT `ifd + 2 > length`: a crafted
+      // IFD offset near Int.MaxValue wraps `ifd + 2` negative and slips
+      // past the bounds check into u8(ifd) (r16 ADVICE); the subtraction
+      // form can't overflow (length >= 0)
+      if (ifd < 0 || ifd > payload.length - 2) return None
       val n = r16(ifd)
       var w = -1
       var h = -1

@@ -119,42 +119,54 @@ object CorpusBuild {
     val sa = ranked.map(r => dec(r._3)).sum
     val pcap = ranked.scanLeft(0L)(_ + _._2)
     val pa = ranked.scanLeft(BigDecimal(0))((acc, x) => acc + dec(x._3))
-    // candidate r = clip the r smallest normalized caps, r in [0, n)
-    // a valid bracketing level exists whenever t < Σcaps (checked above);
-    // failing the search means broken inputs (NaN alpha, negative caps) —
-    // throw rather than default, so an FP edge surfaces as an explicit
-    // error here instead of an opaque hash-gate mismatch downstream
-    // (r15 ADVICE)
-    val rStar = (0 until n).find { r =>
+    // candidate r = clip the r smallest normalized caps, r in [0, n).
+    // A valid bracketing level exists whenever t < Σcaps (checked above),
+    // but the STRICT double-inequality search can miss it when rounding
+    // lands lvl exactly on a normalized-cap boundary — a mathematically
+    // valid input the r16 ADVICE showed would crash a production build.
+    // At an exact tie the clipped-vs-unclipped call is quota-neutral
+    // (raw share = cap there), so the fix is validation, not a looser
+    // inequality: compute the quotas for candidate r values in priority
+    // order (strict bracket, then equality-tolerant, then every r) and
+    // return the first whose quotas ACTUALLY meet the contract —
+    // Σ == t, every quota within [0, cap], Hamilton deficit within the
+    // unclipped count. Only genuinely broken inputs (NaN alpha,
+    // negative caps) leave no valid candidate and reach the throw
+    // (r15 ADVICE: loud, not a silent default).
+    def quotasFor(r: Int): Option[Seq[(String, Double, Long)]] = {
+      val lvl = (t - pcap(r)).toDouble / (sa - pa(r)).toDouble
+      if (lvl.isNaN || lvl.isInfinite || lvl < 0) return None
+      val clipped = ranked.take(r).map { case (s, c, a, _) => (s, a, c) }
+      val un = ranked.drop(r).map { case (s, _, a, _) =>
+        val raw = a * lvl
+        (s, a, math.floor(raw).toLong, raw - math.floor(raw))
+      }
+      val deficit = t - pcap(r) - un.map(_._3).sum
+      if (deficit < 0 || deficit > un.size) return None
+      val bumped = un.sortBy { case (s, _, _, rem) => (-rem, s) }
+        .zipWithIndex
+        .map { case ((s, a, fq, _), i) =>
+          (s, a, fq + (if (i < deficit) 1L else 0L))
+        }
+      val out = (clipped ++ bumped).sortBy(_._1)
+      val capOf = caps.toMap
+      val ok = out.map(_._3).sum == t &&
+        out.forall { case (s, _, q) => q >= 0 && q <= capOf(s) }
+      if (ok) Some(out) else None
+    }
+    def bracket(strict: Boolean): Option[Int] = (0 until n).find { r =>
       val lvl = (t - pcap(r)).toDouble / (sa - pa(r)).toDouble
       val clippedNrm = if (r == 0) -1.0 else ranked(r - 1)._4
-      clippedNrm <= lvl && ranked(r)._4 > lvl
-    }.getOrElse(throw new IllegalStateException(
-      s"waterFillQuotas: no bracketing water level for t=$t over " +
-        s"caps=${caps.mkString(",")} alpha=$alpha"))
-    val lvl = (t - pcap(rStar)).toDouble / (sa - pa(rStar)).toDouble
-    val clipped = ranked.take(rStar)
-      .map { case (s, c, a, _) => (s, a, c) }
-    val un = ranked.drop(rStar).map { case (s, _, a, _) =>
-      val raw = a * lvl
-      (s, a, math.floor(raw).toLong, raw - math.floor(raw))
+      clippedNrm <= lvl &&
+        (if (strict) ranked(r)._4 > lvl else ranked(r)._4 >= lvl)
     }
-    val deficit = t - pcap(rStar) - un.map(_._3).sum
-    val bumped = un.sortBy { case (s, _, _, rem) => (-rem, s) }
-      .zipWithIndex
-      .map { case ((s, a, fq, _), i) =>
-        (s, a, fq + (if (i < deficit) 1L else 0L))
-      }
-    val out = (clipped ++ bumped).sortBy(_._1)
-    // 'Σ quota == T by construction' is CHECKED, not just claimed (r15
-    // ADVICE): a deficit larger than the unclipped count (or negative)
-    // would silently under/over-fill — in this branch t < Σcaps, so the
-    // exact target is t
-    val got = out.map(_._3).sum
-    if (got != t) throw new IllegalStateException(
-      s"waterFillQuotas: quotas sum to $got, budget is $t " +
-        s"(deficit=$deficit, clipped=${clipped.size}/${n})")
-    out
+    val candidates =
+      (bracket(strict = true).toSeq ++ bracket(strict = false).toSeq ++
+        (0 until n)).distinct
+    candidates.iterator.flatMap(quotasFor).nextOption()
+      .getOrElse(throw new IllegalStateException(
+        s"waterFillQuotas: no valid water level for t=$t over " +
+          s"caps=${caps.mkString(",")} alpha=$alpha"))
   }
 
   /** Stages 1–2 of [[run]] as a standalone: the kept-pool DoReMi target

@@ -178,6 +178,36 @@ class BenchSentinelSpec extends AnyFunSuite {
     assert(kept.endsWith("}"))
   }
 
+  test("overwrite guard: re-annotating replaces the guard, never stacks it") {
+    // two consecutive gate-failing batteries over the same kept record
+    // used to append a SECOND "guard" key (r16 ADVICE) — the annotation
+    // must be idempotent up to the rejected_total value
+    val committed = """{"metric":"total","value":168.7,"floor_gate":{"ok":true},"sf":"/root/testdata/sf0.1"}"""
+    val once = Bench.annotateKept(committed, 164.2)
+    val twice = Bench.annotateKept(once, 171.9)
+    assert(twice === Bench.annotateKept(committed, 171.9))
+    // exactly one guard key, the newest total, braces still balanced
+    assert("\"guard\":".r.findAllIn(twice).size === 1)
+    assert(twice.contains(""""rejected_total":171.9"""))
+    assert(!twice.contains("164.2"))
+    assert(twice.count(_ == '{') === twice.count(_ == '}'))
+  }
+
+  test("floors raise-note arithmetic (gen_floors.py --selftest)") {
+    // the header note Bench quotes into floor_gate provenance is
+    // computed by gen_floors.py; its --selftest pins the raise
+    // counting (strict raises only, worst ratio, zero-floor guard) and
+    // the committed-round baseline resolution (r16 verdict note 1)
+    val pb = new ProcessBuilder("python3", "scripts/gen_floors.py",
+      "--selftest")
+    pb.directory(new java.io.File("."))
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
+    assert(p.waitFor() === 0, s"selftest failed:\n$out")
+    assert(out.contains("gen_floors selftest OK"))
+  }
+
   test("repass candidate ratio list skips non-positive bests") {
     // a zero best (pathological) must not win the ratio sort by division
     val results = Seq(("qz", 0.0, 1.0), ("qa", 0.2, 1.0), ("qd", 3.0, 3.1))

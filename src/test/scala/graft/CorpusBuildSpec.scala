@@ -81,6 +81,40 @@ class CorpusBuildSpec extends AnyFunSuite {
     assert(all === 2003L)
   }
 
+  test("waterFillQuotas: level-on-boundary rounding ties still fill the " +
+      "budget (r16 ADVICE), and broken inputs still throw") {
+    // both cases found by brute-force simulation of the exact BigDecimal
+    // + double arithmetic: the water level lands EXACTLY on a
+    // normalized-cap boundary, so the strict bracket (clipped ≤ lvl <
+    // next) has no solution and the pre-fix code threw on a
+    // mathematically valid input.
+    // case 1: the equality-tolerant bracket recovers it
+    val caps1 = Seq("s0" -> 18L, "s1" -> 6L, "s2" -> 16L)
+    val al1 = Map("s0" -> 1.0 / 6, "s1" -> 1.0 / 6, "s2" -> 1.0 / 3)
+    val q1 = graft.sink.CorpusBuild.waterFillQuotas(caps1, al1, 30L)
+      .map { case (s, _, n) => s -> n }.toMap
+    assert(q1.values.sum === 30L, "exact budget through the tie")
+    for ((s, c) <- caps1) assert(q1(s) <= c, s"quota over cap for $s")
+    // case 2: lvl rounds onto the boundary from the wrong side at EVERY
+    // r (neither strict nor equality-tolerant brackets) — only the
+    // validated-candidate fallback finds the (quota-neutral) level
+    val caps2 = Seq("a" -> 17L, "b" -> 37L, "c" -> 6L, "d" -> 48L)
+    val al2 = Map("a" -> 1.0 / 7, "b" -> 1.0 / 6, "c" -> 1.0 / 7,
+      "d" -> 1.0 / 7)
+    val q2 = graft.sink.CorpusBuild.waterFillQuotas(caps2, al2, 25L)
+      .map { case (s, _, n) => s -> n }.toMap
+    assert(q2.values.sum === 25L, "exact budget through the double tie")
+    for ((s, c) <- caps2) assert(q2(s) <= c, s"quota over cap for $s")
+    // the exact level is 42 with c clipped at its 6-doc cap either way
+    assert(q2("c") === 6L)
+    // genuinely broken inputs (NaN alpha) must still surface loudly
+    // rather than default to a wrong bracket
+    intercept[Exception] {
+      graft.sink.CorpusBuild.waterFillQuotas(
+        caps1, Map("s0" -> Double.NaN, "s1" -> 1.0, "s2" -> 1.0), 30L)
+    }
+  }
+
   test("bin layout replays: greedy boundary-crossing pack per source") {
     val C = graft.sink.CorpusBuild.BinTokens
     val rows = spark.read.parquet(out1)

@@ -526,6 +526,314 @@ object SimilarityOps {
     (emb, sadc, ex5)
   }
 
+  // ------------------------------------------------------------------
+  //  TRAINED IVF-PQ (q309): Lloyd-trained coarse centroids (q111's
+  //  3-round machinery, shared verbatim) + Lloyd-trained per-cell
+  //  residual codebooks, swept over nprobe ∈ {1,2,4,8} with in-query
+  //  recall@5 — the r16 verdict's top item (q306/q308's quantizers were
+  //  untrained: centroids = first 8 vectors, codebooks = 16 lowest-id
+  //  residuals; recall@5 topped out at 0.33 after re-rank).
+  // ------------------------------------------------------------------
+
+  /** Trained-PQ geometry: PqM subspaces of PqW dims (PqM·PqW = 64),
+    * PqK codewords per (cell, subspace) — log2(PqK)·PqM bits per code.
+    * q306/q308's untrained chain keeps its original 4×16 layout; the
+    * trained index uses the standard Jégou m=8 split, measured in the
+    * r17 tuning sweep as the best fully-monotone point (sf0.1 rerank
+    * recall@5 at nprobe=8: 4×16 → 0.40, 8×16 → 0.52; 8×32 reached 0.60
+    * but its raw-ADC column dipped non-monotone at nprobe=4). */
+  private val PqM = 8
+  private val PqW = 64 / PqM
+  private val PqK = 16
+
+  /** Fixed-order fold: squared L2 between one PqW-long slice of the
+    * residual grid `qr` (subspace `j`) and a PqW-double codeword `cw` —
+    * the PQ analogue of [[kmAssignLit]]'s distance. Bit-identical on
+    * both engines: same left fold, same cast-then-subtract terms. */
+  private val pqSubDistExpr: org.apache.spark.sql.Column = expr(
+    s"aggregate(zip_with(slice(qr, j * $PqW + 1, $PqW), cw, " +
+      "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), " +
+      "CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
+
+  /** DuckDB rendering of [[pqSubDistExpr]]; `j` must be the qualified
+    * subspace column of the codeword row. */
+  private def pqDistSql(qr: String, cw: String, j: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       | [(CAST(($qr)[$j * $PqW + i] AS DOUBLE) - ($cw)[i]) *
+       |  (CAST(($qr)[$j * $PqW + i] AS DOUBLE) - ($cw)[i])
+       |  for i in range(1, ${PqW + 1})]), (a, x) -> a + x)"""
+      .stripMargin.replace("\n", " ")
+
+  /** Fixed-order fold: squared L2 between two 64-long grid vectors
+    * (`$a`, `$b` column names). Exact-rank ground truth for the panel. */
+  private def gridPairDistExpr(a: String, b: String): org.apache.spark.sql.Column = expr(
+    s"aggregate(zip_with($a, $b, " +
+      "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * " +
+      "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
+      "CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
+
+  private def gridPairDistSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       | [(CAST(($a)[i] AS DOUBLE) - CAST(($b)[i] AS DOUBLE)) *
+       |  (CAST(($a)[i] AS DOUBLE) - CAST(($b)[i] AS DOUBLE))
+       |  for i in range(1, 65)]), (a, x) -> a + x)"""
+      .stripMargin.replace("\n", " ")
+
+  /** Residual grid working set (vec_id, cluster, qr: array<bigint>):
+    * every corpus vector assigned to its TRAINED (3-round Lloyd, q111)
+    * coarse centroid, residual floor-quantized back onto the integer
+    * grid so the PQ Lloyd updates below are exact integer sums —
+    * order-free at any partition count, the q111 determinism recipe
+    * applied to the second quantizer. floor() of an IEEE subtraction of
+    * bit-identical operands is bit-identical on both engines. Persisted:
+    * codebook seeding, both training rounds, AND the encode pass iterate
+    * over it (the iterative-working-set pattern; Spark's cache manager
+    * dedupes by canonical plan so all consumers share one copy). */
+  private def pqResid(s: SparkSession, d: String): DataFrame =
+    kmAssignLit(kmCorpus(s, d), kmCentroidsLocal(s, d, rounds = 3))
+      .join(broadcast(kmeansCentroids(s, d, rounds = 3)), Seq("cluster"))
+      .select(col("vec_id"), col("cluster"),
+        expr("zip_with(qe, ce, (x, c) -> " +
+          "CAST(floor(CAST(x AS DOUBLE) - c) AS BIGINT))").as("qr"))
+      .persist()
+
+  /** Driver-side PQ Lloyd state, memoized per data dir: the per-cell
+    * per-subspace codebooks as (cluster, j, cwid, 16 doubles) — 8 cells
+    * × 4 subspaces × ≤16 codewords = ≤512 codewords, the MLlib
+    * centers-on-the-driver shape ([[kmCentroidsLocal]]'s pattern).
+    * Seeds are each cell's 16 lowest-id members' residual subvectors
+    * (exactly q306's untrained election, now just round 0); then two
+    * Lloyd rounds: assignment = residual working set × broadcast
+    * codebooks, fixed-order 16-dim folds, ties to the lower cwid;
+    * update = EXACT integer sums over the residual grid per (cluster,
+    * j, cwid, dim) + one IEEE division — the same order-free update the
+    * coarse quantizer uses. Empty codewords keep their previous value
+    * (left-join + coalesce in the oracle). Each round is ONE Spark job
+    * over the persisted working set. */
+  private val pqMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[(Long, Int, Int, Array[Double])]]()
+
+  /** Test hook: drop the memoized PQ state (partition-independence). */
+  private[graft] def pqMemoClear(): Unit = pqMemo.clear()
+
+  private[graft] def pqCodebooksLocal(
+      s: SparkSession, d: String): Array[(Long, Int, Int, Array[Double])] =
+    pqMemo.computeIfAbsent(d, _ => {
+      val resid = pqResid(s, d)
+      val wCw = Window.partitionBy(col("cluster")).orderBy(col("vec_id"))
+      var cb: Array[(Long, Int, Int, Array[Double])] = resid
+        .withColumn("cwid", row_number().over(wCw))
+        .filter(col("cwid") <= PqK)
+        .select(col("cluster"), col("cwid"), col("qr"))
+        .collect()
+        .flatMap { r =>
+          val cl = r.getLong(0)
+          val cwid = r.getInt(1)
+          val qr = r.getSeq[Long](2)
+          (0 until PqM).map(j =>
+            (cl, j, cwid, qr.slice(j * PqW, j * PqW + PqW)
+              .map(_.toDouble).toArray))
+        }
+        .sortBy(t => (t._1, t._2, t._3))
+      for (_ <- 1 to 2) {
+        val cbDf = s.createDataFrame(cb.toSeq.map {
+          case (cl, j, cwid, arr) => (cl, j, cwid, arr.toSeq)
+        }).toDF("cluster", "j", "cwid", "cw")
+        val best = resid
+          .join(broadcast(cbDf), Seq("cluster"))
+          .withColumn("sd", pqSubDistExpr)
+          .groupBy(col("vec_id"), col("cluster"), col("j"))
+          .agg(min(struct(col("sd"), col("cwid"))).as("m"))
+          .select(col("vec_id"), col("cluster"), col("j"),
+            col("m.cwid").as("code"))
+        val sums = best
+          .join(resid.select(col("vec_id"), col("qr")), Seq("vec_id"))
+          .select(col("cluster"), col("j"), col("code"),
+            posexplode(expr(s"slice(qr, j * $PqW + 1, $PqW)"))
+              .as(Seq("i", "v")))
+          .groupBy(col("cluster"), col("j"), col("code"), col("i"))
+          .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+            r.getInt(3)) -> (r.getLong(4), r.getLong(5)))
+          .toMap
+        cb = cb.map { case (cl, j, cwid, arr) =>
+          val moved = Array.tabulate(PqW) { i =>
+            sums.get((cl, j, cwid, i)) match {
+              case Some((sv, n)) => sv.toDouble / n.toDouble
+              case None          => arr(i) // empty codeword keeps its value
+            }
+          }
+          (cl, j, cwid, moved)
+        }
+      }
+      cb
+    })
+
+  /** Trained IVF-PQ chain for q309: ONE embeddings scan (the persisted
+    * q111 grid corpus) → trained coarse assignment (residual working
+    * set) → trained codebooks → PQ codes → panel probes ranked over ALL
+    * 8 cells (probe_rank 1..8) → per-(query, cell) LUTs → ADC scores
+    * tagged with the probe rank their cell was reached at, so one score
+    * table serves every nprobe level of the sweep. Returns (grid
+    * corpus, pinned ADC scores (q_id, vec_id, pr, adc_dist), pinned
+    * exact grid-L2 top-5 panel (eq_id, xid)). ADC sums are divided by
+    * 2^40 (exact binary) before [[dsum]] so the decimal-6 tie contract
+    * holds — q111's inertia trick. */
+  private def ivfpqTrainedParts(s: SparkSession, d: String):
+      (DataFrame, DataFrame, DataFrame) = {
+    val corpus = kmCorpus(s, d)
+    val cb = pqCodebooksLocal(s, d)
+    val cbDf = s.createDataFrame(cb.toSeq.map {
+      case (cl, j, cwid, arr) => (cl, j, cwid, arr.toSeq)
+    }).toDF("cluster", "j", "cwid", "cw")
+    val resid = pqResid(s, d)
+    val codes = resid
+      .join(broadcast(cbDf), Seq("cluster"))
+      .withColumn("sd", pqSubDistExpr)
+      .groupBy(col("vec_id"), col("cluster"), col("j"))
+      .agg(min(struct(col("sd"), col("cwid"))).as("m"))
+      .select(col("vec_id"), col("cluster"), col("j"),
+        col("m.cwid").as("code"))
+    // panel queries ranked against ALL trained centroids: probe_rank is
+    // the nprobe level at which this (query, cell) pair activates
+    val centDf = kmeansCentroids(s, d, rounds = 3)
+    val qDist = expr(
+      "aggregate(zip_with(qe, ce, " +
+        "(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), " +
+        "CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
+    val wPr = Window.partitionBy(col("q_id"))
+      .orderBy(col("cd"), col("cluster"))
+    val qprobe = corpus.filter(isPanel(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("qe"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("cd", qDist)
+      .withColumn("pr", row_number().over(wPr))
+      .filter(col("pr") <= 8)
+      .select(col("q_id"), col("cluster"), col("pr"),
+        expr("zip_with(qe, ce, (x, c) -> " +
+          "CAST(floor(CAST(x AS DOUBLE) - c) AS BIGINT))").as("qr"))
+    val lut = qprobe
+      .join(broadcast(cbDf), Seq("cluster"))
+      .select(col("q_id"), col("cluster").as("lcl"), col("pr"),
+        col("j").as("lj"), col("cwid").as("lcw"), pqSubDistExpr.as("ld"))
+    // pinned: the one score table feeds every nprobe level's ranking,
+    // shortlist, and candidate count (c21c129's lesson); panel-bounded
+    val sadc = pinned(codes
+      .join(broadcast(lut),
+        col("cluster") === col("lcl") && col("j") === col("lj") &&
+          col("code") === col("lcw"))
+      .groupBy(col("q_id"), col("vec_id"), col("pr"))
+      .agg(dsum(col("ld") / lit(1099511627776.0)).as("adc_dist")))
+    // exact grid-space top-5 panel (the space the index quantizes)
+    val qv = corpus.filter(isPanel(col("vec_id")))
+      .select(col("vec_id").as("eq_id"), col("qe").as("qq"))
+    val wEx = Window.partitionBy(col("eq_id"))
+      .orderBy(col("xd"), col("vec_id"))
+    val ex5 = pinned(corpus.crossJoin(broadcast(qv))
+      .select(col("eq_id"), col("vec_id"),
+        gridPairDistExpr("qq", "qe").as("xd"))
+      .withColumn("xrank", row_number().over(wEx))
+      .filter(col("xrank") <= 5)
+      .select(col("eq_id"), col("vec_id").as("xid")))
+    (corpus, sadc, ex5)
+  }
+
+  /** One oracle-side PQ Lloyd round keyed (cluster, j, cwid):
+    * assignment paN against cbPrev → cbN — [[kmIterSql]]'s shape one
+    * level down. */
+  private def pqIterSql(n: Int, prev: String): String =
+    s"""pa$n AS (
+       |  SELECT * FROM (
+       |    SELECT r.vec_id, r.cluster, w.j, w.cwid, r.qr,
+       |      row_number() OVER (PARTITION BY r.vec_id, w.j
+       |        ORDER BY ${pqDistSql("r.qr", "w.cw", "w.j")} ASC, w.cwid)
+       |        AS rn
+       |    FROM rsd r JOIN $prev w ON w.cluster = r.cluster)
+       |  WHERE rn = 1),
+       |ps$n AS (SELECT cluster, j, cwid, t.i,
+       |         SUM(qr[j * $PqW + t.i]) AS sv, COUNT(*) AS n
+       |       FROM pa$n CROSS JOIN range(1, ${PqW + 1}) t(i)
+       |       GROUP BY cluster, j, cwid, t.i),
+       |pm$n AS (SELECT cluster, j, cwid,
+       |         list(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)
+       |              ORDER BY i) AS cw
+       |       FROM ps$n GROUP BY cluster, j, cwid),
+       |cb$n AS (SELECT p.cluster, p.j, p.cwid, coalesce(m.cw, p.cw) AS cw
+       |       FROM $prev p LEFT JOIN pm$n m
+       |         ON m.cluster = p.cluster AND m.j = p.j
+       |         AND m.cwid = p.cwid)""".stripMargin
+
+  /** Oracle CTE chain for the trained IVF-PQ: [[kmPrefixSql]] (the
+    * SAME fragment q111/q116 splice — coarse training can never drift
+    * from the k-means queries) through the residual grid, seeded +
+    * 2-round-trained codebooks, codes, ranked probes, LUTs, and the
+    * probe-rank-tagged ADC score table `psadc`, plus the exact
+    * grid-space top-5 panel `pex5`. */
+  private lazy val ivfpqTrainedCteSql: String =
+    s"""$kmPrefixSql,
+       |pca AS (
+       |  SELECT vec_id, qe, cluster, ce FROM (
+       |    SELECT q.vec_id, q.qe, c.cluster, c.ce,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${kmDistSql("q", "c")} ASC, c.cluster) AS rn
+       |    FROM q, c2 c) WHERE rn = 1),
+       |rsd AS (SELECT vec_id, cluster,
+       |    [CAST(floor(CAST(qe[i] AS DOUBLE) - ce[i]) AS BIGINT)
+       |     for i in range(1, 65)] AS qr
+       |  FROM pca),
+       |pjs AS (SELECT unnest(range(0, $PqM)) AS j),
+       |cb0 AS (
+       |  SELECT cluster, pjs.j, cwid,
+       |    [CAST(qr[pjs.j * $PqW + i] AS DOUBLE)
+       |     for i in range(1, ${PqW + 1})] AS cw
+       |  FROM (SELECT cluster, vec_id, qr,
+       |          row_number() OVER (PARTITION BY cluster
+       |            ORDER BY vec_id) AS cwid
+       |        FROM rsd) s, pjs
+       |  WHERE cwid <= $PqK),
+       |${pqIterSql(1, "cb0")},
+       |${pqIterSql(2, "cb1")},
+       |pcodes AS (
+       |  SELECT vec_id, cluster, j, cwid AS code FROM (
+       |    SELECT r.vec_id, r.cluster, w.j, w.cwid,
+       |      row_number() OVER (PARTITION BY r.vec_id, w.j
+       |        ORDER BY ${pqDistSql("r.qr", "w.cw", "w.j")} ASC, w.cwid)
+       |        AS rn
+       |    FROM rsd r JOIN cb2 w ON w.cluster = r.cluster)
+       |  WHERE rn = 1),
+       |qpr AS (
+       |  SELECT vec_id AS q_id, cluster, pr,
+       |    [CAST(floor(CAST(qe[i] AS DOUBLE) - ce[i]) AS BIGINT)
+       |     for i in range(1, 65)] AS qr
+       |  FROM (
+       |    SELECT q.vec_id, q.qe, c.cluster, c.ce,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${kmDistSql("q", "c")} ASC, c.cluster) AS pr
+       |    FROM q, c2 c
+       |    WHERE q.vec_id % 100 = 0 AND q.vec_id < 6400)
+       |  WHERE pr <= 8),
+       |plut AS (
+       |  SELECT r.q_id, r.cluster, r.pr, w.j, w.cwid,
+       |    ${pqDistSql("r.qr", "w.cw", "w.j")} AS ld
+       |  FROM qpr r JOIN cb2 w ON w.cluster = r.cluster),
+       |psadc AS (
+       |  SELECT l.q_id, co.vec_id, l.pr,
+       |    ${dsumSql("l.ld / 1099511627776.0")} AS adc_dist
+       |  FROM pcodes co JOIN plut l ON l.cluster = co.cluster
+       |    AND l.j = co.j AND l.cwid = co.code
+       |  GROUP BY l.q_id, co.vec_id, l.pr),
+       |pqv AS (SELECT vec_id AS eq_id, qe AS qq FROM q
+       |        WHERE vec_id % 100 = 0 AND vec_id < 6400),
+       |pex AS (
+       |  SELECT v.eq_id, q.vec_id,
+       |    row_number() OVER (PARTITION BY v.eq_id
+       |      ORDER BY ${gridPairDistSql("v.qq", "q.qe")} ASC, q.vec_id)
+       |      AS xrank
+       |  FROM q, pqv v),
+       |pex5 AS (SELECT eq_id, vec_id AS xid FROM pex WHERE xrank <= 5)"""
+      .stripMargin
+
   /** Shared oracle CTE fragment for the IVF-PQ chain — everything from
     * the double-cast corpus through `sadc` (ADC scores) and `ex5` (the
     * exact-L2 top-5 panel). q306 and q308 both splice it, so the two
@@ -3189,5 +3497,138 @@ object SimilarityOps {
            |FROM base b
            |LEFT JOIN adchits a ON a.q_id = b.q_id
            |LEFT JOIN rrhits r ON r.q_id = b.q_id""".stripMargin)),
+
+    // ----- q309: TRAINED IVF-PQ + nprobe sweep (r16 verdict item 1) -------
+    // q306/q308's IVFADC architecture with both quantizers actually
+    // TRAINED: coarse centroids are q111's 3-round Lloyd output (shared
+    // machinery AND shared oracle prefix — index and k-means queries
+    // cannot drift), and the per-cell residual codebooks get two Lloyd
+    // rounds of their own over the floor-quantized residual grid (exact
+    // integer updates, the q111 determinism recipe one level down). The
+    // index answers the panel at nprobe ∈ {1, 2, 4, 8} from ONE
+    // probe-rank-tagged ADC score table, reporting per level: mean
+    // candidate-set recall (is the true top-5 even in the probed
+    // cells? — structurally monotone, the sweep's sanity rail), mean
+    // ADC recall@5, and mean recall@5 after exact re-rank of the ADC
+    // top-20 (q308's second stage) — the recall/nprobe curve an index
+    // tuner actually reads. Scale shape: ONE embeddings scan (the
+    // persisted grid corpus); training = 2 bounded driver folds (≤512
+    // codewords); codebooks/LUTs broadcast; the only corpus-wide work
+    // is assignment, encode, and the panel-bounded exact baseline; the
+    // nprobe explode multiplies only the panel-bounded score table.
+    // All output means are ratios of exact integer sums — no float
+    // accumulation order anywhere.
+    NamedQuery(
+      "q309_ivfpq_trained",
+      (s, d) => {
+        val (corpus, sadc, ex5) = ivfpqTrainedParts(s, d)
+        val lv = sadc
+          .withColumn("np",
+            explode(array(Seq(1, 2, 4, 8).map(lit): _*)))
+          .filter(col("pr") <= col("np"))
+        val wTop = Window.partitionBy(col("np"), col("q_id"))
+          .orderBy(col("adc_dist"), col("vec_id"))
+        val top = lv.withColumn("rank", row_number().over(wTop))
+        val adcHits = top.filter(col("rank") <= 5)
+          .join(broadcast(ex5),
+            col("q_id") === col("eq_id") && col("vec_id") === col("xid"),
+            "left_semi")
+          .groupBy(col("np"), col("q_id"))
+          .agg(count(lit(1)).as("n_adc"))
+        val contHits = lv
+          .join(broadcast(ex5),
+            col("q_id") === col("eq_id") && col("vec_id") === col("xid"),
+            "left_semi")
+          .groupBy(col("np"), col("q_id"))
+          .agg(count(lit(1)).as("n_cont"))
+        val short = top.filter(col("rank") <= 20)
+          .select(col("np"), col("q_id"), col("vec_id"))
+        val qv = corpus.filter(isPanel(col("vec_id")))
+          .select(col("vec_id").as("q_id"), col("qe").as("qq"))
+        val wRr = Window.partitionBy(col("np"), col("q_id"))
+          .orderBy(col("xd"), col("vec_id"))
+        val rrHits = corpus.join(broadcast(short), Seq("vec_id"))
+          .join(broadcast(qv), Seq("q_id"))
+          .select(col("np"), col("q_id"), col("vec_id"),
+            gridPairDistExpr("qq", "qe").as("xd"))
+          .withColumn("rrank", row_number().over(wRr))
+          .filter(col("rrank") <= 5)
+          .join(broadcast(ex5),
+            col("q_id") === col("eq_id") && col("vec_id") === col("xid"),
+            "left_semi")
+          .groupBy(col("np"), col("q_id"))
+          .agg(count(lit(1)).as("n_rr"))
+        val base = lv.groupBy(col("np"), col("q_id"))
+          .agg(count(lit(1)).as("n_cand"))
+        base
+          .join(broadcast(contHits), Seq("np", "q_id"), "left")
+          .join(broadcast(adcHits), Seq("np", "q_id"), "left")
+          .join(broadcast(rrHits), Seq("np", "q_id"), "left")
+          .groupBy(col("np"))
+          .agg(count(lit(1)).as("n_q"),
+            (sum(col("n_cand")).cast("double") /
+              count(lit(1)).cast("double")).as("avg_cand"),
+            (sum(coalesce(col("n_cont"), lit(0L))).cast("double") /
+              (count(lit(1)) * lit(5)).cast("double")).as("contain5"),
+            (sum(coalesce(col("n_adc"), lit(0L))).cast("double") /
+              (count(lit(1)) * lit(5)).cast("double")).as("recall5_adc"),
+            (sum(coalesce(col("n_rr"), lit(0L))).cast("double") /
+              (count(lit(1)) * lit(5)).cast("double"))
+              .as("recall5_rerank"))
+          .select(col("np").cast("long").as("nprobe"), col("n_q"),
+            col("avg_cand"), col("contain5"), col("recall5_adc"),
+            col("recall5_rerank"))
+      },
+      Some(
+        s"""WITH $ivfpqTrainedCteSql,
+           |lvls AS (SELECT unnest([1, 2, 4, 8]) AS np),
+           |cands AS (
+           |  SELECT l.np, s.q_id, s.vec_id, s.adc_dist
+           |  FROM psadc s, lvls l WHERE s.pr <= l.np),
+           |ptop AS (
+           |  SELECT np, q_id, vec_id,
+           |    row_number() OVER (PARTITION BY np, q_id
+           |      ORDER BY adc_dist, vec_id) AS rank
+           |  FROM cands),
+           |ahits AS (
+           |  SELECT t.np, t.q_id, COUNT(*) AS n_adc
+           |  FROM ptop t JOIN pex5 x ON x.eq_id = t.q_id
+           |    AND x.xid = t.vec_id
+           |  WHERE t.rank <= 5 GROUP BY t.np, t.q_id),
+           |chits AS (
+           |  SELECT c.np, c.q_id, COUNT(*) AS n_cont
+           |  FROM cands c JOIN pex5 x ON x.eq_id = c.q_id
+           |    AND x.xid = c.vec_id
+           |  GROUP BY c.np, c.q_id),
+           |pshort AS (SELECT np, q_id, vec_id FROM ptop WHERE rank <= 20),
+           |prr AS (
+           |  SELECT s.np, s.q_id, s.vec_id,
+           |    row_number() OVER (PARTITION BY s.np, s.q_id
+           |      ORDER BY ${gridPairDistSql("v.qq", "e.qe")} ASC,
+           |        s.vec_id) AS rrank
+           |  FROM pshort s JOIN q e ON e.vec_id = s.vec_id
+           |  JOIN pqv v ON v.eq_id = s.q_id),
+           |rhits AS (
+           |  SELECT r.np, r.q_id, COUNT(*) AS n_rr
+           |  FROM prr r JOIN pex5 x ON x.eq_id = r.q_id
+           |    AND x.xid = r.vec_id
+           |  WHERE r.rrank <= 5 GROUP BY r.np, r.q_id),
+           |pbase AS (SELECT np, q_id, COUNT(*) AS n_cand
+           |          FROM cands GROUP BY np, q_id)
+           |SELECT CAST(b.np AS BIGINT) AS nprobe,
+           |  CAST(COUNT(*) AS BIGINT) AS n_q,
+           |  CAST(SUM(b.n_cand) AS DOUBLE)
+           |    / CAST(COUNT(*) AS DOUBLE) AS avg_cand,
+           |  CAST(SUM(COALESCE(c.n_cont, 0)) AS DOUBLE)
+           |    / CAST(COUNT(*) * 5 AS DOUBLE) AS contain5,
+           |  CAST(SUM(COALESCE(a.n_adc, 0)) AS DOUBLE)
+           |    / CAST(COUNT(*) * 5 AS DOUBLE) AS recall5_adc,
+           |  CAST(SUM(COALESCE(r.n_rr, 0)) AS DOUBLE)
+           |    / CAST(COUNT(*) * 5 AS DOUBLE) AS recall5_rerank
+           |FROM pbase b
+           |LEFT JOIN chits c ON c.np = b.np AND c.q_id = b.q_id
+           |LEFT JOIN ahits a ON a.np = b.np AND a.q_id = b.q_id
+           |LEFT JOIN rhits r ON r.np = b.np AND r.q_id = b.q_id
+           |GROUP BY b.np""".stripMargin)),
   )
 }

@@ -54,4 +54,29 @@ class KMeansSpec extends AnyFunSuite {
       .toMap
     assert(other == base)
   }
+
+  test("q309 PQ codebooks train (move off their seeds) and are " +
+      "independent of input partitioning") {
+    def snap(s: org.apache.spark.sql.SparkSession) =
+      ops.SimilarityOps.pqCodebooksLocal(s, dir)
+        .map { case (cl, j, cwid, arr) => ((cl, j, cwid), arr.toSeq) }
+        .toMap
+    ops.SimilarityOps.pqMemoClear()
+    val base = snap(spark)
+    // training moved: at least one codeword differs from its seed (a
+    // seed is an INTEGER residual subvector, so any trained mean with a
+    // fractional part certifies an actual Lloyd update ran)
+    assert(base.values.exists(_.exists(v => v != math.floor(v))),
+      "every codeword is still integer-valued: training never updated")
+    // partition-count independence, the q111 determinism claim one
+    // quantizer down: integer residual-grid sums + one IEEE division
+    // per dim make the retrained codebooks bit-identical under a
+    // different shuffle partitioning
+    ops.SimilarityOps.pqMemoClear()
+    val spark2 = spark.newSession()
+    spark2.conf.set("spark.sql.shuffle.partitions", "7")
+    val other = snap(spark2)
+    assert(other == base)
+    ops.SimilarityOps.pqMemoClear()
+  }
 }

@@ -85,6 +85,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"q306 shuffles the corpus:\n$p")
   }
 
+  test("q309 trained IVF-PQ keeps every index join broadcast") {
+    // trained-quantizer variant (r16 verdict item 1): the ≤1024-row
+    // codebook broadcasts into encode + LUT, the panel-bounded score /
+    // hit tables broadcast into the sweep assembly, and the corpus side
+    // never sort-merges; training itself runs at construction as
+    // bounded driver folds, so the query plan must stay pure index
+    val p = plan("q309_ivfpq_trained")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, s"q309:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q309 shuffles the corpus:\n$p")
+  }
+
   test("round-8 operators keep their scale shapes") {
     // q152: pigeonhole block self-join must be an equi join on
     // (blk, bval) — a nested-loop here would be the all-pairs scan the

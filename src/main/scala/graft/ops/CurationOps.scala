@@ -2881,5 +2881,242 @@ object CurationOps {
            |     / CAST(t.w_admitted AS DOUBLE) <= p.weight * 2.0)
            |    AS within_band
            |FROM per p JOIN tot t ON t.wsec = p.wsec""".stripMargin)),
+
+    // ----- q310: admission DEFERRAL + conservation (r16 verdict item 3) ---
+    // q305 drops excess; this variant re-offers it ONCE in the next
+    // hour window at deferred-first priority (the streaming form is
+    // StreamOps.admissionThrottleDefer; StreamOpsSpec pins doc-for-doc
+    // parity). The rule stays window-cumsum expressible because the
+    // prefix rule admits a RANK PREFIX: the whole cross-window chain
+    // collapses to two scalars per (source, window) — td(k) = tokens
+    // deferred INTO window k (all of them count in k's prefix, admitted
+    // or not), and a(k) = the largest new-doc cumsum admitted at k —
+    // with the recurrence td(k+1) = totNew(k) − a(k). A new doc with
+    // cumsum c is admitted at k iff c ≤ Q − td(k); its deferred replay
+    // at k+1 is admitted iff its own deferred-order cumsum c − a(k) ≤ Q
+    // (deferred docs rank first, so only their own cumsum matters);
+    // deferrals out of the LAST window are `deferred_out`, never
+    // resolved. The scalars are a bounded driver fold (9 windows × K
+    // sources — kmCentroidsLocal's centers-on-the-driver shape) over
+    // the PINNED ranked corpus (one scan; the 9 scalar jobs read the
+    // checkpoint); per-doc decisions are then one broadcast join + pure
+    // column arithmetic, shard-parallel at any scale. The oracle
+    // unrolls the same 9 scalar layers as CTEs (kmIterSql's pattern)
+    // over the identical ranked base. Every output column is an exact
+    // integer (or a boolean over integers) — no float accumulation.
+    // `conserved` certifies offered_new + deferred_in == admitted_new +
+    // admitted_deferred + dropped + deferred_out on every row.
+    NamedQuery(
+      "q310_admission_deferral",
+      (s, d) => {
+        val targets = graft.sink.CorpusBuild.doremiTargets(s, d)
+        val B = 4096.0
+        val W0 = 1699999200L // floor(1700000000 / 3600) · 3600
+        val nW = 9 // the 8-hour synthetic span covers 9 ragged windows
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("wsec"), col("source"))
+          .orderBy(col("h"), col("doc_id"))
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val wt = {
+          import s.implicits._
+          broadcast(targets.toDF("src", "weight"))
+        }
+        val base = OpsKit.pinned(tbl(s, d, "documents")
+          .select(
+            (lit(1700000000L) + pmod(col("doc_id") * 977, lit(28800L)))
+              .as("tsec"),
+            col("doc_id"),
+            when(pmod(col("doc_id"), lit(3)) === 0, lit("src0"))
+              .otherwise(col("source")).as("source"),
+            size(split(col("text"), " ")).cast("long").as("n_toks"))
+          .withColumn("wsec", col("tsec") - pmod(col("tsec"), lit(3600L)))
+          .withColumn("widx",
+            ((col("wsec") - lit(W0)) / 3600).cast("int"))
+          .join(wt, col("source") === col("src"))
+          .withColumn("quota", floor(col("weight") * lit(B)).cast("long"))
+          .withColumn("h", LlmKit.strHash(
+            concat(lit("q305:"), col("doc_id").cast("string"))))
+          .withColumn("c", sum(col("n_toks")).over(w))
+          .select(col("widx"), col("source"), col("doc_id"),
+            col("n_toks"), col("quota"), col("c")))
+        // the scalar recurrence: 9 bounded jobs over the checkpoint
+        val srcs = targets.map(_._1)
+        var td = Map.empty[String, Long].withDefaultValue(0L)
+        val scalRows = Seq.newBuilder[(Int, String, Long, Long)]
+        for (k <- 0 until nW) {
+          val tdDf = {
+            import s.implicits._
+            broadcast(srcs.map(src => (src, td(src))).toDF("tsrc", "tdv"))
+          }
+          val agg = base.filter(col("widx") === k)
+            .join(tdDf, col("source") === col("tsrc"))
+            .groupBy(col("source"))
+            .agg(coalesce(max(when(col("c") <= col("quota") - col("tdv"),
+              col("c"))), lit(0L)).as("a"),
+              sum(col("n_toks")).as("totnew"))
+            .collect()
+            .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+            .toMap
+          for (src <- srcs) {
+            val (a, tot) = agg.getOrElse(src, (0L, 0L))
+            scalRows += ((k, src, td(src), a))
+            td = td.updated(src, tot - a)
+          }
+        }
+        val scal = {
+          import s.implicits._
+          broadcast(scalRows.result()
+            .toDF("swidx", "ssrc", "tdv", "av"))
+        }
+        val dec = base
+          .join(scal, col("widx") === col("swidx") &&
+            col("source") === col("ssrc"))
+          .withColumn("adm_new", col("c") <= col("quota") - col("tdv"))
+        val offg = dec.groupBy(col("widx"), col("source"))
+          .agg(count(lit(1)).as("n_offered_new"),
+            sum(col("n_toks")).as("toks_offered_new"),
+            sum(when(col("adm_new"), 1L).otherwise(0L))
+              .as("n_admitted_new"),
+            sum(when(col("adm_new"), col("n_toks")).otherwise(0L))
+              .as("toks_admitted_new"),
+            sum(when(!col("adm_new"), 1L).otherwise(0L))
+              .as("n_deferred_out"),
+            sum(when(!col("adm_new"), col("n_toks")).otherwise(0L))
+              .as("toks_deferred_out"))
+        val defg = dec
+          .filter(!col("adm_new") && col("widx") < nW - 1)
+          .withColumn("adm_def", col("c") - col("av") <= col("quota"))
+          .groupBy((col("widx") + 1).as("widx"), col("source"))
+          .agg(count(lit(1)).as("n_deferred_in"),
+            sum(col("n_toks")).as("toks_deferred_in"),
+            sum(when(col("adm_def"), 1L).otherwise(0L))
+              .as("n_admitted_deferred"),
+            sum(when(col("adm_def"), col("n_toks")).otherwise(0L))
+              .as("toks_admitted_deferred"),
+            sum(when(!col("adm_def"), 1L).otherwise(0L))
+              .as("n_dropped"))
+        def z(c: String) = coalesce(col(c), lit(0L))
+        offg.join(defg, Seq("widx", "source"), "full_outer")
+          .select(
+            date_format(timestamp_seconds(lit(W0) +
+              col("widx").cast("long") * 3600), OpsKit.TsFmt)
+              .as("window_start"),
+            col("source"),
+            z("n_offered_new").as("n_offered_new"),
+            z("toks_offered_new").as("toks_offered_new"),
+            z("n_deferred_in").as("n_deferred_in"),
+            z("toks_deferred_in").as("toks_deferred_in"),
+            z("n_admitted_new").as("n_admitted_new"),
+            z("n_admitted_deferred").as("n_admitted_deferred"),
+            (z("toks_admitted_new") + z("toks_admitted_deferred"))
+              .as("toks_admitted"),
+            z("n_dropped").as("n_dropped"),
+            z("n_deferred_out").as("n_deferred_out"),
+            (z("n_offered_new") + z("n_deferred_in") ===
+              z("n_admitted_new") + z("n_admitted_deferred") +
+              z("n_dropped") + z("n_deferred_out")).as("conserved"))
+      },
+      Some {
+        val lyr = (0 until 9).map { k =>
+          s"""ly310$k AS (
+             |  SELECT r.source,
+             |    COALESCE(MAX(CASE WHEN r.c <= r.quota - t.tdv
+             |                      THEN r.c END),
+             |             CAST(0 AS BIGINT)) AS a,
+             |    COALESCE(CAST(SUM(r.n_toks) AS BIGINT),
+             |             CAST(0 AS BIGINT)) AS totnew
+             |  FROM rk310 r JOIN td310$k t ON t.source = r.source
+             |  WHERE r.widx = $k GROUP BY r.source),
+             |td310${k + 1} AS (
+             |  SELECT t.source, COALESCE(l.totnew - l.a,
+             |    CAST(0 AS BIGINT)) AS tdv
+             |  FROM td310$k t LEFT JOIN ly310$k l ON l.source = t.source)"""
+            .stripMargin
+        }.mkString(",\n")
+        val scalU = (0 until 9).map { k =>
+          s"""SELECT $k AS widx, t.source, t.tdv,
+             |  COALESCE(l.a, CAST(0 AS BIGINT)) AS av
+             |FROM td310$k t LEFT JOIN ly310$k l ON l.source = t.source"""
+            .stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $keptDoremiCteSql,
+           |fl310 AS (
+           |  SELECT (1700000000 + (doc_id * 977) % 28800) AS tsec, doc_id,
+           |    CASE WHEN doc_id % 3 = 0 THEN 'src0' ELSE source END
+           |      AS source,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+           |  FROM documents),
+           |rk310 AS (
+           |  SELECT CAST((f.tsec - f.tsec % 3600 - 1699999200) / 3600
+           |      AS INTEGER) AS widx,
+           |    f.source, f.doc_id, f.n_toks,
+           |    CAST(FLOOR(a.a * 4096.0) AS BIGINT) AS quota,
+           |    CAST(SUM(f.n_toks) OVER (
+           |      PARTITION BY f.tsec - f.tsec % 3600, f.source
+           |      ORDER BY ${strHashSql(
+                  "concat('q305:', CAST(f.doc_id AS VARCHAR))")}, f.doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS c
+           |  FROM fl310 f JOIN a8 a ON a.src = f.source),
+           |td3100 AS (SELECT src AS source, CAST(0 AS BIGINT) AS tdv
+           |        FROM a8),
+           |$lyr,
+           |scal310 AS (
+           |$scalU),
+           |dec310 AS (
+           |  SELECT r.*, t.tdv, t.av,
+           |    (r.c <= r.quota - t.tdv) AS adm_new
+           |  FROM rk310 r JOIN scal310 t ON t.source = r.source
+           |    AND t.widx = r.widx),
+           |offg310 AS (
+           |  SELECT widx, source, CAST(COUNT(*) AS BIGINT)
+           |      AS n_offered_new,
+           |    CAST(SUM(n_toks) AS BIGINT) AS toks_offered_new,
+           |    CAST(SUM(CASE WHEN adm_new THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_admitted_new,
+           |    CAST(SUM(CASE WHEN adm_new THEN n_toks ELSE 0 END)
+           |      AS BIGINT) AS toks_admitted_new,
+           |    CAST(SUM(CASE WHEN NOT adm_new THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_deferred_out,
+           |    CAST(SUM(CASE WHEN NOT adm_new THEN n_toks ELSE 0 END)
+           |      AS BIGINT) AS toks_deferred_out
+           |  FROM dec310 GROUP BY widx, source),
+           |defg310 AS (
+           |  SELECT widx + 1 AS widx, source,
+           |    CAST(COUNT(*) AS BIGINT) AS n_deferred_in,
+           |    CAST(SUM(n_toks) AS BIGINT) AS toks_deferred_in,
+           |    CAST(SUM(CASE WHEN c - av <= quota THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_admitted_deferred,
+           |    CAST(SUM(CASE WHEN c - av <= quota THEN n_toks ELSE 0 END)
+           |      AS BIGINT) AS toks_admitted_deferred,
+           |    CAST(SUM(CASE WHEN c - av <= quota THEN 0 ELSE 1 END)
+           |      AS BIGINT) AS n_dropped
+           |  FROM dec310 WHERE NOT adm_new AND widx < 8
+           |  GROUP BY widx + 1, source)
+           |SELECT strftime(make_timestamp(
+           |    CAST(1699999200 + COALESCE(o.widx, d.widx) * 3600
+           |      AS BIGINT) * 1000000),
+           |    '${OpsKit.TsFmtDuck}') AS window_start,
+           |  COALESCE(o.source, d.source) AS source,
+           |  COALESCE(o.n_offered_new, 0) AS n_offered_new,
+           |  COALESCE(o.toks_offered_new, 0) AS toks_offered_new,
+           |  COALESCE(d.n_deferred_in, 0) AS n_deferred_in,
+           |  COALESCE(d.toks_deferred_in, 0) AS toks_deferred_in,
+           |  COALESCE(o.n_admitted_new, 0) AS n_admitted_new,
+           |  COALESCE(d.n_admitted_deferred, 0) AS n_admitted_deferred,
+           |  COALESCE(o.toks_admitted_new, 0)
+           |    + COALESCE(d.toks_admitted_deferred, 0) AS toks_admitted,
+           |  COALESCE(d.n_dropped, 0) AS n_dropped,
+           |  COALESCE(o.n_deferred_out, 0) AS n_deferred_out,
+           |  (COALESCE(o.n_offered_new, 0) + COALESCE(d.n_deferred_in, 0)
+           |    = COALESCE(o.n_admitted_new, 0)
+           |      + COALESCE(d.n_admitted_deferred, 0)
+           |      + COALESCE(d.n_dropped, 0)
+           |      + COALESCE(o.n_deferred_out, 0)) AS conserved
+           |FROM offg310 o FULL OUTER JOIN defg310 d
+           |  ON d.widx = o.widx AND d.source = o.source""".stripMargin
+      }),
   )
 }

@@ -797,6 +797,121 @@ object StreamOps {
       }
   }
 
+  final case class DeferIn(ts: java.sql.Timestamp, wstart: String,
+      nwstart: String, wend_ms: Long, source: String, doc_id: Long,
+      h: Long, n_toks: Long, quota: Long)
+  final case class DeferDecision(wstart: String, source: String,
+      doc_id: Long, n_toks: Long, status: String)
+  final case class DeferState(wendMs: Long, cum: Long, quota: Long,
+      pending: List[(Long, Long, Long, String)])
+
+  /** [[admissionThrottle]]'s DEFER variant (r16 verdict item 3): excess
+    * documents are re-offered ONCE in the next hour window instead of
+    * dropped. Semantics (the window-cumsum-expressible rule the batch
+    * twin q310 replays):
+    *
+    *  - within a window, deferred docs rank FIRST (among themselves by
+    *    the same (hash, doc_id) priority), then new docs; admission is
+    *    the same prefix token-cumsum ≤ quota — so the admitted set is
+    *    always a rank prefix and the cross-window coupling reduces to
+    *    two scalars per (source, window): the deferred-in token total
+    *    and the admitted-cum boundary;
+    *  - a deferred doc that misses again is DROPPED (one hop — no
+    *    unbounded re-queue at 100 TB); its tokens still count in the
+    *    prefix, exactly like q305's dropped docs;
+    *  - new docs that overflow are deferred to the next window; docs
+    *    still pending when the stream's watermark never reaches their
+    *    resolution window (the span's last window) are never emitted —
+    *    the batch twin counts them as `deferred_out`.
+    *
+    * Conservation — offered == admitted + admitted_deferred + dropped +
+    * deferred_out — is pinned per (window, source) by q310's
+    * `conserved` column and doc-for-doc by StreamOpsSpec. State per
+    * source: current window end, running cum, quota, and the pending
+    * deferral list — bounded by ONE window's overflow (the one-hop
+    * rule), expiring via event-time timeout one window after the last
+    * seen (resolving any pending docs first, since deferred docs'
+    * admission depends only on their own cumsum, never on the next
+    * window's new arrivals). Late rows for an already-advanced window
+    * are decided against the CURRENT window's remaining quota — the
+    * honest live-gate reading, same spirit as q305's late handling. */
+  def admissionThrottleDefer(docs: DataFrame,
+      targets: Seq[(String, Double)],
+      windowTokens: Double = AdmissionWindowTokens):
+      Dataset[DeferDecision] = {
+    require(targets.nonEmpty, "admission targets must be non-empty")
+    val sess = docs.sparkSession
+    import sess.implicits._
+    val wt = targets.toDF("__src", "__w")
+    val win = window(col("ts"), "1 hour")
+    val prepared = docs
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(wt), col("source") === col("__src"))
+      .select(col("ts"),
+        date_format(win.getField("start"), TsFmt).as("wstart"),
+        date_format(win.getField("end"), TsFmt).as("nwstart"),
+        (unix_timestamp(win.getField("end")) * 1000).as("wend_ms"),
+        col("source"), col("doc_id"),
+        graft.ops.LlmKit.strHash(concat(lit("q305:"),
+          col("doc_id").cast("string"))).as("h"),
+        col("n_toks"),
+        floor(col("__w") * lit(windowTokens)).cast("long").as("quota"))
+      .as[DeferIn]
+    // resolve a pending list at its next window: deferred docs rank
+    // first, so their fate is their own (hash, id)-ordered cumsum vs
+    // the quota; ALL their tokens (admitted or dropped) carry into the
+    // window's prefix as the deferred-in total
+    def resolve(pending: List[(Long, Long, Long, String)], quota: Long):
+        (List[DeferDecision], Long) = {
+      var d = 0L
+      val out = pending.sortBy(p => (p._1, p._2)).map {
+        case (_, docId, toks, nw) =>
+          d += toks
+          DeferDecision(nw, "", docId, toks,
+            if (d <= quota) "admitted_deferred" else "dropped")
+      }
+      (out, d)
+    }
+    prepared
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[DeferState, DeferDecision](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (source, rows, state) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            val (res, _) = resolve(st.pending, st.quota)
+            state.remove()
+            res.map(_.copy(source = source)).iterator
+          } else {
+            val arr = rows.toArray.sortBy(r => (r.wend_ms, r.h, r.doc_id))
+            val quota = arr.head.quota
+            var st = state.getOption
+              .getOrElse(DeferState(arr.head.wend_ms, 0L, quota, Nil))
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[DeferDecision]
+            for (r <- arr) {
+              while (r.wend_ms > st.wendMs) {
+                val (res, tdNext) = resolve(st.pending, quota)
+                out ++= res.map(_.copy(source = source))
+                st = DeferState(st.wendMs + 3600000L, tdNext, quota, Nil)
+              }
+              st = st.copy(cum = st.cum + r.n_toks)
+              if (st.cum <= quota)
+                out += DeferDecision(r.wstart, source, r.doc_id,
+                  r.n_toks, "admitted")
+              else
+                st = st.copy(pending =
+                  (r.h, r.doc_id, r.n_toks, r.nwstart) :: st.pending)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(math.max(
+              st.wendMs + 3600000L,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
   /** The full ingest control loop, composed as the bronze→silver chain
     * a production lake runs: stage 1 ([[ingestCorpus]]) lands the
     * gate/decontamination/dedup survivors exactly-once under

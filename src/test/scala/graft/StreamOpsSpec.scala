@@ -869,6 +869,216 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(fullWindows >= 6, "band claim must cover the full windows")
   }
 
+  private def runDeferAdmission(dir: String,
+      targets: Seq[(String, Double)], tableName: String): Unit = {
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, doc_id LONG, source STRING, n_toks LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = StreamOps.admissionThrottleDefer(stream, targets)
+      .toDF().writeStream.format("memory").queryName(tableName)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-defer").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Independent reference fold for the deferral rule — a plain
+    * window-by-window walk (NOT the scalar-recurrence formulation q310
+    * uses), so the three implementations cross-check. `wmSec` is the
+    * run's FINAL watermark (max event time − 1h): a source's last
+    * pending list resolves row-driven whenever later rows for the
+    * source exist, and timeout-driven only if the watermark passed its
+    * resolution deadline (last window end + 1h) — otherwise it stays
+    * "pending", the stream's silence (the batch twin's deferred_out is
+    * the last-window slice of exactly that silence). Returns doc_id ->
+    * (terminal status, decision window start sec). */
+  private def referenceDefer(
+      rows: Seq[(Long, String, Long, Long, Long, Long)], wmSec: Long)
+      : Map[Long, (String, Long)] = {
+    rows.groupBy(_._2).flatMap { case (_, g) =>
+      val quota = g.head._6
+      val byW = g.groupBy(_._1)
+      val firstW = byW.keys.min
+      val lastW = byW.keys.max
+      var out = Map.empty[Long, (String, Long)]
+      var pending = Vector.empty[(Long, Long, Long)] // (doc_id, h, toks)
+      def resolveAt(w: Long): Unit = {
+        var cum = 0L
+        for ((id, _, t) <- pending.sortBy(p => (p._2, p._1))) {
+          cum += t
+          out += id -> (if (cum <= quota) ("admitted_deferred", w)
+                        else ("dropped", w))
+        }
+        pending = Vector.empty
+      }
+      var w = firstW
+      while (w <= lastW) {
+        val carried = pending.map(_._3).sum
+        resolveAt(w)
+        var c = carried // ALL deferred tokens stay in the window's prefix
+        for (r <- byW.getOrElse(w, Nil).toSeq.sortBy(r => (r._4, r._3))) {
+          c += r._5
+          if (c <= quota) out += r._3 -> (("admitted", w))
+          else pending :+= ((r._3, r._4, r._5))
+        }
+        w += 3600
+      }
+      // the last window's overflow: timeout-driven resolution iff the
+      // final watermark strictly passed (last window end + 1h)
+      if (wmSec > lastW + 7200) resolveAt(lastW + 3600)
+      else for ((id, _, _) <- pending) out += id -> (("pending", 0L))
+      out
+    }
+  }
+
+  private def deferRows(docs: DataFrame,
+      targets: Seq[(String, Double)]): Seq[(Long, String, Long, Long, Long, Long)] = {
+    val wMap = targets.toMap
+    floodedDocs(docs)
+      .filter(col("source").isin(wMap.keys.toSeq: _*))
+      .withColumn("wsec", unix_timestamp(col("ts")) -
+        pmod(unix_timestamp(col("ts")), lit(3600L)))
+      .withColumn("h", graft.ops.LlmKit.strHash(
+        concat(lit("q305:"), col("doc_id").cast("string"))))
+      .collect()
+      .map { r =>
+        val src = r.getAs[String]("source")
+        (r.getAs[Long]("wsec"), src, r.getAs[Long]("doc_id"),
+          r.getAs[Long]("h"), r.getAs[Long]("n_toks"),
+          math.floor(wMap(src) *
+            StreamOps.AdmissionWindowTokens).toLong)
+      }.toSeq
+  }
+
+  test("deferral throttle: one-batch doc-for-doc parity with the " +
+      "reference fold and the q310 rollup") {
+    // sf0.01 so the quotas actually saturate and every terminal branch
+    // (admitted / admitted_deferred / dropped / deferred_out) fires
+    val sfDir = "/root/testdata/sf0.01"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val targets = graft.sink.CorpusBuild.doremiTargets(spark, sfDir)
+    val dir = Files.createTempDirectory("graft-defer-stream").toString
+    writeChunk(dir)(floodedDocs(docs), "c0.parquet",
+      System.currentTimeMillis() - 600000)
+    runDeferAdmission(dir, targets, "t_defer1")
+    val got = spark.table("t_defer1").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("status"), r.getAs[String]("wstart")))
+      .toMap
+    val rows = deferRows(docs, targets)
+    val maxTs = floodedDocs(docs).agg(max(unix_timestamp(col("ts"))))
+      .collect()(0).getLong(0)
+    val ref = referenceDefer(rows, maxTs - 3600)
+    // the stream emits exactly the watermark-resolvable terminals;
+    // "pending" (the last window's overflow the watermark never closed)
+    // is the silence — the batch twin's deferred_out lives in there
+    val refEmit = ref.filter(_._2._1 != "pending")
+    assert(got.keySet === refEmit.keySet)
+    for ((id, (st, ws)) <- refEmit) {
+      assert(got(id)._1 === st, s"doc $id status")
+      val expected = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneId
+          .of("UTC")).format(java.time.Instant.ofEpochSecond(ws))
+      assert(got(id)._2 === expected, s"doc $id window")
+    }
+    assert(ref.values.exists(_._1 == "admitted"), "no admissions")
+    assert(ref.values.exists(_._1 == "admitted_deferred"),
+      "deferral never landed a doc")
+    assert(ref.values.exists(_._1 == "dropped"), "one-hop drop never fired")
+    assert(ref.values.exists(_._1 == "pending"),
+      "no deferral stayed open past the watermark")
+
+    // the q310 registered twin (oracle hash-gated) aggregates the same
+    // rule: new-doc admissions match cell for cell everywhere (they are
+    // always row-driven), and resolved deferral cells match exactly
+    val q310 = SparkEntry.queries("q310_admission_deferral")(spark, sfDir)
+      .select(col("window_start"), col("source"), col("n_admitted_new"),
+        col("n_admitted_deferred"), col("n_dropped"))
+    val rolled = spark.table("t_defer1")
+      .groupBy(col("wstart").as("window_start"), col("source"))
+      .agg(
+        sum(when(col("status") === "admitted", 1L).otherwise(0L))
+          .as("n_admitted_new"),
+        sum(when(col("status") === "admitted_deferred", 1L).otherwise(0L))
+          .as("n_admitted_deferred"),
+        sum(when(col("status") === "dropped", 1L).otherwise(0L))
+          .as("n_dropped"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // cells whose deferral resolution the watermark closed, from the
+    // reference: only there may the stream have emitted ad/dr rows
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneId.of("UTC"))
+    val srcOf = rows.map(r => r._3 -> r._2).toMap
+    val closedCells = refEmit.collect {
+      case (id, (st, ws)) if st != "admitted" =>
+        (fmt.format(java.time.Instant.ofEpochSecond(ws)), srcOf(id))
+    }.toSet
+    val q310Rows = SparkEntry.queries("q310_admission_deferral")(
+      spark, sfDir).collect()
+    assert(q310Rows.nonEmpty)
+    var comparedClosed = 0
+    for (r <- q310Rows) {
+      val key = (r.getString(0), r.getString(1))
+      val (an, ad, dr) = rolled.getOrElse(key, (0L, 0L, 0L))
+      assert(r.getAs[Long]("n_admitted_new") === an, s"$key adm_new")
+      if (closedCells(key)) {
+        comparedClosed += 1
+        assert(r.getAs[Long]("n_admitted_deferred") === ad,
+          s"$key adm_def")
+        assert(r.getAs[Long]("n_dropped") === dr, s"$key dropped")
+      }
+    }
+    // at sf0.01 only the flooded src0 saturates (honest sources clear
+    // their quotas), so the closed deferral cells are src0's windows
+    assert(comparedClosed >= 6,
+      "the closed-cell comparison must not be vacuous")
+    // conservation doc-for-doc: offered == emitted + silent pending
+    assert(rows.size === got.size +
+      ref.values.count(_._1 == "pending"))
+  }
+
+  test("deferral throttle: a doc deferred in batch 1 lands in batch 2") {
+    // windows 0..3 arrive in the first microbatch, 4..8 in the second —
+    // the pending deferral list carried in state must resolve when the
+    // next window's rows arrive in a LATER trigger
+    val sfDir = "/root/testdata/sf0.01"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val targets = graft.sink.CorpusBuild.doremiTargets(spark, sfDir)
+    val cut = 1699999200L + 4 * 3600 // start of window 4
+    val dir = Files.createTempDirectory("graft-defer-2b").toString
+    val t0 = System.currentTimeMillis() - 600000
+    writeChunk(dir)(floodedDocs(docs)
+      .filter(unix_timestamp(col("ts")) < cut), "c0.parquet", t0)
+    writeChunk(dir)(floodedDocs(docs)
+      .filter(unix_timestamp(col("ts")) >= cut), "c1.parquet", t0 + 60000)
+    runDeferAdmission(dir, targets, "t_defer2")
+    val got = spark.table("t_defer2").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status"))
+      .toMap
+    // batch-boundary-at-window-boundary keeps every window's rows in
+    // one trigger, so the two-batch run must equal the one-batch rule
+    val maxTs = floodedDocs(docs).agg(max(unix_timestamp(col("ts"))))
+      .collect()(0).getLong(0)
+    val ref = referenceDefer(deferRows(docs, targets), maxTs - 3600)
+    assert(got === ref.collect {
+      case (id, (st, _)) if st != "pending" => id -> st
+    })
+    // and the landing actually crossed the boundary: some doc offered
+    // in window 3 (batch 1) was admitted at window 4 (batch 2)
+    val w3 = 1699999200L + 3 * 3600
+    val crossed = ref.exists {
+      case (_, (st, ws)) => st == "admitted_deferred" && ws == w3 + 3600
+    }
+    assert(crossed, "no deferral crossed the batch boundary")
+  }
+
   test("throttled ingest corpus: gates → dedup → admission → " +
       "exactly-once publish, end to end") {
     // the full control loop as the bronze→silver chain: stage 1 lands

@@ -44,6 +44,74 @@ object CurationOps {
   private val ChunkSize = 32
   private val ChunkStride = 24 // 8-token overlap
 
+  /** Shared oracle fragment: the BUILD's stage 1–4 selection — kept-pool
+    * DoReMi targets ([[keptDoremiCteSql]]) → water-filled quotas →
+    * hash-ranked per-source selection, ending in `sel` (source, doc_id,
+    * text) and the `quota` table. Replayed by q299 (greedy build cert)
+    * AND q311 (packing-policy pricing of the published artifact), so
+    * the two oracles can never disagree about WHICH documents the build
+    * publishes. */
+  private lazy val buildSelCteSql: String =
+    s"""$keptDoremiCteSql,
+       |tkt AS (SELECT CAST(COUNT(*) // 2 AS BIGINT) AS t FROM kd),
+       |caps AS (SELECT source AS src, CAST(COUNT(*) AS BIGINT) AS cap
+       |         FROM kd GROUP BY source),
+       |wf AS (SELECT c.src, c.cap, a8.a,
+       |         CAST(c.cap AS DOUBLE) / a8.a AS nrm
+       |       FROM caps c JOIN a8 ON a8.src = c.src),
+       |wfr AS MATERIALIZED (
+       |  SELECT src, cap, a, nrm,
+       |    CAST(row_number() OVER (ORDER BY nrm, src) AS BIGINT) AS r,
+       |    CAST(SUM(cap) OVER (ORDER BY nrm, src
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pcap,
+       |    SUM(CAST(a AS DECIMAL(28,12))) OVER (ORDER BY nrm, src
+       |      ROWS UNBOUNDED PRECEDING) AS pa
+       |  FROM wf),
+       |wft AS (SELECT SUM(CAST(a AS DECIMAL(28,12))) AS sa,
+       |          CAST(COUNT(*) AS BIGINT) AS n FROM wf),
+       |wcand AS (
+       |  SELECT w.r, w.nrm, w.pcap,
+       |    CAST(t.t - w.pcap AS DOUBLE) / CAST(s.sa - w.pa AS DOUBLE)
+       |      AS lvl
+       |  FROM wfr w CROSS JOIN tkt t CROSS JOIN wft s
+       |  WHERE w.r < s.n
+       |  UNION ALL
+       |  SELECT 0, CAST(-1 AS DOUBLE), 0,
+       |    CAST(t.t AS DOUBLE) / CAST(s.sa AS DOUBLE)
+       |  FROM tkt t CROSS JOIN wft s),
+       |wlvl AS (
+       |  SELECT c.lvl, c.r, c.pcap
+       |  FROM wcand c JOIN wfr nx ON nx.r = c.r + 1
+       |  WHERE c.nrm <= c.lvl AND nx.nrm > c.lvl),
+       |unq AS (
+       |  SELECT w.src, w.a,
+       |    CAST(FLOOR(w.a * l.lvl) AS BIGINT) AS fq,
+       |    w.a * l.lvl - FLOOR(w.a * l.lvl) AS rem
+       |  FROM wfr w CROSS JOIN wlvl l WHERE w.r > l.r),
+       |wdef AS (SELECT CAST(MAX(t.t) AS BIGINT)
+       |           - CAST(MAX(l.pcap) AS BIGINT)
+       |           - CAST(SUM(u.fq) AS BIGINT) AS deficit
+       |         FROM unq u CROSS JOIN tkt t CROSS JOIN wlvl l),
+       |quota AS MATERIALIZED (
+       |  SELECT w.src, w.a, CAST(w.cap AS BIGINT) AS quota
+       |  FROM wfr w CROSS JOIN wlvl l WHERE w.r <= l.r
+       |  UNION ALL
+       |  SELECT u.src, u.a,
+       |    CAST(u.fq + CASE WHEN CAST(row_number() OVER (
+       |        ORDER BY u.rem DESC, u.src) AS BIGINT)
+       |        <= d.deficit THEN 1 ELSE 0 END AS BIGINT)
+       |  FROM unq u CROSS JOIN wdef d),
+       |rk299 AS (
+       |  SELECT kd.source, kd.doc_id, kd.text,
+       |    CAST(row_number() OVER (PARTITION BY kd.source ORDER BY
+       |      ${strHashSql("concat('q299:', CAST(doc_id AS VARCHAR))")},
+       |      doc_id) AS BIGINT) AS rk
+       |  FROM kd),
+       |sel AS (
+       |  SELECT r.source, r.doc_id, r.text
+       |  FROM rk299 r JOIN quota q ON q.src = r.source
+       |  WHERE r.rk <= q.quota)""".stripMargin
+
   /** Shared oracle fragment: decisions -> kept pool -> kept-only DoReMi
     * Hedge rounds ending in `a8` (per-source alpha) plus the `kd`
     * kept-document table — replayed by BOTH the q299 build certification
@@ -2606,65 +2674,7 @@ object CurationOps {
         graft.sink.CorpusBuild.run(s, d, tmp.toString + "/corpus")
       },
       Some(
-        s"""WITH $keptDoremiCteSql,
-           |tkt AS (SELECT CAST(COUNT(*) // 2 AS BIGINT) AS t FROM kd),
-           |caps AS (SELECT source AS src, CAST(COUNT(*) AS BIGINT) AS cap
-           |         FROM kd GROUP BY source),
-           |wf AS (SELECT c.src, c.cap, a8.a,
-           |         CAST(c.cap AS DOUBLE) / a8.a AS nrm
-           |       FROM caps c JOIN a8 ON a8.src = c.src),
-           |wfr AS MATERIALIZED (
-           |  SELECT src, cap, a, nrm,
-           |    CAST(row_number() OVER (ORDER BY nrm, src) AS BIGINT) AS r,
-           |    CAST(SUM(cap) OVER (ORDER BY nrm, src
-           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pcap,
-           |    SUM(CAST(a AS DECIMAL(28,12))) OVER (ORDER BY nrm, src
-           |      ROWS UNBOUNDED PRECEDING) AS pa
-           |  FROM wf),
-           |wft AS (SELECT SUM(CAST(a AS DECIMAL(28,12))) AS sa,
-           |          CAST(COUNT(*) AS BIGINT) AS n FROM wf),
-           |wcand AS (
-           |  SELECT w.r, w.nrm, w.pcap,
-           |    CAST(t.t - w.pcap AS DOUBLE) / CAST(s.sa - w.pa AS DOUBLE)
-           |      AS lvl
-           |  FROM wfr w CROSS JOIN tkt t CROSS JOIN wft s
-           |  WHERE w.r < s.n
-           |  UNION ALL
-           |  SELECT 0, CAST(-1 AS DOUBLE), 0,
-           |    CAST(t.t AS DOUBLE) / CAST(s.sa AS DOUBLE)
-           |  FROM tkt t CROSS JOIN wft s),
-           |wlvl AS (
-           |  SELECT c.lvl, c.r, c.pcap
-           |  FROM wcand c JOIN wfr nx ON nx.r = c.r + 1
-           |  WHERE c.nrm <= c.lvl AND nx.nrm > c.lvl),
-           |unq AS (
-           |  SELECT w.src, w.a,
-           |    CAST(FLOOR(w.a * l.lvl) AS BIGINT) AS fq,
-           |    w.a * l.lvl - FLOOR(w.a * l.lvl) AS rem
-           |  FROM wfr w CROSS JOIN wlvl l WHERE w.r > l.r),
-           |wdef AS (SELECT CAST(MAX(t.t) AS BIGINT)
-           |           - CAST(MAX(l.pcap) AS BIGINT)
-           |           - CAST(SUM(u.fq) AS BIGINT) AS deficit
-           |         FROM unq u CROSS JOIN tkt t CROSS JOIN wlvl l),
-           |quota AS MATERIALIZED (
-           |  SELECT w.src, w.a, CAST(w.cap AS BIGINT) AS quota
-           |  FROM wfr w CROSS JOIN wlvl l WHERE w.r <= l.r
-           |  UNION ALL
-           |  SELECT u.src, u.a,
-           |    CAST(u.fq + CASE WHEN CAST(row_number() OVER (
-           |        ORDER BY u.rem DESC, u.src) AS BIGINT)
-           |        <= d.deficit THEN 1 ELSE 0 END AS BIGINT)
-           |  FROM unq u CROSS JOIN wdef d),
-           |rk AS (
-           |  SELECT kd.source, kd.doc_id, kd.text,
-           |    CAST(row_number() OVER (PARTITION BY kd.source ORDER BY
-           |      ${strHashSql("concat('q299:', CAST(doc_id AS VARCHAR))")},
-           |      doc_id) AS BIGINT) AS rk
-           |  FROM kd),
-           |sel AS (
-           |  SELECT r.source, r.doc_id, r.text
-           |  FROM rk r JOIN quota q ON q.src = r.source
-           |  WHERE r.rk <= q.quota),
+        s"""WITH $buildSelCteSql,
            |pk AS (
            |  SELECT source, doc_id, text,
            |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
@@ -2677,22 +2687,164 @@ object CurationOps {
            |  SELECT source, doc_id, text, n_toks,
            |    CAST(FLOOR((cum - n_toks) / 2048.0) AS BIGINT) AS bin_id
            |  FROM pk),
-           |cert AS (
-           |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_selected,
-           |    CAST(COUNT(DISTINCT bin_id) AS BIGINT) AS n_bins,
-           |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           |bins299 AS (
+           |  SELECT source, bin_id, CAST(COUNT(*) AS BIGINT) AS nb,
+           |    CAST(SUM(n_toks) AS BIGINT) AS load,
            |    bit_xor(CAST(concat('0x', substr(md5(concat_ws(chr(1),
            |      CAST(doc_id AS VARCHAR), CAST(bin_id AS VARCHAR), text)),
-           |      18, 15)) AS BIGINT)) AS checksum
-           |  FROM pkb GROUP BY source),
+           |      18, 15)) AS BIGINT)) AS pck
+           |  FROM pkb GROUP BY source, bin_id),
+           |cert AS (
+           |  SELECT source, CAST(SUM(nb) AS BIGINT) AS n_selected,
+           |    CAST(COUNT(*) AS BIGINT) AS n_bins,
+           |    CAST(SUM(load) AS BIGINT) AS n_tokens,
+           |    CAST(MAX(load) AS BIGINT) AS max_bin_tokens,
+           |    CAST(SUM(CASE WHEN load > 2048 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS overfull_bins,
+           |    bit_xor(pck) AS checksum
+           |  FROM bins299 GROUP BY source),
            |ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
            |       FROM documents GROUP BY source),
            |nk2 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
            |        FROM kd GROUP BY source)
            |SELECT c.source, ns.n_docs, nk2.n_kept, q.a AS alpha, q.quota,
-           |  c.n_selected, c.n_bins, c.n_tokens, c.checksum
+           |  c.n_selected, c.n_bins, c.n_tokens, c.max_bin_tokens,
+           |  c.overfull_bins, c.checksum
            |FROM cert c JOIN ns USING (source) JOIN nk2 USING (source)
            |JOIN quota q ON q.src = c.source""".stripMargin)),
+
+    // ----- q311: the production artifact, priced per packing policy ------
+    // q304 prices greedy vs best-fit on a raw subsample; this prices the
+    // PRODUCTION artifact (r16 verdict item 4): CorpusBuild.run executes
+    // TWICE — packing="greedy" and packing="bestfit" — into fresh temp
+    // trees, and the published FILES are certified per (policy, source)
+    // with the pricing columns the q304 comparison promised to connect:
+    // bin count, pad tokens (n_bins·2048 − n_tokens; greedy pads only
+    // each source's final partial bin, best-fit pads every bin), pad
+    // share, and the build checksum (bit-xor of md5(doc_id, bin_id,
+    // text) — so the exact BIN ASSIGNMENT of both artifacts is
+    // hash-gated, not just the counts). Selection, quotas, and the kept
+    // pool are IDENTICAL across policies by construction (same
+    // buildSelCteSql fragment in the oracle — n_selected/n_tokens agree
+    // row-for-row; n_bins/pad/checksum differ), so the output certifies
+    // both that the policies diverge where they should and agree where
+    // they must. The oracle replays greedy as q299's window cumsum and
+    // best-fit as the q304 recursive CTE at the build's real geometry
+    // (cap 2048, 8192-id shards, bin_id = pb·2^20 + bin). Cost: two
+    // full builds per run — the price of certifying artifacts, same
+    // class as q299.
+    NamedQuery(
+      "q311_build_pricing",
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-q311-build")
+        OpsKit.reapOnExit(tmp)
+        val C = graft.sink.CorpusBuild.BinTokens.toLong
+        def priced(policy: String): DataFrame =
+          graft.sink.CorpusBuild
+            .run(s, d, s"$tmp/$policy", packing = policy)
+            .select(lit(policy).as("packing"), col("source"),
+              col("n_selected"), col("n_bins"), col("n_tokens"),
+              (col("n_bins") * C - col("n_tokens")).as("pad_tokens"),
+              ((col("n_bins") * C - col("n_tokens")).cast("double") /
+                (col("n_bins") * C).cast("double")).as("pad_share"),
+              col("max_bin_tokens"), col("overfull_bins"),
+              col("checksum"))
+        priced("greedy").unionByName(priced("bestfit"))
+      },
+      Some {
+        val ck = "bit_xor(CAST(concat('0x', substr(md5(concat_ws(" +
+          "chr(1), CAST(doc_id AS VARCHAR), CAST(bin_id AS VARCHAR), " +
+          "text)), 18, 15)) AS BIGINT))"
+        s"""WITH RECURSIVE $buildSelCteSql,
+           |pk311 AS (
+           |  SELECT source, doc_id, text,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+           |    CAST(SUM(len(string_split(text, ' '))) OVER (
+           |      PARTITION BY source ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS cum
+           |  FROM sel),
+           |gbin AS (
+           |  SELECT source, doc_id, text, n_toks,
+           |    CAST(FLOOR((cum - n_toks) / 2048.0) AS BIGINT) AS bin_id
+           |  FROM pk311),
+           |gb2 AS (
+           |  SELECT source, bin_id, CAST(COUNT(*) AS BIGINT) AS nb,
+           |    CAST(SUM(n_toks) AS BIGINT) AS load, $ck AS pck
+           |  FROM gbin GROUP BY source, bin_id),
+           |gcert AS (
+           |  SELECT 'greedy' AS packing, source,
+           |    CAST(SUM(nb) AS BIGINT) AS n_selected,
+           |    CAST(COUNT(*) AS BIGINT) AS n_bins,
+           |    CAST(SUM(load) AS BIGINT) AS n_tokens,
+           |    CAST(MAX(load) AS BIGINT) AS max_bin_tokens,
+           |    CAST(SUM(CASE WHEN load > 2048 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS overfull_bins,
+           |    bit_xor(pck) AS checksum
+           |  FROM gb2 GROUP BY source),
+           |sub311 AS (
+           |  SELECT source, doc_id, text,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+           |    CAST(doc_id // 8192 AS BIGINT) AS pb
+           |  FROM sel),
+           |ranked311 AS (
+           |  SELECT *, CAST(row_number() OVER (PARTITION BY source, pb
+           |    ORDER BY n_toks DESC, doc_id) AS BIGINT) AS rk
+           |  FROM sub311),
+           |pack311 AS (
+           |  SELECT source, pb, CAST(0 AS BIGINT) AS rk,
+           |    CAST(NULL AS BIGINT) AS doc_id,
+           |    CAST(NULL AS BIGINT) AS n_toks,
+           |    CAST(NULL AS BIGINT) AS bin,
+           |    CAST([] AS BIGINT[]) AS loads
+           |  FROM (SELECT DISTINCT source, pb FROM ranked311)
+           |  UNION ALL
+           |  SELECT r.source, r.pb, r.rk, r.doc_id, r.n_toks,
+           |    CASE WHEN fit.best IS NULL THEN len(p.loads) + 1
+           |         ELSE fit.pos END AS bin,
+           |    CASE WHEN fit.best IS NULL THEN p.loads || [r.n_toks]
+           |         ELSE p.loads[:fit.pos-1]
+           |           || [p.loads[fit.pos] + r.n_toks]
+           |           || p.loads[fit.pos+1:]
+           |    END AS loads
+           |  FROM pack311 p
+           |  JOIN ranked311 r ON r.source = p.source AND r.pb = p.pb
+           |    AND r.rk = p.rk + 1
+           |  CROSS JOIN LATERAL (
+           |    SELECT list_max(list_filter(p.loads,
+           |        x -> x + r.n_toks <= 2048)) AS best,
+           |      list_position(p.loads, list_max(list_filter(p.loads,
+           |        x -> x + r.n_toks <= 2048))) AS pos
+           |  ) fit),
+           |bbin AS (
+           |  SELECT p.source, p.doc_id, s.text, p.n_toks,
+           |    p.pb * 1048576 + p.bin AS bin_id
+           |  FROM pack311 p JOIN sub311 s ON s.source = p.source
+           |    AND s.doc_id = p.doc_id
+           |  WHERE p.rk >= 1),
+           |bb2 AS (
+           |  SELECT source, bin_id, CAST(COUNT(*) AS BIGINT) AS nb,
+           |    CAST(SUM(n_toks) AS BIGINT) AS load, $ck AS pck
+           |  FROM bbin GROUP BY source, bin_id),
+           |bcert AS (
+           |  SELECT 'bestfit' AS packing, source,
+           |    CAST(SUM(nb) AS BIGINT) AS n_selected,
+           |    CAST(COUNT(*) AS BIGINT) AS n_bins,
+           |    CAST(SUM(load) AS BIGINT) AS n_tokens,
+           |    CAST(MAX(load) AS BIGINT) AS max_bin_tokens,
+           |    CAST(SUM(CASE WHEN load > 2048 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS overfull_bins,
+           |    bit_xor(pck) AS checksum
+           |  FROM bb2 GROUP BY source),
+           |both311 AS (SELECT * FROM gcert UNION ALL SELECT * FROM bcert)
+           |SELECT packing, source, n_selected, n_bins, n_tokens,
+           |  n_bins * 2048 - n_tokens AS pad_tokens,
+           |  CAST(n_bins * 2048 - n_tokens AS DOUBLE)
+           |    / CAST(n_bins * 2048 AS DOUBLE) AS pad_share,
+           |  max_bin_tokens, overfull_bins, checksum
+           |FROM both311""".stripMargin
+      }),
 
     // ----- q301: streaming mixture monitor (batch twin) --------------------
     // The live counterpart of the q298/q299 mixture design (r15): per

@@ -416,20 +416,33 @@ object CorpusBuild {
       1000)
 
     // ---- stage 5: certify FROM THE FILES -------------------------------
-    val cert = spark.read.parquet(out)
-      .groupBy(col("source").cast("string").as("source"))
-      .agg(count(lit(1)).as("n_selected"),
-        countDistinct(col("bin_id")).as("n_bins"),
+    // two-level: per (source, bin) loads first, so the cert can price
+    // the PACKING itself (r16 verdict item 4) — max_bin_tokens and
+    // overfull_bins separate the policies structurally at any scale
+    // (greedy groups docs by their START bin, so spilling docs overfill
+    // it; best-fit never exceeds the cap). Checksum xor is associative,
+    // so the two-level rollup is exactly the old single-level value.
+    val byBin = spark.read.parquet(out)
+      .groupBy(col("source").cast("string").as("source"), col("bin_id"))
+      .agg(count(lit(1)).as("nb"),
         // token totals recomputed from the published TEXT, not trusted
         // from the written n_toks column (which the checksum re-derives
         // through bin_id anyway): the files certify themselves
-        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
-        bit_xor(rowHash).as("checksum"))
+        sum(size(split(col("text"), " ")).cast("long")).as("load"),
+        bit_xor(rowHash).as("pck"))
+    val cert = byBin.groupBy(col("source"))
+      .agg(sum(col("nb")).as("n_selected"),
+        count(lit(1)).as("n_bins"),
+        sum(col("load")).as("n_tokens"),
+        max(col("load")).as("max_bin_tokens"),
+        sum(when(col("load") > BinTokens.toLong, 1L).otherwise(0L))
+          .as("overfull_bins"),
+        bit_xor(col("pck")).as("checksum"))
     val expect = broadcast(perSrcRows.toSeq.toDF("source", "n_docs", "n_kept"))
     cert.join(expect, "source")
       .join(quotaDf, col("source") === col("src"))
       .select(col("source"), col("n_docs"), col("n_kept"), col("alpha"),
         col("quota"), col("n_selected"), col("n_bins"), col("n_tokens"),
-        col("checksum"))
+        col("max_bin_tokens"), col("overfull_bins"), col("checksum"))
   }
 }

@@ -185,6 +185,72 @@ object MultimodalOps {
     }
   }
 
+  /** Animated-container metadata (r17): frame count and the animation/
+    * alpha capability bits — the columns a multimodal curation pipeline
+    * filters on before paying for a video-style decode.
+    *
+    *  - GIF → a bounded block walk after the logical screen descriptor
+    *    (skipping the global color table when flagged): extension
+    *    blocks (0x21) hop their size-prefixed sub-blocks, each image
+    *    descriptor (0x2C) counts one frame and hops its local color
+    *    table + LZW data sub-blocks, the trailer (0x3B) stops the walk.
+    *    Every read is length-guarded and the index strictly advances,
+    *    so the walk is bounded by the payload and never throws; an
+    *    unknown separator byte (e.g. raw text riding after a bare
+    *    13-byte header) stops it. `animated` = more than one frame.
+    *  - WebP VP8X → the extended-header flags byte at offset 20:
+    *    bit 0x02 = animation, bit 0x10 = alpha (frame count stays 1 —
+    *    ANMF sub-chunk enumeration is the codec layer's job).
+    *  - everything else → (1, false, false): a still container.
+    *
+    * Returns (frames ≥ 1, animated, has_alpha). */
+  def decodeMediaFlags(payload: Array[Byte]): (Int, Boolean, Boolean) = {
+    def u8(i: Int): Int = payload(i) & 0xff
+    def ascii(i: Int, s: String): Boolean =
+      payload.length >= i + s.length &&
+        s.indices.forall(k => u8(i + k) == s.charAt(k).toInt)
+    val isGif = payload.length >= 13 && ascii(0, "GIF8") &&
+      (u8(4) == '7'.toInt || u8(4) == '9'.toInt) && u8(5) == 'a'.toInt
+    val isVp8x = payload.length >= 21 && ascii(0, "RIFF") &&
+      ascii(8, "WEBP") && ascii(12, "VP8X")
+    if (isVp8x) {
+      val flags = u8(20)
+      (1, (flags & 0x02) != 0, (flags & 0x10) != 0)
+    } else if (isGif) {
+      var i = 13
+      val packed = u8(10)
+      if ((packed & 0x80) != 0) i += 3 * (1 << ((packed & 7) + 1))
+      // hop a size-prefixed sub-block chain; returns the index past its
+      // 0 terminator (or past the payload end, which stops the walk)
+      def hopSubBlocks(start: Int): Int = {
+        var j = start
+        while (j < payload.length && u8(j) != 0) j += u8(j) + 1
+        j + 1
+      }
+      var frames = 0
+      var done = false
+      while (!done && i < payload.length) {
+        u8(i) match {
+          case 0x3b => done = true // trailer
+          case 0x21 => // extension: separator + label, then sub-blocks
+            i = hopSubBlocks(i + 2)
+          case 0x2c => // image descriptor
+            if (i + 10 > payload.length) done = true
+            else {
+              frames += 1
+              val lp = u8(i + 9)
+              i += 10
+              if ((lp & 0x80) != 0) i += 3 * (1 << ((lp & 7) + 1))
+              i += 1 // LZW minimum code size
+              i = hopSubBlocks(i)
+            }
+          case _ => done = true // not a GIF block: stop, never guess
+        }
+      }
+      (math.max(frames, 1), frames > 1, false)
+    } else (1, false, false)
+  }
+
   /** Minimal VALID container headers for the three image formats the
     * decode layer parses — fixture builders shared by MultimodalSpec and
     * q300's synthesize-then-parse oracle round-trip (the payload body
@@ -201,12 +267,36 @@ object MultimodalOps {
     b.array()
   }
 
-  def mkGif(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
-    val b = java.nio.ByteBuffer.allocate(13 + body.length)
+  /** GIF89a with `frames` image descriptors, each preceded by a graphic
+    * control extension (exercising the extension hop) and carrying one
+    * 1-byte LZW data sub-block — 22 bytes per frame — then the 0x3B
+    * trailer; the body rides after the trailer, where the frame walk
+    * never reads. The legacy 3-arg form keeps the bare-header shape
+    * (body straight after the descriptor) so the walk's
+    * unknown-separator stop stays covered by existing fixtures. */
+  def mkGif(w: Int, h: Int, body: Array[Byte]): Array[Byte] =
+    mkGif(w, h, body, 0)
+
+  def mkGif(w: Int, h: Int, body: Array[Byte], frames: Int): Array[Byte] = {
+    val blocks = if (frames > 0) 22 * frames + 1 else 0
+    val b = java.nio.ByteBuffer.allocate(13 + blocks + body.length)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     b.put("GIF89a".getBytes("US-ASCII"))
     b.putShort(w.toShort); b.putShort(h.toShort)
     b.put(Array[Byte](0, 0, 0)) // packed flags, bg color, aspect
+    for (_ <- 0 until frames) {
+      // graphic control extension: 0x21 0xF9, one 4-byte sub-block, 0
+      b.put(Array(0x21, 0xf9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00)
+        .map(_.toByte))
+      // image descriptor + packed 0 (no local color table)
+      b.put(0x2c.toByte)
+      b.putShort(0); b.putShort(0)
+      b.putShort(w.toShort); b.putShort(h.toShort)
+      b.put(0.toByte)
+      // LZW min code size + one 1-byte data sub-block + terminator
+      b.put(Array[Byte](2, 1, 0, 0))
+    }
+    if (frames > 0) b.put(0x3b.toByte) // trailer
     b.put(body)
     b.array()
   }
@@ -233,7 +323,12 @@ object MultimodalOps {
 
   /** RIFF/WEBP with a VP8X extended header — 24-bit little-endian canvas
     * dims (stored minus one); dims must fit 24 bits. */
-  def mkWebp(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+  def mkWebp(w: Int, h: Int, body: Array[Byte]): Array[Byte] =
+    mkWebp(w, h, body, animated = false, alpha = false)
+
+  /** VP8X flags byte (r17): bit 0x02 = animation, bit 0x10 = alpha. */
+  def mkWebp(w: Int, h: Int, body: Array[Byte], animated: Boolean,
+      alpha: Boolean): Array[Byte] = {
     val b = java.nio.ByteBuffer.allocate(30 + body.length)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     b.put("RIFF".getBytes("US-ASCII"))
@@ -241,7 +336,8 @@ object MultimodalOps {
     b.put("WEBP".getBytes("US-ASCII"))
     b.put("VP8X".getBytes("US-ASCII"))
     b.putInt(10) // VP8X chunk size
-    b.put(Array[Byte](0, 0, 0, 0)) // flags + reserved
+    val flags = (if (animated) 0x02 else 0) | (if (alpha) 0x10 else 0)
+    b.put(Array[Byte](flags.toByte, 0, 0, 0)) // flags + reserved
     def le24(v: Int): Unit = {
       b.put((v & 0xff).toByte)
       b.put(((v >> 8) & 0xff).toByte)
@@ -541,11 +637,15 @@ object MultimodalOps {
             val body = text.getBytes("UTF-8")
             val w = (64 + (id * 13) % 1000).toInt
             val h = (64 + (id * 29) % 1000).toInt
+            // animated metadata plant (r17): GIFs carry 1..4 real frame
+            // blocks, WebPs set the VP8X animation/alpha bits on id
+            // grids — all recovered by PARSING the bytes below
             val payload = (id % 6) match {
               case 0 => mkPng(w, h, body)
-              case 1 => mkGif(w, h, body)
+              case 1 => mkGif(w, h, body, frames = (1 + (id / 6) % 4).toInt)
               case 2 => mkJpeg(w, h, body)
-              case 3 => mkWebp(w, h, body)
+              case 3 => mkWebp(w, h, body, animated = (id / 6) % 2 == 0,
+                alpha = (id / 6) % 3 == 0)
               case 4 => mkTiff(w, h, body)
               case _ => body
             }
@@ -558,9 +658,12 @@ object MultimodalOps {
               case _ => "raw"
             }
             val (dw, dh) = decodeDims(payload)
-            (id, container, dw.toLong, dh.toLong, payload.length.toLong)
+            val (frames, animated, hasAlpha) = decodeMediaFlags(payload)
+            (id, container, dw.toLong, dh.toLong, payload.length.toLong,
+              frames.toLong, animated, hasAlpha)
           })
-          .toDF("doc_id", "container", "width", "height", "n_bytes")
+          .toDF("doc_id", "container", "width", "height", "n_bytes",
+            "frames", "animated", "has_alpha")
       },
       Some("""SELECT doc_id,
              |  (['png', 'gif', 'jpeg', 'webp', 'tiff', 'raw'])
@@ -572,9 +675,16 @@ object MultimodalOps {
              |    THEN 64 + (octet_length(encode(text)) * 7) % 256
              |    ELSE 64 + (doc_id * 29) % 1000 END AS height,
              |  CAST(octet_length(encode(text)) + CASE doc_id % 6
-             |    WHEN 0 THEN 33 WHEN 1 THEN 13 WHEN 2 THEN 45
+             |    WHEN 0 THEN 33
+             |    WHEN 1 THEN 13 + 22 * (1 + (doc_id // 6) % 4) + 1
+             |    WHEN 2 THEN 45
              |    WHEN 3 THEN 30 WHEN 4 THEN 38
-             |    ELSE 0 END AS BIGINT) AS n_bytes
+             |    ELSE 0 END AS BIGINT) AS n_bytes,
+             |  CAST(CASE WHEN doc_id % 6 = 1 THEN 1 + (doc_id // 6) % 4
+             |    ELSE 1 END AS BIGINT) AS frames,
+             |  ((doc_id % 6 = 1 AND (doc_id // 6) % 4 > 0)
+             |   OR (doc_id % 6 = 3 AND (doc_id // 6) % 2 = 0)) AS animated,
+             |  (doc_id % 6 = 3 AND (doc_id // 6) % 3 = 0) AS has_alpha
              |FROM documents""".stripMargin)),
   )
 }

@@ -183,6 +183,52 @@ class MultimodalSpec extends AnyFunSuite {
       MultimodalOps.decodeDims(fix.take(n))
   }
 
+  test("r17 animated metadata: GIF frame walk and VP8X flag bits") {
+    val body = "the payload body".getBytes("UTF-8")
+    // multi-frame GIF: the walk hops each frame's graphic control
+    // extension, descriptor, and LZW sub-blocks, stops at the trailer
+    for (n <- 1 to 5) {
+      val g = MultimodalOps.mkGif(320, 200, body, frames = n)
+      assert(MultimodalOps.decodeMediaFlags(g) === ((n, n > 1, false)),
+        s"frames=$n")
+      // dims are unchanged by the frame blocks
+      assert(MultimodalOps.decodeDims(g) === ((320, 200)))
+    }
+    // legacy bare-header shape (text straight after the descriptor):
+    // the walk stops at the first non-block byte and reports one frame
+    val bare = MultimodalOps.mkGif(64, 64, body)
+    assert(MultimodalOps.decodeMediaFlags(bare) === ((1, false, false)))
+    // a local color table is hopped, not parsed as blocks: handcraft a
+    // 1-frame GIF whose descriptor flags a 2-entry LCT (6 bytes)
+    val lct = {
+      val b = java.nio.ByteBuffer.allocate(13 + 10 + 6 + 4 + 1)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("GIF89a".getBytes("US-ASCII"))
+      b.putShort(8); b.putShort(8); b.put(Array[Byte](0, 0, 0))
+      b.put(0x2c.toByte); b.putShort(0); b.putShort(0)
+      b.putShort(8); b.putShort(8)
+      b.put(0x80.toByte) // LCT flag, size code 0 -> 2 entries
+      b.put(Array[Byte](1, 2, 3, 4, 5, 6)) // the LCT
+      b.put(Array[Byte](2, 1, 0, 0)) // LZW + one sub-block + term
+      b.put(0x3b.toByte)
+      b.array()
+    }
+    assert(MultimodalOps.decodeMediaFlags(lct) === ((1, false, false)))
+    // VP8X flag bits: all four combinations round-trip
+    for (anim <- Seq(true, false); alpha <- Seq(true, false)) {
+      val w = MultimodalOps.mkWebp(100, 50, body, anim, alpha)
+      assert(MultimodalOps.decodeMediaFlags(w) === ((1, anim, alpha)))
+      assert(MultimodalOps.decodeDims(w) === ((100, 50)))
+    }
+    // non-animated containers report the still default
+    assert(MultimodalOps.decodeMediaFlags(
+      MultimodalOps.mkPng(10, 10, body)) === ((1, false, false)))
+    assert(MultimodalOps.decodeMediaFlags(body) === ((1, false, false)))
+    // truncation never throws anywhere in the walk
+    val g3 = MultimodalOps.mkGif(320, 200, body, frames = 3)
+    for (n <- 0 to g3.length) MultimodalOps.decodeMediaFlags(g3.take(n))
+  }
+
   test("decodeDims never throws on malformed headers: fuzz + truncation") {
     import java.nio.{ByteBuffer, ByteOrder}
     // same fixture builders as the decode test above

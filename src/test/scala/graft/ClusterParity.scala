@@ -156,7 +156,54 @@ object ClusterParity {
     // the two-stage re-rank: the shortlist id-join against the pinned
     // corpus RDD must produce identical exact re-ranks across real
     // executor JVMs
-    "q308_ivfpq_rerank")
+    "q308_ivfpq_rerank",
+    // r17 widening (r16 verdict item 5): the slice grows from 80 to 190
+    // queries, prioritizing the surfaces where single-JVM and
+    // multi-executor behavior can genuinely diverge — streaming batch
+    // twins and watermark windows, typed folds and native expressions,
+    // iterative graph/centroid loops, window-heavy dedup/pack shapes,
+    // md5-drawn samplers (draws must be identical on every executor
+    // JVM), and this round's trained IVF-PQ, admission deferral, and
+    // two-build pricing chains
+    "q12_window_rank", "q13_topk", "q19_tumbling_window",
+    "q20_sliding_window", "q21_session_window", "q22_lag_delta",
+    "q23_pyliteral_roundtrip", "q26_exact_dedup", "q28_simhash",
+    "q29_ngram_jaccard", "q31_cosine_topk", "q32_ann_lsh", "q33_lang_id",
+    "q34_quality_score", "q35_token_count", "q36_fingerprint",
+    "q39_ivf_ann", "q40_rollup", "q42_weighted_simhash",
+    "q44_stratified_sample", "q45_contamination", "q47_dedup_clusters",
+    "q48_asof_join", "q49_range_join", "q52_token_gini",
+    "q53_exact_contamination", "q54_sequence_pack",
+    "q55_curation_manifest", "q56_incremental_dedup", "q58_mixing_weights",
+    "q59_pii_redact", "q60_vocab_topk", "q61_repetition",
+    "q62_unigram_score", "q64_int8_quantize", "q66_cube", "q71_pivot",
+    "q72_ntile_buckets", "q74_scd2_ranges", "q77_bpe_pairs",
+    "q84_bpe_merges", "q85_ann_recall", "q86_semantic_dedup",
+    "q88_bpe_encode", "q89_pps_sample", "q91_oov_rate", "q92_triangles",
+    "q94_clean_manifest", "q99_drift_windows", "q100_curation_pipeline",
+    "q101_substr_spans", "q103_leakfree_split", "q105_dataset_card",
+    "q106_publish_manifest", "q107_bigram_lm", "q109_shard_assign",
+    "q110_tfidf_terms", "q111_kmeans_train", "q112_triplet_mining",
+    "q113_pca_power", "q114_curation_funnel", "q115_rrf_fusion",
+    "q117_stream_kmeans", "q118_pmi_collocations", "q119_embed_outliers",
+    "q120_prefix_simjoin", "q123_forward_fill", "q124_quota_sample",
+    "q125_rolling_stats", "q128_unpivot", "q129_knn_graph",
+    "q132_window_dedup", "q134_gopher_gates", "q138_kcenter_coreset",
+    "q139_bm25", "q141_label_propagation", "q150_quality_windows",
+    "q151_unseen_mass", "q153_kcore", "q154_mmr_rerank", "q155_zipf_slope",
+    "q156_bitext_margin", "q158_kneser_ney", "q159_winnow_overlap",
+    "q164_langid_eval", "q171_k_anonymity", "q172_rolling_uniques",
+    "q174_seed_ppr", "q177_stationary_dist", "q182_ccnet_buckets",
+    "q185_link_prediction", "q187_phrase_search", "q191_data_profile",
+    "q193_grouping_sets", "q197_modularity", "q203_shard_rebalance",
+    "q211_bitsig_ann", "q212_mixture_sampler", "q215_cluster_canonical",
+    "q216_rolling_distinct", "q219_assortativity", "q221_l_diversity",
+    "q223_feature_hash_collisions", "q229_jl_distortion",
+    "q231_grouped_kfold", "q238_token_burstiness", "q241_knn_label_noise",
+    "q245_mrr_hit3", "q247_negative_sampling", "q250_eb_shrinkage",
+    "q252_keyness", "q253_srm_windows", "q257_stream_quantiles",
+    "q258_stream_cardinality", "q260_t_closeness", "q268_dr_offpolicy",
+    "q309_ivfpq_trained", "q310_admission_deferral", "q311_build_pricing")
 
   private def run(spark: SparkSession): Map[String, Map[Seq[Any], Int]] =
     queries.map { n =>

@@ -215,7 +215,30 @@ object MultimodalOps {
       ascii(8, "WEBP") && ascii(12, "VP8X")
     if (isVp8x) {
       val flags = u8(20)
-      (1, (flags & 0x02) != 0, (flags & 0x10) != 0)
+      val animated = (flags & 0x02) != 0
+      val alpha = (flags & 0x10) != 0
+      // animated: enumerate ANMF chunks with a bounded RIFF chunk walk
+      // (fourcc + le32 size + payload + pad-to-even). Sizes are hopped
+      // in Long so a crafted 31-bit size can't wrap the index (the r16
+      // tiffDims lesson); any truncated or overrunning chunk stops the
+      // walk; an animation flag with no ANMF chunks floors at 1.
+      val frames =
+        if (!animated) 1
+        else {
+          var i = 12
+          var n = 0
+          var done = false
+          while (!done && i + 8 <= payload.length) {
+            if (ascii(i, "ANMF")) n += 1
+            val sz = (u8(i + 4).toLong | (u8(i + 5).toLong << 8) |
+              (u8(i + 6).toLong << 16) | (u8(i + 7).toLong << 24))
+            val adv = 8L + sz + (sz & 1L)
+            if (i.toLong + adv > payload.length) done = true
+            else i += adv.toInt
+          }
+          math.max(n, 1)
+        }
+      (frames, animated, alpha)
     } else if (isGif) {
       var i = 13
       val packed = u8(10)
@@ -326,13 +349,23 @@ object MultimodalOps {
   def mkWebp(w: Int, h: Int, body: Array[Byte]): Array[Byte] =
     mkWebp(w, h, body, animated = false, alpha = false)
 
-  /** VP8X flags byte (r17): bit 0x02 = animation, bit 0x10 = alpha. */
   def mkWebp(w: Int, h: Int, body: Array[Byte], animated: Boolean,
-      alpha: Boolean): Array[Byte] = {
-    val b = java.nio.ByteBuffer.allocate(30 + body.length)
+      alpha: Boolean): Array[Byte] =
+    mkWebp(w, h, body, animated, alpha, if (animated) 1 else 0)
+
+  /** VP8X flags byte (r17): bit 0x02 = animation, bit 0x10 = alpha.
+    * An animated container carries a real ANIM chunk (background +
+    * loop count, 6 bytes) and `frames` 16-byte ANMF stub chunks — 14 +
+    * 24·frames bytes after the VP8X chunk — so the ANMF enumeration
+    * walk parses genuine RIFF chunk structure; the body rides after
+    * the last chunk. */
+  def mkWebp(w: Int, h: Int, body: Array[Byte], animated: Boolean,
+      alpha: Boolean, frames: Int): Array[Byte] = {
+    val extra = if (animated) 14 + 24 * frames else 0
+    val b = java.nio.ByteBuffer.allocate(30 + extra + body.length)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     b.put("RIFF".getBytes("US-ASCII"))
-    b.putInt(22 + body.length) // RIFF payload size
+    b.putInt(22 + extra + body.length) // RIFF payload size
     b.put("WEBP".getBytes("US-ASCII"))
     b.put("VP8X".getBytes("US-ASCII"))
     b.putInt(10) // VP8X chunk size
@@ -344,6 +377,16 @@ object MultimodalOps {
       b.put(((v >> 16) & 0xff).toByte)
     }
     le24(w - 1); le24(h - 1)
+    if (animated) {
+      b.put("ANIM".getBytes("US-ASCII"))
+      b.putInt(6)
+      b.put(Array[Byte](0, 0, 0, 0, 0, 0)) // bg color + loop count
+      for (_ <- 0 until frames) {
+        b.put("ANMF".getBytes("US-ASCII"))
+        b.putInt(16)
+        b.put(new Array[Byte](16)) // x/y/w-1/h-1/duration/flags stub
+      }
+    }
     b.put(body)
     b.array()
   }
@@ -644,8 +687,11 @@ object MultimodalOps {
               case 0 => mkPng(w, h, body)
               case 1 => mkGif(w, h, body, frames = (1 + (id / 6) % 4).toInt)
               case 2 => mkJpeg(w, h, body)
-              case 3 => mkWebp(w, h, body, animated = (id / 6) % 2 == 0,
-                alpha = (id / 6) % 3 == 0)
+              case 3 =>
+                val anim = (id / 6) % 2 == 0
+                mkWebp(w, h, body, animated = anim,
+                  alpha = (id / 6) % 3 == 0,
+                  frames = if (anim) (2 + (id / 12) % 3).toInt else 0)
               case 4 => mkTiff(w, h, body)
               case _ => body
             }
@@ -678,9 +724,13 @@ object MultimodalOps {
              |    WHEN 0 THEN 33
              |    WHEN 1 THEN 13 + 22 * (1 + (doc_id // 6) % 4) + 1
              |    WHEN 2 THEN 45
-             |    WHEN 3 THEN 30 WHEN 4 THEN 38
+             |    WHEN 3 THEN 30 + CASE WHEN (doc_id // 6) % 2 = 0
+             |      THEN 14 + 24 * (2 + (doc_id // 12) % 3) ELSE 0 END
+             |    WHEN 4 THEN 38
              |    ELSE 0 END AS BIGINT) AS n_bytes,
              |  CAST(CASE WHEN doc_id % 6 = 1 THEN 1 + (doc_id // 6) % 4
+             |    WHEN doc_id % 6 = 3 AND (doc_id // 6) % 2 = 0
+             |      THEN 2 + (doc_id // 12) % 3
              |    ELSE 1 END AS BIGINT) AS frames,
              |  ((doc_id % 6 = 1 AND (doc_id // 6) % 4 > 0)
              |   OR (doc_id % 6 = 3 AND (doc_id // 6) % 2 = 0)) AS animated,

@@ -214,12 +214,30 @@ class MultimodalSpec extends AnyFunSuite {
       b.array()
     }
     assert(MultimodalOps.decodeMediaFlags(lct) === ((1, false, false)))
-    // VP8X flag bits: all four combinations round-trip
+    // VP8X flag bits: all four combinations round-trip (the animated
+    // builder emits one ANMF stub by default)
     for (anim <- Seq(true, false); alpha <- Seq(true, false)) {
       val w = MultimodalOps.mkWebp(100, 50, body, anim, alpha)
       assert(MultimodalOps.decodeMediaFlags(w) === ((1, anim, alpha)))
       assert(MultimodalOps.decodeDims(w) === ((100, 50)))
     }
+    // ANMF enumeration: the RIFF chunk walk counts every frame chunk,
+    // hopping the VP8X and ANIM chunks and ignoring the trailing body
+    for (n <- 1 to 4) {
+      val w = MultimodalOps.mkWebp(64, 64, body, animated = true,
+        alpha = false, frames = n)
+      assert(MultimodalOps.decodeMediaFlags(w) === ((n, true, false)),
+        s"anmf=$n")
+      assert(MultimodalOps.decodeDims(w) === ((64, 64)))
+    }
+    // animation flag with NO ANMF chunks floors at one frame
+    val flagOnly = MultimodalOps.mkWebp(64, 64, body, animated = true,
+      alpha = false, frames = 0)
+    assert(MultimodalOps.decodeMediaFlags(flagOnly) === ((1, true, false)))
+    // truncation never throws anywhere in the chunk walk
+    val w3 = MultimodalOps.mkWebp(64, 64, body, animated = true,
+      alpha = true, frames = 3)
+    for (n <- 0 to w3.length) MultimodalOps.decodeMediaFlags(w3.take(n))
     // non-animated containers report the still default
     assert(MultimodalOps.decodeMediaFlags(
       MultimodalOps.mkPng(10, 10, body)) === ((1, false, false)))

@@ -208,6 +208,45 @@ class BenchSentinelSpec extends AnyFunSuite {
     assert(out.contains("gen_floors selftest OK"))
   }
 
+  test("A/B control: a kept-committed record can never be filed as a control") {
+    // the r17 weak mark: the fresh r16-tree battery read 180.9 s, failed
+    // its floor gate, and the overwrite guard substituted last round's
+    // committed record (146.6 s) — which was then filed under
+    // ab_r16tree_0.1.json and quoted as a same-day measurement. The A/B
+    // path must route ANY guard-annotated record to a rejected_* name.
+    val keptRec = """{"metric":"total","value":146.613,"floor_gate":{"ok":true},"guard":{"kept_committed":true,"rejected":"BENCH_REJECTED.json","rejected_total":180.891}}"""
+    assert(Bench.isKeptRecord(keptRec))
+    val req = "bench_captures/r18/ab_r17tree_0.1.json"
+    assert(Bench.abCapturePath(req, keptRec, gateOk = true,
+      contended = false)
+      === "bench_captures/r18/rejected_ab_r17tree_0.1.json")
+  }
+
+  test("A/B control: fresh gate-ok uncontended battery files at the requested name") {
+    val fresh = """{"metric":"total","value":150.2,"floor_gate":{"ok":true,"rounds":0},"contended":false}"""
+    assert(!Bench.isKeptRecord(fresh))
+    val req = "bench_captures/r18/ab_r17tree_0.1.json"
+    assert(Bench.abCapturePath(req, fresh, gateOk = true,
+      contended = false) === req)
+    // its own gate failing, or a contended sentinel, demotes it — a
+    // control that wasn't measured clean is evidence, not a control
+    assert(Bench.abCapturePath(req, fresh, gateOk = false,
+      contended = false).endsWith("rejected_ab_r17tree_0.1.json"))
+    assert(Bench.abCapturePath(req, fresh, gateOk = true,
+      contended = true).endsWith("rejected_ab_r17tree_0.1.json"))
+  }
+
+  test("rejected-battery archive: numbered slots never overwrite") {
+    // r17 lost the 180.9 s A/B rejection because the 182.5 s one
+    // overwrote the single BENCH_REJECTED.json
+    assert(Bench.rejectedSlot(_ => false) === "BENCH_REJECTED.json")
+    assert(Bench.rejectedSlot(Set("BENCH_REJECTED.json"))
+      === "BENCH_REJECTED_2.json")
+    assert(Bench.rejectedSlot(
+      Set("BENCH_REJECTED.json", "BENCH_REJECTED_2.json"))
+      === "BENCH_REJECTED_3.json")
+  }
+
   test("repass candidate ratio list skips non-positive bests") {
     // a zero best (pathological) must not win the ratio sort by division
     val results = Seq(("qz", 0.0, 1.0), ("qa", 0.2, 1.0), ("qd", 3.0, 3.1))

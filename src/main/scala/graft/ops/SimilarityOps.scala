@@ -207,9 +207,10 @@ object SimilarityOps {
         col("m.cluster").as("cluster"), col("m.dist").as("dist"))
   }
 
-  /** Driver-side Lloyd state, memoized per (data dir, rounds): the k=8
+  /** Driver-side Lloyd state, memoized per (data dir, rounds, k): the
     * trained centroids as plain JVM arrays. Bounded at k×dim doubles
-    * (8×64 = 512) — the same centers-on-the-driver shape Spark MLlib's
+    * (k ≤ 32 in the r18 size sweep, so ≤ 2048 doubles) — the same
+    * centers-on-the-driver shape Spark MLlib's
     * KMeans uses, NOT a data-sized collect. Iterating driver-side keeps
     * each Lloyd round at exactly ONE Spark job (an 8×64-row partial
     * aggregate) instead of re-executing every earlier round inside the
@@ -221,19 +222,27 @@ object SimilarityOps {
     * is the same IEEE division the previous in-plan
     * `CAST(sv AS DOUBLE)/CAST(n AS DOUBLE)` performed. */
   private val kmMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int), Array[(Long, Array[Double])]]()
+    (String, Int, Int), Array[(Long, Array[Double])]]()
 
   /** Test hook: drop the memoized Lloyd state so a spec can force
     * training to re-run (KMeansSpec's partition-independence case). */
   private[graft] def kmMemoClear(): Unit = kmMemo.clear()
 
   private def kmCentroidsLocal(
-      s: SparkSession, d: String, rounds: Int): Array[(Long, Array[Double])] = {
+      s: SparkSession, d: String, rounds: Int): Array[(Long, Array[Double])] =
+    kmCentroidsLocalK(s, d, rounds, k = 8)
+
+  /** [[kmCentroidsLocal]] generalized to k seeds (vec_id < k) — the r18
+    * coarse-quantizer size sweep (q313) trains k ∈ {8, 16, 32} index
+    * variants; k = 8 remains the q111/q309 production constant and
+    * shares its memo entry with them. */
+  private def kmCentroidsLocalK(s: SparkSession, d: String, rounds: Int,
+      k: Int): Array[(Long, Array[Double])] = {
     require(rounds >= 1, "kmeansTrain needs at least one assignment pass")
-    kmMemo.computeIfAbsent((d, rounds), _ => {
+    kmMemo.computeIfAbsent((d, rounds, k), _ => {
       val corpus = kmCorpus(s, d)
       var cents: Array[(Long, Array[Double])] = corpus
-        .filter(col("vec_id") < 8)
+        .filter(col("vec_id") < k)
         .select(col("vec_id"),
           expr("transform(qe, x -> CAST(x AS DOUBLE))").as("ce"))
         .collect()
@@ -384,25 +393,40 @@ object SimilarityOps {
        |   (CAST($q.qe[i] AS DOUBLE) - $c.ce[i])
        |   for i in range(1, 65)]), (a, x) -> a + x)""".stripMargin
 
-  /** One oracle-side Lloyd round: assignment aN against cPrev → cN. */
-  private def kmIterSql(n: Int, prev: String): String =
-    s"""a$n AS (
+  /** One oracle-side Lloyd round: assignment aN against cPrev → cN.
+    * `sfx` disambiguates CTE names when several Lloyd chains share one
+    * WITH clause (the q313 k-sweep trains three); "" keeps the exact
+    * names q111/q116/q309 splice via [[kmPrefixSql]]. */
+  private def kmIterSql(n: Int, prev: String, sfx: String = ""): String =
+    s"""a$sfx$n AS (
        |  SELECT * FROM (
        |    SELECT q.vec_id, q.qe, c.cluster,
        |      ${kmDistSql("q", "c")} AS dist,
        |      row_number() OVER (PARTITION BY q.vec_id
        |        ORDER BY ${kmDistSql("q", "c")} ASC, c.cluster) AS rn
        |    FROM q, $prev c) WHERE rn = 1),
-       |s$n AS (SELECT cluster, r.i, SUM(qe[r.i]) AS sv,
+       |s$sfx$n AS (SELECT cluster, r.i, SUM(qe[r.i]) AS sv,
        |         COUNT(*) AS n
-       |       FROM a$n CROSS JOIN range(1, 65) r(i)
+       |       FROM a$sfx$n CROSS JOIN range(1, 65) r(i)
        |       GROUP BY cluster, r.i),
-       |m$n AS (SELECT cluster,
+       |m$sfx$n AS (SELECT cluster,
        |         list(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)
        |              ORDER BY i) AS ce
-       |       FROM s$n GROUP BY cluster),
-       |c$n AS (SELECT p.cluster, coalesce(m$n.ce, p.ce) AS ce
-       |       FROM $prev p LEFT JOIN m$n USING (cluster))""".stripMargin
+       |       FROM s$sfx$n GROUP BY cluster),
+       |c$sfx$n AS (SELECT p.cluster, coalesce(m$sfx$n.ce, p.ce) AS ce
+       |       FROM $prev p LEFT JOIN m$sfx$n USING (cluster))"""
+      .stripMargin
+
+  /** The 2-update Lloyd chain for a k-seed coarse quantizer, CTE names
+    * suffixed `$sfx` (trained table = c${sfx}2); assumes the shared `q`
+    * grid CTE is already in scope. k = 8 with sfx "" is exactly
+    * [[kmPrefixSql]]'s chain. */
+  private def kmChainSqlK(k: Int, sfx: String): String =
+    s"""c${sfx}0 AS (SELECT vec_id AS cluster,
+       |         [CAST(x AS DOUBLE) for x in qe] AS ce
+       |       FROM q WHERE vec_id < $k),
+       |${kmIterSql(1, s"c${sfx}0", sfx)},
+       |${kmIterSql(2, s"c${sfx}1", sfx)}""".stripMargin
 
   /** Oracle CTE chain through the 3-round trained centroids `c2` —
     * shared by the q111 and q116 oracles (no drift between them). */
@@ -411,11 +435,7 @@ object SimilarityOps {
        |    [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0)
        |          AS BIGINT) for i in range(1, 65)] AS qe
        |  FROM embeddings),
-       |c0 AS (SELECT vec_id AS cluster,
-       |         [CAST(x AS DOUBLE) for x in qe] AS ce
-       |       FROM q WHERE vec_id < 8),
-       |${kmIterSql(1, "c0")},
-       |${kmIterSql(2, "c1")}""".stripMargin
+       |${kmChainSqlK(8, "")}""".stripMargin
 
   private def lshBucketSql(emb: String): String =
     s"""list_reduce(list_prepend(0, list_transform(range(0, 8), i ->
@@ -598,8 +618,8 @@ object SimilarityOps {
       .persist()
 
   /** Driver-side PQ Lloyd state, memoized per data dir: the per-cell
-    * per-subspace codebooks as (cluster, j, cwid, 16 doubles) — 8 cells
-    * × 4 subspaces × ≤16 codewords = ≤512 codewords, the MLlib
+    * per-subspace codebooks as (cluster, j, cwid, PqW doubles) — 8 cells
+    * × PqM=8 subspaces × ≤PqK=16 codewords = ≤1024 codewords, the MLlib
     * centers-on-the-driver shape ([[kmCentroidsLocal]]'s pattern).
     * Seeds are each cell's 16 lowest-id members' residual subvectors
     * (exactly q306's untrained election, now just round 0); then two
@@ -905,6 +925,78 @@ object SimilarityOps {
        |ex5 AS (SELECT eq_id, vec_id FROM ex WHERE xrank <= 5)"""
       .stripMargin
   }
+
+  /** One k-variant of the q313 sweep's oracle: assignment of the full
+    * corpus and the ranked panel probes against the trained table
+    * `$cN`, candidate sets at every nprobe level, and the
+    * panel-anchored per-level rollup `row$id` (empty-candidate queries
+    * contribute 0 — the q309 ADVICE lesson applied from day one). */
+  private def ksweepKSql(k: Int, cN: String, id: String): String =
+    s"""asg$id AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT q.vec_id, c.cluster,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${kmDistSql("q", "c")} ASC, c.cluster) AS rn
+       |    FROM q, $cN c) WHERE rn = 1),
+       |pr$id AS (
+       |  SELECT q_id, cluster, pr FROM (
+       |    SELECT q.vec_id AS q_id, c.cluster,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${kmDistSql("q", "c")} ASC, c.cluster) AS pr
+       |    FROM q, $cN c
+       |    WHERE q.vec_id % 100 = 0 AND q.vec_id < 6400)
+       |  WHERE pr <= 8),
+       |cand$id AS (
+       |  SELECT l.np, p.q_id, a.vec_id
+       |  FROM asg$id a JOIN pr$id p ON p.cluster = a.cluster
+       |  CROSS JOIN lvls l
+       |  WHERE p.pr <= l.np),
+       |nc$id AS (SELECT np, q_id, COUNT(*) AS n_cand
+       |          FROM cand$id GROUP BY np, q_id),
+       |nh$id AS (SELECT c.np, c.q_id, COUNT(*) AS n_hit
+       |          FROM cand$id c JOIN kex5 x
+       |            ON x.eq_id = c.q_id AND x.xid = c.vec_id
+       |          GROUP BY c.np, c.q_id),
+       |cl$id AS (SELECT COUNT(DISTINCT cluster) AS n_cells_used
+       |          FROM asg$id),
+       |row$id AS (
+       |  SELECT CAST($k AS BIGINT) AS k, CAST(l.np AS BIGINT) AS nprobe,
+       |    CAST(COUNT(*) AS BIGINT) AS n_q,
+       |    (SELECT n_cells_used FROM cl$id) AS n_cells_used,
+       |    CAST(SUM(COALESCE(nc.n_cand, 0)) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE) AS avg_cand,
+       |    CAST(SUM(COALESCE(nh.n_hit, 0)) AS DOUBLE)
+       |      / CAST(COUNT(*) * 5 AS DOUBLE) AS recall5
+       |  FROM lvls l
+       |  CROSS JOIN (SELECT DISTINCT eq_id FROM kqv) v
+       |  LEFT JOIN nc$id nc ON nc.np = l.np AND nc.q_id = v.eq_id
+       |  LEFT JOIN nh$id nh ON nh.np = l.np AND nh.q_id = v.eq_id
+       |  GROUP BY l.np)""".stripMargin
+
+  /** q313's full oracle: the shared [[kmPrefixSql]] (k = 8 — identical
+    * text to q111/q309, so the sweep's k = 8 row can never drift from
+    * the production index), two more Lloyd chains for k = 16/32, the
+    * exact grid-space panel, and one [[ksweepKSql]] block per k. */
+  private lazy val ksweepOracleSql: String =
+    s"""WITH $kmPrefixSql,
+       |${kmChainSqlK(16, "k16_")},
+       |${kmChainSqlK(32, "k32_")},
+       |lvls AS (SELECT unnest([1, 2, 4, 8]) AS np),
+       |kqv AS (SELECT vec_id AS eq_id, qe AS qq FROM q
+       |        WHERE vec_id % 100 = 0 AND vec_id < 6400),
+       |kex AS (
+       |  SELECT v.eq_id, q.vec_id,
+       |    row_number() OVER (PARTITION BY v.eq_id
+       |      ORDER BY ${gridPairDistSql("v.qq", "q.qe")} ASC, q.vec_id)
+       |      AS xrank
+       |  FROM q, kqv v),
+       |kex5 AS (SELECT eq_id, vec_id AS xid FROM kex WHERE xrank <= 5),
+       |${ksweepKSql(8, "c2", "k8")},
+       |${ksweepKSql(16, "ck16_2", "k16")},
+       |${ksweepKSql(32, "ck32_2", "k32")}
+       |SELECT * FROM rowk8
+       |UNION ALL SELECT * FROM rowk16
+       |UNION ALL SELECT * FROM rowk32""".stripMargin
 
   def all: Seq[NamedQuery] = Seq(
 
@@ -3512,7 +3604,7 @@ object SimilarityOps {
     // ADC recall@5, and mean recall@5 after exact re-rank of the ADC
     // top-20 (q308's second stage) — the recall/nprobe curve an index
     // tuner actually reads. Scale shape: ONE embeddings scan (the
-    // persisted grid corpus); training = 2 bounded driver folds (≤512
+    // persisted grid corpus); training = 2 bounded driver folds (≤1024
     // codewords); codebooks/LUTs broadcast; the only corpus-wide work
     // is assignment, encode, and the panel-bounded exact baseline; the
     // nprobe explode multiplies only the panel-bounded score table.
@@ -3558,15 +3650,24 @@ object SimilarityOps {
             "left_semi")
           .groupBy(col("np"), col("q_id"))
           .agg(count(lit(1)).as("n_rr"))
-        val base = lv.groupBy(col("np"), col("q_id"))
-          .agg(count(lit(1)).as("n_cand"))
+        // Denominators anchor on the PANEL × levels frame, not on the
+        // queries that happened to produce candidates (r17 ADVICE): a
+        // panel query whose probed cells are all empty of corpus
+        // vectors (possible — Lloyd can leave cells unpopulated) must
+        // contribute 0 recall at that level, not silently drop from
+        // the mean and inflate low-nprobe recall.
+        val base = qv.select(col("q_id"))
+          .withColumn("np",
+            explode(array(Seq(1, 2, 4, 8).map(lit): _*)))
+          .join(broadcast(lv.groupBy(col("np"), col("q_id"))
+            .agg(count(lit(1)).as("n_cand"))), Seq("np", "q_id"), "left")
         base
           .join(broadcast(contHits), Seq("np", "q_id"), "left")
           .join(broadcast(adcHits), Seq("np", "q_id"), "left")
           .join(broadcast(rrHits), Seq("np", "q_id"), "left")
           .groupBy(col("np"))
           .agg(count(lit(1)).as("n_q"),
-            (sum(col("n_cand")).cast("double") /
+            (sum(coalesce(col("n_cand"), lit(0L))).cast("double") /
               count(lit(1)).cast("double")).as("avg_cand"),
             (sum(coalesce(col("n_cont"), lit(0L))).cast("double") /
               (count(lit(1)) * lit(5)).cast("double")).as("contain5"),
@@ -3613,8 +3714,13 @@ object SimilarityOps {
            |  FROM prr r JOIN pex5 x ON x.eq_id = r.q_id
            |    AND x.xid = r.vec_id
            |  WHERE r.rrank <= 5 GROUP BY r.np, r.q_id),
-           |pbase AS (SELECT np, q_id, COUNT(*) AS n_cand
-           |          FROM cands GROUP BY np, q_id)
+           |ncand AS (SELECT np, q_id, COUNT(*) AS n_cand
+           |          FROM cands GROUP BY np, q_id),
+           |pbase AS (
+           |  SELECT l.np, v.eq_id AS q_id, COALESCE(n.n_cand, 0) AS n_cand
+           |  FROM lvls l
+           |  CROSS JOIN (SELECT DISTINCT eq_id FROM pqv) v
+           |  LEFT JOIN ncand n ON n.np = l.np AND n.q_id = v.eq_id)
            |SELECT CAST(b.np AS BIGINT) AS nprobe,
            |  CAST(COUNT(*) AS BIGINT) AS n_q,
            |  CAST(SUM(b.n_cand) AS DOUBLE)
@@ -3630,5 +3736,90 @@ object SimilarityOps {
            |LEFT JOIN ahits a ON a.np = b.np AND a.q_id = b.q_id
            |LEFT JOIN rhits r ON r.np = b.np AND r.q_id = b.q_id
            |GROUP BY b.np""".stripMargin)),
+
+    // ----- q313: coarse-quantizer size sweep (r17 verdict item 4) ---------
+    // The index-sizing table a production deployment reads NEXT TO
+    // q309's nprobe curve: how many coarse cells should the IVF index
+    // have? Three Lloyd-trained quantizers (k ∈ {8, 16, 32} — k = 8 is
+    // q111/q309's production constant and shares both the driver memo
+    // AND the kmPrefixSql oracle fragment, so the sweep's baseline row
+    // can never drift from the deployed index) each assign the corpus
+    // once and rank the panel's probes; per (k, nprobe) the report
+    // carries panel size, non-empty cell count, mean candidate volume,
+    // and candidate-set recall@5 — which for IVF-flat (exact re-rank
+    // inside the probed cells) IS the end recall. More cells → smaller
+    // candidate sets at fixed nprobe but lower containment: exactly
+    // the tradeoff this table prices. Scale shape: ONE pinned
+    // embeddings scan (the shared persisted grid corpus); per k the
+    // assignment is a narrow literal-centroid map (no join, no
+    // shuffle), probes and rollups are panel-bounded; candidate joins
+    // broadcast the ≤(panel × 8)-row probe table. Denominators anchor
+    // on the panel × levels frame from day one (the q309 ADVICE
+    // lesson): a query whose probed cells are empty contributes 0.
+    NamedQuery(
+      "q313_ivf_ksweep",
+      (s, d) => {
+        val corpus = kmCorpus(s, d)
+        val qv = corpus.filter(isPanel(col("vec_id")))
+          .select(col("vec_id").as("eq_id"), col("qe").as("qq"))
+        val wEx = Window.partitionBy(col("eq_id"))
+          .orderBy(col("xd"), col("vec_id"))
+        val ex5 = pinned(corpus.crossJoin(broadcast(qv))
+          .select(col("eq_id"), col("vec_id"),
+            gridPairDistExpr("qq", "qe").as("xd"))
+          .withColumn("xrank", row_number().over(wEx))
+          .filter(col("xrank") <= 5)
+          .select(col("eq_id"), col("vec_id").as("xid")))
+        val qDist = expr(
+          "aggregate(zip_with(qe, ce, " +
+            "(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), " +
+            "CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
+        val levels = array(Seq(1, 2, 4, 8).map(lit): _*)
+        val perK = Seq(8, 16, 32).map { k =>
+          val cents = kmCentroidsLocalK(s, d, rounds = 3, k)
+          val assigned = kmAssignLit(corpus, cents)
+            .select(col("vec_id"), col("cluster"))
+          val centDf = s.createDataFrame(cents.toSeq.map {
+            case (c, ce) => (c, ce.toSeq)
+          }).toDF("cluster", "ce")
+          val wPr = Window.partitionBy(col("q_id"))
+            .orderBy(col("cd"), col("cluster"))
+          val qprobe = corpus.filter(isPanel(col("vec_id")))
+            .select(col("vec_id").as("q_id"), col("qe"))
+            .crossJoin(broadcast(centDf))
+            .withColumn("cd", qDist)
+            .withColumn("pr", row_number().over(wPr))
+            .filter(col("pr") <= 8)
+            .select(col("q_id"), col("cluster"), col("pr"))
+          val cand = assigned.join(broadcast(qprobe), Seq("cluster"))
+            .withColumn("np", explode(levels))
+            .filter(col("pr") <= col("np"))
+          val ncand = cand.groupBy(col("np"), col("q_id"))
+            .agg(count(lit(1)).as("n_cand"))
+          val hits = cand.join(broadcast(ex5),
+              col("q_id") === col("eq_id") && col("vec_id") === col("xid"),
+              "left_semi")
+            .groupBy(col("np"), col("q_id"))
+            .agg(count(lit(1)).as("n_hit"))
+          val nCells = assigned
+            .select(countDistinct(col("cluster")).as("n_cells_used"))
+          qv.select(col("eq_id").as("q_id"))
+            .withColumn("np", explode(levels))
+            .join(broadcast(ncand), Seq("np", "q_id"), "left")
+            .join(broadcast(hits), Seq("np", "q_id"), "left")
+            .groupBy(col("np"))
+            .agg(count(lit(1)).as("n_q"),
+              (sum(coalesce(col("n_cand"), lit(0L))).cast("double") /
+                count(lit(1)).cast("double")).as("avg_cand"),
+              (sum(coalesce(col("n_hit"), lit(0L))).cast("double") /
+                (count(lit(1)) * lit(5)).cast("double")).as("recall5"))
+            .crossJoin(broadcast(nCells))
+            .select(lit(k.toLong).as("k"),
+              col("np").cast("long").as("nprobe"), col("n_q"),
+              col("n_cells_used"), col("avg_cand"), col("recall5"))
+        }
+        perK.reduce(_ union _)
+      },
+      Some(ksweepOracleSql)),
   )
 }

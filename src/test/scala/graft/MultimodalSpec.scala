@@ -419,4 +419,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sigs(1L) == sigs(2L), "identical payloads must collide")
     assert(sigs(1L) != sigs(3L), "inverted payload must not collide")
   }
+
+  test("typed layer carries container animation metadata (r17 verdict 2)") {
+    // extractMeta and mediaSignatures must agree with the byte walks on
+    // real containers, and with the documented per-modality stub on raw
+    // payloads — the two sources the typed layer unifies
+    import spark.implicits._
+    val body = "typed layer payload".getBytes("UTF-8")
+    val recs = Seq(
+      MultimodalOps.MediaRecord(1L, "image",
+        MultimodalOps.mkGif(64, 64, body, frames = 3)),
+      MultimodalOps.MediaRecord(2L, "image",
+        MultimodalOps.mkWebp(64, 64, body, animated = true, alpha = true,
+          frames = 4)),
+      MultimodalOps.MediaRecord(3L, "image",
+        MultimodalOps.mkPng(64, 64, body)),
+      // raw payload with video modality: the stub frame count survives
+      // (exact q37 agreement on document-derived corpora)
+      MultimodalOps.MediaRecord(4L, "video", body)).toDS()
+    val metas = MultimodalOps.extractMeta(recs).collect()
+      .map(m => m.doc_id -> ((m.frames, m.animated, m.has_alpha))).toMap
+    assert(metas(1L) === ((3, true, false)))
+    assert(metas(2L) === ((4, true, true)))
+    assert(metas(3L) === ((1, false, false)))
+    assert(metas(4L) === (((body.length % 24) + 1, false, false)))
+    // mediaSignatures tags the same container metadata alongside ahash
+    val sigs = MultimodalOps.mediaSignatures(recs).collect()
+      .map(s => s.doc_id -> ((s.frames, s.animated, s.has_alpha))).toMap
+    assert(sigs(1L) === ((3, true, false)))
+    assert(sigs(2L) === ((4, true, true)))
+    assert(sigs(3L) === ((1, false, false)))
+    // signatures describe the container: a raw payload is a still
+    assert(sigs(4L) === ((1, false, false)))
+  }
+
+  test("sniffContainer: one shared recognition for all three layers") {
+    val body = "sniff body".getBytes("UTF-8")
+    assert(MultimodalOps.sniffContainer(
+      MultimodalOps.mkPng(10, 10, body)) === "png")
+    assert(MultimodalOps.sniffContainer(
+      MultimodalOps.mkGif(10, 10, body)) === "gif")
+    assert(MultimodalOps.sniffContainer(
+      MultimodalOps.mkJpeg(10, 10, body)) === "jpeg")
+    assert(MultimodalOps.sniffContainer(
+      MultimodalOps.mkWebp(10, 10, body)) === "webp")
+    assert(MultimodalOps.sniffContainer(
+      MultimodalOps.mkTiff(10, 10, body)) === "tiff")
+    assert(MultimodalOps.sniffContainer(body) === "raw")
+    assert(MultimodalOps.sniffContainer(Array.emptyByteArray) === "raw")
+  }
 }

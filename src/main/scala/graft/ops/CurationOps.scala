@@ -117,6 +117,76 @@ object CurationOps {
     * kept-document table — replayed by BOTH the q299 build certification
     * and the q301 mixture monitor, so the two oracles can never disagree
     * about the target mixture. */
+  /** Deferral-twin constants (q310/q314): synthetic flood anchor window
+    * (floor(1700000000/3600)·3600), the 9 ragged hour windows the
+    * 8-hour span covers, and the per-window token budget the DoReMi
+    * weights are scaled by. */
+  private val DeferW0 = 1699999200L
+  private val DeferNW = 9
+  private val DeferBudget = 4096.0
+
+  /** The pinned ranked deferral corpus shared by q310 (one hop) and
+    * q314 (two hops): q305's synthetic hour-window flood, DoReMi
+    * quotas, and the per-(window, source) hash-priority token cumsum.
+    * ONE definition, so the two deferral rules can never disagree
+    * about ranking or quotas; [[deferRankCteSql]] is its oracle
+    * rendering. */
+  private def deferRankBase(s: SparkSession, d: String,
+      targets: Seq[(String, Double)]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("wsec"), col("source"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wt = {
+      import s.implicits._
+      broadcast(targets.toDF("src", "weight"))
+    }
+    OpsKit.pinned(tbl(s, d, "documents")
+      .select(
+        (lit(1700000000L) + pmod(col("doc_id") * 977, lit(28800L)))
+          .as("tsec"),
+        col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("src0"))
+          .otherwise(col("source")).as("source"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .withColumn("wsec", col("tsec") - pmod(col("tsec"), lit(3600L)))
+      .withColumn("widx",
+        ((col("wsec") - lit(DeferW0)) / 3600).cast("int"))
+      .join(wt, col("source") === col("src"))
+      .withColumn("quota",
+        floor(col("weight") * lit(DeferBudget)).cast("long"))
+      .withColumn("h", LlmKit.strHash(
+        concat(lit("q305:"), col("doc_id").cast("string"))))
+      .withColumn("c", sum(col("n_toks")).over(w))
+      .select(col("widx"), col("source"), col("doc_id"),
+        col("n_toks"), col("quota"), col("c")))
+  }
+
+  /** Oracle rendering of [[deferRankBase]] as `fl$tag`/`rk$tag` CTEs
+    * (assumes `a8`, the DoReMi weight table, is in scope from
+    * [[keptDoremiCteSql]]). */
+  private def deferRankCteSql(tag: String): String =
+    s"""fl$tag AS (
+       |  SELECT (1700000000 + (doc_id * 977) % 28800) AS tsec, doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'src0' ELSE source END
+       |      AS source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |rk$tag AS MATERIALIZED (
+       |  SELECT CAST((f.tsec - f.tsec % 3600 - $DeferW0) / 3600
+       |      AS INTEGER) AS widx,
+       |    f.source, f.doc_id, f.n_toks,
+       |    CAST(FLOOR(a.a * $DeferBudget) AS BIGINT) AS quota,
+       |    CAST(SUM(f.n_toks) OVER (
+       |      PARTITION BY f.tsec - f.tsec % 3600, f.source
+       |      ORDER BY ${LlmKit.strHashSql(
+                "concat('q305:', CAST(f.doc_id AS VARCHAR))")}, f.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS c
+       |  FROM fl$tag f JOIN a8 a ON a.src = f.source)""".stripMargin
+
   private lazy val keptDoremiCteSql: String = {
         val iters = (1 to 8).map { t =>
           s"""r$t AS (
@@ -3035,6 +3105,10 @@ object CurationOps {
            |FROM per p JOIN tot t ON t.wsec = p.wsec""".stripMargin)),
 
     // ----- q310: admission DEFERRAL + conservation (r16 verdict item 3) ---
+    // (Shared machinery for q310/q314: [[deferRankBase]] pins the ranked
+    // corpus both deferral twins fold over; [[deferRankCteSql]] is the
+    // oracle rendering — one definition each, so the one-hop and
+    // two-hop rules can never disagree about ranking or quotas.)
     // q305 drops excess; this variant re-offers it ONCE in the next
     // hour window at deferred-first priority (the streaming form is
     // StreamOps.admissionThrottleDefer; StreamOpsSpec pins doc-for-doc
@@ -3062,37 +3136,9 @@ object CurationOps {
       "q310_admission_deferral",
       (s, d) => {
         val targets = graft.sink.CorpusBuild.doremiTargets(s, d)
-        val B = 4096.0
-        val W0 = 1699999200L // floor(1700000000 / 3600) · 3600
-        val nW = 9 // the 8-hour synthetic span covers 9 ragged windows
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("wsec"), col("source"))
-          .orderBy(col("h"), col("doc_id"))
-          .rowsBetween(
-            org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)
-        val wt = {
-          import s.implicits._
-          broadcast(targets.toDF("src", "weight"))
-        }
-        val base = OpsKit.pinned(tbl(s, d, "documents")
-          .select(
-            (lit(1700000000L) + pmod(col("doc_id") * 977, lit(28800L)))
-              .as("tsec"),
-            col("doc_id"),
-            when(pmod(col("doc_id"), lit(3)) === 0, lit("src0"))
-              .otherwise(col("source")).as("source"),
-            size(split(col("text"), " ")).cast("long").as("n_toks"))
-          .withColumn("wsec", col("tsec") - pmod(col("tsec"), lit(3600L)))
-          .withColumn("widx",
-            ((col("wsec") - lit(W0)) / 3600).cast("int"))
-          .join(wt, col("source") === col("src"))
-          .withColumn("quota", floor(col("weight") * lit(B)).cast("long"))
-          .withColumn("h", LlmKit.strHash(
-            concat(lit("q305:"), col("doc_id").cast("string"))))
-          .withColumn("c", sum(col("n_toks")).over(w))
-          .select(col("widx"), col("source"), col("doc_id"),
-            col("n_toks"), col("quota"), col("c")))
+        val W0 = DeferW0
+        val nW = DeferNW
+        val base = deferRankBase(s, d, targets)
         // the scalar recurrence: 9 bounded jobs over the checkpoint
         val srcs = targets.map(_._1)
         var td = Map.empty[String, Long].withDefaultValue(0L)
@@ -3194,24 +3240,7 @@ object CurationOps {
             .stripMargin
         }.mkString("\nUNION ALL\n")
         s"""WITH $keptDoremiCteSql,
-           |fl310 AS (
-           |  SELECT (1700000000 + (doc_id * 977) % 28800) AS tsec, doc_id,
-           |    CASE WHEN doc_id % 3 = 0 THEN 'src0' ELSE source END
-           |      AS source,
-           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
-           |  FROM documents),
-           |rk310 AS (
-           |  SELECT CAST((f.tsec - f.tsec % 3600 - 1699999200) / 3600
-           |      AS INTEGER) AS widx,
-           |    f.source, f.doc_id, f.n_toks,
-           |    CAST(FLOOR(a.a * 4096.0) AS BIGINT) AS quota,
-           |    CAST(SUM(f.n_toks) OVER (
-           |      PARTITION BY f.tsec - f.tsec % 3600, f.source
-           |      ORDER BY ${strHashSql(
-                  "concat('q305:', CAST(f.doc_id AS VARCHAR))")}, f.doc_id
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           |      AS BIGINT) AS c
-           |  FROM fl310 f JOIN a8 a ON a.src = f.source),
+           |${deferRankCteSql("310")},
            |td3100 AS (SELECT src AS source, CAST(0 AS BIGINT) AS tdv
            |        FROM a8),
            |$lyr,
@@ -3269,6 +3298,287 @@ object CurationOps {
            |      + COALESCE(o.n_deferred_out, 0)) AS conserved
            |FROM offg310 o FULL OUTER JOIN defg310 d
            |  ON d.widx = o.widx AND d.source = o.source""".stripMargin
+      }),
+
+    // ----- q314: TWO-HOP deferral (r17 verdict item 5) --------------------
+    // q310's rule with h = 2: an overflowing document is re-offered in
+    // the next window (hop 1) and, on a second miss, ONCE more (hop 2)
+    // before dropping. Priority is hop-descending (hop-2 cohort first,
+    // then hop-1, then new), each cohort in the shared hash order —
+    // which keeps every admitted set a rank prefix, so the
+    // window-cumsum expressibility argument survives the extra hop:
+    // the cross-window coupling is FOUR exact-integer scalars per
+    // (source, window) — deferred-in token totals t1/t2 and
+    // admitted-cum boundaries a0/a1 — with the recurrences t1(k+1) =
+    // totNew(k) − a0(k), t2(k+1) = t1(k) − a1(k). A new doc with
+    // cumsum c is admitted iff c ≤ Q − t2 − t1; its hop-1 replay iff
+    // c − a0 ≤ Q − t2(next); its hop-2 replay iff c − a0 − a1(next)
+    // ≤ Q (the hop-2 cohort ranks first, so only its own cohort
+    // cumsum matters). Scalars come from the same bounded driver fold
+    // shape as q310 (9 windows × K sources, one Spark job per window
+    // over the shared PINNED ranked corpus — deferRankBase, one
+    // definition for both twins); per-doc decisions are two broadcast
+    // joins + pure column arithmetic. The streaming form is
+    // StreamOps.admissionThrottleDefer2 (two-window bounded pending
+    // state); StreamOpsSpec pins doc-for-doc parity incl. a doc that
+    // defers twice then lands. `conserved` certifies offered_new +
+    // h1_in + h2_in == admitted_new + admitted_h1 + admitted_h2 +
+    // defer1_out + defer2_out + dropped on every row (defer*_out at
+    // the horizon windows are the batch rendering of the stream's
+    // silent pendings). All outputs are exact integers or booleans
+    // over integers.
+    NamedQuery(
+      "q314_deferral_2hop",
+      (s, d) => {
+        val targets = graft.sink.CorpusBuild.doremiTargets(s, d)
+        val W0 = DeferW0
+        val nW = DeferNW
+        val base = deferRankBase(s, d, targets)
+        val srcs = targets.map(_._1)
+        var t1 = Map.empty[String, Long].withDefaultValue(0L)
+        var t2 = Map.empty[String, Long].withDefaultValue(0L)
+        var a0p = Map.empty[String, Long].withDefaultValue(0L)
+        val scalRows =
+          Seq.newBuilder[(Int, String, Long, Long, Long, Long)]
+        for (k <- 0 until nW) {
+          val scDf = {
+            import s.implicits._
+            broadcast(srcs.map(src => (src, t1(src), t2(src), a0p(src)))
+              .toDF("ssrc", "t1v", "t2v", "a0pv"))
+          }
+          val agg = base.filter(col("widx").isin(k - 1, k))
+            .join(scDf, col("source") === col("ssrc"))
+            .groupBy(col("source"))
+            .agg(
+              coalesce(max(when(col("widx") === k &&
+                col("c") <= col("quota") - col("t2v") - col("t1v"),
+                col("c"))), lit(0L)).as("a0"),
+              coalesce(sum(when(col("widx") === k, col("n_toks"))),
+                lit(0L)).as("totnew"),
+              coalesce(max(when(col("widx") === k - 1 &&
+                col("c") > col("a0pv") &&
+                col("c") - col("a0pv") <= col("quota") - col("t2v"),
+                col("c") - col("a0pv"))), lit(0L)).as("a1"))
+            .collect()
+            .map(r => r.getString(0) ->
+              (r.getLong(1), r.getLong(2), r.getLong(3)))
+            .toMap
+          for (src <- srcs) {
+            val (a0, tot, a1) = agg.getOrElse(src, (0L, 0L, 0L))
+            scalRows += ((k, src, t1(src), t2(src), a0, a1))
+            // t2(k+1) reads the OLD t1(k) — update order is load-bearing
+            t2 = t2.updated(src, t1(src) - a1)
+            t1 = t1.updated(src, tot - a0)
+            a0p = a0p.updated(src, a0)
+          }
+        }
+        val allScal = scalRows.result()
+        val scal = {
+          import s.implicits._
+          broadcast(allScal.toDF("swidx", "ssrc", "t1v", "t2v",
+            "a0v", "a1v"))
+        }
+        val scalNext = {
+          import s.implicits._
+          broadcast(allScal
+            .map { case (k, src, _, t2v, _, a1v) =>
+              (k - 1, src, t2v, a1v)
+            }
+            .toDF("nwidx", "nsrc", "t2n", "a1n"))
+        }
+        val dec = base
+          .join(scal, col("widx") === col("swidx") &&
+            col("source") === col("ssrc"))
+          .join(scalNext, col("widx") === col("nwidx") &&
+            col("source") === col("nsrc"), "left")
+          .withColumn("adm_new",
+            col("c") <= col("quota") - col("t2v") - col("t1v"))
+          .withColumn("adm_h1",
+            !col("adm_new") && col("widx") < nW - 1 &&
+              col("c") - col("a0v") <= col("quota") - col("t2n"))
+          .withColumn("adm_h2",
+            !col("adm_new") && !col("adm_h1") && col("widx") < nW - 2 &&
+              col("c") - col("a0v") - col("a1n") <= col("quota"))
+        val offg = dec.groupBy(col("widx"), col("source"))
+          .agg(count(lit(1)).as("n_offered_new"),
+            sum(col("n_toks")).as("toks_offered_new"),
+            sum(when(col("adm_new"), 1L).otherwise(0L))
+              .as("n_admitted_new"),
+            sum(when(col("adm_new"), col("n_toks")).otherwise(0L))
+              .as("toks_admitted_new"),
+            sum(when(!col("adm_new"), 1L).otherwise(0L))
+              .as("n_defer1_out"))
+        val h1g = dec.filter(!col("adm_new") && col("widx") < nW - 1)
+          .groupBy((col("widx") + 1).as("widx"), col("source"))
+          .agg(count(lit(1)).as("n_h1_in"),
+            sum(when(col("adm_h1"), 1L).otherwise(0L))
+              .as("n_admitted_h1"),
+            sum(when(col("adm_h1"), col("n_toks")).otherwise(0L))
+              .as("toks_admitted_h1"),
+            sum(when(!col("adm_h1"), 1L).otherwise(0L))
+              .as("n_defer2_out"))
+        val h2g = dec.filter(!col("adm_new") && !col("adm_h1") &&
+            col("widx") < nW - 2)
+          .groupBy((col("widx") + 2).as("widx"), col("source"))
+          .agg(count(lit(1)).as("n_h2_in"),
+            sum(when(col("adm_h2"), 1L).otherwise(0L))
+              .as("n_admitted_h2"),
+            sum(when(col("adm_h2"), col("n_toks")).otherwise(0L))
+              .as("toks_admitted_h2"),
+            sum(when(!col("adm_h2"), 1L).otherwise(0L))
+              .as("n_dropped"))
+        def z(c: String) = coalesce(col(c), lit(0L))
+        offg.join(h1g, Seq("widx", "source"), "full_outer")
+          .join(h2g, Seq("widx", "source"), "full_outer")
+          .select(
+            date_format(timestamp_seconds(lit(W0) +
+              col("widx").cast("long") * 3600), OpsKit.TsFmt)
+              .as("window_start"),
+            col("source"),
+            z("n_offered_new").as("n_offered_new"),
+            z("toks_offered_new").as("toks_offered_new"),
+            z("n_h1_in").as("n_h1_in"),
+            z("n_h2_in").as("n_h2_in"),
+            z("n_admitted_new").as("n_admitted_new"),
+            z("n_admitted_h1").as("n_admitted_h1"),
+            z("n_admitted_h2").as("n_admitted_h2"),
+            (z("toks_admitted_new") + z("toks_admitted_h1") +
+              z("toks_admitted_h2")).as("toks_admitted"),
+            z("n_defer1_out").as("n_defer1_out"),
+            z("n_defer2_out").as("n_defer2_out"),
+            z("n_dropped").as("n_dropped"),
+            (z("n_offered_new") + z("n_h1_in") + z("n_h2_in") ===
+              z("n_admitted_new") + z("n_admitted_h1") +
+              z("n_admitted_h2") + z("n_defer1_out") +
+              z("n_defer2_out") + z("n_dropped")).as("conserved"))
+      },
+      Some {
+        val nW = DeferNW
+        val lyr = (0 until nW).map { k =>
+          s"""ly314$k AS MATERIALIZED (
+             |  SELECT s.source,
+             |    COALESCE(MAX(CASE WHEN r.widx = $k
+             |        AND r.c <= r.quota - s.t2 - s.t1 THEN r.c END),
+             |      CAST(0 AS BIGINT)) AS a0,
+             |    COALESCE(CAST(SUM(CASE WHEN r.widx = $k
+             |        THEN r.n_toks END) AS BIGINT),
+             |      CAST(0 AS BIGINT)) AS totnew,
+             |    COALESCE(MAX(CASE WHEN r.widx = ${k - 1}
+             |        AND r.c > s.a0p
+             |        AND r.c - s.a0p <= r.quota - s.t2
+             |        THEN r.c - s.a0p END),
+             |      CAST(0 AS BIGINT)) AS a1
+             |  FROM sc314$k s LEFT JOIN rk314 r ON r.source = s.source
+             |    AND r.widx IN (${k - 1}, $k)
+             |  GROUP BY s.source, s.t1, s.t2, s.a0p),
+             |sc314${k + 1} AS MATERIALIZED (
+             |  SELECT s.source, l.totnew - l.a0 AS t1,
+             |    s.t1 - l.a1 AS t2, l.a0 AS a0p
+             |  FROM sc314$k s JOIN ly314$k l ON l.source = s.source)"""
+            .stripMargin
+        }.mkString(",\n")
+        val scalU = (0 until nW).map { k =>
+          s"""SELECT $k AS widx, s.source, s.t1 AS t1v, s.t2 AS t2v,
+             |  l.a0 AS a0v, l.a1 AS a1v
+             |FROM sc314$k s JOIN ly314$k l ON l.source = s.source"""
+            .stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $keptDoremiCteSql,
+           |${deferRankCteSql("314")},
+           |sc3140 AS (SELECT src AS source, CAST(0 AS BIGINT) AS t1,
+           |         CAST(0 AS BIGINT) AS t2, CAST(0 AS BIGINT) AS a0p
+           |       FROM a8),
+           |$lyr,
+           |scal314 AS MATERIALIZED (
+           |$scalU),
+           |d3140 AS (
+           |  SELECT r.widx, r.source, r.doc_id, r.n_toks, r.quota, r.c,
+           |    t.t1v, t.t2v, t.a0v, n.t2v AS t2n, n.a1v AS a1n,
+           |    (r.c <= r.quota - t.t2v - t.t1v) AS adm_new
+           |  FROM rk314 r JOIN scal314 t ON t.source = r.source
+           |    AND t.widx = r.widx
+           |  LEFT JOIN scal314 n ON n.source = r.source
+           |    AND n.widx = r.widx + 1),
+           |d3141 AS (
+           |  SELECT *, (NOT adm_new AND widx < ${nW - 1}
+           |    AND c - a0v <= quota - t2n) AS adm_h1
+           |  FROM d3140),
+           |dec314 AS MATERIALIZED (
+           |  SELECT *, (NOT adm_new AND NOT adm_h1
+           |    AND widx < ${nW - 2}
+           |    AND c - a0v - a1n <= quota) AS adm_h2
+           |  FROM d3141),
+           |offg314 AS MATERIALIZED (
+           |  SELECT widx, source, CAST(COUNT(*) AS BIGINT)
+           |      AS n_offered_new,
+           |    CAST(SUM(n_toks) AS BIGINT) AS toks_offered_new,
+           |    CAST(SUM(CASE WHEN adm_new THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_admitted_new,
+           |    CAST(SUM(CASE WHEN adm_new THEN n_toks ELSE 0 END)
+           |      AS BIGINT) AS toks_admitted_new,
+           |    CAST(SUM(CASE WHEN NOT adm_new THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_defer1_out
+           |  FROM dec314 GROUP BY widx, source),
+           |h1g314 AS MATERIALIZED (
+           |  SELECT widx + 1 AS widx, source,
+           |    CAST(COUNT(*) AS BIGINT) AS n_h1_in,
+           |    CAST(SUM(CASE WHEN adm_h1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_admitted_h1,
+           |    CAST(SUM(CASE WHEN adm_h1 THEN n_toks ELSE 0 END)
+           |      AS BIGINT) AS toks_admitted_h1,
+           |    CAST(SUM(CASE WHEN NOT adm_h1 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_defer2_out
+           |  FROM dec314 WHERE NOT adm_new AND widx < ${nW - 1}
+           |  GROUP BY widx + 1, source),
+           |h2g314 AS MATERIALIZED (
+           |  SELECT widx + 2 AS widx, source,
+           |    CAST(COUNT(*) AS BIGINT) AS n_h2_in,
+           |    CAST(SUM(CASE WHEN adm_h2 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_admitted_h2,
+           |    CAST(SUM(CASE WHEN adm_h2 THEN n_toks ELSE 0 END)
+           |      AS BIGINT) AS toks_admitted_h2,
+           |    CAST(SUM(CASE WHEN NOT adm_h2 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_dropped
+           |  FROM dec314 WHERE NOT adm_new AND NOT adm_h1
+           |    AND widx < ${nW - 2}
+           |  GROUP BY widx + 2, source),
+           |spine314 AS (
+           |  SELECT DISTINCT widx, source FROM (
+           |    SELECT widx, source FROM offg314
+           |    UNION ALL SELECT widx, source FROM h1g314
+           |    UNION ALL SELECT widx, source FROM h2g314)),
+           |fin314 AS (
+           |  SELECT sp.widx, sp.source,
+           |    COALESCE(o.n_offered_new, 0) AS n_offered_new,
+           |    COALESCE(o.toks_offered_new, 0) AS toks_offered_new,
+           |    COALESCE(h1.n_h1_in, 0) AS n_h1_in,
+           |    COALESCE(h2.n_h2_in, 0) AS n_h2_in,
+           |    COALESCE(o.n_admitted_new, 0) AS n_admitted_new,
+           |    COALESCE(h1.n_admitted_h1, 0) AS n_admitted_h1,
+           |    COALESCE(h2.n_admitted_h2, 0) AS n_admitted_h2,
+           |    COALESCE(o.toks_admitted_new, 0)
+           |      + COALESCE(h1.toks_admitted_h1, 0)
+           |      + COALESCE(h2.toks_admitted_h2, 0) AS toks_admitted,
+           |    COALESCE(o.n_defer1_out, 0) AS n_defer1_out,
+           |    COALESCE(h1.n_defer2_out, 0) AS n_defer2_out,
+           |    COALESCE(h2.n_dropped, 0) AS n_dropped
+           |  FROM spine314 sp
+           |  LEFT JOIN offg314 o ON o.widx = sp.widx
+           |    AND o.source = sp.source
+           |  LEFT JOIN h1g314 h1 ON h1.widx = sp.widx
+           |    AND h1.source = sp.source
+           |  LEFT JOIN h2g314 h2 ON h2.widx = sp.widx
+           |    AND h2.source = sp.source)
+           |SELECT strftime(make_timestamp(
+           |    CAST($DeferW0 + widx * 3600 AS BIGINT) * 1000000),
+           |    '${OpsKit.TsFmtDuck}') AS window_start,
+           |  source, n_offered_new, toks_offered_new, n_h1_in, n_h2_in,
+           |  n_admitted_new, n_admitted_h1, n_admitted_h2,
+           |  toks_admitted, n_defer1_out, n_defer2_out, n_dropped,
+           |  (n_offered_new + n_h1_in + n_h2_in
+           |    = n_admitted_new + n_admitted_h1 + n_admitted_h2
+           |      + n_defer1_out + n_defer2_out + n_dropped) AS conserved
+           |FROM fin314""".stripMargin
       }),
   )
 }

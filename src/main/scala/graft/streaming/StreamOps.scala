@@ -835,16 +835,18 @@ object StreamOps {
     * window's new arrivals). Late rows for an already-advanced window
     * are decided against the CURRENT window's remaining quota — the
     * honest live-gate reading, same spirit as q305's late handling. */
-  def admissionThrottleDefer(docs: DataFrame,
+  /** Shared watermark/window/priority/quota prep for the deferral
+    * throttles — one definition so the one-hop and two-hop variants can
+    * never disagree about ranking or quotas. */
+  private def prepareDefer(docs: DataFrame,
       targets: Seq[(String, Double)],
-      windowTokens: Double = AdmissionWindowTokens):
-      Dataset[DeferDecision] = {
+      windowTokens: Double): Dataset[DeferIn] = {
     require(targets.nonEmpty, "admission targets must be non-empty")
     val sess = docs.sparkSession
     import sess.implicits._
     val wt = targets.toDF("__src", "__w")
     val win = window(col("ts"), "1 hour")
-    val prepared = docs
+    docs
       .withWatermark("ts", "1 hour")
       .join(broadcast(wt), col("source") === col("__src"))
       .select(col("ts"),
@@ -857,6 +859,15 @@ object StreamOps {
         col("n_toks"),
         floor(col("__w") * lit(windowTokens)).cast("long").as("quota"))
       .as[DeferIn]
+  }
+
+  def admissionThrottleDefer(docs: DataFrame,
+      targets: Seq[(String, Double)],
+      windowTokens: Double = AdmissionWindowTokens):
+      Dataset[DeferDecision] = {
+    val sess = docs.sparkSession
+    import sess.implicits._
+    val prepared = prepareDefer(docs, targets, windowTokens)
     // resolve a pending list at its next window: deferred docs rank
     // first, so their fate is their own (hash, id)-ordered cumsum vs
     // the quota; ALL their tokens (admitted or dropped) carry into the
@@ -906,6 +917,118 @@ object StreamOps {
             state.update(st)
             state.setTimeoutTimestamp(math.max(
               st.wendMs + 3600000L,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
+  final case class Defer2State(wendMs: Long, cum: Long, quota: Long,
+      pending: List[(Long, Long, Long, Long, Int)])
+
+  /** [[admissionThrottleDefer]] generalized to TWO hops (r17 verdict
+    * item 5): a document that overflows its first window is re-offered
+    * in the next window (hop 1) and, if it misses again, ONCE more in
+    * the window after that (hop 2) before being dropped. Priority
+    * within a window is hop-descending — the hop-2 cohort ranks first,
+    * then hop-1, then new documents; within a cohort the same
+    * (hash, doc_id) order as everywhere else. Admission stays the
+    * prefix token-cumsum ≤ quota, so the admitted set of every cohort
+    * is a rank prefix and the cross-window coupling collapses to FOUR
+    * scalars per (source, window) — deferred-in token totals t1/t2 and
+    * admitted-cum boundaries a0/a1 — which is exactly the recurrence
+    * the batch twin q314 unrolls (its `conserved` column certifies the
+    * rollup). Key property the expressibility argument leans on: a
+    * deferred cohort's admission depends only on the PRIOR windows'
+    * scalars and its own cumsum, never on the resolution window's new
+    * arrivals — which is why a state timeout may resolve both
+    * remaining hops immediately (≤ 2 bounded rounds) instead of
+    * waiting for rows that will never come. State per source is
+    * bounded by TWO windows' overflow. Emitted statuses: `admitted`,
+    * `admitted_h1`, `admitted_h2`, `dropped`. */
+  def admissionThrottleDefer2(docs: DataFrame,
+      targets: Seq[(String, Double)],
+      windowTokens: Double = AdmissionWindowTokens):
+      Dataset[DeferDecision] = {
+    val sess = docs.sparkSession
+    import sess.implicits._
+    val prepared = prepareDefer(docs, targets, windowTokens)
+    // resolve the pending cohorts at the window STARTING at `wsMs`:
+    // hop-2 docs first, then hop-1, each by (hash, id); every pending
+    // token (admitted or not) carries into the window's prefix; hop-1
+    // misses re-pend at the NEXT window as hop 2, hop-2 misses drop.
+    // Returns (decisions, carried token total, re-pends).
+    def resolve2(pending: List[(Long, Long, Long, Long, Int)],
+        quota: Long, wsMs: Long): (List[DeferDecision], Long,
+        List[(Long, Long, Long, Long, Int)]) = {
+      var cum = 0L
+      var repends = List.empty[(Long, Long, Long, Long, Int)]
+      // built per call: DateTimeFormatter is not serializable, so it
+      // must not be captured by the flatMapGroupsWithState closure
+      val ws = java.time.format.DateTimeFormatter.ofPattern(TsFmt)
+        .withZone(java.time.ZoneId.of("UTC"))
+        .format(java.time.Instant.ofEpochMilli(wsMs))
+      val out = pending.sortBy(p => (-p._5, p._1, p._2)).map {
+        case (h, docId, toks, _, hop) =>
+          cum += toks
+          if (cum <= quota)
+            Some(DeferDecision(ws, "", docId, toks, s"admitted_h$hop"))
+          else if (hop == 1) {
+            repends ::= ((h, docId, toks, wsMs + 3600000L, 2))
+            None
+          } else
+            Some(DeferDecision(ws, "", docId, toks, "dropped"))
+      }.flatten
+      (out, cum, repends.reverse)
+    }
+    prepared
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[Defer2State, DeferDecision](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (source, rows, state) =>
+          if (state.hasTimedOut) {
+            // bounded two-round drain: deferred admissions never depend
+            // on new arrivals, so both hops resolve immediately
+            var st = state.get
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[DeferDecision]
+            var wsMs = st.wendMs
+            var pend = st.pending
+            while (pend.nonEmpty) {
+              val (res, _, rep) = resolve2(pend, st.quota, wsMs)
+              out ++= res.map(_.copy(source = source))
+              pend = rep
+              wsMs += 3600000L
+            }
+            state.remove()
+            out.iterator
+          } else {
+            val arr = rows.toArray.sortBy(r => (r.wend_ms, r.h, r.doc_id))
+            val quota = arr.head.quota
+            var st = state.getOption
+              .getOrElse(Defer2State(arr.head.wend_ms, 0L, quota, Nil))
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[DeferDecision]
+            for (r <- arr) {
+              while (r.wend_ms > st.wendMs) {
+                val (res, carried, repends) =
+                  resolve2(st.pending, quota, st.wendMs)
+                out ++= res.map(_.copy(source = source))
+                st = Defer2State(st.wendMs + 3600000L, carried, quota,
+                  repends)
+              }
+              st = st.copy(cum = st.cum + r.n_toks)
+              if (st.cum <= quota)
+                out += DeferDecision(r.wstart, source, r.doc_id,
+                  r.n_toks, "admitted")
+              else
+                st = st.copy(pending =
+                  (r.h, r.doc_id, r.n_toks, r.wend_ms, 1) :: st.pending)
+            }
+            state.update(st)
+            // the drain may need up to TWO windows past the last seen
+            state.setTimeoutTimestamp(math.max(
+              st.wendMs + 7200000L,
               state.getCurrentWatermarkMs() + 1))
             out.iterator
           }

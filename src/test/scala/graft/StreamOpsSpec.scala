@@ -953,6 +953,190 @@ class StreamOpsSpec extends AnyFunSuite {
       }.toSeq
   }
 
+  private def runDefer2Admission(dir: String,
+      targets: Seq[(String, Double)], tableName: String,
+      windowTokens: Double = StreamOps.AdmissionWindowTokens): Unit = {
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, doc_id LONG, source STRING, n_toks LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = StreamOps.admissionThrottleDefer2(stream, targets, windowTokens)
+      .toDF().writeStream.format("memory").queryName(tableName)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-defer2").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Independent reference fold for the TWO-hop rule — a plain
+    * window-by-window walk with a hop-tagged pending list (NOT q314's
+    * scalar-recurrence formulation), so the three implementations
+    * cross-check. The timeout drain needs the watermark to pass TWO
+    * windows beyond the last seen (the stream sets its timeout at
+    * last window end + 2h), else the tail pendings stay silent. */
+  private def referenceDefer2(
+      rows: Seq[(Long, String, Long, Long, Long, Long)], wmSec: Long)
+      : Map[Long, (String, Long)] = {
+    rows.groupBy(_._2).flatMap { case (_, g) =>
+      val quota = g.head._6
+      val byW = g.groupBy(_._1)
+      val firstW = byW.keys.min
+      val lastW = byW.keys.max
+      var out = Map.empty[Long, (String, Long)]
+      var pending = Vector.empty[(Long, Long, Long, Int)] // (h,id,toks,hop)
+      def resolveAt(w: Long): Long = {
+        var cum = 0L
+        var next = Vector.empty[(Long, Long, Long, Int)]
+        for ((h, id, t, hop) <- pending.sortBy(p => (-p._4, p._1, p._2))) {
+          cum += t
+          if (cum <= quota) out += id -> ((s"admitted_h$hop", w))
+          else if (hop == 1) next :+= ((h, id, t, 2))
+          else out += id -> (("dropped", w))
+        }
+        pending = next
+        cum
+      }
+      var w = firstW
+      while (w <= lastW) {
+        var c = resolveAt(w) // ALL resolved tokens carry into the prefix
+        for (r <- byW.getOrElse(w, Nil).toSeq.sortBy(r => (r._4, r._3))) {
+          c += r._5
+          if (c <= quota) out += r._3 -> (("admitted", w))
+          else pending :+= ((r._4, r._3, r._5, 1))
+        }
+        w += 3600
+      }
+      if (wmSec > lastW + 3600 + 7200) {
+        resolveAt(lastW + 3600)
+        if (pending.nonEmpty) resolveAt(lastW + 7200)
+        pending = Vector.empty
+      } else for ((_, id, _, _) <- pending) out += id -> (("pending", 0L))
+      out
+    }
+  }
+
+  test("two-hop deferral: a doc that defers twice then lands " +
+      "(deterministic fixture)") {
+    // quota 100; window 0 offers three 60-token docs (1 admitted, 2
+    // deferred — equal tokens make the counts hash-order-free); window
+    // 1's 90-token doc defers behind the resolving cohort; window 2 has
+    // NO rows (the state walk must advance through it); window 3's
+    // 10-token doc fits exactly behind the landing hop-2 doc.
+    val w0 = 1700002800L // hour-aligned
+    import spark.implicits._
+    val rows = Seq(
+      (new java.sql.Timestamp((w0 + 10) * 1000), 1L, "s0", 60L),
+      (new java.sql.Timestamp((w0 + 20) * 1000), 2L, "s0", 60L),
+      (new java.sql.Timestamp((w0 + 30) * 1000), 3L, "s0", 60L),
+      (new java.sql.Timestamp((w0 + 3600 + 10) * 1000), 4L, "s0", 90L),
+      (new java.sql.Timestamp((w0 + 3 * 3600 + 10) * 1000), 5L, "s0",
+        10L))
+      .toDF("ts", "doc_id", "source", "n_toks")
+    val dir = Files.createTempDirectory("graft-defer2-fix").toString
+    writeChunk(dir)(rows, "c0.parquet", System.currentTimeMillis() - 600000)
+    runDefer2Admission(dir, Seq("s0" -> 1.0), "t_defer2hop_fix",
+      windowTokens = 100.0)
+    val got = spark.table("t_defer2hop_fix").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("status"), r.getAs[String]("wstart")))
+      .toMap
+    def ws(k: Int): String = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneId
+        .of("UTC"))
+      .format(java.time.Instant.ofEpochSecond(w0 + k * 3600L))
+    // doc 4 defers at window 1, misses again at window 2, LANDS at 3
+    assert(got(4L) === (("admitted_h2", ws(3))), "the two-hop landing")
+    // doc 5 fits exactly behind it (90 + 10 = quota)
+    assert(got(5L) === (("admitted", ws(3))))
+    // the window-0 trio: one admitted, one landed at hop 1, one at hop 2
+    val trio = Seq(1L, 2L, 3L).map(got)
+    assert(trio.map(_._1).sorted ===
+      Seq("admitted", "admitted_h1", "admitted_h2"))
+    assert(trio.toMap.get("admitted").contains(ws(0)))
+    assert(trio.toMap.get("admitted_h1").contains(ws(1)))
+    assert(trio.toMap.get("admitted_h2").contains(ws(2)))
+    assert(got.size === 5, "every doc resolves row-driven")
+  }
+
+  test("two-hop deferral: doc-for-doc parity with the reference fold " +
+      "and the q314 rollup") {
+    val sfDir = "/root/testdata/sf0.01"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val targets = graft.sink.CorpusBuild.doremiTargets(spark, sfDir)
+    val dir = Files.createTempDirectory("graft-defer2-stream").toString
+    writeChunk(dir)(floodedDocs(docs), "c0.parquet",
+      System.currentTimeMillis() - 600000)
+    runDefer2Admission(dir, targets, "t_defer2hop")
+    val got = spark.table("t_defer2hop").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("status"), r.getAs[String]("wstart")))
+      .toMap
+    val rows = deferRows(docs, targets)
+    val maxTs = floodedDocs(docs).agg(max(unix_timestamp(col("ts"))))
+      .collect()(0).getLong(0)
+    val ref = referenceDefer2(rows, maxTs - 3600)
+    val refEmit = ref.filter(_._2._1 != "pending")
+    assert(got.keySet === refEmit.keySet)
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneId.of("UTC"))
+    for ((id, (st, w)) <- refEmit) {
+      assert(got(id)._1 === st, s"doc $id status")
+      assert(got(id)._2 === fmt.format(java.time.Instant
+        .ofEpochSecond(w)), s"doc $id window")
+    }
+    // every terminal branch fires at this scale, including the
+    // defers-twice-then-lands one
+    for (st <- Seq("admitted", "admitted_h1", "admitted_h2", "dropped"))
+      assert(ref.values.exists(_._1 == st), s"branch $st never fired")
+    assert(ref.values.exists(_._1 == "pending"),
+      "no deferral stayed open past the watermark")
+
+    // the q314 registered twin aggregates the same rule: new-doc
+    // admissions match cell for cell (always row-driven); resolved
+    // deferral cells match exactly where the stream closed them
+    val rolled = spark.table("t_defer2hop")
+      .groupBy(col("wstart").as("window_start"), col("source"))
+      .agg(
+        sum(when(col("status") === "admitted", 1L).otherwise(0L))
+          .as("n_admitted_new"),
+        sum(when(col("status") === "admitted_h1", 1L).otherwise(0L))
+          .as("n_admitted_h1"),
+        sum(when(col("status") === "admitted_h2", 1L).otherwise(0L))
+          .as("n_admitted_h2"),
+        sum(when(col("status") === "dropped", 1L).otherwise(0L))
+          .as("n_dropped"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val srcOf = rows.map(r => r._3 -> r._2).toMap
+    val closedCells = refEmit.collect {
+      case (id, (st, w)) if st != "admitted" =>
+        (fmt.format(java.time.Instant.ofEpochSecond(w)), srcOf(id))
+    }.toSet
+    val q314Rows = SparkEntry.queries("q314_deferral_2hop")(
+      spark, sfDir).collect()
+    assert(q314Rows.nonEmpty)
+    var comparedClosed = 0
+    for (r <- q314Rows) {
+      val key = (r.getString(0), r.getString(1))
+      val (an, a1, a2, dr) = rolled.getOrElse(key, (0L, 0L, 0L, 0L))
+      assert(r.getAs[Long]("n_admitted_new") === an, s"$key adm_new")
+      if (closedCells(key)) {
+        comparedClosed += 1
+        assert(r.getAs[Long]("n_admitted_h1") === a1, s"$key adm_h1")
+        assert(r.getAs[Long]("n_admitted_h2") === a2, s"$key adm_h2")
+        assert(r.getAs[Long]("n_dropped") === dr, s"$key dropped")
+      }
+    }
+    assert(comparedClosed >= 6,
+      "the closed-cell comparison must not be vacuous")
+    assert(rows.size === got.size + ref.values.count(_._1 == "pending"))
+  }
+
   test("deferral throttle: one-batch doc-for-doc parity with the " +
       "reference fold and the q310 rollup") {
     // sf0.01 so the quotas actually saturate and every terminal branch

@@ -805,15 +805,21 @@ object AnalyticsOps {
     NamedQuery(
       "q143_basket_rules",
       (s, d) => {
-        val items = tbl(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val supp1 = items.groupBy(col("l_partkey"))
-          .agg(count(lit(1)).as("s"))
+        // pinned (r18 optimization): the basket item set feeds three
+        // consumers (item supports, the order count, the frequent-item
+        // semi-join) and the frequent-item baskets feed three more (the
+        // pair-work diagnostic and both self-join sides, whose aliases
+        // differ so exchange reuse cannot dedup them). Unpinned, each
+        // consumer re-scanned lineitem and re-paid the distinct.
+        val items = OpsKit.pinned(tbl(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct())
+        val supp1 = OpsKit.pinned(items.groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("s")))
         val norders = items.select(col("l_orderkey")).distinct()
           .agg(count(lit(1)).as("n_orders"))
         val freq = supp1.filter(col("s") >= 3)
-        val fitems = items
-          .join(broadcast(freq.select(col("l_partkey"))), "l_partkey")
+        val fitems = OpsKit.pinned(items
+          .join(broadcast(freq.select(col("l_partkey"))), "l_partkey"))
         // operational diagnostic, carried in the output: the WORST
         // per-basket pair expansion max C(|basket|,2) over frequent-item
         // baskets — the quantity that must stay bounded for the self-

@@ -640,14 +640,21 @@ object CoreQueries {
           cs.map(c => df.select(lit(s"$t.$c").as("col"),
             col(c).cast("long").as("v")).distinct())
         }
-        val stacked = (
+        // pinned (r18 optimization): the stacked distinct (column, value)
+        // table feeds three consumers — the per-column sizes aggregate
+        // and both sides of the value self-join. Unpinned, every consumer
+        // re-scanned all six tables and re-paid the 10 distinct
+        // aggregations (exchange reuse covers only the join's two
+        // identical sides); pinned, the distincts run once and the
+        // consumers read the checkpoint. Values unchanged.
+        val stacked = OpsKit.pinned((
           cols("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey")) ++
             cols("orders", Seq("o_orderkey", "o_custkey")) ++
             cols("customer", Seq("c_custkey", "c_nationkey")) ++
             cols("part", Seq("p_partkey")) ++
             cols("supplier", Seq("s_suppkey")) ++
             cols("nation", Seq("n_nationkey")))
-          .reduce(_ unionByName _)
+          .reduce(_ unionByName _))
         val sizes = stacked.groupBy(col("col"))
           .agg(count(lit(1)).as("n_distinct"))
         val common = stacked.select(col("col").as("col_a"), col("v"))

@@ -1684,13 +1684,17 @@ object CurationOps {
     NamedQuery(
       "q247_negative_sampling",
       (s, d) => {
-        val pos = tbl(s, d, "orders")
+        // pinned (r18 optimization): the positive set feeds three
+        // consumers (the draw cross-join, the rejection join's right
+        // side, the per-customer positives) — unpinned, each re-paid
+        // the orders⋈lineitem join and the distinct.
+        val pos = OpsKit.pinned(tbl(s, d, "orders")
           .select(col("o_orderkey"), col("o_custkey"))
           .join(tbl(s, d, "lineitem")
             .select(col("l_orderkey").as("o_orderkey"), col("l_partkey")),
             "o_orderkey")
           .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-          .distinct()
+          .distinct())
         val parts = tbl(s, d, "part").select(col("p_partkey"))
         val nP = parts.agg(count(lit(1)).as("np"))
         // `part` scales with SF, so the dense draw index is the q148/q224
@@ -2553,21 +2557,27 @@ object CurationOps {
         val dbg = TextOps.docBigrams(s, d)
         val cnt = dbg.groupBy(col("bg")).agg(sum(col("k")).as("c12"))
           .withColumn("w1", substring_index(col("bg"), "\u0001", 1))
-        val prefix = cnt.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
         // proxy unigram LM over the SAME positions the bigram LM scores:
         // cu(t) = t's corpus count as a continuation (second element),
-        // from the bigram-TYPE table — vocab-sized work, no token
-        // explode; nu = total bigram positions, so cu/nu is a proper
-        // distribution over exactly the events ref_prob integrates over
-        val vocab = cnt
-          .withColumn("w2", substring_index(col("bg"), "\u0001", -1))
-          .groupBy(col("w2")).agg(sum(col("c12")).as("cu"))
-        val ntot = vocab.agg(sum(col("cu")).as("nu"))
+        // computed at the bigram-vocab level — vocab-sized work, no
+        // token explode; nu = total bigram positions (Σ_w2 cu = Σ c12
+        // telescopes, so ntot reads cnt directly). c1/cu are PARTITIONED
+        // WINDOW sums over cnt instead of two standalone aggregates
+        // joined back (r18, guide §2.4): one exchange per key replaces
+        // prefix-agg + SMJ-on-w1 + vocab-agg + broadcast, with identical
+        // exact integer values (the inner joins never dropped a row —
+        // prefix/vocab derive from cnt).
+        val wW1 = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("w1"))
+        val wW2 = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("w2"))
+        val ntot = cnt.agg(sum(col("c12")).as("nu"))
         // unigram counts attach at the BIGRAM-vocab level, not onto
         // the corpus stream - the per-(doc,bg) pass meets ONE table
-        val lm = cnt.join(prefix, "w1")
+        val lm = cnt
           .withColumn("w2", substring_index(col("bg"), "\u0001", -1))
-          .join(broadcast(vocab), "w2")
+          .withColumn("c1", sum(col("c12")).over(wW1))
+          .withColumn("cu", sum(col("c12")).over(wW2))
         val perDoc = dbg
           .join(lm, "bg")
           .crossJoin(broadcast(ntot))
@@ -2810,9 +2820,15 @@ object CurationOps {
           .createTempDirectory("graft-q311-build")
         OpsKit.reapOnExit(tmp)
         val C = graft.sink.CorpusBuild.BinTokens.toLong
+        // the two priced builds share (spark, dir): compute the stage-2
+        // DoReMi targets ONCE and hand them to both runs — the LM chain
+        // is a pure function of its inputs, so this is job dedup within
+        // one query invocation, not a semantic change (r18 optimization)
+        val targets = graft.sink.CorpusBuild.doremiTargets(s, d)
         def priced(policy: String): DataFrame =
           graft.sink.CorpusBuild
-            .run(s, d, s"$tmp/$policy", packing = policy)
+            .run(s, d, s"$tmp/$policy", packing = policy,
+              targets0 = Some(targets))
             .select(lit(policy).as("packing"), col("source"),
               col("n_selected"), col("n_bins"), col("n_tokens"),
               (col("n_bins") * C - col("n_tokens")).as("pad_tokens"),

@@ -237,10 +237,18 @@ object DedupOps {
     NamedQuery(
       "q101_substr_spans",
       (s, d) => {
-        val posts = corpusWithNearDups(s, d)
+        // pinned (r18 optimization): the postings table feeds THREE
+        // consumers — the df guard and both sides of the gram self-join.
+        // Unpinned, the posexplode + per-gram hashing ran once for the
+        // guard and once for the join's shared shuffle map (exchange
+        // reuse covers only the two join sides); pinning materializes
+        // the explode exactly once and the three consumers read the
+        // checkpoint — at scale, 1 corpus scan + 1 postings write
+        // replaces 2 full explode+hash passes. Values unchanged.
+        val posts = OpsKit.pinned(corpusWithNearDups(s, d)
           .select(col("doc_id"), posexplode(hashedShingles(col("text"))))
           .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
-            col("col").as("g"))
+            col("col").as("g")))
         val hot = posts.groupBy(col("g"))
           .agg(countDistinct(col("doc_id")).as("df"))
           .filter(col("df") > 100).select(col("g"))
@@ -334,19 +342,28 @@ object DedupOps {
     NamedQuery(
       "q120_prefix_simjoin",
       (s, d) => {
-        val toks = corpusWithNearDups(s, d)
+        // pinned (r18 optimization): the shingle-set table feeds FOUR
+        // consumers (df counts, the rarity ordering, and both
+        // verification sides a/b) — unpinned, the corpus scan +
+        // shingle hash + array_sort(array_distinct(...)) ran once per
+        // consumer. One materialization, four checkpoint reads.
+        val toks = OpsKit.pinned(corpusWithNearDups(s, d)
           .select(col("doc_id"),
             array_sort(array_distinct(hashedShingles(col("text"))))
-              .as("ts"))
+              .as("ts")))
         val dfreq = toks
           .select(col("doc_id"), explode(col("ts")).as("tok"))
           .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        val ordered = toks
+        // pinned too: `pref` below feeds both sides of the candidate
+        // join with DIFFERENT filters (the asymmetric prefixes), so
+        // exchange reuse cannot dedup them and the collect_list
+        // re-aggregation would run twice.
+        val ordered = OpsKit.pinned(toks
           .select(col("doc_id"), explode(col("ts")).as("tok"))
           .join(dfreq, "tok")
           .groupBy(col("doc_id"))
           .agg(expr("transform(array_sort(collect_list(struct(df, tok))), " +
-            "s -> s.tok)").as("ots"), count(lit(1)).as("n"))
+            "s -> s.tok)").as("ots"), count(lit(1)).as("n")))
         // prefix entries carry (position, set size) so the join can apply
         // PPJoin's three sound candidate filters BEFORE the distinct:
         //  - asymmetric prefixes (the PPJoin indexing prefix, Xiao/Wang/

@@ -314,11 +314,16 @@ object GovernanceOps {
             dropFirstToken(col("text")).as("text")))
         val eg = eval_.select(col("eval_id"),
           explode(array_distinct(hashedShingles(col("text")))).as("g"))
-        val tg = train.select(col("train_id"),
-          explode(array_distinct(hashedShingles(col("text")))).as("g"))
+        // pinned (r18 optimization): the train-gram postings feed the
+        // hot-gram guard AND the filtered probe side — unpinned, the
+        // train scan + shingle hash + explode ran twice. Same for the
+        // filtered eval postings, read by both the Bloom build (a
+        // collect) and the final overlap join.
+        val tg = OpsKit.pinned(train.select(col("train_id"),
+          explode(array_distinct(hashedShingles(col("text")))).as("g")))
         val hot = tg.groupBy(col("g"))
           .agg(count(lit(1)).as("df")).filter(col("df") > 100).select(col("g"))
-        val egf = eg.join(hot, Seq("g"), "left_anti")
+        val egf = OpsKit.pinned(eg.join(hot, Seq("g"), "left_anti"))
         val bf = egf.stat.bloomFilter("g", 1000000L, 0.01)
         // native codegen probe (functions/BloomMightContain.scala): the
         // filter ships as a foldable binary literal, deserialized once —

@@ -91,6 +91,16 @@ object OpsKit {
     df
   }
 
+  /** Label every job an eager block runs (guide: setJobDescription makes
+    * the UI/bench job stream readable); restores the previous label so
+    * nested blocks compose. Pure bookkeeping — no plan or result change. */
+  def labeled[T](spark: SparkSession, desc: String)(f: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try f finally sc.setJobDescription(prev)
+  }
+
   /** Order-insensitive exact sum of a double expression: cast each value to
     * DECIMAL(28,6) (ties at the 6th decimal are unrepresentable in binary
     * doubles, so Spark and DuckDB round identically), sum exactly, return

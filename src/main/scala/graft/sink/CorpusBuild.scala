@@ -186,14 +186,21 @@ object CorpusBuild {
     val dbg = TextOps.docBigrams(spark, dir)
     val cnt = dbg.groupBy(col("bg")).agg(sum(col("k")).as("c12"))
       .withColumn("w1", substring_index(col("bg"), "\u0001", 1))
-    val prefix = cnt.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-    val vocab = cnt
+    // c1/cu as PARTITIONED WINDOW sums over the bigram-vocab table
+    // instead of two standalone aggregates joined back (r18, guide
+    // §2.4: operations keyed the same way share one exchange). The
+    // join form cost a prefix-agg exchange + an SMJ on w1 + a vocab-agg
+    // exchange + a broadcast; the window form is one exchange per key.
+    // Values are identical: prefix/vocab derived FROM cnt, so the inner
+    // joins never dropped a row, and the window sums are the same exact
+    // integer sums per w1/w2 group. ntot telescopes: Σ_w2 cu = Σ c12.
+    val wW1 = Window.partitionBy(col("w1"))
+    val wW2 = Window.partitionBy(col("w2"))
+    val ntot = cnt.agg(sum(col("c12")).as("nu"))
+    val lm = cnt
       .withColumn("w2", substring_index(col("bg"), "\u0001", -1))
-      .groupBy(col("w2")).agg(sum(col("c12")).as("cu"))
-    val ntot = vocab.agg(sum(col("cu")).as("nu"))
-    val lm = cnt.join(prefix, "w1")
-      .withColumn("w2", substring_index(col("bg"), "\u0001", -1))
-      .join(broadcast(vocab), "w2")
+      .withColumn("c1", sum(col("c12")).over(wW1))
+      .withColumn("cu", sum(col("c12")).over(wW2))
     // LM statistics are corpus-wide (the shared artifact); the excess
     // losses integrate over KEPT docs only
     val perDoc = dbg.join(keptIds, "doc_id")
@@ -210,7 +217,12 @@ object CorpusBuild {
         (col("proxys").cast("double") /
           (col("n_bg").cast("double") * col("nu").cast("double")))
           .as("proxy_prob"))
-    val lam = OpsKit.pinned(perDoc
+    // audited, not pinned (r18 optimization): lam is consumed exactly once
+    // by the K-row collect below, so the localCheckpoint materialization
+    // pinned() pays (a full extra job + a Row re-encode per row) bought
+    // nothing — there is no iterative replanning hazard on a single-shot
+    // collect. Saves one job per call; the scan gate still sees the plan.
+    val lam = OpsKit.audited(perDoc
       .select(col("source"),
         greatest(col("ref_prob") / col("proxy_prob") - lit(1.0), lit(0.0))
           .as("excess"))
@@ -220,7 +232,8 @@ object CorpusBuild {
     // the 8 Hedge rounds iterate K driver scalars — bit-identical to
     // q298's fold (and to the oracle's unrolled MATERIALIZED rounds):
     // (1+λ) polynomial weights, dsum-grid normalizer, 0.99/0.01 smoothing
-    val lamRows = lam.select(col("source"), col("excess_loss")).collect()
+    val lamRows = OpsKit.labeled(spark, "doremi: excess-loss fold")(
+      lam.select(col("source"), col("excess_loss")).collect())
       .map(r => r.getString(0) -> r.getDouble(1)).toSeq.sortBy(_._1)
     val kDom = lamRows.size
     var aMap = lamRows.map { case (src, _) => src -> 1.0 }.toMap
@@ -244,9 +257,17 @@ object CorpusBuild {
     *   selected document is ever split across bins, at the pad cost
     *   q304 prices. Selection, quotas, publish, and certification are
     *   identical in both modes; only the bin assignment differs. */
+  /** @param targets0 precomputed DoReMi targets (stage 2). A caller that
+    *   runs the build more than once on the SAME (spark, dir) — q311
+    *   prices two packing policies per invocation — computes the targets
+    *   once and passes them in, instead of paying the identical LM-chain
+    *   jobs per build (r18 optimization; value-identical by construction:
+    *   doremiTargets is a pure function of (spark, dir)). None = compute
+    *   here, the single-build (q299) shape. */
   def run(spark: SparkSession, dir: String, out: String,
       phasedThreshold: Long = PhasedMinRows,
-      packing: String = "greedy"): DataFrame = {
+      packing: String = "greedy",
+      targets0: Option[Seq[(String, Double)]] = None): DataFrame = {
     import spark.implicits._
 
     // ---- stage 1: per-doc curation decisions (shared disk artifact) ----
@@ -257,18 +278,21 @@ object CorpusBuild {
     // per-source totals and kept counts from the decision artifact, NOT
     // from documents — no corpus scan, and the funnel numbers certified
     // here can never disagree with the decisions they summarize
-    val perSrcRows = OpsKit.audited(originals.groupBy(col("source"))
+    val perSrcRows = OpsKit.labeled(spark, "corpusbuild: funnel counts")(
+      OpsKit.audited(originals.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("decision") === "keep", 1L).otherwise(0L))
           .as("n_kept")))
-      .collect()
+      .collect())
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
         r.getAs[Long]("n_kept")))
       .sortBy(_._1)
 
     // ---- stage 2: DoReMi weights on the kept pool (q298's LM chain,
     // factored as doremiTargets — shared with the q301 mixture monitor)
-    val targets = doremiTargets(spark, dir)
+    val targets = targets0.getOrElse(
+      OpsKit.labeled(spark, "corpusbuild: doremi targets")(
+        doremiTargets(spark, dir)))
     val aMap = targets.toMap
 
     // ---- stage 3: water-filled apportionment of T = n_kept div 2 ------
@@ -412,8 +436,9 @@ object CorpusBuild {
       .join(finalBins, "doc_id")
       .select(col("doc_id"), col("text"), col("n_toks"), col("bin_id"),
         col("source"))
-    CorpusPublish.publish(OpsKit.audited(packed), out, "source", "doc_id",
-      1000)
+    OpsKit.labeled(spark, "corpusbuild: publish")(
+      CorpusPublish.publish(OpsKit.audited(packed), out, "source", "doc_id",
+        1000))
 
     // ---- stage 5: certify FROM THE FILES -------------------------------
     // two-level: per (source, bin) loads first, so the cert can price

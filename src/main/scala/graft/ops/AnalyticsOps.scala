@@ -51,11 +51,15 @@ object AnalyticsOps {
       "q68_funnel",
       (s, d) => {
         val ev = events(s, d)
-        val su = ev.filter(col("event_type") === "signup")
-          .groupBy(col("user_id")).agg(min(col("ts")).as("ts_s"))
-        val cl = ev.filter(col("event_type") === "click")
+        // pinned (r18 optimization): each funnel stage feeds both the
+        // next stage's join and its own count — unpinned, su's events
+        // scan + aggregation re-ran 3x (inside cl, inside pu via cl,
+        // and for n_signup) and cl's 2x.
+        val su = OpsKit.pinned(ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("ts_s")))
+        val cl = OpsKit.pinned(ev.filter(col("event_type") === "click")
           .join(su, "user_id").filter(col("ts") >= col("ts_s"))
-          .groupBy(col("user_id")).agg(min(col("ts")).as("ts_c"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("ts_c")))
         val pu = ev.filter(col("event_type") === "purchase")
           .join(cl, "user_id").filter(col("ts") >= col("ts_c"))
           .groupBy(col("user_id")).agg(min(col("ts")).as("ts_p"))

@@ -465,6 +465,12 @@ object CoreQueries {
     NamedQuery(
       "q166_fk_orphans",
       (s, d) => {
+        // Examined in r18 and deliberately left in the anti-join form: a
+        // key-grouped full-outer rewrite (one scan per side) was tried
+        // and measured SLOWER — it shuffles the fact table by key per
+        // edge, where the anti-joins broadcast the dimension side and
+        // never shuffle the fact at all; three single-column columnar
+        // scans are cheaper than one fact shuffle at any scale.
         def edge(child: String, ck: String, parent: String,
             pk: String): org.apache.spark.sql.DataFrame = {
           val c = tbl(s, d, child).select(col(ck))

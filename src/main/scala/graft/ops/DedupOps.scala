@@ -522,18 +522,22 @@ object DedupOps {
       "q135_lsh_recall",
       (s, d) => {
         val corpus = corpusWithNearDups(s, d)
-        val toks = corpus
+        // pinned (r18 optimization, q120's reasoning): toks feeds four
+        // consumers and `ordered` feeds both asymmetric prefix sides —
+        // unpinned, the corpus scan + shingle hash + sort ran per
+        // consumer and the collect_list re-aggregation ran twice.
+        val toks = OpsKit.pinned(corpus
           .select(col("doc_id"),
-            array_sort(array_distinct(hashedShingles(col("text")))).as("ts"))
+            array_sort(array_distinct(hashedShingles(col("text")))).as("ts")))
         val dfreq = toks
           .select(col("doc_id"), explode(col("ts")).as("tok"))
           .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        val ordered = toks
+        val ordered = OpsKit.pinned(toks
           .select(col("doc_id"), explode(col("ts")).as("tok"))
           .join(dfreq, "tok")
           .groupBy(col("doc_id"))
           .agg(expr("transform(array_sort(collect_list(struct(df, tok))), " +
-            "s -> s.tok)").as("ots"), count(lit(1)).as("n"))
+            "s -> s.tok)").as("ots"), count(lit(1)).as("n")))
         val pref = ordered.select(col("doc_id"), col("n"),
           posexplode(expr("slice(ots, 1, CAST(n - ((n + 1) DIV 2) + 1 " +
             "AS INT))")).as(Seq("p0", "tok")))

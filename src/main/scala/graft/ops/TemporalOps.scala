@@ -388,7 +388,10 @@ object TemporalOps {
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("ts"), col("event_id"))
         val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val sess = events(s, d)
+        // pinned (r18 optimization): both sides of the boundary-stream
+        // union read `sess` — unpinned, the events scan + two
+        // sessionization windows ran twice.
+        val sess = graft.ops.OpsKit.pinned(events(s, d)
           .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
           .withColumn("new_sess",
             when(col("prev_us").isNull ||
@@ -397,7 +400,7 @@ object TemporalOps {
           .withColumn("sid", sum(col("new_sess")).over(wc))
           .groupBy(col("user_id"), col("sid"))
           .agg(min(unix_micros(col("ts"))).as("t0"),
-            max(unix_micros(col("ts"))).as("t1"))
+            max(unix_micros(col("ts"))).as("t1")))
         val bounds = sess.select(col("t0").as("t"), lit(1L).as("delta"),
             col("user_id"), col("sid"))
           .unionByName(sess.select((col("t1") + 1).as("t"),

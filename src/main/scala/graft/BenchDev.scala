@@ -16,7 +16,10 @@ object BenchDev {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val names: Seq[String] = args.headOption match {
       case Some(spec) if spec.startsWith("top:") =>
-        val parts = spec.split(":")
+        // limit 3: a file path containing ':' stays intact in parts(1)
+        val parts = spec.split(":", 3)
+        require(parts.length >= 2 && parts(1).nonEmpty,
+          "usage: BenchDev top:<file>[:n]")
         val (file, n) = (parts(1), if (parts.length > 2) parts(2).toInt else 30)
         val src = scala.io.Source.fromFile(file, "UTF-8")
         val txt = try src.mkString finally src.close()
@@ -53,7 +56,12 @@ object BenchDev {
         })
     }
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // NonFatal only: an OOM or linkage error must surface, not silently
+    // skip warmup and skew the first min-of-2 (r18 ADVICE)
+    try SparkEntry.entry(spark).count() catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"BENCHDEV warmup failed: ${e.getMessage}")
+    }
     var total = 0.0
     names.foreach { name =>
       def once(): Double = {

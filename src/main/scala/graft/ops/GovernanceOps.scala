@@ -976,6 +976,24 @@ object GovernanceOps {
   private[graft] def artifactPath(d: String, tag: String): String =
     s"$scratchRoot/${dirFingerprint(d)}-$familyKey/$tag"
 
+  /** Pre-battery scratch observability (r18 verdict item 3): which
+    * disk-memo family artifacts are already published (warm) for this
+    * data dir. Bench records the answer in every capture, so a committed
+    * record discloses whether the closure/anf/decisions build cost is
+    * inside its timed numbers (cold) or was paid by an earlier run —
+    * without this, floors and records measured over a warm scratch were
+    * indistinguishable from cold ones. Returns (key dir, warm tags). */
+  private[graft] def scratchState(d: String): (String, Seq[String]) = {
+    val keyDir = s"$scratchRoot/${dirFingerprint(d)}-$familyKey"
+    val root = new org.apache.hadoop.fs.Path(keyDir)
+    val fs = fsFor(root)
+    val warm =
+      if (!fs.exists(root)) Seq.empty[String]
+      else fs.listStatus(root).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName).sorted
+    (keyDir, warm)
+  }
+
   private[graft] def diskMemo(s: org.apache.spark.sql.SparkSession,
       d: String, tag: String)(build: => org.apache.spark.sql.DataFrame):
       org.apache.spark.sql.DataFrame = {

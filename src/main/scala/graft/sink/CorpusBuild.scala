@@ -256,8 +256,8 @@ object CorpusBuild {
     *   best-fit-decreasing via [[graft.ops.CurationOps.bestFitPack]]: no
     *   selected document is ever split across bins, at the pad cost
     *   q304 prices. Selection, quotas, publish, and certification are
-    *   identical in both modes; only the bin assignment differs. */
-  /** @param targets0 precomputed DoReMi targets (stage 2). A caller that
+    *   identical in both modes; only the bin assignment differs.
+    * @param targets0 precomputed DoReMi targets (stage 2). A caller that
     *   runs the build more than once on the SAME (spark, dir) — q311
     *   prices two packing policies per invocation — computes the targets
     *   once and passes them in, instead of paying the identical LM-chain

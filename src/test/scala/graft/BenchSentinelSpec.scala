@@ -247,6 +247,35 @@ class BenchSentinelSpec extends AnyFunSuite {
       === "BENCH_REJECTED_3.json")
   }
 
+  test("fresh summary line always carries the fresh total and per-query map") {
+    // r18 verdict item 1: when the overwrite guard fired, the final
+    // stdout line reported the COMMITTED total with queries:{} — the
+    // driver had now_bench_ok:false two rounds running and a genuine
+    // regression would have hidden behind the old fast record. The
+    // summary must report the fresh measurement with the guard verdict
+    // as annotations, in both guard outcomes.
+    val qs = """{"q01_scan_project":0.15,"q92_triangles":2.3}"""
+    val kept = Bench.freshSummaryLine(198.77, gateOk = false,
+      keptCommitted = true, committedTotal = Some(146.295),
+      contended = false, qs, "{}", 314, 0, "/root/testdata/sf0.1")
+    assert(kept.contains(""""value":198.77"""))          // FRESH, not committed
+    assert(kept.contains(""""gate_ok":false"""))
+    assert(kept.contains(""""kept_committed":true"""))
+    assert(kept.contains(""""committed_total":146.295""")) // old number kept too
+    assert(kept.contains(""""queries":{"q01_scan_project":0.15"""))
+    assert(kept.count(_ == '{') === kept.count(_ == '}'))
+    // clean path: no committed_total key, gate_ok true, same fresh map
+    val clean = Bench.freshSummaryLine(151.2, gateOk = true,
+      keptCommitted = false, committedTotal = None,
+      contended = false, qs, "{}", 314, 0, "/root/testdata/sf0.1")
+    assert(clean.contains(""""value":151.2"""))
+    assert(clean.contains(""""gate_ok":true"""))
+    assert(clean.contains(""""kept_committed":false"""))
+    assert(!clean.contains("committed_total"))
+    assert(clean.contains(""""queries":{"q01_scan_project":0.15"""))
+    assert(clean.count(_ == '{') === clean.count(_ == '}'))
+  }
+
   test("repass candidate ratio list skips non-positive bests") {
     // a zero best (pathological) must not win the ratio sort by division
     val results = Seq(("qz", 0.0, 1.0), ("qa", 0.2, 1.0), ("qd", 3.0, 3.1))

@@ -252,6 +252,15 @@ object DedupOps {
         val hot = posts.groupBy(col("g"))
           .agg(countDistinct(col("doc_id")).as("df"))
           .filter(col("df") > 100).select(col("g"))
+        // broadcast(hot) tried and REVERTED (r19, r18 verdict item 4):
+        // the pin demotes this anti-join to SMJ, but the SMJ rides the
+        // Exchange(g) the pair self-join below needs anyway (the plan
+        // shows ReusedExchange), so restoring the broadcast only ADDS a
+        // build: interleaved pre/post A/B at sf0.1, both orderings,
+        // read the hinted form ~+15% on q101 (2.30-2.41 s unhinted vs
+        // 2.65-3.44 s hinted; plans/r19/q101_* dumps). Same verdict for
+        // broadcast(dfreq) in q120 (+12%) and q135 (+7%) — dfreq's own
+        // aggregation shares the postings exchange the SMJ reuses.
         val pr = posts.join(hot, Seq("g"), "left_anti")
         val m = pr.select(col("g"), col("doc_id").as("doc1"), col("p").as("p1"))
           .join(pr.select(col("g"), col("doc_id").as("doc2"), col("p").as("p2")),
@@ -357,7 +366,10 @@ object DedupOps {
         // pinned too: `pref` below feeds both sides of the candidate
         // join with DIFFERENT filters (the asymmetric prefixes), so
         // exchange reuse cannot dedup them and the collect_list
-        // re-aggregation would run twice.
+        // re-aggregation would run twice. broadcast(dfreq) tried and
+        // REVERTED (r19): the SMJ reuses the Exchange(tok) dfreq's own
+        // aggregation pays regardless, so the hint only adds a broadcast
+        // build — interleaved A/B read it +12% (see q101's comment).
         val ordered = OpsKit.pinned(toks
           .select(col("doc_id"), explode(col("ts")).as("tok"))
           .join(dfreq, "tok")
@@ -543,6 +555,8 @@ object DedupOps {
             "AS INT))")).as(Seq("p0", "tok")))
           .select(col("doc_id"), col("n"), (col("p0") + 1).as("p"),
             col("tok"))
+        // broadcast(dfreq) tried and REVERTED here too (r19): +7% in the
+        // interleaved A/B, same exchange-reuse mechanism as q120.
         // the panel side is cut BEFORE the posting join, so join input —
         // not just output — is bounded by the panel
         val cands = pref.filter(col("doc_id") < 1000)

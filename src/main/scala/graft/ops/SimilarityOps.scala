@@ -471,9 +471,10 @@ object SimilarityOps {
   private def ivfpqAdc(s: SparkSession, d: String):
       (DataFrame, DataFrame, DataFrame) = {
     val js = Seq(0, 1, 2, 3)
-    val emb = pinned(tbl(s, d, "embeddings")
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ed")))
+    val emb = OpsKit.labeled(s, "ivfpq: emb pin")(
+      pinned(tbl(s, d, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ed"))))
     val sqdFull = expr(
       "aggregate(zip_with(ed, ce, (x, y) -> (x - y) * (x - y)), " +
         "CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
@@ -490,10 +491,22 @@ object SimilarityOps {
     // encode pass — without the pin each consumer replays the
     // corpus × centroids assignment (the plan-duplication cost the
     // first cut paid: 24 windows / 25 top-k groups in the signature)
-    val corpusR = pinned(assigned.filter(col("crn") === 1)
-      .select(col("vec_id"), col("cent_id").as("cluster"),
-        residual.as("rv")))
+    val corpusR = OpsKit.labeled(s, "ivfpq: coarse-assign pin")(
+      pinned(assigned.filter(col("crn") === 1)
+        .select(col("vec_id"), col("cent_id").as("cluster"),
+          residual.as("rv"))))
     val wCw = Window.partitionBy(col("cluster")).orderBy(col("vec_id"))
+    // Literal-codebook encode (kmAssignLit's pattern: collect the ≤128-row
+    // codebook, bake per-cluster least(struct(sd, cwid)) CASE branches
+    // into one narrow projection — no ×16 join fan-out, no argmin
+    // exchange) tried and REVERTED (r19, r18 verdict item 5): interleaved
+    // pre/post A/B at sf0.1, both orderings, read it ~+20% (q306+q308
+    // 5.3–6.1 s joined vs 6.7–8.3 s literal; plans/r19/q306*/q308*
+    // dumps). The 4×8×16-fold expression tree costs more in per-
+    // invocation planning + interpreted HOF evaluation than the removed
+    // exchange saves, and at scale the joined form is already
+    // broadcast + map-side-partial-agg (no corpus shuffle) — so the
+    // literal form wins nothing there either.
     val codebook = corpusR.withColumn("cwid", row_number().over(wCw))
       .filter(col("cwid") <= 16)
       .select(col("cluster"), col("cwid"), col("rv").as("cw"),
@@ -525,12 +538,13 @@ object SimilarityOps {
     // pinned: the ADC score table feeds the ranking, the top-1 pick,
     // and the candidate count — panel-bounded (≤64 queries × probed
     // lists), so the pin is a few thousand rows
-    val sadc = pinned(codes
-      .join(broadcast(lut),
-        col("cluster") === col("lcl") && col("j") === col("lj") &&
-          col("code") === col("cwid"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(dsum(col("ld")).as("adc_dist")))
+    val sadc = OpsKit.labeled(s, "ivfpq: encode+adc pin")(
+      pinned(codes
+        .join(broadcast(lut),
+          col("cluster") === col("lcl") && col("j") === col("lj") &&
+            col("code") === col("cwid"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(dsum(col("ld")).as("adc_dist"))))
     val q5 = emb.filter(isPanel(col("vec_id")))
       .select(col("vec_id").as("eq_id"), col("ed").as("qe"))
     val sqdQ = expr(

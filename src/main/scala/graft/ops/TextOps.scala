@@ -1076,6 +1076,17 @@ object TextOps {
         // tf feeds FOUR consumers (postings, dl, df, query terms); persist
         // so the explode+count runs once — plan-keyed, so repeat calls in
         // one session share the same cache entry (the kmCorpus mechanism)
+        // pinned(tf) tried and REVERTED (r19, r18 verdict item 6): four
+        // interleaved A/B pairs read the pinned form 2.5-3x slower
+        // (6.8-8.1 s vs 2.6-3.2 s at sf0.1) — the checkpoint pays an
+        // eager materialization per invocation, forfeits the plan-keyed
+        // cache hit, and its unknown stats demote the unhinted dl join
+        // off broadcast (the q247 mechanism). persist() stays. Eviction
+        // safety: unlike the r9 closure-family failure, tf's subtree
+        // contains no localCheckpoint, so its canonical plan stays
+        // rematchable — an evicted block recomputes and RE-CACHES from
+        // the one parquet scan, it cannot silently double-bill every
+        // later consumer the way checkpoint-keyed plans did.
         val tf = toks.groupBy(col("doc_id"), col("tok"))
           .agg(count(lit(1)).as("tf"))
           .persist()
@@ -2088,6 +2099,13 @@ object TextOps {
           .select(col("doc_id"), col("lang"),
             explode(when(marked, suffixed).otherwise(tk)).as("tok"))
           .filter(col("tok") =!= "")
+        // One-scan form (pinned slot table shared by the train/test
+        // branches) tried and REVERTED (r19, r18 verdict item 7): six
+        // interleaved pre/post A/B pairs at sf0.1 read the pinned form
+        // slower in 4/6 (medians 3.4 s two-branch vs 3.9 s pinned) — the
+        // checkpoint write+read of the corpus-scale (doc, lang, slot)
+        // explode costs more than re-hashing each gram once per branch,
+        // confirming the r18 defense of the doc_id%2 two-branch split.
         val slots = toks.select(col("doc_id"), col("lang"),
           explode(transform(
             sequence(lit(1), greatest(length(col("tok")) - 2, lit(1))),

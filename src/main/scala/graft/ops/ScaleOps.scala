@@ -1391,9 +1391,20 @@ object ScaleOps {
               (lit(64) - col("n_regs")).cast("double")).as("z"))
           .select(col("h"), col("n_regs"),
             (alpha * lit(4096.0) / col("z")).as("hll_24h"))
+        // r19: the witness used to attach hours via a broadcast
+        // nested-loop RANGE join (uh_h BETWEEN h-23 AND h) — |uh| × |hours|
+        // predicate evaluations (~65M at sf0.1), quadratic in the hour
+        // span even though the membership is bounded at 24 rows per
+        // activity cell. Generate the ≤24 covered hours per (hour, user)
+        // cell instead and attach the observed-hour grid with a hash
+        // equi-join: uh_h ∈ [h-23, h] ⟺ h ∈ [uh_h, uh_h+23], so the
+        // joined (h, user) pair set — and the per-hour distinct count —
+        // is identical; only the join algorithm changes (BNLJ → BHJ,
+        // guide §3.1). Measured 1.06 s → see OPTIMIZATION_r19.md.
         val exact = uh.select(col("h").as("uh_h"), col("user_id"))
-          .join(broadcast(hours),
-            col("uh_h").between(col("h") - 23, col("h")))
+          .select(explode(sequence(col("uh_h"), col("uh_h") + 23))
+            .as("h"), col("user_id"))
+          .join(broadcast(hours), Seq("h"))
           .groupBy(col("h"))
           .agg(countDistinct(col("user_id")).as("exact_24h"))
         est.join(exact, "h")

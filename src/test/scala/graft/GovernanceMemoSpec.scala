@@ -52,6 +52,24 @@ class GovernanceMemoSpec extends AnyFunSuite {
       .exists(), "decisions artifact not published")
   }
 
+  test("scratchState reports published artifacts as warm, by tag") {
+    // r19 (r18 verdict item 3): Bench records which family artifacts
+    // existed before a battery, so committed records disclose whether
+    // the build cost is inside their numbers. After the eviction test
+    // above ran the family, at least pairs/labels/decisions must be
+    // warm, the key dir must be the artifactPath parent, and the tags
+    // must be sorted (the capture JSON is diffed textually).
+    SparkEntry.queries("q57_star_clusters")(spark, dir).count()
+    val (keyDir, warm) = GovernanceOps.scratchState(dir)
+    assert(GovernanceOps.artifactPath(dir, "labels")
+      .startsWith(keyDir), s"$keyDir is not the artifact parent")
+    assert(Seq("labels", "pairs").forall(warm.contains), warm.toString)
+    assert(warm == warm.sorted, "warm tags must be sorted")
+    // a dir with no artifacts reads cold, not an error
+    val (_, cold) = GovernanceOps.scratchState("/root/testdata/nonexistent")
+    assert(cold.isEmpty)
+  }
+
   test("q141 -> q197 shares pairs and LPA labels with zero rebuilds") {
     // q141 publishes (or reads) the labels-lpa artifact
     assert(SparkEntry.queries("q141_label_propagation")(spark, dir)
